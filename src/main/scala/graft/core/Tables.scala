@@ -1,0 +1,80 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over the driver-generated parquet test data.
+  *
+  * Maps the reference's data model (see SURVEY.md §1: every record addressed
+  * by a uint64 `_id`; `reference/index.go:26`, `reference/shardwidth/helper.go:9-14`)
+  * onto plain parquet-backed DataFrames. Shards become Spark partitions; the
+  * `_id` column is derived deterministically from the natural keys so PQL
+  * record-addressed calls (ConstRow/Limit/Sort/FieldValue/IncludesColumn)
+  * have a stable record space, and so a DuckDB oracle can compute the same id.
+  *
+  * Set-typed fields (reference STRINGSET, `reference/field.go:42-49`) have no
+  * physical analogue in the TPC-H-ish test data, so `documents` derives a
+  * `words STRINGSET` column from `text` (deduped, set semantics).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Deterministic record-id per table. lineitem has a composite natural key;
+    * l_linenumber is 1..7 so (l_orderkey*8 + l_linenumber) is injective.
+    * DuckDB-side equivalent is documented next to each oracle SQL.
+    */
+  def idExpr(name: String): Option[Column] = name match {
+    case "region"     => Some(col("r_regionkey").cast("long"))
+    case "nation"     => Some(col("n_nationkey").cast("long"))
+    case "customer"   => Some(col("c_custkey").cast("long"))
+    case "supplier"   => Some(col("s_suppkey").cast("long"))
+    case "part"       => Some(col("p_partkey").cast("long"))
+    case "orders"     => Some(col("o_orderkey").cast("long"))
+    case "lineitem"   => Some((col("l_orderkey") * 8 + col("l_linenumber")).cast("long"))
+    case "events"     => Some(col("event_id").cast("long"))
+    case "documents"  => Some(col("doc_id").cast("long"))
+    case "embeddings" => Some(col("vec_id").cast("long"))
+    case _            => None
+  }
+
+  /** Event-time column for time-quantum semantics (reference time views,
+    * `reference/time.go:74-225`): PQL `Row(f=v, from=, to=)` filters on it. */
+  def timeColumn(name: String): Option[String] = name match {
+    case "events"   => Some("ts")
+    case "orders"   => Some("o_orderdate")
+    case "lineitem" => Some("l_shipdate")
+    case _          => None
+  }
+
+  /** Load a table with its `_id` and any derived set columns attached.
+    * Derived columns are lazy projections — Catalyst prunes them when unused,
+    * so scans stay minimal (verified via .explain ReadSchema).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as long
+    // (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench sessions);
+    // normalize to TimestampType (µs) here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base0 = spark.read.parquet(s"$dir/$name.parquet")
+    val base =
+      if (name == "events" &&
+          base0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        base0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else base0
+    val withId = idExpr(name).map(e => base.withColumn("_id", e)).getOrElse(base)
+    name match {
+      case "documents" =>
+        // STRINGSET semantics: per-record set of distinct words.
+        withId.withColumn(
+          "words",
+          array_distinct(filter(split(col("text"), " "), w => w =!= "")))
+      case _ => withId
+    }
+  }
+
+  /** Register all tables as temp views for the SQL surface. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

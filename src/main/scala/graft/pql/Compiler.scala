@@ -1,0 +1,503 @@
+package graft.pql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles PQL call trees to Spark DataFrame plans.
+  *
+  * Design (SURVEY.md §2.1): bitmap calls become Catalyst *predicates*
+  * (`Column`) whenever possible so the whole boolean algebra stays inside one
+  * whole-stage-codegen'd scan with parquet filter pushdown — the Spark-native
+  * analogue of the reference's roaring AND/OR/NOT (`reference/executor.go:5357,
+  * 5382, 2950, 5513`). Only calls with inherently ordinal semantics
+  * (Limit/Sort/Shift/All(limit)) materialize an `_id` set, and those compose
+  * with predicates via semi/anti joins (broadcast-able when small).
+  *
+  * At 100 TB this means: a `Count(Intersect(Row(a=1), Row(b>5)))` is ONE
+  * parquet scan with both predicates pushed down, zero shuffles, partial
+  * counts merged at the driver — same shape as the reference's per-shard
+  * mapReduce (`reference/executor.go:6449`) but with codegen + column pruning.
+  */
+final class Compiler(table: DataFrame, timeCol: Option[String] = None) {
+
+  /** A bitmap result: Left = composable predicate, Right = materialized
+    * `_id` set (single column "_id"). */
+  type Bits = Either[Column, DataFrame]
+
+  private def dtype(field: String): DataType = table.schema(field).dataType
+  private def isSet(field: String): Boolean = dtype(field).isInstanceOf[ArrayType]
+
+  // ---------------------------------------------------------------- literals
+
+  private def lit_(v: Value, target: DataType): Column = (v, target) match {
+    case (NullV, _)                     => lit(null)
+    case (StrV(s), TimestampType) =>
+      // Anchor PQL timestamp literals to UTC explicitly (session TZ is UTC);
+      // java.sql.Timestamp.valueOf would parse in JVM-local time.
+      val ldt = java.time.LocalDateTime.parse(normTs(s).replace(' ', 'T'))
+      lit(ldt.atOffset(java.time.ZoneOffset.UTC).toInstant)
+    case (StrV(s), DateType)            => lit(java.sql.Date.valueOf(s.take(10)))
+    case (LongV(n), TimestampType)      => timestamp_seconds(lit(n))
+    case (LongV(n), _)                  => lit(n)
+    case (DoubleV(d), _)                => lit(d)
+    case (StrV(s), _)                   => lit(s)
+    case (BoolV(b), _)                  => lit(b)
+    case (ListV(_), _) => throw new IllegalArgumentException("list literal in scalar position")
+  }
+
+  /** '2024-01-05T06:30' / '2024-01-05' → java.sql LocalDateTime format. */
+  private def normTs(s: String): String = {
+    val t = s.replace('T', ' ')
+    val full = t.length match {
+      case 10 => t + " 00:00:00"
+      case 16 => t + ":00"
+      case _  => t
+    }
+    full
+  }
+
+  // ------------------------------------------------------------ bitmap calls
+
+  def bits(call: Call): Bits = call.name match {
+    case "Row" | "Range"  => rowBits(call)
+    case "Intersect"      => call.children.map(bits).reduceLeft(andBits)
+    case "Union"          => call.children.map(bits).reduceLeft(orBits)
+    case "Difference"     => call.children.map(bits).reduceLeft(diffBits)
+    case "Xor"            => call.children.map(bits).reduceLeft(xorBits)
+    case "Not"            => notBits(bits(call.children.head))
+    case "All" =>
+      (call.long("limit"), call.long("offset")) match {
+        case (None, None) => Left(lit(true))
+        case (l, o) =>
+          var ids = table.select("_id").orderBy("_id")
+          o.foreach(n => ids = ids.offset(n.toInt))
+          l.foreach(n => ids = ids.limit(n.toInt))
+          Right(ids)
+      }
+    case "ConstRow" =>
+      val ids = call.named("columns") match {
+        case Some(ListV(vs)) => vs.collect { case LongV(n) => n }
+        case _               => Seq.empty
+      }
+      Left(col("_id").isin(ids: _*))
+    case "UnionRows" =>
+      Left(call.children.map(rowsPredicate).reduceLeft(_ || _))
+    case "Limit" =>
+      val base = toIds(bits(call.children.head)).orderBy("_id")
+      val off  = call.long("offset").getOrElse(0L).toInt
+      val lim  = call.long("limit")
+      var ids  = if (off > 0) base.offset(off) else base
+      lim.foreach(n => ids = ids.limit(n.toInt))
+      Right(ids)
+    case "Shift" =>
+      val n = call.long("n").getOrElse(0L)
+      Right(toIds(bits(call.children.head)).select((col("_id") + n).as("_id")))
+    case other => throw new IllegalArgumentException(s"not a bitmap call: $other")
+  }
+
+  /** Row(field=v | field>v | field><[a,b] | field!=null, from=, to=) —
+    * `reference/executor.go:5120` (executeRowShard), BSI ranges `:5249`,
+    * time-bounded rows via quantum views (`reference/time.go:74-225`). */
+  private def rowBits(call: Call): Bits = {
+    val conds = call.args.collect {
+      case KV(k, op, v) if k != "from" && k != "to" => condColumn(k, op, v)
+    }
+    val time = timeBound(call)
+    Left((conds ++ time).reduceLeft(_ && _))
+  }
+
+  private def timeBound(call: Call): Seq[Column] = {
+    val tc = timeCol.map(col)
+    def bound(key: String, f: (Column, Column) => Column): Option[Column] =
+      call.named(key).flatMap { v =>
+        tc.map(t => f(t, lit_(v, TimestampType)))
+      }
+    // reference view range is [from, to) — viewsByTimeRange
+    (bound("from", _ >= _) ++ bound("to", _ < _)).toSeq
+  }
+
+  /** One field condition → Catalyst predicate. Set fields (STRINGSET/IDSET,
+    * `reference/field.go:42-49`) use membership; null semantics mirror the
+    * reference's existence bitmaps (`reference/executor.go:5056-5118`). */
+  private def condColumn(field: String, op: String, v: Value): Column = {
+    val c = col(field)
+    if (isSet(field)) {
+      val elem = dtype(field).asInstanceOf[ArrayType].elementType
+      (op, v) match {
+        case ("=", NullV)  => c.isNull || size(c) === 0
+        case ("!=", NullV) => c.isNotNull && size(c) > 0
+        case ("=", _)      => array_contains(c, lit_(v, elem))
+        case ("!=", _)     => !coalesce(array_contains(c, lit_(v, elem)), lit(false))
+        case _ => throw new IllegalArgumentException(s"op $op unsupported on set field $field")
+      }
+    } else {
+      val t = dtype(field)
+      (op, v) match {
+        case ("=", NullV)  => c.isNull
+        case ("!=", NullV) => c.isNotNull
+        case ("=", _)      => c === lit_(v, t)
+        case ("!=", _)     => c =!= lit_(v, t)
+        case ("<", _)      => c < lit_(v, t)
+        case ("<=", _)     => c <= lit_(v, t)
+        case (">", _)      => c > lit_(v, t)
+        case (">=", _)     => c >= lit_(v, t)
+        case ("><", ListV(Seq(a, b))) => c.between(lit_(a, t), lit_(b, t))
+        case _ => throw new IllegalArgumentException(s"bad condition: $field $op $v")
+      }
+    }
+  }
+
+  /** Predicate "record has any field value matching this Rows(...) spec" —
+    * used by UnionRows (`reference/executor.go:5696`). */
+  private def rowsPredicate(rows: Call): Column = {
+    require(rows.name == "Rows", s"UnionRows child must be Rows, got ${rows.name}")
+    val f = rows.fieldArg.getOrElse(sys.error("Rows: field required"))
+    val like = rows.str("like")
+    val base =
+      if (isSet(f)) {
+        like match {
+          case Some(p) => exists(col(f), v => v.like(p))
+          case None    => size(col(f)) > 0
+        }
+      } else {
+        like match {
+          case Some(p) => col(f).like(p)
+          case None    => col(f).isNotNull
+        }
+      }
+    base
+  }
+
+  // --------------------------------------------------------- bit combinators
+
+  private def toIds(b: Bits): DataFrame =
+    b.fold(p => table.filter(p).select("_id"), identity)
+
+  /** Rows of `table` matching the bitmap. */
+  def filtered(b: Bits): DataFrame =
+    b.fold(p => table.filter(p), ids => table.join(ids, Seq("_id"), "left_semi"))
+
+  private def andBits(a: Bits, b: Bits): Bits = (a, b) match {
+    case (Left(x), Left(y)) => Left(x && y)
+    case _ => Right(toIds(a).join(toIds(b), Seq("_id"), "left_semi"))
+  }
+  private def orBits(a: Bits, b: Bits): Bits = (a, b) match {
+    case (Left(x), Left(y)) => Left(x || y)
+    case _ => Right(toIds(a).union(toIds(b)).distinct())
+  }
+  private def diffBits(a: Bits, b: Bits): Bits = (a, b) match {
+    case (Left(x), Left(y)) => Left(x && !coalesce(y, lit(false)))
+    case _ => Right(toIds(a).join(toIds(b), Seq("_id"), "left_anti"))
+  }
+  private def xorBits(a: Bits, b: Bits): Bits = (a, b) match {
+    case (Left(x), Left(y)) =>
+      Left(coalesce(x, lit(false)) =!= coalesce(y, lit(false)))
+    case _ =>
+      val (ia, ib) = (toIds(a), toIds(b))
+      Right(ia.join(ib, Seq("_id"), "left_anti").union(ib.join(ia, Seq("_id"), "left_anti")))
+  }
+  /** Not = existence minus bitmap (`reference/executor.go:5554`); every row in
+    * the parquet table "exists". */
+  private def notBits(a: Bits): Bits = a match {
+    case Left(p)    => Left(!coalesce(p, lit(false)))
+    case Right(ids) => Right(table.select("_id").join(ids, Seq("_id"), "left_anti"))
+  }
+
+  // ------------------------------------------------------------ top-level ops
+
+  /** Execute a top-level PQL call → DataFrame with stable column names. */
+  def run(call: Call): DataFrame = call.name match {
+    case "Count" =>
+      filtered(bits(call.children.head)).agg(count(lit(1)).as("cnt"))
+
+    case "Sum" => // reference Sum returns value+count (`executor.go:1119`)
+      val f = call.fieldArg.getOrElse(sys.error("Sum: field required"))
+      filteredByOptional(call).agg(sum(col(f)).as("sum"), count(col(f)).as("cnt"))
+
+    case "Min" => minMax(call, asc = true)
+    case "Max" => minMax(call, asc = false)
+
+    case "MinRow" => minMaxRow(call, asc = true)
+    case "MaxRow" => minMaxRow(call, asc = false)
+
+    case "Distinct" => // `reference/executor.go:1173` — sorted distinct values
+      val f = call.fieldArg.getOrElse(sys.error("Distinct: field required"))
+      val base = filteredByOptional(call)
+      val vals = if (isSet(f)) base.select(explode(col(f)).as("val"))
+                 else base.select(col(f).as("val")).filter(col("val").isNotNull)
+      vals.distinct().orderBy("val")
+
+    case "Rows" => rowsCall(call)
+
+    case "Extract" => // the SELECT engine (`reference/executor.go:4711`)
+      val fields = call.children.filter(_.name == "Rows").flatMap(_.fieldArg)
+      filtered(bits(call.children.head))
+        .select(col("_id") +: fields.map(col): _*)
+        .orderBy("_id")
+
+    case "Sort" => // `reference/executor.go:9321` — ids ordered by BSI value
+      val f    = call.fieldArg.getOrElse(sys.error("Sort: field required"))
+      val desc = call.bool("sort-desc").getOrElse(false)
+      val key  = if (desc) col(f).desc else col(f).asc
+      var out = filtered(bits(call.children.head))
+        .select(col("_id"), col(f))
+        .orderBy(key, col("_id").asc)
+      call.long("offset").foreach(n => out = out.offset(n.toInt))
+      call.long("limit").foreach(n => out = out.limit(n.toInt))
+      out
+
+    case "TopN" | "TopK" => // exact top-k (`reference/executor.go:2357`);
+      // TopN's ranked-cache approximation is superseded by exact counts —
+      // divergence documented in SURVEY §7.4.
+      val f = call.fieldArg.getOrElse(sys.error("TopK: field required"))
+      val k = call.long("k").orElse(call.long("n")).getOrElse(10L).toInt
+      val base = call.namedCall("filter").map(c => filtered(bits(c)))
+        .getOrElse(filteredByTime(call))
+      val vals = if (isSet(f)) base.select(explode(col(f)).as("val"))
+                 else base.select(col(f).as("val")).filter(col("val").isNotNull)
+      vals.groupBy("val").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("val").asc)
+        .limit(k)
+
+    case "GroupBy" => groupByCall(call)
+
+    case "Percentile" => percentileCall(call)
+
+    case "FieldValue" => // point read (`reference/executor.go:943`)
+      val f = call.fieldArg.getOrElse(sys.error("FieldValue: field required"))
+      val c = call.long("column").getOrElse(sys.error("FieldValue: column required"))
+      table.filter(col("_id") === c).select(col(f).as("val"))
+
+    case "IncludesColumn" => // `reference/executor.go:907`
+      val c = call.long("column").getOrElse(sys.error("IncludesColumn: column required"))
+      filtered(bits(call.children.head))
+        .agg((count(when(col("_id") === c, 1)) > 0).as("includes"))
+
+    case _ => // bitmap call at top level → its id set
+      toIds(bits(call)).orderBy("_id")
+  }
+
+  /** Optional positional-child or named `filter=` bitmap for aggregations. */
+  private def filteredByOptional(call: Call): DataFrame = {
+    val fc = call.namedCall("filter").orElse(call.children.headOption)
+    fc.map(c => filtered(bits(c))).getOrElse(table)
+  }
+
+  private def filteredByTime(call: Call): DataFrame = {
+    val tb = timeBound(call)
+    if (tb.isEmpty) table else table.filter(tb.reduceLeft(_ && _))
+  }
+
+  /** Min/Max returns the extreme value plus the count of records attaining it
+    * (`reference/executor.go:1225,1261`) — one shuffle: group by value, take
+    * the first group in value order. */
+  private def minMax(call: Call, asc: Boolean): DataFrame = {
+    val f = call.fieldArg.getOrElse(sys.error("Min/Max: field required"))
+    val base = filteredByOptional(call).filter(col(f).isNotNull)
+    val ordered = if (asc) col("val").asc else col("val").desc
+    base.groupBy(col(f).as("val")).agg(count(lit(1)).as("cnt"))
+      .orderBy(ordered).limit(1)
+  }
+
+  /** MinRow/MaxRow (`reference/executor.go:1604,1643`): smallest/largest
+    * category value present with its count. Reference orders by internal row
+    * id; for keyed fields we use value order (documented divergence). */
+  private def minMaxRow(call: Call, asc: Boolean): DataFrame = {
+    val f = call.fieldArg.getOrElse(sys.error("MinRow/MaxRow: field required"))
+    val base = filteredByOptional(call)
+    val vals = if (isSet(f)) base.select(explode(col(f)).as("val"))
+               else base.select(col(f).as("val")).filter(col("val").isNotNull)
+    val ordered = if (asc) col("val").asc else col("val").desc
+    vals.groupBy("val").agg(count(lit(1)).as("cnt")).orderBy(ordered).limit(1)
+  }
+
+  /** Rows(field, limit=, like=, in=, column=, from=, to=) — distinct values
+    * (`reference/executor.go:3987-4357`), ascending. */
+  private def rowsCall(call: Call): DataFrame = {
+    val f = call.fieldArg.getOrElse(sys.error("Rows: field required"))
+    var base = filteredByTime(call)
+    call.long("column").foreach(c => base = base.filter(col("_id") === c))
+    var vals = if (isSet(f)) base.select(explode(col(f)).as("val"))
+               else base.select(col(f).as("val")).filter(col("val").isNotNull)
+    call.str("like").foreach(p => vals = vals.filter(col("val").like(p)))
+    call.named("in").foreach {
+      case ListV(vs) =>
+        val lits = vs.map {
+          case LongV(n) => n: Any
+          case DoubleV(d) => d: Any
+          case StrV(s) => s: Any
+          case other => sys.error(s"bad in-list value $other")
+        }
+        vals = vals.filter(col("val").isin(lits: _*))
+      case _ => ()
+    }
+    var out = vals.distinct().orderBy("val")
+    call.long("limit").foreach(n => out = out.limit(n.toInt))
+    out
+  }
+
+  /** GroupBy(Rows(a), Rows(b), …, filter=, aggregate=Sum(field=x), having=
+    * Condition(count>n), sort=, limit=, offset=) — `reference/executor.go:
+    * 3176-3918`. Set fields: a record contributes to EVERY member combination
+    * (cross-product explode, SURVEY §7.4); records with no value in a grouped
+    * field are excluded (bitmap semantics).
+    *
+    * Scale note: explode-per-set-column inflates rows before the hash agg;
+    * partial aggregation (map-side combine) keeps the shuffle bounded by
+    * group cardinality, and AQE handles skewed groups.
+    */
+  private def groupByCall(call: Call): DataFrame = {
+    val rowsCalls = call.children.filter(_.name == "Rows")
+    val fields = rowsCalls.flatMap(_.fieldArg)
+    require(fields.nonEmpty, "GroupBy: at least one Rows(field) required")
+
+    var base = call.namedCall("filter").map(c => filtered(bits(c))).getOrElse(table)
+    // explode set columns; require presence for scalar columns
+    fields.foreach { f =>
+      base =
+        if (isSet(f)) base.withColumn(f, explode(col(f)))
+        else base.filter(col(f).isNotNull)
+    }
+
+    val aggCall = call.namedCall("aggregate")
+    val aggs = count(lit(1)).as("cnt") +: aggCall.toSeq.map { ac =>
+      ac.name match {
+        case "Sum" =>
+          val f = ac.fieldArg.getOrElse(sys.error("GroupBy aggregate Sum: field required"))
+          sum(col(f)).as("agg")
+        case "Count" => count(lit(1)).as("agg")
+        case other   => sys.error(s"GroupBy aggregate $other unsupported")
+      }
+    }
+    var out = base.groupBy(fields.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+    // having=Condition(count > n) — count/sum only (`executor.go:3390-3404`)
+    call.namedCall("having").foreach { h =>
+      h.args.foreach {
+        case KV(key, op, v) =>
+          val target = key match {
+            case "count" => col("cnt")
+            case "sum" | "aggregate" => col("agg")
+            case other => sys.error(s"having on $other unsupported")
+          }
+          val value = v match {
+            case LongV(n) => lit(n)
+            case DoubleV(d) => lit(d)
+            case other => sys.error(s"bad having value $other")
+          }
+          val pred = op match {
+            case "="  => target === value
+            case "!=" => target =!= value
+            case "<"  => target < value
+            case "<=" => target <= value
+            case ">"  => target > value
+            case ">=" => target >= value
+            case o    => sys.error(s"having op $o unsupported")
+          }
+          out = out.filter(pred)
+        case _ => ()
+      }
+    }
+
+    // sort: "count desc" / "aggregate desc" / "sum asc"… default = keys asc;
+    // group keys always appended as tiebreak for determinism.
+    val keyCols = fields.map(f => col(f).asc)
+    val sortCols = call.str("sort") match {
+      case Some(spec) =>
+        val parts = spec.trim.toLowerCase.split("\\s+")
+        val target = parts(0) match {
+          case "count" => col("cnt")
+          case "sum" | "aggregate" => col("agg")
+          case f => col(f)
+        }
+        val primary = if (parts.length > 1 && parts(1) == "desc") target.desc else target.asc
+        primary +: keyCols
+      case None => keyCols
+    }
+    out = out.orderBy(sortCols: _*)
+    call.long("offset").foreach(n => out = out.offset(n.toInt))
+    call.long("limit").foreach(n => out = out.limit(n.toInt))
+    out
+  }
+
+  /** Percentile (`reference/executor.go:1296-1600`): the reference bisects the
+    * VALUE domain with Count probes until count(<v) ≤ floor(total*nth/100) and
+    * count(>v) ≤ floor(total*(100-nth)/100) — the result can be a synthetic
+    * midpoint value not present in the data (median of {1,100} = 50).
+    *
+    * We replicate exactly, but replace the O(log range) cluster-wide Count
+    * probes with ONE aggregation building the value CDF, then run the
+    * bisection driver-side against the in-memory CDF. At 100 TB the single
+    * groupBy(value) shuffle is bounded by the field's distinct cardinality;
+    * for very-high-cardinality fields the probe-loop fallback (a Spark count
+    * per probe) mirrors the reference's own behavior.
+    */
+  private def percentileCall(call: Call): DataFrame = {
+    val f   = call.fieldArg.getOrElse(sys.error("Percentile: field required"))
+    val nth = call.named("nth") match {
+      case Some(LongV(n))   => n.toDouble
+      case Some(DoubleV(d)) => d
+      case _                => sys.error("Percentile: nth required")
+    }
+    require(nth >= 0 && nth <= 100, s"Percentile: nth out of range: $nth")
+    val base = filteredByOptional(call).filter(col(f).isNotNull)
+    val cdf = base.groupBy(col(f).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    val spark = table.sparkSession
+    import spark.implicits._
+    if (cdf.isEmpty) return Seq.empty[Long].toDF("val")
+
+    val total = cdf.map(_._2).sum
+    val desiredLess    = ((total.toDouble * nth) / 100.0).toLong
+    val desiredGreater = ((total.toDouble * (100 - nth)) / 100.0).toLong
+    val values = cdf.map(_._1)
+    val prefix = cdf.scanLeft(0L)(_ + _._2).init // counts strictly before idx
+    def countLess(v: Long): Long = { // # values < v
+      val idx = search(values, v)
+      prefix(idx)
+    }
+    def countGreater(v: Long): Long = {
+      val idx = searchUpper(values, v)
+      total - prefix(idx) - (if (idx < values.length && values(idx) == v) cdf(idx)._2 else 0L)
+    }
+
+    var minV = values.head
+    var maxV = values.last
+    var possible = minV
+    if (desiredGreater != 0 && desiredLess == 0) possible = minV
+    else if (desiredGreater == 0) possible = maxV
+    else {
+      // Go-exact midpoint: (min/2)+(max/2)+(((min%2)+(max%2))/2), trunc toward 0
+      while (minV < maxV) {
+        possible = (minV / 2) + (maxV / 2) + (((minV % 2) + (maxV % 2)) / 2)
+        if (countLess(possible) > desiredLess) { maxV = possible - 1 }
+        else if (countGreater(possible) > desiredGreater) { minV = possible + 1 }
+        else { minV = maxV } // break
+      }
+    }
+    Seq(possible).toDF("val")
+  }
+
+  /** index of first element >= v */
+  private def search(a: Array[Long], v: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) { val mid = (lo + hi) >>> 1; if (a(mid) < v) lo = mid + 1 else hi = mid }
+    lo
+  }
+  /** index of first element >= v (same as search; kept for clarity at call site) */
+  private def searchUpper(a: Array[Long], v: Long): Int = search(a, v)
+}
+
+/** Convenience entry: parse + compile + run one PQL query against a table. */
+object Pql {
+  import org.apache.spark.sql.SparkSession
+  def run(spark: SparkSession, dir: String, tableName: String, pql: String): DataFrame = {
+    val t = graft.core.Tables.load(spark, dir, tableName)
+    new Compiler(t, graft.core.Tables.timeColumn(tableName)).run(Parser.parseOne(pql))
+  }
+}

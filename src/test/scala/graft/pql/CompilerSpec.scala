@@ -1,0 +1,103 @@
+package graft.pql
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class CompilerSpec extends SparkSpec {
+
+  private def run(tbl: String, q: String) = Pql.run(spark, sfDir, tbl, q)
+  private def cnt(tbl: String, q: String): Long =
+    run(tbl, q).collect()(0).getLong(0)
+
+  test("Count/Row boolean algebra is consistent") {
+    val total = cnt("lineitem", "Count(All())")
+    val r = cnt("lineitem", "Count(Row(l_returnflag='R'))")
+    val notR = cnt("lineitem", "Count(Not(Row(l_returnflag='R')))")
+    assert(r > 0 && r + notR == total)
+
+    val a = cnt("lineitem", "Count(Row(l_quantity > 30))")
+    val and = cnt("lineitem", "Count(Intersect(Row(l_returnflag='R'), Row(l_quantity > 30)))")
+    val or = cnt("lineitem", "Count(Union(Row(l_returnflag='R'), Row(l_quantity > 30)))")
+    val xor = cnt("lineitem", "Count(Xor(Row(l_returnflag='R'), Row(l_quantity > 30)))")
+    val diff = cnt("lineitem", "Count(Difference(Row(l_returnflag='R'), Row(l_quantity > 30)))")
+    assert(and + xor == or)
+    assert(diff == r - and)
+    assert(or == r + a - and)
+  }
+
+  test("between matches explicit range") {
+    val between = cnt("lineitem", "Count(Row(l_quantity >< [10, 20]))")
+    val manual = cnt("lineitem",
+      "Count(Intersect(Row(l_quantity >= 10), Row(l_quantity <= 20)))")
+    assert(between == manual)
+  }
+
+  test("Limit returns ordered page") {
+    val ids = run("orders", "Limit(All(), limit=5, offset=2)")
+      .collect().map(_.getLong(0)).toSeq
+    val all = Tables.load(spark, sfDir, "orders")
+      .select("_id").orderBy("_id").limit(7).collect().map(_.getLong(0)).toSeq
+    assert(ids == all.drop(2))
+  }
+
+  test("GroupBy with sum aggregate matches direct aggregation") {
+    val got = run("lineitem",
+      "GroupBy(Rows(l_returnflag), aggregate=Sum(field=l_quantity))")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    import org.apache.spark.sql.functions._
+    val want = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("agg"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("set-field explode semantics: records count once per member") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    import org.apache.spark.sql.functions._
+    val wordRows = docs.select(explode(col("words"))).count()
+    val sumCnt = run("documents", "GroupBy(Rows(words))")
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(wordRows == sumCnt)
+  }
+
+  test("TopK is exact with deterministic ties") {
+    val top = run("documents", "TopK(words, k=3)").collect()
+    assert(top.length == 3)
+    assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).toSeq.sorted.reverse)
+  }
+
+  test("Percentile replicates reference bisection semantics") {
+    // median of {1, 100} in the reference is the synthetic midpoint 50
+    import spark.implicits._
+    val two = Seq((1L, 1L), (2L, 100L)).toDF("_id", "v")
+    val c = new Compiler(two)
+    val got = c.run(Parser.parseOne("Percentile(field=v, nth=50)"))
+      .collect()(0).getLong(0)
+    assert(got == 50L)
+  }
+
+  test("Percentile nth=0 returns min, nth=100 returns max") {
+    import spark.implicits._
+    val df = Seq((1L, 7L), (2L, 9L), (3L, 23L)).toDF("_id", "v")
+    val c = new Compiler(df)
+    assert(c.run(Parser.parseOne("Percentile(field=v, nth=0)")).collect()(0).getLong(0) == 7L)
+    assert(c.run(Parser.parseOne("Percentile(field=v, nth=100)")).collect()(0).getLong(0) == 23L)
+  }
+
+  test("FieldValue point read") {
+    val v = run("orders", "FieldValue(field=o_totalprice, column=7)").collect()
+    assert(v.length <= 1)
+  }
+
+  test("time-bounded Row on events") {
+    val windowed = cnt("events",
+      "Count(Row(event_type='purchase', from='2024-01-01T00:00', to='2030-01-01T00:00'))")
+    val all = cnt("events", "Count(Row(event_type='purchase'))")
+    assert(windowed == all)
+    val none = cnt("events",
+      "Count(Row(event_type='purchase', from='1990-01-01T00:00', to='1991-01-01T00:00'))")
+    assert(none == 0)
+  }
+}
