@@ -161,10 +161,123 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "WHERE o_orderstatus='F') s WHERE id IN (SELECT o_orderkey FROM orders)"),
   )
 
+  // ------------------------------------------------- SQL surface (SURVEY §2.2)
+
+  private def sqlQ(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => graft.sql.GraftSql.sql(s, dir, q)
+
+  private val sqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_top" -> sqlQ(
+      "SELECT TOP(5) o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey"),
+    "sql_setcontains" -> sqlQ(
+      "SELECT count(*) AS cnt FROM documents WHERE SETCONTAINS(words, 'spark')"),
+    "sql_setcontainsall" -> sqlQ(
+      "SELECT count(*) AS cnt FROM documents WHERE SETCONTAINSALL(words, array('spark', 'data'))"),
+    "sql_setcontainsany" -> sqlQ(
+      "SELECT count(*) AS cnt FROM documents WHERE SETCONTAINSANY(words, array('spark', 'data'))"),
+    "sql_stringfuncs" -> sqlQ(
+      """SELECT p_partkey, UPPER(p_name) AS un, REVERSE(p_brand) AS rb,
+        |SUBSTRING(p_type, 0, 5) AS st, REPLACEALL(p_name, ' ', '_') AS rn,
+        |LEN(p_name) AS ln, PREFIX(p_type, 3) AS pf, SUFFIX(p_type, 3) AS sf,
+        |CHARINDEX('a', p_name) AS ci, STRINGSPLIT(p_type, ' ', 1) AS sp
+        |FROM part ORDER BY p_partkey""".stripMargin),
+    "sql_datefuncs" -> sqlQ(
+      """SELECT o_orderkey, DATETIMEPART('YY', o_orderdate) AS y,
+        |DATETIMEPART('M', o_orderdate) AS m, DATETIMEPART('D', o_orderdate) AS d,
+        |DATETIMEPART('W', o_orderdate) AS wd, DATETIMENAME('M', o_orderdate) AS mn
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+    "sql_datetimeadd" -> sqlQ(
+      """SELECT o_orderkey, DATETIMEADD('D', 30, o_orderdate) AS plus30d,
+        |DATETIMEDIFF('D', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+    "sql_join_inner" -> sqlQ(
+      """SELECT n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    "sql_join_left" -> sqlQ(
+      """SELECT c_custkey, count(o_orderkey) AS cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+    "sql_agg" -> sqlQ(
+      """SELECT count(*) AS cnt, count(DISTINCT l_partkey) AS ndp,
+        |round(avg(l_quantity), 4) AS avg_qty, min(l_quantity) AS min_qty,
+        |max(l_quantity) AS max_qty, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem""".stripMargin),
+    "sql_corr" -> sqlQ(
+      "SELECT round(corr(l_quantity, l_extendedprice), 6) AS c FROM lineitem"),
+    "sql_var" -> sqlQ( // reference VAR = population variance @ scale 6
+      "SELECT round(var_pop(l_quantity), 6) AS v FROM lineitem"),
+    "sql_groupby_having" -> sqlQ(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM lineitem WHERE l_quantity > 5 GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100 ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "sql_subquery" -> sqlQ(
+      """SELECT round(avg(t.total), 2) AS avg_order FROM
+        |(SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey) t""".stripMargin),
+    "sql_predicates" -> sqlQ(
+      """SELECT count(*) AS cnt,
+        |sum(CASE WHEN p_size BETWEEN 10 AND 20 THEN 1 ELSE 0 END) AS n_between,
+        |sum(CASE WHEN p_brand IN ('Brand#11', 'Brand#22') THEN 1 ELSE 0 END) AS n_in,
+        |sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS n_like,
+        |sum(CAST(p_size AS BIGINT)) AS sum_size
+        |FROM part""".stripMargin),
+    "sql_distinct" -> sqlQ(
+      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus"),
+  )
+
+  private val sqlOracles: Map[String, String] = Map(
+    "sql_top" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"),
+    "sql_setcontains" -> ("SELECT count(*) AS cnt FROM documents " +
+      "WHERE list_contains(string_split(text, ' '), 'spark')"),
+    "sql_setcontainsall" -> ("SELECT count(*) AS cnt FROM documents " +
+      "WHERE list_has_all(string_split(text, ' '), ['spark', 'data'])"),
+    "sql_setcontainsany" -> ("SELECT count(*) AS cnt FROM documents " +
+      "WHERE list_has_any(string_split(text, ' '), ['spark', 'data'])"),
+    "sql_stringfuncs" -> ("SELECT p_partkey, upper(p_name) AS un, reverse(p_brand) AS rb, " +
+      "substring(p_type, 1, 5) AS st, replace(p_name, ' ', '_') AS rn, " +
+      "length(p_name) AS ln, left(p_type, 3) AS pf, right(p_type, 3) AS sf, " +
+      "strpos(p_name, 'a') - 1 AS ci, coalesce(string_split(p_type, ' ')[2], '') AS sp " +
+      "FROM part ORDER BY p_partkey"),
+    "sql_datefuncs" -> ("SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, " +
+      "day(o_orderdate) AS d, dayofweek(o_orderdate) AS wd, monthname(o_orderdate) AS mn " +
+      "FROM orders ORDER BY o_orderkey"),
+    "sql_datetimeadd" -> ("SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS plus30d, " +
+      "date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS days_to_98 " +
+      "FROM orders ORDER BY o_orderkey"),
+    "sql_join_inner" -> ("SELECT n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS rev " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
+    "sql_join_left" -> ("SELECT c_custkey, count(o_orderkey) AS cnt " +
+      "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+      "GROUP BY c_custkey ORDER BY c_custkey"),
+    "sql_agg" -> ("SELECT count(*) AS cnt, count(DISTINCT l_partkey) AS ndp, " +
+      "round(avg(l_quantity), 4) AS avg_qty, min(l_quantity) AS min_qty, " +
+      "max(l_quantity) AS max_qty, round(sum(l_extendedprice), 2) AS sum_price " +
+      "FROM lineitem"),
+    "sql_corr" -> "SELECT round(corr(l_quantity, l_extendedprice), 6) AS c FROM lineitem",
+    "sql_var" -> "SELECT round(var_pop(l_quantity), 6) AS v FROM lineitem",
+    "sql_groupby_having" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+      "round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev " +
+      "FROM lineitem WHERE l_quantity > 5 GROUP BY l_returnflag, l_linestatus " +
+      "HAVING count(*) > 100 ORDER BY l_returnflag, l_linestatus"),
+    "sql_subquery" -> ("SELECT round(avg(t.total), 2) AS avg_order FROM " +
+      "(SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey) t"),
+    "sql_predicates" -> ("SELECT count(*) AS cnt, " + // DuckDB sum(int)=HUGEINT → cast
+      "CAST(sum(CASE WHEN p_size BETWEEN 10 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_between, " +
+      "CAST(sum(CASE WHEN p_brand IN ('Brand#11', 'Brand#22') THEN 1 ELSE 0 END) AS BIGINT) AS n_in, " +
+      "CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like, " +
+      "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size FROM part"),
+    "sql_distinct" -> "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = pqlQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    pqlQueries ++ sqlQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = pqlOracles
+  def oracleSql: Map[String, String] = pqlOracles ++ sqlOracles
 }

@@ -1,0 +1,79 @@
+package graft.sql
+
+import graft.SparkSpec
+
+class GraftSqlSpec extends SparkSpec {
+
+  private def one(q: String): Any =
+    GraftSql.sql(spark, sfDir, q).collect()(0).get(0)
+
+  test("TOP(n) rewrite") {
+    assert(GraftSql.rewrite("SELECT TOP(5) a FROM t ORDER BY a")
+      == "SELECT a FROM t ORDER BY a LIMIT 5")
+    assert(GraftSql.rewrite("select distinct topn(3) a FROM t")
+      == "select distinct a FROM t LIMIT 3")
+    val n = GraftSql.sql(spark, sfDir,
+      "SELECT TOP(5) o_orderkey FROM orders ORDER BY o_orderkey").count()
+    assert(n == 5)
+  }
+
+  test("string functions match reference semantics") {
+    assert(one("SELECT REVERSE('abc')") == "cba")
+    assert(one("SELECT CHAR(65)") == "A")
+    assert(one("SELECT ASCII('A')") == 65)
+    // reference SUBSTRING is 0-based (inbuiltfunctionsstring.go:363)
+    assert(one("SELECT SUBSTRING('hello world', 0, 5)") == "hello")
+    assert(one("SELECT SUBSTRING('hello world', 6)") == "world")
+    assert(one("SELECT REPLACEALL('aXbXc', 'X', '-')") == "a-b-c")
+    // 0-based STRINGSPLIT; out of range → ""
+    assert(one("SELECT STRINGSPLIT('a,b,c', ',', 1)") == "b")
+    assert(one("SELECT STRINGSPLIT('a,b,c', ',')") == "a")
+    assert(one("SELECT STRINGSPLIT('a,b,c', ',', 9)") == "")
+    assert(one("SELECT PREFIX('hello', 2)") == "he")
+    assert(one("SELECT SUFFIX('hello', 2)") == "lo")
+    assert(one("SELECT SPACE(3)") == "   ")
+    assert(one("SELECT LEN('hello')") == 5)
+    assert(one("SELECT REPLICATE('ab', 3)") == "ababab")
+    assert(one("SELECT FORMAT('%s=%d', 'x', 7)") == "x=7")
+    // CHARINDEX(sub, str) 0-based, -1 when absent
+    assert(one("SELECT CHARINDEX('lo', 'hello')") == 3)
+    assert(one("SELECT CHARINDEX('zz', 'hello')") == -1)
+    assert(one("SELECT CHARINDEX('l', 'hello', 3)") == 3)
+    assert(one("SELECT STR(42)") == "42")
+    assert(one("SELECT TRIM('  x  ')") == "x")
+  }
+
+  test("set functions") {
+    assert(one("SELECT SETCONTAINS(array('a','b'), 'a')") == true)
+    assert(one("SELECT SETCONTAINS(array('a','b'), 'z')") == false)
+    assert(one("SELECT SETCONTAINSALL(array('a','b','c'), array('a','c'))") == true)
+    assert(one("SELECT SETCONTAINSALL(array('a','b'), array('a','z'))") == false)
+    assert(one("SELECT SETCONTAINSANY(array('a','b'), array('z','b'))") == true)
+    assert(one("SELECT SETCONTAINSANY(array('a','b'), array('z'))") == false)
+  }
+
+  test("date functions match reference unit codes") {
+    val ts = "TIMESTAMP '2024-03-15 10:30:45.123456'"
+    assert(one(s"SELECT DATETIMEPART('YY', $ts)") == 2024)
+    assert(one(s"SELECT DATETIMEPART('M', $ts)") == 3)
+    assert(one(s"SELECT DATETIMEPART('D', $ts)") == 15)
+    assert(one(s"SELECT DATETIMEPART('YD', $ts)") == 75)
+    // 2024-03-15 is a Friday: Go Weekday=5
+    assert(one(s"SELECT DATETIMEPART('W', $ts)") == 5)
+    assert(one(s"SELECT DATETIMEPART('WK', $ts)") == 11)
+    assert(one(s"SELECT DATETIMEPART('HH', $ts)") == 10)
+    assert(one(s"SELECT DATETIMEPART('MI', $ts)") == 30)
+    assert(one(s"SELECT DATETIMEPART('S', $ts)") == 45)
+    assert(one(s"SELECT DATETIMEPART('MS', $ts)") == 123L)
+    assert(one(s"SELECT DATETIMEPART('US', $ts)") == 123456L)
+    assert(one(s"SELECT DATETIMENAME('M', $ts)") == "March")
+    assert(one(s"SELECT DATETIMENAME('W', $ts)") == "Friday")
+    assert(one(s"SELECT DATETIMEADD('D', 1, $ts)").toString.startsWith("2024-03-16"))
+    assert(one(s"SELECT DATETIMEDIFF('D', TIMESTAMP '2024-03-10 00:00:00', $ts)") == 5)
+    assert(one("SELECT TOTIMESTAMP(86400)").toString.startsWith("1970-01-02"))
+    assert(one("SELECT TOTIMESTAMP(1500, 'ms')").toString.contains("00:00:01.5"))
+    assert(one(s"SELECT DATETIMEFROMPARTS(2024, 3, 15, 10, 30, 45, 500)")
+      .toString.contains("2024-03-15 10:30:45.5"))
+    assert(one(s"SELECT DATE_TRUNC('HOUR', $ts)").toString.contains("10:00:00"))
+  }
+}
