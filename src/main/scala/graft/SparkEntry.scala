@@ -273,11 +273,155 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "sql_distinct" -> "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
   )
 
+  // ------------------------- training-data pipeline ops (dedup/similarity/text)
+
+  import graft.functions.{Dedup, Similarity, Text}
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    emb(s, dir).filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_tokens" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("tok_cnt"),
+      Text.uniqueTokenCount(col("text")).as("uniq_cnt"),
+      round(Text.meanTokenLen(col("text")), 4).as("mean_len")).orderBy("doc_id")),
+    "txt_quality" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      round(Text.punctRatio(col("text")), 4).as("punct_ratio"),
+      round(Text.stopwordRatio(col("text")), 4).as("stop_ratio")).orderBy("doc_id")),
+    "txt_langid" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), Text.langId(col("words")).as("pred")).orderBy("doc_id")),
+    "txt_fingerprint" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), Text.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+    "dd_exact" -> ((s, dir) => Dedup.exactDupStats(docs(s, dir), col("text"))),
+    "dd_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Dedup.shingled(docs(s, dir), "doc_id", "text"), 0.5)),
+    "dd_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Dedup.shingled(docs(s, dir), "doc_id", "text"), 0.5)),
+    "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    "dd_embed_cos" -> ((s, dir) =>
+      Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.45)),
+    "sim_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), 20, excludeId = Some(0L))),
+    "sim_lsh_topk" -> ((s, dir) => // approximate: rows-only check (no oracle)
+      Similarity.annTopK(emb(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), 20, excludeId = Some(0L))),
+    "evt_hourly" -> ((s, dir) => Tables.load(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+      .orderBy("h", "event_type")),
+    "evt_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("ts").cast("long") - col("prev").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("sess", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy("user_id", "sess").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_sessions"), round(avg("n"), 4).as("avg_len"))
+    }),
+    "evt_ttl" -> ((s, dir) => Tables.load(s, dir, "events") // TTL age-out count
+      .filter(col("ts") >= lit(java.time.LocalDateTime.parse("2024-06-01T00:00:00")
+        .atOffset(java.time.ZoneOffset.UTC).toInstant))
+      .agg(count(lit(1)).as("cnt"))),
+  )
+
+  private val duckShingles =
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') AS ws FROM documents), " +
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
+    "i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sj FROM w WHERE len(ws)>=3), " +
+    "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, " +
+    "len(list_intersect(a.sj,b.sj))::DOUBLE/(len(a.sj)+len(b.sj)-len(list_intersect(a.sj,b.sj))) AS jf " +
+    "FROM sh a, sh b WHERE a.doc_id < b.doc_id) " +
+    "SELECT a, b, round(jf, 4) AS j FROM pairs WHERE jf >= 0.5 ORDER BY a, b"
+
+  private val duckMarkers = Text.langMarkers.map { case (l, ws) =>
+    l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+  }
+  private val duckAllMarkers = Text.langMarkers.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB replay of [[graft.functions.Dedup.simhash]]. */
+  private val duckSimhash: String = {
+    val bitSums = (0 until Dedup.SimHashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val assemble = (0 until Dedup.SimHashBits).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    "WITH toks AS (SELECT doc_id AS id, unnest(list_filter(string_split(text,' '), x->x<>'')) AS w FROM documents), " +
+    "hashed AS (SELECT id, list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w,''), " +
+    s"c -> ascii(c)::BIGINT)), (acc,x) -> (acc*31+x) % ${Text.FpMod}) AS h FROM toks), " +
+    s"sums AS (SELECT id, $bitSums FROM hashed GROUP BY id) " +
+    s"SELECT id, CAST($assemble AS BIGINT) AS simhash FROM sums ORDER BY id"
+  }
+
+  private val pipelineOracles: Map[String, String] = Map(
+    "txt_tokens" -> ("SELECT doc_id, " +
+      "len(list_filter(string_split(text,' '), x->x<>'')) AS tok_cnt, " +
+      "len(list_distinct(list_filter(string_split(text,' '), x->x<>''))) AS uniq_cnt, " +
+      "round(list_aggregate(list_transform(list_filter(string_split(text,' '), x->x<>''), " +
+      "w -> length(w)::BIGINT), 'sum')::DOUBLE / " +
+      "len(list_filter(string_split(text,' '), x->x<>'')), 4) AS mean_len " +
+      "FROM documents ORDER BY doc_id"),
+    "txt_quality" -> ("SELECT doc_id, " +
+      "round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE " +
+      "/ length(text), 4) AS punct_ratio, " +
+      "round(len(list_intersect(list_distinct(list_filter(string_split(text,' '), x->x<>'')), " +
+      s"$duckAllMarkers))::DOUBLE / " +
+      "len(list_distinct(list_filter(string_split(text,' '), x->x<>''))), 4) AS stop_ratio " +
+      "FROM documents ORDER BY doc_id"),
+    "txt_langid" -> {
+      val ws = "list_distinct(list_filter(string_split(text,' '), x->x<>''))"
+      val scores = duckMarkers.map { case (l, arr) =>
+        s"len(list_intersect($ws, $arr)) AS s_$l" }.mkString(", ")
+      val g = duckMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val caseChain = duckMarkers.map { case (l, _) =>
+        s"WHEN $g > 0 AND s_$l = $g THEN '$l'" }.mkString(" ")
+      s"SELECT doc_id, CASE $caseChain ELSE 'und' END AS pred FROM " +
+        s"(SELECT doc_id, $scores FROM documents) ORDER BY doc_id"
+    },
+    "txt_fingerprint" -> ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(string_split(text,''), c -> ascii(c)::BIGINT)), " +
+      s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) AS fp FROM documents ORDER BY doc_id"),
+    "dd_exact" -> ("SELECT count(*) AS n, count(DISTINCT text) AS n_distinct, " +
+      "count(*) - count(DISTINCT text) AS n_dupes FROM documents"),
+    "dd_jaccard" -> duckShingles,
+    "dd_minhash" -> duckShingles, // LSH recall ≈ 1 at j≥0.5 w/ 64×2 bands; exact-verified
+    "dd_simhash" -> duckSimhash,
+    "dd_embed_cos" -> ("SELECT a.vec_id AS a, b.vec_id AS b, " +
+      "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim " +
+      "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+      "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45 " +
+      "ORDER BY a, b"),
+    "sim_cosine_topk" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
+    "evt_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt, " +
+      "round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "evt_sessionize" -> ("SELECT count(*) AS n_sessions, round(avg(n), 4) AS avg_len FROM " +
+      "(SELECT user_id, sess, count(*) AS n FROM " +
+      "(SELECT user_id, event_id, sum(new_sess) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM " +
+      "(SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR " +
+      "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
+      "THEN 1 ELSE 0 END AS new_sess FROM events))" +
+      " GROUP BY 1, 2)"),
+    "evt_ttl" -> "SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-06-01 00:00:00'",
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    pqlQueries ++ sqlQueries
+    pqlQueries ++ sqlQueries ++ pipelineQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = pqlOracles ++ sqlOracles
+  def oracleSql: Map[String, String] = pqlOracles ++ sqlOracles ++ pipelineOracles
 }

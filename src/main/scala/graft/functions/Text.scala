@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs): at 100 TB these
+  * run as map-side projections inside the parquet scan — no shuffle at all
+  * unless the caller aggregates.
+  */
+object Text {
+
+  /** Whitespace tokenizer; drops empty tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length (characters), null-safe for empty docs. */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ts))
+  }
+
+  /** Fraction of characters that are not alphanumeric or space —
+    * high punctuation ratio is a classic low-quality signal. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(text))
+
+  /** Language marker stopwords (standard high-frequency function words). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他"))
+
+  /** Count of distinct marker words of one language present in the doc. */
+  def langScore(words: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(array_intersect(words, array(markers.map(lit): _*)))
+  }
+
+  /** Stopword ratio: distinct marker hits (any language) / distinct tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val ws = array_distinct(tokens(text))
+    val all = langMarkers.flatMap(_._2).distinct
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      size(array_intersect(ws, array(all.map(lit): _*))).cast("double") / size(ws))
+  }
+
+  /** Heuristic language ID: argmax of marker-word scores, first-listed wins
+    * ties, "und" when nothing matches. Deterministic and SQL-expressible so
+    * the DuckDB oracle can replay it exactly. */
+  def langId(words: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(words, l) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), other) =>
+      when(best > 0 && s === best, lit(l)).otherwise(other)
+    }
+  }
+
+  /** 48-bit polynomial rolling hash over the document's characters
+    * (acc*31 + codepoint, mod a 48-bit prime). Kept below 2^53 so the exact
+    * same arithmetic is expressible in DuckDB BIGINTs for the oracle. */
+  val FpMod = 281474976710597L // largest prime < 2^48
+
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % FpMod)
+
+  /** Same polynomial hash for a single token (used by simhash). */
+  def tokenHash(word: Column): Column =
+    aggregate(split(word, ""), lit(0L),
+      (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % FpMod)
+}

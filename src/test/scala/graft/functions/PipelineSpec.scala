@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("shingles are ordered n-grams, distinct") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d a b c d")).toDF("id", "text")
+    val sh = df.select(Dedup.shingles(Text.tokens(col("text")), 3)).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard") {
+    val shingledDocs = Dedup.shingled(docs, "doc_id", "text")
+    val exact = Dedup.jaccardPairs(shingledDocs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(shingledDocs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain injected near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash of near-duplicate docs is close in hamming distance") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingled(docs, "doc_id", "text"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hams = pairs.map { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b))
+    }
+    assert(hams.nonEmpty && hams.forall(_ <= 8),
+      s"hamming distances of >0.8-jaccard pairs: ${hams.mkString(",")}")
+  }
+
+  test("LSH ANN top-k has high overlap with brute force") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, 20, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (brute & ann).size
+    assert(overlap >= 10, s"ANN overlap with brute force: $overlap/20")
+  }
+
+  test("langId picks marker-dominant language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("the", "a", "of", "x")),
+      (2L, Seq("el", "la", "de", "y")),
+      (3L, Seq("xyz", "qqq"))).toDF("id", "words")
+    val got = df.select(col("id"), Text.langId(col("words")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("fingerprint is stable and order-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("id", "t")
+    val fps = df.select(Text.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+    // poly hash: ('a'=97, 'b'=98) → (0*31+97)*31+98 = 3105
+    assert(fps(0) == 3105L)
+  }
+}
