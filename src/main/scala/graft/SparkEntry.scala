@@ -299,9 +299,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       col("doc_id"), Text.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
     "dd_exact" -> ((s, dir) => Dedup.exactDupStats(docs(s, dir), col("text"))),
     "dd_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Dedup.shingled(docs(s, dir), "doc_id", "text"), 0.5)),
+      Dedup.jaccardPairs(Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5)),
     "dd_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(Dedup.shingled(docs(s, dir), "doc_id", "text"), 0.5)),
+      Dedup.minhashPairs(Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5)),
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
     "dd_embed_cos" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.45)),
@@ -332,6 +332,16 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       .filter(col("ts") >= lit(java.time.LocalDateTime.parse("2024-06-01T00:00:00")
         .atOffset(java.time.ZoneOffset.UTC).toInstant))
       .agg(count(lit(1)).as("cnt"))),
+    // roaring segment index: users-per-event-type bitmaps, then pure bitmap
+    // algebra for every pairwise overlap — no second fact-table scan
+    "idx_bitmap_overlap" -> ((s, dir) => graft.index.Bitmap.segmentOverlap(
+      graft.index.Bitmap.segmentIndex(Tables.load(s, dir, "events"), "event_type", "user_id"))),
+    "idx_bitmap_count" -> ((s, dir) => {
+      val ix = graft.index.Bitmap.segmentIndex(
+        Tables.load(s, dir, "events"), "event_type", "user_id")
+      ix.select(col("seg"), graft.index.Bitmap.bitmapCount(col("bm")).as("cnt"))
+        .orderBy("seg")
+    }),
   )
 
   private val duckShingles =
@@ -415,6 +425,12 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "THEN 1 ELSE 0 END AS new_sess FROM events))" +
       " GROUP BY 1, 2)"),
     "evt_ttl" -> "SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-06-01 00:00:00'",
+    "idx_bitmap_overlap" -> ("WITH ut AS (SELECT DISTINCT event_type, user_id FROM events) " +
+      "SELECT a.event_type AS seg_a, b.event_type AS seg_b, count(*) AS cnt " +
+      "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -424,4 +440,26 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = pqlOracles ++ sqlOracles ++ pipelineOracles
+
+  /** Headline benchmark set (run by [[Bench]] at sf0.1): mirrors the
+    * reference's own perf workload shape — high-cardinality set-field GroupBy
+    * with Sum (`reference/qa/scripts/perf/able/highcardinalitygroupby.js:9`),
+    * segmentation Count/Intersect, TopK — plus the training-pipeline
+    * heavyweights (MinHash dedup, ANN). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b_groupby_set_sum" -> pqlQ("documents",
+      "GroupBy(Rows(lang), Rows(source), Rows(words), aggregate=Sum(field=n_chars))"),
+    "b_groupby_sum" -> pqlQ("lineitem",
+      "GroupBy(Rows(l_returnflag), Rows(l_linestatus), aggregate=Sum(field=l_quantity))"),
+    "b_count_intersect" -> pqlQ("lineitem",
+      "Count(Intersect(Row(l_returnflag='R'), Row(l_quantity > 30)))"),
+    "b_topk" -> pqlQ("documents", "TopK(words, k=10)"),
+    "b_extract_sort" -> pqlQ("orders",
+      "Sort(Row(o_orderstatus='O'), field=o_totalprice, sort-desc=true, limit=100)"),
+    "b_join_agg" -> queries("sql_join_inner"),
+    "b_minhash_dedup" -> queries("dd_minhash"),
+    "b_cosine_topk" -> queries("sim_cosine_topk"),
+    "b_bitmap_overlap" -> queries("idx_bitmap_overlap"),
+    "b_percentile" -> pqlQ("part", "Percentile(field=p_size, nth=90)"),
+  )
 }

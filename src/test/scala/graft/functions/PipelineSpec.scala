@@ -17,7 +17,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the same pairs as exact jaccard") {
-    val shingledDocs = Dedup.shingled(docs, "doc_id", "text")
+    val shingledDocs = Dedup.shingledPosting(docs, "doc_id", "text")
     val exact = Dedup.jaccardPairs(shingledDocs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashPairs(shingledDocs, 0.5)
@@ -27,7 +27,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("simhash of near-duplicate docs is close in hamming distance") {
-    val pairs = Dedup.jaccardPairs(Dedup.shingled(docs, "doc_id", "text"), 0.8)
+    val pairs = Dedup.jaccardPairs(Dedup.shingledPosting(docs, "doc_id", "text"), 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
