@@ -28,6 +28,9 @@ object SparkEntry {
   private def pqlQ(tbl: String, q: String): (SparkSession, String) => DataFrame =
     (s, dir) => Pql.run(s, dir, tbl, q)
 
+  private def pqlProg(tbl: String, q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Pql.program(s, dir, tbl, q)
+
   // ------------------------------------------------------------------ PQL ops
 
   private val pqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -74,8 +77,25 @@ object SparkEntry {
       "IncludesColumn(Row(o_orderstatus='F'), column=3)"),
     "pql_row_time" -> pqlQ("events",
       "Count(Row(event_type='purchase', from='2024-01-05T00:00', to='2024-01-20T00:00'))"),
+    // quantum view selection snaps bounds outward to the finest unit (hour):
+    // 10:30 → 10:00, 13:30 → 14:00 (`reference/time.go:158-225`)
+    "pql_rows_time" -> pqlQ("events",
+      "Rows(event_type, from='2024-01-05T10:30', to='2024-01-20T13:30')"),
     "pql_shift" -> pqlQ("orders",
       "Count(Intersect(Shift(Row(o_orderstatus='F'), n=1), All()))"),
+    // write calls (`reference/executor.go:6194,5895,5976,6077,9050`): each
+    // program applies the mutation then reads back through normal PQL, so the
+    // oracle can replay the successor state in SQL.
+    "pql_set_mutex" -> pqlProg("orders",
+      "Set(7, o_orderstatus='X') GroupBy(Rows(o_orderstatus))"),
+    "pql_clear" -> pqlProg("documents",
+      "Clear(3, words='the') Count(Row(words='the'))"),
+    "pql_clearrow" -> pqlProg("lineitem",
+      "ClearRow(l_returnflag='R') Count(Row(l_returnflag != null))"),
+    "pql_store" -> pqlProg("documents",
+      "Store(Row(n_chars > 900), words='__big__') Count(Row(words='__big__'))"),
+    "pql_delete" -> pqlProg("orders",
+      "Delete(Row(o_orderstatus='F')) Count(All())"),
   )
 
   /** DuckDB oracle for reference-semantics Percentile (`reference/executor.go:
@@ -157,8 +177,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "WHERE o_orderstatus='F' AND o_orderkey=3"),
     "pql_row_time" -> ("SELECT count(*) AS cnt FROM events WHERE event_type='purchase' " +
       "AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'"),
+    "pql_rows_time" -> ("SELECT DISTINCT event_type AS val FROM events " +
+      "WHERE ts >= TIMESTAMP '2024-01-05 10:00:00' AND ts < TIMESTAMP '2024-01-20 14:00:00' " +
+      "ORDER BY val"),
     "pql_shift" -> ("SELECT count(*) AS cnt FROM (SELECT o_orderkey+1 AS id FROM orders " +
       "WHERE o_orderstatus='F') s WHERE id IN (SELECT o_orderkey FROM orders)"),
+    "pql_set_mutex" -> ("SELECT CASE WHEN o_orderkey=7 THEN 'X' ELSE o_orderstatus END " +
+      "AS o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1"),
+    "pql_clear" -> ("SELECT count(*) AS cnt FROM documents WHERE doc_id <> 3 AND " +
+      "list_contains(list_filter(string_split(text,' '), x->x<>''), 'the')"),
+    "pql_clearrow" -> "SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag <> 'R'",
+    "pql_store" -> "SELECT count(*) AS cnt FROM documents WHERE n_chars > 900",
+    "pql_delete" -> "SELECT count(*) AS cnt FROM orders WHERE NOT o_orderstatus='F'",
   )
 
   // ------------------------------------------------- SQL surface (SURVEY §2.2)
@@ -225,6 +255,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         |FROM part""".stripMargin),
     "sql_distinct" -> sqlQ(
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus"),
+    "sql_rangeq" -> sqlQ( // quantum membership (`inbuiltfunctionsquantum.go:43`)
+      "SELECT count(*) AS cnt FROM user_events WHERE RANGEQ(types, '2024-03-05T10:30', '2024-03-10T13:30')"),
   )
 
   private val sqlOracles: Map[String, String] = Map(
@@ -271,6 +303,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like, " +
       "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size FROM part"),
     "sql_distinct" -> "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
+    "sql_rangeq" -> ("SELECT count(DISTINCT user_id) AS cnt FROM events " +
+      "WHERE ts >= TIMESTAMP '2024-03-05 10:00:00' AND ts < TIMESTAMP '2024-03-10 14:00:00'"),
   )
 
   // ------------------------- training-data pipeline ops (dedup/similarity/text)

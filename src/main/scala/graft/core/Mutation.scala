@@ -1,0 +1,88 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PQL write operators as pure DataFrame → DataFrame transforms.
+  *
+  * The reference mutates per-shard roaring bitmaps under an RBF transaction
+  * (`reference/executor.go:6194` Set, `:5895` Clear, `:5976` ClearRow,
+  * `:6077` Store, `:9050` Delete). Spark-side, the storage analogue is a
+  * copy-on-write table format (Delta MERGE / UPDATE / DELETE); the *semantics*
+  * layer — what the new table state must be — is format-independent and lives
+  * here. Each transform returns the successor table; a sink can persist it via
+  * overwrite (parquet) or merge (Delta).
+  *
+  * Scale note: point writes compile to a full-column `when(_id === k, …)`
+  * projection — one narrow scan, no shuffle. On a real cluster the same
+  * expressions feed a Delta `MERGE WHEN MATCHED` so only touched files
+  * rewrite; the semantics below stay identical.
+  *
+  * Semantic quirks preserved (SURVEY.md §1.2):
+  *  - set fields accumulate values; `Set` adds a member (dedup on write)
+  *  - mutex/scalar fields replace-on-write (`reference/field.go:352-365`)
+  *  - `Store(b, f=v)` makes row v's bitmap EXACTLY b: members added where the
+  *    filter holds and removed where it doesn't (`reference/executor.go:6077`)
+  *  - `Delete` removes whole records (existence bits and all field bits)
+  */
+object Mutation {
+
+  private def isSet(df: DataFrame, field: String): Boolean =
+    df.schema(field).dataType.isInstanceOf[ArrayType]
+
+  private def addMember(arr: Column, v: Column): Column =
+    array_distinct(concat(coalesce(arr, array()), array(v)))
+
+  /** Set(id, field=value): point write. Set field → add member;
+    * scalar/mutex/bool → replace (`reference/executor.go:6194`,
+    * mutex replace `reference/field.go:352-365`). */
+  def set(df: DataFrame, id: Long, field: String, value: Column): DataFrame = {
+    val next =
+      if (isSet(df, field)) when(col("_id") === id, addMember(col(field), value))
+        .otherwise(col(field))
+      else when(col("_id") === id, value).otherwise(col(field))
+    df.withColumn(field, next)
+  }
+
+  /** Clear(id, field=value): remove one bit. Set field → drop member; scalar →
+    * null out iff current value matches (`reference/executor.go:5895`). */
+  def clear(df: DataFrame, id: Long, field: String, value: Column): DataFrame = {
+    val next =
+      if (isSet(df, field)) when(col("_id") === id, array_remove(col(field), value))
+        .otherwise(col(field))
+      else when(col("_id") === id && col(field) === value, lit(null).cast(df.schema(field).dataType))
+        .otherwise(col(field))
+    df.withColumn(field, next)
+  }
+
+  /** ClearRow(field=value): clear value's bitmap across ALL records
+    * (`reference/executor.go:5976`). */
+  def clearRow(df: DataFrame, field: String, value: Column): DataFrame = {
+    val next =
+      if (isSet(df, field)) array_remove(col(field), value)
+      else when(col(field) === value, lit(null).cast(df.schema(field).dataType))
+        .otherwise(col(field))
+    df.withColumn(field, next)
+  }
+
+  /** Store(filter, field=value): row bitmap := filter
+    * (`reference/executor.go:6077`) — add member where pred, remove elsewhere.
+    * Scalar fields: value where pred, null where the old value was `value`. */
+  def store(df: DataFrame, pred: Column, field: String, value: Column): DataFrame = {
+    val p = coalesce(pred, lit(false))
+    val next =
+      if (isSet(df, field))
+        when(p, addMember(col(field), value))
+          .otherwise(array_remove(coalesce(col(field), array()), value))
+      else when(p, value)
+        .otherwise(when(col(field) === value, lit(null).cast(df.schema(field).dataType))
+          .otherwise(col(field)))
+    df.withColumn(field, next)
+  }
+
+  /** Delete(filter): drop whole records (`reference/executor.go:9050-9320`).
+    * Null predicate rows survive (bitmap semantics: not in b ⇒ not deleted). */
+  def delete(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
+}

@@ -74,7 +74,18 @@ object Tables {
     }
   }
 
+  /** Quantum-set (STRINGSETQ, SURVEY §1.2) derived table: per-user set of
+    * event types, each member carrying its timestamp — the nested
+    * `ARRAY<STRUCT<value, ts>>` representation that `RANGEQ` queries
+    * (`reference/sql3/planner/inbuiltfunctionsquantum.go:43`). */
+  def userEvents(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(col("user_id").as("_id"))
+      .agg(collect_list(struct(col("event_type").as("value"), col("ts"))).as("types"))
+
   /** Register all tables as temp views for the SQL surface. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    userEvents(spark, dir).createOrReplaceTempView("user_events")
+  }
 }

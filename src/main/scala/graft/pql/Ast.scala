@@ -14,6 +14,9 @@ final case class ListV(vs: Seq[Value]) extends Value
 sealed trait Arg
 /** Positional child call: Intersect(Row(..), Row(..)) */
 final case class Child(call: Call) extends Arg
+/** Positional literal: the record-id slot of write calls — Set(10, f=v)
+  * (`reference/pql/pql.peg:10-12` Set/Clear grammar). */
+final case class Pos(v: Value) extends Arg
 /** key=Call argument: GroupBy(..., aggregate=Sum(field=x), filter=Row(..)) */
 final case class NamedCall(key: String, call: Call) extends Arg
 /** key <op> value — covers both named options (limit=10) and field
@@ -35,4 +38,10 @@ final case class Call(name: String, args: Seq[Arg]) {
   /** Field-name argument: Sum(field=x) or bare-identifier sugar Rows(x). */
   def fieldArg: Option[String] =
     str("field").orElse(str("_field"))
+  /** Positional literals in order: Set(10, f=v) → Seq(LongV(10)). */
+  def positional: Seq[Value] = args.collect { case Pos(v) => v }
+  /** First `field=value` pair whose key is not a reserved option — the
+    * (field, value) of write calls like Set(10, fruit='apple'). */
+  def fieldValue(reserved: Set[String]): Option[(String, String, Value)] =
+    args.collectFirst { case KV(k, op, v) if !reserved(k) && k != "_field" => (k, op, v) }
 }

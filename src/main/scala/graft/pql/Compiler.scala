@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   * counts merged at the driver — same shape as the reference's per-shard
   * mapReduce (`reference/executor.go:6449`) but with codegen + column pruning.
   */
-final class Compiler(table: DataFrame, timeCol: Option[String] = None) {
+final class Compiler(table: DataFrame, timeCol: Option[String] = None,
+    quantum: String = "YMDH") {
 
   /** A bitmap result: Left = composable predicate, Right = materialized
     * `_id` set (single column "_id"). */
@@ -107,14 +108,25 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None) {
     Left((conds ++ time).reduceLeft(_ && _))
   }
 
-  private def timeBound(call: Call): Seq[Column] = {
-    val tc = timeCol.map(col)
-    def bound(key: String, f: (Column, Column) => Column): Option[Column] =
-      call.named(key).flatMap { v =>
-        tc.map(t => f(t, lit_(v, TimestampType)))
+  /** from=/to= bounds, snapped outward to the table quantum's finest unit —
+    * the observable semantics of the reference's per-unit view selection
+    * (`reference/time.go:158-225` viewsByTimeRange; see
+    * [[graft.core.Quantum]]). Range is [from, to). */
+  private def timeBound(call: Call): Seq[Column] = timeCol match {
+    case None => Seq.empty
+    case Some(tc) =>
+      import graft.core.Quantum
+      val u = Quantum.finestUnit(quantum)
+      def ldt(v: Value): java.time.LocalDateTime = v match {
+        case StrV(s)  => Quantum.parseLdt(s)
+        case LongV(n) => java.time.LocalDateTime.ofEpochSecond(n, 0, java.time.ZoneOffset.UTC)
+        case other    => sys.error(s"bad time bound: $other")
       }
-    // reference view range is [from, to) — viewsByTimeRange
-    (bound("from", _ >= _) ++ bound("to", _ < _)).toSeq
+      val lo = call.named("from").map(v =>
+        col(tc) >= lit(Quantum.utc(Quantum.floorTo(ldt(v), u))))
+      val hi = call.named("to").map(v =>
+        col(tc) < lit(Quantum.utc(Quantum.ceilTo(ldt(v), u))))
+      (lo ++ hi).toSeq
   }
 
   /** One field condition → Catalyst predicate. Set fields (STRINGSET/IDSET,
@@ -202,6 +214,61 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None) {
   private def notBits(a: Bits): Bits = a match {
     case Left(p)    => Left(!coalesce(p, lit(false)))
     case Right(ids) => Right(table.select("_id").join(ids, Seq("_id"), "left_anti"))
+  }
+
+  // ------------------------------------------------------------- write calls
+
+  /** Write-call names (`reference/pql/pql.peg:10-14`, dispatch
+    * `reference/executor.go:723-835`). */
+  def isWrite(call: Call): Boolean =
+    Set("Set", "Clear", "ClearRow", "Store", "Delete")(call.name)
+
+  private val writeReserved = Set("from", "to", "timestamp", "field")
+
+  private def fieldValueOf(call: Call): (String, Column) = {
+    val (f, op, v) = call.fieldValue(writeReserved)
+      .getOrElse(sys.error(s"${call.name}: field=value required"))
+    require(op == "=", s"${call.name}: expected field=value, got $op")
+    val target = dtype(f) match {
+      case ArrayType(e, _) => e
+      case t               => t
+    }
+    (f, lit_(v, target))
+  }
+
+  private def idOf(call: Call): Long = call.positional.headOption match {
+    case Some(LongV(n)) => n
+    case other          => sys.error(s"${call.name}: record id required, got $other")
+  }
+
+  /** Execute a write call → the successor table state (see
+    * [[graft.core.Mutation]] for storage-layer notes). */
+  def write(call: Call): DataFrame = call.name match {
+    case "Set" =>
+      val (f, v) = fieldValueOf(call)
+      graft.core.Mutation.set(table, idOf(call), f, v)
+    case "Clear" =>
+      val (f, v) = fieldValueOf(call)
+      graft.core.Mutation.clear(table, idOf(call), f, v)
+    case "ClearRow" =>
+      val (f, v) = fieldValueOf(call)
+      graft.core.Mutation.clearRow(table, f, v)
+    case "Store" =>
+      val (f, v) = fieldValueOf(call)
+      val pred = bits(call.children.head) match {
+        case Left(p)    => p
+        case Right(ids) => col("_id").isInCollection(
+          ids.collect().map(_.getLong(0)).toSeq)
+      }
+      graft.core.Mutation.store(table, pred, f, v)
+    case "Delete" =>
+      val pred = bits(call.children.head) match {
+        case Left(p)    => p
+        case Right(ids) => col("_id").isInCollection(
+          ids.collect().map(_.getLong(0)).toSeq)
+      }
+      graft.core.Mutation.delete(table, pred)
+    case other => sys.error(s"not a write call: $other")
   }
 
   // ------------------------------------------------------------ top-level ops
@@ -499,5 +566,28 @@ object Pql {
   def run(spark: SparkSession, dir: String, tableName: String, pql: String): DataFrame = {
     val t = graft.core.Tables.load(spark, dir, tableName)
     new Compiler(t, graft.core.Tables.timeColumn(tableName)).run(Parser.parseOne(pql))
+  }
+
+  /** Run a multi-call PQL program: write calls advance the table state
+    * (copy-on-write, like the reference's per-shard RBF transactions —
+    * `reference/rbf/rbf.go:3-29`); the final call's result is returned. If the
+    * program ends on a write, returns the new record count (the reference
+    * returns write acks; a count is the closest tabular analogue). */
+  def program(spark: SparkSession, dir: String, tableName: String, pql: String): DataFrame = {
+    val calls = Parser.parse(pql)
+    require(calls.nonEmpty, "empty PQL program")
+    var state = graft.core.Tables.load(spark, dir, tableName)
+    def compiler = new Compiler(state, graft.core.Tables.timeColumn(tableName))
+    calls.dropRight(1).foreach { c =>
+      val comp = compiler
+      require(comp.isWrite(c), s"only the final call may be a read: ${c.name}")
+      state = comp.write(c)
+    }
+    val last = calls.last
+    val comp = compiler
+    if (comp.isWrite(last))
+      comp.write(last).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    else comp.run(last)
   }
 }

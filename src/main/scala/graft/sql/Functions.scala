@@ -106,7 +106,29 @@ object Functions {
         (fn("=", unit, lit("ns")), fn("timestamp_micros", fn("div", a(0), lit(1000L))))),
         Some(Literal(null)))
     }),
+
+    // --- quantum functions (`inbuiltfunctionsquantum.go:43`) ---
+    // RANGEQ(quantumSetCol, from, to): any member timestamp in the range,
+    // bounds snapped outward to the quantum's finest unit (SURVEY §1.2;
+    // PQL lowering `reference/sql3/planner/expressionpql.go:99-160`).
+    "RANGEQ" -> (a => rangeq(a(0), a(1), a(2))),
   )
+
+  private def rangeq(setCol: Expression, from: Expression, to: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LambdaFunction, LessThan, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    def ldt(e: Expression) = e match {
+      case Literal(v, StringType) => graft.core.Quantum.parseLdt(v.toString)
+      case other => sys.error(s"RANGEQ: from/to must be string literals, got $other")
+    }
+    val (lo, hi) = graft.core.Quantum.quantizeRange(ldt(from), ldt(to), "YMDH")
+    val m = UnresolvedNamedLambdaVariable(Seq("m"))
+    val ts = asLtz(UnresolvedExtractValue(m, Literal("ts")))
+    val body = And(
+      GreaterThanOrEqual(ts, Literal(graft.core.Quantum.utc(lo))),
+      LessThan(ts, Literal(graft.core.Quantum.utc(hi))))
+    fn("exists", setCol, LambdaFunction(body, Seq(m)))
+  }
 
   /** The reference's interval codes (`inbuiltfunctionsdate.go:13-24`):
     * YY year, YD day-of-year, M month, D day, W weekDAY, WK iso week,

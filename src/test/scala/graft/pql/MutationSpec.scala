@@ -1,0 +1,72 @@
+package graft.pql
+
+import graft.SparkSpec
+import graft.core.{Mutation, Tables}
+import org.apache.spark.sql.functions._
+
+/** PQL write calls (Set/Clear/ClearRow/Store/Delete) — semantics per
+  * `reference/executor.go:6194,5895,5976,6077,9050` and mutex replace
+  * `reference/field.go:352-365`. */
+class MutationSpec extends SparkSpec {
+
+  private def orders = Tables.load(spark, sfDir, "orders")
+  private def docs   = Tables.load(spark, sfDir, "documents")
+
+  test("Set on mutex field replaces the old value") {
+    val before = orders.filter(col("_id") === 7).select("o_orderstatus").head.getString(0)
+    val after  = Mutation.set(orders, 7, "o_orderstatus", lit("X"))
+    assert(after.filter(col("_id") === 7).select("o_orderstatus").head.getString(0) == "X")
+    // no other record changed; old value no longer present at id 7
+    assert(after.filter(col("o_orderstatus") === before).count() ==
+      orders.filter(col("o_orderstatus") === before && col("_id") =!= 7).count())
+    assert(after.count() == orders.count())
+  }
+
+  test("Set on set field adds a member, dedup on write") {
+    val once  = Mutation.set(docs, 3, "words", lit("zz_new"))
+    val twice = Mutation.set(once, 3, "words", lit("zz_new"))
+    val ws = twice.filter(col("_id") === 3).select("words").head.getSeq[String](0)
+    assert(ws.count(_ == "zz_new") == 1)
+    assert(twice.filter(array_contains(col("words"), "zz_new")).count() == 1)
+  }
+
+  test("Clear on scalar only clears when value matches") {
+    val st = orders.filter(col("_id") === 7).select("o_orderstatus").head.getString(0)
+    val miss = Mutation.clear(orders, 7, "o_orderstatus", lit("__nope__"))
+    assert(miss.filter(col("_id") === 7).select("o_orderstatus").head.getString(0) == st)
+    val hit = Mutation.clear(orders, 7, "o_orderstatus", lit(st))
+    assert(hit.filter(col("_id") === 7).select("o_orderstatus").head.isNullAt(0))
+  }
+
+  test("ClearRow clears the value across all records") {
+    val cleared = Mutation.clearRow(docs, "words", lit("the"))
+    assert(cleared.filter(array_contains(col("words"), "the")).count() == 0)
+    assert(cleared.count() == docs.count())
+  }
+
+  test("Store makes the row bitmap exactly equal to the filter") {
+    val stored = Mutation.store(docs, col("n_chars") > 900, "words", lit("__big__"))
+    val want = docs.filter(col("n_chars") > 900).count()
+    assert(stored.filter(array_contains(col("words"), "__big__")).count() == want)
+    // re-store with a different filter removes stale members
+    val restored = Mutation.store(stored, col("n_chars") > 100000, "words", lit("__big__"))
+    assert(restored.filter(array_contains(col("words"), "__big__")).count() == 0)
+  }
+
+  test("Delete drops matching records; null predicate rows survive") {
+    val del = Mutation.delete(orders, col("o_orderstatus") === "F")
+    assert(del.count() == orders.filter(col("o_orderstatus") =!= "F").count())
+  }
+
+  test("program: write calls chain, final read sees all of them") {
+    val out = Pql.program(spark, sfDir, "orders",
+      "Set(7, o_orderstatus='X') Delete(Row(o_orderstatus='F')) Count(Row(o_orderstatus='X'))")
+    assert(out.head.getLong(0) == 1L)
+  }
+
+  test("program: trailing write returns record count") {
+    val out = Pql.program(spark, sfDir, "orders", "Delete(Row(o_orderstatus='F'))")
+    assert(out.head.getLong(0) ==
+      orders.filter(col("o_orderstatus") =!= "F").count())
+  }
+}
