@@ -1,0 +1,263 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DDL / DML statements of the reference dialect
+  * (`reference/sql3/planner/executionplanner.go:59-123`): CREATE TABLE,
+  * CREATE VIEW, INSERT/REPLACE INTO, BULK INSERT, DELETE FROM, DROP, SHOW.
+  *
+  * Tables created here live as session temp views — the Spark-native analogue
+  * of the reference's in-cluster catalog (`reference/index.go:26`); a
+  * production deployment would point the same statements at a Delta/Iceberg
+  * catalog, where INSERT/DELETE become MERGE/DELETE on the table format. The
+  * *semantics* (upsert-by-_id, mutex replace, set literals) are encoded here.
+  *
+  * SHOW TABLES/COLUMNS/DATABASES pass through to Spark's native commands
+  * (`reference/sql3/planner/opsystemtable.go` equivalents).
+  */
+object Ddl {
+
+  private val CreateTableRe =
+    raw"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*(\w.*)?$$".r
+  private val CreateViewRe =
+    raw"(?is)^\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*)$$".r
+  private val InsertRe =
+    raw"(?is)^\s*(?:INSERT|REPLACE)\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)$$".r
+  private val BulkInsertRe =
+    (raw"(?is)^\s*BULK\s+INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*" +
+     raw"MAP\s*\((.*?)\)\s*(?:TRANSFORM\s*\((.*?)\)\s*)?" +
+     raw"FROM\s+x?'(.*?)'\s*(?:WITH\s+(.*?))?;?\s*$$").r
+  private val DeleteRe =
+    raw"(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$$".r
+  private val DropRe =
+    raw"(?is)^\s*DROP\s+(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$$".r
+  private val ShowRe = raw"(?is)^\s*SHOW\s+.*$$".r
+
+  def handles(q: String): Boolean = q match {
+    case CreateTableRe(_, _, _) | CreateViewRe(_, _) | InsertRe(_, _, _) |
+         DeleteRe(_, _) | DropRe(_, _) => true
+    case _ if BulkInsertRe.findFirstIn(q).isDefined => true
+    case _ if ShowRe.findFirstIn(q).isDefined => true
+    case _ => false
+  }
+
+  /** Reference SQL type → Spark type (SURVEY §1.2 mapping,
+    * `reference/sql3/parser/astdatatype.go:10-26`). */
+  def sparkType(t: String): DataType = {
+    val up = t.trim.toUpperCase
+    val DecRe = raw"DECIMAL\s*\(\s*(\d+)\s*\)".r
+    up match {
+      case "ID" | "INT"   => LongType
+      case DecRe(s)       => DecimalType(38, s.toInt)
+      case "DECIMAL"      => DecimalType(38, 2)
+      case "BOOL"         => BooleanType
+      case "TIMESTAMP"    => TimestampType
+      case "STRING"       => StringType
+      case "STRINGSET"    => ArrayType(StringType)
+      case "IDSET"        => ArrayType(LongType)
+      case "STRINGSETQ"   => ArrayType(StructType(Seq(
+        StructField("value", StringType), StructField("ts", TimestampType))))
+      case "IDSETQ"       => ArrayType(StructType(Seq(
+        StructField("value", LongType), StructField("ts", TimestampType))))
+      case other          => sys.error(s"unknown type: $other")
+    }
+  }
+
+  /** Split on `sep` at paren/bracket/quote depth zero. */
+  private def topSplit(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"'      => quote = c; cur += c
+        case '(' | '['       => depth += 1; cur += c
+        case ')' | ']'       => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _               => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse `name TYPE [MIN n | MAX n | TIMEUNIT 'x' | TIMEQUANTUM 'x' | TTL
+    * 'x' | CACHETYPE x [SIZE n]]*` — storage hints are accepted and dropped
+    * (Parquet/Delta stats replace BSI bounds and ranked caches, SURVEY §1.1).
+    */
+  private def parseColumn(defn: String): StructField = {
+    val toks = defn.trim.split("\\s+", 3)
+    require(toks.length >= 2, s"bad column def: $defn")
+    // type may carry parens: DECIMAL(2)
+    val tpe = if (toks.length >= 3 && toks(2).startsWith("(")) toks(1) + toks(2).takeWhile(_ != ')') + ")"
+              else toks(1)
+    StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id")
+  }
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private def ack(spark: SparkSession, msg: String): DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("status")
+  }
+
+  def run(spark: SparkSession, q: String): DataFrame = q match {
+    case CreateTableRe(name, cols, _) =>
+      val schema = StructType(topSplit(cols, ',').map(parseColumn))
+      emptyDf(spark, schema).createOrReplaceTempView(name)
+      ack(spark, s"created table $name")
+
+    case CreateViewRe(name, body) =>
+      spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(name)
+      ack(spark, s"created view $name")
+
+    case InsertRe(name, colsOpt, values) =>
+      val target = spark.table(name)
+      val cols = Option(colsOpt).filter(_ != null).map(topSplit(_, ',').map(_.trim))
+        .getOrElse(target.columns.toSeq)
+      // `[a, b]` set literals (reference syntax) → array(a, b)
+      val vals = values.trim.stripSuffix(";")
+        .replaceAll(raw"\[", "array(").replaceAll(raw"\]", ")")
+      val incoming = spark.sql(s"SELECT * FROM VALUES $vals")
+        .toDF(cols: _*)
+      upsert(spark, name, alignTo(incoming, target.schema, cols))
+
+    case DeleteRe(name, whereOpt) =>
+      val t = spark.table(name)
+      val next = Option(whereOpt).filter(_ != null) match {
+        case Some(w) => t.filter(!coalesce(expr(w), lit(false)))
+        case None    => emptyDf(spark, t.schema)
+      }
+      checkpointView(spark, name, next)
+      ack(spark, s"deleted from $name")
+
+    case DropRe(_, name) =>
+      spark.catalog.dropTempView(name)
+      ack(spark, s"dropped $name")
+
+    case _ if BulkInsertRe.findFirstIn(q).isDefined =>
+      val m = BulkInsertRe.findFirstMatchIn(q).get
+      bulkInsert(spark, m.group(1), topSplit(m.group(2), ','),
+        topSplit(m.group(3), ','), Option(m.group(4)).map(topSplit(_, ',')),
+        m.group(5), Option(m.group(6)).getOrElse(""))
+
+    case _ if ShowRe.findFirstIn(q).isDefined =>
+      spark.sql(q) // SHOW TABLES / SHOW COLUMNS IN t / SHOW DATABASES — native
+
+    case other => sys.error(s"unsupported DDL: $other")
+  }
+
+  /** Align `df`'s provided columns to the target schema: cast provided,
+    * null-fill missing. */
+  private def alignTo(df: DataFrame, schema: StructType, provided: Seq[String]): DataFrame = {
+    val sel = schema.fields.map { f =>
+      if (provided.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(sel.toIndexedSeq: _*)
+  }
+
+  /** INSERT is an upsert on `_id` — a re-inserted record replaces the old one
+    * (mutex replace on every field, `reference/field.go:352-365`; with Delta
+    * this is MERGE WHEN MATCHED UPDATE). */
+  private def upsert(spark: SparkSession, name: String, incoming: DataFrame): DataFrame = {
+    val target = spark.table(name)
+    val next =
+      if (target.columns.contains("_id") && incoming.columns.contains("_id"))
+        target.join(incoming.select("_id"), Seq("_id"), "left_anti")
+          .unionByName(incoming)
+      else target.unionByName(incoming)
+    checkpointView(spark, name, next)
+    ack(spark, s"inserted into $name")
+  }
+
+  /** Re-register a view with new contents. Materializes first: the view's
+    * plan must not reference the view being replaced (self-reference), and
+    * chained DML would otherwise stack unbounded plans. */
+  private def checkpointView(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    val rows = df.collect() // catalog DML is small-data; BULK paths read via spark.read
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      .createOrReplaceTempView(name)
+  }
+
+  // ------------------------------------------------------------- BULK INSERT
+
+  /** BULK INSERT (`reference/sql3/planner/compilebulkinsert.go:197-224`):
+    * MAP gives source positions/paths + types, TRANSFORM optional @n
+    * expressions, INPUT 'FILE' reads via spark.read (distributed — the 100 TB
+    * path), INPUT 'STREAM' parses the inline literal. */
+  private def bulkInsert(spark: SparkSession, table: String, targetCols: Seq[String],
+      mapList: Seq[String], transform: Option[Seq[String]], source: String,
+      withOpts: String): DataFrame = {
+
+    val OptRe = raw"(?i)(FORMAT|INPUT|BATCHSIZE)\s+'?([^'\s]+)'?".r
+    val opts = OptRe.findAllMatchIn(withOpts)
+      .map(m => m.group(1).toUpperCase -> m.group(2)).toMap
+    val format = opts.getOrElse("FORMAT", "CSV").toUpperCase
+    val input  = opts.getOrElse("INPUT", "FILE").toUpperCase
+
+    // MAP entries: `0 INT` (CSV position) or `'$.path' STRING` (NDJSON/PARQUET)
+    val mapped: Seq[(String, DataType)] = mapList.map { e =>
+      val parts = e.trim.split("\\s+", 2)
+      (parts(0).stripPrefix("'").stripSuffix("'"), sparkType(parts(1)))
+    }
+
+    val raw: DataFrame = (format, input) match {
+      case ("CSV", "STREAM") =>
+        import spark.implicits._
+        val lines = source.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        spark.read.csv(lines.toDS())
+      case ("CSV", _)     => spark.read.csv(source)
+      case ("NDJSON", "STREAM") =>
+        import spark.implicits._
+        spark.read.json(source.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.toDS())
+      case ("NDJSON", _)  => spark.read.json(source)
+      case ("PARQUET", _) => spark.read.parquet(source)
+      case other          => sys.error(s"unsupported bulk format/input: $other")
+    }
+
+    // resolve each MAP entry to a typed column m0..mN
+    val srcCols: Seq[Column] = mapped.zipWithIndex.map { case ((key, t), i) =>
+      val base = format match {
+        case "CSV" => col(s"_c$key") // positional
+        case _     => col(key.stripPrefix("$.")) // json path / parquet column
+      }
+      castTo(base, t).as(s"m$i")
+    }
+    val projected = raw.select(srcCols: _*)
+
+    // TRANSFORM(@1, @0, …): expressions over mapped values, in target order
+    val finalCols: Seq[Column] = transform match {
+      case Some(exprs) =>
+        require(exprs.size == targetCols.size,
+          s"TRANSFORM arity ${exprs.size} != target columns ${targetCols.size}")
+        exprs.zip(targetCols).map { case (e, tc) =>
+          expr(e.replaceAll(raw"@(\d+)", "m$1")).as(tc) }
+      case None =>
+        require(mapped.size == targetCols.size,
+          s"MAP arity ${mapped.size} != target columns ${targetCols.size}")
+        targetCols.zipWithIndex.map { case (tc, i) => col(s"m$i").as(tc) }
+    }
+    val incoming = projected.select(finalCols: _*)
+    val aligned  = alignTo(incoming, spark.table(table).schema, targetCols)
+    upsert(spark, table, aligned)
+  }
+
+  /** Lenient source-value cast (`reference/idk/interfaces.go` field decoders):
+    * booleans accept 0/1, sets accept a scalar (singleton) — CSV cells carry
+    * one member per row — timestamps accept ISO strings. */
+  private def castTo(c: Column, t: DataType): Column = t match {
+    case BooleanType =>
+      when(trim(c).isin("1", "true", "TRUE", "t", "T"), lit(true))
+        .when(trim(c).isin("0", "false", "FALSE", "f", "F"), lit(false))
+        .otherwise(c.cast(BooleanType))
+    case ArrayType(e, _) if !e.isInstanceOf[StructType] =>
+      array(trim(c).cast(e))
+    case TimestampType => to_timestamp(trim(c))
+    case other         => trim(c).cast(other)
+  }
+}

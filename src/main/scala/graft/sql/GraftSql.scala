@@ -38,6 +38,14 @@ object GraftSql {
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
     Functions.register(spark)
-    spark.sql(rewrite(query))
+    if (Ddl.handles(query)) Ddl.run(spark, query)
+    else spark.sql(rewrite(query))
+  }
+
+  /** Run a statement with no table dir (DDL-driven sessions). */
+  def statement(spark: SparkSession, query: String): DataFrame = {
+    Functions.register(spark)
+    if (Ddl.handles(query)) Ddl.run(spark, query)
+    else spark.sql(rewrite(query))
   }
 }

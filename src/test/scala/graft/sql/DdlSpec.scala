@@ -1,0 +1,90 @@
+package graft.sql
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** DDL/DML statements of the reference dialect
+  * (`reference/sql3/test/defs/defs_create_table.go`, `defs_insert.go`,
+  * `defs_bulkinsert.go`, `defs_delete.go` shapes). */
+class DdlSpec extends SparkSpec {
+
+  private def run(q: String) = GraftSql.statement(spark, q)
+
+  test("CREATE TABLE maps reference types to Spark types") {
+    run("""CREATE TABLE seg (_id ID, age INT MIN 0 MAX 200, ratio DECIMAL(2),
+          | alive BOOL, seen TIMESTAMP, name STRING,
+          | hobbies STRINGSET, nums IDSET)""".stripMargin)
+    val sch = spark.table("seg").schema
+    assert(sch("_id").dataType == LongType && !sch("_id").nullable)
+    assert(sch("age").dataType == LongType)
+    assert(sch("ratio").dataType == DecimalType(38, 2))
+    assert(sch("alive").dataType == BooleanType)
+    assert(sch("seen").dataType == TimestampType)
+    assert(sch("name").dataType == StringType)
+    assert(sch("hobbies").dataType == ArrayType(StringType))
+    assert(sch("nums").dataType == ArrayType(LongType))
+  }
+
+  test("INSERT, set literals, and upsert-by-_id (mutex replace)") {
+    run("CREATE TABLE t1 (_id ID, v INT, tags STRINGSET)")
+    run("INSERT INTO t1 (_id, v, tags) VALUES (1, 10, ['a','b']), (2, 20, ['c'])")
+    assert(spark.table("t1").count() == 2)
+    // re-insert _id=1 replaces the old record (reference field.go:352-365)
+    run("INSERT INTO t1 (_id, v, tags) VALUES (1, 99, ['z'])")
+    val r = spark.table("t1").filter("_id = 1").collect()(0)
+    assert(r.getAs[Long]("v") == 99)
+    assert(r.getSeq[String](2).toList == List("z"))
+    assert(spark.table("t1").count() == 2)
+    // partial column list null-fills the rest
+    run("INSERT INTO t1 (_id, v) VALUES (3, 30)")
+    assert(spark.table("t1").filter("_id = 3").collect()(0).isNullAt(2))
+  }
+
+  test("DELETE FROM with and without WHERE") {
+    run("CREATE TABLE t2 (_id ID, v INT)")
+    run("INSERT INTO t2 (_id, v) VALUES (1, 1), (2, 2), (3, 3)")
+    run("DELETE FROM t2 WHERE v >= 2")
+    assert(spark.table("t2").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    run("DELETE FROM t2")
+    assert(spark.table("t2").count() == 0)
+  }
+
+  test("CREATE VIEW with dialect rewrite, DROP") {
+    run("CREATE TABLE t3 (_id ID, v INT)")
+    run("INSERT INTO t3 (_id, v) VALUES (1, 5), (2, 6), (3, 7)")
+    run("CREATE VIEW v3 AS SELECT TOP(2) v FROM t3 ORDER BY v DESC")
+    assert(spark.table("v3").collect().map(_.getLong(0)).toSeq == Seq(7L, 6L))
+    run("DROP VIEW v3")
+    run("DROP TABLE t3")
+    assert(!spark.catalog.tableExists("t3"))
+  }
+
+  test("BULK INSERT CSV STREAM with MAP and TRANSFORM") {
+    run("CREATE TABLE bi (_id ID, name STRING, score INT)")
+    run("""BULK INSERT INTO bi (_id, name, score)
+          |MAP (0 ID, 1 STRING, 2 INT)
+          |TRANSFORM (@0, UPPER(@1), @2 * 2)
+          |FROM x'1,alice,10
+          |2,bob,20'
+          |WITH FORMAT 'CSV' INPUT 'STREAM'""".stripMargin)
+    val rows = spark.table("bi").orderBy("_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "ALICE" && rows(0).getLong(2) == 20)
+    assert(rows(1).getString(1) == "BOB" && rows(1).getLong(2) == 40)
+  }
+
+  test("BULK INSERT PARQUET FILE reads distributed source") {
+    run("CREATE TABLE bp (_id ID, rname STRING)")
+    run(s"""BULK INSERT INTO bp (_id, rname)
+           |MAP ('$$.r_regionkey' ID, '$$.r_name' STRING)
+           |FROM '$sfDir/region.parquet'
+           |WITH FORMAT 'PARQUET' INPUT 'FILE'""".stripMargin)
+    assert(spark.table("bp").count() == 5)
+  }
+
+  test("SHOW TABLES passes through") {
+    run("CREATE TABLE shown (_id ID)")
+    val names = run("SHOW TABLES").collect().map(_.getAs[String]("tableName"))
+    assert(names.contains("shown"))
+  }
+}
