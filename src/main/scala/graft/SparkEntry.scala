@@ -376,6 +376,42 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       ix.select(col("seg"), graft.index.Bitmap.bitmapCount(col("bm")).as("cnt"))
         .orderBy("seg")
     }),
+    // Structured Streaming surface (SURVEY §2.3): each runs a genuine
+    // streaming query (file source → state → sink) to completion and returns
+    // the result for the oracle gate.
+    "stream_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.summarize(
+        graft.streaming.Sessionize.sessionsBatch(
+          Tables.load(s, dir, "events"), 1800))),
+    "stream_quantum_hourly" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val src = graft.streaming.Ingest.scratch("q_quantum_src")
+      ev.select("ts", "event_type", "value").write.mode("overwrite")
+        .parquet(src + "/ev.parquet")
+      val stream = graft.streaming.Ingest.fileSource(s, src + "/*", "PARQUET",
+        s.read.parquet(src + "/ev.parquet").schema)
+      val name = "stream_quantum_hourly_sink"
+      s.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = graft.streaming.Ingest.quantumCounts(stream, "ts", "event_type", "1 hour")
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("h", "event_type")
+    }),
+    "stream_upsert" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val src  = graft.streaming.Ingest.scratch("q_upsert_src")
+      val tgt  = graft.streaming.Ingest.scratch("q_upsert_tgt") + "/t"
+      val ckpt = graft.streaming.Ingest.scratch("q_upsert_ckpt")
+      ev.select("event_id", "ts", "event_type", "value")
+        .write.mode("overwrite").parquet(src + "/ev.parquet")
+      val stream = graft.streaming.Ingest.fileSource(s, src + "/*", "PARQUET",
+        s.read.parquet(src + "/ev.parquet").schema)
+      graft.streaming.Ingest.startUpsert(stream, tgt, ckpt,
+        idCol = "event_id", orderCol = "ts").awaitTermination()
+      s.read.parquet(tgt).agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sv"))
+    }),
   )
 
   private val duckShingles =
@@ -463,6 +499,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "SELECT a.event_type AS seg_a, b.event_type AS seg_b, count(*) AS cnt " +
       "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "stream_sessionize" -> ("SELECT count(*) AS n_sessions, round(avg(n), 4) AS avg_len FROM " +
+      "(SELECT user_id, sess, count(*) AS n FROM " +
+      "(SELECT user_id, event_id, sum(new_sess) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM " +
+      "(SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR " +
+      "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
+      "THEN 1 ELSE 0 END AS new_sess FROM events))" +
+      " GROUP BY 1, 2)"),
+    "stream_quantum_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, " +
+      "count(*) AS cnt, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "stream_upsert" -> "SELECT count(*) AS cnt, round(sum(value), 2) AS sv FROM events",
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
   )

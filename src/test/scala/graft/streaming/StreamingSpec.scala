@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  import Sessionize.{Ev, Sess}
+
+  test("pure gap-split core") {
+    val evs = Seq(Ev(1, 1, 100), Ev(1, 2, 200), Ev(1, 3, 3000), Ev(1, 4, 3100))
+    val (closed, open) = Sessionize.split(1, evs, gapSec = 1800, prior = None)
+    assert(closed == Seq(Sess(1, 100, 200, 2)))
+    assert(open.contains(Sessionize.Open(3000, 3100, 4, 2)))
+    // resume from prior state continues the open session
+    val (c2, o2) = Sessionize.split(1, Seq(Ev(1, 5, 3200)), 1800, open)
+    assert(c2.isEmpty && o2.get.n == 3)
+  }
+
+  test("batch sessionization matches window-function formulation") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val typed = Sessionize.summarize(
+      Sessionize.sessionsBatch(ev, 1800)).collect()(0)
+    // window-function reference implementation (same as evt_sessionize oracle)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sql = ev
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        col("ts").cast("long") - col("prev").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("sess", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_sessions"), round(avg("n"), 4).as("avg_len"))
+      .collect()(0)
+    assert(typed == sql)
+  }
+
+  test("streaming sessionization closes sessions by gap and watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, Long)] // (user_id, event_id, tsSec)
+    val stream = ms.toDF()
+      .select(col("_1").as("user_id"), col("_2").as("event_id"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val out = Sessionize.sessionsStream(stream, gapSec = 1800)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events close together, then a far-future event from
+      // user 2 advances the watermark past 1's gap → 1's session times out
+      ms.addData((1L, 1L, 1000L), (1L, 2L, 1200L))
+      q.processAllAvailable()
+      ms.addData((2L, 3L, 100000L))
+      q.processAllAvailable()
+      ms.addData((2L, 4L, 200000L)) // advance watermark again
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[Sess].collect()
+      assert(rows.exists(s => s.user_id == 1 && s.n == 2 && s.startSec == 1000))
+    } finally q.stop()
+  }
+
+  test("file-source ingest upserts with latest-write-wins") {
+    import spark.implicits._
+    val src = Ingest.scratch("upsert_src")
+    val tgt = Ingest.scratch("upsert_tgt") + "/t"
+    val ckpt = Ingest.scratch("upsert_ckpt")
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("_id", "seq", "v")
+      .write.parquet(src + "/f1.parquet")
+    // duplicate _id=1 with higher seq must replace, lower seq must lose
+    Seq((1L, 30L, "c"), (1L, 5L, "stale"), (3L, 1L, "d")).toDF("_id", "seq", "v")
+      .write.parquet(src + "/f2.parquet")
+    val stream = Ingest.fileSource(spark, src + "/*", "PARQUET",
+      spark.read.parquet(src + "/f1.parquet").schema)
+    val q = Ingest.startUpsert(stream, tgt, ckpt, idCol = "_id", orderCol = "seq")
+    q.awaitTermination()
+    val rows = spark.read.parquet(tgt).orderBy("_id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "c"), (2L, "b"), (3L, "d")))
+  }
+
+  test("quantum window counts match batch date_trunc rollup") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val src = Ingest.scratch("quantum_src")
+    ev.select("ts", "event_type", "value").write.parquet(src + "/ev.parquet")
+    val stream = Ingest.fileSource(spark, src + "/*", "PARQUET",
+      spark.read.parquet(src + "/ev.parquet").schema)
+    val windowed = Ingest.quantumCounts(stream, "ts", "event_type", "1 hour")
+    val q = windowed.writeStream.format("memory").queryName("quantum_out")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("quantum_out").orderBy("h", "event_type")
+    val want = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+      .orderBy("h", "event_type")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("ttl filter") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val cutoff = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val kept = Ingest.ttlFilter(ev, "ts", cutoff)
+    assert(kept.filter(col("ts") < lit(cutoff)).count() == 0)
+    assert(kept.count() > 0)
+  }
+}
