@@ -398,6 +398,34 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       q.awaitTermination()
       s.table(name).orderBy("h", "event_type")
     }),
+    // multimodal surface: opaque binary columns + typed metadata; decode is a
+    // deterministic stub codec (graft.functions.Multimodal) so the oracle can
+    // replay the byte math while the Spark plumbing stays real.
+    "mm_meta" -> ((s, dir) =>
+      graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents"))
+        .select(col("_id"), col("kind"), col("meta.n_bytes"),
+          col("meta.width"), col("meta.height"), col("meta.duration_ms"))
+        .orderBy("_id")),
+    "mm_decode" -> ((s, dir) =>
+      graft.functions.Multimodal.decodeFeatures(
+        graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents")))
+        .orderBy("_id")),
+    "mm_frames" -> ((s, dir) =>
+      graft.functions.Multimodal.frameSample(
+        graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents")),
+        everyMs = 100)
+        .orderBy("_id", "frame_idx")),
+    "mm_resize" -> ((s, dir) =>
+      graft.functions.Multimodal.resizeMeta(
+        graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents")),
+        224, 224)
+        .orderBy("_id")),
+    "mm_embed" -> ((s, dir) =>
+      graft.functions.Multimodal.embed(
+        graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents")),
+        dims = 4)
+        .select(col("_id"), posexplode(col("vec")).as(Seq("bucket", "v")))
+        .orderBy("_id", "bucket")),
     "stream_upsert" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val src  = graft.streaming.Ingest.scratch("q_upsert_src")
@@ -511,6 +539,34 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "stream_quantum_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, " +
       "count(*) AS cnt, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_upsert" -> "SELECT count(*) AS cnt, round(sum(value), 2) AS sv FROM events",
+    "mm_meta" -> ("SELECT doc_id AS _id, " +
+      "CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+      "octet_length(encode(text)) AS n_bytes, " +
+      "CAST(ceil(sqrt(octet_length(encode(text))::DOUBLE)) AS INT) AS width, " +
+      "CAST(ceil(octet_length(encode(text))::DOUBLE / " +
+      "ceil(sqrt(octet_length(encode(text))::DOUBLE))) AS INT) AS height, " +
+      "octet_length(encode(text)) AS duration_ms FROM documents ORDER BY doc_id"),
+    "mm_decode" -> ("WITH codes AS (SELECT doc_id, " +
+      "list_transform(string_split(text, ''), c -> ascii(c)) AS cs FROM documents) " +
+      "SELECT doc_id AS _id, round(list_aggregate(cs,'sum')::DOUBLE / len(cs), 4) AS mean_sample, " +
+      "list_aggregate(cs,'min') AS min_sample, list_aggregate(cs,'max') AS max_sample, " +
+      "len(cs)::BIGINT AS n_samples FROM codes ORDER BY doc_id"),
+    "mm_frames" -> ("SELECT doc_id AS _id, ts_ms // 100 AS frame_idx, ts_ms FROM " +
+      "(SELECT doc_id, unnest(range(0, octet_length(encode(text)), 100)) AS ts_ms " +
+      "FROM documents WHERE doc_id%3 = 2) ORDER BY 1, 2"),
+    "mm_resize" -> ("SELECT doc_id AS _id, " +
+      "CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+      "w AS src_w, h AS src_h, 224 AS dst_w, 224 AS dst_h, " +
+      "round(w::DOUBLE/224, 4) AS scale_x, round(h::DOUBLE/224, 4) AS scale_y FROM " +
+      "(SELECT doc_id, text, CAST(ceil(sqrt(octet_length(encode(text))::DOUBLE)) AS INT) AS w, " +
+      "CAST(ceil(octet_length(encode(text))::DOUBLE / " +
+      "ceil(sqrt(octet_length(encode(text))::DOUBLE))) AS INT) AS h FROM documents) " +
+      "ORDER BY _id"),
+    "mm_embed" -> ("WITH pos AS (SELECT doc_id, " +
+      "unnest(list_transform(string_split(text,''), c -> ascii(c))) AS c, " +
+      "unnest(range(1, length(text)+1)) AS i FROM documents) " +
+      "SELECT doc_id AS _id, (i-1)%4 AS bucket, round(avg(c), 4) AS v " +
+      "FROM pos GROUP BY 1, 2 ORDER BY 1, 2"),
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
   )

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video as
+  * opaque `BinaryType` columns with typed metadata, plus the decode /
+  * feature-extract / resize / frame-sample operators over them.
+  *
+  * The reference has no media support (its closest analogue is the Arrow
+  * dataframe sidecar of raw values, `reference/apply.go:14-34`); this module
+  * is part of the 100 TB pipeline surface the engine adds on top.
+  *
+  * Execution shape — designed for scale:
+  *   - media rows are wide (MBs of bytes); `spark.sql.files.maxPartitionBytes`
+  *     governs scan parallelism, and all operators here are narrow
+  *     (per-partition, no shuffle) so 100 TB of media fans out embarrassingly;
+  *   - decode runs batched per partition via `mapPartitions` (the JVM analogue
+  *     of `mapInPandas`): the iterator is consumed in fixed-size batches so a
+  *     real codec can amortize setup (GPU transfer, JNI handle) across a
+  *     batch, and peak memory is bounded by batch size × frame size, not
+  *     partition size;
+  *   - metadata-only operators (resize bookkeeping, frame indexing) are pure
+  *     column expressions — codegen'd, never touching the blob.
+  *
+  * DECODE IS A STUB: [[decodeBytes]] stands in for a real codec (libjpeg /
+  * ffmpeg / soundfile behind JNI or a sidecar service). It is a deterministic
+  * fake — "samples" are the raw bytes — so specs and the DuckDB oracle can
+  * verify the surrounding plumbing (schema, batching, partitioning,
+  * explode shapes) exactly. Swapping in a real codec changes only the body of
+  * `decodeBytes`; every signature stays.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** media schema: one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("_id", LongType, nullable = false),
+    StructField("kind", StringType),       // image | audio | video
+    StructField("format", StringType),     // png | wav | mp4 (opaque tag)
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(    // typed metadata, queryable without decode
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Derive a deterministic media table from `documents` (TESTDATA has no
+    * binary fixtures; text bytes play the blob). Metadata formulas are fixed
+    * so the oracle can recompute them: width = ceil(sqrt(n)),
+    * height = ceil(n/width), 1 byte ≙ 1 ms. */
+  def deriveMedia(documents: DataFrame): DataFrame = {
+    val n = octet_length(col("text")).cast(LongType)
+    val w = ceil(sqrt(n.cast(DoubleType))).cast(IntegerType)
+    documents.select(
+      col("doc_id").cast(LongType).as("_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+      element_at(array(lit("png"), lit("wav"), lit("mp4")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("format"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        n.as("n_bytes"), w.as("width"),
+        ceil(n.cast(DoubleType) / w.cast(DoubleType)).cast(IntegerType).as("height"),
+        lit(3).as("channels"), lit(16000).as("sample_rate"),
+        n.as("duration_ms")).as("meta"))
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** STUB CODEC — deterministic fake decode: the "sample stream" is the raw
+    * bytes as unsigned ints. A real deployment replaces this body with the
+    * actual codec call; callers never see the difference in shape. */
+  private def decodeBytes(bytes: Array[Byte]): Array[Int] =
+    bytes.map(b => b & 0xff)
+
+  /** Batched per-partition decode → fixed-width feature vector per asset
+    * (mean/min/max sample + length). Narrow op: no shuffle; batch-at-a-time
+    * so codec setup amortizes and memory stays bounded. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          // one codec invocation per batch in a real impl
+          batch.map { case (id, bytes) =>
+            val s = decodeBytes(bytes)
+            (id, s.map(_.toDouble).sum / s.length, s.min, s.max, s.length.toLong)
+          }
+        }
+      }
+    out.toDF("_id", "mean_sample", "min_sample", "max_sample", "n_samples")
+      .withColumn("mean_sample", round(col("mean_sample"), 4))
+  }
+
+  /** Resize bookkeeping: recompute target metadata as pure column math (no
+    * blob access — codegen'd); the pixel resample itself is the stub codec's
+    * job and here keeps the bytes opaque. */
+  def resizeMeta(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media.select(col("_id"), col("kind"),
+      col("meta.width").as("src_w"), col("meta.height").as("src_h"),
+      lit(targetW).as("dst_w"), lit(targetH).as("dst_h"),
+      round(col("meta.width").cast(DoubleType) / targetW, 4).as("scale_x"),
+      round(col("meta.height").cast(DoubleType) / targetH, 4).as("scale_y"))
+
+  /** Frame sampling for video rows: one output row per sampled frame at
+    * `everyMs` intervals across duration_ms. Pure generator expression
+    * (sequence + explode) — the per-frame byte slice stays a lazy pointer
+    * (offset math), so 100 TB of video explodes without copying blobs. */
+  def frameSample(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("_id"),
+        explode(sequence(lit(0L),
+          col("meta.duration_ms") - 1, lit(everyMs))).as("ts_ms"))
+      .withColumn("frame_idx", (col("ts_ms") / everyMs).cast(LongType))
+      .select(col("_id"), col("frame_idx"), col("ts_ms"))
+
+  /** Decode-then-embed: stub feature vector reused by the ANN/similarity
+    * surface ([[Similarity]]) — mean byte per fixed-stride bucket. */
+  def embed(media: DataFrame, dims: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val s = decodeBytes(bytes)
+            val vec = Array.tabulate(dims) { d =>
+              val slice = s.indices.filter(_ % dims == d).map(s(_))
+              if (slice.isEmpty) 0.0
+              else BigDecimal(slice.sum.toDouble / slice.size)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+            (id, vec)
+          }
+        }
+      }
+    out.toDF("_id", "vec")
+  }
+}

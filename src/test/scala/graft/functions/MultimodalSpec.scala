@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.deriveMedia(Tables.load(spark, sfDir, "documents")).cache()
+
+  test("derived media table has the declared schema and sane metadata") {
+    val sch = media.schema
+    assert(sch("bytes").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(sch("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val r = media.filter(col("_id") === 0).select(
+      col("kind"), col("meta.n_bytes"), col("meta.width"), col("meta.height")).collect()(0)
+    assert(r.getString(0) == "image")
+    val n = r.getLong(1); val w = r.getInt(2); val h = r.getInt(3)
+    assert(w == math.ceil(math.sqrt(n.toDouble)).toInt)
+    assert(w.toLong * h >= n && (h - 1).toLong * w < n)
+  }
+
+  test("decodeFeatures: stub codec byte stats, batched per partition") {
+    val doc0 = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val bytes = doc0.getBytes("UTF-8").map(_ & 0xff)
+    val r = Multimodal.decodeFeatures(media)
+      .filter(col("_id") === 0).collect()(0)
+    assert(r.getLong(4) == bytes.length)
+    assert(r.getInt(2) == bytes.min && r.getInt(3) == bytes.max)
+    assert(math.abs(r.getDouble(1) - bytes.sum.toDouble / bytes.length) < 1e-3)
+  }
+
+  test("frameSample explodes video rows only, at the sampling interval") {
+    val frames = Multimodal.frameSample(media, everyMs = 100)
+    // only kind=video (_id % 3 == 2)
+    assert(frames.filter(col("_id") % 3 =!= 2).count() == 0)
+    val one = media.filter(col("kind") === "video")
+      .select(col("_id"), col("meta.duration_ms")).collect()(0)
+    val expect = ((one.getLong(1) + 99) / 100)
+    assert(frames.filter(col("_id") === one.getLong(0)).count() == expect)
+    // frame_idx contiguous from 0
+    val idx = frames.filter(col("_id") === one.getLong(0))
+      .orderBy("frame_idx").collect().map(_.getLong(1)).toSeq
+    assert(idx == (0L until expect))
+  }
+
+  test("resizeMeta is blob-free column math") {
+    val rs = Multimodal.resizeMeta(media, 224, 224)
+    val r = rs.filter(col("_id") === 0).collect()(0)
+    assert(r.getInt(4) == 224 && r.getInt(5) == 224)
+    assert(math.abs(r.getDouble(6) - r.getInt(2).toDouble / 224) < 1e-3)
+    // on an uncached source, column pruning must drop blob production
+    // entirely (metadata ops never touch the bytes)
+    val fresh = Multimodal.resizeMeta(
+      Multimodal.deriveMedia(
+        Tables.load(spark, sfDir, "documents").limit(7)), 224, 224)
+    assert(!fresh.queryExecution.optimizedPlan.toString.contains("encode("))
+  }
+
+  test("embed produces fixed-dim vectors usable by the ANN surface") {
+    val e = Multimodal.embed(media, dims = 4)
+    assert(e.schema("vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    val v = e.filter(col("_id") === 0).collect()(0).getSeq[Double](1)
+    assert(v.length == 4 && v.forall(x => x >= 0 && x <= 255))
+  }
+}
