@@ -1,33 +1,36 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.Dedup
+
+/** Stage-by-stage timing probe for the MinHash+LSH dedup pipeline at sf0.1.
+  * Each stage runs twice, uncached; the second time is reported (JIT-warm,
+  * matching Bench's warmup-then-time protocol). */
 object MinhashProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Dedup.shingled(
-      graft.core.Tables.load(spark, "/root/testdata/sf0.1", "documents"), "doc_id", "text")
-    def time(label: String)(f: => Unit): Unit = {
-      f
-      val t0 = System.nanoTime(); f
-      println(f"[probe] $label ${(System.nanoTime()-t0)/1e9}%.2fs")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = graft.core.Tables.load(spark, dir, "documents")
+    println(s"[probe] docs=${base.count()}")
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time2(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      noop(f)
+      val t0 = System.nanoTime(); noop(f)
+      println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    time("shingled") { docs.write.format("noop").mode("overwrite").save() }
-    val posting = docs.select(col("id"), explode(col("sh")).as("s"))
-    time("posting") { posting.write.format("noop").mode("overwrite").save() }
-    val filtered = posting.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("s"))).filter(col("df") <= 10000).drop("df")
-    time("docfreq-window") { filtered.write.format("noop").mode("overwrite").save() }
-    val inter = filtered.as("a").join(filtered.as("b"),
-      col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(count(lit(1)).as("inter"))
-    time("inter-join") { inter.write.format("noop").mode("overwrite").save() }
-    val sigs = Dedup.minhashSignatures(docs, 128)
-    time("signatures") { sigs.write.format("noop").mode("overwrite").save() }
+
+    time2("posting")(Dedup.shingledPosting(base, "doc_id", "text"))
+    time2("posting+sig")(Dedup.minhashSignatures(
+      Dedup.shingledPosting(base, "doc_id", "text"), 128))
+    time2("full")(Dedup.minhashPairs(
+      Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
     spark.stop()
   }
 }
