@@ -96,6 +96,21 @@ object SparkEntry {
       "Store(Row(n_chars > 900), words='__big__') Count(Row(words='__big__'))"),
     "pql_delete" -> pqlProg("orders",
       "Delete(Row(o_orderstatus='F')) Count(All())"),
+    // shard-restricted execution (`reference/executor.go:883`): sf ids all
+    // fall in shard 0, so shards=[0] must equal the unrestricted count (the
+    // spec covers the shards=[1] → 0 case)
+    "pql_options" -> pqlQ("lineitem",
+      "Options(Count(Row(l_quantity > 30)), shards=[0])"),
+    "pql_arrow" -> pqlQ("part",
+      "Arrow(Row(p_size > 40), header=['p_name', 'p_size'])"),
+    "pql_apply" -> pqlQ("part",
+      "Apply(Row(p_size > 40), 'p_partkey + p_size AS v')"),
+    "pql_externallookup" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      Pql.run(s, dir, "nation",
+        "ExternalLookup(Row(n_regionkey=2), query='SELECT c_nationkey AS nk, " +
+          "count(*) AS cnt FROM customer WHERE c_nationkey IN $1 GROUP BY nk ORDER BY nk')")
+    }),
   )
 
   /** DuckDB oracle for reference-semantics Percentile (`reference/executor.go:
@@ -189,6 +204,15 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "pql_clearrow" -> "SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag <> 'R'",
     "pql_store" -> "SELECT count(*) AS cnt FROM documents WHERE n_chars > 900",
     "pql_delete" -> "SELECT count(*) AS cnt FROM orders WHERE NOT o_orderstatus='F'",
+    "pql_options" -> ("SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30 " +
+      "AND l_orderkey*8 + l_linenumber BETWEEN 0 AND 1048575"),
+    "pql_arrow" -> ("SELECT p_partkey AS _id, p_name, p_size FROM part " +
+      "WHERE p_size > 40 ORDER BY _id"),
+    "pql_apply" -> ("SELECT p_partkey AS _id, p_partkey + p_size AS v FROM part " +
+      "WHERE p_size > 40 ORDER BY _id"),
+    "pql_externallookup" -> ("SELECT c_nationkey AS nk, count(*) AS cnt FROM customer " +
+      "WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2) " +
+      "GROUP BY nk ORDER BY nk"),
   )
 
   // ------------------------------------------------- SQL surface (SURVEY §2.2)

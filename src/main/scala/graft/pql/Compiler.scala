@@ -341,9 +341,58 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       filtered(bits(call.children.head))
         .agg((count(when(col("_id") === c, 1)) > 0).as("includes"))
 
+    case "Options" =>
+      // per-call exec options (`reference/executor.go:883`): shards=[…]
+      // restricts execution to record-id ranges of shard width 2^20
+      // (`reference/shardwidth/helper.go:9-14`). Spark analogue: a pushed
+      // `_id` range predicate — partition pruning on an `_id`-sorted layout.
+      val inner = call.children.headOption
+        .getOrElse(sys.error("Options: wrapped call required"))
+      val t2 = call.named("shards") match {
+        case Some(ListV(vs)) if vs.nonEmpty =>
+          val pred = vs.collect { case LongV(s) =>
+            col("_id") >= s * ShardWidth && col("_id") < (s + 1) * ShardWidth
+          }.reduceLeft(_ || _)
+          table.filter(pred)
+        case _ => table
+      }
+      new Compiler(t2, timeCol, quantum).run(inner)
+
+    case "Arrow" => // raw-values table for filtered records
+      // (`reference/arrow.go:27-100`; gated behind dataframeEnabled there)
+      val hdr = call.named("header") match {
+        case Some(ListV(vs)) => vs.collect { case StrV(s) => s }
+        case _               => table.columns.filterNot(_ == "_id").toSeq
+      }
+      val base = call.children.headOption.map(c => filtered(bits(c))).getOrElse(table)
+      base.select(col("_id") +: hdr.map(col): _*).orderBy("_id")
+
+    case "Apply" => // `reference/apply.go:50-120`: per-shard program over raw
+      // values. The reference's program language is ivy (APL), behind the
+      // disabled-by-default dataframeEnabled flag; re-expressed Spark-first
+      // the program is a Spark SQL projection over the filtered records —
+      // the same capability, whole-stage-codegen'd instead of interpreted.
+      // Multiple output expressions separate with ';'.
+      val program = call.positional.collectFirst { case StrV(s) => s }
+        .getOrElse(sys.error("Apply: program required"))
+      val base = call.children.headOption.map(c => filtered(bits(c))).getOrElse(table)
+      base.selectExpr("_id" +: program.split(";").map(_.trim).filter(_.nonEmpty).toSeq: _*)
+        .orderBy("_id")
+
+    case "ExternalLookup" => // `reference/executor.go:4357-4711`: ship the
+      // bitmap's ids to an external SQL engine as $1 and join back. Spark:
+      // the id set becomes the view `_lookup_ids`, `$1` a subquery over it;
+      // the "external" engine is whatever the catalog reaches (JDBC in prod).
+      val query = call.str("query")
+        .getOrElse(sys.error("ExternalLookup: query required"))
+      toIds(bits(call.children.head)).createOrReplaceTempView("_lookup_ids")
+      table.sparkSession.sql(query.replace("$1", "(SELECT _id FROM _lookup_ids)"))
+
     case _ => // bitmap call at top level → its id set
       toIds(bits(call)).orderBy("_id")
   }
+
+  private val ShardWidth = 1L << 20 // `reference/shardwidth/helper.go:14`
 
   /** Optional positional-child or named `filter=` bitmap for aggregations. */
   private def filteredByOptional(call: Call): DataFrame = {

@@ -91,6 +91,41 @@ class CompilerSpec extends SparkSpec {
     assert(v.length <= 1)
   }
 
+  test("Options restricts execution to the given shards") {
+    val all = cnt("lineitem", "Count(Row(l_quantity > 30))")
+    assert(cnt("lineitem", "Options(Count(Row(l_quantity > 30)), shards=[0])") == all)
+    assert(cnt("lineitem", "Options(Count(Row(l_quantity > 30)), shards=[1])") == 0)
+    assert(cnt("lineitem", "Options(Count(Row(l_quantity > 30)), shards=[0, 1])") == all)
+  }
+
+  test("Arrow returns raw columns for filtered records") {
+    val rows = run("part", "Arrow(Row(p_size > 40), header=['p_name', 'p_size'])")
+    assert(rows.columns.toSeq == Seq("_id", "p_name", "p_size"))
+    assert(rows.collect().forall(_.getAs[Number](2).longValue > 40))
+  }
+
+  test("Apply evaluates a projection program over filtered records") {
+    val rows = run("part", "Apply(Row(p_size > 40), 'p_partkey + p_size AS v; p_size AS s')")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Number](1).longValue ==
+      r.getAs[Number](0).longValue + r.getAs[Number](2).longValue))
+  }
+
+  test("ExternalLookup ships bitmap ids to a catalog query via $1") {
+    graft.core.Tables.registerAll(spark, sfDir)
+    val got = run("nation",
+      "ExternalLookup(Row(n_regionkey=2), query='SELECT count(*) AS cnt FROM customer " +
+        "WHERE c_nationkey IN $1')").collect()(0).getLong(0)
+    val want = graft.core.Tables.load(spark, sfDir, "customer").as("c")
+      .join(graft.core.Tables.load(spark, sfDir, "nation")
+        .filter(org.apache.spark.sql.functions.col("n_regionkey") === 2).as("n"),
+        org.apache.spark.sql.functions.col("c.c_nationkey") ===
+          org.apache.spark.sql.functions.col("n.n_nationkey"))
+      .count()
+    assert(got == want)
+  }
+
   test("time-bounded Row on events") {
     val windowed = cnt("events",
       "Count(Row(event_type='purchase', from='2024-01-01T00:00', to='2030-01-01T00:00'))")
