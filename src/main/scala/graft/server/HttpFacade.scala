@@ -1,0 +1,143 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** HTTP facade over the engine — the reference's serving surface re-expressed
+  * on the JDK's built-in server (zero extra dependencies):
+  *
+  *   - `POST /sql`                  — reference `http_handler.go:536`
+  *   - `POST /index/{index}/query`  — reference `http_handler.go:521` (PQL;
+  *                                    multi-call programs supported, writes
+  *                                    advance session state like the
+  *                                    reference's mutable fragments)
+  *   - `GET  /schema`               — reference `GET /schema`
+  *   - `GET  /status`               — health probe
+  *
+  * Responses use the reference's wire shape (`wire_response.go`
+  * `WireQueryResponse`): `{"schema":{"fields":[{"name":…,"base-type":…}]},
+  * "data":[[…]…]}`, errors as `{"error":…}`.
+  *
+  * Scale note: this facade fronts a SparkSession — on a cluster that is a
+  * long-running driver (Spark Connect / a thrift-style gateway being the
+  * hardened equivalents). Queries execute distributed; only the result rows
+  * stream through this process, and `collect()` here is bounded by the same
+  * result-size discipline as the reference's coordinator reduce.
+  */
+final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def start(): Int = {
+    graft.core.Tables.registerAll(spark, dir)
+    server.createContext("/sql", handler { body =>
+      toWire(graft.sql.GraftSql.sql(spark, dir, body))
+    })
+    server.createContext("/index", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+        require(parts.length == 3 && parts(2) == "query",
+          s"expected /index/{index}/query, got ${ex.getRequestURI.getPath}")
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        toWire(graft.pql.Pql.program(spark, dir, parts(1), body))
+      }
+    })
+    server.createContext("/schema", handler { _ =>
+      val indexes = graft.core.Tables.names.map { t =>
+        val fields = spark.table(t).schema.fields.map(f =>
+          s"""{"name":${js(f.name)},"type":${js(f.dataType.simpleString)}}""")
+        s"""{"name":${js(t)},"fields":[${fields.mkString(",")}]}"""
+      }
+      s"""{"indexes":[${indexes.mkString(",")}]}"""
+    })
+    server.createContext("/status", handler { _ => """{"state":"NORMAL"}""" })
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def handler(f: String => String): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit = respond(ex) {
+      f(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    }
+  }
+
+  private def respond(ex: HttpExchange)(f: => String): Unit = {
+    val (code, payload) =
+      try (200, f)
+      catch { case e: Throwable => (400, s"""{"error":${js(msg(e))}}""") }
+    val bytes = payload.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def msg(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName).linesIterator
+      .take(3).mkString(" ")
+
+  /** DataFrame → reference wire shape. */
+  private def toWire(df: DataFrame): String = {
+    val fields = df.schema.fields.map(f =>
+      s"""{"name":${js(f.name)},"base-type":${js(f.dataType.simpleString)}}""")
+    val rows = df.collect().map { r =>
+      (0 until r.length).map(i => jsAny(r.get(i))).mkString("[", ",", "]")
+    }
+    s"""{"schema":{"fields":[${fields.mkString(",")}]},"data":[${rows.mkString(",")}]}"""
+  }
+
+  private def js(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  private def jsAny(v: Any): String = v match {
+    case null                 => "null"
+    case b: Boolean           => b.toString
+    case n: Byte              => n.toString
+    case n: Short             => n.toString
+    case n: Int               => n.toString
+    case n: Long              => n.toString
+    case n: Float             => if (n.isNaN || n.isInfinite) js(n.toString) else n.toString
+    case n: Double            => if (n.isNaN || n.isInfinite) js(n.toString) else n.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal        => d.bigDecimal.toPlainString
+    case s: Seq[_]            => s.map(jsAny).mkString("[", ",", "]")
+    case a: Array[_]          => a.map(jsAny).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => jsAny(r.get(i))).mkString("[", ",", "]")
+    case other                => js(other.toString)
+  }
+}
+
+/** Standalone entry: `runMain graft.server.HttpFacade <sfDir> [port]`. */
+object HttpFacade {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.lift(1).map(_.toInt).getOrElse(10101)
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val bound = new HttpFacade(spark, dir, port).start()
+    println(s"[graft-server] listening on :$bound (POST /sql, POST /index/{i}/query)")
+    Thread.currentThread().join()
+  }
+}

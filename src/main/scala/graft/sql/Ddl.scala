@@ -34,10 +34,17 @@ object Ddl {
   private val DropRe =
     raw"(?is)^\s*DROP\s+(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$$".r
   private val ShowRe = raw"(?is)^\s*SHOW\s+.*$$".r
+  // COPY src TO tgt [WHERE expr] [WITH URL '…' APIKEY '…']
+  // (`reference/sql3/parser/parser.go:1174-1230`)
+  private val CopyRe =
+    raw"(?is)^\s*COPY\s+(\w+)\s+TO\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+WITH\s+.*?)?;?\s*$$".r
+  private val ExplainRe = raw"(?is)^\s*EXPLAIN\s+(.*)$$".r
+  private val TxnRe = raw"(?is)^\s*(BEGIN|COMMIT|ROLLBACK)\s*(?:TRANSACTION\s*)?;?\s*$$".r
 
   def handles(q: String): Boolean = q match {
     case CreateTableRe(_, _, _) | CreateViewRe(_, _) | InsertRe(_, _, _) |
-         DeleteRe(_, _) | DropRe(_, _) => true
+         DeleteRe(_, _) | DropRe(_, _) | CopyRe(_, _, _) | ExplainRe(_) |
+         TxnRe(_) => true
     case _ if BulkInsertRe.findFirstIn(q).isDefined => true
     case _ if ShowRe.findFirstIn(q).isDefined => true
     case _ => false
@@ -138,6 +145,30 @@ object Ddl {
     case DropRe(_, name) =>
       spark.catalog.dropTempView(name)
       ack(spark, s"dropped $name")
+
+    case CopyRe(src, tgt, whereOpt) =>
+      // table clone with optional filter; the reference's remote push
+      // (WITH URL/APIKEY) is egress — in Spark-land the same statement
+      // against a shared catalog IS the transfer, so options are accepted
+      // and dropped.
+      val s = spark.table(src)
+      val out = Option(whereOpt).filter(_ != null)
+        .map(w => s.filter(expr(w))).getOrElse(s)
+      checkpointView(spark, tgt, out)
+      ack(spark, s"copied $src to $tgt")
+
+    case ExplainRe(body) =>
+      import spark.implicits._
+      val plan = spark.sql(GraftSql.rewrite(body))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      plan.split("\n").toSeq.toDF("plan")
+
+    case TxnRe(kw) =>
+      // parsed-and-acked like the reference (`reference/sql3/parser/ast.go:
+      // 609-709` parses txn statements; per-statement execution remains
+      // atomic-per-table — Delta transactions in prod)
+      ack(spark, kw.toLowerCase)
 
     case _ if BulkInsertRe.findFirstIn(q).isDefined =>
       val m = BulkInsertRe.findFirstMatchIn(q).get

@@ -1,0 +1,57 @@
+package graft.server
+
+import graft.SparkSpec
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+class HttpFacadeSpec extends SparkSpec {
+
+  private lazy val facade = new HttpFacade(spark, sfDir, 0) // ephemeral port
+  private lazy val port = facade.start()
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  override def afterAll(): Unit = { facade.stop(); super.afterAll() }
+
+  test("POST /sql runs reference-dialect SQL and returns wire shape") {
+    val (code, body) = post("/sql",
+      "SELECT TOP(3) r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    assert(code == 200)
+    assert(body.contains(""""schema":{"fields":[{"name":"r_regionkey""""))
+    assert(body.contains(""""data":[[0,"""))
+  }
+
+  test("POST /index/{i}/query runs PQL") {
+    val (code, body) = post("/index/lineitem/query", "Count(Row(l_quantity > 30))")
+    assert(code == 200)
+    assert(body.contains(""""name":"cnt"""") && body.contains(""""data":[["""))
+  }
+
+  test("PQL write program advances state within the request") {
+    val (code, body) = post("/index/orders/query",
+      "Set(7, o_orderstatus='Z') Count(Row(o_orderstatus='Z'))")
+    assert(code == 200 && body.contains(""""data":[[1]]"""))
+  }
+
+  test("GET /schema lists tables and fields; GET /status healthy") {
+    val (code, body) = get("/schema")
+    assert(code == 200 && body.contains(""""name":"lineitem""""))
+    assert(get("/status")._2.contains("NORMAL"))
+  }
+
+  test("errors come back as JSON with status 400") {
+    val (code, body) = post("/sql", "SELECT FROM nonsense syntax")
+    assert(code == 400 && body.contains(""""error":"""))
+  }
+}

@@ -82,6 +82,31 @@ class DdlSpec extends SparkSpec {
     assert(spark.table("bp").count() == 5)
   }
 
+  test("COPY src TO tgt with optional WHERE") {
+    run("CREATE TABLE csrc (_id ID, v INT)")
+    run("INSERT INTO csrc (_id, v) VALUES (1, 1), (2, 2), (3, 3)")
+    run("COPY csrc TO cdst")
+    assert(spark.table("cdst").count() == 3)
+    run("COPY csrc TO cdst2 WHERE v > 1")
+    assert(spark.table("cdst2").count() == 2)
+    // WITH URL/APIKEY accepted and dropped
+    run("COPY csrc TO cdst3 WITH URL 'https://example/x' APIKEY 'k'")
+    assert(spark.table("cdst3").count() == 3)
+  }
+
+  test("EXPLAIN returns the formatted plan") {
+    run("CREATE TABLE esrc (_id ID, v INT)")
+    val plan = run("EXPLAIN SELECT v FROM esrc WHERE v > 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"))
+  }
+
+  test("transaction statements ack as no-ops") {
+    assert(run("BEGIN").collect()(0).getString(0) == "begin")
+    assert(run("COMMIT").collect()(0).getString(0) == "commit")
+    assert(run("ROLLBACK").collect()(0).getString(0) == "rollback")
+  }
+
   test("SHOW TABLES passes through") {
     run("CREATE TABLE shown (_id ID)")
     val names = run("SHOW TABLES").collect().map(_.getAs[String]("tableName"))
