@@ -400,6 +400,20 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       ix.select(col("seg"), graft.index.Bitmap.bitmapCount(col("bm")).as("cnt"))
         .orderBy("seg")
     }),
+    // optimizer-rule path: count-distinct served from a materialized roaring
+    // index via graft.plans.IndexRewrite (plan asserted in IndexRewriteSpec)
+    "idx_rewrite_count" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val idxDir = graft.streaming.Ingest.scratch("idx_rewrite") + "/events_event_type"
+      graft.index.Bitmap.segmentIndex(base, "event_type", "user_id")
+        .write.mode("overwrite").parquet(idxDir)
+      graft.plans.IndexCatalog.register(s"$dir/events.parquet",
+        "event_type", "user_id", s.read.parquet(idxDir))
+      graft.plans.IndexRewrite.install(s)
+      base.createOrReplaceTempView("ev_idx_q")
+      s.sql("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
+        "FROM ev_idx_q GROUP BY event_type ORDER BY seg")
+    }),
     // Structured Streaming surface (SURVEY §2.3): each runs a genuine
     // streaming query (file source → state → sink) to completion and returns
     // the result for the oracle gate.
@@ -591,6 +605,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "unnest(range(1, length(text)+1)) AS i FROM documents) " +
       "SELECT doc_id AS _id, (i-1)%4 AS bucket, round(avg(c), 4) AS v " +
       "FROM pos GROUP BY 1, 2 ORDER BY 1, 2"),
+    "idx_rewrite_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
   )

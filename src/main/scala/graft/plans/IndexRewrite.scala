@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.index.BitmapCardinality
+
+/** Index-serving rewrite (SURVEY §7.2 step 8, §4.1
+  * `tryToReplaceGroupByWithPQLGroupBy`): the reference answers
+  * "count of records per segment" from stored per-(field,value) roaring
+  * bitmaps instead of scanning the fact table (`reference/executor.go:3176`,
+  * fragments `reference/fragment.go:83`). The Spark-native equivalent is an
+  * optimizer [[Rule]]:
+  *
+  * {{{ SELECT seg, count(DISTINCT id) FROM fact GROUP BY seg }}}
+  *
+  * over a fact table with a registered segment index (built by
+  * [[graft.index.Bitmap.segmentIndex]], stored as a (seg, bm) table) becomes
+  * a scan of the index table + [[BitmapCardinality]] — fact-table scan and
+  * distinct shuffle both disappear. At 100 TB that turns a
+  * count-distinct over billions of rows into reading a few thousand
+  * pre-aggregated bitmap rows: the reference's headline capability.
+  *
+  * Install per-session via [[IndexRewrite.install]] (or cluster-wide with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`); register
+  * indexes with [[IndexCatalog.register]].
+  */
+object IndexCatalog {
+  final case class Entry(segCol: String, idCol: String, indexPlan: LogicalPlan)
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Entry]
+
+  /** Register a materialized segment index for a parquet-backed fact table.
+    * `basePath` is the fact table's parquet location; `index` must be the
+    * materialized (seg, bm) table (read back from storage — registering a
+    * non-materialized plan would re-derive the index per query). */
+  def register(basePath: String, segCol: String, idCol: String, index: DataFrame): Unit =
+    entries.put((normalize(basePath), segCol, idCol),
+      Entry(segCol, idCol, index.queryExecution.optimizedPlan))
+
+  def lookup(paths: Seq[String], segCol: String, idCol: String): Option[Entry] =
+    paths.headOption.flatMap(p =>
+      Option(entries.get((normalize(p), segCol, idCol))))
+
+  def clear(): Unit = entries.clear()
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+}
+
+/** The rewrite rule. Matches
+  * `Aggregate([segAttr], [segAttr?, count(DISTINCT idAttr)…], scan(fact))`
+  * where scan is an unfiltered (possibly column-pruned) parquet relation with
+  * a registered index, and replaces it with
+  * `Project([seg, bitmap_cardinality(bm)], indexPlan)`, preserving output
+  * exprIds so parent operators (Sort/Project/…) are untouched. */
+case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(Seq(groupExpr), aggExprs, child, _)
+        if groupAttr(groupExpr).isDefined =>
+      val g = groupAttr(groupExpr).get
+      (relationPaths(child), distinctCountTarget(aggExprs, g)) match {
+        case (Some(paths), Some(idAttr)) =>
+          IndexCatalog.lookup(paths, g.name, idAttr.name) match {
+            case Some(entry) => substitute(agg, g, entry).getOrElse(agg)
+            case None        => agg
+          }
+        case _ => agg
+      }
+  }
+
+  private def groupAttr(e: Expression): Option[Attribute] = e match {
+    case a: AttributeReference => Some(a)
+    case Alias(a: AttributeReference, _) => Some(a)
+    case _ => None
+  }
+
+  /** Child must be a bare (column-pruned) parquet scan: Project of plain
+    * attributes over a LogicalRelation — any Filter disqualifies (the index
+    * covers the full table). Returns the relation's root paths. */
+  private def relationPaths(p: LogicalPlan): Option[Seq[String]] = p match {
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationPaths(child)
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      Some(fs.location.rootPaths.map(_.toString))
+    case _ => None
+  }
+
+  /** All agg expressions must be the group attr (possibly aliased) or
+    * `count(DISTINCT idAttr)`; returns the single id attribute counted. */
+  private def distinctCountTarget(aggExprs: Seq[NamedExpression],
+      g: Attribute): Option[AttributeReference] = {
+    val ids = aggExprs.flatMap {
+      case a: AttributeReference if a.exprId == g.exprId => Nil
+      case Alias(a: AttributeReference, _) if a.exprId == g.exprId => Nil
+      case Alias(AggregateExpression(Count(Seq(id: AttributeReference)), _, true, None, _), _) =>
+        Seq(Some(id))
+      case _ => Seq(None)
+    }
+    if (ids.nonEmpty && ids.forall(_.isDefined) && ids.flatten.distinct.length == 1)
+      ids.head
+    else None
+  }
+
+  private def substitute(agg: Aggregate, g: Attribute,
+      entry: IndexCatalog.Entry): Option[LogicalPlan] = {
+    val idxOut = entry.indexPlan.output
+    for {
+      segAttr <- idxOut.find(_.name == "seg")
+      bmAttr  <- idxOut.find(_.name == "bm")
+      if segAttr.dataType == g.dataType
+    } yield {
+      val projList = agg.aggregateExpressions.map {
+        case a: AttributeReference if a.exprId == g.exprId =>
+          Alias(segAttr, a.name)(exprId = a.exprId)
+        case al @ Alias(a: AttributeReference, name) if a.exprId == g.exprId =>
+          Alias(segAttr, name)(exprId = al.exprId)
+        case al @ Alias(AggregateExpression(Count(_), _, true, _, _), name) =>
+          Alias(BitmapCardinality(bmAttr), name)(exprId = al.exprId)
+        case other => other
+      }
+      Project(projList, entry.indexPlan)
+    }
+  }
+}
+
+object IndexRewrite {
+  /** Install the rule into an existing session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val already = spark.experimental.extraOptimizations.exists {
+      case IndexRewrite(_) => true
+      case _               => false
+    }
+    if (!already)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IndexRewrite(spark)
+  }
+}
+
+/** SQL names for the native bitmap expressions:
+  * `bitmap_cardinality(bm)`, `bitmap_and_cardinality(a,b)`,
+  * `bitmap_or_cardinality(a,b)`. */
+object BitmapFunctions {
+  import graft.index.{BitmapAndCardinality, BitmapOrCardinality}
+  def register(spark: SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    fr.createOrReplaceTempFunction("bitmap_cardinality",
+      es => BitmapCardinality(es.head), "built-in")
+    fr.createOrReplaceTempFunction("bitmap_and_cardinality",
+      es => BitmapAndCardinality(es(0), es(1)), "built-in")
+    fr.createOrReplaceTempFunction("bitmap_or_cardinality",
+      es => BitmapOrCardinality(es(0), es(1)), "built-in")
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(IndexRewrite(_))
+}

@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.index.Bitmap
+import org.apache.spark.sql.functions._
+
+class IndexRewriteSpec extends SparkSpec {
+
+  private def buildAndRegister(): String = {
+    val base = Tables.load(spark, sfDir, "events")
+    val idxDir = "/tmp/graft_index/events_event_type"
+    Bitmap.segmentIndex(base, "event_type", "user_id")
+      .write.mode("overwrite").parquet(idxDir)
+    IndexCatalog.register(s"$sfDir/events.parquet", "event_type", "user_id",
+      spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    base.createOrReplaceTempView("ev_idx")
+    idxDir
+  }
+
+  test("count-distinct per segment is served from the bitmap index") {
+    val idxDir = buildAndRegister()
+    val q = spark.sql(
+      "SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
+        "FROM ev_idx GROUP BY event_type ORDER BY seg")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bitmap_cardinality"), s"not rewritten:\n$opt")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("events.parquet"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("events_event_type"), s"index not scanned:\n$phys")
+    // results identical to the direct aggregation
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type").as("seg"))
+      .agg(countDistinct("user_id").as("cnt")).orderBy("seg").collect()
+    assert(q.collect().toSeq == want.toSeq)
+  }
+
+  test("filtered or non-matching aggregates are NOT rewritten") {
+    buildAndRegister()
+    val filtered = spark.sql(
+      "SELECT event_type, count(DISTINCT user_id) FROM ev_idx " +
+        "WHERE value > 50 GROUP BY event_type")
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("bitmap_cardinality"))
+    val otherAgg = spark.sql(
+      "SELECT event_type, sum(value) FROM ev_idx GROUP BY event_type")
+    assert(!otherAgg.queryExecution.optimizedPlan.toString.contains("bitmap_cardinality"))
+    val otherCol = spark.sql(
+      "SELECT event_type, count(DISTINCT event_id) FROM ev_idx GROUP BY event_type")
+    assert(!otherCol.queryExecution.optimizedPlan.toString.contains("bitmap_cardinality"))
+  }
+
+  test("bitmap expressions evaluate correctly under codegen") {
+    import spark.implicits._
+    val idx = Bitmap.segmentIndex(
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (1L, "b"), (2L, "b"))
+        .toDF("user_id", "event_type"), "event_type", "user_id")
+    BitmapFunctions.register(spark)
+    val out = idx.select(col("seg"),
+      expr("bitmap_cardinality(bm)").as("c"))
+      .orderBy("seg").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 3L)))
+  }
+}
