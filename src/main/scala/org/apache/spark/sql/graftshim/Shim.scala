@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge to `private[sql]` constructors — the standard extension-library
+  * technique for building a DataFrame from a transformed LogicalPlan
+  * (graft's dialect shims rewrite analyzed plans; see
+  * `graft.sql.GraftSql`). */
+object Shim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
