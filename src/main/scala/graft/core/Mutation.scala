@@ -37,21 +37,21 @@ object Mutation {
   /** Set(id, field=value): point write. Set field → add member;
     * scalar/mutex/bool → replace (`reference/executor.go:6194`,
     * mutex replace `reference/field.go:352-365`). */
-  def set(df: DataFrame, id: Long, field: String, value: Column): DataFrame = {
+  def set(df: DataFrame, id: Any, field: String, value: Column): DataFrame = {
     val next =
-      if (isSet(df, field)) when(col("_id") === id, addMember(col(field), value))
+      if (isSet(df, field)) when(col("_id") === lit(id), addMember(col(field), value))
         .otherwise(col(field))
-      else when(col("_id") === id, value).otherwise(col(field))
+      else when(col("_id") === lit(id), value).otherwise(col(field))
     df.withColumn(field, next)
   }
 
   /** Clear(id, field=value): remove one bit. Set field → drop member; scalar →
     * null out iff current value matches (`reference/executor.go:5895`). */
-  def clear(df: DataFrame, id: Long, field: String, value: Column): DataFrame = {
+  def clear(df: DataFrame, id: Any, field: String, value: Column): DataFrame = {
     val next =
-      if (isSet(df, field)) when(col("_id") === id, array_remove(col(field), value))
+      if (isSet(df, field)) when(col("_id") === lit(id), array_remove(col(field), value))
         .otherwise(col(field))
-      else when(col("_id") === id && col(field) === value, lit(null).cast(df.schema(field).dataType))
+      else when(col("_id") === lit(id) && col(field) === value, lit(null).cast(df.schema(field).dataType))
         .otherwise(col(field))
     df.withColumn(field, next)
   }

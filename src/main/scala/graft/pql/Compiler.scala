@@ -77,8 +77,8 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
           Right(ids)
       }
     case "ConstRow" =>
-      val ids = call.named("columns") match {
-        case Some(ListV(vs)) => vs.collect { case LongV(n) => n }
+      val ids: Seq[Any] = call.named("columns") match {
+        case Some(ListV(vs)) => vs.collect { case LongV(n) => n: Any; case StrV(k) => k: Any }
         case _               => Seq.empty
       }
       Left(col("_id").isin(ids: _*))
@@ -236,9 +236,20 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     (f, lit_(v, target))
   }
 
-  private def idOf(call: Call): Long = call.positional.headOption match {
+  /** Record-id argument: uint64 for unkeyed tables, string for keyed tables
+    * (`Keys=true`, `reference/index.go:1079`; keyed corpus
+    * `reference/sql3/test/defs/defs_keyed.go`). */
+  private def idOf(call: Call): Any = call.positional.headOption match {
     case Some(LongV(n)) => n
+    case Some(StrV(s))  => s
     case other          => sys.error(s"${call.name}: record id required, got $other")
+  }
+
+  /** `column=` argument — long id or string key. */
+  private def columnOf(call: Call): Any = call.named("column") match {
+    case Some(LongV(n)) => n
+    case Some(StrV(s))  => s
+    case other => sys.error(s"${call.name}: column required, got $other")
   }
 
   /** Execute a write call → the successor table state (see
@@ -333,13 +344,13 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
 
     case "FieldValue" => // point read (`reference/executor.go:943`)
       val f = call.fieldArg.getOrElse(sys.error("FieldValue: field required"))
-      val c = call.long("column").getOrElse(sys.error("FieldValue: column required"))
-      table.filter(col("_id") === c).select(col(f).as("val"))
+      val c = columnOf(call)
+      table.filter(col("_id") === lit(c)).select(col(f).as("val"))
 
     case "IncludesColumn" => // `reference/executor.go:907`
-      val c = call.long("column").getOrElse(sys.error("IncludesColumn: column required"))
+      val c = columnOf(call)
       filtered(bits(call.children.head))
-        .agg((count(when(col("_id") === c, 1)) > 0).as("includes"))
+        .agg((count(when(col("_id") === lit(c), 1)) > 0).as("includes"))
 
     case "Options" =>
       // per-call exec options (`reference/executor.go:883`): shards=[…]
@@ -433,7 +444,11 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
   private def rowsCall(call: Call): DataFrame = {
     val f = call.fieldArg.getOrElse(sys.error("Rows: field required"))
     var base = filteredByTime(call)
-    call.long("column").foreach(c => base = base.filter(col("_id") === c))
+    call.named("column").foreach {
+      case LongV(c) => base = base.filter(col("_id") === c)
+      case StrV(k)  => base = base.filter(col("_id") === k)
+      case _        => ()
+    }
     var vals = if (isSet(f)) base.select(explode(col(f)).as("val"))
                else base.select(col(f).as("val")).filter(col("val").isNotNull)
     call.str("like").foreach(p => vals = vals.filter(col("val").like(p)))
