@@ -464,6 +464,14 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       case _ => ()
     }
     var out = vals.distinct().orderBy("val")
+    // previous= cursor: resume strictly after the given value in sort order
+    // (`reference/executor.go:4132-4135` start = previous + 1)
+    call.named("previous").foreach {
+      case LongV(n) => out = out.filter(col("val") > n)
+      case StrV(k)  => out = out.filter(col("val") > k)
+      case DoubleV(d) => out = out.filter(col("val") > d)
+      case other => sys.error(s"bad previous value $other")
+    }
     call.long("limit").foreach(n => out = out.limit(n.toInt))
     out
   }
@@ -547,6 +555,22 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       case None => keyCols
     }
     out = out.orderBy(sortCols: _*)
+    // previous=[v1, v2, …] cursor: resume after the group-key tuple in the
+    // default key ordering (lexicographic >) — pagination without OFFSET's
+    // recompute cost at scale (`reference/executor.go:3176` previous arg)
+    call.named("previous").foreach {
+      case ListV(vs) =>
+        require(vs.length == fields.length,
+          s"previous arity ${vs.length} != group keys ${fields.length}")
+        require(call.str("sort").isEmpty, "previous= requires default key order")
+        val lits = vs.zip(fields).map { case (v, f) => lit_(v, dtype(f)) }
+        val gt = fields.zipWithIndex.map { case (f, i) =>
+          val eqPrefix = (0 until i).map(j => col(fields(j)) === lits(j))
+          (eqPrefix :+ (col(f) > lits(i))).reduceLeft(_ && _)
+        }.reduceLeft(_ || _)
+        out = out.filter(gt)
+      case other => sys.error(s"bad previous value $other")
+    }
     call.long("offset").foreach(n => out = out.offset(n.toInt))
     call.long("limit").foreach(n => out = out.limit(n.toInt))
     out

@@ -126,6 +126,29 @@ class CompilerSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("previous= cursor pagination on Rows and GroupBy") {
+    val page1 = run("orders", "Rows(o_orderpriority, limit=2)")
+      .collect().map(_.getString(0)).toSeq
+    val last = page1.last
+    val page2 = run("orders", s"Rows(o_orderpriority, previous='$last', limit=2)")
+      .collect().map(_.getString(0)).toSeq
+    val all = run("orders", "Rows(o_orderpriority)")
+      .collect().map(_.getString(0)).toSeq
+    assert(page1 ++ page2 == all.take(4))
+    assert((page1.toSet & page2.toSet).isEmpty)
+
+    val g1 = run("lineitem",
+      "GroupBy(Rows(l_returnflag), Rows(l_linestatus), limit=2)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val (pf, ps) = g1.last
+    val g2 = run("lineitem",
+      s"GroupBy(Rows(l_returnflag), Rows(l_linestatus), previous=['$pf', '$ps'], limit=2)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val gAll = run("lineitem", "GroupBy(Rows(l_returnflag), Rows(l_linestatus))")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(g1 ++ g2 == gAll.take(4))
+  }
+
   test("time-bounded Row on events") {
     val windowed = cnt("events",
       "Count(Row(event_type='purchase', from='2024-01-01T00:00', to='2030-01-01T00:00'))")
