@@ -325,17 +325,23 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       call.long("limit").foreach(n => out = out.limit(n.toInt))
       out
 
+    case "TopN" | "TopK" if call.long("tanimotoThreshold").isDefined =>
+      topNTanimoto(call)
+
     case "TopN" | "TopK" => // exact top-k (`reference/executor.go:2357`);
       // TopN's ranked-cache approximation is superseded by exact counts —
       // divergence documented in SURVEY §7.4.
       val f = call.fieldArg.getOrElse(sys.error("TopK: field required"))
       val k = call.long("k").orElse(call.long("n")).getOrElse(10L).toInt
       val base = call.namedCall("filter").map(c => filtered(bits(c)))
+        .orElse(call.children.headOption.map(c => filtered(bits(c))))
         .getOrElse(filteredByTime(call))
       val vals = if (isSet(f)) base.select(explode(col(f)).as("val"))
                  else base.select(col(f).as("val")).filter(col("val").isNotNull)
-      vals.groupBy("val").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("val").asc)
+      var ranked = vals.groupBy("val").agg(count(lit(1)).as("cnt"))
+      // threshold= minimum count (`reference/fragment.go:1385` minThreshold)
+      call.long("threshold").foreach(t => ranked = ranked.filter(col("cnt") >= t))
+      ranked.orderBy(col("cnt").desc, col("val").asc)
         .limit(k)
 
     case "GroupBy" => groupByCall(call)
@@ -404,6 +410,42 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
   }
 
   private val ShardWidth = 1L << 20 // `reference/shardwidth/helper.go:14`
+
+  /** TopN(b, field, tanimotoThreshold=T): keep values whose Tanimoto
+    * similarity to the source bitmap exceeds T% —
+    * `ceil(100·|v∩src| / (|v| + |src| − |v∩src|)) > T`
+    * (`reference/fragment.go:1329-1385`); ranked by intersection count like
+    * the reference's src-mode TopN. One scan computes per-value total and
+    * intersection counts; |src| broadcasts as a 1-row literal join. */
+  private def topNTanimoto(call: Call): DataFrame = {
+    val f = call.fieldArg.getOrElse(sys.error("TopN: field required"))
+    val k = call.long("k").orElse(call.long("n")).getOrElse(10L).toInt
+    val t = call.long("tanimotoThreshold").get
+    require(t >= 1 && t <= 100, "Tanimoto Threshold is from 1 to 100 only")
+    val srcCall = call.children.headOption.orElse(call.namedCall("filter"))
+      .getOrElse(sys.error("TopN tanimoto: source bitmap required"))
+    val srcPred = bits(srcCall) match {
+      case Left(p)    => p
+      case Right(ids) => col("_id").isInCollection(
+        ids.collect().map(_.get(0)).toSeq)
+    }
+    val base0 = table.select(col(f), coalesce(srcPred, lit(false)).as("insrc"))
+    val vals = if (isSet(f))
+        base0.select(explode(col(f)).as("val"), col("insrc"))
+      else base0.select(col(f).as("val"), col("insrc")).filter(col("val").isNotNull)
+    val perVal = vals.groupBy("val").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("insrc"), 1)).as("inter"))
+    val srcCnt = table.filter(coalesce(srcPred, lit(false)))
+      .agg(count(lit(1)).as("src_cnt"))
+    perVal.crossJoin(broadcast(srcCnt))
+      .withColumn("tanimoto", ceil(col("inter") * 100 /
+        (col("cnt") + col("src_cnt") - col("inter"))))
+      .filter(col("inter") > 0 && col("tanimoto") > t)
+      .select(col("val"), col("inter").as("cnt"))
+      .orderBy(col("cnt").desc, col("val").asc)
+      .limit(k)
+  }
 
   /** Optional positional-child or named `filter=` bitmap for aggregations. */
   private def filteredByOptional(call: Call): DataFrame = {

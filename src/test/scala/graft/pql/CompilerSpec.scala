@@ -149,6 +149,27 @@ class CompilerSpec extends SparkSpec {
     assert(g1 ++ g2 == gAll.take(4))
   }
 
+  test("TopN tanimotoThreshold and threshold args") {
+    import spark.implicits._
+    // tags: t1 in rows {1,2,3}, t2 in {1,2}, t3 in {4}; src = v>0 → {1,2}
+    val df = Seq(
+      (1L, 5L, Seq("t1", "t2")), (2L, 7L, Seq("t1", "t2")),
+      (3L, 0L, Seq("t1")), (4L, 0L, Seq("t3"))
+    ).toDF("_id", "v", "tags")
+    val c = new Compiler(df)
+    // |src|=2. t1: cnt=3, inter=2 → ceil(200/3)=67; t2: cnt=2, inter=2 → 100
+    // t3: inter=0 dropped. threshold 70 keeps only t2; 50 keeps both.
+    val got70 = c.run(Parser.parseOne(
+      "TopN(Row(v > 0), tags, tanimotoThreshold=70)")).collect()
+    assert(got70.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("t2", 2L)))
+    val got50 = c.run(Parser.parseOne(
+      "TopN(Row(v > 0), tags, tanimotoThreshold=50)")).collect()
+    assert(got50.map(_.getString(0)).toSeq == Seq("t1", "t2"))
+    // minThreshold: only values with cnt >= 2 survive
+    val gotMin = c.run(Parser.parseOne("TopN(tags, threshold=2)")).collect()
+    assert(gotMin.map(_.getString(0)).toSeq == Seq("t1", "t2"))
+  }
+
   test("time-bounded Row on events") {
     val windowed = cnt("events",
       "Count(Row(event_type='purchase', from='2024-01-01T00:00', to='2030-01-01T00:00'))")
