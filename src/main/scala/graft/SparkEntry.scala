@@ -101,6 +101,11 @@ object SparkEntry {
     // spec covers the shards=[1] → 0 case)
     "pql_options" -> pqlQ("lineitem",
       "Options(Count(Row(l_quantity > 30)), shards=[0])"),
+    "pql_topn_threshold" -> pqlQ("documents", "TopN(words, n=50, threshold=100)"),
+    "pql_rows_previous" -> pqlQ("orders",
+      "Rows(o_orderpriority, previous='2-HIGH', limit=2)"),
+    "pql_tanimoto" -> pqlQ("documents",
+      "TopN(Row(lang='en'), words, n=30, tanimotoThreshold=20)"),
     "pql_arrow" -> pqlQ("part",
       "Arrow(Row(p_size > 40), header=['p_name', 'p_size'])"),
     "pql_apply" -> pqlQ("part",
@@ -206,6 +211,20 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "pql_delete" -> "SELECT count(*) AS cnt FROM orders WHERE NOT o_orderstatus='F'",
     "pql_options" -> ("SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30 " +
       "AND l_orderkey*8 + l_linenumber BETWEEN 0 AND 1048575"),
+    "pql_topn_threshold" -> ("SELECT w AS val, count(*) AS cnt FROM (SELECT doc_id, " +
+      "unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w " +
+      "FROM documents) GROUP BY 1 HAVING count(*) >= 100 " +
+      "ORDER BY cnt DESC, val ASC LIMIT 50"),
+    "pql_rows_previous" -> ("SELECT val FROM (SELECT DISTINCT o_orderpriority AS val " +
+      "FROM orders WHERE o_orderpriority > '2-HIGH') ORDER BY val LIMIT 2"),
+    "pql_tanimoto" -> ("WITH w AS (SELECT doc_id, lang, " +
+      "unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS val " +
+      "FROM documents), " +
+      "per AS (SELECT val, count(*) AS cnt, count(*) FILTER (lang = 'en') AS inter " +
+      "FROM w GROUP BY 1), src AS (SELECT count(*) AS sc FROM documents WHERE lang = 'en') " +
+      "SELECT val, inter AS cnt FROM per, src " +
+      "WHERE inter > 0 AND ceil(100.0 * inter / (cnt + sc - inter)) > 20 " +
+      "ORDER BY cnt DESC, val ASC LIMIT 30"),
     "pql_arrow" -> ("SELECT p_partkey AS _id, p_name, p_size FROM part " +
       "WHERE p_size > 40 ORDER BY _id"),
     "pql_apply" -> ("SELECT p_partkey AS _id, p_partkey + p_size AS v FROM part " +
@@ -213,6 +232,13 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "pql_externallookup" -> ("SELECT c_nationkey AS nk, count(*) AS cnt FROM customer " +
       "WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2) " +
       "GROUP BY nk ORDER BY nk"),
+    "sql_intdiv" -> ("SELECT o_orderkey, o_orderkey // 7 AS q, o_orderkey % 7 AS r " +
+      "FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey"),
+    "sql_case" -> ("SELECT l_returnflag, CASE WHEN l_quantity > 30 THEN 'big' " +
+      "WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS bucket, " +
+      "count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "sql_cast" -> ("SELECT CAST(o_orderkey AS VARCHAR) AS s, CAST('100' AS INT) + o_orderkey AS n " +
+      "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"),
   )
 
   // ------------------------------------------------- SQL surface (SURVEY §2.2)
@@ -223,6 +249,17 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
   private val sqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_top" -> sqlQ(
       "SELECT TOP(5) o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey"),
+    // reference INT/INT is integer division (expression.go:419); DuckDB's is //
+    "sql_intdiv" -> sqlQ(
+      "SELECT o_orderkey, o_orderkey / 7 AS q, o_orderkey % 7 AS r " +
+        "FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey"),
+    "sql_case" -> sqlQ(
+      "SELECT l_returnflag, CASE WHEN l_quantity > 30 THEN 'big' " +
+        "WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS bucket, " +
+        "count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "sql_cast" -> sqlQ(
+      "SELECT CAST(o_orderkey AS STRING) AS s, CAST('100' AS INT) + o_orderkey AS n " +
+        "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"),
     "sql_setcontains" -> sqlQ(
       "SELECT count(*) AS cnt FROM documents WHERE SETCONTAINS(words, 'spark')"),
     "sql_setcontainsall" -> sqlQ(
