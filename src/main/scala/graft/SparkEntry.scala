@@ -398,6 +398,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "dd_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5)),
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    "dd_clusters" -> ((s, dir) => Dedup.duplicateClusters(
+      Dedup.jaccardPairs(
+        Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5))),
     "dd_embed_cos" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.45)),
     "sim_cosine_topk" -> ((s, dir) =>
@@ -545,7 +548,21 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     s"SELECT id, CAST($assemble AS BIGINT) AS simhash FROM sums ORDER BY id"
   }
 
+  /** Connected components over the jaccard pair list via recursive CTE —
+    * the DuckDB replay of [[graft.functions.Dedup.duplicateClusters]]. */
+  private val duckClusters: String = {
+    val selIdx = duckShingles.lastIndexOf("SELECT a, b, round")
+    duckShingles.substring(0, selIdx).trim.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", pr AS (SELECT a, b FROM pairs WHERE jf >= 0.5), " +
+      "edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr), " +
+      "nodes AS (SELECT DISTINCT x AS id FROM edges), " +
+      "reach(src, dst) AS (SELECT id, id FROM nodes UNION " +
+      "SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x) " +
+      "SELECT dst AS id, min(src) AS root FROM reach GROUP BY 1 ORDER BY 1"
+  }
+
   private val pipelineOracles: Map[String, String] = Map(
+    "dd_clusters" -> duckClusters,
     "txt_tokens" -> ("SELECT doc_id, " +
       "len(list_filter(string_split(text,' '), x->x<>'')) AS tok_cnt, " +
       "len(list_distinct(list_filter(string_split(text,' '), x->x<>''))) AS uniq_cnt, " +

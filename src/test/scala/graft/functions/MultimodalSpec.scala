@@ -59,6 +59,18 @@ class MultimodalSpec extends SparkSpec {
     assert(!fresh.queryExecution.optimizedPlan.toString.contains("encode("))
   }
 
+  test("duplicate clusters and keep-one-per-cluster") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val corpus = (1L to 12L).toDF("doc_id")
+    val kept = Dedup.dedupKeepOne(corpus, "doc_id",
+      Dedup.duplicateClusters(pairs)).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
   test("embed produces fixed-dim vectors usable by the ANN surface") {
     val e = Multimodal.embed(media, dims = 4)
     assert(e.schema("vec").dataType ==
