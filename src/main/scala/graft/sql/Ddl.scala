@@ -39,12 +39,21 @@ object Ddl {
   private val CopyRe =
     raw"(?is)^\s*COPY\s+(\w+)\s+TO\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+WITH\s+.*?)?;?\s*$$".r
   private val ExplainRe = raw"(?is)^\s*EXPLAIN\s+(.*)$$".r
+  // ALTER TABLE t ADD|DROP|RENAME [COLUMN] … (`reference/sql3/parser/
+  // parser.go:3685-3755`; table rename is commented out there too)
+  private val AlterAddRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(\S+.*?);?\s*$$".r
+  private val AlterDropRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$$".r
+  private val AlterRenameRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$$".r
   private val TxnRe = raw"(?is)^\s*(BEGIN|COMMIT|ROLLBACK)\s*(?:TRANSACTION\s*)?;?\s*$$".r
 
   def handles(q: String): Boolean = q match {
     case CreateTableRe(_, _, _) | CreateViewRe(_, _) | InsertRe(_, _, _) |
          DeleteRe(_, _) | DropRe(_, _) | CopyRe(_, _, _) | ExplainRe(_) |
-         TxnRe(_) => true
+         TxnRe(_) | AlterAddRe(_, _, _) | AlterDropRe(_, _) |
+         AlterRenameRe(_, _, _) => true
     case _ if BulkInsertRe.findFirstIn(q).isDefined => true
     case _ if ShowRe.findFirstIn(q).isDefined => true
     case _ => false
@@ -163,6 +172,19 @@ object Ddl {
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
       plan.split("\n").toSeq.toDF("plan")
+
+    case AlterAddRe(name, colName, tpe) =>
+      checkpointView(spark, name,
+        spark.table(name).withColumn(colName, lit(null).cast(sparkType(tpe))))
+      ack(spark, s"added $colName to $name")
+
+    case AlterDropRe(name, colName) =>
+      checkpointView(spark, name, spark.table(name).drop(colName))
+      ack(spark, s"dropped $colName from $name")
+
+    case AlterRenameRe(name, from, to) =>
+      checkpointView(spark, name, spark.table(name).withColumnRenamed(from, to))
+      ack(spark, s"renamed $from to $to in $name")
 
     case TxnRe(kw) =>
       // parsed-and-acked like the reference (`reference/sql3/parser/ast.go:

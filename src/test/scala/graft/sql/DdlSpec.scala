@@ -107,6 +107,21 @@ class DdlSpec extends SparkSpec {
     assert(run("ROLLBACK").collect()(0).getString(0) == "rollback")
   }
 
+  test("ALTER TABLE ADD/DROP/RENAME COLUMN") {
+    run("CREATE TABLE alt (_id ID, v INT)")
+    run("INSERT INTO alt (_id, v) VALUES (1, 10)")
+    run("ALTER TABLE alt ADD COLUMN tag STRING")
+    assert(spark.table("alt").columns.toSeq == Seq("_id", "v", "tag"))
+    assert(spark.table("alt").collect()(0).isNullAt(2))
+    run("ALTER TABLE alt RENAME COLUMN tag TO label")
+    assert(spark.table("alt").columns.contains("label"))
+    run("ALTER TABLE alt DROP COLUMN label")
+    assert(spark.table("alt").columns.toSeq == Seq("_id", "v"))
+    // COLUMN keyword optional, as in the reference grammar
+    run("ALTER TABLE alt ADD extra INT")
+    assert(spark.table("alt").columns.contains("extra"))
+  }
+
   test("SHOW TABLES passes through") {
     run("CREATE TABLE shown (_id ID)")
     val names = run("SHOW TABLES").collect().map(_.getAs[String]("tableName"))
