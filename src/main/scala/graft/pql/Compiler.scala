@@ -703,10 +703,16 @@ object Pql {
     * `reference/rbf/rbf.go:3-29`); the final call's result is returned. If the
     * program ends on a write, returns the new record count (the reference
     * returns write acks; a count is the closest tabular analogue). */
-  def program(spark: SparkSession, dir: String, tableName: String, pql: String): DataFrame = {
+  def program(spark: SparkSession, dir: String, tableName: String, pql: String): DataFrame =
+    programOn(graft.core.Tables.load(spark, dir, tableName), tableName, pql)._1
+
+  /** Run a program against an explicit table state; returns (result,
+    * successor state) so stateful callers (the HTTP facade) can persist
+    * writes across requests like the reference's mutable fragments. */
+  def programOn(initial: DataFrame, tableName: String, pql: String): (DataFrame, DataFrame) = {
     val calls = Parser.parse(pql)
     require(calls.nonEmpty, "empty PQL program")
-    var state = graft.core.Tables.load(spark, dir, tableName)
+    var state = initial
     def compiler = new Compiler(state, graft.core.Tables.timeColumn(tableName))
     calls.dropRight(1).foreach { c =>
       val comp = compiler
@@ -715,9 +721,12 @@ object Pql {
     }
     val last = calls.last
     val comp = compiler
-    if (comp.isWrite(last))
-      comp.write(last).agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("cnt"))
-    else comp.run(last)
+    val result =
+      if (comp.isWrite(last)) {
+        state = comp.write(last)
+        state.agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      } else comp.run(last)
+    (result, state)
   }
 }

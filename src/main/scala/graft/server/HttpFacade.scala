@@ -30,6 +30,16 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+  /** Per-table mutable state: PQL writes and field imports persist across
+    * requests for the life of the server — the reference's immediately-
+    * queryable mutable fragments. Seeded lazily from the parquet tables;
+    * prod swaps this for Delta MERGE so state survives the process. */
+  private val state =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  private def tableState(name: String): DataFrame =
+    state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
+
   def start(): Int = {
     graft.core.Tables.registerAll(spark, dir)
     server.createContext("/sql", handler { body =>
@@ -38,10 +48,36 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
     server.createContext("/index", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
         val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
-        require(parts.length == 3 && parts(2) == "query",
-          s"expected /index/{index}/query, got ${ex.getRequestURI.getPath}")
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        toWire(graft.pql.Pql.program(spark, dir, parts(1), body))
+        parts match {
+          case Array("index", idx, "query") =>
+            val (result, next) =
+              graft.pql.Pql.programOn(tableState(idx), idx, body)
+            val wire = toWire(result) // materialize before exposing new state
+            state.put(idx, next.localCheckpoint())
+            wire
+          case Array("index", idx, "field", field, "import") =>
+            // CSV lines `id,value` applied with Set semantics (the
+            // reference's `/import` endpoints, `http_handler.go:517-520`;
+            // wire format here is CSV instead of the roaring/proto encoding)
+            var t = tableState(idx)
+            val keyed = t.schema("_id").dataType ==
+              org.apache.spark.sql.types.StringType
+            body.linesIterator.filter(_.nonEmpty).foreach { line =>
+              val Array(id, v) = line.split(",", 2)
+              val idVal: Any = if (keyed) id.trim else id.trim.toLong
+              t = graft.core.Mutation.set(t, idVal, field,
+                org.apache.spark.sql.functions.lit(v.trim)
+                  .cast(t.schema(field).dataType match {
+                    case org.apache.spark.sql.types.ArrayType(e, _) => e
+                    case other => other
+                  }))
+            }
+            state.put(idx, t.localCheckpoint())
+            s"""{"imported":true}"""
+          case _ => sys.error(
+            s"expected /index/{i}/query or /index/{i}/field/{f}/import, got ${ex.getRequestURI.getPath}")
+        }
       }
     })
     server.createContext("/schema", handler { _ =>

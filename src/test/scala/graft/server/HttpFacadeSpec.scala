@@ -38,10 +38,20 @@ class HttpFacadeSpec extends SparkSpec {
     assert(body.contains(""""name":"cnt"""") && body.contains(""""data":[["""))
   }
 
-  test("PQL write program advances state within the request") {
+  test("PQL writes persist across requests (mutable-fragment parity)") {
     val (code, body) = post("/index/orders/query",
       "Set(7, o_orderstatus='Z') Count(Row(o_orderstatus='Z'))")
     assert(code == 200 && body.contains(""""data":[[1]]"""))
+    // a later request sees the write
+    val (c2, b2) = post("/index/orders/query", "Count(Row(o_orderstatus='Z'))")
+    assert(c2 == 200 && b2.contains(""""data":[[1]]"""))
+  }
+
+  test("field import endpoint applies Set semantics") {
+    val (code, body) = post("/index/part/field/p_size/import", "1,77\n2,88")
+    assert(code == 200 && body.contains("imported"))
+    val (c2, b2) = post("/index/part/query", "FieldValue(field=p_size, column=1)")
+    assert(c2 == 200 && b2.contains(""""data":[[77]]"""))
   }
 
   test("GET /schema lists tables and fields; GET /status healthy") {
