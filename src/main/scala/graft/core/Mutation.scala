@@ -85,4 +85,18 @@ object Mutation {
     * Null predicate rows survive (bitmap semantics: not in b ⇒ not deleted). */
   def delete(df: DataFrame, pred: Column): DataFrame =
     df.filter(!coalesce(pred, lit(false)))
+
+  /** Store when the filter arrived as a materialized `_id` set (ordinal PQL
+    * children like Limit/Sort): membership via join — Catalyst broadcasts a
+    * small id set; a billion-id set shuffles instead of OOMing the driver. */
+  def storeIds(df: DataFrame, ids: DataFrame, field: String, value: Column): DataFrame = {
+    val marked = df.join(
+      ids.select(col("_id")).distinct().withColumn("__in", lit(true)),
+      Seq("_id"), "left")
+    store(marked, col("__in").isNotNull, field, value).drop("__in")
+  }
+
+  /** Delete by materialized `_id` set — anti join, never collected. */
+  def deleteIds(df: DataFrame, ids: DataFrame): DataFrame =
+    df.join(ids.select(col("_id")), Seq("_id"), "left_anti")
 }

@@ -266,19 +266,15 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       graft.core.Mutation.clearRow(table, f, v)
     case "Store" =>
       val (f, v) = fieldValueOf(call)
-      val pred = bits(call.children.head) match {
-        case Left(p)    => p
-        case Right(ids) => col("_id").isInCollection(
-          ids.collect().map(_.getLong(0)).toSeq)
+      bits(call.children.head) match {
+        case Left(p)    => graft.core.Mutation.store(table, p, f, v)
+        case Right(ids) => graft.core.Mutation.storeIds(table, ids, f, v)
       }
-      graft.core.Mutation.store(table, pred, f, v)
     case "Delete" =>
-      val pred = bits(call.children.head) match {
-        case Left(p)    => p
-        case Right(ids) => col("_id").isInCollection(
-          ids.collect().map(_.getLong(0)).toSeq)
+      bits(call.children.head) match {
+        case Left(p)    => graft.core.Mutation.delete(table, p)
+        case Right(ids) => graft.core.Mutation.deleteIds(table, ids)
       }
-      graft.core.Mutation.delete(table, pred)
     case other => sys.error(s"not a write call: $other")
   }
 
@@ -424,20 +420,20 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     require(t >= 1 && t <= 100, "Tanimoto Threshold is from 1 to 100 only")
     val srcCall = call.children.headOption.orElse(call.namedCall("filter"))
       .getOrElse(sys.error("TopN tanimoto: source bitmap required"))
-    val srcPred = bits(srcCall) match {
-      case Left(p)    => p
-      case Right(ids) => col("_id").isInCollection(
-        ids.collect().map(_.get(0)).toSeq)
+    val base0 = bits(srcCall) match {
+      case Left(p) => table.select(col(f), coalesce(p, lit(false)).as("insrc"))
+      case Right(ids) => // membership via join, never collected (scale path)
+        table.join(ids.select(col("_id")).withColumn("__in", lit(true)),
+            Seq("_id"), "left")
+          .select(col(f), col("__in").isNotNull.as("insrc"))
     }
-    val base0 = table.select(col(f), coalesce(srcPred, lit(false)).as("insrc"))
     val vals = if (isSet(f))
         base0.select(explode(col(f)).as("val"), col("insrc"))
       else base0.select(col(f).as("val"), col("insrc")).filter(col("val").isNotNull)
     val perVal = vals.groupBy("val").agg(
       count(lit(1)).as("cnt"),
       count(when(col("insrc"), 1)).as("inter"))
-    val srcCnt = table.filter(coalesce(srcPred, lit(false)))
-      .agg(count(lit(1)).as("src_cnt"))
+    val srcCnt = base0.agg(count(when(col("insrc"), 1)).as("src_cnt"))
     perVal.crossJoin(broadcast(srcCnt))
       .withColumn("tanimoto", ceil(col("inter") * 100 /
         (col("cnt") + col("src_cnt") - col("inter"))))

@@ -58,6 +58,18 @@ class MutationSpec extends SparkSpec {
     assert(del.count() == orders.filter(col("o_orderstatus") =!= "F").count())
   }
 
+  test("Store/Delete with materialized id sets use joins, not collect") {
+    // ordinal child (Limit) produces a Right(ids) bitmap → join path
+    val out = Pql.program(spark, sfDir, "orders",
+      "Delete(Limit(Row(o_orderstatus='F'), limit=5)) Count(Row(o_orderstatus='F'))")
+    assert(out.head.getLong(0) ==
+      orders.filter(col("o_orderstatus") === "F").count() - 5)
+    val stored = Pql.program(spark, sfDir, "orders",
+      "Store(Limit(All(), limit=3), o_orderpriority='X-TOP') " +
+        "Count(Row(o_orderpriority='X-TOP'))")
+    assert(stored.head.getLong(0) == 3L)
+  }
+
   test("program: write calls chain, final read sees all of them") {
     val out = Pql.program(spark, sfDir, "orders",
       "Set(7, o_orderstatus='X') Delete(Row(o_orderstatus='F')) Count(Row(o_orderstatus='X'))")
