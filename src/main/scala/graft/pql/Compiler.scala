@@ -635,6 +635,10 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     }
     require(nth >= 0 && nth <= 100, s"Percentile: nth out of range: $nth")
     val base = filteredByOptional(call).filter(col(f).isNotNull)
+    // value HISTOGRAM to the driver, not rows: size is the field's distinct-
+    // value cardinality, which BSI bit-depth bounds in the reference
+    // (`bsi.go:11-63`) — the same assumption its bisection makes. The
+    // billion-row aggregation itself runs distributed.
     val cdf = base.groupBy(col(f).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
       .orderBy("v")

@@ -228,14 +228,14 @@ object Ddl {
     ack(spark, s"inserted into $name")
   }
 
-  /** Re-register a view with new contents. Materializes first: the view's
+  /** Re-register a view with new contents. Materializes first — the view's
     * plan must not reference the view being replaced (self-reference), and
-    * chained DML would otherwise stack unbounded plans. */
-  private def checkpointView(spark: SparkSession, name: String, df: DataFrame): Unit = {
-    val rows = df.collect() // catalog DML is small-data; BULK paths read via spark.read
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      .createOrReplaceTempView(name)
-  }
+    * chained DML would otherwise stack unbounded plans. localCheckpoint
+    * stores partitions on executors (never the driver), so BULK INSERT of an
+    * arbitrarily large source stays distributed; prod swaps this for a Delta
+    * table write. */
+  private def checkpointView(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.localCheckpoint().createOrReplaceTempView(name)
 
   // ------------------------------------------------------------- BULK INSERT
 
