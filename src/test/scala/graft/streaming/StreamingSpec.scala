@@ -100,6 +100,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("watermark bounds state: too-late events are dropped in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long)] // (event_type, tsSec)
+    val stream = ms.toDF()
+      .select(col("_1").as("event_type"), timestamp_seconds(col("_2")).as("ts"),
+        lit(1.0).as("value"))
+    val windowed = Ingest.quantumCounts(stream, "ts", "event_type", "1 hour",
+      watermarkDelay = "1 hour")
+    val q = windowed.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      val h0 = 0L; val h10 = 10 * 3600L
+      ms.addData(("a", h0 + 100)) // window [0h, 1h)
+      q.processAllAvailable()
+      ms.addData(("a", h10)) // advances watermark to 9h → [0h,1h) finalized
+      q.processAllAvailable()
+      ms.addData(("a", h0 + 200)) // >1h late: must be DROPPED, state stays bounded
+      q.processAllAvailable()
+      ms.addData(("a", h10 + 2 * 3600)) // flush
+      q.processAllAvailable()
+      val firstHour = spark.table("late_out")
+        .filter(col("h") === timestamp_seconds(lit(h0))).collect()
+      assert(firstHour.length == 1 && firstHour(0).getAs[Long]("cnt") == 1,
+        s"late row leaked into finalized window: ${firstHour.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("ttl filter") {
     val ev = Tables.load(spark, sfDir, "events")
     val cutoff = java.time.Instant.parse("2024-01-15T00:00:00Z")
