@@ -398,6 +398,20 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "dd_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5)),
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    // flagship composition: the whole training-data cleaning pipeline as ONE
+    // oracle-checked query — predicted-language filter → token-count filter →
+    // near-dup cluster dedup (keep-one) → corpus stats
+    "pipe_clean_corpus" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("pred", Text.langId(col("words")))
+        .withColumn("tok_cnt", Text.tokenCount(col("text")))
+        .filter(col("pred") === "en" && col("tok_cnt") >= 20)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(
+          Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
+      Dedup.dedupKeepOne(base, "doc_id", clusters)
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"))
+    }),
     "dd_clusters" -> ((s, dir) => Dedup.duplicateClusters(
       Dedup.jaccardPairs(
         Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5))),
@@ -561,7 +575,36 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "SELECT dst AS id, min(src) AS root FROM reach GROUP BY 1 ORDER BY 1"
   }
 
+  /** DuckDB replay of the full cleaning pipeline (`pipe_clean_corpus`):
+    * langid + token filter → jaccard pairs → recursive-CTE components →
+    * keep-one → stats. */
+  private val duckPipeClean: String = {
+    val ws = "list_distinct(list_filter(string_split(text,' '), x->x<>''))"
+    val scores = duckMarkers.map { case (l, arr) =>
+      s"len(list_intersect($ws, $arr)) AS s_$l" }.mkString(", ")
+    val g = duckMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val caseChain = duckMarkers.map { case (l, _) =>
+      s"WHEN $g > 0 AND s_$l = $g THEN '$l'" }.mkString(" ")
+    val tok = "len(list_filter(string_split(text,' '), x->x<>''))"
+    val baseSql = s"SELECT doc_id, text, $tok AS tok_cnt " +
+      s"FROM (SELECT doc_id, text, $scores FROM documents) t " +
+      s"WHERE (CASE $caseChain ELSE 'und' END) = 'en' AND $tok >= 20"
+    val shingleChain = duckShingles
+      .substring(0, duckShingles.lastIndexOf("SELECT a, b, round")).trim
+      .replace("FROM documents", "FROM base")
+    shingleChain.replaceFirst("WITH ", s"WITH RECURSIVE base AS ($baseSql), ") +
+      ", pr AS (SELECT a, b FROM pairs WHERE jf >= 0.5), " +
+      "edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr), " +
+      "nodes AS (SELECT DISTINCT x AS id FROM edges), " +
+      "reach(src, dst) AS (SELECT id, id FROM nodes UNION " +
+      "SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x), " +
+      "losers AS (SELECT dst AS id FROM reach GROUP BY 1 HAVING min(src) <> dst) " +
+      "SELECT count(*) AS n_docs, sum(tok_cnt) AS n_tokens FROM base " +
+      "WHERE doc_id NOT IN (SELECT id FROM losers)"
+  }
+
   private val pipelineOracles: Map[String, String] = Map(
+    "pipe_clean_corpus" -> duckPipeClean,
     "dd_clusters" -> duckClusters,
     "txt_tokens" -> ("SELECT doc_id, " +
       "len(list_filter(string_split(text,' '), x->x<>'')) AS tok_cnt, " +
