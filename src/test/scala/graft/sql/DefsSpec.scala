@@ -115,6 +115,17 @@ class DefsSpec extends SparkSpec {
       Set(Seq(1L)))
   }
 
+  test("order by — NULLS FIRST on asc, like the reference") {
+    // reference nullOrdering zero-value = nullOrderingFirst
+    // (`reference/sql3/planner/oporderby.go:26-30`); Spark matches; DuckDB
+    // defaults NULLS LAST — oracle SQL sorting nullable columns must say
+    // NULLS FIRST explicitly.
+    val got = run("SELECT _id FROM at ORDER BY i1").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 2L, 1L))
+    val desc = run("SELECT _id FROM at ORDER BY i1 DESC").collect().map(_.getLong(0)).toSeq
+    assert(desc == Seq(1L, 2L, 3L))
+  }
+
   test("timestamp literals — defs_timestamp_literals.go") {
     check("SELECT _id FROM at WHERE t1 > '2024-02-01T00:00:00'", Set(Seq(1L)))
     check("SELECT count(*) AS c FROM at WHERE t1 >= '2024-01-01T00:00:00'",
