@@ -63,6 +63,8 @@ object SparkEntry {
     "pql_minrow" -> pqlQ("lineitem", "MinRow(field=l_returnflag)"),
     "pql_maxrow" -> pqlQ("lineitem", "MaxRow(field=l_returnflag)"),
     "pql_distinct" -> pqlQ("orders", "Distinct(field=o_orderpriority)"),
+    "pql_distinct_set" -> pqlQ("documents", "Distinct(Row(lang='de'), field=words)"),
+    "pql_max_ts" -> pqlQ("events", "Max(field=ts)"),
     "pql_rows_like" -> pqlQ("orders", "Rows(o_orderpriority, like='%U%')"),
     "pql_topk" -> pqlQ("documents", "TopK(words, k=10)"),
     "pql_groupby" -> pqlQ("lineitem",
@@ -179,6 +181,11 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "pql_maxrow" -> ("SELECT l_returnflag AS val, count(*) AS cnt FROM lineitem " +
       "GROUP BY 1 ORDER BY val DESC LIMIT 1"),
     "pql_distinct" -> "SELECT DISTINCT o_orderpriority AS val FROM orders ORDER BY val",
+    "pql_distinct_set" -> ("SELECT DISTINCT w AS val FROM (SELECT " +
+      "unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w " +
+      "FROM documents WHERE lang = 'de') ORDER BY val"),
+    "pql_max_ts" -> ("SELECT ts AS val, count(*) AS cnt FROM events " +
+      "GROUP BY 1 ORDER BY val DESC LIMIT 1"),
     "pql_rows_like" -> ("SELECT DISTINCT o_orderpriority AS val FROM orders " +
       "WHERE o_orderpriority LIKE '%U%' ORDER BY val"),
     "pql_topk" -> ("SELECT w AS val, count(*) AS cnt FROM (SELECT unnest(list_distinct(" +
