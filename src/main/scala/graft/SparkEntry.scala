@@ -430,6 +430,14 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "sim_lsh_topk" -> ((s, dir) => // approximate: rows-only check (no oracle)
       Similarity.annTopK(emb(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 20, excludeId = Some(0L))),
+    // IVF with nProbe = nCells is exhaustive → exact top-k, oracle-checkable;
+    // production uses nProbe << nCells (recall/latency dial)
+    "sim_ivf_topk" -> ((s, dir) => {
+      val (assigned, centroids) = Similarity.ivfIndex(
+        emb(s, dir), "vec_id", "embedding", nCells = 8)
+      Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+        queryVec(s, dir), 20, nProbe = 8, excludeId = Some(0L))
+    }),
     "evt_hourly" -> ((s, dir) => Tables.load(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
@@ -651,6 +659,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45 " +
       "ORDER BY a, b"),
     "sim_cosine_topk" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
+    "sim_ivf_topk" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
       "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
       "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     "evt_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt, " +

@@ -102,4 +102,43 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // -------------------------------------------------------------------- IVF
+
+  /** IVF index build: k-means coarse quantizer; every vector is assigned to
+    * its nearest centroid cell (the `cell` column). The billion-scale ANN
+    * layout: the assignment is a one-time distributed job, cells become the
+    * partition/pruning key, and a query touches ~|corpus|·nProbe/nCells rows
+    * instead of the full scan. Returns (assigned corpus, centroids). */
+  def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.withColumn("__feat", array_to_vector(asDouble(col(vecCol))))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__feat").setPredictionCol("cell").fit(feat)
+    val assigned = model.transform(feat).drop("__feat")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF query: rank cells by centroid distance on the driver (centroid set
+    * is tiny), probe the nProbe nearest, exact-cosine rerank inside them.
+    * nProbe = nCells degenerates to exhaustive search (recall 1). */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              idCol: String, vecCol: String, query: Seq[Float], k: Int,
+              nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double =
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }
+      .take(nProbe).map(_._2)
+    val base = excludeId.map(e => assigned.filter(col(idCol) =!= e))
+      .getOrElse(assigned)
+    base.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(idCol),
+        round(cosine(col(vecCol), array(query.map(lit): _*)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -48,6 +48,21 @@ class PipelineSpec extends SparkSpec {
     assert(overlap >= 10, s"ANN overlap with brute force: $overlap/20")
   }
 
+  test("IVF: nProbe=nCells equals brute force; partial probe keeps high recall") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val (assigned, centroids) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20, Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      q, 20, nProbe = 8, excludeId = Some(0L)).collect().map(_.getLong(0)).toSeq
+    assert(full == brute) // exhaustive probe = exact
+    val partial = Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      q, 20, nProbe = 3, excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    assert((partial & brute.toSet).size >= 10, // near-cells hold most neighbors
+      s"IVF recall too low: ${(partial & brute.toSet).size}/20")
+  }
+
   test("langId picks marker-dominant language deterministically") {
     import spark.implicits._
     val df = Seq(
