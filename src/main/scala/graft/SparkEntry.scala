@@ -397,6 +397,10 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       round(Text.stopwordRatio(col("text")), 4).as("stop_ratio")).orderBy("doc_id")),
     "txt_langid" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), Text.langId(col("words")).as("pred")).orderBy("doc_id")),
+    "txt_bpe" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), Text.bpeTokenCount(col("text")).as("bpe_cnt"),
+      size(array_distinct(Text.bpeTokens(col("text")))).as("bpe_uniq"))
+      .orderBy("doc_id")),
     "txt_fingerprint" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), Text.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
     "dd_exact" -> ((s, dir) => Dedup.exactDupStats(docs(s, dir), col("text"))),
@@ -618,7 +622,14 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "WHERE doc_id NOT IN (SELECT id FROM losers)"
   }
 
+  private val duckBpe =
+    "regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')"
+
   private val pipelineOracles: Map[String, String] = Map(
+    "txt_bpe" -> (s"WITH t AS (SELECT doc_id, list_filter($duckBpe, " +
+      "x -> regexp_matches(x, '\\S')) AS toks FROM documents) " +
+      "SELECT doc_id, len(toks) AS bpe_cnt, len(list_distinct(toks)) AS bpe_uniq " +
+      "FROM t ORDER BY doc_id"),
     "pipe_clean_corpus" -> duckPipeClean,
     "dd_clusters" -> duckClusters,
     "txt_tokens" -> ("SELECT doc_id, " +

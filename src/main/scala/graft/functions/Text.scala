@@ -20,6 +20,20 @@ object Text {
 
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** BPE-style pre-tokenizer (the GPT-2 split pattern, ASCII form):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs. This is the split a subword tokenizer applies before
+    * merges — its token count is the standard training-cost estimator.
+    * Pure regex → codegen'd, no shuffle. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    filter(regexp_extract_all(text, lit(BpePattern), lit(0)),
+      t => t.rlike("\\S"))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Mean token length (characters), null-safe for empty docs. */
   def meanTokenLen(text: Column): Column = {
     val ts = tokens(text)
