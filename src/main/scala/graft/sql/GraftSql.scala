@@ -76,6 +76,7 @@ object GraftSql {
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
     Functions.register(spark)
+    if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
     else dialectFix(spark, spark.sql(rewrite(query)))
   }
@@ -83,6 +84,7 @@ object GraftSql {
   /** Run a statement with no table dir (DDL-driven sessions). */
   def statement(spark: SparkSession, query: String): DataFrame = {
     Functions.register(spark)
+    if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
     else dialectFix(spark, spark.sql(rewrite(query)))
   }

@@ -1,0 +1,56 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** The reference's `fb_*` system catalog tables
+  * (`reference/sql3/planner/opsystemtable.go:22-30`) re-expressed over the
+  * SparkSession's own state: cluster facts come from the SparkContext,
+  * table DDL is generated from catalog schemas (the reverse of
+  * [[Ddl.sparkType]]). Registered as temp views so plain SELECT works. */
+object SystemTables {
+
+  def register(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+
+    Seq((sc.applicationId, sc.appName, "spark", sc.version,
+        sc.defaultParallelism.toLong, sc.startTime))
+      .toDF("id", "name", "platform", "version", "node_count", "started_at")
+      .createOrReplaceTempView("fb_cluster_info")
+
+    // local mode: the driver is the one "node"; on a cluster one row per
+    // executor from the status tracker
+    sc.statusTracker.getExecutorInfos.toSeq.map(e => (e.host(), e.numRunningTasks().toLong))
+      .toDF("uri", "running_tasks")
+      .createOrReplaceTempView("fb_cluster_nodes")
+
+    val ddls = spark.catalog.listTables().collect().toSeq.map { t =>
+      val cols = spark.table(t.name).schema.fields
+        .map(f => s"${f.name} ${refType(f.dataType)}").mkString(", ")
+      (t.name, s"create table ${t.name} ($cols)")
+    }
+    ddls.toDF("name", "ddl").createOrReplaceTempView("fb_table_ddl")
+
+    // active streaming/exec requests
+    spark.streams.active.toSeq.map(q => (q.id.toString, q.name, q.status.message))
+      .toDF("request_id", "name", "status")
+      .createOrReplaceTempView("fb_exec_requests")
+
+    Seq.empty[(String, Long)].toDF("counter", "value")
+      .createOrReplaceTempView("fb_performance_counters")
+  }
+
+  /** Spark type → reference DDL type (inverse of [[Ddl.sparkType]]). */
+  def refType(t: DataType): String = t match {
+    case LongType | IntegerType | ShortType => "int"
+    case d: DecimalType    => s"decimal(${d.scale})"
+    case BooleanType       => "bool"
+    case TimestampType     => "timestamp"
+    case StringType        => "string"
+    case ArrayType(StringType, _) => "stringset"
+    case ArrayType(LongType, _)   => "idset"
+    case DoubleType | FloatType   => "decimal(4)"
+    case other             => other.simpleString
+  }
+}

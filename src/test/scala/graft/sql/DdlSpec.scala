@@ -122,6 +122,18 @@ class DdlSpec extends SparkSpec {
     assert(spark.table("alt").columns.contains("extra"))
   }
 
+  test("fb_* system tables are SELECTable") {
+    val info = GraftSql.statement(spark,
+      "SELECT platform, version, node_count FROM fb_cluster_info").collect()(0)
+    assert(info.getString(0) == "spark" && info.getLong(2) > 0)
+    run("CREATE TABLE sysdemo (_id ID, tags STRINGSET)")
+    val ddl = GraftSql.statement(spark,
+      "SELECT ddl FROM fb_table_ddl WHERE name = 'sysdemo'").collect()(0).getString(0)
+    assert(ddl == "create table sysdemo (_id int, tags stringset)")
+    assert(GraftSql.statement(spark,
+      "SELECT count(*) AS c FROM fb_performance_counters").collect()(0).getLong(0) == 0)
+  }
+
   test("SHOW TABLES passes through") {
     run("CREATE TABLE shown (_id ID)")
     val names = run("SHOW TABLES").collect().map(_.getAs[String]("tableName"))
