@@ -431,7 +431,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 20, excludeId = Some(0L))),
-    "sim_lsh_topk" -> ((s, dir) => // approximate: rows-only check (no oracle)
+    // approximate-by-construction but fully deterministic (seed-fixed
+    // hyperplanes) — oracled by a DuckDB replay of the signature math
+    "sim_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(emb(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 20, excludeId = Some(0L))),
     // IVF with nProbe = nCells is exhaustive → exact top-k, oracle-checkable;
@@ -537,6 +539,29 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         dims = 4)
         .select(col("_id"), posexplode(col("vec")).as(Seq("bucket", "v")))
         .orderBy("_id", "bucket")),
+    // Kafka-shaped ingest: events re-encoded as the Kafka wire (JSON lines in
+    // `value`), decoded through the IDK field taxonomy (epoch-us timestamp,
+    // typed ids/doubles) and upserted via the checkpointed sink — the exact
+    // production transform behind readStream.format("kafka").
+    "stream_kafka" -> ((s, dir) => {
+      import graft.streaming.KafkaIngest.IdkField
+      val ev = Tables.load(s, dir, "events")
+      val src  = graft.streaming.Ingest.scratch("q_kafka_src")
+      val tgt  = graft.streaming.Ingest.scratch("q_kafka_tgt") + "/t"
+      val ckpt = graft.streaming.Ingest.scratch("q_kafka_ckpt")
+      ev.select(to_json(struct(col("event_id"), col("event_type"),
+          col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts"))).as("value"))
+        .write.mode("overwrite").text(src + "/wire")
+      val fields = Seq(IdkField("event_id", "id"),
+        IdkField("event_type", "string"), IdkField("user_id", "int"),
+        IdkField("value", "double"), IdkField("ts", "timestamp", unit = "us"))
+      val stream = graft.streaming.KafkaIngest.fileCompatSource(s, src + "/*", fields)
+      graft.streaming.Ingest.startUpsert(stream, tgt, ckpt,
+        idCol = "event_id", orderCol = "ts").awaitTermination()
+      s.read.parquet(tgt).agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sv"), max(col("ts")).as("mts"))
+    }),
     "stream_upsert" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val src  = graft.streaming.Ingest.scratch("q_upsert_src")
@@ -618,7 +643,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "reach(src, dst) AS (SELECT id, id FROM nodes UNION " +
       "SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x), " +
       "losers AS (SELECT dst AS id FROM reach GROUP BY 1 HAVING min(src) <> dst) " +
-      "SELECT count(*) AS n_docs, sum(tok_cnt) AS n_tokens FROM base " +
+      "SELECT count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS n_tokens FROM base " +
       "WHERE doc_id NOT IN (SELECT id FROM losers)"
   }
 
@@ -675,6 +700,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "sim_ivf_topk" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
       "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
       "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
+    "sim_lsh_topk" -> Similarity.annTopKOracleSql(
+      "embeddings", "vec_id", "embedding", "0", 20),
     "evt_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt, " +
       "round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "evt_sessionize" -> ("SELECT count(*) AS n_sessions, round(avg(n), 4) AS avg_len FROM " +
@@ -703,6 +730,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "stream_quantum_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, " +
       "count(*) AS cnt, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_upsert" -> "SELECT count(*) AS cnt, round(sum(value), 2) AS sv FROM events",
+    "stream_kafka" -> ("SELECT count(*) AS cnt, round(sum(value), 2) AS sv, " +
+      "max(ts) AS mts FROM events"),
     "mm_meta" -> ("SELECT doc_id AS _id, " +
       "CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
       "octet_length(encode(text)) AS n_bytes, " +

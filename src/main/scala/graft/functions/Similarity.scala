@@ -55,8 +55,9 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  /** Deterministic pseudo-random hyperplanes (splitmix64-seeded, fixed). */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (fixed seed). Exposed so the
+    * correctness oracle can replay the exact signature math. */
+  private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
@@ -71,36 +72,101 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: candidates = vectors sharing any
-    * band of the signature with the query, reranked exactly. At corpus scale
-    * the bucket join replaces the full scan; recall is tunable via
-    * nBits/bands. */
-  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Float], k: Int, nBits: Int = 16, bandBits: Int = 4,
-              excludeId: Option[Long] = None): DataFrame = {
-    val dim = query.length
-    val base = excludeId.map(e => embeddings.filter(col(idCol) =!= e))
-      .getOrElse(embeddings)
-    val sigged = base.withColumn("sig", rhpSignature(col(vecCol), nBits, dim))
+  /** Driver-side signature of a single query vector — pure Scala, identical
+    * IEEE double ops to [[rhpSignature]]'s codegen (cast-to-double, per-element
+    * multiply, left-fold add), so the signatures agree bit-for-bit. No Spark
+    * job: the query vector and planes are both driver-local. */
+  private[graft] def rhpSignatureLocal(vec: Seq[Float], nBits: Int): Long = {
+    val planes = hyperplanes(nBits, vec.length)
+    (0 until nBits).map { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < vec.length) { acc += vec(j).toDouble * planes(i)(j); j += 1 }
+      if (acc > 0) 1L << i else 0L
+    }.sum
+  }
 
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val qSig = spark.range(1).select(
-      rhpSignature(array(query.map(lit): _*), nBits, dim).as("sig"))
-      .as[Long].head()
-
+  /** LSH index build: one row per (band, bucket) per vector — the
+    * materialized form a query joins against. Written with
+    * `partitionBy("band","bucket")` this becomes a physically-pruned layout:
+    * a query touches only its `bands` matching partitions, never the corpus.
+    * The vector rides along so the rerank needs no second corpus join. */
+  def annIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+               nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0, s"nBits=$nBits not divisible by bandBits=$bandBits")
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val bands = nBits / bandBits
     val mask = (1L << bandBits) - 1
-    val bandMatch = (0 until bands).map { b =>
-      (shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
-        === lit((qSig >> (b * bandBits)) & mask))
-    }.reduce(_ || _)
+    val sigged = embeddings.withColumn("__sig", rhpSignature(col(vecCol), nBits, dim))
+    val bandRows = explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(mask).as("bucket"))
+    }: _*))
+    sigged.select(col(idCol), col(vecCol), bandRows.as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
 
-    sigged.filter(bandMatch)
+  /** Query the materialized LSH index: the query's signature is computed
+    * driver-side (no job), its `bands` (band, bucket) pairs become literal
+    * predicates — on a `partitionBy("band","bucket")` layout that is partition
+    * pruning, not a scan — then candidates are deduped and exactly reranked.
+    * Candidate cost is |bucket| × bands, independent of corpus size. */
+  def annTopKIndexed(index: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int, nBits: Int = 16, bandBits: Int = 4,
+                     excludeId: Option[Long] = None): DataFrame = {
+    val qSig = rhpSignatureLocal(query, nBits)
+    val bands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val hit = (0 until bands).map { b =>
+      col("band") === b && col("bucket") === ((qSig >> (b * bandBits)) & mask)
+    }.reduce(_ || _)
+    val base = excludeId.map(e => index.filter(col(idCol) =!= e)).getOrElse(index)
+    base.filter(hit)
+      .groupBy(col(idCol)).agg(first(col(vecCol)).as(vecCol))
       .select(col(idCol),
         round(cosine(col(vecCol), array(query.map(lit): _*)), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** LSH approximate top-k, building the band index inline. Convenience for
+    * one-shot queries; repeated serving should materialize [[annIndex]]
+    * partitioned by (band, bucket) and call [[annTopKIndexed]] so the bucket
+    * probe is physical partition pruning rather than a corpus pass. */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nBits: Int = 16, bandBits: Int = 4,
+              excludeId: Option[Long] = None): DataFrame =
+    annTopKIndexed(annIndex(embeddings, idCol, vecCol, nBits, bandBits),
+      idCol, vecCol, query, k, nBits, bandBits, excludeId)
+
+  /** DuckDB replay of [[annTopK]] — the hyperplanes are seed-fixed, so the
+    * whole pipeline (sign-bit signatures → band match → exact rerank) is
+    * deterministic and oracle-able. The generated SQL embeds the plane
+    * constants as literals and mirrors the Spark arithmetic exactly:
+    * float→double casts, per-element multiply, left-to-right addition. */
+  def annTopKOracleSql(table: String, idCol: String, vecCol: String,
+                       queryIdSql: String, k: Int, nBits: Int = 16,
+                       bandBits: Int = 4): String = {
+    val dim = 64 // TESTDATA embeddings dimension; see TESTDATA.md
+    val planes = hyperplanes(nBits, dim)
+    def sigExpr(v: String): String =
+      (0 until nBits).map { i =>
+        val dotChain = (0 until dim)
+          .map(j => s"$v[${j + 1}]::DOUBLE * (${planes(i)(j)})").mkString(" + ")
+        s"(CASE WHEN ($dotChain) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")::BIGINT")
+    val bands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandMatch = (0 until bands)
+      .map(b => s"((s.sig >> ${b * bandBits}) & $mask) = ((q.sig >> ${b * bandBits}) & $mask)")
+      .mkString(" OR ")
+    s"WITH qv AS (SELECT $vecCol AS e FROM $table WHERE $idCol = $queryIdSql), " +
+      s"qsig AS (SELECT ${sigExpr("e")} AS sig FROM qv), " +
+      s"sigs AS (SELECT $idCol, $vecCol, ${sigExpr(vecCol)} AS sig FROM $table " +
+      s"WHERE $idCol <> $queryIdSql) " +
+      s"SELECT s.$idCol, round(list_cosine_similarity(s.$vecCol::DOUBLE[], " +
+      s"(SELECT e FROM qv)::DOUBLE[]), 6) AS sim FROM sigs s, qsig q " +
+      s"WHERE $bandMatch ORDER BY sim DESC, s.$idCol LIMIT $k"
   }
 
   // -------------------------------------------------------------------- IVF

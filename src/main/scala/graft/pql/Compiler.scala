@@ -619,12 +619,17 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     * count(>v) ≤ floor(total*(100-nth)/100) — the result can be a synthetic
     * midpoint value not present in the data (median of {1,100} = 50).
     *
-    * We replicate exactly, but replace the O(log range) cluster-wide Count
-    * probes with ONE aggregation building the value CDF, then run the
-    * bisection driver-side against the in-memory CDF. At 100 TB the single
-    * groupBy(value) shuffle is bounded by the field's distinct cardinality;
-    * for very-high-cardinality fields the probe-loop fallback (a Spark count
-    * per probe) mirrors the reference's own behavior.
+    * We replicate exactly with two regimes, picked by the field's (approx)
+    * distinct cardinality:
+    *  - CDF path (cardinality ≤ `spark.graft.percentile.maxCdf`, default 4M):
+    *    ONE distributed groupBy(value) aggregation builds the value histogram,
+    *    then the bisection runs driver-side against the in-memory CDF. The
+    *    driver holds one (long, long) pair per DISTINCT value — bounded by
+    *    BSI bit-depth in the reference (`bsi.go:11-63`).
+    *  - probe path (above the threshold, e.g. a 10⁸⁺-distinct timestamp BSI
+    *    at 100 TB): the reference's own probe loop — each bisection step is
+    *    one distributed two-counter aggregation (count < v, count > v), ≤ 64
+    *    steps for a long domain, O(1) driver memory.
     */
   private def percentileCall(call: Call): DataFrame = {
     val f   = call.fieldArg.getOrElse(sys.error("Percentile: field required"))
@@ -635,48 +640,70 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     }
     require(nth >= 0 && nth <= 100, s"Percentile: nth out of range: $nth")
     val base = filteredByOptional(call).filter(col(f).isNotNull)
-    // value HISTOGRAM to the driver, not rows: size is the field's distinct-
-    // value cardinality, which BSI bit-depth bounds in the reference
-    // (`bsi.go:11-63`) — the same assumption its bisection makes. The
-    // billion-row aggregation itself runs distributed.
-    val cdf = base.groupBy(col(f).cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy("v")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-
     val spark = table.sparkSession
     import spark.implicits._
-    if (cdf.isEmpty) return Seq.empty[Long].toDF("val")
 
-    val total = cdf.map(_._2).sum
+    val vals = base.select(col(f).cast("long").as("v"))
+    // one pass: bounds + total + cardinality estimate picks the regime
+    val stats = vals.agg(min("v"), max("v"), count(lit(1)),
+      approx_count_distinct(col("v"))).head()
+    if (stats.isNullAt(0)) return Seq.empty[Long].toDF("val")
+    val (lo, hi, total, distinctEst) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    val maxCdf = spark.conf.getOption("spark.graft.percentile.maxCdf")
+      .map(_.toLong).getOrElse(4000000L)
+
     val desiredLess    = ((total.toDouble * nth) / 100.0).toLong
     val desiredGreater = ((total.toDouble * (100 - nth)) / 100.0).toLong
-    val values = cdf.map(_._1)
-    val prefix = cdf.scanLeft(0L)(_ + _._2).init // counts strictly before idx
-    def countLess(v: Long): Long = { // # values < v
-      val idx = search(values, v)
-      prefix(idx)
-    }
-    def countGreater(v: Long): Long = {
-      val idx = searchUpper(values, v)
-      total - prefix(idx) - (if (idx < values.length && values(idx) == v) cdf(idx)._2 else 0L)
+    // Go-exact midpoint: (min/2)+(max/2)+(((min%2)+(max%2))/2), trunc toward 0
+    def goMid(a: Long, b: Long): Long = (a / 2) + (b / 2) + (((a % 2) + (b % 2)) / 2)
+
+    def bisect(countLess: Long => Long, countGreater: Long => Long): Long = {
+      var minV = lo
+      var maxV = hi
+      var possible = minV
+      if (desiredGreater != 0 && desiredLess == 0) possible = minV
+      else if (desiredGreater == 0) possible = maxV
+      else {
+        while (minV < maxV) {
+          possible = goMid(minV, maxV)
+          if (countLess(possible) > desiredLess) { maxV = possible - 1 }
+          else if (countGreater(possible) > desiredGreater) { minV = possible + 1 }
+          else { minV = maxV } // break
+        }
+      }
+      possible
     }
 
-    var minV = values.head
-    var maxV = values.last
-    var possible = minV
-    if (desiredGreater != 0 && desiredLess == 0) possible = minV
-    else if (desiredGreater == 0) possible = maxV
-    else {
-      // Go-exact midpoint: (min/2)+(max/2)+(((min%2)+(max%2))/2), trunc toward 0
-      while (minV < maxV) {
-        possible = (minV / 2) + (maxV / 2) + (((minV % 2) + (maxV % 2)) / 2)
-        if (countLess(possible) > desiredLess) { maxV = possible - 1 }
-        else if (countGreater(possible) > desiredGreater) { minV = possible + 1 }
-        else { minV = maxV } // break
+    // memoized per probe value so one bisection step's countLess/countGreater
+    // callbacks share a single scan (scoped to this call — a program may hold
+    // several Percentile calls over different filters)
+    val probeMemo = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+    def probeCounts(v: Long): (Long, Long) =
+      probeMemo.getOrElseUpdate(v, {
+        val r = vals.agg(
+          sum(when(col("v") < v, 1L).otherwise(0L)).as("lt"),
+          sum(when(col("v") > v, 1L).otherwise(0L)).as("gt")).head()
+        (r.getLong(0), r.getLong(1))
+      })
+
+    val possible =
+      if (distinctEst <= maxCdf) {
+        val cdf = vals.groupBy("v").agg(count(lit(1)).as("c")).orderBy("v")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val values = cdf.map(_._1)
+        val prefix = cdf.scanLeft(0L)(_ + _._2).init // counts strictly before idx
+        bisect(
+          v => prefix(search(values, v)),
+          v => {
+            val idx = searchUpper(values, v)
+            total - prefix(idx) -
+              (if (idx < values.length && values(idx) == v) cdf(idx)._2 else 0L)
+          })
+      } else {
+        // distributed probe: both counters in one scan per bisection step
+        bisect(v => probeCounts(v)._1, v => probeCounts(v)._2)
       }
-    }
     Seq(possible).toDF("val")
   }
 

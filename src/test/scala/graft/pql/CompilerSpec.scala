@@ -86,6 +86,27 @@ class CompilerSpec extends SparkSpec {
     assert(c.run(Parser.parseOne("Percentile(field=v, nth=100)")).collect()(0).getLong(0) == 23L)
   }
 
+  test("Percentile probe-loop fallback matches the CDF path") {
+    // force the distributed-probe regime (maxCdf=1 < any real cardinality)
+    // and check it lands on the same value the CDF bisection does — incl.
+    // the synthetic-midpoint case
+    import spark.implicits._
+    def p(df: org.apache.spark.sql.DataFrame, nth: Int): Long =
+      new Compiler(df).run(Parser.parseOne(s"Percentile(field=v, nth=$nth)"))
+        .collect()(0).getLong(0)
+    val skewed = ((1 to 40).map(i => (i.toLong, i.toLong * 3)) ++
+      Seq((41L, 1L), (42L, 1000L))).toDF("_id", "v")
+    val nths = Seq(0, 10, 50, 90, 100)
+    val viaCdf = nths.map(p(skewed, _))
+    spark.conf.set("spark.graft.percentile.maxCdf", "1")
+    try {
+      val viaProbe = nths.map(p(skewed, _))
+      assert(viaProbe == viaCdf)
+      val two = Seq((1L, 1L), (2L, 100L)).toDF("_id", "v")
+      assert(p(two, 50) == 50L) // midpoint not present in the data
+    } finally spark.conf.unset("spark.graft.percentile.maxCdf")
+  }
+
   test("FieldValue point read") {
     val v = run("orders", "FieldValue(field=o_totalprice, column=7)").collect()
     assert(v.length <= 1)

@@ -128,6 +128,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka-wire decode: IDK field taxonomy to typed columns") {
+    import spark.implicits._
+    import KafkaIngest.IdkField
+    val fields = Seq(
+      IdkField("_id", "id"), IdkField("name", "string"),
+      IdkField("qty", "int"), IdkField("price", "decimal", scale = 2),
+      IdkField("ok", "bool"), IdkField("ts", "timestamp", unit = "ms"),
+      IdkField("tags", "stringset"), IdkField("refs", "idset"),
+      IdkField("junk", "ignore"))
+    val wire = Seq(
+      """{"_id":1,"name":"a","qty":5,"price":12.34,"ok":true,"ts":86400000,""" +
+        """"tags":["x","y"],"refs":[7,8],"junk":"z"}""",
+      "not json at all").toDF("value")
+    val out = KafkaIngest.decode(wire, fields)
+    import org.apache.spark.sql.types._
+    val sch = out.schema
+    assert(sch("price").dataType == DecimalType(38, 2))
+    assert(sch("ts").dataType == TimestampType)
+    assert(sch("tags").dataType == ArrayType(StringType))
+    assert(!sch.fieldNames.contains("junk"))
+    val rows = out.filter(col("_id").isNotNull).collect()
+    assert(rows.length == 1) // malformed line → null record, filtered
+    val r = rows(0)
+    assert(r.getAs[Long]("_id") == 1L && r.getAs[String]("name") == "a")
+    assert(r.getAs[java.math.BigDecimal]("price").toString == "12.34")
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant ==
+      java.time.Instant.parse("1970-01-02T00:00:00Z"))
+    assert(r.getSeq[Long](sch.fieldIndex("refs")).toList == List(7L, 8L))
+  }
+
+  test("kafka-wire decode: epoch + unit timestamp semantics") {
+    import spark.implicits._
+    import KafkaIngest.IdkField
+    val epoch = java.time.Instant.parse("2020-01-01T00:00:00Z")
+    def one(unit: String, v: Long): java.time.Instant =
+      KafkaIngest.decode(Seq(s"""{"t":$v}""").toDF("value"),
+          Seq(IdkField("t", "timestamp", unit = unit, epoch = epoch)))
+        .head().getAs[java.sql.Timestamp]("t").toInstant
+    assert(one("d", 10) == java.time.Instant.parse("2020-01-11T00:00:00Z"))
+    assert(one("h", 2) == java.time.Instant.parse("2020-01-01T02:00:00Z"))
+    assert(one("s", 90) == java.time.Instant.parse("2020-01-01T00:01:30Z"))
+    assert(one("us", 1500000) == java.time.Instant.parse("2020-01-01T00:00:01.5Z"))
+    // ns truncates to Spark's microsecond timestamp resolution
+    assert(one("ns", 1500) == java.time.Instant.parse("2020-01-01T00:00:00.000001Z"))
+  }
+
+  test("kafka-shaped ingest end-to-end: JSON value stream → decode → upsert") {
+    import spark.implicits._
+    import KafkaIngest.IdkField
+    val src = Ingest.scratch("kafka_src")
+    val tgt = Ingest.scratch("kafka_tgt") + "/t"
+    val ckpt = Ingest.scratch("kafka_ckpt")
+    val fields = Seq(IdkField("_id", "id"), IdkField("seq", "int"),
+      IdkField("v", "string"))
+    Seq("""{"_id":1,"seq":10,"v":"a"}""", """{"_id":2,"seq":20,"v":"b"}""")
+      .toDF("value").write.text(src + "/f1")
+    Seq("""{"_id":1,"seq":30,"v":"c"}""", """{"_id":3,"seq":1,"v":"d"}""")
+      .toDF("value").write.text(src + "/f2")
+    val stream = KafkaIngest.fileCompatSource(spark, src + "/*", fields)
+    // same sink as production Kafka: checkpointed upsert
+    Ingest.startUpsert(stream, tgt, ckpt, idCol = "_id", orderCol = "seq")
+      .awaitTermination()
+    val rows = spark.read.parquet(tgt).orderBy("_id")
+      .collect().map(r => (r.getAs[Long]("_id"), r.getAs[String]("v")))
+    assert(rows.toSeq == Seq((1L, "c"), (2L, "b"), (3L, "d")))
+  }
+
   test("ttl filter") {
     val ev = Tables.load(spark, sfDir, "events")
     val cutoff = java.time.Instant.parse("2024-01-15T00:00:00Z")
