@@ -63,6 +63,57 @@ class PipelineSpec extends SparkSpec {
       s"IVF recall too low: ${(partial & brute.toSet).size}/20")
   }
 
+  test("materialized LSH index: query path is partition-pruned, not a corpus scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = graft.streaming.Ingest.scratch("ann_index") + "/lsh"
+    Similarity.annIndex(emb, "vec_id", "embedding")
+      .write.partitionBy("band", "bucket").mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    // AQE wraps the agg in an adaptive plan whose scan isn't visible to
+    // collect(); turn it off while the physical plan is materialized
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (topk, scans) =
+      try {
+        val t = Similarity.annTopKIndexed(index, "vec_id", "embedding", q, 20,
+          excludeId = Some(0L))
+        (t, t.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("ann_index")) => f
+        })
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty, "expected a scan of the materialized index")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "band/bucket probe must be a partition filter (physical pruning)")
+    // pruned scan reads only the query's 4 band buckets, not all 4·16
+    val touched = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(touched <= 4, s"query touched $touched partitions, expected ≤ 4")
+    // and the indexed path returns exactly what the inline path returns
+    val direct = Similarity.annTopK(emb, "vec_id", "embedding", q, 20,
+      excludeId = Some(0L)).collect().toSeq
+    assert(topk.collect().toSeq == direct)
+  }
+
+  test("IVF cell-partitioned layout: probe reads only nProbe cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val (assigned, centroids) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
+    val dir = graft.streaming.Ingest.scratch("ivf_index") + "/cells"
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val topk = Similarity.ivfTopK(index, centroids, "vec_id", "embedding",
+      q, 20, nProbe = 3, excludeId = Some(0L))
+    val scans = topk.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("ivf_index")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "cell probe must be a partition filter")
+    assert(scans.map(_.selectedPartitions.partitionCount).sum <= 3,
+      "probe must touch only the nProbe=3 nearest cells")
+  }
+
   test("langId picks marker-dominant language deterministically") {
     import spark.implicits._
     val df = Seq(
