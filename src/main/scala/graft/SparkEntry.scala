@@ -58,6 +58,21 @@ object SparkEntry {
     "pql_sort" -> pqlQ("orders",
       "Sort(Row(o_orderstatus='O'), field=o_totalprice, sort-desc=true, limit=20)"),
     "pql_sum" -> pqlQ("lineitem", "Sum(Row(l_returnflag='A'), field=l_quantity)"),
+    // DECIMAL field semantics (`reference/pql/decimal.go:55-58` — scaled
+    // integers with exact arithmetic): aggregate and range-filter a
+    // DECIMAL(18,2) column, never passing through floats
+    "pql_sum_decimal" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").withColumn("l_price_dec",
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      new graft.pql.Compiler(li).run(graft.pql.Parser.parseOne(
+        "Sum(Row(l_quantity > 30), field=l_price_dec)"))
+    }),
+    "pql_row_decimal_range" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").withColumn("l_price_dec",
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      new graft.pql.Compiler(li).run(graft.pql.Parser.parseOne(
+        "Count(Row(l_price_dec >< [1000.50, 20000.25]))"))
+    }),
     "pql_min" -> pqlQ("part", "Min(field=p_size)"),
     "pql_max" -> pqlQ("part", "Max(field=p_size)"),
     "pql_minrow" -> pqlQ("lineitem", "MinRow(field=l_returnflag)"),
@@ -172,6 +187,11 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "WHERE o_totalprice > 250000 ORDER BY o_orderkey"),
     "pql_sort" -> ("SELECT o_orderkey AS _id, o_totalprice FROM orders WHERE o_orderstatus='O' " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+    "pql_sum_decimal" -> ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+      "AS DECIMAL(28,2)) AS sum, count(*) AS cnt FROM lineitem WHERE l_quantity > 30"),
+    "pql_row_decimal_range" -> ("SELECT count(*) AS cnt FROM lineitem WHERE " +
+      "CAST(l_extendedprice AS DECIMAL(18,2)) BETWEEN CAST(1000.50 AS DECIMAL(18,2)) " +
+      "AND CAST(20000.25 AS DECIMAL(18,2))"),
     "pql_sum" -> ("SELECT sum(l_quantity) AS sum, count(l_quantity) AS cnt " +
       "FROM lineitem WHERE l_returnflag='A'"),
     "pql_min" -> "SELECT p_size AS val, count(*) AS cnt FROM part GROUP BY 1 ORDER BY val ASC LIMIT 1",
@@ -267,6 +287,21 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "sql_cast" -> sqlQ(
       "SELECT CAST(o_orderkey AS STRING) AS s, CAST('100' AS INT) + o_orderkey AS n " +
         "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"),
+    // reference DECIMAL(s) is scale-only (`sql3/test/defs/defs_cast.go`):
+    // int→decimal, double→decimal, string→decimal, decimal→string
+    "sql_cast_decimal" -> sqlQ(
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(2)) AS d2, " +
+        "CAST(o_orderkey AS DECIMAL(4)) AS i4, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(2)) AS STRING) AS ds, " +
+        "CAST('12.34' AS DECIMAL(2)) AS sd " +
+        "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"),
+    // FIRST/LAST (`expressionagg.go:1283,1255`): first/last non-null in _id
+    // scan order — deterministic min_by/max_by on _id, not Spark first()/last()
+    "sql_first_last" -> sqlQ(
+      "SELECT FIRST(l_returnflag) AS f, LAST(l_linestatus) AS l FROM lineitem"),
+    // SQL PERCENTILE is the PQL bisection pushdown (`expressionagg.go:883`)
+    "sql_percentile" -> sqlQ(
+      "SELECT PERCENTILE(p_size, 90) AS val FROM part WHERE p_retailprice > 950"),
     "sql_setcontains" -> sqlQ(
       "SELECT count(*) AS cnt FROM documents WHERE SETCONTAINS(words, 'spark')"),
     "sql_setcontainsall" -> sqlQ(
@@ -330,6 +365,17 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
   private val sqlOracles: Map[String, String] = Map(
     "sql_top" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"),
+    "sql_cast_decimal" -> ("SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,2)) AS d2, " +
+      "CAST(o_orderkey AS DECIMAL(38,4)) AS i4, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR) AS ds, " +
+      "CAST('12.34' AS DECIMAL(38,2)) AS sd " +
+      "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"),
+    "sql_first_last" -> ("SELECT " +
+      "(SELECT l_returnflag FROM lineitem WHERE l_returnflag IS NOT NULL " +
+      "ORDER BY l_orderkey*8+l_linenumber LIMIT 1) AS f, " +
+      "(SELECT l_linestatus FROM lineitem WHERE l_linestatus IS NOT NULL " +
+      "ORDER BY l_orderkey*8+l_linenumber DESC LIMIT 1) AS l"),
+    "sql_percentile" -> percentileOracle("part", "p_size", 90, "p_retailprice > 950"),
     "sql_setcontains" -> ("SELECT count(*) AS cnt FROM documents " +
       "WHERE list_contains(string_split(text, ' '), 'spark')"),
     "sql_setcontainsall" -> ("SELECT count(*) AS cnt FROM documents " +

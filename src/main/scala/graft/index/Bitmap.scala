@@ -1,7 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.roaringbitmap.longlong.Roaring64NavigableMap
 
@@ -19,23 +18,6 @@ import org.roaringbitmap.longlong.Roaring64NavigableMap
   */
 object Bitmap {
 
-  /** Aggregator building a 64-bit roaring bitmap from a LONG column.
-    * Roaring64NavigableMap is Externalizable → java-serialization encoder. */
-  class BitmapBuild extends Aggregator[java.lang.Long, Roaring64NavigableMap, Array[Byte]] {
-    override def zero: Roaring64NavigableMap = new Roaring64NavigableMap()
-    override def reduce(b: Roaring64NavigableMap, v: java.lang.Long): Roaring64NavigableMap = {
-      if (v != null) b.addLong(v)
-      b
-    }
-    override def merge(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = {
-      a.or(b); a
-    }
-    override def finish(b: Roaring64NavigableMap): Array[Byte] = serialize(b)
-    override def bufferEncoder: Encoder[Roaring64NavigableMap] =
-      Encoders.javaSerialization[Roaring64NavigableMap]
-    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
-
   def serialize(b: Roaring64NavigableMap): Array[Byte] = {
     b.runOptimize()
     val bos = new java.io.ByteArrayOutputStream()
@@ -51,8 +33,15 @@ object Bitmap {
     b
   }
 
-  /** bitmap_build aggregate as a Column (use inside groupBy().agg()). */
-  def bitmapBuild(c: Column): Column = udaf(new BitmapBuild).apply(c)
+  /** bitmap_build aggregate over a SQL expression: the native
+    * [[BitmapBuildAgg]] (roaring-serialized shuffle buffer — not Java object
+    * serialization), registered per session and invoked through the parser
+    * (Spark 4 Columns no longer expose a Catalyst constructor). */
+  def bitmapBuild(spark: SparkSession, sqlExpr: String): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_build", args => BitmapBuildAgg(args.head), "built-in")
+    expr(s"graft_bitmap_build($sqlExpr)")
+  }
 
   // Scalar bitmap algebra (applied to the aggregated segment table, which is
   // orders of magnitude smaller than the fact table — UDF cost is irrelevant
@@ -79,11 +68,17 @@ object Bitmap {
     }
     (a, b) => f(a, b)
   }
+  val bitmapXorCount: (Column, Column) => Column = {
+    val f = udf { (a: Array[Byte], b: Array[Byte]) =>
+      val x = deserialize(a); x.xor(deserialize(b)); x.getLongCardinality
+    }
+    (a, b) => f(a, b)
+  }
 
   /** Segment index: one bitmap of `idCol` per distinct `segCol` value. */
   def segmentIndex(df: DataFrame, segCol: String, idCol: String): DataFrame =
     df.groupBy(col(segCol).as("seg"))
-      .agg(bitmapBuild(col(idCol).cast("long")).as("bm"))
+      .agg(bitmapBuild(df.sparkSession, s"CAST(`$idCol` AS BIGINT)").as("bm"))
 
   /** Pairwise segment overlap counts (|A ∩ B| for every segment pair a < b)
     * — the reference's cross-segment Count(Intersect(Row(a), Row(b))) served

@@ -147,7 +147,7 @@ object IndexRewrite {
   * `bitmap_cardinality(bm)`, `bitmap_and_cardinality(a,b)`,
   * `bitmap_or_cardinality(a,b)`. */
 object BitmapFunctions {
-  import graft.index.{BitmapAndCardinality, BitmapOrCardinality}
+  import graft.index.{BitmapAndCardinality, BitmapAndNotCardinality, BitmapOrCardinality, BitmapXorCardinality}
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
     fr.createOrReplaceTempFunction("bitmap_cardinality",
@@ -156,6 +156,14 @@ object BitmapFunctions {
       es => BitmapAndCardinality(es(0), es(1)), "built-in")
     fr.createOrReplaceTempFunction("bitmap_or_cardinality",
       es => BitmapOrCardinality(es(0), es(1)), "built-in")
+    // PQL Difference/Xor served from the index (`executor.go` difference/xor
+    // over row bitmaps)
+    fr.createOrReplaceTempFunction("bitmap_andnot_cardinality",
+      es => BitmapAndNotCardinality(es(0), es(1)), "built-in")
+    fr.createOrReplaceTempFunction("bitmap_xor_cardinality",
+      es => BitmapXorCardinality(es(0), es(1)), "built-in")
+    fr.createOrReplaceTempFunction("bitmap_build",
+      es => graft.index.BitmapBuildAgg(es.head), "built-in")
   }
 }
 

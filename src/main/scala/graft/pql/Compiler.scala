@@ -40,6 +40,10 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       lit(ldt.atOffset(java.time.ZoneOffset.UTC).toInstant)
     case (StrV(s), DateType)            => lit(java.sql.Date.valueOf(s.take(10)))
     case (LongV(n), TimestampType)      => timestamp_seconds(lit(n))
+    // decimal comparisons stay in exact decimal math (`reference/pql/
+    // decimal.go:55-58` — scaled integers, never floats)
+    case (DoubleV(d), dt: DecimalType)  => lit(new java.math.BigDecimal(d.toString)).cast(dt)
+    case (LongV(n), dt: DecimalType)    => lit(new java.math.BigDecimal(n)).cast(dt)
     case (LongV(n), _)                  => lit(n)
     case (DoubleV(d), _)                => lit(d)
     case (StrV(s), _)                   => lit(s)

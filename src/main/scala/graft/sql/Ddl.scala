@@ -48,12 +48,27 @@ object Ddl {
   private val AlterRenameRe =
     raw"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$$".r
   private val TxnRe = raw"(?is)^\s*(BEGIN|COMMIT|ROLLBACK)\s*(?:TRANSACTION\s*)?;?\s*$$".r
+  // CREATE/ALTER/DROP DATABASE (`reference/sql3/planner/
+  // compilecreatedatabase.go`, `compilealterdatabase.go`): WITH UNITS n is a
+  // serverless compute-sizing knob (recorded, no local effect), COMMENT a
+  // description.
+  private val CreateDbRe =
+    raw"(?is)^\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:WITH\s+(.*?))?;?\s*$$".r
+  private val AlterDbRe =
+    raw"(?is)^\s*ALTER\s+DATABASE\s+(\w+)\s+WITH\s+(.*?);?\s*$$".r
+  private val DropDbRe =
+    raw"(?is)^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$$".r
+  private val ShowCreateRe =
+    raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$$".r
+  private val UnitsRe   = raw"(?i)\bUNITS\s+(\d+)".r
+  private val CommentRe = raw"(?i)\bCOMMENT\s+'([^']*)'".r
 
   def handles(q: String): Boolean = q match {
     case CreateTableRe(_, _, _) | CreateViewRe(_, _) | InsertRe(_, _, _) |
          DeleteRe(_, _) | DropRe(_, _) | CopyRe(_, _, _) | ExplainRe(_) |
          TxnRe(_) | AlterAddRe(_, _, _) | AlterDropRe(_, _) |
-         AlterRenameRe(_, _, _) => true
+         AlterRenameRe(_, _, _) | CreateDbRe(_, _, _) | AlterDbRe(_, _) |
+         DropDbRe(_, _) => true
     case _ if BulkInsertRe.findFirstIn(q).isDefined => true
     case _ if ShowRe.findFirstIn(q).isDefined => true
     case _ => false
@@ -100,17 +115,48 @@ object Ddl {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Parse `name TYPE [MIN n | MAX n | TIMEUNIT 'x' | TIMEQUANTUM 'x' | TTL
-    * 'x' | CACHETYPE x [SIZE n]]*` — storage hints are accepted and dropped
-    * (Parquet/Delta stats replace BSI bounds and ranked caches, SURVEY §1.1).
-    */
-  private def parseColumn(defn: String): StructField = {
+  /** Per-table TIMEUNIT/EPOCH column constraints
+    * (`reference/sql3/parser/parser.go:865` TimeUnitConstraint;
+    * `reference/field.go:195-241` OptFieldTypeTimestamp): integer writes to
+    * such a TIMESTAMP column are epoch offsets in the declared unit. Keyed by
+    * lowercase table name → column → (unit, epoch origin). */
+  private[sql] val timeUnits =
+    scala.collection.mutable.Map.empty[String, Map[String, (String, java.time.Instant)]]
+
+  /** Database registry: name → (units, description). Databases also exist in
+    * the Spark catalog; units is the reference's serverless sizing knob. */
+  private[sql] val databases =
+    scala.collection.mutable.Map.empty[String, (Int, String)]
+
+  private val TimeUnitRe = raw"(?i)\bTIMEUNIT\s+'([a-z]+)'".r
+  private val EpochRe    = raw"(?i)\bEPOCH\s+'([^']+)'".r
+
+  /** Parse `name TYPE [MIN n | MAX n | TIMEUNIT 'x' [EPOCH 't'] |
+    * TIMEQUANTUM 'x' | TTL 'x' | CACHETYPE x [SIZE n]]*` — storage hints are
+    * accepted and dropped (Parquet/Delta stats replace BSI bounds and ranked
+    * caches, SURVEY §1.1); TIMEUNIT/EPOCH are kept as field semantics. */
+  private def parseColumn(defn: String): (StructField, Option[(String, java.time.Instant)]) = {
     val toks = defn.trim.split("\\s+", 3)
     require(toks.length >= 2, s"bad column def: $defn")
     // type may carry parens: DECIMAL(2)
     val tpe = if (toks.length >= 3 && toks(2).startsWith("(")) toks(1) + toks(2).takeWhile(_ != ')') + ")"
               else toks(1)
-    StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id")
+    val rest = if (toks.length >= 3) toks(2) else ""
+    val unit = TimeUnitRe.findFirstMatchIn(rest).map { m =>
+      val epoch = EpochRe.findFirstMatchIn(rest)
+        .map(e => parseEpoch(e.group(1)))
+        .getOrElse(java.time.Instant.EPOCH)
+      (m.group(1).toLowerCase, epoch)
+    }
+    (StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id"), unit)
+  }
+
+  private def parseEpoch(s: String): java.time.Instant = {
+    val t = s.trim.replace(' ', 'T')
+    val full = if (t.length == 10) t + "T00:00:00" else t
+    if (full.endsWith("Z")) java.time.Instant.parse(full)
+    else java.time.LocalDateTime.parse(full)
+      .atOffset(java.time.ZoneOffset.UTC).toInstant
   }
 
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
@@ -123,7 +169,11 @@ object Ddl {
 
   def run(spark: SparkSession, q: String): DataFrame = q match {
     case CreateTableRe(name, cols, _) =>
-      val schema = StructType(topSplit(cols, ',').map(parseColumn))
+      val parsed = topSplit(cols, ',').map(parseColumn)
+      val schema = StructType(parsed.map(_._1))
+      timeUnits(name.toLowerCase) = parsed.collect {
+        case (f, Some(u)) => f.name -> u
+      }.toMap
       emptyDf(spark, schema).createOrReplaceTempView(name)
       ack(spark, s"created table $name")
 
@@ -135,12 +185,12 @@ object Ddl {
       val target = spark.table(name)
       val cols = Option(colsOpt).filter(_ != null).map(topSplit(_, ',').map(_.trim))
         .getOrElse(target.columns.toSeq)
-      // `[a, b]` set literals (reference syntax) → array(a, b)
-      val vals = values.trim.stripSuffix(";")
-        .replaceAll(raw"\[", "array(").replaceAll(raw"\]", ")")
+      // `[a, b]` set literals (reference syntax) → array(a, b); quote-aware —
+      // brackets inside string literals must survive (e.g. VALUES (1, 'a[0]'))
+      val vals = GraftSql.bracketsToArray(values.trim.stripSuffix(";"))
       val incoming = spark.sql(s"SELECT * FROM VALUES $vals")
         .toDF(cols: _*)
-      upsert(spark, name, alignTo(incoming, target.schema, cols))
+      upsert(spark, name, alignTo(incoming, target.schema, cols, name))
 
     case DeleteRe(name, whereOpt) =>
       val t = spark.table(name)
@@ -186,6 +236,42 @@ object Ddl {
       checkpointView(spark, name, spark.table(name).withColumnRenamed(from, to))
       ack(spark, s"renamed $from to $to in $name")
 
+    case CreateDbRe(ifNotExists, name, withOpts) =>
+      val opts = Option(withOpts).getOrElse("")
+      val units = UnitsRe.findFirstMatchIn(opts).map(_.group(1).toInt).getOrElse(1)
+      require(units >= 0 && units <= 10000, s"invalid units: $units")
+      val comment = CommentRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse("")
+      val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
+      spark.sql(s"CREATE DATABASE $ine$name" +
+        (if (comment.nonEmpty) s" COMMENT '$comment'" else ""))
+      databases(name.toLowerCase) = (units, comment)
+      ack(spark, s"created database $name")
+
+    case AlterDbRe(name, withOpts) =>
+      require(databases.contains(name.toLowerCase) ||
+        spark.catalog.databaseExists(name), s"database '$name' not found")
+      val prev = databases.getOrElse(name.toLowerCase, (1, ""))
+      val units = UnitsRe.findFirstMatchIn(withOpts).map(_.group(1).toInt).getOrElse(prev._1)
+      require(units >= 0 && units <= 10000, s"invalid units: $units")
+      val comment = CommentRe.findFirstMatchIn(withOpts).map(_.group(1)).getOrElse(prev._2)
+      databases(name.toLowerCase) = (units, comment)
+      ack(spark, s"altered database $name")
+
+    case DropDbRe(ifExists, name) =>
+      val ie = if (ifExists != null) "IF EXISTS " else ""
+      spark.sql(s"DROP DATABASE $ie$name")
+      databases.remove(name.toLowerCase)
+      ack(spark, s"dropped database $name")
+
+    case ShowCreateRe(name) =>
+      // served from the fb_table_ddl system table, exactly like the
+      // reference (`compileshow.go:239-279`)
+      SystemTables.register(spark)
+      val out = spark.sql(
+        s"SELECT ddl FROM fb_table_ddl WHERE name = '${name.toLowerCase}'")
+      if (out.isEmpty) sys.error(s"table '$name' not found")
+      out
+
     case TxnRe(kw) =>
       // parsed-and-acked like the reference (`reference/sql3/parser/ast.go:
       // 609-709` parses txn statements; per-statement execution remains
@@ -205,11 +291,25 @@ object Ddl {
   }
 
   /** Align `df`'s provided columns to the target schema: cast provided,
-    * null-fill missing. */
-  private def alignTo(df: DataFrame, schema: StructType, provided: Seq[String]): DataFrame = {
+    * null-fill missing. Integer values bound for a TIMESTAMP column with a
+    * declared TIMEUNIT are epoch offsets in that unit (`field.go:195-241`). */
+  private def alignTo(df: DataFrame, schema: StructType, provided: Seq[String],
+                      table: String): DataFrame = {
+    val units = timeUnits.getOrElse(table.toLowerCase, Map.empty)
+    def numeric(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _              => false
+    }
     val sel = schema.fields.map { f =>
-      if (provided.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (provided.contains(f.name)) {
+        val c = col(f.name)
+        (f.dataType, units.get(f.name)) match {
+          case (TimestampType, Some((unit, epoch)))
+              if numeric(df.schema(f.name).dataType) =>
+            graft.core.TimeUnits.epochToTimestamp(c, unit, epoch).as(f.name)
+          case _ => c.cast(f.dataType).as(f.name)
+        }
+      } else lit(null).cast(f.dataType).as(f.name)
     }
     df.select(sel.toIndexedSeq: _*)
   }
@@ -296,7 +396,7 @@ object Ddl {
         targetCols.zipWithIndex.map { case (tc, i) => col(s"m$i").as(tc) }
     }
     val incoming = projected.select(finalCols: _*)
-    val aligned  = alignTo(incoming, spark.table(table).schema, targetCols)
+    val aligned  = alignTo(incoming, spark.table(table).schema, targetCols, table)
     upsert(spark, table, aligned)
   }
 

@@ -46,6 +46,12 @@ object Functions {
       fn("=", fn("size", fn("array_except", a(1), a(0))), lit(0))),
     "SETCONTAINSANY" -> (a => fn("arrays_overlap", a(0), a(1))),
 
+    // FIRST/LAST (`expressionagg.go:1283,1255`) are NOT registered here:
+    // Spark's parser special-cases those keywords straight into its builtin
+    // First/Last expressions, bypassing the function registry — the rewrite
+    // to deterministic _id-order semantics happens on the analyzed plan in
+    // [[GraftSql.dialectFix]].
+
     // --- string functions (`inbuiltfunctionsstring.go:257-830`) ---
     "REVERSE" -> (a => fn("reverse", a(0))),
     "LOWER"   -> (a => fn("lower", a(0))),

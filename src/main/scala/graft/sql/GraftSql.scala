@@ -1,7 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, IntegralDivide}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, CreateNamedStruct, Divide, Expression, GetStructField, If, IntegralDivide, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, First, Last, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.types.{DoubleType, ByteType, ShortType, IntegerType, LongType}
 import graft.core.Tables
 
@@ -24,9 +26,15 @@ object GraftSql {
   private val TopRe =
     raw"(?i)(\bSELECT\b)(\s+DISTINCT\b)?\s+TOPN?\s*\(\s*(\d+)\s*\)".r
 
+  /** Reference `DECIMAL(s)` takes a SCALE only (`reference/sql3/parser/
+    * astdatatype.go` — precision is implied); Spark's single-arg DECIMAL(p)
+    * is a precision with scale 0. Rewrite to the full form. Two-arg
+    * DECIMAL(p,s) (not reference syntax) is left untouched. */
+  private val DecScaleRe = raw"(?i)\bDECIMAL\s*\(\s*(\d+)\s*\)".r
+
   /** Rewrite reference-dialect SQL to Spark SQL. */
   def rewrite(query: String): String = {
-    val q = bracketsToArray(query)
+    val q = DecScaleRe.replaceAllIn(bracketsToArray(query), m => s"DECIMAL(38,${m.group(1)})")
     TopRe.findFirstMatchIn(q) match {
       case Some(m) =>
         val n = m.group(3)
@@ -40,7 +48,7 @@ object GraftSql {
   /** `[a, b]` set literals (`reference/sql3/parser/parser.go` SetLiteralExpr)
     * → `array(a, b)`; quote-aware (brackets inside strings untouched). The
     * reference dialect has no other bracket syntax. */
-  private def bracketsToArray(q: String): String = {
+  private[sql] def bracketsToArray(q: String): String = {
     val b = new StringBuilder
     var quote: Char = 0
     q.foreach { c =>
@@ -63,8 +71,37 @@ object GraftSql {
     * Spark's analyzer has already wrapped integral operands in Cast(double),
     * so unwrap and swap in IntegralDivide (result LONG, ANSI
     * divide-by-zero error matches the reference's). */
+  /** FIRST/LAST (`reference/sql3/planner/expressionagg.go:1283,1255`):
+    * first/last NON-NULL value in `_id` scan order. Spark's parser routes the
+    * FIRST/LAST keywords straight to its builtin First/Last (registry aliases
+    * can't intercept), whose result is partition-order-dependent — so rewrite
+    * them on the analyzed plan into min/max over a (key, value) struct with
+    * null values pushed to the losing key extreme: deterministic, still one
+    * partial-aggregable pass. */
+  private def firstLastAgg(value: Expression, id: Attribute, last: Boolean): Expression = {
+    val losing = Literal(if (last) Long.MinValue else Long.MaxValue, LongType)
+    val key = If(IsNull(value), losing, Cast(id, LongType))
+    val packed = CreateNamedStruct(Seq(
+      Literal("k"), key, Literal("v"), value))
+    val agg = AggregateExpression(
+      if (last) Max(packed) else Min(packed), Complete, isDistinct = false)
+    GetStructField(agg, 1, Some("v"))
+  }
+
   private def dialectFix(spark: SparkSession, df: DataFrame): DataFrame = {
-    val fixed = df.queryExecution.analyzed.transformAllExpressions {
+    val withFirstLast = df.queryExecution.analyzed.transform {
+      case agg: Aggregate =>
+        agg.child.output.find(_.name == "_id") match {
+          case Some(id) => agg.transformExpressions {
+            case AggregateExpression(First(v, _), _, _, _, _) =>
+              firstLastAgg(v, id, last = false)
+            case AggregateExpression(Last(v, _), _, _, _, _) =>
+              firstLastAgg(v, id, last = true)
+          }
+          case None => agg
+        }
+    }
+    val fixed = withFirstLast.transformAllExpressions {
       case Divide(Cast(l, DoubleType, _, _), Cast(r, DoubleType, _, _), _)
           if integral(l.dataType) && integral(r.dataType) =>
         IntegralDivide(l, r)
@@ -72,13 +109,40 @@ object GraftSql {
     org.apache.spark.sql.graftshim.Shim.ofRows(spark, fixed)
   }
 
+  /** PERCENTILE(field, nth) exists in the reference ONLY as a PQL pushdown
+    * (`sql3/planner/expressionagg.go:883-912` — NewBuffer raises "Percentile
+    * call that can't be pushed down to PQL"), i.e. a single ungrouped
+    * aggregate over one table. We implement exactly that shape via the PQL
+    * compiler's bisection (same semantics, CDF or distributed-probe regime)
+    * and raise the reference's error otherwise. */
+  private val PercentileRe =
+    (raw"(?is)^\s*SELECT\s+PERCENTILE\s*\(\s*(\w+)\s*,\s*(\d+(?:\.\d+)?)\s*\)" +
+     raw"(?:\s+AS\s+(\w+))?\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?;?\s*$$").r
+
+  private def percentilePushdown(spark: SparkSession, query: String): Option[DataFrame] =
+    PercentileRe.findFirstMatchIn(query).map { m =>
+      val (field, nth, alias, tbl, whereOpt) =
+        (m.group(1), m.group(2), Option(m.group(3)), m.group(4), Option(m.group(5)))
+      val base = spark.table(tbl)
+      val t = whereOpt.map(w =>
+        base.filter(org.apache.spark.sql.functions.expr(rewrite(w)))).getOrElse(base)
+      val out = new graft.pql.Compiler(t)
+        .run(graft.pql.Parser.parseOne(s"Percentile(field=$field, nth=$nth)"))
+      alias.map(a => out.withColumnRenamed("val", a)).getOrElse(out)
+    }.orElse {
+      if (raw"(?i)\bPERCENTILE\s*\(".r.findFirstIn(query).isDefined)
+        sys.error("Percentile call that can't be pushed down to PQL")
+      else None
+    }
+
   /** Run one reference-dialect SQL query against the tables in `dir`. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
-    else dialectFix(spark, spark.sql(rewrite(query)))
+    else percentilePushdown(spark, query).getOrElse(
+      dialectFix(spark, spark.sql(rewrite(query))))
   }
 
   /** Run a statement with no table dir (DDL-driven sessions). */
@@ -86,6 +150,7 @@ object GraftSql {
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
-    else dialectFix(spark, spark.sql(rewrite(query)))
+    else percentilePushdown(spark, query).getOrElse(
+      dialectFix(spark, spark.sql(rewrite(query))))
   }
 }

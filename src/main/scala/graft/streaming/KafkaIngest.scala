@@ -40,18 +40,6 @@ object KafkaIngest {
                       epoch: java.time.Instant = java.time.Instant.EPOCH,
                       scale: Int = 0)
 
-  /** Nanoseconds per unit (`interfaces.go:382-406` Unit.ToNanos). */
-  private def unitNanos(u: String): Long = u match {
-    case "d"  => 86400L * 1000000000L
-    case "h"  => 3600L * 1000000000L
-    case "m"  => 60L * 1000000000L
-    case "s"  => 1000000000L
-    case "ms" => 1000000L
-    case "us" => 1000L
-    case "ns" => 1L
-    case other => sys.error(s"unknown unit '$other', choose from d/h/m/s/ms/us/ns")
-  }
-
   /** JSON wire type for a field — what `from_json` parses before the typed
     * conversion. Integer timestamps arrive as the raw epoch count. */
   private def wireType(f: IdkField): DataType = f.typ match {
@@ -74,15 +62,7 @@ object KafkaIngest {
     * epoch+unit integer timestamps `interfaces.go:410-418`, RFC3339 strings
     * for RecordTimeField `interfaces.go:449-471`). */
   private def convert(f: IdkField, c: Column): Column = f.typ match {
-    case "timestamp" =>
-      val epochMicros = f.epoch.getEpochSecond * 1000000L + f.epoch.getNano / 1000L
-      val nanos = unitNanos(f.unit)
-      // epoch + value·unit, in long micros (exact for d/h/m/s/ms/us; ns
-      // truncates to micros — Spark timestamp resolution)
-      val micros =
-        if (nanos >= 1000L) c * lit(nanos / 1000L) + lit(epochMicros)
-        else (c / lit(1000L)).cast(LongType) + lit(epochMicros)
-      timestamp_micros(micros)
+    case "timestamp"  => graft.core.TimeUnits.epochToTimestamp(c, f.unit, f.epoch)
     case "recordtime" => to_timestamp(c) // RFC3339 layout default
     case _ => c
   }

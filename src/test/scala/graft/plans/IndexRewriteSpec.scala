@@ -61,5 +61,16 @@ class IndexRewriteSpec extends SparkSpec {
       .orderBy("seg").collect()
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("a", 2L), ("b", 3L)))
+    // full boolean algebra over the pair: a={1,2}, b={1,2,3}
+    val pair = idx.as("a").join(idx.as("b"),
+      col("a.seg") === "a" && col("b.seg") === "b")
+      .select(
+        expr("bitmap_and_cardinality(a.bm, b.bm)").as("and"),
+        expr("bitmap_or_cardinality(a.bm, b.bm)").as("or"),
+        expr("bitmap_andnot_cardinality(b.bm, a.bm)").as("diff"),
+        expr("bitmap_xor_cardinality(a.bm, b.bm)").as("xor"))
+      .collect()(0)
+    assert((pair.getLong(0), pair.getLong(1), pair.getLong(2), pair.getLong(3))
+      == ((2L, 3L, 1L, 1L)))
   }
 }

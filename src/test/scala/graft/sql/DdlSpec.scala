@@ -40,6 +40,40 @@ class DdlSpec extends SparkSpec {
     assert(spark.table("t1").filter("_id = 3").collect()(0).isNullAt(2))
   }
 
+  test("TIMEUNIT/EPOCH column constraints: integer writes are epoch offsets") {
+    // reference/field.go:195-241 OptFieldTypeTimestamp; parser.go:865
+    run("""CREATE TABLE tu (_id ID, t_ms TIMESTAMP TIMEUNIT 'ms',
+          | t_s TIMESTAMP TIMEUNIT 's' EPOCH '2020-01-01T00:00:00Z',
+          | t_plain TIMESTAMP)""".stripMargin)
+    run("INSERT INTO tu (_id, t_ms, t_s, t_plain) " +
+      "VALUES (1, 86400000, 90, '2024-05-01T10:00:00')")
+    val r = spark.table("tu").collect()(0)
+    assert(r.getAs[java.sql.Timestamp]("t_ms").toInstant ==
+      java.time.Instant.parse("1970-01-02T00:00:00Z"))
+    assert(r.getAs[java.sql.Timestamp]("t_s").toInstant ==
+      java.time.Instant.parse("2020-01-01T00:01:30Z")) // custom epoch + 90s
+    assert(r.getAs[java.sql.Timestamp]("t_plain").toInstant ==
+      java.time.Instant.parse("2024-05-01T10:00:00Z"))
+    // BULK INSERT takes the same per-field unit path
+    run("""BULK INSERT INTO tu (_id, t_ms, t_s, t_plain)
+          | MAP (0 INT, 1 INT, 2 INT, 3 STRING)
+          | FROM x'2,172800000,60,2024-06-01T00:00:00'
+          | WITH FORMAT 'CSV' INPUT 'STREAM'""".stripMargin)
+    val r2 = spark.table("tu").filter("_id = 2").collect()(0)
+    assert(r2.getAs[java.sql.Timestamp]("t_ms").toInstant ==
+      java.time.Instant.parse("1970-01-03T00:00:00Z"))
+    assert(r2.getAs[java.sql.Timestamp]("t_s").toInstant ==
+      java.time.Instant.parse("2020-01-01T00:01:00Z"))
+  }
+
+  test("INSERT string literals containing brackets survive set-literal rewrite") {
+    run("CREATE TABLE tb (_id ID, s STRING, tags STRINGSET)")
+    run("INSERT INTO tb (_id, s, tags) VALUES (1, 'a[0]', ['x'])")
+    val r = spark.table("tb").collect()(0)
+    assert(r.getAs[String]("s") == "a[0]")
+    assert(r.getSeq[String](2).toList == List("x"))
+  }
+
   test("DELETE FROM with and without WHERE") {
     run("CREATE TABLE t2 (_id ID, v INT)")
     run("INSERT INTO t2 (_id, v) VALUES (1, 1), (2, 2), (3, 3)")
@@ -120,6 +154,28 @@ class DdlSpec extends SparkSpec {
     // COLUMN keyword optional, as in the reference grammar
     run("ALTER TABLE alt ADD extra INT")
     assert(spark.table("alt").columns.contains("extra"))
+  }
+
+  test("CREATE/ALTER/DROP DATABASE with UNITS and COMMENT") {
+    run("CREATE DATABASE graftdb1 WITH UNITS 4 COMMENT 'test db'")
+    assert(spark.catalog.databaseExists("graftdb1"))
+    run("ALTER DATABASE graftdb1 WITH UNITS 8")
+    // units are recorded (serverless sizing knob; no local execution effect)
+    assert(Ddl.databases("graftdb1") == ((8, "test db")))
+    run("CREATE DATABASE IF NOT EXISTS graftdb1") // no error
+    // creating an existing db without IF NOT EXISTS fails, like the reference
+    intercept[Exception](run("CREATE DATABASE graftdb1"))
+    intercept[Exception](run("ALTER DATABASE no_such_db WITH UNITS 2"))
+    run("DROP DATABASE graftdb1")
+    assert(!spark.catalog.databaseExists("graftdb1"))
+  }
+
+  test("SHOW CREATE TABLE serves the reconstructed DDL") {
+    run("CREATE TABLE sct (_id ID, v INT, s STRINGSET)")
+    val ddl = run("SHOW CREATE TABLE sct").collect()(0).getString(0)
+    assert(ddl.toLowerCase.startsWith("create table sct"))
+    assert(ddl.contains("_id") && ddl.toLowerCase.contains("stringset"))
+    intercept[Exception](run("SHOW CREATE TABLE no_such_table"))
   }
 
   test("fb_* system tables are SELECTable") {

@@ -105,6 +105,17 @@ class DefsSpec extends SparkSpec {
     check("SELECT CAST(i1 AS STRING) FROM at WHERE _id = 1", Set(Seq("1000")))
     check("SELECT CAST(d1 AS INT) FROM at WHERE _id = 1", Set(Seq(12L)))
     check("SELECT CAST('42' AS INT) + 1 FROM at WHERE _id = 1", Set(Seq(43L)))
+    // decimal cast matrix (defs_cast.go:58,166,453,660): DECIMAL(s) is
+    // scale-only; int→decimal, id→decimal, string→decimal widen exactly
+    check("SELECT CAST(1 AS DECIMAL(2)) FROM at WHERE _id = 1", Set(Seq(1.0)))
+    check("SELECT CAST(i1 AS DECIMAL(2)) FROM at WHERE _id = 1", Set(Seq(1000.0)))
+    check("SELECT CAST(_id AS DECIMAL(2)) FROM at WHERE _id = 2", Set(Seq(2.0)))
+    check("SELECT CAST('12.34' AS DECIMAL(2)) FROM at WHERE _id = 1", Set(Seq(12.34)))
+    check("SELECT CAST(d1 AS DECIMAL(2)) FROM at WHERE _id = 2", Set(Seq(-1.5)))
+    check("SELECT CAST(d1 AS STRING) FROM at WHERE _id = 1", Set(Seq("12.34")))
+    // decimal arithmetic stays exact (no float round-trip)
+    check("SELECT d1 + CAST('0.66' AS DECIMAL(2)) FROM at WHERE _id = 1",
+      Set(Seq(13.0)))
   }
 
   test("set columns in predicates — defs_set_functions.go") {

@@ -76,4 +76,29 @@ class GraftSqlSpec extends SparkSpec {
       .toString.contains("2024-03-15 10:30:45.5"))
     assert(one(s"SELECT DATE_TRUNC('HOUR', $ts)").toString.contains("10:00:00"))
   }
+
+  test("FIRST/LAST aggregates: first/last non-null in _id order") {
+    GraftSql.statement(spark, "CREATE TABLE fl (_id ID, v STRING)")
+    GraftSql.statement(spark,
+      "INSERT INTO fl (_id, v) VALUES (1, NULL), (2, 'b'), (3, 'c'), (4, NULL)")
+    val r = GraftSql.statement(spark,
+      "SELECT FIRST(v) AS f, LAST(v) AS l FROM fl").collect()(0)
+    assert(r.getString(0) == "b" && r.getString(1) == "c") // nulls skipped
+    // grouped FIRST/LAST also deterministic
+    val g = GraftSql.sql(spark, sfDir,
+      "SELECT l_returnflag, FIRST(l_linestatus) AS f FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+    assert(g.count() == 3)
+  }
+
+  test("PERCENTILE pushdown shape and reference error otherwise") {
+    val v = one("SELECT PERCENTILE(p_size, 50) AS val FROM part")
+    val direct = graft.pql.Pql.run(spark, sfDir, "part",
+      "Percentile(field=p_size, nth=50)").collect()(0).getLong(0)
+    assert(v == direct)
+    // non-pushdown shapes raise the reference's error (expressionagg.go:912)
+    val e = intercept[RuntimeException](GraftSql.sql(spark, sfDir,
+      "SELECT p_brand, PERCENTILE(p_size, 50) FROM part GROUP BY p_brand"))
+    assert(e.getMessage.contains("can't be pushed down"))
+  }
 }
