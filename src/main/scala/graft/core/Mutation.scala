@@ -36,13 +36,26 @@ object Mutation {
 
   /** Set(id, field=value): point write. Set field → add member;
     * scalar/mutex/bool → replace (`reference/executor.go:6194`,
-    * mutex replace `reference/field.go:352-365`). */
+    * mutex replace `reference/field.go:352-365`). A Set on an id not yet in
+    * the table CREATES the record — the reference sets the existence bit for
+    * unseen column ids — as a null-filled row carrying only _id and the
+    * written field, appended via anti-join (no driver-side existence check).
+    */
   def set(df: DataFrame, id: Any, field: String, value: Column): DataFrame = {
     val next =
       if (isSet(df, field)) when(col("_id") === lit(id), addMember(col(field), value))
         .otherwise(col(field))
       else when(col("_id") === lit(id), value).otherwise(col(field))
-    df.withColumn(field, next)
+    val updated = df.withColumn(field, next)
+    val newRow = df.sparkSession.range(1).select(df.schema.fields.map { f =>
+      if (f.name == "_id") lit(id).cast(f.dataType).as("_id")
+      else if (f.name == field)
+        (if (isSet(df, field)) array(value) else value).cast(f.dataType).as(field)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    updated.unionByName(
+      newRow.join(df.filter(col("_id") === lit(id)).select("_id"), Seq("_id"), "left_anti")
+        .select(updated.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Clear(id, field=value): remove one bit. Set field → drop member; scalar →

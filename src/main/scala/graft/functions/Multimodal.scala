@@ -65,7 +65,9 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("bytes"),
       struct(
         n.as("n_bytes"), w.as("width"),
-        ceil(n.cast(DoubleType) / w.cast(DoubleType)).cast(IntegerType).as("height"),
+        // empty blob: width 0 would make this 0/0 → NaN → ANSI cast error
+        when(n === 0, lit(0)).otherwise(
+          ceil(n.cast(DoubleType) / w.cast(DoubleType)).cast(IntegerType)).as("height"),
         lit(3).as("channels"), lit(16000).as("sample_rate"),
         n.as("duration_ms")).as("meta"))
   }
@@ -91,7 +93,11 @@ object Multimodal {
           // one codec invocation per batch in a real impl
           batch.map { case (id, bytes) =>
             val s = decodeBytes(bytes)
-            (id, s.map(_.toDouble).sum / s.length, s.min, s.max, s.length.toLong)
+            if (s.isEmpty) // zero-length blob: null features, don't throw
+              (id, None: Option[Double], None: Option[Int], None: Option[Int], 0L)
+            else
+              (id, Some(s.map(_.toDouble).sum / s.length), Some(s.min),
+                Some(s.max), s.length.toLong)
           }
         }
       }
@@ -114,7 +120,7 @@ object Multimodal {
     * (sequence + explode) — the per-frame byte slice stays a lazy pointer
     * (offset math), so 100 TB of video explodes without copying blobs. */
   def frameSample(media: DataFrame, everyMs: Long): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("meta.duration_ms") > 0)
       .select(col("_id"),
         explode(sequence(lit(0L),
           col("meta.duration_ms") - 1, lit(everyMs))).as("ts_ms"))

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -65,10 +65,10 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case agg @ Aggregate(Seq(groupExpr), aggExprs, child, _)
         if groupAttr(groupExpr).isDefined =>
       val g = groupAttr(groupExpr).get
-      (relationPaths(child), distinctCountTarget(aggExprs, g)) match {
-        case (Some(paths), Some(idAttr)) =>
+      (scanWithSegFilter(child, g), distinctCountTarget(aggExprs, g)) match {
+        case (Some((paths, segConds)), Some(idAttr)) =>
           IndexCatalog.lookup(paths, g.name, idAttr.name) match {
-            case Some(entry) => substitute(agg, g, entry).getOrElse(agg)
+            case Some(entry) => substitute(agg, g, segConds, entry).getOrElse(agg)
             case None        => agg
           }
         case _ => agg
@@ -81,14 +81,20 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Child must be a bare (column-pruned) parquet scan: Project of plain
-    * attributes over a LogicalRelation — any Filter disqualifies (the index
-    * covers the full table). Returns the relation's root paths. */
-  private def relationPaths(p: LogicalPlan): Option[Seq[String]] = p match {
+  /** Child must be a (column-pruned) parquet scan: Project of plain
+    * attributes over a LogicalRelation, optionally filtered on the SEGMENT
+    * column only — such predicates transfer onto the index table's `seg`
+    * column (each index row summarizes exactly one segment value, so
+    * seg-filtered counts are still answerable without the fact table). Any
+    * predicate touching other columns disqualifies. Returns the relation's
+    * root paths plus the seg-only predicates. */
+  private def scanWithSegFilter(p: LogicalPlan, g: Attribute): Option[(Seq[String], Seq[Expression])] = p match {
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      relationPaths(child)
+      scanWithSegFilter(child, g)
+    case Filter(cond, child) if cond.references.subsetOf(AttributeSet(Seq(g))) =>
+      scanWithSegFilter(child, g).map { case (paths, conds) => (paths, cond +: conds) }
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some(fs.location.rootPaths.map(_.toString))
+      Some((fs.location.rootPaths.map(_.toString), Nil))
     case _ => None
   }
 
@@ -108,7 +114,7 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else None
   }
 
-  private def substitute(agg: Aggregate, g: Attribute,
+  private def substitute(agg: Aggregate, g: Attribute, segConds: Seq[Expression],
       entry: IndexCatalog.Entry): Option[LogicalPlan] = {
     val idxOut = entry.indexPlan.output
     for {
@@ -125,7 +131,17 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(BitmapCardinality(bmAttr), name)(exprId = al.exprId)
         case other => other
       }
-      Project(projList, entry.indexPlan)
+      // seg-value predicates transfer onto the index scan (physical planning
+      // pushes them into the index parquet's PushedFilters)
+      val source = segConds.reduceOption(And) match {
+        case Some(cond) =>
+          val onSeg = cond.transform {
+            case a: AttributeReference if a.exprId == g.exprId => segAttr
+          }
+          Filter(onSeg, entry.indexPlan)
+        case None => entry.indexPlan
+      }
+      Project(projList, source)
     }
   }
 }

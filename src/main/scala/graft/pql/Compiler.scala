@@ -97,6 +97,8 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       Right(ids)
     case "Shift" =>
       val n = call.long("n").getOrElse(0L)
+      require(dtype("_id").isInstanceOf[org.apache.spark.sql.types.NumericType],
+        "Shift requires integer record ids — keyed (string-id) tables have no ordinal shift")
       Right(toIds(bits(call.children.head)).select((col("_id") + n).as("_id")))
     case other => throw new IllegalArgumentException(s"not a bitmap call: $other")
   }
@@ -398,12 +400,16 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
 
     case "ExternalLookup" => // `reference/executor.go:4357-4711`: ship the
       // bitmap's ids to an external SQL engine as $1 and join back. Spark:
-      // the id set becomes the view `_lookup_ids`, `$1` a subquery over it;
+      // the id set becomes a uniquely-named temp view (concurrent queries on
+      // one session must not race on a shared name), `$1` a subquery over it;
       // the "external" engine is whatever the catalog reaches (JDBC in prod).
       val query = call.str("query")
         .getOrElse(sys.error("ExternalLookup: query required"))
-      toIds(bits(call.children.head)).createOrReplaceTempView("_lookup_ids")
-      table.sparkSession.sql(query.replace("$1", "(SELECT _id FROM _lookup_ids)"))
+      val view = s"_lookup_ids_${Compiler.lookupViewSeq.incrementAndGet()}"
+      toIds(bits(call.children.head)).createOrReplaceTempView(view)
+      try table.sparkSession.sql(
+        query.replace("$1", s"(SELECT _id FROM $view)")).localCheckpoint()
+      finally table.sparkSession.catalog.dropTempView(view)
 
     case _ => // bitmap call at top level → its id set
       toIds(bits(call)).orderBy("_id")
@@ -722,6 +728,11 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
 }
 
 /** Convenience entry: parse + compile + run one PQL query against a table. */
+object Compiler {
+  /** Unique suffix for per-query ExternalLookup temp views. */
+  private[pql] val lookupViewSeq = new java.util.concurrent.atomic.AtomicLong()
+}
+
 object Pql {
   import org.apache.spark.sql.SparkSession
   def run(spark: SparkSession, dir: String, tableName: String, pql: String): DataFrame = {
@@ -745,10 +756,13 @@ object Pql {
     require(calls.nonEmpty, "empty PQL program")
     var state = initial
     def compiler = new Compiler(state, graft.core.Tables.timeColumn(tableName))
+    // Interleaved reads are allowed, as in the reference's /index/{i}/query;
+    // the wire surface returns the FINAL call's result (documented divergence
+    // from the reference's one-result-per-call list — a non-final read leaves
+    // state untouched, so skipping its execution is observationally safe).
     calls.dropRight(1).foreach { c =>
       val comp = compiler
-      require(comp.isWrite(c), s"only the final call may be a read: ${c.name}")
-      state = comp.write(c)
+      if (comp.isWrite(c)) state = comp.write(c)
     }
     val last = calls.last
     val comp = compiler

@@ -117,11 +117,19 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
     Option(e.getMessage).getOrElse(e.getClass.getSimpleName).linesIterator
       .take(3).mkString(" ")
 
+  /** Hard cap on rows materialized into one HTTP response — the coordinator-
+    * node analogue of the reference's result limits; an unbounded SELECT
+    * would otherwise collect the whole table into the server's heap. */
+  private val MaxWireRows = 100000
+
   /** DataFrame → reference wire shape. */
   private def toWire(df: DataFrame): String = {
     val fields = df.schema.fields.map(f =>
       s"""{"name":${js(f.name)},"base-type":${js(f.dataType.simpleString)}}""")
-    val rows = df.collect().map { r =>
+    val collected = df.limit(MaxWireRows + 1).collect()
+    if (collected.length > MaxWireRows)
+      sys.error(s"result exceeds $MaxWireRows rows; add TOP(n) or a filter")
+    val rows = collected.map { r =>
       (0 until r.length).map(i => jsAny(r.get(i))).mkString("[", ",", "]")
     }
     s"""{"schema":{"fields":[${fields.mkString(",")}]},"data":[${rows.mkString(",")}]}"""

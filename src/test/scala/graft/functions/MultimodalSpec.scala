@@ -79,4 +79,19 @@ class MultimodalSpec extends SparkSpec {
     val v = e.filter(col("_id") === 0).collect()(0).getSeq[Double](1)
     assert(v.length == 4 && v.forall(x => x >= 0 && x <= 255))
   }
+
+  test("empty media blobs survive every operator (no executor crash)") {
+    import spark.implicits._
+    // doc_id 2 % 3 == 2 → 'video' row with an EMPTY text → 0-byte blob
+    val empty = Multimodal.deriveMedia(
+      Seq((2L, "")).toDF("doc_id", "text"))
+    val meta = empty.select(col("meta.n_bytes"), col("meta.width"),
+      col("meta.height"), col("meta.duration_ms")).collect()(0)
+    assert(meta.getLong(0) == 0 && meta.getInt(1) == 0 && meta.getInt(2) == 0)
+    val feats = Multimodal.decodeFeatures(empty).collect()(0)
+    assert(feats.isNullAt(feats.fieldIndex("mean_sample")) &&
+      feats.getAs[Long]("n_samples") == 0L)
+    assert(Multimodal.frameSample(empty, everyMs = 100).count() == 0)
+    assert(Multimodal.resizeMeta(empty, 224, 224).count() == 1)
+  }
 }

@@ -36,6 +36,26 @@ class IndexRewriteSpec extends SparkSpec {
     assert(q.collect().toSeq == want.toSeq)
   }
 
+  test("seg-value filters are pushed onto the index scan and still rewritten") {
+    buildAndRegister()
+    val q = spark.sql(
+      "SELECT event_type AS seg, count(DISTINCT user_id) AS cnt FROM ev_idx " +
+        "WHERE event_type IN ('click', 'view') GROUP BY event_type ORDER BY seg")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bitmap_cardinality"), s"not rewritten:\n$opt")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("events.parquet"), s"fact table still scanned:\n$phys")
+    // the IN predicate reaches the index parquet scan as a pushed filter
+    assert(phys.contains("PushedFilters: [In(seg,") ||
+      phys.contains("PushedFilters: [Or(EqualTo(seg,"),
+      s"seg predicate not pushed to the index scan:\n$phys")
+    val want = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("event_type").as("seg"))
+      .agg(countDistinct("user_id").as("cnt")).orderBy("seg").collect()
+    assert(q.collect().toSeq == want.toSeq)
+  }
+
   test("filtered or non-matching aggregates are NOT rewritten") {
     buildAndRegister()
     val filtered = spark.sql(

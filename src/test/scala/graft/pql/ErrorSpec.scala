@@ -33,12 +33,14 @@ class ErrorSpec extends SparkSpec {
     assert(err("orders", "Options(shards=[0])").contains("wrapped call"))
   }
 
-  test("write-call misuse") {
+  test("write-call misuse and interleaved reads") {
     assert(err("orders", "Set(o_orderstatus='X')").nonEmpty) // missing record id
-    val e = intercept[Exception](
-      Pql.program(spark, sfDir, "orders",
-        "Count(All()) Set(7, o_orderstatus='X')")).getMessage
-    assert(e.contains("only the final call may be a read"))
+    // interleaved reads are accepted (reference /index/{i}/query programs);
+    // the final call's result is returned and earlier writes still apply
+    val out = Pql.program(spark, sfDir, "orders",
+      "Count(All()) Set(7, o_orderstatus='X') Count(Row(o_orderstatus='X'))")
+      .collect()(0).getLong(0)
+    assert(out == 1L)
   }
 
   test("SQL dialect errors surface") {

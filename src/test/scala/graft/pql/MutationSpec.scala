@@ -30,6 +30,24 @@ class MutationSpec extends SparkSpec {
     assert(twice.filter(array_contains(col("words"), "zz_new")).count() == 1)
   }
 
+  test("Set on an unseen record id creates the record") {
+    // reference sets the existence bit for a new column id — the write must
+    // not silently no-op (ADVICE round 1)
+    val freshId = orders.agg(max(col("_id"))).head.getLong(0) + 1000
+    val after = Mutation.set(orders, freshId, "o_orderstatus", lit("X"))
+    assert(after.count() == orders.count() + 1)
+    val row = after.filter(col("_id") === freshId).collect()(0)
+    assert(row.getAs[String]("o_orderstatus") == "X")
+    assert(row.isNullAt(row.fieldIndex("o_totalprice"))) // other fields null
+    // set on an EXISTING id still does not duplicate
+    val again = Mutation.set(after, freshId, "o_orderstatus", lit("Y"))
+    assert(again.count() == after.count())
+    // set-field variant: new record carries a singleton set
+    val d = Mutation.set(docs, 999999L, "words", lit("zz"))
+    assert(d.filter(col("_id") === 999999L).select("words")
+      .head.getSeq[String](0) == Seq("zz"))
+  }
+
   test("Clear on scalar only clears when value matches") {
     val st = orders.filter(col("_id") === 7).select("o_orderstatus").head.getString(0)
     val miss = Mutation.clear(orders, 7, "o_orderstatus", lit("__nope__"))
