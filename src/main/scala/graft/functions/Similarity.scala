@@ -17,18 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  import org.apache.spark.sql.graftshim.Shim
 
+  /** Native codegen'd dot product (see [[SimilarityExpressions]] — the HOF
+    * formulation `aggregate(zip_with(...))` is interpreted per element). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    Shim.column(VectorDot(Shim.expression(a), Shim.expression(b)))
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
-  def cosine(a: Column, b: Column): Column = {
-    val (da, db) = (asDouble(a), asDouble(b))
-    dot(da, db) / (norm(da) * norm(db))
-  }
+  /** Native codegen'd cosine, one fused pass over both vectors. Bit-identical
+    * to DuckDB `list_cosine_similarity(::DOUBLE[], ::DOUBLE[])`. */
+  def cosine(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
 
   /** Brute-force exact top-k by cosine against one query vector. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
@@ -62,13 +61,13 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
-  /** Random-hyperplane LSH signature (nBits-bit integer). */
+  /** Random-hyperplane LSH signature (nBits-bit integer). [[VectorDot]]
+    * casts float elements to double itself — same math as before, native. */
   def rhpSignature(vec: Column, nBits: Int, dim: Int): Column = {
     val planes = hyperplanes(nBits, dim)
-    val dv = asDouble(vec)
     (0 until nBits).map { i =>
       val plane = array(planes(i).map(lit): _*)
-      when(dot(dv, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -180,7 +179,8 @@ object Similarity {
                nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feat = embeddings.withColumn("__feat", array_to_vector(asDouble(col(vecCol))))
+    val feat = embeddings.withColumn("__feat",
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__feat").setPredictionCol("cell").fit(feat)
     val assigned = model.transform(feat).drop("__feat")
