@@ -58,6 +58,13 @@ object SparkEntry {
     "pql_sort" -> pqlQ("orders",
       "Sort(Row(o_orderstatus='O'), field=o_totalprice, sort-desc=true, limit=20)"),
     "pql_sum" -> pqlQ("lineitem", "Sum(Row(l_returnflag='A'), field=l_quantity)"),
+    // ForeignIndex composition (`field.go` FieldOptions.ForeignIndex):
+    // o_custkey in orders references customer record ids, so a cross-index
+    // Distinct over it intersects directly with customer bitmaps —
+    // "BUILDING-segment customers holding an open order", no SQL join.
+    "pql_foreign_distinct" -> pqlQ("customer",
+      "Count(Intersect(Row(c_mktsegment='BUILDING'), " +
+        "Distinct(Row(o_orderstatus='O'), index=orders, field=o_custkey)))"),
     // DECIMAL field semantics (`reference/pql/decimal.go:55-58` — scaled
     // integers with exact arithmetic): aggregate and range-filter a
     // DECIMAL(18,2) column, never passing through floats
@@ -187,6 +194,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "WHERE o_totalprice > 250000 ORDER BY o_orderkey"),
     "pql_sort" -> ("SELECT o_orderkey AS _id, o_totalprice FROM orders WHERE o_orderstatus='O' " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+    "pql_foreign_distinct" -> ("SELECT count(*) AS cnt FROM customer " +
+      "WHERE c_mktsegment='BUILDING' AND c_custkey IN " +
+      "(SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O')"),
     "pql_sum_decimal" -> ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
       "AS DECIMAL(28,2)) AS sum, count(*) AS cnt FROM lineitem WHERE l_quantity > 30"),
     "pql_row_decimal_range" -> ("SELECT count(*) AS cnt FROM lineitem WHERE " +

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   * mapReduce (`reference/executor.go:6449`) but with codegen + column pruning.
   */
 final class Compiler(table: DataFrame, timeCol: Option[String] = None,
-    quantum: String = "YMDH") {
+    quantum: String = "YMDH",
+    resolve: String => DataFrame = n =>
+      sys.error(s"no index resolver configured; cannot reference index '$n'")) {
 
   /** A bitmap result: Left = composable predicate, Right = materialized
     * `_id` set (single column "_id"). */
@@ -88,6 +90,20 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       Left(col("_id").isin(ids: _*))
     case "UnionRows" =>
       Left(call.children.map(rowsPredicate).reduceLeft(_ || _))
+    case "Distinct" =>
+      // Nested Distinct composes as an id set (the reference precomputes it,
+      // `executor.go:1809-1812`). With index='other' it runs against a
+      // FOREIGN index and the distinct values of a ForeignIndex field are
+      // record ids of THIS index (`field.go` FieldOptions.ForeignIndex,
+      // translation `executor.go:7558-7683`) — the cross-index join.
+      val f = call.fieldArg.getOrElse(sys.error("Distinct: field required"))
+      val src = call.str("index") match {
+        case Some(other) =>
+          new Compiler(resolve(other), graft.core.Tables.timeColumn(other),
+            quantum, resolve)
+        case None => this
+      }
+      Right(src.distinctIdsOf(call, f))
     case "Limit" =>
       val base = toIds(bits(call.children.head)).orderBy("_id")
       val off  = call.long("offset").getOrElse(0L).toInt
@@ -302,11 +318,21 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     case "MaxRow" => minMaxRow(call, asc = false)
 
     case "Distinct" => // `reference/executor.go:1173` — sorted distinct values
-      val f = call.fieldArg.getOrElse(sys.error("Distinct: field required"))
-      val base = filteredByOptional(call)
-      val vals = if (isSet(f)) base.select(explode(col(f)).as("val"))
-                 else base.select(col(f).as("val")).filter(col("val").isNotNull)
-      vals.distinct().orderBy("val")
+      call.str("index") match {
+        case Some(other) => // cross-index Distinct (ForeignIndex fields)
+          val stripped = call.copy(args = call.args.filterNot {
+            case KV("index", _, _) => true
+            case _ => false
+          })
+          new Compiler(resolve(other), graft.core.Tables.timeColumn(other),
+            quantum, resolve).run(stripped)
+        case None =>
+          val f = call.fieldArg.getOrElse(sys.error("Distinct: field required"))
+          val base = filteredByOptional(call)
+          val vals = if (isSet(f)) base.select(explode(col(f)).as("val"))
+                     else base.select(col(f).as("val")).filter(col("val").isNotNull)
+          vals.distinct().orderBy("val")
+      }
 
     case "Rows" => rowsCall(call)
 
@@ -457,6 +483,17 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
   private def filteredByOptional(call: Call): DataFrame = {
     val fc = call.namedCall("filter").orElse(call.children.headOption)
     fc.map(c => filtered(bits(c))).getOrElse(table)
+  }
+
+  /** Distinct non-null values of `f` as an `_id` set (set fields explode),
+    * with the call's optional filter applied — the nested-Distinct /
+    * ForeignIndex building block. */
+  private def distinctIdsOf(call: Call, f: String): DataFrame = {
+    val base = filteredByOptional(call)
+    val vals =
+      if (isSet(f)) base.select(explode(col(f)).as("_id"))
+      else base.select(col(f).as("_id")).filter(col("_id").isNotNull)
+    vals.distinct()
   }
 
   private def filteredByTime(call: Call): DataFrame = {
@@ -737,7 +774,9 @@ object Pql {
   import org.apache.spark.sql.SparkSession
   def run(spark: SparkSession, dir: String, tableName: String, pql: String): DataFrame = {
     val t = graft.core.Tables.load(spark, dir, tableName)
-    new Compiler(t, graft.core.Tables.timeColumn(tableName)).run(Parser.parseOne(pql))
+    new Compiler(t, graft.core.Tables.timeColumn(tableName),
+      resolve = n => graft.core.Tables.load(spark, dir, n))
+      .run(Parser.parseOne(pql))
   }
 
   /** Run a multi-call PQL program: write calls advance the table state

@@ -130,12 +130,20 @@ object Ddl {
 
   private val TimeUnitRe = raw"(?i)\bTIMEUNIT\s+'([a-z]+)'".r
   private val EpochRe    = raw"(?i)\bEPOCH\s+'([^']+)'".r
+  private val ReferencesRe = raw"(?i)\bREFERENCES\s+(\w+)".r
+
+  /** ForeignIndex fields (`reference/field.go` FieldOptions.ForeignIndex,
+    * `parser.go:1029` REFERENCES constraint): column values are record ids of
+    * another table. Keyed by lowercase table → column → foreign table; the
+    * PQL cross-index Distinct and SQL joins consume this. */
+  private[sql] val foreignKeys =
+    scala.collection.mutable.Map.empty[String, Map[String, String]]
 
   /** Parse `name TYPE [MIN n | MAX n | TIMEUNIT 'x' [EPOCH 't'] |
     * TIMEQUANTUM 'x' | TTL 'x' | CACHETYPE x [SIZE n]]*` — storage hints are
     * accepted and dropped (Parquet/Delta stats replace BSI bounds and ranked
     * caches, SURVEY §1.1); TIMEUNIT/EPOCH are kept as field semantics. */
-  private def parseColumn(defn: String): (StructField, Option[(String, java.time.Instant)]) = {
+  private def parseColumn(defn: String): (StructField, Option[(String, java.time.Instant)], Option[String]) = {
     val toks = defn.trim.split("\\s+", 3)
     require(toks.length >= 2, s"bad column def: $defn")
     // type may carry parens: DECIMAL(2)
@@ -148,7 +156,8 @@ object Ddl {
         .getOrElse(java.time.Instant.EPOCH)
       (m.group(1).toLowerCase, epoch)
     }
-    (StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id"), unit)
+    val fk = ReferencesRe.findFirstMatchIn(rest).map(_.group(1).toLowerCase)
+    (StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id"), unit, fk)
   }
 
   private def parseEpoch(s: String): java.time.Instant = {
@@ -172,8 +181,13 @@ object Ddl {
       val parsed = topSplit(cols, ',').map(parseColumn)
       val schema = StructType(parsed.map(_._1))
       timeUnits(name.toLowerCase) = parsed.collect {
-        case (f, Some(u)) => f.name -> u
+        case (f, Some(u), _) => f.name -> u
       }.toMap
+      val fks = parsed.collect { case (f, _, Some(ft)) => f.name -> ft }.toMap
+      fks.values.foreach { ft =>
+        require(spark.catalog.tableExists(ft), s"foreign table '$ft' not found")
+      }
+      foreignKeys(name.toLowerCase) = fks
       emptyDf(spark, schema).createOrReplaceTempView(name)
       ack(spark, s"created table $name")
 

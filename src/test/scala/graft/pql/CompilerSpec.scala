@@ -2,6 +2,7 @@ package graft.pql
 
 import graft.SparkSpec
 import graft.core.Tables
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 class CompilerSpec extends SparkSpec {
 
@@ -105,6 +106,30 @@ class CompilerSpec extends SparkSpec {
       val two = Seq((1L, 1L), (2L, 100L)).toDF("_id", "v")
       assert(p(two, 50) == 50L) // midpoint not present in the data
     } finally spark.conf.unset("spark.graft.percentile.maxCdf")
+  }
+
+  test("cross-index Distinct (ForeignIndex): id set composes with bitmaps") {
+    // customers with an open order — Distinct over orders.o_custkey yields
+    // customer record ids (ForeignIndex semantics)
+    val got = run("customer",
+      "Count(Distinct(Row(o_orderstatus='O'), index=orders, field=o_custkey))")
+      .collect()(0).getLong(0)
+    val want = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(countDistinct("o_custkey")).collect()(0).getLong(0)
+    // Distinct ids not present in customer still count via Count(ids): use
+    // the intersect form for exact set semantics
+    val inter = run("customer",
+      "Count(Intersect(All(), Distinct(Row(o_orderstatus='O'), index=orders, field=o_custkey)))")
+      .collect()(0).getLong(0)
+    assert(inter == want)
+    assert(got >= inter)
+    // top-level cross-index Distinct returns the foreign values
+    val vals = run("customer", "Distinct(index=orders, field=o_orderstatus)")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals == vals.sorted && vals.nonEmpty)
   }
 
   test("FieldValue point read") {

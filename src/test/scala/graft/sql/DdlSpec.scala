@@ -66,6 +66,15 @@ class DdlSpec extends SparkSpec {
       java.time.Instant.parse("2020-01-01T00:01:00Z"))
   }
 
+  test("REFERENCES column constraint records a ForeignIndex field") {
+    run("CREATE TABLE fi_parent (_id ID, name STRING)")
+    run("CREATE TABLE fi_child (_id ID, parent_id ID REFERENCES fi_parent, v INT)")
+    assert(Ddl.foreignKeys("fi_child") == Map("parent_id" -> "fi_parent"))
+    // unknown foreign table is rejected at CREATE time
+    intercept[Exception](
+      run("CREATE TABLE fi_bad (_id ID, x ID REFERENCES no_such_table)"))
+  }
+
   test("INSERT string literals containing brackets survive set-literal rewrite") {
     run("CREATE TABLE tb (_id ID, s STRING, tags STRINGSET)")
     run("INSERT INTO tb (_id, s, tags) VALUES (1, 'a[0]', ['x'])")
