@@ -58,6 +58,8 @@ object SparkEntry {
     "pql_sort" -> pqlQ("orders",
       "Sort(Row(o_orderstatus='O'), field=o_totalprice, sort-desc=true, limit=20)"),
     "pql_sum" -> pqlQ("lineitem", "Sum(Row(l_returnflag='A'), field=l_quantity)"),
+    "pql_groupby_distinct" -> pqlQ("lineitem",
+      "GroupBy(Rows(l_returnflag), aggregate=Count(Distinct(field=l_suppkey)))"),
     // ForeignIndex composition (`field.go` FieldOptions.ForeignIndex):
     // o_custkey in orders references customer record ids, so a cross-index
     // Distinct over it intersects directly with customer bitmaps —
@@ -223,6 +225,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "GROUP BY 1 ORDER BY cnt DESC, val ASC LIMIT 10"),
     "pql_groupby" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "sum(l_quantity) AS agg FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "pql_groupby_distinct" -> ("SELECT l_returnflag, count(*) AS cnt, " +
+      "count(DISTINCT l_suppkey) AS agg FROM lineitem GROUP BY 1 ORDER BY 1"),
     "pql_groupby_having" -> ("SELECT o_orderpriority, count(*) AS cnt FROM orders " +
       "GROUP BY 1 HAVING count(*) > 2000 ORDER BY 1"),
     "pql_groupby_set" -> ("SELECT lang, w AS words, count(*) AS cnt FROM (SELECT lang, " +

@@ -590,6 +590,14 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
         case "Sum" =>
           val f = ac.fieldArg.getOrElse(sys.error("GroupBy aggregate Sum: field required"))
           sum(col(f)).as("agg")
+        // Count(Distinct(field=x)) — per-group distinct count
+        // (`executor.go:3341-3360`; the reference re-runs a Distinct per
+        // group, Spark's hash agg does it in the same pass)
+        case "Count" if ac.children.headOption.exists(_.name == "Distinct") =>
+          val d = ac.children.head
+          val f = d.fieldArg.getOrElse(
+            sys.error("GroupBy aggregate Count(Distinct): field required"))
+          countDistinct(col(f)).as("agg")
         case "Count" => count(lit(1)).as("agg")
         case other   => sys.error(s"GroupBy aggregate $other unsupported")
       }
