@@ -112,4 +112,38 @@ object Mutation {
   /** Delete by materialized `_id` set — anti join, never collected. */
   def deleteIds(df: DataFrame, ids: DataFrame): DataFrame =
     df.join(ids.select(col("_id")), Seq("_id"), "left_anti")
+
+  /** Bulk Set: apply `Set(id, field=value)` for EVERY row of `writes`
+    * (`_id`, `value` string, `seq` apply order) in ONE full-outer join —
+    * the reference's /import endpoints are its bulk-ingest path
+    * (`reference/http_handler.go:517-520`), so a million-bit import must be
+    * one shuffle, not a million stacked plan layers.
+    *
+    * Semantics per [[set]]: scalar/mutex — last value per id wins (apply
+    * order); set field — every value becomes a member; unseen ids create
+    * records (existence-bit parity), other fields null. */
+  def setBulk(df: DataFrame, field: String, writes: DataFrame): DataFrame = {
+    val idType = df.schema("_id").dataType
+    val incoming =
+      if (isSet(df, field)) {
+        val et = df.schema(field).dataType.asInstanceOf[ArrayType].elementType
+        writes.groupBy(col("_id").cast(idType).as("_id"))
+          .agg(collect_set(col("value").cast(et)).as("_new"))
+      } else
+        writes.groupBy(col("_id").cast(idType).as("_id"))
+          .agg(max_by(col("value"), col("seq"))
+            .cast(df.schema(field).dataType).as("_new"))
+    df.join(incoming, Seq("_id"), "full_outer")
+      .select(df.schema.fields.map { f =>
+        val c =
+          if (f.name != field) col(f.name)
+          else if (isSet(df, field))
+            when(col("_new").isNotNull,
+              array_distinct(concat(coalesce(col(f.name), array().cast(f.dataType)),
+                col("_new"))))
+              .otherwise(col(f.name))
+          else coalesce(col("_new"), col(f.name))
+        c.cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+  }
 }

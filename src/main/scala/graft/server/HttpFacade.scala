@@ -40,6 +40,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
   private def tableState(name: String): DataFrame =
     state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
 
+  /** Writes since the last materialization, per table. */
+  private val writesSince =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+
+  /** Successor states stack lazily (Catalyst's ProjectCollapsing fuses the
+    * narrow per-write projections) and materialize every Nth write — the
+    * round-1 per-request localCheckpoint re-wrote O(table) on EVERY write
+    * program; now that cost is amortized 1/16 and a read between writes
+    * still sees the exact committed state. */
+  private def commitState(name: String, next: DataFrame): Unit = {
+    val before = state.get(name)
+    if (next ne before) {
+      val n = writesSince.merge(name, 1, (a, b) => a + b)
+      state.put(name, if (n % 16 == 0) next.localCheckpoint() else next)
+    }
+  }
+
   def start(): Int = {
     graft.core.Tables.registerAll(spark, dir)
     server.createContext("/sql", handler { body =>
@@ -54,26 +71,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
             val (result, next) =
               graft.pql.Pql.programOn(tableState(idx), idx, body)
             val wire = toWire(result) // materialize before exposing new state
-            state.put(idx, next.localCheckpoint())
+            commitState(idx, next)
             wire
           case Array("index", idx, "field", field, "import") =>
             // CSV lines `id,value` applied with Set semantics (the
             // reference's `/import` endpoints, `http_handler.go:517-520`;
             // wire format here is CSV instead of the roaring/proto encoding)
-            var t = tableState(idx)
-            val keyed = t.schema("_id").dataType ==
-              org.apache.spark.sql.types.StringType
-            body.linesIterator.filter(_.nonEmpty).foreach { line =>
-              val Array(id, v) = line.split(",", 2)
-              val idVal: Any = if (keyed) id.trim else id.trim.toLong
-              t = graft.core.Mutation.set(t, idVal, field,
-                org.apache.spark.sql.functions.lit(v.trim)
-                  .cast(t.schema(field).dataType match {
-                    case org.apache.spark.sql.types.ArrayType(e, _) => e
-                    case other => other
-                  }))
-            }
-            state.put(idx, t.localCheckpoint())
+            // bulk path: ALL lines apply through ONE full-outer join
+            // (Mutation.setBulk) — per-line plan stacking would make a
+            // million-bit import a million-node analysis tree
+            val t = tableState(idx)
+            import spark.implicits._
+            val writes = body.linesIterator.filter(_.nonEmpty).zipWithIndex
+              .map { case (line, i) =>
+                val Array(id, v) = line.split(",", 2)
+                (id.trim, v.trim, i.toLong)
+              }.toSeq.toDF("_id", "value", "seq")
+            commitState(idx, graft.core.Mutation.setBulk(t, field, writes))
             s"""{"imported":true}"""
           case _ => sys.error(
             s"expected /index/{i}/query or /index/{i}/field/{f}/import, got ${ex.getRequestURI.getPath}")

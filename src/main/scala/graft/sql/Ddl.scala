@@ -188,7 +188,8 @@ object Ddl {
         require(spark.catalog.tableExists(ft), s"foreign table '$ft' not found")
       }
       foreignKeys(name.toLowerCase) = fks
-      emptyDf(spark, schema).createOrReplaceTempView(name)
+      graft.core.TableLog.replace(spark, name, emptyDf(spark, schema),
+        checkpoint = false)
       ack(spark, s"created table $name")
 
     case CreateViewRe(name, body) =>
@@ -207,15 +208,12 @@ object Ddl {
       upsert(spark, name, alignTo(incoming, target.schema, cols, name))
 
     case DeleteRe(name, whereOpt) =>
-      val t = spark.table(name)
-      val next = Option(whereOpt).filter(_ != null) match {
-        case Some(w) => t.filter(!coalesce(expr(w), lit(false)))
-        case None    => emptyDf(spark, t.schema)
-      }
-      checkpointView(spark, name, next)
+      graft.core.TableLog.delete(spark, name,
+        Option(whereOpt).filter(_ != null).map(expr))
       ack(spark, s"deleted from $name")
 
     case DropRe(_, name) =>
+      graft.core.TableLog.forget(spark, name)
       spark.catalog.dropTempView(name)
       ack(spark, s"dropped $name")
 
@@ -227,7 +225,7 @@ object Ddl {
       val s = spark.table(src)
       val out = Option(whereOpt).filter(_ != null)
         .map(w => s.filter(expr(w))).getOrElse(s)
-      checkpointView(spark, tgt, out)
+      graft.core.TableLog.replace(spark, tgt, out, checkpoint = true)
       ack(spark, s"copied $src to $tgt")
 
     case ExplainRe(body) =>
@@ -238,16 +236,19 @@ object Ddl {
       plan.split("\n").toSeq.toDF("plan")
 
     case AlterAddRe(name, colName, tpe) =>
-      checkpointView(spark, name,
-        spark.table(name).withColumn(colName, lit(null).cast(sparkType(tpe))))
+      graft.core.TableLog.replace(spark, name,
+        spark.table(name).withColumn(colName, lit(null).cast(sparkType(tpe))),
+        checkpoint = true)
       ack(spark, s"added $colName to $name")
 
     case AlterDropRe(name, colName) =>
-      checkpointView(spark, name, spark.table(name).drop(colName))
+      graft.core.TableLog.replace(spark, name, spark.table(name).drop(colName),
+        checkpoint = true)
       ack(spark, s"dropped $colName from $name")
 
     case AlterRenameRe(name, from, to) =>
-      checkpointView(spark, name, spark.table(name).withColumnRenamed(from, to))
+      graft.core.TableLog.replace(spark, name,
+        spark.table(name).withColumnRenamed(from, to), checkpoint = true)
       ack(spark, s"renamed $from to $to in $name")
 
     case CreateDbRe(ifNotExists, name, withOpts) =>
@@ -330,26 +331,12 @@ object Ddl {
 
   /** INSERT is an upsert on `_id` — a re-inserted record replaces the old one
     * (mutex replace on every field, `reference/field.go:352-365`; with Delta
-    * this is MERGE WHEN MATCHED UPDATE). */
+    * this is MERGE WHEN MATCHED UPDATE). Routed through the log-structured
+    * [[graft.core.TableLog]]: cost is O(incoming), never O(table). */
   private def upsert(spark: SparkSession, name: String, incoming: DataFrame): DataFrame = {
-    val target = spark.table(name)
-    val next =
-      if (target.columns.contains("_id") && incoming.columns.contains("_id"))
-        target.join(incoming.select("_id"), Seq("_id"), "left_anti")
-          .unionByName(incoming)
-      else target.unionByName(incoming)
-    checkpointView(spark, name, next)
+    graft.core.TableLog.upsert(spark, name, incoming)
     ack(spark, s"inserted into $name")
   }
-
-  /** Re-register a view with new contents. Materializes first — the view's
-    * plan must not reference the view being replaced (self-reference), and
-    * chained DML would otherwise stack unbounded plans. localCheckpoint
-    * stores partitions on executors (never the driver), so BULK INSERT of an
-    * arbitrarily large source stays distributed; prod swaps this for a Delta
-    * table write. */
-  private def checkpointView(spark: SparkSession, name: String, df: DataFrame): Unit =
-    df.localCheckpoint().createOrReplaceTempView(name)
 
   // ------------------------------------------------------------- BULK INSERT
 

@@ -99,4 +99,28 @@ class MutationSpec extends SparkSpec {
     assert(out.head.getLong(0) ==
       orders.filter(col("o_orderstatus") =!= "F").count())
   }
+
+  test("setBulk: one join applies many writes — mutex last-wins, set add, creation") {
+    import spark.implicits._
+    val freshId = orders.agg(max(col("_id"))).head.getLong(0) + 500
+    // two writes to id 7 (last wins), one to an unseen id (creates record)
+    val writes = Seq(("7", "Y", 0L), ("7", "Z", 1L), (freshId.toString, "N", 2L))
+      .toDF("_id", "value", "seq")
+    val after = Mutation.setBulk(orders, "o_orderstatus", writes)
+    assert(after.count() == orders.count() + 1)
+    assert(after.filter(col("_id") === 7)
+      .select("o_orderstatus").head.getString(0) == "Z")
+    assert(after.filter(col("_id") === freshId)
+      .select("o_orderstatus").head.getString(0) == "N")
+    // untouched record unchanged
+    assert(after.filter(col("_id") === 1).select("o_orderstatus").head ==
+      orders.filter(col("_id") === 1).select("o_orderstatus").head)
+
+    // set field: every value becomes a member, dedup on write
+    val setWrites = Seq(("3", "zz_a", 0L), ("3", "zz_b", 1L), ("3", "zz_a", 2L))
+      .toDF("_id", "value", "seq")
+    val docsAfter = Mutation.setBulk(docs, "words", setWrites)
+    val ws = docsAfter.filter(col("_id") === 3).select("words").head.getSeq[String](0)
+    assert(ws.count(_ == "zz_a") == 1 && ws.contains("zz_b"))
+  }
 }
