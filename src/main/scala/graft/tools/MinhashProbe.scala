@@ -31,6 +31,10 @@ object MinhashProbe {
       Dedup.shingledPosting(base, "doc_id", "text"), 128))
     time2("full")(Dedup.minhashPairs(
       Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
+    time2("full2")(Dedup.minhashPairs(
+      Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
+    time2("full3")(Dedup.minhashPairs(
+      Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
     spark.stop()
   }
 }
