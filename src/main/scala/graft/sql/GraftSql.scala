@@ -88,7 +88,97 @@ object GraftSql {
     GetStructField(agg, 1, Some("v"))
   }
 
+  /** Reference type-checker parity (`sql3/test/defs/defs_aggregate.go`):
+    * COUNT takes a column or `*` — never a literal (COUNT(1) errors while
+    * COUNT(*) is fine, `defs_aggregate.go:36-44`), and no other aggregate
+    * takes `*`. Textual because Spark normalizes COUNT(*) to Count(1) during
+    * analysis, making the two indistinguishable in the plan. */
+  private val CountLitRe = raw"(?i)\bCOUNT\s*\(\s*\d+(?:\.\d+)?\s*\)".r
+  private val StarAggRe =
+    raw"(?i)\b(SUM|AVG|MIN|MAX|VAR|CORR|FIRST|LAST|PERCENTILE)\s*\(\s*\*".r
+  private def validateDialect(query: String): Unit =
+    if (CountLitRe.findFirstIn(query).isDefined ||
+        StarAggRe.findFirstIn(query).isDefined)
+      sys.error("column reference expected")
+
+  /** `_id` is the record key, not a value — the reference rejects it inside
+    * every aggregate except COUNT (`defs_aggregate.go:245,334,483,789,852`).
+    * Checked on the analyzed plan BEFORE the FIRST/LAST rewrite (which
+    * legitimately injects `_id` into its ordering struct). */
+  private def checkIdAggregates(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    plan.foreach {
+      case agg: Aggregate =>
+        agg.aggregateExpressions.foreach(_.foreach {
+          case ae: AggregateExpression
+              if ae.aggregateFunction.prettyName != "count" &&
+                 ae.aggregateFunction.references.exists(_.name == "_id") =>
+            val n = ae.aggregateFunction.prettyName match {
+              case "var_pop" => "var"
+              case other     => other
+            }
+            sys.error(s"_id column cannot be used in aggregate function '$n'")
+          // Spark ANSI implicitly casts string→double under sum/avg/var and
+          // only fails at RUNTIME (CAST_INVALID_INPUT); the reference's
+          // type checker rejects at plan time (`defs_aggregate.go:346,864`).
+          // An implicit (non-user) Cast from string marks exactly that case.
+          case ae: AggregateExpression
+              if Set("sum", "avg", "var_pop", "corr")(ae.aggregateFunction.prettyName) &&
+                 ae.aggregateFunction.children.exists(_.exists {
+                   case c: Cast =>
+                     c.child.dataType == org.apache.spark.sql.types.StringType &&
+                       c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty
+                   case _ => false
+                 }) =>
+            if (ae.aggregateFunction.prettyName == "corr")
+              sys.error("integer, decimal or timestamp expression expected")
+            else sys.error("integer or decimal expression expected")
+          case _ => ()
+        })
+      case _ => ()
+    }
+
+  /** Spark's DATATYPE_MISMATCH on an aggregate → the reference's own
+    * type-error wording (`defs_aggregate.go:346,801,864`). */
+  private def translateErrors[T](f: => T): T =
+    try f catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("DATATYPE_MISMATCH") &&
+             raw"""(?i)"(sum|avg|var_pop|variance|stddev)""".r
+               .findFirstIn(e.getMessage).isDefined =>
+        sys.error("integer or decimal expression expected")
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("DATATYPE_MISMATCH") &&
+             e.getMessage.toLowerCase.contains("corr") =>
+        sys.error("integer, decimal or timestamp expression expected")
+    }
+
+  /** `FROM t WITH (FLATTEN(setcol))` query hint (`defs_groupby.go:284-463`,
+    * planner `sql3/planner/compilequery.go` hint handling): DISTINCT and
+    * GROUP BY treat the set column per-MEMBER — each row explodes to one row
+    * per member with the column rebuilt as a singleton set. Expressed as an
+    * explode subquery so Catalyst plans it like any other Generate.
+    * (Divergence: the reference silently ignores the hint on multi-set-column
+    * DISTINCT; here flatten always applies — strictly more consistent.) */
+  private val HintRe = raw"(?i)\b(\w+)\s+WITH\s*\(\s*(\w+)\s*\(([^()]*)\)\s*\)".r
+  private def applyHints(spark: SparkSession, q: String): String =
+    HintRe.replaceAllIn(q, m => {
+      val (tbl, hint, argsStr) = (m.group(1), m.group(2), m.group(3))
+      if (hint.toLowerCase != "flatten")
+        sys.error(s"unknown query hint '${hint.toLowerCase}'")
+      val args = argsStr.split(",").map(_.trim).filter(_.nonEmpty)
+      if (args.length != 1)
+        sys.error("query hint 'flatten' expected 1 parameter(s) " +
+          s"(column name), got ${args.length} parameters")
+      val c = args(0)
+      if (!spark.table(tbl).schema.fieldNames.contains(c))
+        sys.error(s"column '$c' not found")
+      java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT * EXCEPT($c), array(__flat) AS $c " +
+        s"FROM (SELECT *, explode($c) AS __flat FROM $tbl)) AS $tbl")
+    })
+
   private def dialectFix(spark: SparkSession, df: DataFrame): DataFrame = {
+    checkIdAggregates(df.queryExecution.analyzed)
     val withFirstLast = df.queryExecution.analyzed.transform {
       case agg: Aggregate =>
         agg.child.output.find(_.name == "_id") match {
@@ -119,21 +209,40 @@ object GraftSql {
     (raw"(?is)^\s*SELECT\s+PERCENTILE\s*\(\s*(\w+)\s*,\s*(\d+(?:\.\d+)?)\s*\)" +
      raw"(?:\s+AS\s+(\w+))?\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?;?\s*$$").r
 
-  private def percentilePushdown(spark: SparkSession, query: String): Option[DataFrame] =
+  private val PercCallRe =
+    raw"(?i)\bPERCENTILE\s*\(\s*([^,()]*?)\s*,\s*([^()]*?)\s*\)".r
+
+  private def percentilePushdown(spark: SparkSession, query: String): Option[DataFrame] = {
+    if (raw"(?i)\bPERCENTILE\s*\(".r.findFirstIn(query).isEmpty) return None
+    // argument-shape errors, reference wording (`defs_aggregate.go:460-501`)
+    PercCallRe.findFirstMatchIn(query).foreach { m =>
+      val (a1, a2) = (m.group(1).trim, m.group(2).trim)
+      if (a1 == "*" || a1.matches(raw"-?\d+(?:\.\d+)?"))
+        sys.error("column reference expected")
+      if (a1.equalsIgnoreCase("_id"))
+        sys.error("_id column cannot be used in aggregate function 'percentile'")
+      if (!a2.matches(raw"-?\d+(?:\.\d+)?"))
+        sys.error("literal expression expected")
+    }
     PercentileRe.findFirstMatchIn(query).map { m =>
       val (field, nth, alias, tbl, whereOpt) =
         (m.group(1), m.group(2), Option(m.group(3)), m.group(4), Option(m.group(5)))
       val base = spark.table(tbl)
+      base.schema(field).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case org.apache.spark.sql.types.TimestampType  => ()
+        case _ => sys.error("integer, decimal or timestamp expression expected")
+      }
+      // divergence: the reference also rejects WHERE (`defs_aggregate.go:
+      // 501`) because its PQL pushdown can't carry a filter; ours can
+      // (Row-filtered bisection), so the filtered form is supported.
       val t = whereOpt.map(w =>
         base.filter(org.apache.spark.sql.functions.expr(rewrite(w)))).getOrElse(base)
       val out = new graft.pql.Compiler(t)
         .run(graft.pql.Parser.parseOne(s"Percentile(field=$field, nth=$nth)"))
       alias.map(a => out.withColumnRenamed("val", a)).getOrElse(out)
-    }.orElse {
-      if (raw"(?i)\bPERCENTILE\s*\(".r.findFirstIn(query).isDefined)
-        sys.error("Percentile call that can't be pushed down to PQL")
-      else None
-    }
+    }.orElse(sys.error("Percentile call that can't be pushed down to PQL"))
+  }
 
   /** Run one reference-dialect SQL query against the tables in `dir`. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
@@ -141,8 +250,12 @@ object GraftSql {
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
-    else percentilePushdown(spark, query).getOrElse(
-      dialectFix(spark, spark.sql(rewrite(query))))
+    else {
+      validateDialect(query)
+      val hinted = applyHints(spark, query)
+      percentilePushdown(spark, hinted).getOrElse(
+        translateErrors(dialectFix(spark, spark.sql(rewrite(hinted)))))
+    }
   }
 
   /** Run a statement with no table dir (DDL-driven sessions). */
@@ -150,7 +263,11 @@ object GraftSql {
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
-    else percentilePushdown(spark, query).getOrElse(
-      dialectFix(spark, spark.sql(rewrite(query))))
+    else {
+      validateDialect(query)
+      val hinted = applyHints(spark, query)
+      percentilePushdown(spark, hinted).getOrElse(
+        translateErrors(dialectFix(spark, spark.sql(rewrite(hinted)))))
+    }
   }
 }

@@ -142,4 +142,62 @@ class DefsSpec extends SparkSpec {
     check("SELECT count(*) AS c FROM at WHERE t1 >= '2024-01-01T00:00:00'",
       Set(Seq(2L)))
   }
+
+  private def expectErr(q: String, msg: String): Unit = {
+    val e = intercept[Exception](run(q).collect())
+    assert(e.getMessage.contains(msg), s"for: $q got: ${e.getMessage}")
+  }
+
+  test("aggregate type checking — defs_aggregate.go error semantics") {
+    // COUNT takes a column or `*`, never a literal (defs_aggregate.go:36-44)
+    expectErr("SELECT COUNT(1) AS c FROM at", "column reference expected")
+    check("SELECT COUNT(*) AS c FROM at", Set(Seq(3L)))
+    check("SELECT COUNT(_id) AS c FROM at", Set(Seq(3L)))
+    // `*` is COUNT-only (defs_aggregate.go:236,326)
+    expectErr("SELECT sum(*) AS s FROM at", "column reference expected")
+    expectErr("SELECT avg(*) AS a FROM at", "column reference expected")
+    // _id is the record key, not a value (defs_aggregate.go:245,334,789,852)
+    expectErr("SELECT sum(_id) AS s FROM at",
+      "_id column cannot be used in aggregate function 'sum'")
+    expectErr("SELECT avg(_id) AS a FROM at",
+      "_id column cannot be used in aggregate function 'avg'")
+    expectErr("SELECT corr(_id, i1) AS c FROM at",
+      "_id column cannot be used in aggregate function 'corr'")
+    // ...but sum over a literal and count over a column are legal
+    check("SELECT sum(1) AS s FROM at", Set(Seq(3L)))
+    check("SELECT count(i1) AS c FROM at", Set(Seq(2L)))
+    // aggregate over a non-numeric column (defs_aggregate.go:346)
+    expectErr("SELECT avg(s1) AS a FROM at",
+      "integer or decimal expression expected")
+  }
+
+  test("flatten query hint — defs_groupby.go:284-463") {
+    // DISTINCT per-member: each set member becomes a singleton set row
+    check("SELECT DISTINCT ss1 FROM at WITH (FLATTEN(ss1))",
+      Set(Seq(List("101")), Seq(List("102")), Seq(List("201"))))
+    // GROUP BY per-member
+    check("SELECT count(*) AS c, ss1 FROM at WITH (FLATTEN(ss1)) GROUP BY ss1",
+      Set(Seq(1L, List("101")), Seq(1L, List("102")), Seq(1L, List("201"))))
+    // unflattened baseline unchanged
+    check("SELECT DISTINCT ss1 FROM at WHERE ss1 IS NOT NULL",
+      Set(Seq(List("101", "102")), Seq(List("201"))))
+    // hint errors, reference wording
+    expectErr("SELECT DISTINCT ss1 FROM at WITH (FLATTER(foo))",
+      "unknown query hint 'flatter'")
+    expectErr("SELECT DISTINCT ss1 FROM at WITH (FLATTEN(foo))",
+      "column 'foo' not found")
+    expectErr("SELECT DISTINCT ss1 FROM at WITH (FLATTEN(ss1, ids1))",
+      "query hint 'flatten' expected 1 parameter(s) (column name), got 2 parameters")
+  }
+
+  test("percentile argument shapes — defs_aggregate.go:460-501") {
+    expectErr("SELECT percentile(10, i1) AS p FROM at",
+      "column reference expected")
+    expectErr("SELECT percentile(_id, 50) AS p FROM at",
+      "_id column cannot be used in aggregate function 'percentile'")
+    expectErr("SELECT percentile(i1, d1) AS p FROM at",
+      "literal expression expected")
+    expectErr("SELECT percentile(s1, 50) AS p FROM at",
+      "integer, decimal or timestamp expression expected")
+  }
 }
