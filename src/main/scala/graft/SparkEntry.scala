@@ -82,6 +82,14 @@ object SparkEntry {
       new graft.pql.Compiler(li).run(graft.pql.Parser.parseOne(
         "Count(Row(l_price_dec >< [1000.50, 20000.25]))"))
     }),
+    // decimalSum GroupBy aggregate shape (`executor.go` NewGroupCounts
+    // aggregate type "decimalSum"): exact scaled arithmetic per group
+    "pql_groupby_sum_decimal" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").withColumn("l_price_dec",
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      new graft.pql.Compiler(li).run(graft.pql.Parser.parseOne(
+        "GroupBy(Rows(l_returnflag), aggregate=Sum(field=l_price_dec))"))
+    }),
     "pql_min" -> pqlQ("part", "Min(field=p_size)"),
     "pql_max" -> pqlQ("part", "Max(field=p_size)"),
     "pql_minrow" -> pqlQ("lineitem", "MinRow(field=l_returnflag)"),
@@ -223,6 +231,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "pql_topk" -> ("SELECT w AS val, count(*) AS cnt FROM (SELECT unnest(list_distinct(" +
       "list_filter(string_split(text, ' '), x -> x <> ''))) AS w FROM documents) " +
       "GROUP BY 1 ORDER BY cnt DESC, val ASC LIMIT 10"),
+    "pql_groupby_sum_decimal" -> ("SELECT l_returnflag, count(*) AS cnt, " +
+      "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS agg " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "pql_groupby" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "sum(l_quantity) AS agg FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
     "pql_groupby_distinct" -> ("SELECT l_returnflag, count(*) AS cnt, " +
@@ -316,6 +327,11 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     // SQL PERCENTILE is the PQL bisection pushdown (`expressionagg.go:883`)
     "sql_percentile" -> sqlQ(
       "SELECT PERCENTILE(p_size, 90) AS val FROM part WHERE p_retailprice > 950"),
+    // WITH (FLATTEN(set)) hint: DISTINCT/GROUP BY per set member
+    // (`defs_groupby.go:284-463`)
+    "sql_flatten" -> sqlQ(
+      "SELECT count(*) AS cnt, lang, words FROM documents WITH (FLATTEN(words)) " +
+        "WHERE lang = 'fr' GROUP BY lang, words"),
     "sql_setcontains" -> sqlQ(
       "SELECT count(*) AS cnt FROM documents WHERE SETCONTAINS(words, 'spark')"),
     "sql_setcontainsall" -> sqlQ(
@@ -390,6 +406,10 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "(SELECT l_linestatus FROM lineitem WHERE l_linestatus IS NOT NULL " +
       "ORDER BY l_orderkey*8+l_linenumber DESC LIMIT 1) AS l"),
     "sql_percentile" -> percentileOracle("part", "p_size", 90, "p_retailprice > 950"),
+    "sql_flatten" -> ("SELECT count(*) AS cnt, lang, [w] AS words FROM " +
+      "(SELECT lang, unnest(list_distinct(list_filter(string_split(text, ' '), " +
+      "x -> x <> ''))) AS w FROM documents WHERE lang = 'fr') " +
+      "GROUP BY lang, w"),
     "sql_setcontains" -> ("SELECT count(*) AS cnt FROM documents " +
       "WHERE list_contains(string_split(text, ' '), 'spark')"),
     "sql_setcontainsall" -> ("SELECT count(*) AS cnt FROM documents " +
