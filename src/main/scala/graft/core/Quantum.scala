@@ -65,9 +65,13 @@ object Quantum {
     t.atOffset(java.time.ZoneOffset.UTC).toInstant
 
   /** Parse a PQL/SQL time literal: '2024-01-05', '2024-01-05T10:30',
-    * '2024-01-05T10:30:00' (T or space separator). */
+    * '2024-01-05T10:30:00', with optional trailing zone offset
+    * ('…T00:00:00Z', reference literal style) normalized to UTC. */
   def parseLdt(s: String): LocalDateTime = {
     val t = s.replace(' ', 'T')
+    if (t.exists(c => c == 'Z' || c == '+') || t.count(_ == '-') > 2)
+      return java.time.OffsetDateTime.parse(t)
+        .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
     val full = t.length match {
       case 10 => t + "T00:00:00"
       case 13 => t + ":00:00"

@@ -200,9 +200,12 @@ object Ddl {
       val target = spark.table(name)
       val cols = Option(colsOpt).filter(_ != null).map(topSplit(_, ',').map(_.trim))
         .getOrElse(target.columns.toSeq)
-      // `[a, b]` set literals (reference syntax) → array(a, b); quote-aware —
-      // brackets inside string literals must survive (e.g. VALUES (1, 'a[0]'))
-      val vals = GraftSql.bracketsToArray(values.trim.stripSuffix(";"))
+      // `[a, b]` set literals → array(a, b) and `{ts, [..]}` time-quantum
+      // tuple literals (`reference/sql3/parser/ast.go:4759` TupleLiteralExpr)
+      // → struct(ts, array(..)); both quote-aware — brackets/braces inside
+      // string literals must survive (e.g. VALUES (1, 'a[0]'))
+      val vals = GraftSql.bracketsToArray(
+        bracesToStruct(values.trim.stripSuffix(";")))
       val incoming = spark.sql(s"SELECT * FROM VALUES $vals")
         .toDF(cols: _*)
       upsert(spark, name, alignTo(incoming, target.schema, cols, name))
@@ -305,6 +308,117 @@ object Ddl {
     case other => sys.error(s"unsupported DDL: $other")
   }
 
+  /** `{a, b}` → `struct(a, b)`, quote-aware (braces in string literals
+    * survive). Reference tuple-literal syntax, `parser.go` `{` VALUES. */
+  private def bracesToStruct(q: String): String = {
+    val b = new StringBuilder
+    var quote: Char = 0
+    q.foreach { c =>
+      if (quote != 0) { b += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; b += c
+        case '{'        => b ++= "struct("
+        case '}'        => b += ')'
+        case _          => b += c
+      }
+    }
+    b.toString
+  }
+
+  /** Quantum-set column shape: array<struct<value, ts>> (SURVEY §1.2). */
+  private[sql] def isSetq(dt: DataType): Boolean = dt match {
+    case ArrayType(s: StructType, _) =>
+      s.fieldNames.contains("value") && s.fieldNames.contains("ts")
+    case _ => false
+  }
+
+  /** Reference type name for error wording
+    * (`reference/sql3/parser/astdatatype.go:10-26`; tuple naming per
+    * `defs_timequantum.go` expected errors). */
+  private def refName(dt: DataType): String = dt match {
+    case StringType                       => "string"
+    case LongType | IntegerType |
+         ShortType | ByteType             => "int"
+    case BooleanType                      => "bool"
+    case TimestampType                    => "timestamp"
+    case _: DecimalType                   => "decimal"
+    case ArrayType(StringType, _)         => "stringset"
+    case ArrayType(LongType | IntegerType, _) => "idset"
+    case a @ ArrayType(s: StructType, _) if isSetq(a) =>
+      if (s("value").dataType == StringType) "stringsetq" else "idsetq"
+    case s: StructType =>
+      "tuple(" + s.fields.map(f => refName(f.dataType)).mkString(", ") + ")"
+    case ArrayType(NullType, _)           => "stringset"
+    case other                            => other.simpleString
+  }
+
+  /** Bind an incoming value column to a SETQ target: plain set literals get
+    * the statement's batch time, `{ts, [..]}` tuples their own view time —
+    * the reference's FieldTypeTime import path (`reference/sql3/planner/
+    * opinsert.go:259-330`: plain slice → `row.Time = qbatchTime`, tuple →
+    * member[0] coerced to timestamp, member[1] the set). Mis-shaped
+    * assignments raise the reference's type-checker wording. */
+  private def bindSetq(df: DataFrame, f: StructField, c: Column): Column = {
+    val elemT = f.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("value").dataType
+    val qname = refName(f.dataType)
+    def entry(x: Column, ts: Column) =
+      struct(x.cast(elemT).as("value"), ts.as("ts"))
+    def setOk(e: DataType): Boolean = (e, elemT) match {
+      case (NullType, _)          => true
+      case (StringType, StringType) => true
+      case (_: NumericType, LongType) => true
+      case _                      => false
+    }
+    df.schema(f.name).dataType match {
+      // already quantum-shaped (COPY, table-to-table) — pass through
+      case a: ArrayType if isSetq(a) => c.cast(f.dataType)
+      case st: StructType if st.fields.length == 2 =>
+        (st.fields(0).dataType, st.fields(1).dataType) match {
+          case (tsT, ArrayType(e, _))
+              if setOk(e) && (tsT == StringType || tsT == TimestampType ||
+                              tsT.isInstanceOf[NumericType]) =>
+            validateTupleTs(df, f.name, st) // after shape check, like coerceValue
+            val tsm = c.getField(st.fields(0).name)
+            val ts = tsT match {
+              case TimestampType  => tsm
+              case StringType     => tsm.cast(TimestampType)
+              case _              => timestamp_seconds(tsm.cast(LongType))
+            }
+            transform(c.getField(st.fields(1).name), x => entry(x, ts))
+          case _ =>
+            sys.error(s"an expression of type '${refName(st)}' cannot be " +
+              s"assigned to type '$qname'")
+        }
+      case ArrayType(e, _) if setOk(e) =>
+        // plain set literal: all views at batch time (qbatchTime)
+        transform(c, x => entry(x, lit(java.sql.Timestamp.from(
+          java.time.Instant.now())).cast(TimestampType)))
+      case other =>
+        sys.error(s"an expression of type '${refName(other)}' cannot be " +
+          s"assigned to type '$qname'")
+    }
+  }
+
+  /** Tuple timestamp members must convert; the reference raises at statement
+    * time (`opinsert.go:284` coerceValue), so validate the literal values
+    * driver-side — INSERT VALUES data is O(statement), never a table scan. */
+  private def validateTupleTs(df: DataFrame, colName: String,
+                              st: StructType): Unit = {
+    if (st.fields(0).dataType == StringType) {
+      val tsField = st.fields(0).name
+      df.select(col(colName).getField(tsField)).distinct().collect()
+        .map(_.getString(0)).filter(_ != null).foreach { v =>
+          val ok = Seq[String => Any](
+            s => java.time.OffsetDateTime.parse(s),
+            s => java.time.LocalDateTime.parse(s),
+            s => java.time.LocalDate.parse(s)
+          ).exists(p => scala.util.Try(p(v)).isSuccess)
+          if (!ok) sys.error(s"unable to convert '$v' to type 'timestamp'")
+        }
+    }
+  }
+
   /** Align `df`'s provided columns to the target schema: cast provided,
     * null-fill missing. Integer values bound for a TIMESTAMP column with a
     * declared TIMEUNIT are epoch offsets in that unit (`field.go:195-241`). */
@@ -318,10 +432,16 @@ object Ddl {
     val sel = schema.fields.map { f =>
       if (provided.contains(f.name)) {
         val c = col(f.name)
+        val inT = df.schema(f.name).dataType
         (f.dataType, units.get(f.name)) match {
-          case (TimestampType, Some((unit, epoch)))
-              if numeric(df.schema(f.name).dataType) =>
+          case (TimestampType, Some((unit, epoch))) if numeric(inT) =>
             graft.core.TimeUnits.epochToTimestamp(c, unit, epoch).as(f.name)
+          case (t, _) if isSetq(t) =>
+            bindSetq(df, f, c).as(f.name)
+          case (t, _) if inT.isInstanceOf[StructType] =>
+            // tuple literal bound to a non-quantum column
+            sys.error(s"an expression of type '${refName(inT)}' cannot be " +
+              s"assigned to type '${refName(t)}'")
           case _ => c.cast(f.dataType).as(f.name)
         }
       } else lit(null).cast(f.dataType).as(f.name)
@@ -332,9 +452,37 @@ object Ddl {
   /** INSERT is an upsert on `_id` — a re-inserted record replaces the old one
     * (mutex replace on every field, `reference/field.go:352-365`; with Delta
     * this is MERGE WHEN MATCHED UPDATE). Routed through the log-structured
-    * [[graft.core.TableLog]]: cost is O(incoming), never O(table). */
+    * [[graft.core.TableLog]]: cost is O(incoming), never O(table).
+    *
+    * Time-quantum set columns diverge from replace: the reference's import
+    * path ADDS view bits and never clears (`opinsert.go:259-330` builds batch
+    * rows; `defs_timequantum.go:87-118` shows five INSERTs to one `_id`
+    * accumulating), so SETQ values merge with the existing record's — a
+    * point-read of matching ids (semi join, AQE broadcasts the incoming side)
+    * plus an O(incoming) left join, the Delta MERGE source-join shape. */
   private def upsert(spark: SparkSession, name: String, incoming: DataFrame): DataFrame = {
-    graft.core.TableLog.upsert(spark, name, incoming)
+    val target  = spark.table(name)
+    val setqCols = target.schema.fields.filter(f => isSetq(f.dataType))
+    val merged =
+      if (setqCols.isEmpty || !incoming.columns.contains("_id")) incoming
+      else {
+        val old = target
+          .join(incoming.select("_id"), Seq("_id"), "left_semi")
+          .select((col("_id") +: setqCols.map(f => col(f.name).as(s"__old_${f.name}")))
+            .toIndexedSeq: _*)
+        val byName = setqCols.map(f => f.name -> f).toMap
+        incoming.join(old, Seq("_id"), "left")
+          .select(incoming.columns.map { cn =>
+            byName.get(cn) match {
+              case Some(f) =>
+                val o = col(s"__old_$cn")
+                when(o.isNull, col(cn)).when(col(cn).isNull, o)
+                  .otherwise(array_distinct(concat(o, col(cn)))).as(cn)
+              case None => col(cn)
+            }
+          }.toIndexedSeq: _*)
+      }
+    graft.core.TableLog.upsert(spark, name, merged)
     ack(spark, s"inserted into $name")
   }
 

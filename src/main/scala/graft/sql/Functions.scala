@@ -117,22 +117,42 @@ object Functions {
     // RANGEQ(quantumSetCol, from, to): any member timestamp in the range,
     // bounds snapped outward to the quantum's finest unit (SURVEY §1.2;
     // PQL lowering `reference/sql3/planner/expressionpql.go:99-160`).
-    "RANGEQ" -> (a => rangeq(a(0), a(1), a(2))),
+    "RANGEQ" -> (a => {
+      if (a.length != 3)
+        sys.error("'rangeq': count of formal parameters (3) does not match " +
+          s"count of actual parameters (${a.length})")
+      rangeq(a(0), a(1), a(2))
+    }),
   )
 
   private def rangeq(setCol: Expression, from: Expression, to: Expression): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LambdaFunction, LessThan, UnresolvedNamedLambdaVariable}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    // either bound may be NULL for an open range; both-null is the
+    // reference's error (its own wording, typo included —
+    // `sql3/planner/inbuiltfunctionsquantum.go` via defs_timequantum.go:127)
     def ldt(e: Expression) = e match {
-      case Literal(v, StringType) => graft.core.Quantum.parseLdt(v.toString)
+      case Literal(null, _)       => None
+      case Literal(v, StringType) => Some(graft.core.Quantum.parseLdt(v.toString))
       case other => sys.error(s"RANGEQ: from/to must be string literals, got $other")
     }
-    val (lo, hi) = graft.core.Quantum.quantizeRange(ldt(from), ldt(to), "YMDH")
+    val (fOpt, tOpt) = (ldt(from), ldt(to))
+    if (fOpt.isEmpty && tOpt.isEmpty)
+      sys.error("calling ranqeq() 'from' and 'to' parameters cannot both be null")
+    // snap whichever bounds exist outward to the quantum's finest unit; an
+    // open side simply contributes no predicate
     val m = UnresolvedNamedLambdaVariable(Seq("m"))
     val ts = asLtz(UnresolvedExtractValue(m, Literal("ts")))
-    val body = And(
-      GreaterThanOrEqual(ts, Literal(graft.core.Quantum.utc(lo))),
-      LessThan(ts, Literal(graft.core.Quantum.utc(hi))))
+    val preds = Seq(
+      fOpt.map { f =>
+        val (lo, _) = graft.core.Quantum.quantizeRange(f, f, "YMDH")
+        GreaterThanOrEqual(ts, Literal(graft.core.Quantum.utc(lo)))
+      },
+      tOpt.map { t =>
+        val (_, hi) = graft.core.Quantum.quantizeRange(t, t, "YMDH")
+        LessThan(ts, Literal(graft.core.Quantum.utc(hi)))
+      }).flatten
+    val body = preds.reduce[Expression]((x, y) => And(x, y))
     fn("exists", setCol, LambdaFunction(body, Seq(m)))
   }
 

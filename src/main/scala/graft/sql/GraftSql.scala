@@ -1,9 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, CreateNamedStruct, Divide, Expression, GetStructField, If, IntegralDivide, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayExists, ArrayFilter, Attribute, AttributeReference, Cast, CreateNamedStruct, Divide, Expression, GetStructField, If, IntegralDivide, IsNull, LambdaFunction, Literal, NamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, First, Last, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
 import org.apache.spark.sql.types.{DoubleType, ByteType, ShortType, IntegerType, LongType}
 import graft.core.Tables
 
@@ -177,9 +177,76 @@ object GraftSql {
         s"FROM (SELECT *, explode($c) AS __flat FROM $tbl)) AS $tbl")
     })
 
+  /** Deep-copy a resolved lambda with fresh variables (NamedLambdaVariable
+    * carries a mutable value slot — two HOFs must not share instances). */
+  private def freshLambda(lf: LambdaFunction): LambdaFunction = {
+    val mapping = lf.arguments.collect { case v: NamedLambdaVariable =>
+      v.exprId -> NamedLambdaVariable(v.name, v.dataType, v.nullable)
+    }.toMap
+    lf.transformUp {
+      case v: NamedLambdaVariable => mapping.getOrElse(v.exprId, v)
+    }.asInstanceOf[LambdaFunction]
+  }
+
+  /** `WHERE RANGEQ(col, from, to)` also scopes a projection of `col` to the
+    * members inside the range (`defs_timequantum.go:144-171`: the expected
+    * rows are the range-filtered member sets, not the full sets) — the SQL
+    * face of PQL `Rows(field, from=, to=)` view slicing. RANGEQ lowers to
+    * ArrayExists over the quantum-set struct; mirror its lambda as an
+    * ArrayFilter in the projection, exprId preserved so downstream operators
+    * still resolve. RANGEQ anywhere but WHERE is the reference's usage error
+    * (`defs_timequantum.go:139-142`). */
+  private def rangeqScope(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    def quantumExists(e: Expression) = e match {
+      case ArrayExists(a: AttributeReference, _, _) => Ddl.isSetq(a.dataType)
+      case _ => false
+    }
+    plan.foreach {
+      case p: Project =>
+        if (p.projectList.exists(_.exists(quantumExists)))
+          sys.error("calling ranqeq() usage invalid")
+      case a: Aggregate =>
+        if (a.aggregateExpressions.exists(_.exists(quantumExists)))
+          sys.error("calling ranqeq() usage invalid")
+      case _ =>
+    }
+    plan.transform {
+      case p @ Project(list, Filter(cond, child)) =>
+        val scoped = cond.collect {
+          case ArrayExists(a: AttributeReference, lf: LambdaFunction, _)
+              if Ddl.isSetq(a.dataType) => a.exprId -> (a, lf)
+        }.toMap
+        if (scoped.isEmpty) p
+        else {
+          // A self-referential alias (`filter(c#1) AS c#1`) is stripped by
+          // the optimizer, so stage it: scope the set under a FRESH exprId
+          // below the filter, re-point the filter, alias back on top so the
+          // query's output ids are unchanged.
+          val repl = scoped.map { case (id, (a, lf)) =>
+            id -> Alias(ArrayFilter(a, freshLambda(lf)), a.name)()
+          }
+          val mid = Project(
+            child.output.map(o => repl.getOrElse(o.exprId, o)), child)
+          val newCond = cond.transformUp {
+            case ar: AttributeReference if repl.contains(ar.exprId) =>
+              repl(ar.exprId).toAttribute
+          }
+          val newList = list.map {
+            case a: AttributeReference if repl.contains(a.exprId) =>
+              Alias(repl(a.exprId).toAttribute, a.name)(exprId = a.exprId)
+            case other => other.transformUp {
+              case ar: AttributeReference if repl.contains(ar.exprId) =>
+                repl(ar.exprId).toAttribute
+            }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
+          }
+          Project(newList, Filter(newCond, mid))
+        }
+    }
+  }
+
   private def dialectFix(spark: SparkSession, df: DataFrame): DataFrame = {
     checkIdAggregates(df.queryExecution.analyzed)
-    val withFirstLast = df.queryExecution.analyzed.transform {
+    val withFirstLast = rangeqScope(df.queryExecution.analyzed).transform {
       case agg: Aggregate =>
         agg.child.output.find(_.name == "_id") match {
           case Some(id) => agg.transformExpressions {

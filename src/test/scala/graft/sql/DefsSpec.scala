@@ -190,6 +190,62 @@ class DefsSpec extends SparkSpec {
       "query hint 'flatten' expected 1 parameter(s) (column name), got 2 parameters")
   }
 
+  test("time-quantum tuple literals — defs_timequantum.go") {
+    run("""CREATE TABLE tq (_id ID, i1 INT MIN 0 MAX 1000,
+          | ss1 STRINGSETQ TIMEQUANTUM 'YMD',
+          | ids1 IDSETQ TIMEQUANTUM 'YMD')""".stripMargin)
+    // plain set literals bind at batch time (defs_timequantum.go:15-21)
+    run("INSERT INTO tq (_id, i1, ss1, ids1) VALUES (1, 1, ['1'], [1])")
+    // epoch-seconds and ISO-string tuple timestamps (defs_timequantum.go:71-118)
+    run("INSERT INTO tq (_id, i1, ss1, ids1) VALUES " +
+      "(1, 3, {1676649734, ['test2']}, {1676649734, [2]})")
+    run("INSERT INTO tq (_id, i1, ss1, ids1) VALUES " +
+      "(1, 3, {'2022-01-01T00:00:00Z', ['test3']}, {'2022-01-01T00:00:00Z', [3]})")
+    // SETQ accumulates across INSERTs to one _id; scalar fields replace
+    val r = run("SELECT i1, ss1, ids1 FROM tq WHERE _id = 1").collect()(0)
+    assert(r.getAs[Long]("i1") == 3)
+    assert(r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet ==
+      Set("1", "test2", "test3"))
+    assert(r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // rangeq with an open end filters rows AND scopes the projected set to
+    // members in range (defs_timequantum.go:144-171 expected rows are the
+    // range-filtered subsets; 1676649734 = 2023-02-17Z, member 1 = batch time)
+    assert(rowsOf("SELECT ids1 FROM tq WHERE rangeq(ids1, '2023-01-01T00:00:00Z', null)")
+      .map(_.map { case l: List[_] => l.map(_.asInstanceOf[org.apache.spark.sql.Row].getLong(0)).toSet }) ==
+      Set(Seq(Set(1L, 2L))))
+    assert(rowsOf("SELECT _id FROM tq WHERE rangeq(ids1, null, '2022-06-01T00:00:00Z')")
+      == Set(Seq(1L)))
+    assert(rowsOf("SELECT _id FROM tq WHERE rangeq(ids1, '2030-01-01T00:00:00Z', null)")
+      == Set.empty[Seq[Any]])
+    // rangeq outside WHERE is a usage error (defs_timequantum.go:139-142)
+    expectErr("SELECT _id, rangeq(ss1, '2022-01-02T00:00:00Z', null) FROM tq",
+      "calling ranqeq() usage invalid")
+    // type-checker wording (defs_timequantum.go:23-69)
+    expectErr("INSERT INTO tq (_id, i1, ss1, ids1) VALUES (1, 1, {['1']}, [1])",
+      "an expression of type 'tuple(stringset)' cannot be assigned to type 'stringsetq'")
+    expectErr("INSERT INTO tq (_id, i1, ss1, ids1) VALUES (1, 1, ['1'], {[1]})",
+      "an expression of type 'tuple(idset)' cannot be assigned to type 'idsetq'")
+    expectErr("INSERT INTO tq (_id, i1, ss1, ids1) VALUES " +
+      "(1, 1, {'notatimestamp', ['1']}, [1])",
+      "unable to convert 'notatimestamp' to type 'timestamp'")
+    expectErr("INSERT INTO tq (_id, i1, ss1, ids1) VALUES " +
+      "(1, 1, {'2022-01-01T00:00:00Z', [1]}, {[1]})",
+      "an expression of type 'tuple(string, idset)' cannot be assigned to type 'stringsetq'")
+    expectErr("INSERT INTO tq (_id, i1, ss1, ids1) VALUES " +
+      "(1, 1, ['1'], {'2022-01-01T00:00:00Z', ['1']})",
+      "an expression of type 'tuple(string, stringset)' cannot be assigned to type 'idsetq'")
+    expectErr("INSERT INTO tq (_id, i1, ss1, ids1) VALUES (1, 1, '1', {[1]})",
+      "an expression of type 'string' cannot be assigned to type 'stringsetq'")
+    expectErr("INSERT INTO tq (_id, i1, ss1, ids1) VALUES (1, 1, ['1'], 1)",
+      "an expression of type 'int' cannot be assigned to type 'idsetq'")
+    // rangeq errors (defs_timequantum.go:119-143)
+    expectErr("SELECT _id FROM tq WHERE rangeq(ss1, '2022-01-02T00:00:00Z')",
+      "'rangeq': count of formal parameters (3) does not match count of actual parameters (2)")
+    expectErr("SELECT _id FROM tq WHERE rangeq(ss1, null, null)",
+      "calling ranqeq() 'from' and 'to' parameters cannot both be null")
+  }
+
   test("percentile argument shapes — defs_aggregate.go:460-501") {
     expectErr("SELECT percentile(10, i1) AS p FROM at",
       "column reference expected")
