@@ -390,6 +390,10 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus"),
     "sql_rangeq" -> sqlQ( // quantum membership (`inbuiltfunctionsquantum.go:43`)
       "SELECT count(*) AS cnt FROM user_events WHERE RANGEQ(types, '2024-03-05T10:30', '2024-03-10T13:30')"),
+    "sql_rangeq_scope" -> sqlQ( // WHERE RANGEQ scopes a projection of the set
+      // to members in range (`defs_timequantum.go:144-171` expected rows)
+      "SELECT _id, array_sort(transform(types, m -> m.value)) AS vals " +
+      "FROM user_events WHERE RANGEQ(types, '2024-03-05T10:30', '2024-03-10T13:30')"),
   )
 
   private val sqlOracles: Map[String, String] = Map(
@@ -453,6 +457,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "sql_distinct" -> "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
     "sql_rangeq" -> ("SELECT count(DISTINCT user_id) AS cnt FROM events " +
       "WHERE ts >= TIMESTAMP '2024-03-05 10:00:00' AND ts < TIMESTAMP '2024-03-10 14:00:00'"),
+    "sql_rangeq_scope" -> ("SELECT user_id AS _id, list_sort(list(event_type)) AS vals " +
+      "FROM events WHERE ts >= TIMESTAMP '2024-03-05 10:00:00' AND ts < TIMESTAMP '2024-03-10 14:00:00' " +
+      "GROUP BY user_id"),
   )
 
   // ------------------------- training-data pipeline ops (dedup/similarity/text)
