@@ -20,9 +20,12 @@ import org.apache.spark.sql.types._
 object Ddl {
 
   private val CreateTableRe =
-    raw"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*(\w.*)?$$".r
+    raw"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*(\w.*)?$$".r
   private val CreateViewRe =
-    raw"(?is)^\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*)$$".r
+    raw"(?is)^\s*CREATE\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$$".r
+  // ALTER VIEW v AS select … (`reference/sql3/test/defs/defs_views.go:81`)
+  private val AlterViewRe =
+    raw"(?is)^\s*ALTER\s+VIEW\s+(\w+)\s+AS\s+(.*)$$".r
   private val InsertRe =
     raw"(?is)^\s*(?:INSERT|REPLACE)\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)$$".r
   private val BulkInsertRe =
@@ -32,7 +35,7 @@ object Ddl {
   private val DeleteRe =
     raw"(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$$".r
   private val DropRe =
-    raw"(?is)^\s*DROP\s+(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$$".r
+    raw"(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$$".r
   private val ShowRe = raw"(?is)^\s*SHOW\s+.*$$".r
   // COPY src TO tgt [WHERE expr] [WITH URL '…' APIKEY '…']
   // (`reference/sql3/parser/parser.go:1174-1230`)
@@ -64,8 +67,9 @@ object Ddl {
   private val CommentRe = raw"(?i)\bCOMMENT\s+'([^']*)'".r
 
   def handles(q: String): Boolean = q match {
-    case CreateTableRe(_, _, _) | CreateViewRe(_, _) | InsertRe(_, _, _) |
-         DeleteRe(_, _) | DropRe(_, _) | CopyRe(_, _, _) | ExplainRe(_) |
+    case CreateTableRe(_, _, _, _) | CreateViewRe(_, _, _) | AlterViewRe(_, _) |
+         InsertRe(_, _, _) |
+         DeleteRe(_, _) | DropRe(_, _, _) | CopyRe(_, _, _) | ExplainRe(_) |
          TxnRe(_) | AlterAddRe(_, _, _) | AlterDropRe(_, _) |
          AlterRenameRe(_, _, _) | CreateDbRe(_, _, _) | AlterDbRe(_, _) |
          DropDbRe(_, _) => true
@@ -176,8 +180,19 @@ object Ddl {
     Seq(msg).toDF("status")
   }
 
+  /** Session view names (lowercased) — needed for the reference's
+    * view-vs-table error wording (`errors.go:615-669`). */
+  private val viewNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private def isView(spark: SparkSession, n: String) =
+    viewNames.contains((spark, n.toLowerCase))
+
   def run(spark: SparkSession, q: String): DataFrame = q match {
-    case CreateTableRe(name, cols, _) =>
+    case CreateTableRe(ine, name, cols, _) =>
+      if (spark.catalog.tableExists(name)) {
+        if (ine != null) return ack(spark, s"table $name exists")
+        sys.error(s"table or view '$name' already exists")
+      }
       val parsed = topSplit(cols, ',').map(parseColumn)
       val schema = StructType(parsed.map(_._1))
       timeUnits(name.toLowerCase) = parsed.collect {
@@ -192,9 +207,20 @@ object Ddl {
         checkpoint = false)
       ack(spark, s"created table $name")
 
-    case CreateViewRe(name, body) =>
+    case CreateViewRe(ine, name, body) =>
+      if (spark.catalog.tableExists(name)) {
+        if (ine != null) return ack(spark, s"view $name exists")
+        if (isView(spark, name)) sys.error(s"view '$name' already exists")
+        else sys.error(s"table or view '$name' already exists")
+      }
       spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(name)
+      viewNames.add((spark, name.toLowerCase))
       ack(spark, s"created view $name")
+
+    case AlterViewRe(name, body) =>
+      if (!isView(spark, name)) sys.error(s"view '$name' not found")
+      spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(name)
+      ack(spark, s"altered view $name")
 
     case InsertRe(name, colsOpt, values) =>
       val target = spark.table(name)
@@ -215,9 +241,15 @@ object Ddl {
         Option(whereOpt).filter(_ != null).map(expr))
       ack(spark, s"deleted from $name")
 
-    case DropRe(_, name) =>
+    case DropRe(kind, ifExists, name) =>
+      if (!spark.catalog.tableExists(name)) {
+        if (ifExists != null) return ack(spark, s"$name absent")
+        if (kind.equalsIgnoreCase("VIEW")) sys.error(s"view '$name' not found")
+        else sys.error(s"table '$name' not found")
+      }
       graft.core.TableLog.forget(spark, name)
       spark.catalog.dropTempView(name)
+      viewNames.remove((spark, name.toLowerCase))
       ack(spark, s"dropped $name")
 
     case CopyRe(src, tgt, whereOpt) =>

@@ -37,6 +37,10 @@ object GraftSql {
     val q = DecScaleRe.replaceAllIn(bracketsToArray(query), m => s"DECIMAL(38,${m.group(1)})")
     TopRe.findFirstMatchIn(q) match {
       case Some(m) =>
+        // the reference parses LIMIT too and rejects the combination, its
+        // own doubled-word wording (`defs_top.go:121`)
+        if (raw"(?i)\bLIMIT\b".r.findFirstIn(q).isDefined)
+          sys.error("TOP and LIMIT cannot cannot be used at the same time")
         val n = m.group(3)
         val stripped = TopRe.replaceFirstIn(
           q, m.group(1) + Option(m.group(2)).getOrElse(""))
@@ -139,6 +143,9 @@ object GraftSql {
 
   /** Spark's DATATYPE_MISMATCH on an aggregate → the reference's own
     * type-error wording (`defs_aggregate.go:346,801,864`). */
+  /** Strip Spark's backtick quoting from an error-message identifier. */
+  private def unquote(s: String): String = s.replace("`", "")
+
   private def translateErrors[T](f: => T): T =
     try f catch {
       case e: org.apache.spark.sql.AnalysisException
@@ -150,6 +157,25 @@ object GraftSql {
           if e.getMessage.contains("DATATYPE_MISMATCH") &&
              e.getMessage.toLowerCase.contains("corr") =>
         sys.error("integer, decimal or timestamp expression expected")
+      // identifier-resolution wording (`reference/sql3/errors.go:608,657`,
+      // `defs_sql1.go:536-556`)
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+             e.getCondition.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
+        val n = unquote(e.getMessageParameters.getOrDefault("relationName", "?"))
+        sys.error(s"table or view '$n' not found")
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+             e.getCondition.startsWith("UNRESOLVED_COLUMN") =>
+        val n = unquote(e.getMessageParameters.getOrDefault("objectName", "?"))
+        sys.error(s"column '$n' not found")
+      // GROUP BY over an aggregate (`defs_groupby.go:212-224` wording)
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition == "GROUP_BY_AGGREGATE" =>
+        val fn = raw"(?i)\b(\w+)\s*\(".r.findFirstMatchIn(
+          e.getMessageParameters.getOrDefault("sqlExpr", ""))
+          .map(_.group(1).toUpperCase).getOrElse("?")
+        sys.error(s"aggregate '$fn()' not allowed in GROUP BY")
     }
 
   /** `FROM t WITH (FLATTEN(setcol))` query hint (`defs_groupby.go:284-463`,

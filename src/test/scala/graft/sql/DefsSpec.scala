@@ -246,6 +246,61 @@ class DefsSpec extends SparkSpec {
       "calling ranqeq() 'from' and 'to' parameters cannot both be null")
   }
 
+  test("keyed tables — defs_keyed.go / defs_keyed_insert.go") {
+    run("""CREATE TABLE testkeyedinsert (_id STRING, a INT MIN 0 MAX 1000,
+          | b INT MIN 0 MAX 1000, s STRING, bl BOOL, d DECIMAL(2),
+          | event STRINGSET, ievent IDSET)""".stripMargin)
+    run("INSERT INTO testkeyedinsert (_id, a, b, s, bl, d, event, ievent) " +
+      "VALUES ('four', 40, 400, 'foo', false, 10.12, ['A', 'B', 'C'], [1, 2, 3])")
+    check("SELECT _id, a, b, s, bl FROM testkeyedinsert",
+      Set(Seq("four", 40L, 400L, "foo", false)))
+    // string keys upsert like integer ids (key translation is implicit —
+    // `reference/translate.go`; Spark string joins need no translation layer)
+    run("INSERT INTO testkeyedinsert (_id, a, s) VALUES ('four', 44, 'bar'), ('five', 5, 'baz')")
+    check("SELECT _id, a, s FROM testkeyedinsert",
+      Set(Seq("four", 44L, "bar"), Seq("five", 5L, "baz")))
+    check("SELECT _id FROM testkeyedinsert WHERE setcontains(event, 'A') OR a = 5",
+      Set(Seq("five")))
+    run("DELETE FROM testkeyedinsert WHERE _id = 'five'")
+    check("SELECT count(*) AS c FROM testkeyedinsert", Set(Seq(1L)))
+  }
+
+  test("views lifecycle — defs_views.go") {
+    run("CREATE TABLE viewtable (_id ID, a_string STRING, a_int INT MIN 0 MAX 100)")
+    run("INSERT INTO viewtable (_id, a_string, a_int) VALUES " +
+      "(1, 'str1', 10), (2, 'str1', 20), (3, 'str2', 30)")
+    expectErr("CREATE VIEW viewtable AS SELECT _id, a_string, a_int FROM viewtable",
+      "table or view 'viewtable' already exists")
+    run("CREATE VIEW viewonviewtable AS SELECT _id, a_string, a_int FROM viewtable")
+    expectErr("CREATE VIEW viewonviewtable AS SELECT _id FROM viewtable",
+      "view 'viewonviewtable' already exists")
+    run("CREATE VIEW IF NOT EXISTS viewonviewtable AS SELECT _id FROM viewtable")
+    check("SELECT count(*) AS c FROM viewonviewtable", Set(Seq(3L)))
+    // ALTER VIEW redefines (defs_views.go:81-108)
+    run("ALTER VIEW viewonviewtable AS SELECT _id, a_string, a_int FROM viewtable WHERE a_int > 20")
+    check("SELECT _id FROM viewonviewtable", Set(Seq(3L)))
+    expectErr("ALTER VIEW missingview AS SELECT 1", "view 'missingview' not found")
+    run("DROP VIEW viewonviewtable")
+    run("DROP VIEW IF EXISTS viewonviewtable")
+    expectErr("DROP VIEW viewonviewtable", "view 'viewonviewtable' not found")
+    expectErr("SELECT * FROM viewonviewtable",
+      "table or view 'viewonviewtable' not found")
+  }
+
+  test("identifier and TOP/LIMIT errors — defs_sql1.go:536-556, defs_top.go:121") {
+    expectErr("SELECT * FROM index_not_found",
+      "table or view 'index_not_found' not found")
+    expectErr("SELECT field_not_found FROM at",
+      "column 'field_not_found' not found")
+    expectErr("SELECT TOP(1) count(*) AS c FROM at LIMIT 1",
+      "TOP and LIMIT cannot cannot be used at the same time")
+    // LIMIT alone is legal (defs_top.go:41-116)
+    check("SELECT count(*) AS c FROM at LIMIT 1", Set(Seq(3L)))
+    // aggregates are not grouping keys (defs_groupby.go:212-224)
+    expectErr("SELECT count(*) AS c FROM at GROUP BY min(i1)",
+      "aggregate 'MIN()' not allowed in GROUP BY")
+  }
+
   test("percentile argument shapes — defs_aggregate.go:460-501") {
     expectErr("SELECT percentile(10, i1) AS p FROM at",
       "column reference expected")
