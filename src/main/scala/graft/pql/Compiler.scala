@@ -796,29 +796,33 @@ object Pql {
     programOn(graft.core.Tables.load(spark, dir, tableName), tableName, pql)._1
 
   /** Run a program against an explicit table state; returns (result,
-    * successor state) so stateful callers (the HTTP facade) can persist
-    * writes across requests like the reference's mutable fragments. */
+    * successor state) so stateful callers can persist writes across requests
+    * like the reference's mutable fragments. Returns the FINAL call's result
+    * (a program ending on a write returns the new record count — the closest
+    * tabular analogue of the reference's write ack). */
   def programOn(initial: DataFrame, tableName: String, pql: String): (DataFrame, DataFrame) = {
+    val (results, state) = programResults(initial, tableName, pql)
+    val result = results.last.getOrElse(
+      state.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt")))
+    (result, state)
+  }
+
+  /** One result per top-level call — the reference's `/index/{i}/query`
+    * contract (`reference/handler.go:51-56`: `Results []interface{}`, one
+    * entry per call). Reads yield tables bound to the state at their point
+    * in the program; writes advance the state and yield `None` (the wire
+    * layer renders the reference's boolean ack). */
+  def programResults(initial: DataFrame, tableName: String, pql: String)
+      : (Seq[Option[DataFrame]], DataFrame) = {
     val calls = Parser.parse(pql)
     require(calls.nonEmpty, "empty PQL program")
     var state = initial
-    def compiler = new Compiler(state, graft.core.Tables.timeColumn(tableName))
-    // Interleaved reads are allowed, as in the reference's /index/{i}/query;
-    // the wire surface returns the FINAL call's result (documented divergence
-    // from the reference's one-result-per-call list — a non-final read leaves
-    // state untouched, so skipping its execution is observationally safe).
-    calls.dropRight(1).foreach { c =>
-      val comp = compiler
-      if (comp.isWrite(c)) state = comp.write(c)
+    val results = calls.map { c =>
+      val comp = new Compiler(state, graft.core.Tables.timeColumn(tableName))
+      if (comp.isWrite(c)) { state = comp.write(c); None }
+      else Some(comp.run(c))
     }
-    val last = calls.last
-    val comp = compiler
-    val result =
-      if (comp.isWrite(last)) {
-        state = comp.write(last)
-        state.agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("cnt"))
-      } else comp.run(last)
-    (result, state)
+    (results, state)
   }
 }

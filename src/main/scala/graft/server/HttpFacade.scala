@@ -10,9 +10,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   *   - `POST /sql`                  — reference `http_handler.go:536`
   *   - `POST /index/{index}/query`  — reference `http_handler.go:521` (PQL;
-  *                                    multi-call programs supported, writes
-  *                                    advance session state like the
-  *                                    reference's mutable fragments)
+  *                                    multi-call programs return one result
+  *                                    per call as `{"results":[…]}` like
+  *                                    `handler.go:51-56`; writes advance
+  *                                    session state like the reference's
+  *                                    mutable fragments and ack as `true`)
   *   - `GET  /schema`               — reference `GET /schema`
   *   - `GET  /status`               — health probe
   *
@@ -68,9 +70,15 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         parts match {
           case Array("index", idx, "query") =>
-            val (result, next) =
-              graft.pql.Pql.programOn(tableState(idx), idx, body)
-            val wire = toWire(result) // materialize before exposing new state
+            // one result per top-level call (`reference/handler.go:51-56`
+            // `QueryResponse.Results`): reads as tables, writes as the
+            // reference's boolean ack
+            val (results, next) =
+              graft.pql.Pql.programResults(tableState(idx), idx, body)
+            val wire = results.map { // materialize before exposing new state
+              case Some(df) => toWire(df)
+              case None     => "true"
+            }.mkString("""{"results":[""", ",", "]}")
             commitState(idx, next)
             wire
           case Array("index", idx, "field", field, "import") =>

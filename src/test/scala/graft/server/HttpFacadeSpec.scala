@@ -35,16 +35,34 @@ class HttpFacadeSpec extends SparkSpec {
   test("POST /index/{i}/query runs PQL") {
     val (code, body) = post("/index/lineitem/query", "Count(Row(l_quantity > 30))")
     assert(code == 200)
+    assert(body.contains(""""results":["""))
     assert(body.contains(""""name":"cnt"""") && body.contains(""""data":[["""))
   }
 
   test("PQL writes persist across requests (mutable-fragment parity)") {
+    // write ack is the reference's boolean, then the read's table
     val (code, body) = post("/index/orders/query",
       "Set(7, o_orderstatus='Z') Count(Row(o_orderstatus='Z'))")
-    assert(code == 200 && body.contains(""""data":[[1]]"""))
+    assert(code == 200 && body.contains(""""results":[true,"""))
+    assert(body.contains(""""data":[[1]]"""))
     // a later request sees the write
     val (c2, b2) = post("/index/orders/query", "Count(Row(o_orderstatus='Z'))")
     assert(c2 == 200 && b2.contains(""""data":[[1]]"""))
+  }
+
+  test("multi-read programs return one result per call (handler.go:51-56)") {
+    val (code, body) = post("/index/region/query",
+      "Count(All()) Count(Row(r_regionkey=0)) Count(All())")
+    assert(code == 200)
+    // three results, each its own schema/data object
+    assert(body.split(""""schema"""").length - 1 == 3)
+    assert(body.contains(""""data":[[5]]""") && body.contains(""""data":[[1]]"""))
+    // a read between writes sees the state at its point in the program
+    val (c2, b2) = post("/index/region/query",
+      "Count(Row(r_name='x')) Set(77, r_name='x') Count(Row(r_name='x'))")
+    assert(c2 == 200)
+    assert(b2.contains(""""data":[[0]]""") && b2.contains("true") &&
+      b2.contains(""""data":[[1]]"""))
   }
 
   test("field import endpoint applies Set semantics") {

@@ -301,6 +301,31 @@ class DefsSpec extends SparkSpec {
       "aggregate 'MIN()' not allowed in GROUP BY")
   }
 
+  test("filter predicates across types — defs_filterpredicates.go") {
+    run("""CREATE TABLE filter_predicates (_id ID, i1 INT, b1 BOOL, id1 ID,
+          | ids1 IDSET, d1 DECIMAL(2), s1 STRING, ss1 STRINGSET,
+          | ts1 TIMESTAMP)""".stripMargin)
+    run("INSERT INTO filter_predicates VALUES " +
+      "(1, 10, false, 1, [10,20,30], 10.00, '10', ['10','20','30'], '2001-11-01T22:08:41+00:00')," +
+      "(2, 20, true,  2, [11,21,31], 20.00, '20', ['11','21','31'], '2002-11-01T22:08:41+00:00')," +
+      "(3, 30, false, 3, [12,22,32], 30.00, '30', ['12','22','32'], '2003-11-01T22:08:41+00:00')," +
+      "(4, 40, false, 4, [10,20,30], 40.00, '40', ['10','20','30'], '2004-11-01T22:08:41+00:00')," +
+      "(5, 50, true,  5, [11,21,31], 50.00, '50', ['11','21','31'], '2005-11-01T22:08:41+00:00')," +
+      "(6, 60, false, 6, [12,22,32], 60.00, '60', ['12','22','32'], '2006-11-01T22:08:41+00:00')")
+    def ids(q: String) = rowsOf(q).map(_.head)
+    assert(ids("SELECT _id FROM filter_predicates WHERE _id != 1") == Set(2L, 3L, 4L, 5L, 6L))
+    assert(ids("SELECT _id FROM filter_predicates WHERE id1 >= 5") == Set(5L, 6L))
+    assert(ids("SELECT _id FROM filter_predicates WHERE i1 <= 20") == Set(1L, 2L))
+    assert(ids("SELECT _id FROM filter_predicates WHERE b1 = true") == Set(2L, 5L))
+    assert(ids("SELECT _id FROM filter_predicates WHERE d1 > 50.00") == Set(6L))
+    assert(ids("SELECT _id FROM filter_predicates WHERE s1 != '10'") == Set(2L, 3L, 4L, 5L, 6L))
+    // timestamp-vs-string comparisons with explicit offsets (':314-391')
+    assert(ids("SELECT _id FROM filter_predicates WHERE ts1 < '2002-11-01T22:08:41Z'") == Set(1L))
+    assert(ids("SELECT _id FROM filter_predicates WHERE ts1 <= '2002-11-01T22:08:41+00:00'") == Set(1L, 2L))
+    assert(ids("SELECT _id FROM filter_predicates WHERE ts1 != '2001-11-01T22:08:41+00:00'") ==
+      Set(2L, 3L, 4L, 5L, 6L))
+  }
+
   test("percentile argument shapes — defs_aggregate.go:460-501") {
     expectErr("SELECT percentile(10, i1) AS p FROM at",
       "column reference expected")
