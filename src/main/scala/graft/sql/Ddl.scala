@@ -109,8 +109,8 @@ object Ddl {
       if (quote != 0) { cur += c; if (c == quote) quote = 0 }
       else c match {
         case '\'' | '"'      => quote = c; cur += c
-        case '(' | '['       => depth += 1; cur += c
-        case ')' | ']'       => depth -= 1; cur += c
+        case '(' | '[' | '{' => depth += 1; cur += c
+        case ')' | ']' | '}' => depth -= 1; cur += c
         case `sep` if depth == 0 => out += cur.toString; cur.clear()
         case _               => cur += c
       }
@@ -143,11 +143,21 @@ object Ddl {
   private[sql] val foreignKeys =
     scala.collection.mutable.Map.empty[String, Map[String, String]]
 
+  /** Declared MIN/MAX bounds per table → column (`reference/sql3/parser/
+    * parser.go:843-861` MinConstraint/MaxConstraint; enforced at insert by
+    * `opinsert.go:229-257`). Only declared bounds are enforced — undeclared
+    * INT/DECIMAL columns keep Go's native range, same as the reference. */
+  private[sql] val bounds = scala.collection.mutable.Map
+    .empty[String, Map[String, (Option[BigDecimal], Option[BigDecimal])]]
+
+  private val MinRe = raw"(?i)\bMIN\s+(-?\d+(?:\.\d+)?)".r
+  private val MaxRe = raw"(?i)\bMAX\s+(-?\d+(?:\.\d+)?)".r
+
   /** Parse `name TYPE [MIN n | MAX n | TIMEUNIT 'x' [EPOCH 't'] |
     * TIMEQUANTUM 'x' | TTL 'x' | CACHETYPE x [SIZE n]]*` — storage hints are
     * accepted and dropped (Parquet/Delta stats replace BSI bounds and ranked
     * caches, SURVEY §1.1); TIMEUNIT/EPOCH are kept as field semantics. */
-  private def parseColumn(defn: String): (StructField, Option[(String, java.time.Instant)], Option[String]) = {
+  private def parseColumn(defn: String): (StructField, Option[(String, java.time.Instant)], Option[String], Option[(Option[BigDecimal], Option[BigDecimal])]) = {
     val toks = defn.trim.split("\\s+", 3)
     require(toks.length >= 2, s"bad column def: $defn")
     // type may carry parens: DECIMAL(2)
@@ -161,7 +171,10 @@ object Ddl {
       (m.group(1).toLowerCase, epoch)
     }
     val fk = ReferencesRe.findFirstMatchIn(rest).map(_.group(1).toLowerCase)
-    (StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id"), unit, fk)
+    val mn = MinRe.findFirstMatchIn(rest).map(m => BigDecimal(m.group(1)))
+    val mx = MaxRe.findFirstMatchIn(rest).map(m => BigDecimal(m.group(1)))
+    val b = if (mn.isDefined || mx.isDefined) Some((mn, mx)) else None
+    (StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id"), unit, fk, b)
   }
 
   private def parseEpoch(s: String): java.time.Instant = {
@@ -196,9 +209,12 @@ object Ddl {
       val parsed = topSplit(cols, ',').map(parseColumn)
       val schema = StructType(parsed.map(_._1))
       timeUnits(name.toLowerCase) = parsed.collect {
-        case (f, Some(u), _) => f.name -> u
+        case (f, Some(u), _, _) => f.name -> u
       }.toMap
-      val fks = parsed.collect { case (f, _, Some(ft)) => f.name -> ft }.toMap
+      bounds(name.toLowerCase) = parsed.collect {
+        case (f, _, _, Some(b)) => f.name -> b
+      }.toMap
+      val fks = parsed.collect { case (f, _, Some(ft), _) => f.name -> ft }.toMap
       fks.values.foreach { ft =>
         require(spark.catalog.tableExists(ft), s"foreign table '$ft' not found")
       }
@@ -223,9 +239,28 @@ object Ddl {
       ack(spark, s"altered view $name")
 
     case InsertRe(name, colsOpt, values) =>
+      // validation chain and wording per `defs_inserts.go:64-111`
+      if (!spark.catalog.tableExists(name)) sys.error(s"table '$name' not found")
       val target = spark.table(name)
       val cols = Option(colsOpt).filter(_ != null).map(topSplit(_, ',').map(_.trim))
         .getOrElse(target.columns.toSeq)
+      cols.find(c => !target.columns.contains(c))
+        .foreach(c => sys.error(s"column '$c' not found"))
+      cols.diff(cols.distinct).headOption
+        .foreach(c => sys.error(s"duplicate column '$c'"))
+      val tuples = topSplit(values.trim.stripSuffix(";"), ',')
+      tuples.foreach { t =>
+        val inner = topSplit(t.trim.stripPrefix("(").stripSuffix(")"), ',')
+        if (inner.size != cols.size)
+          sys.error("mismatch in the count of expressions and target columns")
+      }
+      if (colsOpt != null) {
+        if (!cols.contains("_id"))
+          sys.error("insert column list must have '_id' column specified")
+        if (!cols.exists(_ != "_id"))
+          sys.error("insert column list must have at least one non '_id' " +
+            "column specified")
+      }
       // `[a, b]` set literals → array(a, b) and `{ts, [..]}` time-quantum
       // tuple literals (`reference/sql3/parser/ast.go:4759` TupleLiteralExpr)
       // → struct(ts, array(..)); both quote-aware — brackets/braces inside
@@ -234,6 +269,7 @@ object Ddl {
         bracesToStruct(values.trim.stripSuffix(";")))
       val incoming = spark.sql(s"SELECT * FROM VALUES $vals")
         .toDF(cols: _*)
+      checkBounds(incoming, name, cols)
       upsert(spark, name, alignTo(incoming, target.schema, cols, name))
 
     case DeleteRe(name, whereOpt) =>
@@ -367,7 +403,7 @@ object Ddl {
   /** Reference type name for error wording
     * (`reference/sql3/parser/astdatatype.go:10-26`; tuple naming per
     * `defs_timequantum.go` expected errors). */
-  private def refName(dt: DataType): String = dt match {
+  private[sql] def refName(dt: DataType): String = dt match {
     case StringType                       => "string"
     case LongType | IntegerType |
          ShortType | ByteType             => "int"
@@ -451,6 +487,30 @@ object Ddl {
     }
   }
 
+  /** Declared MIN/MAX enforcement (`reference/sql3/planner/opinsert.go:
+    * 229-257`, wording `defs_inserts.go:132-153`). INSERT VALUES data is
+    * O(statement) — a driver-side pass over the literal rows, not a scan. */
+  private def checkBounds(incoming: DataFrame, table: String,
+                          cols: Seq[String]): Unit = {
+    val tb = bounds.getOrElse(table.toLowerCase, Map.empty)
+    val checked = cols.filter(tb.contains)
+    if (checked.isEmpty) return
+    def fmt(b: BigDecimal): String =
+      b.underlying.stripTrailingZeros.toPlainString
+    incoming.select(checked.map(col).toIndexedSeq: _*).collect()
+      .zipWithIndex.foreach { case (row, i) =>
+        checked.zipWithIndex.foreach { case (c, j) =>
+          if (!row.isNullAt(j)) {
+            val v = BigDecimal(row.get(j).toString)
+            val (mn, mx) = tb(c)
+            if (mn.exists(v < _) || mx.exists(v > _))
+              sys.error(s"inserting value into column '$c', row ${i + 1}, " +
+                s"value '${fmt(v)}' out of range")
+          }
+        }
+      }
+  }
+
   /** Align `df`'s provided columns to the target schema: cast provided,
     * null-fill missing. Integer values bound for a TIMESTAMP column with a
     * declared TIMEUNIT are epoch offsets in that unit (`field.go:195-241`). */
@@ -474,6 +534,19 @@ object Ddl {
             // tuple literal bound to a non-quantum column
             sys.error(s"an expression of type '${refName(inT)}' cannot be " +
               s"assigned to type '${refName(t)}'")
+          // set literals don't coerce across member types: an IDSET literal
+          // is not a STRINGSET value and vice versa (`defs_inserts.go:
+          // 118-125`), even though Spark's cast would happily convert
+          case (ArrayType(StringType, _), _)
+              if inT.isInstanceOf[ArrayType] &&
+                 inT.asInstanceOf[ArrayType].elementType.isInstanceOf[NumericType] =>
+            sys.error("an expression of type 'idset' cannot be assigned " +
+              "to type 'stringset'")
+          case (ArrayType(LongType, _), _)
+              if inT.isInstanceOf[ArrayType] &&
+                 inT.asInstanceOf[ArrayType].elementType == StringType =>
+            sys.error("an expression of type 'stringset' cannot be assigned " +
+              "to type 'idset'")
           case _ => c.cast(f.dataType).as(f.name)
         }
       } else lit(null).cast(f.dataType).as(f.name)

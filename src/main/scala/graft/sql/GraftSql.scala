@@ -3,8 +3,10 @@ package graft.sql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayExists, ArrayFilter, Attribute, AttributeReference, Cast, CreateNamedStruct, Divide, Expression, GetStructField, If, IntegralDivide, IsNull, LambdaFunction, Literal, NamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, First, Last, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
-import org.apache.spark.sql.types.{DoubleType, ByteType, ShortType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
+import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.types.{ArrayType, DoubleType, ByteType, ShortType, IntegerType, LongType, StringType}
 import graft.core.Tables
 
 /** SQL surface (SURVEY.md §2.2): the reference's sql3 dialect on top of Spark
@@ -100,10 +102,12 @@ object GraftSql {
   private val CountLitRe = raw"(?i)\bCOUNT\s*\(\s*\d+(?:\.\d+)?\s*\)".r
   private val StarAggRe =
     raw"(?i)\b(SUM|AVG|MIN|MAX|VAR|CORR|FIRST|LAST|PERCENTILE)\s*\(\s*\*".r
-  private def validateDialect(query: String): Unit =
+  private def validateDialect(query: String): Unit = {
     if (CountLitRe.findFirstIn(query).isDefined ||
         StarAggRe.findFirstIn(query).isDefined)
       sys.error("column reference expected")
+    checkOrderBy(query)
+  }
 
   /** `_id` is the record key, not a value — the reference rejects it inside
     * every aggregate except COUNT (`defs_aggregate.go:245,334,483,789,852`).
@@ -270,7 +274,67 @@ object GraftSql {
     }
   }
 
+  /** Reference type name for error wording (shared with [[Ddl]]). */
+  private def refType(dt: org.apache.spark.sql.types.DataType): String =
+    Ddl.refName(dt)
+
+  /** Join and sort restrictions of the reference planner, checked on the
+    * analyzed plan:
+    *  - only INNER and LEFT join types exist (`opnestedloops.go:15`; wording
+    *    `defs_join.go:236-256`);
+    *  - join keys must be equatable — the reference type-checker refuses
+    *    string↔int even though Spark would coerce (`defs_join.go:229-234`);
+    *  - set columns have no order (`defs_orderby.go:24-37`). */
+  private def checkJoinsAndSorts(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    plan.foreach {
+      case j: Join =>
+        j.joinType match {
+          case RightOuter => sys.error("RIGHT join types are not supported")
+          case FullOuter  => sys.error("FULL join types are not supported")
+          case _          => ()
+        }
+        j.condition.foreach(_.foreach {
+          case EqualTo(l, r) =>
+            // the analyzer's implicit (non-user) cast marks the coercion the
+            // reference refuses; unwrap to name the declared types
+            def orig(e: Expression): Expression = e match {
+              case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => c.child
+              case o => o
+            }
+            val (lt, rt) = (orig(l).dataType, orig(r).dataType)
+            val bad = (lt, rt) match {
+              case (StringType, t) if integral(t) => true
+              case (t, StringType) if integral(t) => true
+              case _                              => false
+            }
+            if (bad) sys.error(
+              s"types '${refType(lt)}' and '${refType(rt)}' are not equatable")
+          case _ => ()
+        })
+      case s: Sort =>
+        s.order.foreach { o =>
+          o.child.dataType match {
+            case a: ArrayType if !Ddl.isSetq(a) =>
+              sys.error(s"unable to sort a column of type '${refType(a)}'")
+            case _ => ()
+          }
+        }
+      case _ => ()
+    }
+
+  /** ORDER BY takes a column, alias, or position — never an aggregate call
+    * (`defs_groupby.go:33-38` wording). Textual, pre-analysis: Spark resolves
+    * sort-by-aggregate into extra aggregate output, making it invisible in
+    * the plan. */
+  private val OrderByAggRe =
+    (raw"(?is)\bORDER\s+BY\s+(?:[^()]|\([^()]*\))*?" +
+     raw"\b(?:COUNT|SUM|AVG|MIN|MAX|VAR|CORR|FIRST|LAST|PERCENTILE)\s*\(").r
+  private def checkOrderBy(query: String): Unit =
+    if (OrderByAggRe.findFirstIn(query).isDefined)
+      sys.error("column reference, alias reference or column position expected")
+
   private def dialectFix(spark: SparkSession, df: DataFrame): DataFrame = {
+    checkJoinsAndSorts(df.queryExecution.analyzed)
     checkIdAggregates(df.queryExecution.analyzed)
     val withFirstLast = rangeqScope(df.queryExecution.analyzed).transform {
       case agg: Aggregate =>

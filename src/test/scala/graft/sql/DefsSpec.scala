@@ -326,6 +326,134 @@ class DefsSpec extends SparkSpec {
       Set(2L, 3L, 4L, 5L, 6L))
   }
 
+  test("insert validation chain — defs_inserts.go:64-153") {
+    run("""CREATE TABLE testinsert (_id ID, a INT MIN 0 MAX 1000,
+          | b INT MIN 0 MAX 1000, s STRING, bl BOOL,
+          | d DECIMAL(2) MIN 0 MAX 1000, event STRINGSET,
+          | ievent IDSET)""".stripMargin)
+    run("INSERT INTO testinsert (_id, a, b, s, bl, d, event, ievent) VALUES " +
+      "(4, 40, 400, 'foo', false, 10.12, ['A','B','C'], [1,2,3])")
+    // expressions in VALUES (`:55-62`)
+    run("INSERT INTO testinsert (_id, a, b, s, bl, d, event, ievent) VALUES " +
+      "(7, 40*10, 400+1, 'foo' || 'bar', 1 > 2, 10.12 + 3.1, ['A'], [1])")
+    check("SELECT a, b, s FROM testinsert WHERE _id = 7",
+      Set(Seq(400L, 401L, "foobar")))
+    expectErr("INSERT INTO ifoo (a, b) VALUES (1, 2)", "table 'ifoo' not found")
+    expectErr("INSERT INTO testinsert (c, b) VALUES (1, 2)",
+      "column 'c' not found")
+    expectErr("INSERT INTO testinsert (a, a, b) VALUES (1, 2)",
+      "duplicate column 'a'")
+    expectErr("INSERT INTO testinsert (_id, a, b) VALUES (1)",
+      "mismatch in the count of expressions and target columns")
+    expectErr("INSERT INTO testinsert VALUES (4, 40, 400)",
+      "mismatch in the count of expressions and target columns")
+    expectErr("INSERT INTO testinsert (a, b) VALUES (1, 2)",
+      "insert column list must have '_id' column specified")
+    expectErr("INSERT INTO testinsert (_id) VALUES (1)",
+      "insert column list must have at least one non '_id' column specified")
+    expectErr("INSERT INTO testinsert (_id, a, event) VALUES (4, 40, [101, 150])",
+      "an expression of type 'idset' cannot be assigned to type 'stringset'")
+    expectErr("INSERT INTO testinsert (_id, a, ievent) VALUES (4, 40, ['POST', 'GET'])",
+      "an expression of type 'stringset' cannot be assigned to type 'idset'")
+    expectErr("INSERT INTO testinsert (_id, a) VALUES (400, -1)",
+      "inserting value into column 'a', row 1, value '-1' out of range")
+    expectErr("INSERT INTO testinsert (_id, a) VALUES (400, 1001)",
+      "inserting value into column 'a', row 1, value '1001' out of range")
+    expectErr("INSERT INTO testinsert (_id, d) VALUES (400, -1.00)",
+      "inserting value into column 'd', row 1, value '-1' out of range")
+    expectErr("INSERT INTO testinsert (_id, d) VALUES (400, 1001.00)",
+      "inserting value into column 'd', row 1, value '1001' out of range")
+    // second tuple's row number is reported (`opinsert.go:229-257`)
+    expectErr("INSERT INTO testinsert (_id, a) VALUES (400, 5), (401, 2000)",
+      "inserting value into column 'a', row 2, value '2000' out of range")
+  }
+
+  test("join restrictions — defs_join.go:229-256") {
+    run("CREATE TABLE jusers (_id ID, name STRING, age INT)")
+    run("CREATE TABLE jorders (_id ID, userid ID, price DECIMAL(2))")
+    run("INSERT INTO jusers VALUES (1,'a',21),(2,'c',28),(3,'b',31)")
+    run("INSERT INTO jorders VALUES (1,1,9.99),(2,2,3.99),(3,1,14.99)")
+    expectErr("SELECT u._id, o.userid FROM jusers u JOIN jorders o ON u.name = o.userid",
+      "types 'string' and 'int' are not equatable")
+    expectErr("SELECT u._id, o.userid FROM jusers u FULL JOIN jorders o ON o.userid = u._id",
+      "FULL join types are not supported")
+    expectErr("SELECT u._id, o.userid FROM jusers u RIGHT JOIN jorders o ON o.userid = u._id",
+      "RIGHT join types are not supported")
+    // comma join with a subquery alias (`:257-274`)
+    check("SELECT u._id, u.name, u2._id AS u2_id FROM jusers u, " +
+      "(SELECT * FROM jusers WHERE _id = 2) u2 WHERE u._id = u2._id",
+      Set(Seq(2L, "c", 2L)))
+  }
+
+  test("order by restrictions — defs_orderby.go:24-37, defs_groupby.go:33-38") {
+    expectErr("SELECT * FROM at ORDER BY ss1 ASC",
+      "unable to sort a column of type 'stringset'")
+    expectErr("SELECT * FROM at ORDER BY ids1 ASC",
+      "unable to sort a column of type 'idset'")
+    expectErr("SELECT COUNT(*) AS c, i1 FROM at GROUP BY i1 ORDER BY COUNT(*) ASC",
+      "column reference, alias reference or column position expected")
+    // position and alias remain legal (`defs_groupby.go:39-60`)
+    check("SELECT COUNT(*) AS c, b1 FROM at WHERE b1 IS NOT NULL GROUP BY b1 ORDER BY 2 ASC",
+      Set(Seq(1L, false), Seq(1L, true)))
+  }
+
+  test("having — defs_having.go") {
+    run("""CREATE TABLE having_test (_id ID, an_int INT MIN 0 MAX 100,
+          | an_id_set IDSET, an_id ID, a_string STRING,
+          | a_string_set STRINGSET, a_decimal DECIMAL(2))""".stripMargin)
+    run("INSERT INTO having_test VALUES " +
+      "(1, 11, [11,12,13], 101, 'str1', ['a1','b1','c1'], 123.45)," +
+      "(2, 22, [21,22,23], 201, 'str2', ['a2','b2','c2'], 234.56)," +
+      "(3, 33, [31,32,33], 301, 'str3', ['a3','b3','c3'], 345.67)," +
+      "(4, 44, [41,42,43], 401, 'str4', ['a4','b4','c4'], 456.78)," +
+      "(5, 11, [11,12,13], 101, 'str1', ['a5','b5','c5'], 567.89)")
+    check("SELECT count(an_int) AS c, an_int FROM having_test GROUP BY an_int HAVING count(an_int) = 1",
+      Set(Seq(1L, 22L), Seq(1L, 33L), Seq(1L, 44L)))
+    check("SELECT an_int FROM having_test GROUP BY an_int HAVING count(an_int) = 1",
+      Set(Seq(22L), Seq(33L), Seq(44L)))
+    check("SELECT count(*) AS c, an_int FROM having_test GROUP BY an_int HAVING count(*) > 1",
+      Set(Seq(2L, 11L)))
+    check("SELECT an_int FROM having_test GROUP BY an_int HAVING count(*) > 1",
+      Set(Seq(11L)))
+    check("SELECT sum(a_decimal) AS s, an_int FROM having_test GROUP BY an_int HAVING sum(a_decimal) < 250.00",
+      Set(Seq(234.56, 22L)))
+    check("SELECT sum(an_int) AS s, an_int FROM having_test GROUP BY an_int HAVING sum(an_int) < 25",
+      Set(Seq(22L, 11L), Seq(22L, 22L)))
+    check("SELECT a_string, count(*) AS c FROM having_test GROUP BY a_string HAVING count(*) > 1",
+      Set(Seq("str1", 2L)))
+  }
+
+  test("distinct across types incl. sets — defs_distinct.go") {
+    run("""CREATE TABLE distinct_test (_id ID, i1 INT, b1 BOOL, id1 ID,
+          | ids1 IDSET, d1 DECIMAL(2), s1 STRING, ss1 STRINGSET)""".stripMargin)
+    run("INSERT INTO distinct_test VALUES " +
+      "(1, 10, false, 1, [10,20,30], 10.00, '10', ['10','20','30'])," +
+      "(2, 20, true,  2, [11,21,31], 20.00, '20', ['11','21','31'])," +
+      "(3, 30, false, 3, [12,22,32], 30.00, '30', ['12','22','32'])," +
+      "(4, 10, false, 1, [10,20,30], 10.00, '10', ['10','20','30'])," +
+      "(5, 20, true,  2, [11,21,31], 20.00, '20', ['11','21','31'])," +
+      "(6, 30, false, 3, [12,22,32], 30.00, '30', ['12','22','32'])")
+    check("SELECT DISTINCT i1, b1, id1 FROM distinct_test",
+      Set(Seq(10L, false, 1L), Seq(20L, true, 2L), Seq(30L, false, 3L)))
+    check("SELECT DISTINCT b1 FROM distinct_test", Set(Seq(false), Seq(true)))
+    check("SELECT DISTINCT d1 FROM distinct_test",
+      Set(Seq(10.0), Seq(20.0), Seq(30.0)))
+    // distinct over whole set values — member-set identity, not membership
+    check("SELECT DISTINCT ids1 FROM distinct_test",
+      Set(Seq(List(10L, 20L, 30L)), Seq(List(11L, 21L, 31L)), Seq(List(12L, 22L, 32L))))
+    check("SELECT DISTINCT ss1 FROM distinct_test",
+      Set(Seq(List("10", "20", "30")), Seq(List("11", "21", "31")), Seq(List("12", "22", "32"))))
+  }
+
+  test("subquery aggregates — defs_subquery.go") {
+    run("CREATE TABLE subquerytable (_id ID, a_string STRING)")
+    run("INSERT INTO subquerytable VALUES (1,'str1'),(2,'str1'),(3,'str2'),(4,'str2'),(5,'str3')")
+    check("SELECT sum(mycount) AS thecount FROM (SELECT count(a_string) AS mycount, a_string " +
+      "FROM subquerytable GROUP BY a_string)", Set(Seq(5L)))
+    check("SELECT sum(mycount) AS thecount FROM (SELECT count(DISTINCT a_string) AS mycount, a_string " +
+      "FROM subquerytable GROUP BY a_string)", Set(Seq(3L)))
+  }
+
   test("percentile argument shapes — defs_aggregate.go:460-501") {
     expectErr("SELECT percentile(10, i1) AS p FROM at",
       "column reference expected")
