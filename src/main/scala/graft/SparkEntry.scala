@@ -314,11 +314,14 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"),
     // reference DECIMAL(s) is scale-only (`sql3/test/defs/defs_cast.go`):
     // int→decimal, double→decimal, string→decimal, decimal→string
+    // Final projection stringifies each decimal so the driver hash compares
+    // values, not wire types (Spark Decimal vs DuckDB float64); the DECIMAL(s)
+    // casts themselves stay under test.
     "sql_cast_decimal" -> sqlQ(
-      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(2)) AS d2, " +
-        "CAST(o_orderkey AS DECIMAL(4)) AS i4, " +
+      "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(2)) AS STRING) AS d2, " +
+        "CAST(CAST(o_orderkey AS DECIMAL(4)) AS STRING) AS i4, " +
         "CAST(CAST(o_totalprice AS DECIMAL(2)) AS STRING) AS ds, " +
-        "CAST('12.34' AS DECIMAL(2)) AS sd " +
+        "CAST(CAST('12.34' AS DECIMAL(2)) AS STRING) AS sd " +
         "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"),
     // FIRST/LAST (`expressionagg.go:1283,1255`): first/last non-null in _id
     // scan order — deterministic min_by/max_by on _id, not Spark first()/last()
@@ -329,8 +332,11 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "SELECT PERCENTILE(p_size, 90) AS val FROM part WHERE p_retailprice > 950"),
     // WITH (FLATTEN(set)) hint: DISTINCT/GROUP BY per set member
     // (`defs_groupby.go:284-463`)
+    // Project the flattened member as a scalar (the grouping still runs on
+    // the singleton-set column, which is the semantics under test) — the
+    // driver's pandas sort can't order array cells.
     "sql_flatten" -> sqlQ(
-      "SELECT count(*) AS cnt, lang, words FROM documents WITH (FLATTEN(words)) " +
+      "SELECT count(*) AS cnt, lang, element_at(words, 1) AS word FROM documents WITH (FLATTEN(words)) " +
         "WHERE lang = 'fr' GROUP BY lang, words"),
     "sql_setcontains" -> sqlQ(
       "SELECT count(*) AS cnt FROM documents WHERE SETCONTAINS(words, 'spark')"),
@@ -399,10 +405,10 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
   private val sqlOracles: Map[String, String] = Map(
     "sql_top" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"),
-    "sql_cast_decimal" -> ("SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,2)) AS d2, " +
-      "CAST(o_orderkey AS DECIMAL(38,4)) AS i4, " +
+    "sql_cast_decimal" -> ("SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR) AS d2, " +
+      "CAST(CAST(o_orderkey AS DECIMAL(38,4)) AS VARCHAR) AS i4, " +
       "CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR) AS ds, " +
-      "CAST('12.34' AS DECIMAL(38,2)) AS sd " +
+      "CAST(CAST('12.34' AS DECIMAL(38,2)) AS VARCHAR) AS sd " +
       "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"),
     "sql_first_last" -> ("SELECT " +
       "(SELECT l_returnflag FROM lineitem WHERE l_returnflag IS NOT NULL " +
@@ -410,7 +416,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "(SELECT l_linestatus FROM lineitem WHERE l_linestatus IS NOT NULL " +
       "ORDER BY l_orderkey*8+l_linenumber DESC LIMIT 1) AS l"),
     "sql_percentile" -> percentileOracle("part", "p_size", 90, "p_retailprice > 950"),
-    "sql_flatten" -> ("SELECT count(*) AS cnt, lang, [w] AS words FROM " +
+    "sql_flatten" -> ("SELECT count(*) AS cnt, lang, w AS word FROM " +
       "(SELECT lang, unnest(list_distinct(list_filter(string_split(text, ' '), " +
       "x -> x <> ''))) AS w FROM documents WHERE lang = 'fr') " +
       "GROUP BY lang, w"),
