@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Log-structured DML state for session tables: Delta Lake's merge-on-read
   * model rebuilt on temp views, replacing the round-1 snapshot rewrite that
@@ -19,11 +19,24 @@ import org.apache.spark.sql.types.StructType
   *    per statement, never the base;
   *  - read cost    = base scan + two anti-joins whose right sides are small
   *    → AQE broadcasts them (no base shuffle);
-  *  - plan depth   = CONSTANT in statement count (leaves are checkpointed),
+  *  - plan depth   = CONSTANT in statement count (leaves are materialized),
   *    so chained DML can't stack an unbounded analysis tree;
   *  - compaction   = after `compactAfter` statements the merged state is
   *    materialized as the new base — the same rewrite the old code did
   *    per-statement, now amortized 1/compactAfter.
+  *
+  * Durability (`reference/rbf/rbf.go:3-29` — the reference persists every
+  * write; so must we): when `spark.graft.warehouse` is set, every
+  * materialization is a parquet write under `<warehouse>/<table>/` plus a
+  * `manifest.json` naming the current base/overlay/tombstone piece — the
+  * same base-plus-delta layout Delta encodes in its transaction log. A new
+  * JVM or SparkSession calls [[restore]] to re-register every table from its
+  * manifest. Without the conf the pieces fall back to `localCheckpoint`
+  * (fast, session-lifetime — the dev/test mode). Parquet pieces also fix the
+  * scale weakness of checkpoints: executor-pinned blocks die with an
+  * executor, warehouse files don't, and a 100-TB base can't live in block
+  * storage anyway. Old piece dirs are garbage-collected at compaction, so
+  * disk is bounded by ~2 bases + live deltas.
   *
   * Invariant: overlay and tombstones are disjoint by `_id`, so the merged
   * view is `base ∖ tombstones ∖ overlayIds ∪ overlay` with no double
@@ -43,15 +56,24 @@ object TableLog {
     * O(table) rewrite is paid on 6% of statements, not 100%. */
   @volatile var compactAfter: Int = 16
 
+  /** A materialized piece of table state: the DataFrame plus, in warehouse
+    * mode, the parquet dir backing it (None = checkpoint-backed). */
+  private final case class Piece(df: DataFrame, path: Option[String])
+
   private final case class State(
-      base: DataFrame,
-      overlay: Option[DataFrame],    // latest-wins upserted rows; None = empty
-      tombstones: Option[DataFrame], // single `_id` column; None = empty
-      depth: Int,                    // statements since last compaction
-      registered: LogicalPlan)       // canonicalized plan we last put in the view
+      base: Piece,
+      overlay: Option[Piece],    // latest-wins upserted rows; None = empty
+      tombstones: Option[Piece], // single `_id` column; None = empty
+      depth: Int,                // statements since last compaction
+      registered: LogicalPlan)   // canonicalized plan we last put in the view
 
   private val states =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), State]
+
+  /** Per-table monotonic piece generation (warehouse mode). Seeded from the
+    * dirs already on disk so a restored JVM never reuses a generation. */
+  private val gens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
 
   private def key(spark: SparkSession, name: String) = (spark, name.toLowerCase)
 
@@ -60,30 +82,136 @@ object TableLog {
   private def canon(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed.canonicalized
 
+  /** Warehouse root, if this session is durable. */
+  private def warehouse(spark: SparkSession): Option[String] =
+    scala.util.Try(spark.conf.get("spark.graft.warehouse"))
+      .toOption.filter(_.nonEmpty)
+
+  private val PieceRe = raw"(?:base|overlay|tomb)-(\d+)".r
+
+  private def tableDir(wh: String, name: String) =
+    java.nio.file.Paths.get(wh, name.toLowerCase)
+
+  private def nextGen(wh: String, name: String): Long =
+    gens.computeIfAbsent(name.toLowerCase, _ => {
+      val d = tableDir(wh, name)
+      val existing =
+        if (java.nio.file.Files.isDirectory(d))
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            java.nio.file.Files.list(d).iterator).asScala
+            .map(_.getFileName.toString)
+            .collect { case PieceRe(n) => n.toLong }.maxOption.getOrElse(0L)
+        else 0L
+      new java.util.concurrent.atomic.AtomicLong(existing)
+    }).incrementAndGet()
+
+  /** Materialize a piece: parquet under the warehouse when durable, else
+    * localCheckpoint. Parquet read-back uses the explicit schema so an
+    * empty piece (no part files) still round-trips. */
+  private def mat(spark: SparkSession, name: String, kind: String,
+                  df: DataFrame): Piece =
+    warehouse(spark) match {
+      case Some(wh) =>
+        val p = tableDir(wh, name).resolve(s"$kind-${nextGen(wh, name)}").toString
+        df.write.mode("overwrite").parquet(p)
+        Piece(spark.read.schema(df.schema).parquet(p), Some(p))
+      case None => Piece(df.localCheckpoint(), None)
+    }
+
   private def merged(st: State): DataFrame = {
     val afterTomb = st.tombstones match {
-      case Some(t) => st.base.join(t, Seq("_id"), "left_anti")
-      case None    => st.base
+      case Some(t) => st.base.df.join(t.df, Seq("_id"), "left_anti")
+      case None    => st.base.df
     }
     st.overlay match {
       case Some(o) =>
-        if (hasId(st.base) && hasId(o))
-          afterTomb.join(o.select("_id"), Seq("_id"), "left_anti").unionByName(o)
-        else afterTomb.unionByName(o)
+        if (hasId(st.base.df) && hasId(o.df))
+          afterTomb.join(o.df.select("_id"), Seq("_id"), "left_anti")
+            .unionByName(o.df)
+        else afterTomb.unionByName(o.df)
       case None => afterTomb
     }
   }
 
+  // --------------------------------------------------------------- manifest
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Record the current piece layout so a fresh session can [[restore]].
+    * Written atomically (tmp + move) after every commit in warehouse mode. */
+  private def writeManifest(wh: String, name: String, st: State): Unit = {
+    val d = tableDir(wh, name)
+    java.nio.file.Files.createDirectories(d)
+    val fields = Seq(
+      "schema" -> jstr(st.base.df.schema.json),
+      "base" -> st.base.path.map(jstr).getOrElse("null"),
+      "overlay" -> st.overlay.flatMap(_.path).map(jstr).getOrElse("null"),
+      "tombstones" -> st.tombstones.flatMap(_.path).map(jstr).getOrElse("null"),
+      "depth" -> st.depth.toString)
+    val json = fields.map { case (k, v) => s"${jstr(k)}: $v" }
+      .mkString("{", ", ", "}")
+    val tmp = d.resolve("manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, d.resolve("manifest.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete piece dirs older than every piece the manifest references —
+    * safe because the manifest (and any in-flight plan from the current
+    * state) only reads newer generations. Runs at compaction/replace, so
+    * disk holds at most the live base + previous-epoch pieces. */
+  private def gc(wh: String, name: String, st: State): Unit = {
+    val live = (st.base.path ++ st.overlay.flatMap(_.path) ++
+      st.tombstones.flatMap(_.path)).toSet
+    val floor = live.map(p => p.substring(p.lastIndexOf('-') + 1).toLong)
+      .minOption.getOrElse(0L)
+    val d = tableDir(wh, name)
+    if (java.nio.file.Files.isDirectory(d)) {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(d).iterator).asScala.toList.foreach { p =>
+        p.getFileName.toString match {
+          case PieceRe(n) if n.toLong < floor && !live.contains(p.toString) =>
+            deleteRec(p)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(p).iterator).asScala.toList.foreach(deleteRec)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   /** Register the merged plan as the table's temp view and record the state.
     * Compacts first when the statement budget is spent. */
-  private def commit(spark: SparkSession, name: String, st0: State): Unit = {
+  private def commit(spark: SparkSession, name: String, st1: State): Unit = {
+    // A base that entered the log as a plain view (stateOf reset) has no
+    // files yet — durably materialize it once, or restore would lose it.
+    val st0 =
+      if (warehouse(spark).isDefined && st1.base.path.isEmpty)
+        st1.copy(base = mat(spark, name, "base", st1.base.df))
+      else st1
     val st =
       if (st0.depth >= compactAfter)
-        State(merged(st0).localCheckpoint(), None, None, 0, st0.registered)
+        State(mat(spark, name, "base", merged(st0)), None, None, 0,
+          st0.registered)
       else st0
     val view = merged(st)
     view.createOrReplaceTempView(name)
     states.put(key(spark, name), st.copy(registered = canon(view)))
+    warehouse(spark).foreach { wh =>
+      writeManifest(wh, name, st)
+      gc(wh, name, st)
+    }
   }
 
   /** Current log state for `name`, resetting onto the live view if someone
@@ -92,17 +220,26 @@ object TableLog {
     val cur = spark.table(name)
     val existing = Option(states.get(key(spark, name)))
       .filter(st => scala.util.Try(canon(cur) == st.registered).getOrElse(false))
-    existing.getOrElse(State(cur, None, None, 0, canon(cur)))
+    existing.getOrElse(State(Piece(cur, None), None, None, 0, canon(cur)))
   }
 
   /** Swap in a whole new table state (CREATE TABLE, COPY TO, ALTER —
     * schema changes are honest O(table) rewrites, as in Delta).
-    * `checkpoint` materializes first so the view never references itself. */
+    * `checkpoint` materializes first so the view never references itself;
+    * warehouse mode always materializes (durability needs files). */
   def replace(spark: SparkSession, name: String, df: DataFrame,
               checkpoint: Boolean): Unit = {
-    val base = if (checkpoint) df.localCheckpoint() else df
-    base.createOrReplaceTempView(name)
-    states.put(key(spark, name), State(base, None, None, 0, canon(base)))
+    val base =
+      if (warehouse(spark).isDefined) mat(spark, name, "base", df)
+      else if (checkpoint) Piece(df.localCheckpoint(), None)
+      else Piece(df, None)
+    base.df.createOrReplaceTempView(name)
+    val st = State(base, None, None, 0, canon(base.df))
+    states.put(key(spark, name), st)
+    warehouse(spark).foreach { wh =>
+      writeManifest(wh, name, st)
+      gc(wh, name, st)
+    }
   }
 
   /** Upsert-by-`_id`: incoming replaces same-id rows (mutex replace on every
@@ -111,21 +248,21 @@ object TableLog {
   def upsert(spark: SparkSession, name: String, incoming: DataFrame): Unit = {
     val st = stateOf(spark, name)
     val next =
-      if (!hasId(st.base) || !hasId(incoming)) {
+      if (!hasId(st.base.df) || !hasId(incoming)) {
         // keyless table: INSERT is append
-        val o = st.overlay.map(_.unionByName(incoming)).getOrElse(incoming)
-          .localCheckpoint()
+        val o = mat(spark, name, "overlay",
+          st.overlay.map(_.df.unionByName(incoming)).getOrElse(incoming))
         st.copy(overlay = Some(o), depth = st.depth + 1)
       } else {
         val inc = incoming.localCheckpoint() // reused by the joins below
         val ids = inc.select("_id")
-        val o = st.overlay match {
-          case Some(prev) => prev.join(ids, Seq("_id"), "left_anti")
-            .unionByName(inc).localCheckpoint()
+        val o = mat(spark, name, "overlay", st.overlay match {
+          case Some(prev) => prev.df.join(ids, Seq("_id"), "left_anti")
+            .unionByName(inc)
           case None => inc
-        }
-        val t = st.tombstones.map(
-          _.join(ids, Seq("_id"), "left_anti").localCheckpoint())
+        })
+        val t = st.tombstones.map(p =>
+          mat(spark, name, "tomb", p.df.join(ids, Seq("_id"), "left_anti")))
         st.copy(overlay = Some(o), tombstones = t, depth = st.depth + 1)
       }
     commit(spark, name, next)
@@ -147,20 +284,62 @@ object TableLog {
           // keyless: no id to tombstone — filtered rewrite is the honest cost
           replace(spark, name, m.filter(!hit), checkpoint = true)
         } else {
-          val ids = m.filter(hit).select("_id").localCheckpoint()
-          val t = st.tombstones.map(_.unionByName(ids).localCheckpoint())
-            .getOrElse(ids)
-          val o = st.overlay.map(
-            _.join(ids, Seq("_id"), "left_anti").localCheckpoint())
+          val ids = m.filter(hit).select("_id")
+          val t = mat(spark, name, "tomb", st.tombstones
+            .map(_.df.unionByName(ids)).getOrElse(ids))
+          val o = st.overlay.map(p => mat(spark, name, "overlay",
+            p.df.join(t.df, Seq("_id"), "left_anti")))
           commit(spark, name,
             st.copy(overlay = o, tombstones = Some(t), depth = st.depth + 1))
         }
     }
   }
 
-  /** Drop all log state for a table (DROP TABLE). */
-  def forget(spark: SparkSession, name: String): Unit =
+  /** Drop all log state for a table (DROP TABLE): forgets the in-memory log
+    * and removes the warehouse dir so a restore doesn't resurrect it. */
+  def forget(spark: SparkSession, name: String): Unit = {
     states.remove(key(spark, name))
+    warehouse(spark).foreach(wh => deleteRec(tableDir(wh, name)))
+    gens.remove(name.toLowerCase)
+  }
+
+  /** Re-register every warehouse table into `spark` from its manifest.
+    * Returns the restored table names. Idempotent; safe on a fresh JVM. */
+  def restore(spark: SparkSession): Seq[String] =
+    warehouse(spark).toSeq.flatMap { wh =>
+      val root = java.nio.file.Paths.get(wh)
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(root).iterator).asScala.toList
+        .filter(d => java.nio.file.Files.exists(d.resolve("manifest.json")))
+        .map { d =>
+          val name = d.getFileName.toString
+          import org.json4s._
+          val m = org.json4s.jackson.JsonMethods.parse(
+            java.nio.file.Files.readString(d.resolve("manifest.json")))
+          def str(k: String): Option[String] = m \ k match {
+            case JString(s) => Some(s)
+            case _          => None
+          }
+          val schema = DataType.fromJson(str("schema").get)
+            .asInstanceOf[StructType]
+          def piece(k: String, s: StructType): Option[Piece] =
+            str(k).map(p => Piece(spark.read.schema(s).parquet(p), Some(p)))
+          val base = piece("base", schema)
+            .getOrElse(Piece(emptyLike(spark, schema), None))
+          val tombSchema = StructType(schema.filter(_.name == "_id"))
+          val depth = m \ "depth" match {
+            case JInt(n) => n.toInt
+            case _       => 0
+          }
+          val st = State(base, piece("overlay", schema),
+            piece("tombstones", tombSchema), depth, null)
+          val view = merged(st)
+          view.createOrReplaceTempView(name)
+          states.put(key(spark, name), st.copy(registered = canon(view)))
+          name
+        }
+    }
 
   private def emptyLike(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -173,5 +352,5 @@ object TableLog {
 
   /** Identity of the current base (spec: point writes must not touch it). */
   private[graft] def baseOf(spark: SparkSession, name: String): Option[DataFrame] =
-    Option(states.get(key(spark, name))).map(_.base)
+    Option(states.get(key(spark, name))).map(_.base.df)
 }

@@ -200,7 +200,24 @@ object Ddl {
   private def isView(spark: SparkSession, n: String) =
     viewNames.contains((spark, n.toLowerCase))
 
-  def run(spark: SparkSession, q: String): DataFrame = q match {
+  /** View bodies (lowercased name → dialect SQL) for durable replay. */
+  private[sql] val viewDefs = scala.collection.mutable.Map.empty[String, String]
+
+  def run(spark: SparkSession, q: String): DataFrame = {
+    val out = exec(spark, q)
+    if (mutatesCatalog(q)) persistMeta(spark)
+    out
+  }
+
+  private def mutatesCatalog(q: String): Boolean = q match {
+    case CreateTableRe(_, _, _, _) | CreateViewRe(_, _, _) |
+         AlterViewRe(_, _) | DropRe(_, _, _) | AlterAddRe(_, _, _) |
+         AlterDropRe(_, _) | AlterRenameRe(_, _, _) | CreateDbRe(_, _, _) |
+         AlterDbRe(_, _) | DropDbRe(_, _) => true
+    case _ => false
+  }
+
+  private def exec(spark: SparkSession, q: String): DataFrame = q match {
     case CreateTableRe(ine, name, cols, _) =>
       if (spark.catalog.tableExists(name)) {
         if (ine != null) return ack(spark, s"table $name exists")
@@ -231,11 +248,13 @@ object Ddl {
       }
       spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(name)
       viewNames.add((spark, name.toLowerCase))
+      viewDefs(name.toLowerCase) = body
       ack(spark, s"created view $name")
 
     case AlterViewRe(name, body) =>
       if (!isView(spark, name)) sys.error(s"view '$name' not found")
       spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(name)
+      viewDefs(name.toLowerCase) = body
       ack(spark, s"altered view $name")
 
     case InsertRe(name, colsOpt, values) =>
@@ -286,6 +305,7 @@ object Ddl {
       graft.core.TableLog.forget(spark, name)
       spark.catalog.dropTempView(name)
       viewNames.remove((spark, name.toLowerCase))
+      viewDefs.remove(name.toLowerCase)
       ack(spark, s"dropped $name")
 
     case CopyRe(src, tgt, whereOpt) =>
@@ -666,5 +686,121 @@ object Ddl {
       array(trim(c).cast(e))
     case TimestampType => to_timestamp(trim(c))
     case other         => trim(c).cast(other)
+  }
+
+  // ------------------------------------------------------------ durability
+
+  private def warehouse(spark: SparkSession): Option[String] =
+    scala.util.Try(spark.conf.get("spark.graft.warehouse"))
+      .toOption.filter(_.nonEmpty)
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  private def jobj(kvs: Iterable[(String, String)]): String =
+    kvs.map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
+
+  /** Write the catalog-shaped state (field semantics, bounds, FKs, views,
+    * databases) to `<warehouse>/_ddlmeta.json`. Table DATA durability lives
+    * in [[graft.core.TableLog]] manifests; this file is the counterpart for
+    * the metadata the reference keeps in its schema store
+    * (`reference/holder.go` index/field metadata). */
+  private[sql] def persistMeta(spark: SparkSession): Unit =
+    warehouse(spark).foreach { wh =>
+      val json = jobj(Seq(
+        "timeUnits" -> jobj(timeUnits.toSeq.sortBy(_._1).map { case (t, m) =>
+          t -> jobj(m.map { case (c, (u, e)) =>
+            c -> jobj(Seq("unit" -> jstr(u), "epoch" -> jstr(e.toString))) })
+        }),
+        "bounds" -> jobj(bounds.toSeq.sortBy(_._1).map { case (t, m) =>
+          t -> jobj(m.map { case (c, (mn, mx)) =>
+            c -> jobj(Seq(
+              "min" -> mn.map(v => jstr(v.toString)).getOrElse("null"),
+              "max" -> mx.map(v => jstr(v.toString)).getOrElse("null"))) })
+        }),
+        "foreignKeys" -> jobj(foreignKeys.toSeq.sortBy(_._1).map { case (t, m) =>
+          t -> jobj(m.map { case (c, ft) => c -> jstr(ft) })
+        }),
+        "databases" -> jobj(databases.toSeq.sortBy(_._1).map { case (n, (u, cm)) =>
+          n -> jobj(Seq("units" -> u.toString, "comment" -> jstr(cm)))
+        }),
+        "views" -> jobj(viewDefs.toSeq.sortBy(_._1).map { case (n, b) =>
+          n -> jstr(b) })))
+      val dir = java.nio.file.Paths.get(wh)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve("_ddlmeta.json.tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, dir.resolve("_ddlmeta.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** Bring a fresh session up on a durable warehouse: re-register every
+    * table from its TableLog manifest, then replay catalog metadata and
+    * views. Returns restored table names. */
+  def restoreSession(spark: SparkSession): Seq[String] = {
+    val tables = graft.core.TableLog.restore(spark)
+    warehouse(spark).foreach { wh =>
+      val f = java.nio.file.Paths.get(wh, "_ddlmeta.json")
+      if (java.nio.file.Files.exists(f)) {
+        import org.json4s._
+        val m = org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(f))
+        def fields(v: JValue): Seq[(String, JValue)] = v match {
+          case JObject(fs) => fs.map(f => f._1 -> f._2)
+          case _           => Seq.empty
+        }
+        def str(v: JValue): String =
+          v match { case JString(s) => s; case other => other.toString }
+        fields(m \ "timeUnits").foreach { case (t, cols) =>
+          timeUnits(t) = fields(cols).map { case (c, spec) =>
+            c -> (str(spec \ "unit"),
+              java.time.Instant.parse(str(spec \ "epoch")))
+          }.toMap
+        }
+        fields(m \ "bounds").foreach { case (t, cols) =>
+          bounds(t) = fields(cols).map { case (c, spec) =>
+            def opt(k: String) = spec \ k match {
+              case JString(s) => Some(BigDecimal(s))
+              case _          => None
+            }
+            c -> (opt("min"), opt("max"))
+          }.toMap
+        }
+        fields(m \ "foreignKeys").foreach { case (t, cols) =>
+          foreignKeys(t) = fields(cols)
+            .map { case (c, ft) => c -> str(ft) }.toMap
+        }
+        fields(m \ "databases").foreach { case (n, spec) =>
+          val units = spec \ "units" match {
+            case JInt(i) => i.toInt
+            case _       => 1
+          }
+          databases(n) = (units, str(spec \ "comment"))
+        }
+        // Replay views to fixpoint — a view may reference another view.
+        var pending = fields(m \ "views").map { case (n, b) => n -> str(b) }
+        var progressed = true
+        while (pending.nonEmpty && progressed) {
+          progressed = false
+          pending = pending.filter { case (n, body) =>
+            val ok = scala.util.Try {
+              spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(n)
+              viewNames.add((spark, n))
+              viewDefs(n) = body
+            }.isSuccess
+            if (ok) progressed = true
+            !ok
+          }
+        }
+        pending.foreach { case (n, _) =>
+          System.err.println(s"[restore] view '$n' failed to replay")
+        }
+      }
+    }
+    tables
   }
 }
