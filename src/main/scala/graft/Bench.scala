@@ -26,25 +26,40 @@ object Bench {
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { exec(fn); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${e.getMessage}"); false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-    qs.foreach { case (name, fn) => // warmup pass
-      try exec(fn)
-      catch { case e: Throwable => System.err.println(s"[bench-warm] $name: ${e.getMessage}") }
-    }
+    // warmup pass is itself timed: a reader diagnosing a slow round can see
+    // whether warm and timed runs were slow TOGETHER (box contention) or the
+    // timed runs alone regressed (a real plan change)
+    val warm = qs.map { case (name, fn) => name -> timed(fn) }.toMap
     val results = qs.map { case (name, fn) =>
-      // min of 2 timed runs: drops GC/compilation jitter on a shared box
-      // without hiding real cost (both runs execute the full plan)
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { exec(fn); true } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      // min of 3 timed runs drops GC/compilation jitter on a shared box
+      // without hiding real cost (every run executes the full plan); ALL
+      // per-run times are reported so a uniformly-slow round is visible
+      val times = (1 to 3).map(_ => timed(fn))
+      (name, if (times.contains(-1.0)) -1.0 else times.min, times)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + (warm(k) +: ts).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    // per-query spread = max/min across timed runs; if the median query's
+    // runs disagree by >2× the box was contended and the numbers are noise
+    val spreads = results.collect { case (_, v, ts) if v > 0 =>
+      ts.max / math.max(ts.min, 1e-9) }.sorted
+    val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
+    val unreliable = medianSpread > 2.0
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
+      s""""runs_warm_then_timed":$runsJson,"median_spread":${f"$medianSpread%.3f"},""" +
+      s""""unreliable":$unreliable,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -122,6 +122,32 @@ object Mutation {
     * Semantics per [[set]]: scalar/mutex — last value per id wins (apply
     * order); set field — every value becomes a member; unseen ids create
     * records (existence-bit parity), other fields null. */
+  /** Bulk Clear: apply `Clear(id, field=value)` for every row of `writes`
+    * in ONE left join (the roaring-import `action=clear` path). Semantics per
+    * [[clear]]: set field — drop the members; scalar — null iff the current
+    * value is among the cleared ones. Ids not in the table are no-ops. */
+  def clearBulk(df: DataFrame, field: String, writes: DataFrame): DataFrame = {
+    val idType = df.schema("_id").dataType
+    val fieldT = df.schema(field).dataType
+    val valueT = if (isSet(df, field)) fieldT.asInstanceOf[ArrayType].elementType else fieldT
+    val incoming = writes.groupBy(col("_id").cast(idType).as("_id"))
+      .agg(collect_set(col("value").cast(valueT)).as("_rm"))
+    df.join(incoming, Seq("_id"), "left")
+      .select(df.schema.fields.map { f =>
+        val c =
+          if (f.name != field) col(f.name)
+          else if (isSet(df, field))
+            when(col("_rm").isNotNull,
+              array_except(coalesce(col(f.name), array().cast(fieldT)), col("_rm")))
+              .otherwise(col(f.name))
+          else
+            when(col("_rm").isNotNull && array_contains(col("_rm"), col(f.name)),
+              lit(null).cast(fieldT))
+              .otherwise(col(f.name))
+        c.cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+  }
+
   def setBulk(df: DataFrame, field: String, writes: DataFrame): DataFrame = {
     val idType = df.schema("_id").dataType
     val incoming =

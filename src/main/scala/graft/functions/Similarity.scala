@@ -174,15 +174,30 @@ object Similarity {
     * its nearest centroid cell (the `cell` column). The billion-scale ANN
     * layout: the assignment is a one-time distributed job, cells become the
     * partition/pruning key, and a query touches ~|corpus|·nProbe/nCells rows
-    * instead of the full scan. Returns (assigned corpus, centroids). */
+    * instead of the full scan. Returns (assigned corpus, centroids).
+    *
+    * The quantizer FIT runs on a bounded sample (`fitPointsPerCell` × nCells
+    * rows): centroid quality saturates at a few hundred points per cell, so
+    * iterating k-means over the full corpus — a multi-pass job over 100 TB —
+    * buys nothing. The full corpus is assigned exactly once by the model
+    * transform. Corpora at or under the sample target fit on everything
+    * (bit-identical to the pre-sample behavior). */
   def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-               nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+               nCells: Int, seed: Long = 42L,
+               fitPointsPerCell: Int = 256): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = embeddings.withColumn("__feat",
       array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    val target = fitPointsPerCell.toLong * nCells
+    val total = feat.count()
+    val fitSet =
+      if (total <= target) feat
+      // 1.2× oversample keeps the Bernoulli draw's realized size ≥ target whp
+      else feat.sample(withReplacement = false,
+        fraction = math.min(1.0, 1.2 * target.toDouble / total), seed = seed)
     val model = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("__feat").setPredictionCol("cell").fit(feat)
+      .setFeaturesCol("__feat").setPredictionCol("cell").fit(fitSet)
     val assigned = model.transform(feat).drop("__feat")
     (assigned, model.clusterCenters.map(_.toArray))
   }

@@ -97,6 +97,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
               }.toSeq.toDF("_id", "value", "seq")
             commitState(idx, graft.core.Mutation.setBulk(t, field, writes))
             s"""{"imported":true}"""
+          case Array("index", idx, "field", field, "import-roaring", shard) =>
+            importRoaring(idx, field, shard.toLong, body)
           case _ => sys.error(
             s"expected /index/{i}/query or /index/{i}/field/{f}/import, got ${ex.getRequestURI.getPath}")
         }
@@ -117,6 +119,61 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
   }
 
   def stop(): Unit = server.stop(0)
+
+  /** FeatureBase's shard width: ShardWidth = 1 << Exponent, Exponent = 20
+    * (`reference/shardwidth/helper.go:14`). A fragment bit at position p in
+    * shard s encodes rowID = p / ShardWidth for columnID =
+    * s·ShardWidth + p mod ShardWidth (`reference/fragment.go:36,318`). */
+  private val ShardWidth = 1L << 20
+
+  /** `POST /index/{i}/field/{f}/import-roaring/{shard}` — the reference's
+    * high-throughput pre-sharded ingest (`reference/http_handler.go:519`,
+    * client pre-sharding `reference/client/batch.go`). The reference envelope
+    * is protobuf (`reference/handler.go:446-455` ImportRoaringRequest:
+    * Views map[view]→roaring bytes + Action); here the envelope is JSON with
+    * base64 view payloads — no protobuf dependency — but the payload itself
+    * is the same idea: ONE serialized roaring bitmap of fragment bit
+    * positions per view, applied as a single bulk join (not per-bit writes).
+    * Supported: the `standard` view, actions `set` (default) and `clear`. */
+  private def importRoaring(idx: String, field: String, shard: Long,
+                            body: String): String = {
+    val t = tableState(idx)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val action = Option(node.get("action")).map(_.asText).getOrElse("set")
+    require(action == "set" || action == "clear",
+      s"action must be set|clear (overwrite is a block-level RBF operation " +
+      s"with no table analogue here), got '$action'")
+    val views = node.get("views")
+    require(views != null && views.isObject, """body must carry {"views":{"standard":"<base64 roaring>"}}""")
+    import spark.implicits._
+    var next = t
+    var bits = 0L
+    val names = views.fieldNames()
+    while (names.hasNext) {
+      val view = names.next()
+      require(view == "standard",
+        s"only the standard view is supported (time/bsi views pend), got '$view'")
+      val bm = graft.index.Bitmap.deserialize(
+        java.util.Base64.getDecoder.decode(views.get(view).asText))
+      // decode driver-side: the payload is one bounded HTTP body, exactly the
+      // work the reference's handler does; the APPLY is one distributed join
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val it = bm.getLongIterator
+      var seq = 0L
+      while (it.hasNext) {
+        val p = it.next()
+        buf += ((shard * ShardWidth + p % ShardWidth, p / ShardWidth, seq))
+        seq += 1
+      }
+      val writes = buf.toSeq.toDF("_id", "value", "seq")
+      next =
+        if (action == "clear") graft.core.Mutation.clearBulk(next, field, writes)
+        else graft.core.Mutation.setBulk(next, field, writes)
+      bits += seq
+    }
+    commitState(idx, next)
+    s"""{"imported":true,"bits":$bits}"""
+  }
 
   private def handler(f: String => String): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit = respond(ex) {

@@ -26,6 +26,38 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("minhash LSH: degenerate bucket is capped, not quadratic") {
+    import spark.implicits._
+    // 300 docs with the SAME text share every band signature — without the
+    // bucket cap the candidate join goes quadratic in the bucket size; with
+    // the cap the pathological buckets are dropped entirely
+    val clones = (1L to 300L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val distinctish = (2001L to 2010L).map(i =>
+      (i, s"doc $i unique words ${i * 7} and ${i * 13} tail"))
+    val posting = Dedup.shingledPosting(
+      (clones ++ distinctish).toDF("doc_id", "text"), "doc_id", "text")
+    val capped = Dedup.minhashPairs(posting, 0.5, maxBucket = 100)
+    assert(capped.count() == 0, "capped run must drop the degenerate bucket")
+    // sanity: with the cap above the clone count the pairs come back
+    val uncapped = Dedup.minhashPairs(posting, 0.5, maxBucket = 5000)
+    assert(uncapped.count() == 300L * 299 / 2)
+  }
+
+  test("IVF sample-fit quantizer: exhaustive probe stays exact") {
+    // force the sample path (target 10·8=80 << 2000 vectors): whatever
+    // centroids the sampled fit produces, nProbe = nCells partitions the
+    // corpus, so the exhaustive probe must still equal brute force
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val (assigned, centroids) = Similarity.ivfIndex(
+      emb, "vec_id", "embedding", nCells = 8, fitPointsPerCell = 10)
+    assert(centroids.length == 8)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20, Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      q, 20, nProbe = 8, excludeId = Some(0L)).collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+  }
+
   test("simhash of near-duplicate docs is close in hamming distance") {
     val pairs = Dedup.jaccardPairs(Dedup.shingledPosting(docs, "doc_id", "text"), 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -72,6 +72,32 @@ class HttpFacadeSpec extends SparkSpec {
     assert(c2 == 200 && b2.contains(""""data":[[77]]"""))
   }
 
+  test("import-roaring round-trips: imported bits visible to PQL Count") {
+    // fragment bit position = rowID·2^20 + columnID (shard 0): value 77 for
+    // columns {3, 9}, value 88 for column {4}
+    val W = 1L << 20
+    val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    bm.addLong(77 * W + 3); bm.addLong(77 * W + 9); bm.addLong(88 * W + 4)
+    val b64 = java.util.Base64.getEncoder.encodeToString(graft.index.Bitmap.serialize(bm))
+    val (code, body) = post("/index/supplier/field/s_nationkey/import-roaring/0",
+      s"""{"action":"set","views":{"standard":"$b64"}}""")
+    assert(code == 200 && body.contains(""""bits":3"""), body)
+    val (c2, b2) = post("/index/supplier/query", "Count(Row(s_nationkey=77))")
+    assert(c2 == 200 && b2.contains(""""data":[[2]]"""), b2)
+    // clear one of the bits; the other survives
+    val clr = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    clr.addLong(77 * W + 3)
+    val c64 = java.util.Base64.getEncoder.encodeToString(graft.index.Bitmap.serialize(clr))
+    val (c3, b3) = post("/index/supplier/field/s_nationkey/import-roaring/0",
+      s"""{"action":"clear","views":{"standard":"$c64"}}""")
+    assert(c3 == 200 && b3.contains(""""bits":1"""), b3)
+    val (c4, b4) = post("/index/supplier/query", "Count(Row(s_nationkey=77))")
+    assert(c4 == 200 && b4.contains(""""data":[[1]]"""), b4)
+    // unsupported action is a clean 400, not a 500
+    assert(post("/index/supplier/field/s_nationkey/import-roaring/0",
+      s"""{"action":"overwrite","views":{"standard":"$b64"}}""")._1 == 400)
+  }
+
   test("GET /schema lists tables and fields; GET /status healthy") {
     val (code, body) = get("/schema")
     assert(code == 200 && body.contains(""""name":"lineitem""""))
