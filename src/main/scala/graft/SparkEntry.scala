@@ -626,6 +626,19 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents")),
         224, 224)
         .orderBy("_id")),
+    // REAL codec rows: deterministic grayscale PNGs are encoded by the actual
+    // javax.imageio writer and decoded by the actual reader on executors; the
+    // oracle replays the pixel FORMULA (not the bytes), so a codec bug on
+    // either side of the round trip fails the compare.
+    "mm_decode_png" -> ((s, dir) =>
+      graft.functions.Multimodal.imageFeatures(
+        graft.functions.Multimodal.pngFixtures(Tables.load(s, dir, "documents")))
+        .orderBy("_id")),
+    "mm_resize_png" -> ((s, dir) =>
+      graft.functions.Multimodal.imageResizeNN(
+        graft.functions.Multimodal.pngFixtures(Tables.load(s, dir, "documents")),
+        4, 3)
+        .orderBy("_id")),
     "mm_embed" -> ((s, dir) =>
       graft.functions.Multimodal.embed(
         graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents")),
@@ -848,6 +861,21 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "CAST(ceil(octet_length(encode(text))::DOUBLE / " +
       "ceil(sqrt(octet_length(encode(text))::DOUBLE))) AS INT) AS h FROM documents) " +
       "ORDER BY _id"),
+    // real-codec rows: the oracle recomputes the FIXTURE FORMULA — pixel i of
+    // doc d is (d*31+i)%256 on a (d%5+3)×(d%4+2) grid — while Spark round-trips
+    // actual PNG bytes through javax.imageio; resize replays the
+    // nearest-neighbor index map src=(tgt*srcDim)//tgtDim
+    "mm_decode_png" -> ("SELECT doc_id AS _id, any_value(doc_id%5+3)::INT AS w, " +
+      "any_value(doc_id%4+2)::INT AS h, round(avg((doc_id*31 + i) % 256), 4) AS mean_px, " +
+      "min((doc_id*31 + i) % 256) AS min_px, max((doc_id*31 + i) % 256) AS max_px " +
+      "FROM (SELECT doc_id, unnest(generate_series(0, (doc_id%5+3)*(doc_id%4+2) - 1)) AS i " +
+      "FROM documents) GROUP BY doc_id ORDER BY _id"),
+    "mm_resize_png" -> ("SELECT doc_id AS _id, round(avg(v), 4) AS mean_px, " +
+      "min(v) AS min_px, max(v) AS max_px FROM (" +
+      "SELECT doc_id, (doc_id*31 + ((ty*(doc_id%4+2))//3)*(doc_id%5+3) + " +
+      "((tx*(doc_id%5+3))//4)) % 256 AS v " +
+      "FROM (SELECT doc_id, unnest(generate_series(0,3)) AS tx FROM documents), " +
+      "unnest(generate_series(0,2)) AS s(ty)) GROUP BY doc_id ORDER BY _id"),
     "mm_embed" -> ("WITH pos AS (SELECT doc_id, " +
       "unnest(list_transform(string_split(text,''), c -> ascii(c))) AS c, " +
       "unnest(range(1, length(text)+1)) AS i FROM documents) " +

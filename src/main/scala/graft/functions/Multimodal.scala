@@ -127,6 +127,109 @@ object Multimodal {
       .withColumn("frame_idx", (col("ts_ms") / everyMs).cast(LongType))
       .select(col("_id"), col("frame_idx"), col("ts_ms"))
 
+  // ------------------------------------------------------------ real codec
+
+  /** REAL image codec (`javax.imageio`, PNG/JPEG) — the non-stub path. The
+    * stub [[decodeBytes]] remains the deterministic default for kinds the
+    * JDK cannot decode (audio/video need ffmpeg-class natives not present
+    * here); images go through the actual ImageIO reader on executors.
+    * Grayscale band 0 is the sample stream; multi-band images read their
+    * first band (luma-ish for YCbCr JPEG, red for RGB — documented, cheap). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload (not PNG/JPEG/GIF/BMP?)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Lossless grayscale PNG encode — the write side of the real codec. */
+  def encodePng(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixels(y * width + x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL-PNG fixture table: pixel (row-major index i) of doc d
+    * is (d·31 + i) mod 256 on a (d%5+3) × (d%4+2) grayscale grid, encoded
+    * through the actual PNG writer ON EXECUTORS (narrow map — fixture bytes
+    * never sit on the driver). The formula is what lets DuckDB oracle the
+    * decoded stats without a codec of its own. */
+  def pngFixtures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 5 + 3).toInt
+          val h = (id % 4 + 2).toInt
+          val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toInt)
+          (id, encodePng(w, h, px))
+        }
+      }.toDF("_id", "bytes")
+  }
+
+  /** Per-image stats through the REAL decoder — same batched narrow shape as
+    * [[decodeFeatures]], but the bytes go through ImageIO, so this is an
+    * encode→decode round trip when fed [[pngFixtures]]. */
+  def imageFeatures(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val out = images.select(col("_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (w, h, s) = decodeImage(bytes)
+            (id, w, h, s.map(_.toDouble).sum / s.length, s.min.toLong, s.max.toLong)
+          }
+        }
+      }
+    out.toDF("_id", "w", "h", "mean_px", "min_px", "max_px")
+      .withColumn("mean_px", round(col("mean_px"), 4))
+  }
+
+  /** REAL resize: decode → nearest-neighbor resample (src = ⌊tgt·src/tgt⌋,
+    * the mapping the oracle replays in SQL) → re-encode PNG → decode AGAIN →
+    * stats. The double round trip is deliberate: it proves the encoder and
+    * decoder agree, not just that the resample loop ran. Narrow op, no
+    * shuffle; a GPU/JNI codec swaps in per batch without shape changes. */
+  def imageResizeNN(images: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val out = images.select(col("_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (w, h, s) = decodeImage(bytes)
+            val res = Array.tabulate(tw * th) { i =>
+              val (tx, ty) = (i % tw, i / tw)
+              s((ty * h / th) * w + (tx * w / tw))
+            }
+            val (_, _, s2) = decodeImage(encodePng(tw, th, res))
+            (id, s2.map(_.toDouble).sum / s2.length, s2.min.toLong, s2.max.toLong)
+          }
+        }
+      }
+    out.toDF("_id", "mean_px", "min_px", "max_px")
+      .withColumn("mean_px", round(col("mean_px"), 4))
+  }
+
   /** Decode-then-embed: stub feature vector reused by the ANN/similarity
     * surface ([[Similarity]]) — mean byte per fixed-stride bucket. */
   def embed(media: DataFrame, dims: Int): DataFrame = {
