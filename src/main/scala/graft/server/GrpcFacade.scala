@@ -1,0 +1,333 @@
+package graft.server
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.sparkproject.connect.grpc
+import org.sparkproject.connect.grpc.{CallOptions, ManagedChannel, MethodDescriptor, ServerServiceDefinition, Status}
+import org.sparkproject.connect.grpc.stub.{ClientCalls, ServerCalls, StreamObserver}
+import java.io.{ByteArrayInputStream, InputStream}
+
+/** Minimal protobuf wire codec for the reference's query messages
+  * (`reference/proto/pilosa.proto:6-57`). The messages are flat — strings,
+  * varints, one oneof — so a hand-rolled writer/reader replaces a protoc
+  * dependency (none is available offline) while staying byte-compatible with
+  * the real `.proto`: any generated client can talk to this server.
+  */
+private[server] object Proto {
+  final class Writer {
+    private val out = new java.io.ByteArrayOutputStream()
+    def varint(v: Long): Writer = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt); this
+    }
+    private def key(field: Int, wire: Int) = varint((field.toLong << 3) | wire)
+    def int(field: Int, v: Long): Writer = { key(field, 0); varint(v) }
+    def bool(field: Int, v: Boolean): Writer = int(field, if (v) 1 else 0)
+    def double(field: Int, v: Double): Writer = {
+      key(field, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xff).toInt))
+      this
+    }
+    def bytes(field: Int, v: Array[Byte]): Writer = {
+      key(field, 2); varint(v.length.toLong); out.write(v); this
+    }
+    def string(field: Int, v: String): Writer =
+      bytes(field, v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def msg(field: Int)(f: Writer => Unit): Writer = {
+      val w = new Writer; f(w); bytes(field, w.result)
+    }
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  /** Collects (field → values); wire 0 as Long, wire 2 as bytes, wire 1 as
+    * raw fixed64 bits. Unknown fields are skipped per proto rules. */
+  final class Reader(buf: Array[Byte]) {
+    private var pos = 0
+    private def varint(): Long = {
+      var shift = 0; var acc = 0L
+      while ({ val b = buf(pos); pos += 1
+               acc |= (b & 0x7fL) << shift; shift += 7; (b & 0x80) != 0 }) ()
+      acc
+    }
+    val fields: Map[Int, Seq[Any]] = {
+      val m = scala.collection.mutable.Map.empty[Int, Vector[Any]]
+      while (pos < buf.length) {
+        val k = varint()
+        val (field, wire) = ((k >>> 3).toInt, (k & 7).toInt)
+        val v: Any = wire match {
+          case 0 => varint()
+          case 1 => val b = java.util.Arrays.copyOfRange(buf, pos, pos + 8)
+                    pos += 8; b
+          case 2 => val len = varint().toInt
+                    val b = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+                    pos += len; b
+          case w => sys.error(s"unsupported wire type $w")
+        }
+        m(field) = m.getOrElse(field, Vector.empty) :+ v
+      }
+      m.toMap
+    }
+    def str(field: Int): Option[String] = fields.get(field).flatMap(_.headOption)
+      .map(b => new String(b.asInstanceOf[Array[Byte]],
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
+/** gRPC facade — the reference's `pilosa.Pilosa` query service
+  * (`reference/server/grpc.go:159-440`, proto `reference/proto/pilosa.proto:
+  * 120-131`) served over the gRPC runtime that ships shaded inside Apache
+  * Spark's spark-connect jar (no new dependency). Implemented RPCs:
+  *
+  *   - `QuerySQLUnary`  — SQL → TableResponse
+  *   - `QueryPQLUnary`  — single-call PQL → TableResponse (multi-call →
+  *                        INVALID_ARGUMENT "handles exactly one query",
+  *                        `grpc.go:371-373`)
+  *   - `QuerySQL` / `QueryPQL` — server-streaming RowResponse per row,
+  *                        headers on the first message (`grpc.go:159-343`)
+  *
+  * Result typing mirrors `grpc.go`: Count → (count, uint64); writes →
+  * (result, bool) like ResultBool (`grpc.go:621-639`); tables map Spark
+  * types onto the ColumnResponse oneof with `_id`-as-uint64 and
+  * fieldDataType naming (`grpc.go:1433-1458`).
+  *
+  * Scale note: like [[HttpFacade]], this fronts a SparkSession driver;
+  * queries run distributed and only result rows cross the wire, capped the
+  * same way the reference's handler materializes its response.
+  */
+final class GrpcFacade(spark: SparkSession, dir: String, port: Int) {
+
+  private val state = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private def tableState(name: String): DataFrame =
+    state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
+
+  private val MaxWireRows = 100000
+
+  // ------------------------------------------------------------- encoding
+
+  private def datatypeOf(name: String, t: DataType): String = t match {
+    case LongType | IntegerType | ShortType =>
+      if (name == "_id") "uint64" else "int64" // grpc.go:812,1445-1449
+    case StringType                  => "string"
+    case BooleanType                 => "bool"
+    case DoubleType | FloatType      => "float64"
+    case _: DecimalType              => "decimal"
+    case TimestampType | DateType    => "timestamp"
+    case ArrayType(StringType, _)    => "[]string"
+    case ArrayType(LongType | IntegerType, _) => "[]uint64"
+    case other                       => other.simpleString
+  }
+
+  /** One ColumnResponse. `field` is 1 inside a Row (`Row.columns = 1`) and
+    * 2 at RowResponse top level (`RowResponse.columns = 2`). */
+  private def writeColumn(w: Proto.Writer, field: Int, dt: String, v: Any): Unit =
+    w.msg(field) { c =>
+      v match {
+        case null => ()                  // unset oneof = null column
+        case n: Long if dt == "uint64"   => c.int(2, n)
+        case n: Long                     => c.int(3, n)
+        case n: Int                      => c.int(3, n.toLong)
+        case s: String if dt == "timestamp" => c.string(10, s)
+        case s: String                   => c.string(1, s)
+        case b: Boolean                  => c.bool(4, b)
+        case d: Double                   => c.double(8, d)
+        case f: Float                    => c.double(8, f.toDouble)
+        case d: java.math.BigDecimal     =>
+          c.msg(9)(m => { m.int(1, d.unscaledValue.longValueExact)
+                          m.int(2, d.scale.toLong) })
+        case t: java.sql.Timestamp       => c.string(10, t.toInstant.toString)
+        case a: scala.collection.Seq[_] if dt == "[]string" =>
+          c.msg(7)(m => a.foreach(x => m.string(1, x.toString)))
+        case a: scala.collection.Seq[_]  =>
+          c.msg(6)(m => a.foreach {
+            case n: Long => m.int(1, n)
+            case n: Int  => m.int(1, n.toLong) })
+        case other                       => c.string(1, other.toString)
+      }
+    }
+
+  private def collectCapped(df: DataFrame) = {
+    val rows = df.limit(MaxWireRows + 1).collect()
+    if (rows.length > MaxWireRows)
+      sys.error(s"result exceeds $MaxWireRows rows; add TOP(n) or a filter")
+    rows
+  }
+
+  /** DataFrame → TableResponse bytes (headers=1, rows=2). */
+  private def toTable(df: DataFrame): Array[Byte] = {
+    val w = new Proto.Writer
+    val dts = df.schema.fields.map(f => datatypeOf(f.name, f.dataType))
+    df.schema.fields.zip(dts).foreach { case (f, dt) =>
+      w.msg(1)(h => { h.string(1, f.name); h.string(2, dt) })
+    }
+    collectCapped(df).foreach { r =>
+      w.msg(2) { row =>
+        dts.indices.foreach(i => writeColumn(row, 1, dts(i), r.get(i)))
+      }
+    }
+    w.result
+  }
+
+  /** DataFrame → one RowResponse per row; headers ride the first message
+    * (and a headers-only message when the result is empty). */
+  private def toRowResponses(df: DataFrame): Seq[Array[Byte]] = {
+    val dts = df.schema.fields.map(f => datatypeOf(f.name, f.dataType))
+    def headers(w: Proto.Writer): Unit =
+      df.schema.fields.zip(dts).foreach { case (f, dt) =>
+        w.msg(1)(h => { h.string(1, f.name); h.string(2, dt) })
+      }
+    val rows = collectCapped(df)
+    if (rows.isEmpty) {
+      val w = new Proto.Writer; headers(w); Seq(w.result)
+    } else rows.zipWithIndex.map { case (r, i) =>
+      val w = new Proto.Writer
+      if (i == 0) headers(w)
+      dts.indices.foreach(j => writeColumn(w, 2, dts(j), r.get(j)))
+      w.result
+    }.toSeq
+  }
+
+  /** The write-ack TableResponse (`grpc.go:621-639` ResultBool). */
+  private def boolTable(v: Boolean): Array[Byte] = {
+    val w = new Proto.Writer
+    w.msg(1)(h => { h.string(1, "result"); h.string(2, "bool") })
+    w.msg(2)(row => writeColumn(row, 1, "bool", v))
+    w.result
+  }
+
+  // ------------------------------------------------------------ execution
+
+  private def runSql(sql: String): DataFrame =
+    graft.sql.GraftSql.sql(spark, dir, sql)
+
+  /** Single-call PQL, reference unary semantics. Returns the result frame or
+    * None for a write (acked as ResultBool). */
+  private def runPqlUnary(index: String, pql: String): Option[DataFrame] = {
+    val (results, next) = graft.pql.Pql.programResults(tableState(index), index, pql)
+    if (results.length != 1)
+      throw Status.INVALID_ARGUMENT
+        .withDescription("QueryPQLUnary handles exactly one query")
+        .asRuntimeException()
+    state.put(index, next)
+    results.head
+  }
+
+  // --------------------------------------------------------------- server
+
+  private val byteMarshaller = new MethodDescriptor.Marshaller[Array[Byte]] {
+    def stream(v: Array[Byte]): InputStream = new ByteArrayInputStream(v)
+    def parse(in: InputStream): Array[Byte] = in.readAllBytes()
+  }
+
+  private def method(name: String, mtype: MethodDescriptor.MethodType) =
+    MethodDescriptor.newBuilder(byteMarshaller, byteMarshaller)
+      .setFullMethodName(MethodDescriptor.generateFullMethodName("pilosa.Pilosa", name))
+      .setType(mtype).build()
+
+  val QuerySqlUnaryMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("QuerySQLUnary", MethodDescriptor.MethodType.UNARY)
+  val QueryPqlUnaryMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("QueryPQLUnary", MethodDescriptor.MethodType.UNARY)
+  val QuerySqlMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("QuerySQL", MethodDescriptor.MethodType.SERVER_STREAMING)
+  val QueryPqlMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("QueryPQL", MethodDescriptor.MethodType.SERVER_STREAMING)
+
+  private def unary(f: Proto.Reader => Array[Byte]) =
+    ServerCalls.asyncUnaryCall(new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
+      def invoke(req: Array[Byte], out: StreamObserver[Array[Byte]]): Unit =
+        try { out.onNext(f(new Proto.Reader(req))); out.onCompleted() }
+        catch {
+          case e: grpc.StatusRuntimeException => out.onError(e)
+          case e: Throwable => out.onError(Status.INVALID_ARGUMENT
+            .withDescription(msg(e)).asRuntimeException())
+        }
+    })
+
+  private def streaming(f: Proto.Reader => Seq[Array[Byte]]) =
+    ServerCalls.asyncServerStreamingCall(
+      new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+        def invoke(req: Array[Byte], out: StreamObserver[Array[Byte]]): Unit =
+          try { f(new Proto.Reader(req)).foreach(out.onNext); out.onCompleted() }
+          catch { case e: Throwable => out.onError(Status.INVALID_ARGUMENT
+            .withDescription(msg(e)).asRuntimeException()) }
+      })
+
+  private def msg(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+      .linesIterator.take(3).mkString(" ")
+
+  private def sqlOf(r: Proto.Reader) =
+    r.str(1).getOrElse(sys.error("QuerySQLRequest.sql missing"))
+  private def pqlOf(r: Proto.Reader) =
+    (r.str(1).getOrElse(sys.error("QueryPQLRequest.index missing")),
+     r.str(2).getOrElse(sys.error("QueryPQLRequest.pql missing")))
+
+  private val service: ServerServiceDefinition =
+    ServerServiceDefinition.builder("pilosa.Pilosa")
+      .addMethod(QuerySqlUnaryMethod, unary(r => toTable(runSql(sqlOf(r)))))
+      .addMethod(QueryPqlUnaryMethod, unary { r =>
+        val (index, pql) = pqlOf(r)
+        runPqlUnary(index, pql) match {
+          case Some(df) => toTable(df)
+          case None     => boolTable(true)
+        }
+      })
+      .addMethod(QuerySqlMethod, streaming(r => toRowResponses(runSql(sqlOf(r)))))
+      .addMethod(QueryPqlMethod, streaming { r =>
+        val (index, pql) = pqlOf(r)
+        runPqlUnary(index, pql) match {
+          case Some(df) => toRowResponses(df)
+          case None     => Seq(boolTable(true))
+        }
+      })
+      .build()
+
+  private val server =
+    grpc.netty.NettyServerBuilder.forPort(port).addService(service).build()
+
+  def start(): Int = { server.start(); server.getPort }
+  def stop(): Unit = server.shutdownNow()
+}
+
+object GrpcFacade {
+  /** Blocking client helpers over the same shaded runtime — what a spec (or
+    * an in-process tool) uses to drive the server end-to-end. */
+  def channel(port: Int): ManagedChannel =
+    grpc.netty.NettyChannelBuilder.forAddress("127.0.0.1", port)
+      .usePlaintext().build()
+
+  def call(ch: ManagedChannel, md: MethodDescriptor[Array[Byte], Array[Byte]],
+           req: Array[Byte]): Array[Byte] =
+    ClientCalls.blockingUnaryCall(ch, md, CallOptions.DEFAULT, req)
+
+  def serverStream(ch: ManagedChannel, md: MethodDescriptor[Array[Byte], Array[Byte]],
+                   req: Array[Byte]): Seq[Array[Byte]] = {
+    val it = ClientCalls.blockingServerStreamingCall(ch, md, CallOptions.DEFAULT, req)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  def sqlRequest(sql: String): Array[Byte] =
+    new Proto.Writer().string(1, sql).result
+  def pqlRequest(index: String, pql: String): Array[Byte] =
+    new Proto.Writer().string(1, index).string(2, pql).result
+
+  /** Standalone entry: `runMain graft.server.GrpcFacade <sfDir> [port]`. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.lift(1).map(_.toInt).getOrElse(20101)
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-grpc")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val bound = new GrpcFacade(spark, dir, port).start()
+    println(s"[graft-grpc] pilosa.Pilosa on :$bound (QuerySQLUnary/QueryPQLUnary/QuerySQL/QueryPQL)")
+    Thread.currentThread().join()
+  }
+}

@@ -63,6 +63,10 @@ object Ddl {
     raw"(?is)^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$$".r
   private val ShowCreateRe =
     raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$$".r
+  private val ShowTablesRe =
+    raw"(?is)^\s*SHOW\s+TABLES\s*(WITH\s+SYSTEM\s*)?;?\s*$$".r
+  private val ShowColumnsRe =
+    raw"(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(\w+)\s*;?\s*$$".r
   private val UnitsRe   = raw"(?i)\bUNITS\s+(\d+)".r
   private val CommentRe = raw"(?i)\bCOMMENT\s+'([^']*)'".r
 
@@ -390,8 +394,48 @@ object Ddl {
         topSplit(m.group(3), ','), Option(m.group(4)).map(topSplit(_, ',')),
         m.group(5), Option(m.group(6)).getOrElse(""))
 
+    case ShowTablesRe(withSystem) =>
+      // reference wire shape (`compileshow.go:76-150`: projection over
+      // fb_tables): _id, name, owner, updated_by, created_at, updated_at,
+      // keys, space_used, description. Ownership/timestamps are not tracked
+      // here (no authn); keys reflects a string _id.
+      import spark.implicits._
+      val showSystem = withSystem != null
+      val ts = new java.sql.Timestamp(0L)
+      spark.catalog.listTables().collect().toSeq.map(_.name)
+        .filter(n => showSystem || !n.startsWith("fb_"))
+        .sorted
+        .map { n =>
+          val keyed = scala.util.Try(
+            spark.table(n).schema("_id").dataType == org.apache.spark.sql.types.StringType
+          ).getOrElse(false)
+          (n, n, "", "", ts, ts, keyed, 0L, "")
+        }
+        .toDF("_id", "name", "owner", "updated_by", "created_at",
+          "updated_at", "keys", "space_used", "description")
+
+    case ShowColumnsRe(name) =>
+      // reference shape (`compileshow.go:153-280`: fb_table_columns
+      // projection): _id, name, type, created_at, keys, cache_type,
+      // cache_size, scale, min, max, timeunit, epoch, timequantum, ttl
+      import spark.implicits._
+      val tbl = scala.util.Try(spark.table(name)).getOrElse(
+        sys.error(s"table or view '$name' not found"))
+      val ts = new java.sql.Timestamp(0L)
+      tbl.schema.fields.toSeq.map { f =>
+        val scale = f.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType => d.scale.toLong
+          case _ => 0L
+        }
+        (f.name, f.name, SystemTables.refType(f.dataType), ts,
+          f.dataType == org.apache.spark.sql.types.StringType,
+          "", 0L, scale, 0L, 0L, "", 0L, "", "")
+      }.toDF("_id", "name", "type", "created_at", "keys", "cache_type",
+        "cache_size", "scale", "min", "max", "timeunit", "epoch",
+        "timequantum", "ttl")
+
     case _ if ShowRe.findFirstIn(q).isDefined =>
-      spark.sql(q) // SHOW TABLES / SHOW COLUMNS IN t / SHOW DATABASES — native
+      spark.sql(q) // SHOW DATABASES etc. — native
 
     case other => sys.error(s"unsupported DDL: $other")
   }

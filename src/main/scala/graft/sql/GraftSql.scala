@@ -171,8 +171,19 @@ object GraftSql {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null &&
              e.getCondition.startsWith("UNRESOLVED_COLUMN") =>
+        // the reference reports the bare column name even when the query
+        // qualified it (`defs_sql1.go:552-557` joiner.field_not_found →
+        // "column 'field_not_found' not found")
         val n = unquote(e.getMessageParameters.getOrDefault("objectName", "?"))
+          .split('.').last
         sys.error(s"column '$n' not found")
+      // parser failure wording (`defs_sql1.go:438-441` `where ()` →
+      // "expected expression, found …"; the reference's parser reports the
+      // token it choked on, so surface Spark's near-token the same way)
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        val tok = raw"""at or near (\S+)""".r.findFirstMatchIn(e.getMessage)
+          .map(_.group(1)).getOrElse("end of statement")
+        sys.error(s"expected expression, found $tok")
       // GROUP BY over an aggregate (`defs_groupby.go:212-224` wording)
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null && e.getCondition == "GROUP_BY_AGGREGATE" =>
@@ -401,8 +412,33 @@ object GraftSql {
     }.orElse(sys.error("Percentile call that can't be pushed down to PQL"))
   }
 
+  /** SQL1-era clients terminate every statement with `;`
+    * (`defs_sql1.go` — every case) — accepted and stripped. */
+  private def stripTerminator(q: String): String =
+    q.trim.replaceAll(";\\s*$", "")
+
+  /** SQL1 scoping: a bare `_id` over a join resolves to the DRIVING (left)
+    * table (`defs_sql1.go:166-193` — `select [distinct] _id from grouper g
+    * INNER JOIN joiner j …` returns grouper ids; the legacy `sql/extract.go`
+    * translator always read `_id` from the queried index). Spark calls that
+    * ambiguous, so qualify with the left relation's alias and retry once. */
+  private def runDisambiguated(spark: SparkSession, q: String): DataFrame =
+    try spark.sql(q) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("`_id` is ambiguous") =>
+        raw"(?i)\bFROM\s+(\w+)(?:\s+(?:AS\s+)?(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|GROUP|ORDER|HAVING|LIMIT|ON|WITH)\b)(\w+))?".r
+          .findFirstMatchIn(q) match {
+          case Some(m) =>
+            val alias = Option(m.group(2)).getOrElse(m.group(1))
+            spark.sql(q.replaceAll(raw"(?<![\w.`])_id\b",
+              java.util.regex.Matcher.quoteReplacement(alias) + "._id"))
+          case None => throw e
+        }
+    }
+
   /** Run one reference-dialect SQL query against the tables in `dir`. */
-  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+  def sql(spark: SparkSession, dir: String, query0: String): DataFrame = {
+    val query = stripTerminator(query0)
     Tables.registerAll(spark, dir)
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
@@ -411,12 +447,13 @@ object GraftSql {
       validateDialect(query)
       val hinted = applyHints(spark, query)
       percentilePushdown(spark, hinted).getOrElse(
-        translateErrors(dialectFix(spark, spark.sql(rewrite(hinted)))))
+        translateErrors(dialectFix(spark, runDisambiguated(spark, rewrite(hinted)))))
     }
   }
 
   /** Run a statement with no table dir (DDL-driven sessions). */
-  def statement(spark: SparkSession, query: String): DataFrame = {
+  def statement(spark: SparkSession, query0: String): DataFrame = {
+    val query = stripTerminator(query0)
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
@@ -424,7 +461,7 @@ object GraftSql {
       validateDialect(query)
       val hinted = applyHints(spark, query)
       percentilePushdown(spark, hinted).getOrElse(
-        translateErrors(dialectFix(spark, spark.sql(rewrite(hinted)))))
+        translateErrors(dialectFix(spark, runDisambiguated(spark, rewrite(hinted)))))
     }
   }
 }

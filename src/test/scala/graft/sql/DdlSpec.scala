@@ -199,9 +199,14 @@ class DdlSpec extends SparkSpec {
       "SELECT count(*) AS c FROM fb_performance_counters").collect()(0).getLong(0) == 0)
   }
 
-  test("SHOW TABLES passes through") {
+  test("SHOW TABLES emits the reference wire shape (compileshow.go:76-150)") {
     run("CREATE TABLE shown (_id ID)")
-    val names = run("SHOW TABLES").collect().map(_.getAs[String]("tableName"))
+    val df = run("SHOW TABLES")
+    assert(df.columns.toSeq == Seq("_id", "name", "owner", "updated_by",
+      "created_at", "updated_at", "keys", "space_used", "description"))
+    val names = df.collect().map(_.getAs[String]("name"))
     assert(names.contains("shown"))
+    // fb_* system tables hidden by default, shown WITH SYSTEM once registered
+    assert(!names.exists(_.startsWith("fb_")))
   }
 }

@@ -454,6 +454,120 @@ class DefsSpec extends SparkSpec {
       "FROM subquerytable GROUP BY a_string)", Set(Seq(3L)))
   }
 
+  // -------------------------------------------------------------- SQL1
+  // Legacy SQL1 compat corpus (`defs_sql1.go`): the statements existing
+  // FeatureBase apps issue against the old `sql/` translator, answered with
+  // sql3 semantics (the reference runs this corpus through sql3 too — e.g.
+  // the INNER JOIN count expects the true join-pair count 10, not the old
+  // PQL Distinct-Intersect's 8). Legacy-created indexes store fields
+  // ALPHABETICALLY, which is why `select *` yields _id + sorted columns; the
+  // fixtures are created in that stored order.
+
+  private lazy val sql1Fixtures: Unit = {
+    run("""CREATE TABLE grouper (_id ID, age INT MIN 0 MAX 100, color STRING,
+          | height INT MIN 0 MAX 1000, score INT MIN -1000 MAX 1000,
+          | timestamp TIMESTAMP)""".stripMargin)
+    run("INSERT INTO grouper (_id, age, color, height, score, timestamp) VALUES " +
+      "(1, 27, 'blue', 20, -10, '2011-04-02T12:32:00Z')," +
+      "(2, 16, 'blue', 30, -8, '2011-01-02T12:32:00Z')," +
+      "(3, 19, 'red', 40, 6, '2012-01-02T12:32:00Z')," +
+      "(4, 27, 'green', 50, 0, '2013-09-02T12:32:00Z')," +
+      "(5, 16, 'blue', 60, -2, '2014-01-02T12:32:00Z')," +
+      "(6, 34, 'blue', 70, 100, '2010-05-02T12:32:00Z')," +
+      "(7, 27, 'blue', 80, 0, '2016-08-02T12:32:00Z')," +
+      "(8, 16, NULL, 90, -13, '2020-01-02T12:32:00Z')," + // color is the only null
+      "(9, 16, 'red', 100, 80, '2000-03-02T12:32:00Z')," +
+      "(10, 31, 'red', 110, -2, '2018-01-02T12:32:00Z')")
+    run("CREATE TABLE joiner (_id ID, grouperid INT MIN 0 MAX 1000, " +
+      "jointype INT MIN -1000 MAX 1000)")
+    run("INSERT INTO joiner VALUES (1,1,1),(2,2,1),(3,5,1),(4,6,1),(5,7,1)," +
+      "(6,3,2),(7,8,2),(8,9,2),(9,1,3),(10,2,3)")
+  }
+
+  test("sql1 — projection and star expansion (defs_sql1.go:88-148)") {
+    sql1Fixtures
+    val ages = run("select age from grouper;")
+    assert(ages.columns.toSeq == Seq("age"))
+    assert(ages.orderBy().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(16L, 16L, 16L, 16L, 19L, 27L, 27L, 27L, 31L, 34L))
+    val star = run("select * from grouper where _id=2;")
+    assert(star.columns.toSeq ==
+      Seq("_id", "age", "color", "height", "score", "timestamp"))
+    val r = star.collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 16L && r.getString(2) == "blue" &&
+      r.getLong(3) == 30L && r.getLong(4) == -8L &&
+      r.getTimestamp(5).toInstant == java.time.Instant.parse("2011-01-02T12:32:00Z"))
+    assert(run("select * from grouper;").count() == 10)
+  }
+
+  test("sql1 — joins with aliases and qualified filters (defs_sql1.go:149-193,505-535)") {
+    sql1Fixtures
+    check("select count(*) from grouper g INNER JOIN joiner j ON g._id = j.grouperid;",
+      Set(Seq(10L)))
+    check("select distinct _id from grouper g INNER JOIN joiner j ON g._id = j.grouperid;",
+      Set(Seq(1L), Seq(2L), Seq(3L), Seq(5L), Seq(6L), Seq(7L), Seq(8L), Seq(9L)))
+    check("select _id from grouper g INNER JOIN joiner j ON g._id = j.grouperid " +
+      "where g.color = 'red';", Set(Seq(3L), Seq(9L)))
+    check("select _id from grouper g INNER JOIN joiner j ON g._id = j.grouperid " +
+      "where g.color = 'red' and j.jointype = 2;", Set(Seq(3L), Seq(9L)))
+    // the three AndExpr association orders from extract.go all mean the same
+    for (conds <- Seq(
+      "g.color = 'red' and j.jointype = 2 and g.age = 16",
+      "j.jointype = 2 and g.color = 'red' and g.age = 16",
+      "g.color = 'red' and g.age = 16 and j.jointype = 2"))
+      check("select _id from grouper g INNER JOIN joiner j ON g._id = j.grouperid " +
+        s"where $conds;", Set(Seq(9L)))
+  }
+
+  test("sql1 — distinct, order by, group by (defs_sql1.go:194-306,383-396)") {
+    sql1Fixtures
+    val asc = run("select distinct score from grouper order by score asc;")
+      .collect().map(_.getLong(0)).toSeq
+    assert(asc == Seq(-13L, -10L, -8L, -2L, 0L, 6L, 80L, 100L))
+    val desc = run("select distinct score from grouper order by score desc;")
+      .collect().map(_.getLong(0)).toSeq
+    assert(desc == asc.reverse)
+    check("select distinct height from grouper;",
+      (2 to 11).map(h => Seq(h * 10L)).toSet)
+    check("select age as yrs, count(*) as cnt from grouper group by age;",
+      Set(Seq(16L, 4L), Seq(19L, 1L), Seq(27L, 3L), Seq(31L, 1L), Seq(34L, 1L)))
+  }
+
+  test("sql1 — time-bounded filters (defs_sql1.go:384-437)") {
+    sql1Fixtures
+    check("select age, height from grouper where timestamp > '2017-09-02T12:32:00Z' " +
+      "and height > 40 group by age, height;", Set(Seq(16L, 90L), Seq(31L, 110L)))
+    check("select age, height from grouper where timestamp > '2017-09-02T12:32:00Z' " +
+      "or height > 90;", Set(Seq(16L, 90L), Seq(16L, 100L), Seq(31L, 110L)))
+    check("select age, height from grouper where timestamp > '2017-09-02T12:32:00Z' " +
+      "and timestamp < '2019-09-02T12:32:00Z';", Set(Seq(31L, 110L)))
+    check("select age, height from grouper where (timestamp > '2017-09-02T12:32:00Z' " +
+      "and timestamp < '2019-09-02T12:32:00Z');", Set(Seq(31L, 110L)))
+    check("select distinct age from grouper where timestamp > '2019-09-02T12:32:00Z';",
+      Set(Seq(16L)))
+  }
+
+  test("sql1 — show statements and error wordings (defs_sql1.go:438-558)") {
+    sql1Fixtures
+    expectErr("select age from grouper where ();", "expected expression, found")
+    val tables = run("show tables;").collect().map(_.getAs[String]("name")).toSet
+    assert(Set("grouper", "joiner").subsetOf(tables))
+    val cols = run("show columns from grouper;")
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("type"))).toSet
+    assert(Set(("age", "int"), ("color", "string"), ("height", "int"),
+      ("score", "int"), ("timestamp", "timestamp")).subsetOf(cols))
+    expectErr("select * from index_not_found;",
+      "table or view 'index_not_found' not found")
+    expectErr("select field_not_found from grouper;",
+      "column 'field_not_found' not found")
+    expectErr("select _id, age, field_not_found from grouper;",
+      "column 'field_not_found' not found")
+    expectErr("select age, color, count(*) as c from grouper group by field_not_found, age, color;",
+      "column 'field_not_found' not found")
+    expectErr("select count(*) from grouper inner join joiner on grouper._id = joiner.field_not_found;",
+      "column 'field_not_found' not found")
+  }
+
   test("percentile argument shapes — defs_aggregate.go:460-501") {
     expectErr("SELECT percentile(10, i1) AS p FROM at",
       "column reference expected")
