@@ -808,6 +808,14 @@ object Pql {
     (result, state)
   }
 
+  /** Number of mutating calls in a program (`reference/pql/ast.go:316-323`
+    * WriteCallN) — drives the facade's read→write permission escalation
+    * (`reference/http_handler.go:798-803`). */
+  def writeCallN(pql: String): Int = {
+    val writes = Set("Set", "Clear", "ClearRow", "Store", "Delete")
+    Parser.parse(pql).count(c => writes(c.name))
+  }
+
   /** One result per top-level call — the reference's `/index/{i}/query`
     * contract (`reference/handler.go:51-56`: `Results []interface{}`, one
     * entry per call). Reads yield tables bound to the state at their point

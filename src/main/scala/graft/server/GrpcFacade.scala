@@ -96,9 +96,72 @@ private[server] object Proto {
   * queries run distributed and only result rows cross the wire, capped the
   * same way the reference's handler materializes its response.
   */
-final class GrpcFacade(spark: SparkSession, dir: String, port: Int) {
+final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
+                       auth: Option[Auth.Config] = None) {
 
   private val state = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  // ----------------------------------------------------------------- auth
+  // The reference's gRPC authz (`reference/server/grpc.go:159-300`): the
+  // bearer token rides the `authorization` metadata key; PQL needs
+  // read-or-write on the one requested index (write when the program
+  // mutates, `grpc.go:283-296`); SQL needs the referenced tables inside
+  // the user's authorized-index list, admin for DDL (`grpc.go:223-248`).
+
+  private val TokenCtxKey: grpc.Context.Key[String] =
+    grpc.Context.key("graft-auth-token")
+
+  private val authInterceptor: grpc.ServerInterceptor = new grpc.ServerInterceptor {
+    def interceptCall[ReqT, RespT](call: grpc.ServerCall[ReqT, RespT],
+                                   headers: grpc.Metadata,
+                                   next: grpc.ServerCallHandler[ReqT, RespT])
+        : grpc.ServerCall.Listener[ReqT] = {
+      val tok = Option(headers.get(grpc.Metadata.Key.of(
+        "authorization", grpc.Metadata.ASCII_STRING_MARSHALLER)))
+        .map(_.stripPrefix("Bearer ").trim).orNull
+      grpc.Contexts.interceptCall(
+        grpc.Context.current().withValue(TokenCtxKey, tok), call, headers, next)
+    }
+  }
+
+  private def authedUser(cfg: Auth.Config): Auth.UserInfo =
+    cfg.verifier.authenticate(
+      Option(TokenCtxKey.get()).getOrElse(
+        throw new Auth.AuthError("auth token is empty")))
+
+  private def denied(msg: String): Nothing =
+    throw Status.PERMISSION_DENIED.withDescription(msg).asRuntimeException()
+
+  /** `grpc.go:283-296`: per-index check with write escalation. */
+  private def chkPql(index: String, pql: String): Unit = auth.foreach { cfg =>
+    val user = authedUser(cfg)
+    val perm = if (graft.pql.Pql.writeCallN(pql) > 0) Auth.PermWrite
+               else Auth.PermRead
+    if (!cfg.perms.isAdmin(user.groups) &&
+        !cfg.perms.authorizedIndexes(user.groups, perm).contains(index))
+      denied("insufficient permissions to access requested indexes")
+  }
+
+  /** `grpc.go:223-248`: referenced tables must all be authorized; DDL (or
+    * anything the read-only parser rejects) requires admin. */
+  private def chkSql(sql: String): Unit = auth.foreach { cfg =>
+    val user = authedUser(cfg)
+    if (cfg.perms.isAdmin(user.groups)) return
+    val tables =
+      try {
+        val plan = spark.sessionState.sqlParser.parsePlan(
+          graft.sql.GraftSql.rewrite(sql))
+        plan.collect {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            r.multipartIdentifier.last
+        }.distinct
+      } catch { case _: Exception =>
+        denied("insufficient permissions to execute request") // DDL → admin
+      }
+    val allowed = cfg.perms.authorizedIndexes(user.groups, Auth.PermRead).toSet
+    if (!tables.forall(allowed)) // grpc.go:241 isAllowed(parsed.Tables, ...)
+      denied("insufficient permissions to access requested tables")
+  }
   private def tableState(name: String): DataFrame =
     state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
 
@@ -240,6 +303,8 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int) {
         try { out.onNext(f(new Proto.Reader(req))); out.onCompleted() }
         catch {
           case e: grpc.StatusRuntimeException => out.onError(e)
+          case e: Auth.AuthError => out.onError(Status.PERMISSION_DENIED
+            .withDescription(msg(e)).asRuntimeException())
           case e: Throwable => out.onError(Status.INVALID_ARGUMENT
             .withDescription(msg(e)).asRuntimeException())
         }
@@ -250,8 +315,13 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int) {
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         def invoke(req: Array[Byte], out: StreamObserver[Array[Byte]]): Unit =
           try { f(new Proto.Reader(req)).foreach(out.onNext); out.onCompleted() }
-          catch { case e: Throwable => out.onError(Status.INVALID_ARGUMENT
-            .withDescription(msg(e)).asRuntimeException()) }
+          catch {
+            case e: grpc.StatusRuntimeException => out.onError(e)
+            case e: Auth.AuthError => out.onError(Status.PERMISSION_DENIED
+              .withDescription(msg(e)).asRuntimeException())
+            case e: Throwable => out.onError(Status.INVALID_ARGUMENT
+              .withDescription(msg(e)).asRuntimeException())
+          }
       })
 
   private def msg(e: Throwable): String =
@@ -266,17 +336,23 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int) {
 
   private val service: ServerServiceDefinition =
     ServerServiceDefinition.builder("pilosa.Pilosa")
-      .addMethod(QuerySqlUnaryMethod, unary(r => toTable(runSql(sqlOf(r)))))
+      .addMethod(QuerySqlUnaryMethod, unary { r =>
+        val sql = sqlOf(r); chkSql(sql); toTable(runSql(sql))
+      })
       .addMethod(QueryPqlUnaryMethod, unary { r =>
         val (index, pql) = pqlOf(r)
+        chkPql(index, pql)
         runPqlUnary(index, pql) match {
           case Some(df) => toTable(df)
           case None     => boolTable(true)
         }
       })
-      .addMethod(QuerySqlMethod, streaming(r => toRowResponses(runSql(sqlOf(r)))))
+      .addMethod(QuerySqlMethod, streaming { r =>
+        val sql = sqlOf(r); chkSql(sql); toRowResponses(runSql(sql))
+      })
       .addMethod(QueryPqlMethod, streaming { r =>
         val (index, pql) = pqlOf(r)
+        chkPql(index, pql)
         runPqlUnary(index, pql) match {
           case Some(df) => toRowResponses(df)
           case None     => Seq(boolTable(true))
@@ -285,7 +361,9 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int) {
       .build()
 
   private val server =
-    grpc.netty.NettyServerBuilder.forPort(port).addService(service).build()
+    grpc.netty.NettyServerBuilder.forPort(port)
+      .addService(grpc.ServerInterceptors.intercept(service, authInterceptor))
+      .build()
 
   def start(): Int = { server.start(); server.getPort }
   def stop(): Unit = server.shutdownNow()

@@ -28,9 +28,25 @@ import java.nio.charset.StandardCharsets.UTF_8
   * stream through this process, and `collect()` here is bounded by the same
   * result-size discipline as the reference's coordinator reduce.
   */
-final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
+final class HttpFacade(spark: SparkSession, dir: String, port: Int,
+                       auth: Option[Auth.Config] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Per-route authn/authz, the reference's `chkAuthZ`
+    * (`reference/http_handler.go:733-855`): no-op when auth is off
+    * (`:742-745`); otherwise verify the bearer token, let admins through,
+    * check the index permission. Route→permission mapping follows the
+    * reference's router table: `/sql` Admin (`:536`), `/index/{i}/query`
+    * Read escalated to Write when the program mutates (`:521`,`:798-803`),
+    * imports Write (`:517-520`), `/schema` Read (`:524`). 403 on denial. */
+  private def chk(ex: HttpExchange, index: Option[String],
+                  required: Auth.Permission): Unit =
+    auth.foreach { cfg =>
+      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .map(_.stripPrefix("Bearer ").trim).filter(_.nonEmpty)
+      Auth.chkAuthZ(cfg, bearer, index, required)
+    }
 
   /** Per-table mutable state: PQL writes and field imports persist across
     * requests for the life of the server — the reference's immediately-
@@ -61,8 +77,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
 
   def start(): Int = {
     graft.core.Tables.registerAll(spark, dir)
-    server.createContext("/sql", handler { body =>
-      toWire(graft.sql.GraftSql.sql(spark, dir, body))
+    server.createContext("/sql", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin) // reference/http_handler.go:536
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        toWire(graft.sql.GraftSql.sql(spark, dir, body))
+      }
     })
     server.createContext("/index", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
@@ -70,6 +90,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         parts match {
           case Array("index", idx, "query") =>
+            chk(ex, Some(idx),
+              if (graft.pql.Pql.writeCallN(body) > 0) Auth.PermWrite
+              else Auth.PermRead)
             // one result per top-level call (`reference/handler.go:51-56`
             // `QueryResponse.Results`): reads as tables, writes as the
             // reference's boolean ack
@@ -88,6 +111,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
             // bulk path: ALL lines apply through ONE full-outer join
             // (Mutation.setBulk) — per-line plan stacking would make a
             // million-bit import a million-node analysis tree
+            chk(ex, Some(idx), Auth.PermWrite)
             val t = tableState(idx)
             import spark.implicits._
             val writes = body.linesIterator.filter(_.nonEmpty).zipWithIndex
@@ -98,20 +122,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
             commitState(idx, graft.core.Mutation.setBulk(t, field, writes))
             s"""{"imported":true}"""
           case Array("index", idx, "field", field, "import-roaring", shard) =>
+            chk(ex, Some(idx), Auth.PermWrite)
             importRoaring(idx, field, shard.toLong, body)
           case _ => sys.error(
             s"expected /index/{i}/query or /index/{i}/field/{f}/import, got ${ex.getRequestURI.getPath}")
         }
       }
     })
-    server.createContext("/schema", handler { _ =>
+    server.createContext("/schema", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+      chk(ex, None, Auth.PermRead) // reference/http_handler.go:524
       val indexes = graft.core.Tables.names.map { t =>
         val fields = spark.table(t).schema.fields.map(f =>
           s"""{"name":${js(f.name)},"type":${js(f.dataType.simpleString)}}""")
         s"""{"name":${js(t)},"fields":[${fields.mkString(",")}]}"""
       }
       s"""{"indexes":[${indexes.mkString(",")}]}"""
-    })
+    }})
     server.createContext("/status", handler { _ => """{"state":"NORMAL"}""" })
     server.setExecutor(null)
     server.start()
@@ -184,7 +211,11 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int) {
   private def respond(ex: HttpExchange)(f: => String): Unit = {
     val (code, payload) =
       try (200, f)
-      catch { case e: Throwable => (400, s"""{"error":${js(msg(e))}}""") }
+      catch {
+        // StatusForbidden, reference/http_handler.go:763,843-851
+        case e: Auth.AuthError => (403, s"""{"error":${js(msg(e))}}""")
+        case e: Throwable      => (400, s"""{"error":${js(msg(e))}}""")
+      }
     val bytes = payload.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length.toLong)

@@ -1,0 +1,203 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.server.Auth._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Permission-lattice, YAML, and token unit tests against
+  * `reference/authz/authorization.go` / `reference/authn/authenticate.go`. */
+class AuthUnitSpec extends AnyFunSuite {
+
+  private val secret = "0123456789abcdef0123456789abcdef".getBytes
+
+  // the reference's own test fixture shape (authz/authorization_test.go)
+  private val permsYaml =
+    """user-groups:
+      |  "dca35310-ecda-4f23-86cd-876aee559900":
+      |    "test": "read"
+      |    "orders": "write"
+      |  "751cdaf8-8da1-4c8f-9b5c-9b5c3a3a3a3a":
+      |    "test": "write"
+      |admin: "ac97c9e2-346b-42a2-b6af-21d0bc30221b"
+      |""".stripMargin
+  private val perms = GroupPermissions.fromYaml(permsYaml)
+
+  test("permission lattice matches authorization.go:30-41") {
+    assert(PermNone.satisfies(PermNone) && !PermNone.satisfies(PermRead))
+    assert(PermRead.satisfies(PermRead) && !PermRead.satisfies(PermWrite))
+    assert(PermWrite.satisfies(PermRead) && !PermWrite.satisfies(PermAdmin))
+    assert(PermAdmin.satisfies(PermWrite) && PermAdmin.satisfies(PermAdmin))
+  }
+
+  test("getPermissions: max across groups, admin bypass, denials") {
+    val reader = UserInfo("u1", "reader",
+      Seq(Group("dca35310-ecda-4f23-86cd-876aee559900")))
+    assert(perms.getPermissions(reader, "test") == PermRead)
+    assert(perms.getPermissions(reader, "orders") == PermWrite)
+    // a known group without the index is an immediate denial
+    val e1 = intercept[AuthError](perms.getPermissions(reader, "nope"))
+    assert(e1.getMessage.contains("does not have permission to index nope"))
+    // admin group short-circuits to Admin on any index
+    val admin = UserInfo("u2", "boss",
+      Seq(Group("ac97c9e2-346b-42a2-b6af-21d0bc30221b")))
+    assert(perms.getPermissions(admin, "anything") == PermAdmin)
+    // all groups unknown → group-level denial
+    val stranger = UserInfo("u3", "x", Seq(Group("unknown-group")))
+    val e2 = intercept[AuthError](perms.getPermissions(stranger, "test"))
+    assert(e2.getMessage.contains("does not have permission to FeatureBase"))
+    // no groups at all
+    val e3 = intercept[AuthError](
+      perms.getPermissions(UserInfo("u4", "y", Seq.empty), "test"))
+    assert(e3.getMessage.contains("not part of any groups"))
+  }
+
+  test("authorizedIndexes mirrors GetAuthorizedIndexList") {
+    val reader = Seq(Group("dca35310-ecda-4f23-86cd-876aee559900"))
+    assert(perms.authorizedIndexes(reader, PermRead).toSet == Set("test", "orders"))
+    assert(perms.authorizedIndexes(reader, PermWrite).toSet == Set("orders"))
+    val admin = Seq(Group("ac97c9e2-346b-42a2-b6af-21d0bc30221b"))
+    assert(perms.authorizedIndexes(admin, PermAdmin).toSet == Set("test", "orders"))
+  }
+
+  test("token round-trip carries oid/name/groups; bad signature rejected") {
+    val v = new TokenVerifier(secret)
+    val tok = TokenVerifier.sign(secret, "oid-1", "Alice",
+      Seq(Group("g1", "Engineering")))
+    val u = v.authenticate(tok)
+    assert(u == UserInfo("oid-1", "Alice", Seq(Group("g1", "Engineering"))))
+    val wrong = new TokenVerifier("ffffffffffffffffffffffffffffffff".getBytes)
+    intercept[AuthError](wrong.authenticate(tok))
+    intercept[AuthError](v.authenticate(""))
+    intercept[AuthError](v.authenticate("not-a-jwt"))
+    // expired token rejected (authenticate.go:196-216)
+    val old = TokenVerifier.sign(secret, "o", "n", Seq.empty, ttlSeconds = -60)
+    intercept[AuthError](v.authenticate(old))
+  }
+}
+
+/** End-to-end facade authz: the chkAuthZ route table of
+  * `reference/http_handler.go:497-536` driven over live HTTP. */
+class AuthFacadeSpec extends SparkSpec {
+
+  private val secret = "0123456789abcdef0123456789abcdef".getBytes
+  private val perms = GroupPermissions.fromYaml(
+    """user-groups:
+      |  "readers":
+      |    "lineitem": "read"
+      |  "writers":
+      |    "orders": "write"
+      |admin: "admins"
+      |""".stripMargin)
+  private lazy val facade = new HttpFacade(spark, sfDir, 0,
+    Some(Config(new TokenVerifier(secret), perms)))
+  private lazy val port = facade.start()
+  private val client = HttpClient.newHttpClient()
+
+  private def tok(groups: String*): String =
+    TokenVerifier.sign(secret, "uid", "user", groups.map(Group(_)))
+
+  private def post(path: String, body: String, token: Option[String])
+      : (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  override def afterAll(): Unit = { facade.stop(); super.afterAll() }
+
+  test("no token → 403; garbage token → 403") {
+    assert(post("/index/lineitem/query", "Count(All())", None)._1 == 403)
+    assert(post("/index/lineitem/query", "Count(All())", Some("zzz"))._1 == 403)
+  }
+
+  test("read group can query its index, not others") {
+    val (c, body) = post("/index/lineitem/query", "Count(Row(l_quantity > 30))",
+      Some(tok("readers")))
+    assert(c == 200 && body.contains(""""data":[["""))
+    assert(post("/index/orders/query", "Count(All())", Some(tok("readers")))._1 == 403)
+  }
+
+  test("PQL write calls escalate required permission to write (http_handler.go:798-803)") {
+    val (c, _) = post("/index/lineitem/query",
+      "Set(1, l_returnflag='Z')", Some(tok("readers")))
+    assert(c == 403)
+    val (cw, body) = post("/index/orders/query",
+      "Set(7, o_orderstatus='Q') Count(Row(o_orderstatus='Q'))", Some(tok("writers")))
+    assert(cw == 200 && body.contains("true"))
+  }
+
+  test("/sql needs admin (http_handler.go:536); admin passes everywhere") {
+    assert(post("/sql", "SELECT TOP(1) r_name FROM region", Some(tok("readers")))._1 == 403)
+    val (c, body) = post("/sql", "SELECT TOP(1) r_name FROM region", Some(tok("admins")))
+    assert(c == 200 && body.contains(""""data":"""))
+    assert(post("/index/lineitem/query", "Count(All())", Some(tok("admins")))._1 == 200)
+  }
+}
+
+/** gRPC authz parity (`reference/server/grpc.go:159-300`): bearer token in
+  * the `authorization` metadata key, PERMISSION_DENIED on shortfall. */
+class AuthGrpcSpec extends SparkSpec {
+  import org.sparkproject.connect.grpc
+  import org.sparkproject.connect.grpc.StatusRuntimeException
+
+  private val secret = "0123456789abcdef0123456789abcdef".getBytes
+  private val perms = GroupPermissions.fromYaml(
+    """user-groups:
+      |  "readers":
+      |    "region": "read"
+      |admin: "admins"
+      |""".stripMargin)
+  private lazy val facade = new GrpcFacade(spark, sfDir, 0,
+    Some(Config(new TokenVerifier(secret), perms)))
+  private lazy val port = facade.start()
+
+  private def ch(groups: String*): grpc.ManagedChannel = {
+    val md = new grpc.Metadata()
+    md.put(grpc.Metadata.Key.of("authorization", grpc.Metadata.ASCII_STRING_MARSHALLER),
+      "Bearer " + TokenVerifier.sign(secret, "uid", "user", groups.map(Group(_))))
+    grpc.netty.NettyChannelBuilder.forAddress("127.0.0.1", port).usePlaintext()
+      .intercept(grpc.stub.MetadataUtils.newAttachHeadersInterceptor(md))
+      .build()
+  }
+
+  private def status(f: => Any): grpc.Status.Code =
+    try { f; grpc.Status.Code.OK }
+    catch { case e: StatusRuntimeException => e.getStatus.getCode }
+
+  override def afterAll(): Unit = { facade.stop(); super.afterAll() }
+
+  test("PQL: reader reads its index; writes and foreign indexes are denied") {
+    val reader = ch("readers")
+    try {
+      assert(status(GrpcFacade.call(reader, facade.QueryPqlUnaryMethod,
+        GrpcFacade.pqlRequest("region", "Count(All())"))) == grpc.Status.Code.OK)
+      assert(status(GrpcFacade.call(reader, facade.QueryPqlUnaryMethod,
+        GrpcFacade.pqlRequest("region", "Set(9, r_name='X')"))) ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      assert(status(GrpcFacade.call(reader, facade.QueryPqlUnaryMethod,
+        GrpcFacade.pqlRequest("orders", "Count(All())"))) ==
+        grpc.Status.Code.PERMISSION_DENIED)
+    } finally reader.shutdownNow()
+  }
+
+  test("SQL: table allow-list enforced; missing token denied; admin passes") {
+    val reader = ch("readers"); val admin = ch("admins")
+    val anon = GrpcFacade.channel(port)
+    try {
+      assert(status(GrpcFacade.call(reader, facade.QuerySqlUnaryMethod,
+        GrpcFacade.sqlRequest("SELECT TOP(1) r_name FROM region"))) == grpc.Status.Code.OK)
+      assert(status(GrpcFacade.call(reader, facade.QuerySqlUnaryMethod,
+        GrpcFacade.sqlRequest("SELECT TOP(1) o_orderkey FROM orders"))) ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      assert(status(GrpcFacade.call(anon, facade.QuerySqlUnaryMethod,
+        GrpcFacade.sqlRequest("SELECT TOP(1) r_name FROM region"))) ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      assert(status(GrpcFacade.call(admin, facade.QuerySqlUnaryMethod,
+        GrpcFacade.sqlRequest("SELECT TOP(1) o_orderkey FROM orders"))) == grpc.Status.Code.OK)
+    } finally { reader.shutdownNow(); admin.shutdownNow(); anon.shutdownNow() }
+  }
+}
