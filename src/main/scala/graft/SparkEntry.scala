@@ -668,6 +668,25 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s.read.parquet(tgt).agg(count(lit(1)).as("cnt"),
         round(sum(col("value")), 2).as("sv"), max(col("ts")).as("mts"))
     }),
+    // CSV IDK ingest: events re-encoded as a headerless CSV wire, typed by a
+    // configured IDK header (`reference/idk/csv/cmd.go:16-17`), streamed
+    // through the same checkpointed upsert sink as Kafka.
+    "stream_csv" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val src  = graft.streaming.Ingest.scratch("q_csv_src")
+      val tgt  = graft.streaming.Ingest.scratch("q_csv_tgt") + "/t"
+      val ckpt = graft.streaming.Ingest.scratch("q_csv_ckpt")
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("ts"))
+        .write.mode("overwrite").option("header", "false").csv(src + "/wire")
+      val header = Seq("event_id__ID", "user_id__Int",
+        "event_type__String", "ts__Timestamp")
+      val stream = graft.streaming.CsvIngest.source(s, src + "/*", header)
+      graft.streaming.Ingest.startUpsert(stream, tgt, ckpt,
+        idCol = "event_id", orderCol = "ts").awaitTermination()
+      s.read.parquet(tgt).agg(count(lit(1)).as("cnt"),
+        sum(col("user_id")).as("su"), max(col("ts")).as("mts"))
+    }),
     "stream_upsert" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val src  = graft.streaming.Ingest.scratch("q_upsert_src")
@@ -837,6 +856,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "count(*) AS cnt, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_upsert" -> "SELECT count(*) AS cnt, round(sum(value), 2) AS sv FROM events",
     "stream_kafka" -> ("SELECT count(*) AS cnt, round(sum(value), 2) AS sv, " +
+      "max(ts) AS mts FROM events"),
+    "stream_csv" -> ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
       "max(ts) AS mts FROM events"),
     "mm_meta" -> ("SELECT doc_id AS _id, " +
       "CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +

@@ -195,6 +195,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "c"), (2L, "b"), (3L, "d")))
   }
 
+  test("kinesis source shares the IDK decode and upsert sink (idk/kinesis/source.go:81,110)") {
+    import spark.implicits._
+    import KafkaIngest.IdkField
+    val src = Ingest.scratch("kin_src")
+    val tgt = Ingest.scratch("kin_tgt") + "/t"
+    val ckpt = Ingest.scratch("kin_ckpt")
+    val fields = Seq(IdkField("_id", "id"), IdkField("seq", "int"),
+      IdkField("ts", "timestamp", unit = "ms"))
+    Seq("""{"_id":1,"seq":10,"ts":1672628645000}""",
+        """{"_id":2,"seq":20,"ts":1672628646000}""")
+      .toDF("value").write.text(src + "/f1")
+    val stream = KinesisIngest.fileCompatSource(spark, src + "/*", fields)
+    Ingest.startUpsert(stream, tgt, ckpt, idCol = "_id", orderCol = "seq")
+      .awaitTermination()
+    val rows = spark.read.parquet(tgt).orderBy("_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[java.sql.Timestamp]("ts").toInstant ==
+      java.time.Instant.ofEpochMilli(1672628645000L))
+  }
+
   test("ttl filter") {
     val ev = Tables.load(spark, sfDir, "events")
     val cutoff = java.time.Instant.parse("2024-01-15T00:00:00Z")
