@@ -56,7 +56,10 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
   private def tableState(name: String): DataFrame =
-    state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
+    state.computeIfAbsent(name, n =>
+      if (graft.core.Tables.names.contains(n))
+        graft.core.Tables.load(spark, dir, n)
+      else spark.table(n)) // DDL-created indexes live in the catalog
 
   /** Writes since the last materialization, per table. */
   private val writesSince =
@@ -88,7 +91,21 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       def handle(ex: HttpExchange): Unit = respond(ex) {
         val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val method = ex.getRequestMethod
         parts match {
+          // schema management (`reference/http_handler.go:500-516` router
+          // perms: index create/delete admin, field create/delete write,
+          // index read read)
+          case Array("index", idx) if method == "POST" =>
+            chk(ex, None, Auth.PermAdmin); createIndex(idx, body)
+          case Array("index", idx) if method == "DELETE" =>
+            chk(ex, None, Auth.PermAdmin); dropIndex(idx)
+          case Array("index", idx) if method == "GET" =>
+            chk(ex, Some(idx), Auth.PermRead); indexInfo(idx)
+          case Array("index", idx, "field", f) if method == "POST" =>
+            chk(ex, Some(idx), Auth.PermWrite); createField(idx, f, body)
+          case Array("index", idx, "field", f) if method == "DELETE" =>
+            chk(ex, Some(idx), Auth.PermWrite); dropField(idx, f)
           case Array("index", idx, "query") =>
             chk(ex, Some(idx),
               if (graft.pql.Pql.writeCallN(body) > 0) Auth.PermWrite
@@ -200,6 +217,94 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     }
     commitState(idx, next)
     s"""{"imported":true,"bits":$bits}"""
+  }
+
+  // ------------------------------------------------------ schema endpoints
+
+  /** The reference's successResponse wire shape
+    * (`reference/http_handler.go:933-939`). */
+  private def success(name: String): String =
+    s"""{"success":true,"name":${js(name)}}"""
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** `POST /index/{i}` (`http_handler.go:1893-1930`): body
+    * `{"options":{"keys":bool,"trackExistence":bool}}`, creates the table
+    * with its `_id` column (string ids when keys=true); 409 on conflict
+    * like the reference's ConflictError. Routed through the same DDL layer
+    * as CREATE TABLE so the index lands in the catalog (and the durable
+    * warehouse when configured). */
+  private def createIndex(idx: String, body: String): String = {
+    val keys = body.nonEmpty && {
+      val n = mapper.readTree(body)
+      Option(n.get("options")).flatMap(o => Option(o.get("keys")))
+        .exists(_.asBoolean(false))
+    }
+    val idType = if (keys) "STRING" else "ID"
+    graft.sql.Ddl.run(spark, s"CREATE TABLE $idx (_id $idType)")
+    success(idx)
+  }
+
+  /** `DELETE /index/{i}` (`http_handler.go:1879-1890`). */
+  private def dropIndex(idx: String): String = {
+    graft.sql.Ddl.run(spark, s"DROP TABLE $idx")
+    state.remove(idx)
+    success(idx)
+  }
+
+  /** `GET /index/{i}` (`http_handler.go:1718-1742`): the IndexInfo shape
+    * (name + fields with reference base types); 404 when absent. */
+  private def indexInfo(idx: String): String = {
+    val df =
+      try tableState(idx)
+      catch { case _: Exception => sys.error(s"Index $idx Not Found") }
+    val fields = df.schema.fields.filter(_.name != "_id").map { f =>
+      s"""{"name":${js(f.name)},"options":{"type":${js(
+        graft.sql.SystemTables.refType(f.dataType).toLowerCase)}}}"""
+    }
+    s"""{"name":${js(idx)},"options":{"keys":${
+      df.schema.fields.exists(f => f.name == "_id" &&
+        f.dataType == org.apache.spark.sql.types.StringType)},"trackExistence":true},"fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** `POST /index/{i}/field/{f}` (`http_handler.go:2088-2140`): the
+    * fieldOptions JSON (`:2181-2196`) mapped onto our DDL column types —
+    * the same storage mapping as CREATE TABLE (SURVEY §1.2). */
+  private def createField(idx: String, field: String, body: String): String = {
+    val opts = if (body.isEmpty) mapper.createObjectNode()
+               else Option(mapper.readTree(body).get("options"))
+                 .getOrElse(mapper.createObjectNode())
+    def has(k: String) = opts.hasNonNull(k)
+    def str(k: String) = opts.get(k).asText
+    val keys = has("keys") && opts.get("keys").asBoolean(false)
+    val typ = if (has("type")) str("type") else "set"
+    val ddlType = typ match {
+      case "set"       => if (keys) "STRINGSET" else "IDSET"
+      case "mutex"     => if (keys) "STRING" else "ID"
+      case "int"       =>
+        "INT" + (if (has("min")) s" MIN ${str("min")}" else "") +
+                (if (has("max")) s" MAX ${str("max")}" else "")
+      case "decimal"   => s"DECIMAL(${if (has("scale")) str("scale") else "0"})"
+      case "bool"      => "BOOL"
+      case "timestamp" =>
+        "TIMESTAMP" + (if (has("timeUnit")) s" TIMEUNIT '${str("timeUnit")}'" else "") +
+                      (if (has("epoch")) s" EPOCH '${str("epoch")}'" else "")
+      case "time"      =>
+        (if (keys) "STRINGSETQ" else "IDSETQ") +
+          (if (has("timeQuantum")) s" TIMEQUANTUM '${str("timeQuantum")}'" else "") +
+          (if (has("ttl")) s" TTL '${str("ttl")}'" else "")
+      case other       => sys.error(s"invalid field type: $other")
+    }
+    graft.sql.Ddl.run(spark, s"ALTER TABLE $idx ADD COLUMN $field $ddlType")
+    state.remove(idx) // next read sees the widened schema
+    success(field)
+  }
+
+  /** `DELETE /index/{i}/field/{f}` (`http_handler.go:516` DeleteField). */
+  private def dropField(idx: String, field: String): String = {
+    graft.sql.Ddl.run(spark, s"ALTER TABLE $idx DROP COLUMN $field")
+    state.remove(idx)
+    success(field)
   }
 
   private def handler(f: String => String): HttpHandler = new HttpHandler {

@@ -331,8 +331,21 @@ object Ddl {
       plan.split("\n").toSeq.toDF("plan")
 
     case AlterAddRe(name, colName, tpe) =>
+      // full column-definition grammar, constraints included — ALTER ADD
+      // shares ColumnDefinition with CREATE TABLE (`reference/sql3/parser/
+      // parser.go` alterTableObject → parseColumnDefinition)
+      val (f, unit, fk, bound) = parseColumn(s"$colName $tpe")
+      unit.foreach(u => timeUnits(name.toLowerCase) =
+        timeUnits.getOrElse(name.toLowerCase, Map.empty) + (f.name -> u))
+      bound.foreach(b => bounds(name.toLowerCase) =
+        bounds.getOrElse(name.toLowerCase, Map.empty) + (f.name -> b))
+      fk.foreach { ft =>
+        require(spark.catalog.tableExists(ft), s"foreign table '$ft' not found")
+        foreignKeys(name.toLowerCase) =
+          foreignKeys.getOrElse(name.toLowerCase, Map.empty) + (f.name -> ft)
+      }
       graft.core.TableLog.replace(spark, name,
-        spark.table(name).withColumn(colName, lit(null).cast(sparkType(tpe))),
+        spark.table(name).withColumn(colName, lit(null).cast(f.dataType)),
         checkpoint = true)
       ack(spark, s"added $colName to $name")
 

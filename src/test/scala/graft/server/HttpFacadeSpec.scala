@@ -104,6 +104,39 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get("/status")._2.contains("NORMAL"))
   }
 
+  test("index/field lifecycle over REST (http_handler.go:500-516,1893,2088)") {
+    def send(method: String, path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    // create an index, add typed fields (successResponse shape)
+    val (c1, b1) = send("POST", "/index/restidx", """{"options":{"keys":false}}""")
+    assert(c1 == 200 && b1.contains(""""success":true"""), b1)
+    val (cf, bf) = send("POST", "/index/restidx/field/size",
+      """{"options":{"type":"int","min":0,"max":1000}}""")
+    assert(cf == 200, bf)
+    val (ct, bt) = send("POST", "/index/restidx/field/tags",
+      """{"options":{"type":"set","keys":true}}""")
+    assert(ct == 200, bt)
+    // write through PQL, read back
+    val (cw, bw) = post("/index/restidx/query",
+      "Set(1, size=42) Set(1, tags='a') Set(2, size=7) Count(Row(size > 10))")
+    assert(cw == 200 && bw.contains(""""data":[[1]]"""), bw)
+    // IndexInfo shape with reference base types
+    val (cg, bg) = get("/index/restidx")
+    assert(cg == 200 && bg.contains(""""name":"restidx""""), bg)
+    assert(bg.contains(""""name":"size","options":{"type":"int"}"""), bg)
+    assert(bg.contains(""""name":"tags","options":{"type":"stringset"}"""), bg)
+    // drop a field: subsequent GET no longer lists it
+    assert(send("DELETE", "/index/restidx/field/tags", "")._1 == 200)
+    assert(!get("/index/restidx")._2.contains(""""name":"tags""""))
+    // drop the index: GET 400s with Not Found wording
+    assert(send("DELETE", "/index/restidx", "")._1 == 200)
+    assert(get("/index/doesnotexist")._2.contains("Not Found"))
+  }
+
   test("errors come back as JSON with status 400") {
     val (code, body) = post("/sql", "SELECT FROM nonsense syntax")
     assert(code == 400 && body.contains(""""error":"""))
