@@ -106,6 +106,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             chk(ex, Some(idx), Auth.PermWrite); createField(idx, f, body)
           case Array("index", idx, "field", f) if method == "DELETE" =>
             chk(ex, Some(idx), Auth.PermWrite); dropField(idx, f)
+          // `GET mutex-check` (`http_handler.go:518`): records whose mutex
+          // field holds >1 value. A scalar column cannot represent that
+          // violation — the invariant the reference audits is structural
+          // here, so the answer is always the empty map.
+          case Array("index", idx, "field", _, "mutex-check") if method == "GET" =>
+            chk(ex, Some(idx), Auth.PermRead); "{}"
           case Array("index", idx, "query") =>
             chk(ex, Some(idx),
               if (graft.pql.Pql.writeCallN(body) > 0) Auth.PermWrite
@@ -157,6 +163,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       s"""{"indexes":[${indexes.mkString(",")}]}"""
     }})
     server.createContext("/status", handler { _ => """{"state":"NORMAL"}""" })
+    // unauthenticated like the reference (`http_handler.go:541`)
+    server.createContext("/version", handler { _ => """{"version":"graft-0.1"}""" })
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort

@@ -94,4 +94,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(empty, everyMs = 100).count() == 0)
     assert(Multimodal.resizeMeta(empty, 224, 224).count() == 1)
   }
+
+  test("JPEG decodes through the same ImageIO path as PNG (lossy-tolerant)") {
+    // flat-gray JPEGs: lossy compression preserves a uniform field almost
+    // exactly, so decode asserts dims exactly and samples within tolerance
+    import spark.implicits._
+    val jpegs = Seq((1L, 60), (2L, 128), (3L, 200)).toDF("_id", "gray")
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, g) =>
+        val img = new java.awt.image.BufferedImage(
+          8, 6, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        for (y <- 0 until 6; x <- 0 until 8) r.setSample(x, y, 0, g)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        (id, g, bos.toByteArray)
+      }).toDF("_id", "gray", "bytes")
+    val feats = Multimodal.imageFeatures(jpegs.select("_id", "bytes"))
+      .join(jpegs.select("_id", "gray"), "_id")
+    val rows = feats.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("w") == 8 && r.getAs[Int]("h") == 6)
+      val mean = r.getAs[Double]("mean_px")
+      val g = r.getAs[Int]("gray")
+      assert(math.abs(mean - g) <= 3.0, s"jpeg mean $mean vs $g")
+    }
+  }
 }

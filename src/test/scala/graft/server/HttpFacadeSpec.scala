@@ -102,6 +102,9 @@ class HttpFacadeSpec extends SparkSpec {
     val (code, body) = get("/schema")
     assert(code == 200 && body.contains(""""name":"lineitem""""))
     assert(get("/status")._2.contains("NORMAL"))
+    assert(get("/version")._2.contains(""""version""""))
+    // structural mutex invariant: always clean (http_handler.go:518)
+    assert(get("/index/part/field/p_size/mutex-check") == (200, "{}"))
   }
 
   test("index/field lifecycle over REST (http_handler.go:500-516,1893,2088)") {
