@@ -147,6 +147,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           case Array("index", idx, "field", field, "import-roaring", shard) =>
             chk(ex, Some(idx), Auth.PermWrite)
             importRoaring(idx, field, shard.toLong, body)
+          case Array("index", idx, "shard", shard, "import-roaring") =>
+            chk(ex, Some(idx), Auth.PermWrite)
+            importRoaringShard(idx, shard.toLong, body)
           case _ => sys.error(
             s"expected /index/{i}/query or /index/{i}/field/{f}/import, got ${ex.getRequestURI.getPath}")
         }
@@ -165,6 +168,74 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     server.createContext("/status", handler { _ => """{"state":"NORMAL"}""" })
     // unauthenticated like the reference (`http_handler.go:541`)
     server.createContext("/version", handler { _ => """{"version":"graft-0.1"}""" })
+    // `GET /export?index=i&field=f&shard=s`, Accept: text/csv
+    // (`http_handler.go:2687-2718`, `api.go:797-860` ExportCSV): one line per
+    // bit of the standard view — `value,recordId` (keys verbatim, sets one
+    // line per member). Streamed via toLocalIterator: a shard is ≤ 2^20
+    // records, never the whole table.
+    server.createContext("/export", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        if (!Option(ex.getRequestHeaders.getFirst("Accept")).contains("text/csv"))
+          sys.error("Not acceptable")
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        val idx = params.getOrElse("index", sys.error("index required"))
+        val field = params.getOrElse("field", sys.error("field required"))
+        val shard = params.getOrElse("shard", sys.error("invalid shard")).toLong
+        chk(ex, Some(idx), Auth.PermRead) // http_handler.go:498
+        exportCsv(idx, field, shard)
+      }
+    })
+    // `/transaction*` (`http_handler.go:528-533`): named transactions with
+    // exclusive-activation semantics (`transaction.go:20-45`). Spark jobs
+    // are independently atomic here, so the registry provides the reference
+    // wire contract (create/inspect/finish/list), not a lock the engine
+    // needs.
+    server.createContext("/transactions", handler { _ =>
+      import scala.jdk.CollectionConverters._
+      s"""{"transactions":[${transactions.values.asScala.map(txJson).mkString(",")}]}"""
+    })
+    server.createContext("/transaction", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+        (ex.getRequestMethod, parts) match {
+          case ("POST", Array("transaction", id, "finish")) =>
+            val tx = Option(transactions.remove(id))
+              .getOrElse(sys.error(s"transaction with id $id not found"))
+            // next pending exclusive transaction activates
+            transactions.values.forEach(t =>
+              if (!t.active && transactions.size == 1)
+                transactions.put(t.id, t.copy(active = true)))
+            s"""{"transaction":${txJson(tx)}}"""
+          case ("GET", Array("transaction", id)) =>
+            val tx = Option(transactions.get(id))
+              .getOrElse(sys.error(s"transaction with id $id not found"))
+            s"""{"transaction":${txJson(tx)}}"""
+          case ("POST", Array("transaction", rest @ _*)) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            val node = if (body.isEmpty) mapper.createObjectNode()
+                       else mapper.readTree(body)
+            val timeout = Option(node.get("timeout")).map(_.asLong(0)).getOrElse(0L)
+            if (timeout == 0) sys.error("timeout is required and cannot be 0")
+            val id = rest.headOption.getOrElse(
+              Option(node.get("id")).map(_.asText)
+                .filter(_.nonEmpty)
+                .getOrElse(java.util.UUID.randomUUID().toString))
+            if (transactions.containsKey(id))
+              sys.error(s"transaction with id $id already exists")
+            val exclusive = Option(node.get("exclusive")).exists(_.asBoolean(false))
+            // an exclusive transaction is active only when alone
+            // (`transaction.go:24-31`)
+            val active = !exclusive || transactions.isEmpty
+            val tx = Tx(id, active, exclusive, timeout)
+            transactions.put(id, tx)
+            s"""{"transaction":${txJson(tx)}}"""
+          case (m, p) => sys.error(s"unsupported $m ${p.mkString("/")}")
+        }
+      }
+    })
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -222,6 +293,97 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         if (action == "clear") graft.core.Mutation.clearBulk(next, field, writes)
         else graft.core.Mutation.setBulk(next, field, writes)
       bits += seq
+    }
+    commitState(idx, next)
+    s"""{"imported":true,"bits":$bits}"""
+  }
+
+  // --------------------------------------------------- export/transactions
+
+  /** `reference/transaction.go:20-45` wire fields. */
+  private case class Tx(id: String, active: Boolean, exclusive: Boolean,
+                        timeout: Long)
+  private val transactions =
+    new java.util.concurrent.ConcurrentHashMap[String, Tx]
+
+  private def txJson(t: Tx): String =
+    s"""{"id":${js(t.id)},"active":${t.active},"exclusive":${t.exclusive},"timeout":${t.timeout}}"""
+
+  /** `value,recordId` CSV lines for one field × shard (the reference's
+    * per-fragment `fn(rowID, columnID)` dump, `api.go:842-848`). */
+  private def exportCsv(idx: String, field: String, shard: Long): String = {
+    import org.apache.spark.sql.functions._
+    val t = tableState(idx)
+    val isSet = t.schema(field).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val inShard = t.filter(col("_id") >= shard * ShardWidth &&
+      col("_id") < (shard + 1) * ShardWidth)
+    val rows =
+      if (isSet) inShard.select(explode(col(field)).as("v"), col("_id"))
+      else inShard.filter(col(field).isNotNull).select(col(field).as("v"), col("_id"))
+    val sb = new StringBuilder
+    val it = rows.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      sb.append(String.valueOf(r.get(0))).append(',')
+        .append(String.valueOf(r.get(1))).append('\n')
+    }
+    sb.toString
+  }
+
+  /** `POST /index/{i}/shard/{s}/import-roaring` (`http_handler.go:3414`,
+    * `handler.go:459-493` ImportRoaringShardRequest): updates for MULTIPLE
+    * fields applied in one transaction. JSON envelope mirroring the proto:
+    * `{"views":[{"field":f,"view":"standard","set":b64,"clear":b64,
+    * "clearRecords":bool}]}`. All updates chain onto one successor state and
+    * commit with a single swap — per-shard atomicity like the reference's
+    * single Tx. */
+  private def importRoaringShard(idx: String, shard: Long, body: String): String = {
+    import spark.implicits._
+    val t = tableState(idx)
+    val node = mapper.readTree(body)
+    val views = Option(node.get("views")).filter(_.isArray)
+      .getOrElse(sys.error("""body must carry {"views":[...]}"""))
+    var next = t
+    var bits = 0L
+    views.forEach { v =>
+      val field = Option(v.get("field")).map(_.asText)
+        .getOrElse(sys.error("view update missing field"))
+      val view = Option(v.get("view")).map(_.asText).getOrElse("standard")
+      require(view == "standard",
+        s"only the standard view is supported, got '$view'")
+      val clearRecords = Option(v.get("clearRecords")).exists(_.asBoolean(false))
+      def decode(key: String): Option[Seq[(Long, Long, Long)]] =
+        Option(v.get(key)).map { b64 =>
+          val bm = graft.index.Bitmap.deserialize(
+            java.util.Base64.getDecoder.decode(b64.asText))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val it = bm.getLongIterator
+          var seq = 0L
+          while (it.hasNext) {
+            val p = it.next()
+            buf += ((shard * ShardWidth + p % ShardWidth, p / ShardWidth, seq))
+            seq += 1
+          }
+          buf.toSeq
+        }
+      decode("clear").foreach { ps =>
+        bits += ps.length
+        if (clearRecords)
+          // Clear is a single row of record bits subtracted from every row
+          // (`handler.go:489-492`): null the whole field for those records
+          next = graft.core.Mutation.storeIds(next,
+            ps.map(_._1).distinct.toDF("_id"), field,
+            org.apache.spark.sql.functions.lit(null))
+        else
+          next = graft.core.Mutation.clearBulk(next, field,
+            ps.toDF("_id", "value", "seq"))
+      }
+      decode("set").foreach { ps =>
+        bits += ps.length
+        next = graft.core.Mutation.setBulk(next, field,
+          ps.toDF("_id", "value", "seq"))
+      }
     }
     commitState(idx, next)
     s"""{"imported":true,"bits":$bits}"""

@@ -140,6 +140,63 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get("/index/doesnotexist")._2.contains("Not Found"))
   }
 
+  test("GET /export dumps value,id CSV per field and shard (api.go:797)") {
+    // customer: no other test mutates it, so the count is the table's
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/export?index=customer&field=c_name&shard=0"))
+      .header("Accept", "text/csv").build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    val lines = r.body().trim.linesIterator.toSeq
+    assert(lines.size == 150 && lines.contains("Customer#000000001,1"), lines.take(3))
+    // wrong Accept → error like the reference's 406 path
+    val bad = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/export?index=customer&field=c_name&shard=0")).build()
+    assert(client.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() != 200)
+  }
+
+  test("shard import-roaring applies multi-field updates in one transaction") {
+    val W = 1L << 20
+    def b64(bits: Long*): String = {
+      val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+      bits.foreach(bm.addLong)
+      java.util.Base64.getEncoder.encodeToString(graft.index.Bitmap.serialize(bm))
+    }
+    // two fields in one request: n_regionkey=33 for ids {1,2}; n_nationkey=44 for {3}
+    val (code, body) = post("/index/nation/shard/0/import-roaring",
+      s"""{"views":[
+        {"field":"n_regionkey","set":"${b64(33 * W + 1, 33 * W + 2)}"},
+        {"field":"n_nationkey","set":"${b64(44 * W + 3)}"}]}""")
+    assert(code == 200 && body.contains(""""bits":3"""), body)
+    val (c2, b2) = post("/index/nation/query",
+      "Count(Row(n_regionkey=33)) Count(Row(n_nationkey=44))")
+    assert(c2 == 200 && b2.contains(""""data":[[2]]""") &&
+      b2.contains(""""data":[[1]]"""), b2)
+    // clearRecords: subtract record bits across the whole field
+    val (c3, b3) = post("/index/nation/shard/0/import-roaring",
+      s"""{"views":[{"field":"n_regionkey","clear":"${b64(1, 2)}","clearRecords":true}]}""")
+    assert(c3 == 200, b3)
+    val (c4, b4) = post("/index/nation/query", "Count(Row(n_regionkey=33))")
+    assert(c4 == 200 && b4.contains(""""data":[[0]]"""), b4)
+  }
+
+  test("transaction lifecycle: create, exclusive pending, finish, list (transaction.go:20-45)") {
+    val (c1, b1) = post("/transaction", """{"id":"t1","timeout":60}""")
+    assert(c1 == 200 && b1.contains(""""id":"t1","active":true"""), b1)
+    // a second, exclusive transaction is pending while t1 is open
+    val (c2, b2) = post("/transaction", """{"id":"t2","timeout":60,"exclusive":true}""")
+    assert(c2 == 200 && b2.contains(""""id":"t2","active":false,"exclusive":true"""), b2)
+    assert(post("/transaction", """{"id":"t1","timeout":60}""")._1 == 400) // dup
+    assert(post("/transaction", """{"id":"t3"}""")._1 == 400) // no timeout
+    assert(get("/transactions")._2.contains("t1"))
+    // finishing t1 activates the lone exclusive t2
+    assert(post("/transaction/t1/finish", "")._1 == 200)
+    val (c5, b5) = get("/transaction/t2")
+    assert(c5 == 200 && b5.contains(""""active":true"""), b5)
+    assert(post("/transaction/t2/finish", "")._1 == 200)
+    assert(get("/transaction/t2")._1 == 400)
+  }
+
   test("errors come back as JSON with status 400") {
     val (code, body) = post("/sql", "SELECT FROM nonsense syntax")
     assert(code == 400 && body.contains(""""error":"""))
