@@ -155,8 +155,54 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         }
       }
     })
+    // `GET /schema/details` (`http_handler.go:525`): /schema plus per-field
+    // cardinality — one agg pass per table (approx_count_distinct: a
+    // details probe, not an exact invariant, same spirit as the
+    // reference's cached counts).
+    server.createContext("/schema/details", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        import org.apache.spark.sql.functions.approx_count_distinct
+        val indexes = graft.core.Tables.names.map { t =>
+          val df = spark.table(t)
+          val fields = df.schema.fields.filter(_.name != "_id")
+          val cards = df.select(fields.map(f =>
+            approx_count_distinct(f.name).as(f.name)).toSeq: _*).collect()(0)
+          val fieldJson = fields.zipWithIndex.map { case (f, i) =>
+            s"""{"name":${js(f.name)},"options":{"type":${js(
+              graft.sql.SystemTables.refType(f.dataType).toLowerCase)}},"cardinality":${cards.getLong(i)}}"""
+          }
+          s"""{"name":${js(t)},"fields":[${fieldJson.mkString(",")}]}"""
+        }
+        s"""{"indexes":[${indexes.mkString(",")}]}"""
+      }
+    })
     server.createContext("/schema", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
+      if (ex.getRequestMethod == "POST") {
+        // `POST /schema` (`http_handler.go:1161-1180` ApplySchema): create
+        // every index + field in the posted schema; 204 on success
+        chk(ex, None, Auth.PermAdmin)
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val root = mapper.readTree(body)
+        val idxs = Option(root.get("indexes")).filter(_.isArray)
+          .getOrElse(sys.error("decoding request as JSON Pilosa schema"))
+        idxs.forEach { ix =>
+          val name = Option(ix.get("name")).map(_.asText)
+            .getOrElse(sys.error("index missing name"))
+          if (!spark.catalog.tableExists(name))
+            createIndex(name, Option(ix.get("options"))
+              .map(o => s"""{"options":${o.toString}}""").getOrElse(""))
+          Option(ix.get("fields")).filter(_.isArray).foreach(_.forEach { f =>
+            val fname = Option(f.get("name")).map(_.asText)
+              .getOrElse(sys.error("field missing name"))
+            if (!spark.table(name).columns.contains(fname))
+              createField(name, fname, Option(f.get("options"))
+                .map(o => s"""{"options":${o.toString}}""").getOrElse(""))
+          })
+        }
+        "" // → 204 No Content like the reference
+      } else {
       chk(ex, None, Auth.PermRead) // reference/http_handler.go:524
       val indexes = graft.core.Tables.names.map { t =>
         val fields = spark.table(t).schema.fields.map(f =>
@@ -164,7 +210,15 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         s"""{"name":${js(t)},"fields":[${fields.mkString(",")}]}"""
       }
       s"""{"indexes":[${indexes.mkString(",")}]}"""
-    }})
+    }}})
+    // `GET /info` (`http_handler.go:522,1260`): node/system facts, admin
+    server.createContext("/info", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin)
+        val rt = Runtime.getRuntime
+        s"""{"shardWidth":$ShardWidth,"cpuLogicalCores":${rt.availableProcessors},"memory":${rt.maxMemory}}"""
+      }
+    })
     server.createContext("/status", handler { _ => """{"state":"NORMAL"}""" })
     // unauthenticated like the reference (`http_handler.go:541`)
     server.createContext("/version", handler { _ => """{"version":"graft-0.1"}""" })
@@ -493,8 +547,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       }
     val bytes = payload.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
-    ex.getResponseBody.write(bytes)
+    if (code == 200 && bytes.isEmpty) // ApplySchema-style 204 No Content
+      ex.sendResponseHeaders(204, -1L)
+    else {
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    }
     ex.close()
   }
 

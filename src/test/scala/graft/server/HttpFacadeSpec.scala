@@ -197,6 +197,23 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get("/transaction/t2")._1 == 400)
   }
 
+  test("POST /schema applies a whole schema; details adds cardinality (http_handler.go:1161,525)") {
+    val (code, _) = post("/schema", """{"indexes":[
+      {"name":"bulkidx","options":{"keys":false},"fields":[
+        {"name":"grp","options":{"type":"mutex","keys":true}},
+        {"name":"score","options":{"type":"int","min":0,"max":100}}]}]}""")
+    assert(code == 204)
+    // idempotent re-apply (existing index/fields skipped, like ApplySchema)
+    assert(post("/schema", """{"indexes":[{"name":"bulkidx","fields":[
+      {"name":"grp","options":{"type":"mutex","keys":true}}]}]}""")._1 == 204)
+    val (cw, bw) = post("/index/bulkidx/query",
+      "Set(1, grp='a') Set(2, grp='b') Count(Row(grp='a'))")
+    assert(cw == 200 && bw.contains(""""data":[[1]]"""), bw)
+    val (cd, bd) = get("/schema/details")
+    assert(cd == 200 && bd.contains(""""cardinality":"""), bd.take(200))
+    assert(get("/info")._2.contains(""""shardWidth":1048576"""))
+  }
+
   test("errors come back as JSON with status 400") {
     val (code, body) = post("/sql", "SELECT FROM nonsense syntax")
     assert(code == 400 && body.contains(""""error":"""))
