@@ -109,14 +109,26 @@ object TableLog {
     * localCheckpoint. Parquet read-back uses the explicit schema so an
     * empty piece (no part files) still round-trips. */
   private def mat(spark: SparkSession, name: String, kind: String,
-                  df: DataFrame): Piece =
+                  df: DataFrame): Piece = {
+    // Base pieces are the big, long-lived ones — lay them out range-
+    // partitioned and sorted on `_id` so every parquet file carries tight
+    // `_id` min/max stats: shard-scoped reads (PQL Options(shards=)), point
+    // FieldValue lookups, and the merge-on-read anti-joins all prune files
+    // instead of scanning the table. The sort shuffle is paid once per
+    // compaction (1/compactAfter writes), not per write. Overlay/tombstone
+    // pieces are small and churn every write — leave them unsorted.
+    val laid =
+      if (kind == "base" && hasId(df) && !df.isStreaming)
+        df.repartitionByRange(col("_id")).sortWithinPartitions("_id")
+      else df
     warehouse(spark) match {
       case Some(wh) =>
         val p = tableDir(wh, name).resolve(s"$kind-${nextGen(wh, name)}").toString
-        df.write.mode("overwrite").parquet(p)
+        laid.write.mode("overwrite").parquet(p)
         Piece(spark.read.schema(df.schema).parquet(p), Some(p))
-      case None => Piece(df.localCheckpoint(), None)
+      case None => Piece(laid.localCheckpoint(), None)
     }
+  }
 
   private def merged(st: State): DataFrame = {
     val afterTomb = st.tombstones match {

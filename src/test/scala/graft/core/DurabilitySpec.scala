@@ -87,4 +87,40 @@ class DurabilitySpec extends SparkSpec {
       } finally TableLog.compactAfter = 16
     }
   }
+
+  test("compacted base is range-partitioned and sorted on _id (file-stat pruning)") {
+    withWarehouse { wh =>
+      TableLog.compactAfter = 2
+      try {
+        Ddl.run(spark, "CREATE TABLE dur_lay (_id ID, v INT)")
+        Ddl.run(spark, "INSERT INTO dur_lay VALUES " +
+          (1 to 500).map(i => s"($i, $i)").mkString(", "))
+        (1 to 3).foreach(i =>
+          Ddl.run(spark, s"INSERT INTO dur_lay VALUES (${1000 + i}, $i)"))
+        // find the newest base piece and read each part file independently:
+        // ranges must be disjoint (range partitioning) and rows sorted
+        import scala.jdk.CollectionConverters._
+        val baseDir = Files.list(java.nio.file.Paths.get(wh, "dur_lay"))
+          .iterator.asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("base-"))
+          .maxBy(_.getFileName.toString.stripPrefix("base-").toLong)
+        val parts = Files.list(baseDir).iterator.asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString)
+        assert(parts.nonEmpty)
+        val ranges = parts.toSeq.map { f =>
+          val ids = spark.read.parquet(f)
+            .select("_id").collect().map(_.getLong(0)).toSeq
+          assert(ids == ids.sorted, s"file $f not sorted on _id")
+          (ids.min, ids.max)
+        }.sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax < bMin, s"overlapping _id ranges across base files: $ranges")
+          case _ =>
+        }
+        Ddl.run(spark, "DROP TABLE dur_lay")
+      } finally TableLog.compactAfter = 16
+    }
+  }
 }
