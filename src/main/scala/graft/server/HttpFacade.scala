@@ -78,6 +78,16 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     }
   }
 
+  /** Per-table write serialization: requests run on a thread pool (below),
+    * and a read-modify-write against the same table from two threads would
+    * otherwise lose one of the updates — the reference serializes via its
+    * per-shard RBF write transaction (`rbf/rbf.go:3-29`). Reads stay
+    * lock-free on immutable DataFrames. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def writeLock[A](name: String)(f: => A): A =
+    tableLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
+
   def start(): Int = {
     graft.core.Tables.registerAll(spark, dir)
     server.createContext("/sql", new HttpHandler {
@@ -113,20 +123,25 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           case Array("index", idx, "field", _, "mutex-check") if method == "GET" =>
             chk(ex, Some(idx), Auth.PermRead); "{}"
           case Array("index", idx, "query") =>
+            val writes = graft.pql.Pql.writeCallN(body) > 0
             chk(ex, Some(idx),
-              if (graft.pql.Pql.writeCallN(body) > 0) Auth.PermWrite
-              else Auth.PermRead)
+              if (writes) Auth.PermWrite else Auth.PermRead)
             // one result per top-level call (`reference/handler.go:51-56`
             // `QueryResponse.Results`): reads as tables, writes as the
-            // reference's boolean ack
-            val (results, next) =
-              graft.pql.Pql.programResults(tableState(idx), idx, body)
-            val wire = results.map { // materialize before exposing new state
-              case Some(df) => toWire(df)
-              case None     => "true"
-            }.mkString("""{"results":[""", ",", "]}")
-            commitState(idx, next)
-            wire
+            // reference's boolean ack. Write programs hold the table's
+            // write lock across state-read -> compute -> commit; pure reads
+            // run lock-free on the immutable committed state.
+            def run(): String = {
+              val (results, next) =
+                graft.pql.Pql.programResults(tableState(idx), idx, body)
+              val wire = results.map { // materialize before exposing new state
+                case Some(df) => toWire(df)
+                case None     => "true"
+              }.mkString("""{"results":[""", ",", "]}")
+              commitState(idx, next)
+              wire
+            }
+            if (writes) writeLock(idx)(run()) else run()
           case Array("index", idx, "field", field, "import") =>
             // CSV lines `id,value` applied with Set semantics (the
             // reference's `/import` endpoints, `http_handler.go:517-520`;
@@ -135,21 +150,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             // (Mutation.setBulk) — per-line plan stacking would make a
             // million-bit import a million-node analysis tree
             chk(ex, Some(idx), Auth.PermWrite)
-            val t = tableState(idx)
-            import spark.implicits._
-            val writes = body.linesIterator.filter(_.nonEmpty).zipWithIndex
-              .map { case (line, i) =>
-                val Array(id, v) = line.split(",", 2)
-                (id.trim, v.trim, i.toLong)
-              }.toSeq.toDF("_id", "value", "seq")
-            commitState(idx, graft.core.Mutation.setBulk(t, field, writes))
+            writeLock(idx) {
+              val t = tableState(idx)
+              import spark.implicits._
+              val writes = body.linesIterator.filter(_.nonEmpty).zipWithIndex
+                .map { case (line, i) =>
+                  val Array(id, v) = line.split(",", 2)
+                  (id.trim, v.trim, i.toLong)
+                }.toSeq.toDF("_id", "value", "seq")
+              commitState(idx, graft.core.Mutation.setBulk(t, field, writes))
+            }
             s"""{"imported":true}"""
           case Array("index", idx, "field", field, "import-roaring", shard) =>
             chk(ex, Some(idx), Auth.PermWrite)
-            importRoaring(idx, field, shard.toLong, body)
+            writeLock(idx)(importRoaring(idx, field, shard.toLong, body))
           case Array("index", idx, "shard", shard, "import-roaring") =>
             chk(ex, Some(idx), Auth.PermWrite)
-            importRoaringShard(idx, shard.toLong, body)
+            writeLock(idx)(importRoaringShard(idx, shard.toLong, body))
           case _ => sys.error(
             s"expected /index/{i}/query or /index/{i}/field/{f}/import, got ${ex.getRequestURI.getPath}")
         }
@@ -290,7 +307,10 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         }
       }
     })
-    server.setExecutor(null)
+    // concurrent request handling (the reference's HTTP server is
+    // concurrent by default); per-table write locks above keep mutations
+    // serializable
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     server.getAddress.getPort
   }

@@ -214,6 +214,21 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get("/info")._2.contains(""""shardWidth":1048576"""))
   }
 
+  test("concurrent writes to one table serialize; no lost updates") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 8 threads each set a distinct id; all 8 bits must survive
+    val fs = (0 until 8).map { i =>
+      Future(post("/index/part/query", s"Set(${9000 + i}, p_size=777)"))
+    }
+    Await.result(Future.sequence(fs), 60.seconds).foreach {
+      case (c, b) => assert(c == 200, b)
+    }
+    val (c, b) = post("/index/part/query", "Count(Row(p_size=777))")
+    assert(c == 200 && b.contains(""""data":[[8]]"""), b)
+  }
+
   test("errors come back as JSON with status 400") {
     val (code, body) = post("/sql", "SELECT FROM nonsense syntax")
     assert(code == 400 && body.contains(""""error":"""))
