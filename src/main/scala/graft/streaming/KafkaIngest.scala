@@ -73,10 +73,18 @@ object KafkaIngest {
     * required id downstream). Source-agnostic — this is the whole transform
     * between the Kafka socket and the upsert sink. */
   def decode(raw: DataFrame, fields: Seq[IdkField]): DataFrame = {
-    val kept = fields.filter(_.typ != "ignore")
     val parsed = raw.select(
       from_json(col("value").cast(StringType), wireSchema(fields)).as("r"))
-    parsed.select(kept.map(f => convert(f, col(s"r.${f.name}")).as(f.name)): _*)
+      .select(col("r.*"))
+    typedProjection(parsed, fields)
+  }
+
+  /** The shared post-wire conversion: wire-schema columns → typed columns.
+    * Used by the JSON path above and the Avro path ([[AvroIngest]]). */
+  private[streaming] def typedProjection(parsed: DataFrame,
+                                         fields: Seq[IdkField]): DataFrame = {
+    val kept = fields.filter(_.typ != "ignore")
+    parsed.select(kept.map(f => convert(f, col(f.name)).as(f.name)): _*)
   }
 
   /** The production source: Kafka topic → decoded typed stream. Requires the
