@@ -106,6 +106,11 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           // schema management (`reference/http_handler.go:500-516` router
           // perms: index create/delete admin, field create/delete write,
           // index read read)
+          // `GET /index` (`http_handler.go:500` GetIndexes): the schema's
+          // index list
+          case Array("index") if method == "GET" =>
+            chk(ex, None, Auth.PermRead)
+            graft.core.Tables.names.map(indexInfo).mkString("[", ",", "]")
           case Array("index", idx) if method == "POST" =>
             chk(ex, None, Auth.PermAdmin); createIndex(idx, body)
           case Array("index", idx) if method == "DELETE" =>

@@ -103,6 +103,8 @@ class HttpFacadeSpec extends SparkSpec {
     assert(code == 200 && body.contains(""""name":"lineitem""""))
     assert(get("/status")._2.contains("NORMAL"))
     assert(get("/version")._2.contains(""""version""""))
+    // GET /index lists every index (http_handler.go:500)
+    assert(get("/index")._2.contains(""""name":"orders""""))
     // structural mutex invariant: always clean (http_handler.go:518)
     assert(get("/index/part/field/p_size/mutex-check") == (200, "{}"))
   }
