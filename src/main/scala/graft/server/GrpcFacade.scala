@@ -165,6 +165,15 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
   private def tableState(name: String): DataFrame =
     state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
 
+  /** gRPC handlers run on netty's pool; write programs hold a per-table
+    * lock across state-read -> compute -> commit so concurrent mutations
+    * serialize (the reference's per-shard RBF transaction). Reads stay
+    * lock-free on immutable DataFrames. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def writeLock[A](name: String)(f: => A): A =
+    tableLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
+
   private val MaxWireRows = 100000
 
   // ------------------------------------------------------------- encoding
@@ -267,13 +276,16 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
   /** Single-call PQL, reference unary semantics. Returns the result frame or
     * None for a write (acked as ResultBool). */
   private def runPqlUnary(index: String, pql: String): Option[DataFrame] = {
-    val (results, next) = graft.pql.Pql.programResults(tableState(index), index, pql)
-    if (results.length != 1)
-      throw Status.INVALID_ARGUMENT
-        .withDescription("QueryPQLUnary handles exactly one query")
-        .asRuntimeException()
-    state.put(index, next)
-    results.head
+    def run(): Option[DataFrame] = {
+      val (results, next) = graft.pql.Pql.programResults(tableState(index), index, pql)
+      if (results.length != 1)
+        throw Status.INVALID_ARGUMENT
+          .withDescription("QueryPQLUnary handles exactly one query")
+          .asRuntimeException()
+      state.put(index, next)
+      results.head
+    }
+    if (graft.pql.Pql.writeCallN(pql) > 0) writeLock(index)(run()) else run()
   }
 
   // --------------------------------------------------------------- server
