@@ -78,6 +78,38 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     }
   }
 
+  /** Query tracker (`reference/tracker.go:11-27`): in-flight queries for
+    * `GET /queries`, a bounded ring of finished ones for
+    * `GET /query-history`. */
+  private case class QueryRec(pql: String, sql: String, index: String,
+                              startNs: Long, endNs: Long = 0L)
+  private val activeQueries =
+    new java.util.concurrent.ConcurrentHashMap[Long, QueryRec]
+  private val querySeq = new java.util.concurrent.atomic.AtomicLong
+  private val pastQueries =
+    new java.util.concurrent.ConcurrentLinkedDeque[QueryRec]
+  private val PastQueriesKept = 100
+
+  private def tracked[A](pql: String, sql: String, index: String)(f: => A): A = {
+    val id = querySeq.incrementAndGet()
+    val rec = QueryRec(pql, sql, index, System.nanoTime())
+    activeQueries.put(id, rec)
+    try f
+    finally {
+      activeQueries.remove(id)
+      pastQueries.addFirst(rec.copy(endNs = System.nanoTime()))
+      while (pastQueries.size > PastQueriesKept) pastQueries.pollLast()
+    }
+  }
+
+  private def queryJson(r: QueryRec, past: Boolean): String = {
+    val base = s""""PQL":${js(r.pql)}${if (r.sql.nonEmpty) s""","SQL":${js(r.sql)}""" else ""},"node":"local","index":${js(r.index)}"""
+    if (past)
+      s"""{$base,"runtimeNanoseconds":${r.endNs - r.startNs}}"""
+    else
+      s"""{$base,"age":${System.nanoTime() - r.startNs}}"""
+  }
+
   /** Per-table write serialization: requests run on a thread pool (below),
     * and a read-modify-write against the same table from two threads would
     * otherwise lose one of the updates — the reference serializes via its
@@ -94,7 +126,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       def handle(ex: HttpExchange): Unit = respond(ex) {
         chk(ex, None, Auth.PermAdmin) // reference/http_handler.go:536
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        toWire(graft.sql.GraftSql.sql(spark, dir, body))
+        tracked("", body, "") {
+          toWire(graft.sql.GraftSql.sql(spark, dir, body))
+        }
       }
     })
     server.createContext("/index", new HttpHandler {
@@ -146,7 +180,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
               commitState(idx, next)
               wire
             }
-            if (writes) writeLock(idx)(run()) else run()
+            tracked(body, "", idx) {
+              if (writes) writeLock(idx)(run()) else run()
+            }
           case Array("index", idx, "field", field, "import") =>
             // CSV lines `id,value` applied with Set semantics (the
             // reference's `/import` endpoints, `http_handler.go:517-520`;
@@ -264,6 +300,25 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         exportCsv(idx, field, shard)
       }
     })
+    // query tracker endpoints (`http_handler.go:534,540`, admin)
+    server.createContext("/queries", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin)
+        import scala.jdk.CollectionConverters._
+        s"""{"queries":[${activeQueries.values.asScala.map(queryJson(_, past = false)).mkString(",")}]}"""
+      }
+    })
+    server.createContext("/query-history", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin)
+        import scala.jdk.CollectionConverters._
+        s"""[${pastQueries.iterator.asScala.map(queryJson(_, past = true)).mkString(",")}]"""
+      }
+    })
+    // `POST /recalculate-caches` (`http_handler.go:523`): the reference
+    // rebuilds TopN ranked caches; our TopN/TopK are exact (no cache), so
+    // the contract is an immediate success ack
+    server.createContext("/recalculate-caches", handler { _ => "" })
     // `/transaction*` (`http_handler.go:528-533`): named transactions with
     // exclusive-activation semantics (`transaction.go:20-45`). Spark jobs
     // are independently atomic here, so the registry provides the reference

@@ -231,6 +231,19 @@ class HttpFacadeSpec extends SparkSpec {
     assert(c == 200 && b.contains(""""data":[[8]]"""), b)
   }
 
+  test("query tracker: /query-history records runs, /queries empty when idle (tracker.go:11-27)") {
+    post("/index/region/query", "Count(All())")
+    post("/sql", "SELECT TOP(1) r_name FROM region")
+    val (ch, bh) = get("/query-history")
+    assert(ch == 200 && bh.contains(""""PQL":"Count(All())"""), bh.take(300))
+    assert(bh.contains(""""SQL":"SELECT TOP(1) r_name FROM region""""), bh.take(300))
+    assert(bh.contains(""""runtimeNanoseconds":"""))
+    val (cq, bq) = get("/queries")
+    assert(cq == 200 && bq.contains(""""queries":["""), bq)
+    // recalculate-caches acks (no ranked caches to rebuild - TopK is exact)
+    assert(post("/recalculate-caches", "")._1 == 204)
+  }
+
   test("errors come back as JSON with status 400") {
     val (code, body) = post("/sql", "SELECT FROM nonsense syntax")
     assert(code == 400 && body.contains(""""error":"""))
