@@ -130,6 +130,27 @@ class AuthFacadeSpec extends SparkSpec {
     assert(cw == 200 && body.contains("true"))
   }
 
+  test("route table: export read, tracker admin, schema mgmt admin/write") {
+    def getWith(path: String, token: String, accept: String = ""): Int = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Authorization", s"Bearer $token")
+      if (accept.nonEmpty) b.header("Accept", accept)
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+    }
+    // /export is Read on the index (http_handler.go:498)
+    assert(getWith("/export?index=lineitem&field=l_returnflag&shard=0",
+      tok("readers"), "text/csv") == 200)
+    assert(getWith("/export?index=orders&field=o_orderstatus&shard=0",
+      tok("readers"), "text/csv") == 403)
+    // /queries and /query-history are Admin (http_handler.go:534,540)
+    assert(getWith("/queries", tok("readers")) == 403)
+    assert(getWith("/queries", tok("admins")) == 200)
+    // index create is Admin, field create Write (http_handler.go:501,510)
+    assert(post("/index/newidx", "", Some(tok("readers")))._1 == 403)
+    assert(post("/index/orders/field/newf",
+      """{"options":{"type":"int"}}""", Some(tok("writers")))._1 == 200)
+  }
+
   test("/sql needs admin (http_handler.go:536); admin passes everywhere") {
     assert(post("/sql", "SELECT TOP(1) r_name FROM region", Some(tok("readers")))._1 == 403)
     val (c, body) = post("/sql", "SELECT TOP(1) r_name FROM region", Some(tok("admins")))
