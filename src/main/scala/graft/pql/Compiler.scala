@@ -698,7 +698,18 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     val spark = table.sparkSession
     import spark.implicits._
 
-    val vals = base.select(col(f).cast("long").as("v"))
+    // BSI semantics: decimal fields are scaled ints (`pql/decimal.go:55-58`)
+    // — bisect the unscaled value exactly and rescale the answer; timestamp
+    // fields bisect epoch-µs. Plain ints cast directly.
+    val fieldType = base.schema(f).dataType
+    val toBisect: Column = fieldType match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        (col(f).cast(org.apache.spark.sql.types.DecimalType(38, d.scale)) *
+          lit(BigDecimal(10).pow(d.scale))).cast("long")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(f))
+      case _ => col(f).cast("long")
+    }
+    val vals = base.select(toBisect.as("v"))
     // one pass: bounds + total + cardinality estimate picks the regime
     val stats = vals.agg(min("v"), max("v"), count(lit(1)),
       approx_count_distinct(col("v"))).head()
@@ -759,7 +770,16 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
         // distributed probe: both counters in one scan per bisection step
         bisect(v => probeCounts(v)._1, v => probeCounts(v)._2)
       }
-    Seq(possible).toDF("val")
+    fieldType match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        Seq(possible).toDF("raw").select(
+          (col("raw").cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+            lit(BigDecimal(10).pow(d.scale)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, d.scale)).as("val"))
+      case org.apache.spark.sql.types.TimestampType =>
+        Seq(possible).toDF("raw").select(timestamp_micros(col("raw")).as("val"))
+      case _ => Seq(possible).toDF("val")
+    }
   }
 
   /** index of first element >= v */

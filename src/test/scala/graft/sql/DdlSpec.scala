@@ -209,4 +209,28 @@ class DdlSpec extends SparkSpec {
     // fb_* system tables hidden by default, shown WITH SYSTEM once registered
     assert(!names.exists(_.startsWith("fb_")))
   }
+
+  // BSI parity: Percentile bisects decimal fields as scaled ints and
+  // timestamp fields as epoch-us, returning the field's own type
+  // (`reference/pql/decimal.go:55-58`, `executor.go` percentile over BSI)
+  test("PQL Percentile over decimal and timestamp fields keeps field typing") {
+    run("CREATE TABLE pctl (_id ID, price DECIMAL(2), at TIMESTAMP)")
+    run("INSERT INTO pctl VALUES (1, 10.25, '2020-01-01T00:00:00Z'), " +
+      "(2, 20.50, '2021-01-01T00:00:00Z'), (3, 30.75, '2022-01-01T00:00:00Z'), " +
+      "(4, 40.00, '2023-01-01T00:00:00Z'), (5, 50.10, '2024-01-01T00:00:00Z')")
+    val t = spark.table("pctl")
+    val med = graft.pql.Pql.programOn(t, "pctl", "Percentile(field=price, nth=50)")._1
+    val mrow = med.collect()(0)
+    assert(mrow.getDecimal(0).compareTo(new java.math.BigDecimal("30.75")) == 0, mrow)
+    val tsMed = graft.pql.Pql.programOn(t, "pctl", "Percentile(field=at, nth=50)")._1
+    assert(tsMed.schema.head.dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // the reference's bisection may stop on a non-data midpoint
+    // (executor.go loop keeps `possible` = last probe); assert convergence
+    // to the median's neighborhood rather than the exact instant
+    val got = tsMed.collect()(0).getTimestamp(0).toInstant
+    val expectMed = java.time.Instant.parse("2022-01-01T00:00:00Z")
+    assert(math.abs(java.time.Duration.between(expectMed, got).toMillis) <= 1, got)
+    run("DROP TABLE pctl")
+  }
 }

@@ -578,4 +578,17 @@ class DefsSpec extends SparkSpec {
     expectErr("SELECT percentile(s1, 50) AS p FROM at",
       "integer, decimal or timestamp expression expected")
   }
+
+  // `defs_select.go:50-70`: star-plus-extra-column projection keeps the
+  // full schema and appends the alias
+  test("select *, col AS alias appends to the star expansion (defs_select.go:50-70)") {
+    run("CREATE TABLE selx (_id ID, an_int INT MIN 0 MAX 100, a_string STRING)")
+    run("INSERT INTO selx VALUES (1, 11, 'str1'), (2, 22, 'str2')")
+    val df = run("select *, an_int AS foo from selx where _id = 1")
+    assert(df.columns.toSeq == Seq("_id", "an_int", "a_string", "foo"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 11L &&
+      r.getString(2) == "str1" && r.getLong(3) == 11L)
+    run("DROP TABLE selx")
+  }
 }
