@@ -142,6 +142,28 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get("/index/doesnotexist")._2.contains("Not Found"))
   }
 
+  test("keyed index lifecycle: string record keys through create/import/query") {
+    def send(method: String, path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    assert(send("POST", "/index/keyedidx", """{"options":{"keys":true}}""")._1 == 200)
+    assert(send("POST", "/index/keyedidx/field/kind",
+      """{"options":{"type":"mutex","keys":true}}""")._1 == 200)
+    // row-oriented import with string record keys
+    val (ci, bi) = post("/index/keyedidx/field/kind/import", "userA,gold\nuserB,silver\nuserC,gold")
+    assert(ci == 200, bi)
+    val (cq, bq) = post("/index/keyedidx/query", "Count(Row(kind='gold'))")
+    assert(cq == 200 && bq.contains(""""data":[[2]]"""), bq)
+    // keyed PQL write joins the set
+    val (cw, bw) = post("/index/keyedidx/query",
+      "Set('userD', kind='gold') Count(Row(kind='gold'))")
+    assert(cw == 200 && bw.contains(""""data":[[3]]"""), bw)
+    assert(send("DELETE", "/index/keyedidx", "")._1 == 200)
+  }
+
   test("GET /export dumps value,id CSV per field and shard (api.go:797)") {
     // customer: no other test mutates it, so the count is the table's
     val req = HttpRequest.newBuilder(
