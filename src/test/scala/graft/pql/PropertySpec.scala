@@ -63,4 +63,29 @@ class PropertySpec extends SparkSpec {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(result.passed, result.status.toString)
   }
+
+  // the reference grammar is whitespace- and named-arg-order-insensitive
+  // (`pql/pql.peg` args rule); results must be identical for any layout
+  test("named-arg order and whitespace layout do not change results") {
+    val ev = Tables.load(spark, sfDir, "events")
+    def run(q: String) =
+      graft.pql.Pql.programOn(ev, "events", q)._1.collect().toSeq
+    val canonical = run(
+      "GroupBy(Rows(event_type), filter=Row(value > 0.5), aggregate=Sum(field=user_id), limit=5)")
+    val reordered = run(
+      "GroupBy(Rows(event_type), limit=5, aggregate=Sum(field=user_id), filter=Row(value > 0.5))")
+    val spaced = run(
+      """GroupBy(
+        |    Rows( event_type ) ,
+        |    aggregate = Sum( field = user_id ) ,
+        |    filter = Row( value > 0.5 ) ,
+        |    limit = 5
+        |)""".stripMargin)
+    assert(reordered == canonical)
+    assert(spaced == canonical)
+    val t1 = run("Row(event_type='click', from='2024-01-05', to='2024-01-20')")
+    val t2 = run("Row(   from = '2024-01-05' , event_type = 'click' , to = '2024-01-20' )")
+    assert(t1.nonEmpty || t2.isEmpty) // same shape either way
+    assert(t2 == t1)
+  }
 }
