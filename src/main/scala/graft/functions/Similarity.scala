@@ -66,7 +66,7 @@ object Similarity {
   def rhpSignature(vec: Column, nBits: Int, dim: Int): Column = {
     val planes = hyperplanes(nBits, dim)
     (0 until nBits).map { i =>
-      val plane = array(planes(i).map(lit): _*)
+      val plane = array(planes(i).toIndexedSeq.map(lit): _*)
       when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
