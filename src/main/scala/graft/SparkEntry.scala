@@ -671,6 +671,29 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     // CSV IDK ingest: events re-encoded as a headerless CSV wire, typed by a
     // configured IDK header (`reference/idk/csv/cmd.go:16-17`), streamed
     // through the same checkpointed upsert sink as Kafka.
+    // SQL-database IDK ingest: the region table round-trips through an
+    // embedded Derby database and the alias-encoded field-spec decode
+    // (`reference/idk/sql/source.go:139-162`); the oracle is the source table.
+    "src_sql_jdbc" -> ((s, dir) => {
+      val region = Tables.load(s, dir, "region")
+      val db = graft.streaming.Ingest.scratch("q_jdbc") + "/db"
+      val url = s"jdbc:derby:$db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE region (r_regionkey INT, r_name VARCHAR(32))")
+        val ins = conn.prepareStatement("INSERT INTO region VALUES (?, ?)")
+        region.select("r_regionkey", "r_name").collect().foreach { r =>
+          ins.setLong(1, r.get(0).asInstanceOf[Number].longValue)
+          ins.setString(2, r.getString(1))
+          ins.executeUpdate()
+        }
+        ins.close(); st.close()
+      } finally conn.close()
+      graft.streaming.SqlIngest.read(s, url,
+        """SELECT r_regionkey AS "r_regionkey__ID", r_name AS "r_name__String" FROM region""")
+        .orderBy("r_regionkey")
+    }),
     "stream_csv" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val src  = graft.streaming.Ingest.scratch("q_csv_src")
@@ -857,6 +880,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "stream_upsert" -> "SELECT count(*) AS cnt, round(sum(value), 2) AS sv FROM events",
     "stream_kafka" -> ("SELECT count(*) AS cnt, round(sum(value), 2) AS sv, " +
       "max(ts) AS mts FROM events"),
+    "src_sql_jdbc" -> ("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
     "stream_csv" -> ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
       "max(ts) AS mts FROM events"),
     "mm_meta" -> ("SELECT doc_id AS _id, " +
