@@ -671,6 +671,41 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     // CSV IDK ingest: events re-encoded as a headerless CSV wire, typed by a
     // configured IDK header (`reference/idk/csv/cmd.go:16-17`), streamed
     // through the same checkpointed upsert sink as Kafka.
+    // Kafka Avro wire: events encoded as Confluent-framed Avro binary ON
+    // EXECUTORS (narrow map), decoded through AvroIngest's per-partition
+    // reader (`reference/idk/kafka/source.go:478-502`), aggregated against
+    // the source-table oracle.
+    "src_avro" -> ((s, dir) => {
+      import graft.streaming.KafkaIngest.IdkField
+      val schemaJson = """{"type":"record","name":"ev","fields":[
+        {"name":"event_id","type":"long"},{"name":"user_id","type":"long"},
+        {"name":"value","type":"double"}]}""".replace("\n", "")
+      val ev = Tables.load(s, dir, "events")
+      import s.implicits._
+      val framed = ev.selectExpr("event_id", "CAST(user_id AS LONG) user_id", "value")
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val writer = new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema)
+          it.map { case (id, uid, v) =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("event_id", id); rec.put("user_id", uid); rec.put("value", v)
+            val out = new java.io.ByteArrayOutputStream()
+            val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+            writer.write(rec, enc); enc.flush()
+            val payload = out.toByteArray
+            val b = java.nio.ByteBuffer.allocate(5 + payload.length)
+            b.put(0.toByte).putInt(7).put(payload) // magic + schema id 7
+            b.array()
+          }
+        }.toDF("value")
+      val fields = Seq(IdkField("event_id", "id"), IdkField("user_id", "int"),
+        IdkField("value", "double"))
+      graft.streaming.AvroIngest.decode(framed, Map(7 -> schemaJson), fields)
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("su"),
+          round(sum(col("value")), 2).as("sv"))
+    }),
     // SQL-database IDK ingest: the region table round-trips through an
     // embedded Derby database and the alias-encoded field-spec decode
     // (`reference/idk/sql/source.go:139-162`); the oracle is the source table.
@@ -881,6 +916,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "stream_kafka" -> ("SELECT count(*) AS cnt, round(sum(value), 2) AS sv, " +
       "max(ts) AS mts FROM events"),
     "src_sql_jdbc" -> ("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+    "src_avro" -> ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
+      "round(sum(value), 2) AS sv FROM events"),
     "stream_csv" -> ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
       "max(ts) AS mts FROM events"),
     "mm_meta" -> ("SELECT doc_id AS _id, " +
