@@ -277,7 +277,11 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         s"""{"shardWidth":$ShardWidth,"cpuLogicalCores":${rt.availableProcessors},"memory":${rt.maxMemory}}"""
       }
     })
-    server.createContext("/status", handler { _ => """{"state":"NORMAL"}""" })
+    // getStatusResponse shape (`http_handler.go:1264-1269`): one logical
+    // node — Spark executors are the scale-out unit underneath
+    server.createContext("/status", handler { _ =>
+      """{"state":"NORMAL","nodes":[{"id":"local","state":"STARTED","isPrimary":true}],"localID":"local","clusterName":"graft"}"""
+    })
     // unauthenticated like the reference (`http_handler.go:541`)
     server.createContext("/version", handler { _ => """{"version":"graft-0.1"}""" })
     // `GET /export?index=i&field=f&shard=s`, Accept: text/csv
