@@ -132,8 +132,11 @@ object Auth {
       user.groups.foreach { g =>
         permissions.get(g.groupId) match {
           case Some(byIndex) => byIndex.get(index) match {
-            case Some(p) => if (p.satisfies(PermWrite)) canWrite = true
-                            else if (p.satisfies(PermRead)) canRead = true
+            // exactly write/read — the reference keys allPermissions on
+            // those two only (`authorization.go:65-68,90-96`), so an
+            // 'admin'-valued per-index file entry grants NOTHING here
+            case Some(p) => if (p == PermWrite) canWrite = true
+                            else if (p == PermRead) canRead = true
             case None => throw new AuthError(
               s"user ${user.userId} does not have permission to index $index")
           }

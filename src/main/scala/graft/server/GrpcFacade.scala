@@ -142,25 +142,40 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       denied("insufficient permissions to access requested indexes")
   }
 
-  /** `grpc.go:223-248`: referenced tables must all be authorized; DDL (or
-    * anything the read-only parser rejects) requires admin. */
+  /** `grpc.go:223-248`: DDL requires admin; INSERT/DELETE and friends
+    * require write on the target table; reads require every referenced
+    * table on the authorized list. DDL/DML are classified by the SAME
+    * predicate `runSql` dispatches on ([[graft.sql.Ddl.handles]]) — Spark's
+    * parser accepts DROP/DELETE/INSERT happily, so a parse-failure gate
+    * alone would wave DDL through as a "read". */
   private def chkSql(sql: String): Unit = auth.foreach { cfg =>
     val user = authedUser(cfg)
     if (cfg.perms.isAdmin(user.groups)) return
-    val tables =
-      try {
-        val plan = spark.sessionState.sqlParser.parsePlan(
-          graft.sql.GraftSql.rewrite(sql))
-        plan.collect {
-          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-            r.multipartIdentifier.last
-        }.distinct
-      } catch { case _: Exception =>
-        denied("insufficient permissions to execute request") // DDL → admin
-      }
-    val allowed = cfg.perms.authorizedIndexes(user.groups, Auth.PermRead).toSet
-    if (!tables.forall(allowed)) // grpc.go:241 isAllowed(parsed.Tables, ...)
-      denied("insufficient permissions to access requested tables")
+    import graft.sql.Ddl
+    Ddl.authKind(sql) match {
+      case Some(Ddl.AuthAdmin) => // grpc.go:234-238 DDL → admin
+        denied("insufficient permissions to execute request")
+      case Some(Ddl.AuthWrite(targets)) =>
+        val writable = cfg.perms.authorizedIndexes(user.groups, Auth.PermWrite).toSet
+        if (!targets.forall(writable))
+          denied("insufficient permissions to access requested tables")
+      case Some(Ddl.AuthReadOnly) => () // SHOW/EXPLAIN/txn: metadata only
+      case None =>
+        val tables =
+          try {
+            val plan = spark.sessionState.sqlParser.parsePlan(
+              graft.sql.GraftSql.rewrite(sql))
+            plan.collect {
+              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                r.multipartIdentifier.last
+            }.distinct
+          } catch { case _: Exception =>
+            denied("insufficient permissions to execute request")
+          }
+        val allowed = cfg.perms.authorizedIndexes(user.groups, Auth.PermRead).toSet
+        if (!tables.forall(allowed)) // grpc.go:241 isAllowed(parsed.Tables, ...)
+          denied("insufficient permissions to access requested tables")
+    }
   }
   private def tableState(name: String): DataFrame =
     state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))

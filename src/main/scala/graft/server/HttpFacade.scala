@@ -41,11 +41,21 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * Read escalated to Write when the program mutates (`:521`,`:798-803`),
     * imports Write (`:517-520`), `/schema` Read (`:524`). 403 on denial. */
   private def chk(ex: HttpExchange, index: Option[String],
-                  required: Auth.Permission): Unit =
-    auth.foreach { cfg =>
+                  required: Auth.Permission): Option[Auth.UserInfo] =
+    auth.map { cfg =>
       val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
         .map(_.stripPrefix("Bearer ").trim).filter(_.nonEmpty)
       Auth.chkAuthZ(cfg, bearer, index, required)
+    }
+
+  /** `reference/http_handler.go:1062-1077` filterSchema: with auth on,
+    * non-admin callers see only the indexes on their read-authorized list;
+    * identity for admins and when auth is off. */
+  private def readable(user: Option[Auth.UserInfo]): String => Boolean =
+    (auth, user) match {
+      case (Some(cfg), Some(u)) if !cfg.perms.isAdmin(u.groups) =>
+        cfg.perms.authorizedIndexes(u.groups, Auth.PermRead).toSet
+      case _ => _ => true
     }
 
   /** Per-table mutable state: PQL writes and field imports persist across
@@ -75,8 +85,17 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     if (next ne before) {
       val n = writesSince.merge(name, 1, (a, b) => a + b)
       state.put(name, if (n % 16 == 0) next.localCheckpoint() else next)
+      cardinalityCache.remove(name)
     }
   }
+
+  /** `/schema/details` per-table field-cardinality memo: the endpoint is a
+    * metadata probe, and recomputing one agg pass per table per request
+    * would turn it into a repeated table scan. Invalidated on write/DDL
+    * (and wholesale by `/recalculate-caches`), the same spirit as the
+    * reference's cached ranked-cache counts. */
+  private val cardinalityCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]
 
   /** Query tracker (`reference/tracker.go:11-27`): in-flight queries for
     * `GET /queries`, a bounded ring of finished ones for
@@ -143,8 +162,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           // `GET /index` (`http_handler.go:500` GetIndexes): the schema's
           // index list
           case Array("index") if method == "GET" =>
-            chk(ex, None, Auth.PermRead)
-            graft.core.Tables.names.map(indexInfo).mkString("[", ",", "]")
+            val vis = readable(chk(ex, None, Auth.PermRead))
+            graft.core.Tables.names.filter(vis).map(indexInfo).mkString("[", ",", "]")
           case Array("index", idx) if method == "POST" =>
             chk(ex, None, Auth.PermAdmin); createIndex(idx, body)
           case Array("index", idx) if method == "DELETE" =>
@@ -219,13 +238,14 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     // reference's cached counts).
     server.createContext("/schema/details", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
-        chk(ex, None, Auth.PermRead)
+        val vis = readable(chk(ex, None, Auth.PermRead))
         import org.apache.spark.sql.functions.approx_count_distinct
-        val indexes = graft.core.Tables.names.map { t =>
+        val indexes = graft.core.Tables.names.filter(vis).map { t =>
           val df = spark.table(t)
           val fields = df.schema.fields.filter(_.name != "_id")
-          val cards = df.select(fields.map(f =>
-            approx_count_distinct(f.name).as(f.name)).toSeq: _*).collect()(0)
+          val cards = cardinalityCache.computeIfAbsent(t, _ =>
+            df.select(fields.map(f =>
+              approx_count_distinct(f.name).as(f.name)).toSeq: _*).collect()(0))
           val fieldJson = fields.zipWithIndex.map { case (f, i) =>
             s"""{"name":${js(f.name)},"options":{"type":${js(
               graft.sql.SystemTables.refType(f.dataType).toLowerCase)}},"cardinality":${cards.getLong(i)}}"""
@@ -261,8 +281,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         }
         "" // → 204 No Content like the reference
       } else {
-      chk(ex, None, Auth.PermRead) // reference/http_handler.go:524
-      val indexes = graft.core.Tables.names.map { t =>
+      val vis = readable(chk(ex, None, Auth.PermRead)) // http_handler.go:524
+      val indexes = graft.core.Tables.names.filter(vis).map { t =>
         val fields = spark.table(t).schema.fields.map(f =>
           s"""{"name":${js(f.name)},"type":${js(f.dataType.simpleString)}}""")
         s"""{"name":${js(t)},"fields":[${fields.mkString(",")}]}"""
@@ -278,9 +298,13 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       }
     })
     // getStatusResponse shape (`http_handler.go:1264-1269`): one logical
-    // node — Spark executors are the scale-out unit underneath
-    server.createContext("/status", handler { _ =>
-      """{"state":"NORMAL","nodes":[{"id":"local","state":"STARTED","isPrimary":true}],"localID":"local","clusterName":"graft"}"""
+    // node — Spark executors are the scale-out unit underneath. Read-level
+    // like the reference router (`http_handler.go:523` chkAuthZ Read).
+    server.createContext("/status", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        """{"state":"NORMAL","nodes":[{"id":"local","state":"STARTED","isPrimary":true}],"localID":"local","clusterName":"graft"}"""
+      }
     })
     // unauthenticated like the reference (`http_handler.go:541`)
     server.createContext("/version", handler { _ => """{"version":"graft-0.1"}""" })
@@ -319,30 +343,51 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         s"""[${pastQueries.iterator.asScala.map(queryJson(_, past = true)).mkString(",")}]"""
       }
     })
-    // `POST /recalculate-caches` (`http_handler.go:523`): the reference
-    // rebuilds TopN ranked caches; our TopN/TopK are exact (no cache), so
-    // the contract is an immediate success ack
-    server.createContext("/recalculate-caches", handler { _ => "" })
+    // `POST /recalculate-caches` (`http_handler.go:528`, admin): the
+    // reference rebuilds TopN ranked caches; our TopN/TopK are exact (no
+    // cache), so the contract is an immediate success ack. Also drops the
+    // /schema/details cardinality memo so the next probe recomputes.
+    server.createContext("/recalculate-caches", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin)
+        cardinalityCache.clear()
+        ""
+      }
+    })
     // `/transaction*` (`http_handler.go:528-533`): named transactions with
     // exclusive-activation semantics (`transaction.go:20-45`). Spark jobs
     // are independently atomic here, so the registry provides the reference
     // wire contract (create/inspect/finish/list), not a lock the engine
     // needs.
-    server.createContext("/transactions", handler { _ =>
-      import scala.jdk.CollectionConverters._
-      s"""{"transactions":[${transactions.values.asScala.map(txJson).mkString(",")}]}"""
+    server.createContext("/transactions", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead) // http_handler.go:534 chkAuthZ Read
+        import scala.jdk.CollectionConverters._
+        s"""{"transactions":[${transactions.values.asScala.map(txJson).mkString(",")}]}"""
+      }
     })
     server.createContext("/transaction", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead) // http_handler.go:528-533 chkAuthZ Read
         val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
         (ex.getRequestMethod, parts) match {
           case ("POST", Array("transaction", id, "finish")) =>
             val tx = Option(transactions.remove(id))
               .getOrElse(sys.error(s"transaction with id $id not found"))
-            // next pending exclusive transaction activates
-            transactions.values.forEach(t =>
-              if (!t.active && transactions.size == 1)
-                transactions.put(t.id, t.copy(active = true)))
+            // `reference/transaction.go` finish: once nothing is active,
+            // the OLDEST queued exclusive activates; with no exclusive
+            // queued, every blocked non-exclusive resumes
+            transactions.synchronized {
+              import scala.jdk.CollectionConverters._
+              if (!transactions.values.asScala.exists(_.active)) {
+                val pending = transactions.values.asScala.toSeq.sortBy(_.seq)
+                pending.find(_.exclusive) match {
+                  case Some(e) => transactions.put(e.id, e.copy(active = true))
+                  case None => pending.foreach(t =>
+                    transactions.put(t.id, t.copy(active = true)))
+                }
+              }
+            }
             s"""{"transaction":${txJson(tx)}}"""
           case ("GET", Array("transaction", id)) =>
             val tx = Option(transactions.get(id))
@@ -361,11 +406,19 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             if (transactions.containsKey(id))
               sys.error(s"transaction with id $id already exists")
             val exclusive = Option(node.get("exclusive")).exists(_.asBoolean(false))
-            // an exclusive transaction is active only when alone
-            // (`transaction.go:24-31`)
-            val active = !exclusive || transactions.isEmpty
-            val tx = Tx(id, active, exclusive, timeout)
-            transactions.put(id, tx)
+            val tx = transactions.synchronized {
+              import scala.jdk.CollectionConverters._
+              // an exclusive transaction is active only when alone, and ANY
+              // new transaction queues behind an active exclusive one
+              // (`transaction.go:24-31`)
+              val exclusiveActive =
+                transactions.values.asScala.exists(t => t.active && t.exclusive)
+              val active =
+                if (exclusive) transactions.isEmpty else !exclusiveActive
+              val t = Tx(id, active, exclusive, timeout, txSeq.incrementAndGet())
+              transactions.put(id, t)
+              t
+            }
             s"""{"transaction":${txJson(tx)}}"""
           case (m, p) => sys.error(s"unsupported $m ${p.mkString("/")}")
         }
@@ -438,11 +491,13 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
 
   // --------------------------------------------------- export/transactions
 
-  /** `reference/transaction.go:20-45` wire fields. */
+  /** `reference/transaction.go:20-45` wire fields; `seq` is creation order
+    * for oldest-pending-exclusive activation (not on the wire). */
   private case class Tx(id: String, active: Boolean, exclusive: Boolean,
-                        timeout: Long)
+                        timeout: Long, seq: Long = 0L)
   private val transactions =
     new java.util.concurrent.ConcurrentHashMap[String, Tx]
+  private val txSeq = new java.util.concurrent.atomic.AtomicLong
 
   private def txJson(t: Tx): String =
     s"""{"id":${js(t.id)},"active":${t.active},"exclusive":${t.exclusive},"timeout":${t.timeout}}"""
@@ -557,6 +612,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   private def dropIndex(idx: String): String = {
     graft.sql.Ddl.run(spark, s"DROP TABLE $idx")
     state.remove(idx)
+    cardinalityCache.remove(idx)
     success(idx)
   }
 
@@ -605,6 +661,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     }
     graft.sql.Ddl.run(spark, s"ALTER TABLE $idx ADD COLUMN $field $ddlType")
     state.remove(idx) // next read sees the widened schema
+    cardinalityCache.remove(idx)
     success(field)
   }
 
@@ -612,6 +669,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   private def dropField(idx: String, field: String): String = {
     graft.sql.Ddl.run(spark, s"ALTER TABLE $idx DROP COLUMN $field")
     state.remove(idx)
+    cardinalityCache.remove(idx)
     success(field)
   }
 

@@ -82,6 +82,28 @@ object Ddl {
     case _ => false
   }
 
+  /** Authorization class of a statement this layer handles, for the serving
+    * facades' SQL gates (`reference/server/grpc.go:223-248`: DDL requires
+    * admin; DML requires write on the target table; SHOW/EXPLAIN/txn are
+    * metadata-only reads). `None` = not a DDL/DML statement — the caller
+    * falls back to read-table extraction from the parsed plan. */
+  sealed trait AuthKind
+  case object AuthAdmin extends AuthKind
+  final case class AuthWrite(tables: Seq[String]) extends AuthKind
+  case object AuthReadOnly extends AuthKind
+
+  def authKind(q: String): Option[AuthKind] = q match {
+    case InsertRe(t, _, _)       => Some(AuthWrite(Seq(t)))
+    case DeleteRe(t, _)          => Some(AuthWrite(Seq(t)))
+    case CopyRe(s, t, _)         => Some(AuthWrite(Seq(s, t)))
+    case ExplainRe(_) | TxnRe(_) => Some(AuthReadOnly)
+    case _ if BulkInsertRe.findFirstIn(q).isDefined =>
+      BulkInsertRe.findFirstMatchIn(q).map(m => AuthWrite(Seq(m.group(1))))
+    case _ if ShowRe.findFirstIn(q).isDefined => Some(AuthReadOnly)
+    case _ if handles(q) => Some(AuthAdmin) // CREATE/ALTER/DROP → admin
+    case _ => None
+  }
+
   /** Reference SQL type → Spark type (SURVEY §1.2 mapping,
     * `reference/sql3/parser/astdatatype.go:10-26`). */
   def sparkType(t: String): DataType = {

@@ -61,6 +61,22 @@ class AuthUnitSpec extends AnyFunSuite {
     assert(perms.authorizedIndexes(admin, PermAdmin).toSet == Set("test", "orders"))
   }
 
+  test("an 'admin'-valued per-index file entry grants nothing (authorization.go:65-96)") {
+    val p = GroupPermissions.fromYaml(
+      """user-groups:
+        |  "g-adm-entry":
+        |    "idx": "admin"
+        |admin: "root"
+        |""".stripMargin)
+    val u = UserInfo("u", "n", Seq(Group("g-adm-entry")))
+    // the reference keys allPermissions on write/read only → "no permissions
+    // found" for an admin-valued entry
+    val e = intercept[AuthError](p.getPermissions(u, "idx"))
+    assert(e.getMessage.contains("no permissions found"))
+    // but GetAuthorizedIndexList is rank-based (Satisfies) and still lists it
+    assert(p.authorizedIndexes(Seq(Group("g-adm-entry")), PermWrite) == Seq("idx"))
+  }
+
   test("token round-trip carries oid/name/groups; bad signature rejected") {
     val v = new TokenVerifier(secret)
     val tok = TokenVerifier.sign(secret, "oid-1", "Alice",
@@ -151,6 +167,37 @@ class AuthFacadeSpec extends SparkSpec {
       """{"options":{"type":"int"}}""", Some(tok("writers")))._1 == 200)
   }
 
+  test("status/transactions need read, recalculate-caches admin (http_handler.go:523-534)") {
+    def getWith(path: String, token: Option[String]): Int = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      token.foreach(t => b.header("Authorization", s"Bearer $t"))
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+    }
+    assert(getWith("/status", None) == 403)
+    assert(getWith("/status", Some(tok("readers"))) == 200)
+    assert(getWith("/transactions", None) == 403)
+    assert(getWith("/transactions", Some(tok("readers"))) == 200)
+    assert(post("/transaction", """{"id":"tx-auth","timeout":60}""", None)._1 == 403)
+    assert(post("/recalculate-caches", "", Some(tok("readers")))._1 == 403)
+    assert(post("/recalculate-caches", "", Some(tok("admins")))._1 == 204)
+  }
+
+  test("schema listings filter to the caller's read-authorized indexes (http_handler.go:1062-1077)") {
+    def getBody(path: String, token: String): String = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Authorization", s"Bearer $token")
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString()).body()
+    }
+    val readerSchema = getBody("/schema", tok("readers"))
+    assert(readerSchema.contains("\"lineitem\"") && !readerSchema.contains("\"orders\""),
+      readerSchema.take(200))
+    val readerIndexes = getBody("/index", tok("readers"))
+    assert(readerIndexes.contains("\"lineitem\"") && !readerIndexes.contains("\"orders\""),
+      readerIndexes.take(200))
+    val adminSchema = getBody("/schema", tok("admins"))
+    assert(adminSchema.contains("\"lineitem\"") && adminSchema.contains("\"orders\""))
+  }
+
   test("/sql needs admin (http_handler.go:536); admin passes everywhere") {
     assert(post("/sql", "SELECT TOP(1) r_name FROM region", Some(tok("readers")))._1 == 403)
     val (c, body) = post("/sql", "SELECT TOP(1) r_name FROM region", Some(tok("admins")))
@@ -170,6 +217,8 @@ class AuthGrpcSpec extends SparkSpec {
     """user-groups:
       |  "readers":
       |    "region": "read"
+      |  "writers":
+      |    "grpc_scratch": "write"
       |admin: "admins"
       |""".stripMargin)
   private lazy val facade = new GrpcFacade(spark, sfDir, 0,
@@ -203,6 +252,29 @@ class AuthGrpcSpec extends SparkSpec {
         GrpcFacade.pqlRequest("orders", "Count(All())"))) ==
         grpc.Status.Code.PERMISSION_DENIED)
     } finally reader.shutdownNow()
+  }
+
+  test("SQL DDL/DML gates: DROP needs admin, INSERT/DELETE need write (grpc.go:223-248)") {
+    val reader = ch("readers"); val writer = ch("writers"); val admin = ch("admins")
+    def sql(c: grpc.ManagedChannel, q: String) =
+      status(GrpcFacade.call(c, facade.QuerySqlUnaryMethod, GrpcFacade.sqlRequest(q)))
+    try {
+      // DDL is admin-only — Spark's parser accepts DROP TABLE, so the old
+      // parse-failure gate waved it through as a zero-table "read"
+      assert(sql(reader, "DROP TABLE region") == grpc.Status.Code.PERMISSION_DENIED)
+      // DML needs write on the target, read is not enough
+      assert(sql(reader, "DELETE FROM region") == grpc.Status.Code.PERMISSION_DENIED)
+      assert(sql(reader, "INSERT INTO region (_id, r_name) VALUES (99, 'x')") ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      // metadata statements pass at read level
+      assert(sql(reader, "SHOW TABLES") == grpc.Status.Code.OK)
+      // write-authorized DML passes; admin DDL passes
+      assert(sql(admin, "CREATE TABLE grpc_scratch (_id ID, v INT)") == grpc.Status.Code.OK)
+      assert(sql(writer, "INSERT INTO grpc_scratch (_id, v) VALUES (1, 7)") ==
+        grpc.Status.Code.OK)
+      assert(sql(writer, "DELETE FROM grpc_scratch") == grpc.Status.Code.OK)
+      assert(sql(admin, "DROP TABLE grpc_scratch") == grpc.Status.Code.OK)
+    } finally { reader.shutdownNow(); writer.shutdownNow(); admin.shutdownNow() }
   }
 
   test("SQL: table allow-list enforced; missing token denied; admin passes") {

@@ -217,8 +217,15 @@ class HttpFacadeSpec extends SparkSpec {
     assert(post("/transaction/t1/finish", "")._1 == 200)
     val (c5, b5) = get("/transaction/t2")
     assert(c5 == 200 && b5.contains(""""active":true"""), b5)
+    // a non-exclusive tx created while exclusive t2 is ACTIVE queues
+    // inactive (transaction.go:24-31), and resumes once t2 finishes
+    val (c6, b6) = post("/transaction", """{"id":"t4","timeout":60}""")
+    assert(c6 == 200 && b6.contains(""""id":"t4","active":false"""), b6)
     assert(post("/transaction/t2/finish", "")._1 == 200)
     assert(get("/transaction/t2")._1 == 400)
+    val (c7, b7) = get("/transaction/t4")
+    assert(c7 == 200 && b7.contains(""""active":true"""), b7)
+    assert(post("/transaction/t4/finish", "")._1 == 200)
   }
 
   test("POST /schema applies a whole schema; details adds cardinality (http_handler.go:1161,525)") {
@@ -236,6 +243,24 @@ class HttpFacadeSpec extends SparkSpec {
     val (cd, bd) = get("/schema/details")
     assert(cd == 200 && bd.contains(""""cardinality":"""), bd.take(200))
     assert(get("/info")._2.contains(""""shardWidth":1048576"""))
+  }
+
+  test("/schema/details memoizes cardinality: repeat probe runs no Spark job") {
+    val (cp, bp) = get("/schema/details") // prime the memo
+    assert(cp == 200 && bp.contains(""""cardinality":"""), bp.take(200))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val (c, b) = get("/schema/details")
+      assert(c == 200 && b == bp) // wire shape unchanged
+      Thread.sleep(1000)          // listener events are async
+      assert(jobs.get() == 0, s"expected memoized response, saw ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("concurrent writes to one table serialize; no lost updates") {
