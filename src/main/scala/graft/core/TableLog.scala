@@ -254,11 +254,25 @@ object TableLog {
     }
   }
 
+  /** Conform `df` to the table's recorded schema (same column set → cast
+    * each column). Write expressions widen types (a `when(_id===k, lit(v))`
+    * point write turns int into long), and an overlay piece whose parquet
+    * types differ from the manifest schema would fail the restore read —
+    * the log's invariant is that every piece shares the base schema. */
+  private def alignTo(schema: StructType, df: DataFrame): DataFrame =
+    if (schema.fields.length == df.columns.length &&
+        schema.fields.forall(f => df.columns.contains(f.name)) &&
+        df.schema != schema)
+      df.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    else df
+
   /** Upsert-by-`_id`: incoming replaces same-id rows (mutex replace on every
     * field, `reference/field.go:352-365`), resurrects tombstoned ids, appends
     * the rest. Cost: materializes `incoming` + new overlay/tombstones only. */
-  def upsert(spark: SparkSession, name: String, incoming: DataFrame): Unit = {
+  def upsert(spark: SparkSession, name: String, incoming0: DataFrame): Unit = {
     val st = stateOf(spark, name)
+    val incoming = alignTo(st.base.df.schema, incoming0)
     val next =
       if (!hasId(st.base.df) || !hasId(incoming)) {
         // keyless table: INSERT is append
@@ -306,6 +320,26 @@ object TableLog {
         }
     }
   }
+
+  /** DELETE by a materialized `_id` set (serving-path `Delete` whose ids
+    * are already computed): tombstones the ids directly — no predicate pass
+    * over the merged view. Same state transition as [[delete]]'s predicate
+    * branch. */
+  def deleteByIds(spark: SparkSession, name: String, ids: DataFrame): Unit = {
+    val st = stateOf(spark, name)
+    if (!hasId(st.base.df)) sys.error(s"$name is keyless; deleteByIds needs _id")
+    val idT = st.base.df.schema("_id").dataType
+    val idsOnly = ids.select(col("_id").cast(idT).as("_id"))
+    val t = mat(spark, name, "tomb", st.tombstones
+      .map(_.df.unionByName(idsOnly)).getOrElse(idsOnly))
+    val o = st.overlay.map(p => mat(spark, name, "overlay",
+      p.df.join(t.df, Seq("_id"), "left_anti")))
+    commit(spark, name,
+      st.copy(overlay = o, tombstones = Some(t), depth = st.depth + 1))
+  }
+
+  /** Whether this session persists DML durably (`spark.graft.warehouse`). */
+  def isDurable(spark: SparkSession): Boolean = warehouse(spark).isDefined
 
   /** Drop all log state for a table (DROP TABLE): forgets the in-memory log
     * and removes the warehouse dir so a restore doesn't resurrect it. */

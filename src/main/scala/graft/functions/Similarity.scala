@@ -180,8 +180,16 @@ object Similarity {
     * rows): centroid quality saturates at a few hundred points per cell, so
     * iterating k-means over the full corpus — a multi-pass job over 100 TB —
     * buys nothing. The full corpus is assigned exactly once by the model
-    * transform. Corpora at or under the sample target fit on everything
-    * (bit-identical to the pre-sample behavior). */
+    * transform.
+    *
+    * The sample is the first `target / numPartitions` rows of EVERY
+    * partition, selected by a codegen'd filter on the partition-local
+    * ordinal — no pre-count job (sizing a fraction-based Bernoulli sample
+    * needs the total first, a full pass over the corpus), no shuffle, and
+    * every partition contributes (a global `limit` would fit on a prefix of
+    * the corpus — biased when the data is clustered by ingest order).
+    * Corpora at or under the target still fit on everything as long as rows
+    * spread across partitions (`maxPartitionBytes` bounds rows/partition). */
   def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                nCells: Int, seed: Long = 42L,
                fitPointsPerCell: Int = 256): (DataFrame, Array[Array[Double]]) = {
@@ -190,12 +198,11 @@ object Similarity {
     val feat = embeddings.withColumn("__feat",
       array_to_vector(transform(col(vecCol), x => x.cast("double"))))
     val target = fitPointsPerCell.toLong * nCells
-    val total = feat.count()
-    val fitSet =
-      if (total <= target) feat
-      // 1.2× oversample keeps the Bernoulli draw's realized size ≥ target whp
-      else feat.sample(withReplacement = false,
-        fraction = math.min(1.0, 1.2 * target.toDouble / total), seed = seed)
+    // monotonically_increasing_id = partitionId<<33 | partition-local ordinal
+    val parts = math.max(1, feat.rdd.getNumPartitions)
+    val cap = (target + parts - 1) / parts
+    val fitSet = feat.filter(
+      (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))) < cap)
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__feat").setPredictionCol("cell").fit(fitSet)
     val assigned = model.transform(feat).drop("__feat")

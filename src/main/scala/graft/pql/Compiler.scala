@@ -300,6 +300,41 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     case other => sys.error(s"not a write call: $other")
   }
 
+  /** The rows a write call touches, derived from the BEFORE state — what a
+    * durable sink needs to persist O(touched) instead of rewriting the
+    * table (the reference's RBF writes are O(write), `reference/rbf/
+    * rbf.go:3-29`). `Upserted` ids index into the SUCCESSOR state (includes
+    * records the write creates); `Removed` ids are deleted outright. */
+  def writeEffect(call: Call): Compiler.WriteEffect = {
+    def memberPred(f: String, v: Column): Column =
+      if (isSet(f)) array_contains(coalesce(col(f), array().cast(dtype(f))), v)
+      else col(f) === v
+    def oneId: DataFrame = {
+      val idT = table.schema("_id").dataType
+      table.sparkSession.range(1).select(lit(idOf(call)).cast(idT).as("_id"))
+    }
+    call.name match {
+      case "Set" | "Clear" => Compiler.Upserted(oneId)
+      case "ClearRow" =>
+        val (f, v) = fieldValueOf(call)
+        Compiler.Upserted(table.filter(memberPred(f, v)).select("_id"))
+      case "Store" => // both sides change: rows entering AND leaving v's bitmap
+        val (f, v) = fieldValueOf(call)
+        val entering = bits(call.children.head) match {
+          case Left(p)    => table.filter(coalesce(p, lit(false))).select("_id")
+          case Right(ids) => ids.select("_id")
+        }
+        Compiler.Upserted(
+          entering.unionByName(table.filter(memberPred(f, v)).select("_id")).distinct())
+      case "Delete" =>
+        bits(call.children.head) match {
+          case Left(p)    => Compiler.Removed(table.filter(coalesce(p, lit(false))).select("_id"))
+          case Right(ids) => Compiler.Removed(ids.select("_id"))
+        }
+      case other => sys.error(s"not a write call: $other")
+    }
+  }
+
   // ------------------------------------------------------------ top-level ops
 
   /** Execute a top-level PQL call → DataFrame with stable column names. */
@@ -796,6 +831,11 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
 object Compiler {
   /** Unique suffix for per-query ExternalLookup temp views. */
   private[pql] val lookupViewSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** See [[Compiler!.writeEffect]]. */
+  sealed trait WriteEffect
+  final case class Upserted(ids: DataFrame) extends WriteEffect
+  final case class Removed(ids: DataFrame) extends WriteEffect
 }
 
 object Pql {
@@ -852,5 +892,35 @@ object Pql {
       else Some(comp.run(c))
     }
     (results, state)
+  }
+
+  /** [[programResults]] with DURABLE write semantics: the table's temp view
+    * (registered through [[graft.core.TableLog]]) is the state between
+    * calls, and each write call persists only its touched rows via
+    * `TableLog.upsert`/`deleteByIds` — O(touched), never O(table), and a
+    * restarted JVM restores the writes from the warehouse manifest like the
+    * reference's RBF storage (`reference/rbf/rbf.go:3-29`). Callers hold the
+    * table's write lock, exactly like the in-memory path. */
+  def programResultsDurable(spark: SparkSession, tableName: String, pql: String)
+      : Seq[Option[DataFrame]] = {
+    val calls = Parser.parse(pql)
+    require(calls.nonEmpty, "empty PQL program")
+    calls.map { c =>
+      val state = spark.table(tableName)
+      val comp = new Compiler(state, graft.core.Tables.timeColumn(tableName))
+      if (comp.isWrite(c)) {
+        comp.writeEffect(c) match {
+          case Compiler.Removed(ids) =>
+            graft.core.TableLog.deleteByIds(spark, tableName, ids)
+          case Compiler.Upserted(ids) =>
+            // delta = the touched rows of the SUCCESSOR state (carries rows
+            // the write creates); TableLog.upsert replaces them by `_id`
+            val next = comp.write(c)
+            graft.core.TableLog.upsert(spark, tableName,
+              next.join(ids, Seq("_id"), "left_semi"))
+        }
+        None
+      } else Some(comp.run(c))
+    }
   }
 }

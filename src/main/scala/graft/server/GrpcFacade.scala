@@ -177,8 +177,13 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
           denied("insufficient permissions to access requested tables")
     }
   }
+  /** With `spark.graft.warehouse` set, writes persist through the TableLog
+    * warehouse (restart-safe); see [[HttpFacade]] for the full notes. */
+  private def durable: Boolean = graft.core.TableLog.isDurable(spark)
+
   private def tableState(name: String): DataFrame =
-    state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
+    if (durable) spark.table(name)
+    else state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
 
   /** gRPC handlers run on netty's pool; write programs hold a per-table
     * lock across state-read -> compute -> commit so concurrent mutations
@@ -291,15 +296,22 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
   /** Single-call PQL, reference unary semantics. Returns the result frame or
     * None for a write (acked as ResultBool). */
   private def runPqlUnary(index: String, pql: String): Option[DataFrame] = {
-    def run(): Option[DataFrame] = {
-      val (results, next) = graft.pql.Pql.programResults(tableState(index), index, pql)
+    def one(results: Seq[Option[DataFrame]]): Option[DataFrame] = {
       if (results.length != 1)
         throw Status.INVALID_ARGUMENT
           .withDescription("QueryPQLUnary handles exactly one query")
           .asRuntimeException()
-      state.put(index, next)
       results.head
     }
+    def run(): Option[DataFrame] =
+      if (durable) // writes persist O(delta) through the TableLog warehouse
+        one(graft.pql.Pql.programResultsDurable(spark, index, pql))
+      else {
+        val (results, next) = graft.pql.Pql.programResults(tableState(index), index, pql)
+        val r = one(results)
+        state.put(index, next)
+        r
+      }
     if (graft.pql.Pql.writeCallN(pql) > 0) writeLock(index)(run()) else run()
   }
 
@@ -392,7 +404,13 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       .addService(grpc.ServerInterceptors.intercept(service, authInterceptor))
       .build()
 
-  def start(): Int = { server.start(); server.getPort }
+  def start(): Int = {
+    if (durable) { // views + warehouse state must exist before queries land
+      graft.core.Tables.registerAll(spark, dir)
+      graft.sql.Ddl.restoreSession(spark)
+    }
+    server.start(); server.getPort
+  }
   def stop(): Unit = server.shutdownNow()
 }
 

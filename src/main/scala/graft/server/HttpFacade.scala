@@ -58,15 +58,24 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       case _ => _ => true
     }
 
-  /** Per-table mutable state: PQL writes and field imports persist across
-    * requests for the life of the server — the reference's immediately-
-    * queryable mutable fragments. Seeded lazily from the parquet tables;
-    * prod swaps this for Delta MERGE so state survives the process. */
+  /** Whether writes persist durably: with `spark.graft.warehouse` set, every
+    * serving-path write routes through [[graft.core.TableLog]] — parquet
+    * pieces + manifest, restart-safe like the reference's RBF storage
+    * (`reference/rbf/rbf.go:3-29`). Without it, state is an in-memory
+    * successor chain for the life of the server (the dev/test mode). */
+  private def durable: Boolean = graft.core.TableLog.isDurable(spark)
+
+  /** Per-table mutable state (non-durable mode): PQL writes and field
+    * imports persist across requests for the life of the server — the
+    * reference's immediately-queryable mutable fragments. Seeded lazily
+    * from the parquet tables. In durable mode the TableLog-registered temp
+    * view is the single source of truth instead. */
   private val state =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
   private def tableState(name: String): DataFrame =
-    state.computeIfAbsent(name, n =>
+    if (durable) spark.table(name)
+    else state.computeIfAbsent(name, n =>
       if (graft.core.Tables.names.contains(n))
         graft.core.Tables.load(spark, dir, n)
       else spark.table(n)) // DDL-created indexes live in the catalog
@@ -80,7 +89,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * round-1 per-request localCheckpoint re-wrote O(table) on EVERY write
     * program; now that cost is amortized 1/16 and a read between writes
     * still sees the exact committed state. */
-  private def commitState(name: String, next: DataFrame): Unit = {
+  private def commitState(name: String, next: DataFrame,
+                          touched: Option[DataFrame] = None): Unit = {
+    if (durable) {
+      // persist only the touched rows: TableLog upsert is O(delta), the
+      // serving-path analogue of the reference's per-shard RBF commit
+      import org.apache.spark.sql.functions.col
+      val idT = next.schema("_id").dataType
+      touched match {
+        case Some(ids) =>
+          graft.core.TableLog.upsert(spark, name, next.join(
+            ids.select(col("_id").cast(idT)).distinct(), Seq("_id"), "left_semi"))
+        case None => // no id set known — honest whole-state replace
+          graft.core.TableLog.replace(spark, name, next, checkpoint = true)
+      }
+      cardinalityCache.remove(name)
+      return
+    }
     val before = state.get(name)
     if (next ne before) {
       val n = writesSince.merge(name, 1, (a, b) => a + b)
@@ -141,6 +166,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
 
   def start(): Int = {
     graft.core.Tables.registerAll(spark, dir)
+    // durable mode: re-register warehouse tables over the parquet views so
+    // writes from a previous process are visible (restart = restore)
+    graft.sql.Ddl.restoreSession(spark)
     server.createContext("/sql", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
         chk(ex, None, Auth.PermAdmin) // reference/http_handler.go:536
@@ -189,16 +217,24 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             // reference's boolean ack. Write programs hold the table's
             // write lock across state-read -> compute -> commit; pure reads
             // run lock-free on the immutable committed state.
-            def run(): String = {
-              val (results, next) =
-                graft.pql.Pql.programResults(tableState(idx), idx, body)
-              val wire = results.map { // materialize before exposing new state
-                case Some(df) => toWire(df)
-                case None     => "true"
-              }.mkString("""{"results":[""", ",", "]}")
-              commitState(idx, next)
-              wire
-            }
+            def run(): String =
+              if (durable) {
+                // each write call persists its touched rows through the
+                // TableLog warehouse — restart-safe, O(delta) per write
+                graft.pql.Pql.programResultsDurable(spark, idx, body).map {
+                  case Some(df) => toWire(df)
+                  case None     => "true"
+                }.mkString("""{"results":[""", ",", "]}")
+              } else {
+                val (results, next) =
+                  graft.pql.Pql.programResults(tableState(idx), idx, body)
+                val wire = results.map { // materialize before exposing new state
+                  case Some(df) => toWire(df)
+                  case None     => "true"
+                }.mkString("""{"results":[""", ",", "]}")
+                commitState(idx, next)
+                wire
+              }
             tracked(body, "", idx) {
               if (writes) writeLock(idx)(run()) else run()
             }
@@ -218,7 +254,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
                   val Array(id, v) = line.split(",", 2)
                   (id.trim, v.trim, i.toLong)
                 }.toSeq.toDF("_id", "value", "seq")
-              commitState(idx, graft.core.Mutation.setBulk(t, field, writes))
+              commitState(idx, graft.core.Mutation.setBulk(t, field, writes),
+                touched = Some(writes))
             }
             s"""{"imported":true}"""
           case Array("index", idx, "field", field, "import-roaring", shard) =>
@@ -462,6 +499,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     import spark.implicits._
     var next = t
     var bits = 0L
+    val touchedIds = scala.collection.mutable.LinkedHashSet.empty[Long]
     val names = views.fieldNames()
     while (names.hasNext) {
       val view = names.next()
@@ -483,9 +521,11 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       next =
         if (action == "clear") graft.core.Mutation.clearBulk(next, field, writes)
         else graft.core.Mutation.setBulk(next, field, writes)
+      touchedIds ++= buf.map(_._1)
       bits += seq
     }
-    commitState(idx, next)
+    commitState(idx, next,
+      touched = Some(touchedIds.toSeq.toDF("_id")))
     s"""{"imported":true,"bits":$bits}"""
   }
 
@@ -539,6 +579,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       .getOrElse(sys.error("""body must carry {"views":[...]}"""))
     var next = t
     var bits = 0L
+    val touchedIds = scala.collection.mutable.LinkedHashSet.empty[Long]
     views.forEach { v =>
       val field = Option(v.get("field")).map(_.asText)
         .getOrElse(sys.error("view update missing field"))
@@ -562,6 +603,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         }
       decode("clear").foreach { ps =>
         bits += ps.length
+        touchedIds ++= ps.map(_._1)
         if (clearRecords)
           // Clear is a single row of record bits subtracted from every row
           // (`handler.go:489-492`): null the whole field for those records
@@ -574,11 +616,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       }
       decode("set").foreach { ps =>
         bits += ps.length
+        touchedIds ++= ps.map(_._1)
         next = graft.core.Mutation.setBulk(next, field,
           ps.toDF("_id", "value", "seq"))
       }
     }
-    commitState(idx, next)
+    commitState(idx, next, touched = Some(touchedIds.toSeq.toDF("_id")))
     s"""{"imported":true,"bits":$bits}"""
   }
 

@@ -58,6 +58,25 @@ class PipelineSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("IVF build runs no pre-count pass: fit sample is sized without a count job") {
+    import scala.jdk.CollectionConverters._
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        js.stageInfos.foreach(si => stages.add(si.name))
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 4,
+        fitPointsPerCell = 8)
+      Thread.sleep(1000) // listener events are async
+      val counts = stages.asScala.filter(_.startsWith("count at Similarity"))
+      assert(counts.isEmpty,
+        s"index build must not pre-count the corpus, saw: $counts")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("simhash of near-duplicate docs is close in hamming distance") {
     val pairs = Dedup.jaccardPairs(Dedup.shingledPosting(docs, "doc_id", "text"), 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

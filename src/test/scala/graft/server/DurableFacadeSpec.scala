@@ -1,0 +1,116 @@
+package graft.server
+
+import graft.SparkSpec
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Durable serving-path writes: with `spark.graft.warehouse` set, PQL write
+  * programs over HTTP/gRPC persist through [[graft.core.TableLog]] — a new
+  * SparkSession (the restart case: fresh temp-view catalog) restores them
+  * from the warehouse manifest, like the reference's RBF storage
+  * (`reference/rbf/rbf.go:3-29`). Also asserts the writes are O(delta): the
+  * base piece is written once (first write materializes it) and point
+  * writes after that only add overlay/tombstone pieces. */
+class DurableFacadeSpec extends SparkSpec {
+
+  private val wh = java.nio.file.Files
+    .createTempDirectory("graft-facade-wh").toString
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("HTTP write programs survive a new SparkSession via warehouse restore") {
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.warehouse", wh)
+    val f1 = new HttpFacade(s1, sfDir, 0)
+    val p1 = f1.start()
+    try {
+      // create a record, mutate an existing one, delete another
+      val (cw, bw) = post(p1, "/index/nation/query",
+        "Set(901, n_regionkey=77) Set(3, n_regionkey=77) Delete(Row(n_nationkey=5)) Count(Row(n_regionkey=77))")
+      assert(cw == 200 && bw.contains(""""data":[[2]]"""), bw)
+    } finally f1.stop()
+
+    // restart: fresh session = fresh temp-view catalog, same warehouse
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.warehouse", wh)
+    val f2 = new HttpFacade(s2, sfDir, 0)
+    val p2 = f2.start()
+    try {
+      val (c1, b1) = post(p2, "/index/nation/query", "Count(Row(n_regionkey=77))")
+      assert(c1 == 200 && b1.contains(""""data":[[2]]"""), b1)
+      val (c2, b2) = post(p2, "/index/nation/query", "Count(Row(n_nationkey=5))")
+      assert(c2 == 200 && b2.contains(""""data":[[0]]"""), b2)
+      // untouched rows still intact (base restored, not truncated)
+      val (c3, b3) = post(p2, "/index/nation/query", "Count(All())")
+      assert(c3 == 200 && b3.contains(""""data":[[25]]"""), b3) // 25 - 1 + 1
+    } finally f2.stop()
+  }
+
+  test("point writes after the first are O(delta): base piece written once") {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.warehouse", wh)
+    val f = new HttpFacade(s, sfDir, 0)
+    val p = f.start()
+    try {
+      post(p, "/index/region/query", "Set(800, r_name='aa')") // materializes base
+      def basePieces: Seq[String] = {
+        val d = java.nio.file.Paths.get(wh, "region")
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.list(d).iterator).asScala
+          .map(_.getFileName.toString).filter(_.startsWith("base-")).toSeq
+      }
+      val after1 = basePieces
+      post(p, "/index/region/query", "Set(801, r_name='bb')")
+      post(p, "/index/region/query", "Set(802, r_name='cc')")
+      assert(basePieces == after1,
+        s"point writes must not rewrite the base: $after1 -> $basePieces")
+      val (c, b) = post(p, "/index/region/query",
+        "Count(Union(Row(r_name='aa'), Row(r_name='bb'), Row(r_name='cc')))")
+      assert(c == 200 && b.contains(""""data":[[3]]"""), b)
+    } finally f.stop()
+  }
+
+  test("gRPC writes persist through the same warehouse") {
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.warehouse", wh)
+    val g1 = new GrpcFacade(s1, sfDir, 0)
+    val gp1 = g1.start()
+    val ch1 = GrpcFacade.channel(gp1)
+    try {
+      GrpcFacade.call(ch1, g1.QueryPqlUnaryMethod,
+        GrpcFacade.pqlRequest("supplier", "Set(9001, s_nationkey=42)"))
+    } finally { ch1.shutdownNow(); g1.stop() }
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.warehouse", wh)
+    val g2 = new GrpcFacade(s2, sfDir, 0)
+    val gp2 = g2.start()
+    val ch2 = GrpcFacade.channel(gp2)
+    try {
+      val resp = GrpcFacade.call(ch2, g2.QueryPqlUnaryMethod,
+        GrpcFacade.pqlRequest("supplier", "Count(Row(s_nationkey=42))"))
+      // TableResponse: headers then one row with count=1; crude but
+      // deterministic — a varint 1 in a count column encodes as byte 0x01
+      val r = new Proto.Reader(resp)
+      assert(r.fields.contains(2), "expected a data row in the TableResponse")
+    } finally { ch2.shutdownNow(); g2.stop() }
+  }
+
+  override def afterAll(): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.list(p).iterator).asScala.toList.foreach(rm)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(wh))
+    super.afterAll()
+  }
+}
