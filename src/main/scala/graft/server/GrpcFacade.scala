@@ -97,7 +97,8 @@ private[server] object Proto {
   * same way the reference's handler materializes its response.
   */
 final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
-                       auth: Option[Auth.Config] = None) {
+                       auth: Option[Auth.Config] = None,
+                       tls: Option[Tls.Config] = None) {
 
   private val state = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
@@ -290,12 +291,15 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
 
   // ------------------------------------------------------------ execution
 
-  private def runSql(sql: String): DataFrame =
+  private def runSql(sql: String): DataFrame = {
+    graft.core.Metrics.inc(graft.core.Metrics.SqlQueries)
     graft.sql.GraftSql.sql(spark, dir, sql)
+  }
 
   /** Single-call PQL, reference unary semantics. Returns the result frame or
     * None for a write (acked as ResultBool). */
   private def runPqlUnary(index: String, pql: String): Option[DataFrame] = {
+    graft.core.Metrics.inc(graft.core.Metrics.PqlQueries)
     def one(results: Seq[Option[DataFrame]]): Option[DataFrame] = {
       if (results.length != 1)
         throw Status.INVALID_ARGUMENT
@@ -399,10 +403,19 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       })
       .build()
 
-  private val server =
-    grpc.netty.NettyServerBuilder.forPort(port)
+  private val server = {
+    val b = grpc.netty.NettyServerBuilder.forPort(port)
       .addService(grpc.ServerInterceptors.intercept(service, authInterceptor))
-      .build()
+    // gRPC TLS (the reference's mutual-TLS-capable server config,
+    // `reference/server/cluster_test.go:129-137`): the shaded
+    // GrpcSslContexts layers ALPN/h2 onto netty's SslContextBuilder
+    tls.foreach { t =>
+      b.sslContext(grpc.netty.GrpcSslContexts.configure(
+        io.netty.handler.ssl.SslContextBuilder.forServer(Tls.keyManagers(t)))
+        .build())
+    }
+    b.build()
+  }
 
   def start(): Int = {
     if (durable) { // views + warehouse state must exist before queries land
@@ -420,6 +433,13 @@ object GrpcFacade {
   def channel(port: Int): ManagedChannel =
     grpc.netty.NettyChannelBuilder.forAddress("127.0.0.1", port)
       .usePlaintext().build()
+
+  /** TLS client channel pinned to the server keystore's certs. */
+  def tlsChannel(port: Int, tls: Tls.Config): ManagedChannel =
+    grpc.netty.NettyChannelBuilder.forAddress("localhost", port)
+      .sslContext(grpc.netty.GrpcSslContexts.forClient()
+        .trustManager(Tls.trustManagers(tls)).build())
+      .build()
 
   def call(ch: ManagedChannel, md: MethodDescriptor[Array[Byte], Array[Byte]],
            req: Array[Byte]): Array[Byte] =

@@ -29,9 +29,20 @@ import java.nio.charset.StandardCharsets.UTF_8
   * result-size discipline as the reference's coordinator reduce.
   */
 final class HttpFacade(spark: SparkSession, dir: String, port: Int,
-                       auth: Option[Auth.Config] = None) {
+                       auth: Option[Auth.Config] = None,
+                       tls: Option[Tls.Config] = None) {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  /** Plain HTTP, or HTTPS when a TLS keystore is configured (the
+    * reference's server TLS block, `reference/tls.go` GetTLSConfig). */
+  private val server = tls match {
+    case Some(t) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress(port), 0)
+      s.setHttpsConfigurator(
+        new com.sun.net.httpserver.HttpsConfigurator(Tls.sslContext(t)))
+      s
+    case None => HttpServer.create(new InetSocketAddress(port), 0)
+  }
 
   /** Per-route authn/authz, the reference's `chkAuthZ`
     * (`reference/http_handler.go:733-855`): no-op when auth is off
@@ -173,6 +184,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       def handle(ex: HttpExchange): Unit = respond(ex) {
         chk(ex, None, Auth.PermAdmin) // reference/http_handler.go:536
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        graft.core.Metrics.inc(graft.core.Metrics.SqlQueries)
         tracked("", body, "") {
           toWire(graft.sql.GraftSql.sql(spark, dir, body))
         }
@@ -210,6 +222,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             chk(ex, Some(idx), Auth.PermRead); "{}"
           case Array("index", idx, "query") =>
             val writes = graft.pql.Pql.writeCallN(body) > 0
+            graft.core.Metrics.inc(graft.core.Metrics.PqlQueries)
             chk(ex, Some(idx),
               if (writes) Auth.PermWrite else Auth.PermRead)
             // one result per top-level call (`reference/handler.go:51-56`
@@ -345,6 +358,25 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     })
     // unauthenticated like the reference (`http_handler.go:541`)
     server.createContext("/version", handler { _ => """{"version":"graft-0.1"}""" })
+    // `GET /metrics` — Prometheus text, unauthenticated like the
+    // reference's promhttp mount (`http_handler.go:495`)
+    server.createContext("/metrics", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestURI.getPath == "/metrics.json") respond(ex) {
+          // `/metrics.json` is Admin (`http_handler.go:497`)
+          chk(ex, None, Auth.PermAdmin)
+          val rows = (graft.core.Metrics.snapshot ++ graft.core.Metrics.gauges)
+            .map { case (n, v) => s"${js(n)}:$v" }
+          s"""{"local":{${rows.mkString(",")}}}"""
+        } else {
+          val bytes = graft.core.Metrics.prometheus.getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type",
+            "text/plain; version=0.0.4; charset=utf-8")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+    })
     // `GET /export?index=i&field=f&shard=s`, Accept: text/csv
     // (`http_handler.go:2687-2718`, `api.go:797-860` ExportCSV): one line per
     // bit of the standard view — `value,recordId` (keys verbatim, sets one
@@ -388,6 +420,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       def handle(ex: HttpExchange): Unit = respond(ex) {
         chk(ex, None, Auth.PermAdmin)
         cardinalityCache.clear()
+        graft.core.Metrics.inc(graft.core.Metrics.RecalculateCache)
         ""
       }
     })
@@ -411,6 +444,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           case ("POST", Array("transaction", id, "finish")) =>
             val tx = Option(transactions.remove(id))
               .getOrElse(sys.error(s"transaction with id $id not found"))
+            graft.core.Metrics.inc(graft.core.Metrics.TransactionEnd)
             // `reference/transaction.go` finish: once nothing is active,
             // the OLDEST queued exclusive activates; with no exclusive
             // queued, every blocked non-exclusive resumes
@@ -454,6 +488,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
                 if (exclusive) transactions.isEmpty else !exclusiveActive
               val t = Tx(id, active, exclusive, timeout, txSeq.incrementAndGet())
               transactions.put(id, t)
+              graft.core.Metrics.inc(graft.core.Metrics.TransactionStart)
               t
             }
             s"""{"transaction":${txJson(tx)}}"""
@@ -526,6 +561,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     }
     commitState(idx, next,
       touched = Some(touchedIds.toSeq.toDF("_id")))
+    graft.core.Metrics.add(graft.core.Metrics.ImportedN, bits)
     s"""{"imported":true,"bits":$bits}"""
   }
 
@@ -622,6 +658,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       }
     }
     commitState(idx, next, touched = Some(touchedIds.toSeq.toDF("_id")))
+    graft.core.Metrics.add(graft.core.Metrics.ImportedN, bits)
     s"""{"imported":true,"bits":$bits}"""
   }
 
@@ -648,6 +685,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     }
     val idType = if (keys) "STRING" else "ID"
     graft.sql.Ddl.run(spark, s"CREATE TABLE $idx (_id $idType)")
+    graft.core.Metrics.inc(graft.core.Metrics.CreateIndex)
     success(idx)
   }
 
@@ -656,6 +694,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     graft.sql.Ddl.run(spark, s"DROP TABLE $idx")
     state.remove(idx)
     cardinalityCache.remove(idx)
+    graft.core.Metrics.inc(graft.core.Metrics.DeleteIndex)
     success(idx)
   }
 
@@ -705,6 +744,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     graft.sql.Ddl.run(spark, s"ALTER TABLE $idx ADD COLUMN $field $ddlType")
     state.remove(idx) // next read sees the widened schema
     cardinalityCache.remove(idx)
+    graft.core.Metrics.inc(graft.core.Metrics.CreateField)
     success(field)
   }
 
@@ -713,6 +753,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     graft.sql.Ddl.run(spark, s"ALTER TABLE $idx DROP COLUMN $field")
     state.remove(idx)
     cardinalityCache.remove(idx)
+    graft.core.Metrics.inc(graft.core.Metrics.DeleteField)
     success(field)
   }
 
@@ -723,6 +764,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   }
 
   private def respond(ex: HttpExchange)(f: => String): Unit = {
+    graft.core.Metrics.inc(graft.core.Metrics.HttpRequest)
     val (code, payload) =
       try (200, f)
       catch {

@@ -37,7 +37,14 @@ object SystemTables {
       .toDF("request_id", "name", "status")
       .createOrReplaceTempView("fb_exec_requests")
 
-    Seq.empty[(String, Long)].toDF("counter", "value")
+    // reference schema `opsystemtable.go:271-303`: (nodeid, namespace,
+    // subsystem, counter_name, value, counter_type); counters live in
+    // graft.core.Metrics (counter_type 0 = CTR_TYPE_RAW)
+    (graft.core.Metrics.snapshot.map { case (n, v) =>
+      ("local", "pilosa", "", n, v, 0L)
+    } ++ graft.core.Metrics.gauges.map { case (n, v) =>
+      ("local", "pilosa", "runtime", n, v, 0L)
+    }).toDF("nodeid", "namespace", "subsystem", "counter_name", "value", "counter_type")
       .createOrReplaceTempView("fb_performance_counters")
   }
 

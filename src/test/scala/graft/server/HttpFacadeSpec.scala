@@ -291,6 +291,29 @@ class HttpFacadeSpec extends SparkSpec {
     assert(post("/recalculate-caches", "")._1 == 204)
   }
 
+  test("/metrics serves Prometheus counters that advance with traffic (http_handler.go:495)") {
+    def scrape(name: String): Long = {
+      val (c, b) = get("/metrics")
+      assert(c == 200)
+      raw"pilosa_$name (\d+)".r.findFirstMatchIn(b).map(_.group(1).toLong).getOrElse(0L)
+    }
+    val pqlBefore = scrape("pql_queries_total")
+    val sqlBefore = scrape("sql_queries_total")
+    post("/index/region/query", "Count(All())")
+    post("/index/region/query", "Count(All())")
+    post("/sql", "SELECT TOP(1) r_name FROM region")
+    val body = get("/metrics")._2
+    assert(body.contains("# TYPE pilosa_pql_queries_total counter"), body.take(300))
+    assert(body.contains("# TYPE pilosa_goroutines gauge"), body.take(300))
+    assert(scrape("pql_queries_total") >= pqlBefore + 2)
+    assert(scrape("sql_queries_total") >= sqlBefore + 1)
+    // same counters through the fb_performance_counters system table
+    // (opsystemtable.go:271-303 schema)
+    val (cs, bs) = post("/sql",
+      "SELECT counter_name, value FROM fb_performance_counters WHERE counter_name = 'pql_queries_total'")
+    assert(cs == 200 && bs.contains("pql_queries_total"), bs.take(300))
+  }
+
   test("errors come back as JSON with status 400") {
     val (code, body) = post("/sql", "SELECT FROM nonsense syntax")
     assert(code == 400 && body.contains(""""error":"""))

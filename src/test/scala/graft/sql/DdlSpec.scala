@@ -195,8 +195,13 @@ class DdlSpec extends SparkSpec {
     val ddl = GraftSql.statement(spark,
       "SELECT ddl FROM fb_table_ddl WHERE name = 'sysdemo'").collect()(0).getString(0)
     assert(ddl == "create table sysdemo (_id int, tags stringset)")
-    assert(GraftSql.statement(spark,
-      "SELECT count(*) AS c FROM fb_performance_counters").collect()(0).getLong(0) == 0)
+    // reference schema (opsystemtable.go:271-303); runtime gauges always
+    // present, facade counters appear once traffic flows
+    val ctrs = GraftSql.statement(spark,
+      "SELECT nodeid, namespace, subsystem, counter_name, value, counter_type " +
+      "FROM fb_performance_counters").collect()
+    assert(ctrs.nonEmpty && ctrs.forall(_.getString(1) == "pilosa"))
+    assert(ctrs.exists(_.getString(3) == "heap_alloc"))
   }
 
   test("SHOW TABLES emits the reference wire shape (compileshow.go:76-150)") {
