@@ -57,9 +57,64 @@ object Bench {
     val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     val unreliable = medianSpread > 2.0
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // ---- able-profile scale rehearsal (`reference/qa/scripts/perf/able/
+    // able.yaml`): the same two segmentation queries at 1× and 10× rows of
+    // a zipfian customer-360 table. The point is the RATIO: sub-linear
+    // (≈10× data → ≈10× work spread over the same cores, so < 10× wall
+    // clock with no per-row driver cost) validates the partition strategy
+    // with data instead of prose. Generation is idempotent (parquet reused
+    // across rounds) and reported separately so it never pollutes timings.
+    val ableJson = try {
+      val nSmall = sys.env.getOrElse("SPARK_GRAFT_ABLE_N", "500000").toLong
+      val nLarge = nSmall * 10
+      val tmp = System.getProperty("java.io.tmpdir")
+      def genTimed(n: Long): (String, Double) = {
+        val t0 = System.nanoTime()
+        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-$n")
+        (p, (System.nanoTime() - t0) / 1e9)
+      }
+      val (pS, genS) = genTimed(nSmall)
+      val (pL, genL) = genTimed(nLarge)
+      import org.apache.spark.sql.functions._
+      def ableQueries(path: String) = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "groupby_set_sum" -> (() => spark.read.parquet(path)
+          .select(explode(col("domain")).as("d"), col("ltv"))
+          .groupBy("d").agg(count(lit(1)).as("n"), sum("ltv").as("sl"))),
+        "idx_serve" -> (() => spark.read.parquet(path)
+          .filter(col("education_level") === "high_school" &&
+            col("age").between(25, 40) &&
+            array_contains(col("domain"), "domain0.example"))
+          .agg(count(lit(1)).as("n"))))
+      def bench(path: String): Map[String, Seq[Double]] =
+        ableQueries(path).map { case (name, q) =>
+          name -> (1 to 4).map { _ => // first run is warmup, kept visible
+            val t0 = System.nanoTime()
+            q().write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }.toMap
+      val small = bench(pS)
+      val large = bench(pL)
+      def runsJson(m: Map[String, Seq[Double]]) = m.toSeq.sortBy(_._1)
+        .map { case (k, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
+        .mkString("{", ",", "}")
+      val ratios = small.keys.toSeq.sorted.map { k =>
+        val r = large(k).drop(1).min / math.max(small(k).drop(1).min, 1e-9)
+        "\"" + k + "\":" + f"$r%.2f"
+      }.mkString("{", ",", "}")
+      s""","able":{"rows_small":$nSmall,"rows_large":$nLarge,""" +
+        s""""gen_sec":[${f"$genS%.2f"},${f"$genL%.2f"}],""" +
+        s""""runs_small":${runsJson(small)},"runs_large":${runsJson(large)},""" +
+        s""""large_over_small":$ratios}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] able rehearsal skipped: ${e.getMessage}")
+      ""
+    }
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
       s""""runs_warm_then_timed":$runsJson,"median_spread":${f"$medianSpread%.3f"},""" +
-      s""""unreliable":$unreliable,"sf":"$sfDir"}""")
+      s""""unreliable":$unreliable,"sf":"$sfDir"$ableJson}""")
     spark.stop()
   }
 }

@@ -745,6 +745,28 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s.read.parquet(tgt).agg(count(lit(1)).as("cnt"),
         sum(col("user_id")).as("su"), max(col("ts")).as("mts"))
     }),
+    // Kinesis IDK ingest (`reference/idk/kinesis/source.go:81,110`): record
+    // payloads are JSON blobs; a text-file stream of the same payload bytes
+    // drives KinesisIngest.decode (the connector swap is a format-string,
+    // the decode is the semantics) into the checkpointed upsert sink.
+    "src_kinesis" -> ((s, dir) => {
+      import graft.streaming.KafkaIngest.IdkField
+      val ev = Tables.load(s, dir, "events")
+      val src  = graft.streaming.Ingest.scratch("q_kin_src")
+      val tgt  = graft.streaming.Ingest.scratch("q_kin_tgt") + "/t"
+      val ckpt = graft.streaming.Ingest.scratch("q_kin_ckpt")
+      ev.select(to_json(struct(
+          col("event_id"), col("user_id"), col("event_type"), col("value")))
+          .as("value"))
+        .write.mode("overwrite").text(src + "/wire")
+      val fields = Seq(IdkField("event_id", "id"), IdkField("user_id", "int"),
+        IdkField("event_type", "string"), IdkField("value", "double"))
+      val stream = graft.streaming.KinesisIngest.fileCompatSource(s, src + "/*", fields)
+      graft.streaming.Ingest.startUpsert(stream, tgt, ckpt,
+        idCol = "event_id", orderCol = "user_id").awaitTermination()
+      s.read.parquet(tgt).agg(count(lit(1)).as("cnt"),
+        sum(col("user_id")).as("su"), round(sum(col("value")), 2).as("sv"))
+    }),
     "stream_upsert" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val src  = graft.streaming.Ingest.scratch("q_upsert_src")
@@ -920,6 +942,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "round(sum(value), 2) AS sv FROM events"),
     "stream_csv" -> ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
       "max(ts) AS mts FROM events"),
+    "src_kinesis" -> ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
+      "round(sum(value), 2) AS sv FROM events"),
     "mm_meta" -> ("SELECT doc_id AS _id, " +
       "CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
       "octet_length(encode(text)) AS n_bytes, " +
