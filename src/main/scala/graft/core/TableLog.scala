@@ -70,6 +70,17 @@ object TableLog {
   private val states =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), State]
 
+  /** Per-(session, table) mutation lock: callers (HTTP facade, gRPC facade,
+    * DDL) each serialize their own writes, but two FRONTENDS sharing one
+    * session would interleave stateOf→mat→commit and lose a write. The
+    * log itself owns the invariant — like the reference's per-shard RBF
+    * write transaction (`reference/rbf/rbf.go:3-29`). */
+  private val mutateLocks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]
+  private def mutate[A](spark: SparkSession, name: String)(f: => A): A =
+    mutateLocks.computeIfAbsent(key(spark, name), _ => new Object)
+      .synchronized(f)
+
   /** Per-table monotonic piece generation (warehouse mode). Seeded from the
     * dirs already on disk so a restored JVM never reuses a generation. */
   private val gens =
@@ -240,7 +251,7 @@ object TableLog {
     * `checkpoint` materializes first so the view never references itself;
     * warehouse mode always materializes (durability needs files). */
   def replace(spark: SparkSession, name: String, df: DataFrame,
-              checkpoint: Boolean): Unit = {
+              checkpoint: Boolean): Unit = mutate(spark, name) {
     val base =
       if (warehouse(spark).isDefined) mat(spark, name, "base", df)
       else if (checkpoint) Piece(df.localCheckpoint(), None)
@@ -270,7 +281,8 @@ object TableLog {
   /** Upsert-by-`_id`: incoming replaces same-id rows (mutex replace on every
     * field, `reference/field.go:352-365`), resurrects tombstoned ids, appends
     * the rest. Cost: materializes `incoming` + new overlay/tombstones only. */
-  def upsert(spark: SparkSession, name: String, incoming0: DataFrame): Unit = {
+  def upsert(spark: SparkSession, name: String, incoming0: DataFrame): Unit =
+    mutate(spark, name) {
     val st = stateOf(spark, name)
     val incoming = alignTo(st.base.df.schema, incoming0)
     val next =
@@ -292,12 +304,13 @@ object TableLog {
         st.copy(overlay = Some(o), tombstones = t, depth = st.depth + 1)
       }
     commit(spark, name, next)
-  }
+    }
 
   /** DELETE: `cond=None` truncates; a predicate evaluates once over the
     * merged view (one read — the unavoidable cost of finding matches) but
     * materializes only the matching ids, Delta-deletion-vector style. */
-  def delete(spark: SparkSession, name: String, cond: Option[Column]): Unit = {
+  def delete(spark: SparkSession, name: String, cond: Option[Column]): Unit =
+    mutate(spark, name) {
     val st = stateOf(spark, name)
     cond match {
       case None =>
@@ -325,18 +338,19 @@ object TableLog {
     * are already computed): tombstones the ids directly — no predicate pass
     * over the merged view. Same state transition as [[delete]]'s predicate
     * branch. */
-  def deleteByIds(spark: SparkSession, name: String, ids: DataFrame): Unit = {
-    val st = stateOf(spark, name)
-    if (!hasId(st.base.df)) sys.error(s"$name is keyless; deleteByIds needs _id")
-    val idT = st.base.df.schema("_id").dataType
-    val idsOnly = ids.select(col("_id").cast(idT).as("_id"))
-    val t = mat(spark, name, "tomb", st.tombstones
-      .map(_.df.unionByName(idsOnly)).getOrElse(idsOnly))
-    val o = st.overlay.map(p => mat(spark, name, "overlay",
-      p.df.join(t.df, Seq("_id"), "left_anti")))
-    commit(spark, name,
-      st.copy(overlay = o, tombstones = Some(t), depth = st.depth + 1))
-  }
+  def deleteByIds(spark: SparkSession, name: String, ids: DataFrame): Unit =
+    mutate(spark, name) {
+      val st = stateOf(spark, name)
+      if (!hasId(st.base.df)) sys.error(s"$name is keyless; deleteByIds needs _id")
+      val idT = st.base.df.schema("_id").dataType
+      val idsOnly = ids.select(col("_id").cast(idT).as("_id"))
+      val t = mat(spark, name, "tomb", st.tombstones
+        .map(_.df.unionByName(idsOnly)).getOrElse(idsOnly))
+      val o = st.overlay.map(p => mat(spark, name, "overlay",
+        p.df.join(t.df, Seq("_id"), "left_anti")))
+      commit(spark, name,
+        st.copy(overlay = o, tombstones = Some(t), depth = st.depth + 1))
+    }
 
   /** Whether this session persists DML durably (`spark.graft.warehouse`). */
   def isDurable(spark: SparkSession): Boolean = warehouse(spark).isDefined
@@ -345,6 +359,7 @@ object TableLog {
     * and removes the warehouse dir so a restore doesn't resurrect it. */
   def forget(spark: SparkSession, name: String): Unit = {
     states.remove(key(spark, name))
+    mutateLocks.remove(key(spark, name))
     warehouse(spark).foreach(wh => deleteRec(tableDir(wh, name)))
     gens.remove(name.toLowerCase)
   }

@@ -312,6 +312,9 @@ class HttpFacadeSpec extends SparkSpec {
     val (cs, bs) = post("/sql",
       "SELECT counter_name, value FROM fb_performance_counters WHERE counter_name = 'pql_queries_total'")
     assert(cs == 200 && bs.contains("pql_queries_total"), bs.take(300))
+    // /metrics.json renders the same registry as JSON (http_handler.go:497)
+    val (cj, bj) = get("/metrics.json")
+    assert(cj == 200 && bj.contains("\"pql_queries_total\":"), bj.take(300))
   }
 
   test("errors come back as JSON with status 400") {
