@@ -639,6 +639,10 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         graft.functions.Multimodal.pngFixtures(Tables.load(s, dir, "documents")),
         4, 3)
         .orderBy("_id")),
+    "mm_decode_wav" -> ((s, dir) =>
+      graft.functions.Multimodal.audioFeatures(
+        graft.functions.Multimodal.wavFixtures(Tables.load(s, dir, "documents")))
+        .orderBy("_id")),
     "mm_embed" -> ((s, dir) =>
       graft.functions.Multimodal.embed(
         graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents")),
@@ -976,6 +980,11 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "min((doc_id*31 + i) % 256) AS min_px, max((doc_id*31 + i) % 256) AS max_px " +
       "FROM (SELECT doc_id, unnest(generate_series(0, (doc_id%5+3)*(doc_id%4+2) - 1)) AS i " +
       "FROM documents) GROUP BY doc_id ORDER BY _id"),
+    "mm_decode_wav" -> ("SELECT doc_id AS _id, 8000 AS sample_rate, " +
+      "count(*) AS n_samples, round(avg(v), 4) AS mean_s, min(v) AS min_s, max(v) AS max_s " +
+      "FROM (SELECT doc_id, ((doc_id*37 + i*11) % 65536) - 32768 AS v " +
+      "FROM (SELECT doc_id, unnest(generate_series(0, doc_id%50 + 19)) AS i " +
+      "FROM documents)) GROUP BY doc_id ORDER BY _id"),
     "mm_resize_png" -> ("SELECT doc_id AS _id, round(avg(v), 4) AS mean_px, " +
       "min(v) AS min_px, max(v) AS max_px FROM (" +
       "SELECT doc_id, (doc_id*31 + ((ty*(doc_id%4+2))//3)*(doc_id%5+3) + " +

@@ -130,9 +130,11 @@ object Multimodal {
   // ------------------------------------------------------------ real codec
 
   /** REAL image codec (`javax.imageio`, PNG/JPEG) — the non-stub path. The
-    * stub [[decodeBytes]] remains the deterministic default for kinds the
-    * JDK cannot decode (audio/video need ffmpeg-class natives not present
-    * here); images go through the actual ImageIO reader on executors.
+    * stub [[decodeBytes]] remains the deterministic default only for kinds
+    * the JDK cannot decode (compressed audio and video need ffmpeg-class
+    * natives not present here; WAV/PCM audio has its own real path,
+    * [[decodeWav]]); images go through the actual ImageIO reader on
+    * executors.
     * Grayscale band 0 is the sample stream; multi-band images read their
     * first band (luma-ish for YCbCr JPEG, red for RGB — documented, cheap). */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
@@ -228,6 +230,89 @@ object Multimodal {
       }
     out.toDF("_id", "mean_px", "min_px", "max_px")
       .withColumn("mean_px", round(col("mean_px"), 4))
+  }
+
+  /** REAL audio codec (`javax.sound.sampled`, WAV/PCM) — the JDK ships a
+    * WAVE reader/writer, so 16-bit mono PCM round-trips through the actual
+    * codec like PNG/JPEG do above; only compressed audio (mp3/aac) and
+    * video remain on the documented deterministic stub (no JDK codec).
+    * Encode: samples → RIFF/WAVE little-endian PCM. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, sampleRate.toFloat, 16, 1, 2,
+      sampleRate.toFloat, false) // little-endian
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode WAV → (sampleRate, 16-bit samples) through the real reader. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected 16-bit mono PCM, got $fmt")
+    val pcm = ais.readAllBytes()
+    val out = new Array[Short](pcm.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) =
+        if (fmt.isBigEndian)
+          (((pcm(2 * i) & 0xff) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+        else (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** Deterministic REAL-WAV fixture table: sample i of doc d is
+    * ((d·37 + i·11) mod 65536) − 32768 over n = (d mod 50 + 20) samples at
+    * 8 kHz, encoded through the actual WAVE writer ON EXECUTORS — the
+    * formula lets DuckDB oracle the decoded stats without a codec. */
+  def wavFixtures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 50 + 20).toInt
+          val s = Array.tabulate(n)(i =>
+            (((id * 37 + i.toLong * 11) % 65536) - 32768).toShort)
+          (id, encodeWav(8000, s))
+        }
+      }.toDF("_id", "bytes")
+  }
+
+  /** Per-clip stats through the REAL WAV decoder — encode→decode round
+    * trip when fed [[wavFixtures]], same batched narrow shape as the image
+    * path. */
+  def audioFeatures(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    val out = audio.select(col("_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (rate, s) = decodeWav(bytes)
+            (id, rate, s.length.toLong,
+              s.map(_.toDouble).sum / s.length, s.min.toLong, s.max.toLong)
+          }
+        }
+      }
+    out.toDF("_id", "sample_rate", "n_samples", "mean_s", "min_s", "max_s")
+      .withColumn("mean_s", round(col("mean_s"), 4))
   }
 
   /** Decode-then-embed: stub feature vector reused by the ANN/similarity

@@ -95,6 +95,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeMeta(empty, 224, 224).count() == 1)
   }
 
+  test("WAV round-trips through the real javax.sound codec, sample-exact") {
+    // 16-bit PCM is lossless: encode → decode must reproduce every sample,
+    // including the extremes
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = Multimodal.encodeWav(8000, samples)
+    // RIFF/WAVE magic — a real file, not a stub container
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, back) = Multimodal.decodeWav(bytes)
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+  }
+
   test("JPEG decodes through the same ImageIO path as PNG (lossy-tolerant)") {
     // flat-gray JPEGs: lossy compression preserves a uniform field almost
     // exactly, so decode asserts dims exactly and samples within tolerance
