@@ -496,6 +496,28 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       .orderBy("doc_id")),
     "txt_fingerprint" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), Text.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+    // PII scrubbing: deterministic augmentation plants one email/phone/IP
+    // per doc (so counts are provably nonzero), then the redaction regexes
+    // run over the WHOLE text — both engines replay the same RE2-safe
+    // patterns byte-for-byte.
+    "txt_redact" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit(" mail u"), col("doc_id"), lit("@ex.org call 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-9876 ip 10.1.2."), pmod(col("doc_id"), lit(200)).cast("string")).as("t"))
+      val (ne, np, ni) = Text.piiCounts(col("t"))
+      aug.select(col("doc_id"), ne.cast("long").as("n_email"),
+        np.cast("long").as("n_phone"), ni.cast("long").as("n_ip"),
+        Text.redactPii(col("t")).as("redacted")).orderBy("doc_id")
+    }),
+    // benchmark decontamination: docs sharing an 8-gram with the "eval set"
+    // (every 97th doc standing in for a benchmark) — test-set leakage guard
+    "txt_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(d, d.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 8)
+        .select(col("cid"), col("eid"), col("shared")).orderBy("cid", "eid")
+    }),
     "dd_exact" -> ((s, dir) => Dedup.exactDupStats(docs(s, dir), col("text"))),
     "dd_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5)),
@@ -893,6 +915,30 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "txt_fingerprint" -> ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(string_split(text,''), c -> ascii(c)::BIGINT)), " +
       s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) AS fp FROM documents ORDER BY doc_id"),
+    "txt_redact" -> {
+      val email = Text.EmailRe
+      val phone = Text.PhoneRe
+      val ip = Text.Ipv4Re
+      "WITH aug AS (SELECT doc_id, text || ' mail u' || doc_id::VARCHAR || " +
+        "'@ex.org call 555-' || lpad((doc_id%1000)::VARCHAR, 3, '0') || " +
+        "'-9876 ip 10.1.2.' || (doc_id%200)::VARCHAR AS t FROM documents) " +
+        s"SELECT doc_id, len(regexp_extract_all(t, '$email')) AS n_email, " +
+        s"len(regexp_extract_all(t, '$phone')) AS n_phone, " +
+        s"len(regexp_extract_all(t, '$ip')) AS n_ip, " +
+        s"regexp_replace(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'), " +
+        s"'$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted " +
+        "FROM aug ORDER BY doc_id"
+    },
+    "txt_contamination" -> {
+      val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      "WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') AS ws FROM documents), " +
+        s"sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-6), i -> $gram8)) AS sj " +
+        "FROM w WHERE len(ws) >= 8), " +
+        "c AS (SELECT doc_id AS cid, unnest(sj) AS s FROM sh), " +
+        "e AS (SELECT doc_id AS eid, unnest(sj) AS s FROM sh WHERE doc_id % 97 = 0) " +
+        "SELECT cid, eid, count(*) AS shared FROM c JOIN e USING (s) " +
+        "WHERE cid <> eid GROUP BY cid, eid ORDER BY cid, eid"
+    },
     "dd_exact" -> ("SELECT count(*) AS n, count(DISTINCT text) AS n_distinct, " +
       "count(*) - count(DISTINCT text) AS n_dupes FROM documents"),
     "dd_jaccard" -> duckShingles,

@@ -91,6 +91,28 @@ object Text {
       (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % FpMod)
 
   /** Same polynomial hash for a single token (used by simhash). */
+  /** PII redaction (training-data hygiene — scrub before the corpus ships):
+    * emails / dashed-or-dotted phone numbers / IPv4 literals replaced by
+    * typed placeholders, plus per-kind match counts for audit. Pure
+    * codegen'd `regexp_replace`/`regexp_count`; the patterns avoid
+    * backrefs/lookaround so an RE2-based engine (the DuckDB oracle — and
+    * most scrubbing services) replays them byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+     regexp_count(text, lit(PhoneRe)),
+     regexp_count(text, lit(Ipv4Re)))
+
   def tokenHash(word: Column): Column =
     aggregate(split(word, ""), lit(0L),
       (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % FpMod)

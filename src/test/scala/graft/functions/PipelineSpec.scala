@@ -165,6 +165,34 @@ class PipelineSpec extends SparkSpec {
       "probe must touch only the nProbe=3 nearest cells")
   }
 
+  test("PII redaction scrubs emails/phones/IPs and counts them") {
+    import spark.implicits._
+    val df = Seq((1L, "write bob@corp.io or call 555-123-4567 from 192.168.0.1 ok"))
+      .toDF("id", "t")
+    val (ne, np, ni) = Text.piiCounts(col("t"))
+    val r = df.select(Text.redactPii(col("t")).as("r"), ne.as("e"), np.as("p"), ni.as("i"))
+      .head()
+    assert(r.getString(0) == "write <EMAIL> or call <PHONE> from <IP> ok", r.getString(0))
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1)
+  }
+
+  test("contamination flags corpus docs sharing n-grams with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text with no overlap whatsoever here at all"),
+      (3L, "prefix words then the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, eval_, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 is the eval doc verbatim (3 distinct 8-grams), doc 3 embeds it,
+    // doc 2 is clean
+    assert(hits.map(_._1) == Set(1L, 3L), hits.toString)
+    assert(hits.forall(_._2 == 100L) && hits.forall(_._3 >= 3L), hits.toString)
+  }
+
   test("langId picks marker-dominant language deterministically") {
     import spark.implicits._
     val df = Seq(
