@@ -185,21 +185,34 @@ object TableLog {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Delete piece dirs older than every piece the manifest references —
-    * safe because the manifest (and any in-flight plan from the current
-    * state) only reads newer generations. Runs at compaction/replace, so
-    * disk holds at most the live base + previous-epoch pieces. */
-  private def gc(wh: String, name: String, st: State): Unit = {
+  /** Delete piece dirs older than every piece the manifest references AND
+    * older than the retention grace. The manifest only reads newer
+    * generations, but READS are lock-free on the previously-registered
+    * view — a query in flight while a write commits may still scan a
+    * superseded piece, so deleting it immediately fails that read
+    * (FILE_NOT_EXIST). The grace window is Delta VACUUM's retention
+    * answer to the same race: a piece must be BOTH superseded and older
+    * than `spark.graft.gc.graceMs` (default 10 min — far beyond any
+    * serving-path read) before it is removed. Disk is bounded by the
+    * churn within one grace window + the live state. */
+  private def gcGraceMs(spark: SparkSession): Long =
+    scala.util.Try(spark.conf.get("spark.graft.gc.graceMs").toLong)
+      .getOrElse(600000L)
+
+  private def gc(spark: SparkSession, wh: String, name: String, st: State): Unit = {
     val live = (st.base.path ++ st.overlay.flatMap(_.path) ++
       st.tombstones.flatMap(_.path)).toSet
     val floor = live.map(p => p.substring(p.lastIndexOf('-') + 1).toLong)
       .minOption.getOrElse(0L)
+    val grace = gcGraceMs(spark)
+    val cutoff = System.currentTimeMillis() - grace
     val d = tableDir(wh, name)
     if (java.nio.file.Files.isDirectory(d)) {
       scala.jdk.CollectionConverters.IteratorHasAsScala(
         java.nio.file.Files.list(d).iterator).asScala.toList.foreach { p =>
         p.getFileName.toString match {
-          case PieceRe(n) if n.toLong < floor && !live.contains(p.toString) =>
+          case PieceRe(n) if n.toLong < floor && !live.contains(p.toString) &&
+              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff =>
             deleteRec(p)
           case _ => ()
         }
@@ -233,7 +246,7 @@ object TableLog {
     states.put(key(spark, name), st.copy(registered = canon(view)))
     warehouse(spark).foreach { wh =>
       writeManifest(wh, name, st)
-      gc(wh, name, st)
+      gc(spark, wh, name, st)
     }
   }
 
@@ -261,7 +274,7 @@ object TableLog {
     states.put(key(spark, name), st)
     warehouse(spark).foreach { wh =>
       writeManifest(wh, name, st)
-      gc(wh, name, st)
+      gc(spark, wh, name, st)
     }
   }
 

@@ -69,6 +69,9 @@ class DurabilitySpec extends SparkSpec {
   test("compaction GCs stale piece dirs; restore sees only the live state") {
     withWarehouse { wh =>
       TableLog.compactAfter = 4
+      // zero retention grace: this test is single-threaded, and the point
+      // is that superseded pieces ARE deleted once past the grace window
+      spark.conf.set("spark.graft.gc.graceMs", "0")
       try {
         Ddl.run(spark, "CREATE TABLE dur_gc (_id ID, v STRING)")
         (1 to 9).foreach(i =>
@@ -84,7 +87,10 @@ class DurabilitySpec extends SparkSpec {
         Ddl.restoreSession(s2)
         assert(s2.table("dur_gc").count() === 9)
         Ddl.run(spark, "DROP TABLE dur_gc")
-      } finally TableLog.compactAfter = 16
+      } finally {
+        TableLog.compactAfter = 16
+        spark.conf.unset("spark.graft.gc.graceMs")
+      }
     }
   }
 

@@ -77,6 +77,32 @@ class DurableFacadeSpec extends SparkSpec {
     } finally f.stop()
   }
 
+  test("concurrent durable writes from TWO facades serialize in TableLog: no lost updates") {
+    // HTTP and gRPC facades each hold their own per-table write locks —
+    // the per-(session, table) lock inside TableLog is what serializes
+    // writes ACROSS frontends sharing one warehouse session
+    val s = spark.newSession()
+    s.conf.set("spark.graft.warehouse", wh)
+    val hf = new HttpFacade(s, sfDir, 0)
+    val gf = new GrpcFacade(s, sfDir, 0)
+    val hp = hf.start(); val gp = gf.start()
+    val ch = GrpcFacade.channel(gp)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (0 until 4).flatMap { i =>
+        Seq(
+          Future(post(hp, "/index/customer/query", s"Set(${7000 + i}, c_nationkey=321)")),
+          Future(GrpcFacade.call(ch, gf.QueryPqlUnaryMethod,
+            GrpcFacade.pqlRequest("customer", s"Set(${7100 + i}, c_nationkey=321)"))))
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+      val (c, b) = post(hp, "/index/customer/query", "Count(Row(c_nationkey=321))")
+      assert(c == 200 && b.contains(""""data":[[8]]"""), b) // all 8 bits survive
+    } finally { ch.shutdownNow(); hf.stop(); gf.stop() }
+  }
+
   test("gRPC writes persist through the same warehouse") {
     val s1 = spark.newSession()
     s1.conf.set("spark.graft.warehouse", wh)
