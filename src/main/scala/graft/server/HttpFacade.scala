@@ -358,6 +358,28 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     })
     // unauthenticated like the reference (`http_handler.go:541`)
     server.createContext("/version", handler { _ => """{"version":"graft-0.1"}""" })
+    // `GET /health` (`http_handler.go:606,4189-4191`): bare 200, no auth —
+    // the load-balancer liveness probe must work before tokens do
+    server.createContext("/health", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(200, -1L); ex.close()
+      }
+    })
+    // `GET /userinfo` (`http_handler.go:603,4002-4020`): 204 with auth off,
+    // else the authenticated caller's identity
+    server.createContext("/userinfo", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        auth match {
+          case None => "" // → 204 No Content like the reference
+          case Some(cfg) =>
+            val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+              .map(_.stripPrefix("Bearer ").trim).filter(_.nonEmpty)
+              .getOrElse(throw new Auth.AuthError("auth token is empty"))
+            val u = cfg.verifier.authenticate(bearer)
+            s"""{"userid":${js(u.userId)},"username":${js(u.userName)}}"""
+        }
+      }
+    })
     // `GET /metrics` — Prometheus text, unauthenticated like the
     // reference's promhttp mount (`http_handler.go:495`)
     server.createContext("/metrics", new HttpHandler {

@@ -180,6 +180,15 @@ class AuthFacadeSpec extends SparkSpec {
     assert(post("/transaction", """{"id":"tx-auth","timeout":60}""", None)._1 == 403)
     assert(post("/recalculate-caches", "", Some(tok("readers")))._1 == 403)
     assert(post("/recalculate-caches", "", Some(tok("admins")))._1 == 204)
+    // /health needs no token even with auth on; /userinfo echoes the caller
+    assert(getWith("/health", None) == 200)
+    assert(getWith("/userinfo", None) == 403)
+    val ub = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/userinfo"))
+        .header("Authorization", s"Bearer ${tok("readers")}")
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString()).body()
+    }
+    assert(ub.contains(""""userid":"uid"""") && ub.contains(""""username":"user""""), ub)
   }
 
   test("schema listings filter to the caller's read-authorized indexes (http_handler.go:1062-1077)") {

@@ -98,6 +98,11 @@ class HttpFacadeSpec extends SparkSpec {
       s"""{"action":"overwrite","views":{"standard":"$b64"}}""")._1 == 400)
   }
 
+  test("GET /health is a bare 200; /userinfo is 204 with auth off") {
+    assert(get("/health")._1 == 200)
+    assert(get("/userinfo")._1 == 204) // http_handler.go:4007-4010
+  }
+
   test("GET /schema lists tables and fields; GET /status healthy") {
     val (code, body) = get("/schema")
     assert(code == 200 && body.contains(""""name":"lineitem""""))
