@@ -103,6 +103,33 @@ class DurableFacadeSpec extends SparkSpec {
     } finally { ch.shutdownNow(); hf.stop(); gf.stop() }
   }
 
+  test("REST writes crossing a compaction boundary stay durable and correct") {
+    graft.core.TableLog.compactAfter = 8
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.warehouse", wh)
+    val f1 = new HttpFacade(s1, sfDir, 0)
+    val p1 = f1.start()
+    try {
+      // 20 point writes → at least two compactions fold the overlay chain
+      // back into a fresh base; every bit must survive the folds
+      (0 until 20).foreach { i =>
+        val (c, b) = post(p1, "/index/part/query", s"Set(${5000 + i}, p_size=888)")
+        assert(c == 200, b)
+      }
+      val (c, b) = post(p1, "/index/part/query", "Count(Row(p_size=888))")
+      assert(c == 200 && b.contains(""""data":[[20]]"""), b)
+    } finally { f1.stop(); graft.core.TableLog.compactAfter = 16 }
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.warehouse", wh)
+    val f2 = new HttpFacade(s2, sfDir, 0)
+    val p2 = f2.start()
+    try {
+      val (c, b) = post(p2, "/index/part/query", "Count(Row(p_size=888))")
+      assert(c == 200 && b.contains(""""data":[[20]]"""), b)
+    } finally f2.stop()
+  }
+
   test("gRPC writes persist through the same warehouse") {
     val s1 = spark.newSession()
     s1.conf.set("spark.graft.warehouse", wh)
