@@ -71,7 +71,9 @@ object Bench {
       val tmp = System.getProperty("java.io.tmpdir")
       def genTimed(n: Long): (String, Double) = {
         val t0 = System.nanoTime()
-        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-$n")
+        // v2: version the cache dir with the generator formula — ensure()
+        // reuses existing parquet, so a formula change must miss the cache
+        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-v2-$n")
         (p, (System.nanoTime() - t0) / 1e9)
       }
       val (pS, genS) = genTimed(nSmall)

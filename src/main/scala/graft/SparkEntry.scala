@@ -793,6 +793,17 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s.read.parquet(tgt).agg(count(lit(1)).as("cnt"),
         sum(col("user_id")).as("su"), round(sum(col("value")), 2).as("sv"))
     }),
+    // datagen IDK source (`reference/idk/datagen/`, the able perf profile):
+    // the generator is pure expressions of `id`, so its arithmetic columns
+    // (_id, gender rotation, integer-micro timestamps) are exactly
+    // replayable by the oracle over range(n); the hash-derived zipfian
+    // columns are covered by rows/aggregates on the deterministic ones.
+    "src_datagen" -> ((s, dir) => {
+      graft.tools.AbleGen.frame(s, 1000)
+        .agg(count(lit(1)).as("cnt"), sum(col("_id")).as("sid"),
+          sum(when(col("gender") === "female", 1L).otherwise(0L)).as("n_female"),
+          max(col("timestamp")).as("mts"))
+    }),
     "stream_upsert" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val src  = graft.streaming.Ingest.scratch("q_upsert_src")
@@ -994,6 +1005,10 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "max(ts) AS mts FROM events"),
     "src_kinesis" -> ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
       "round(sum(value), 2) AS sv FROM events"),
+    "src_datagen" -> ("SELECT count(*) AS cnt, sum(i) AS sid, " +
+      "sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS n_female, " +
+      "max(TIMESTAMP '2006-01-02 15:04:05' + to_microseconds(i * 50000)) AS mts " +
+      "FROM range(0, 1000) t(i)"),
     "mm_meta" -> ("SELECT doc_id AS _id, " +
       "CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
       "octet_length(encode(text)) AS n_bytes, " +

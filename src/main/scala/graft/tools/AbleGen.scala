@@ -50,6 +50,10 @@ object AbleGen {
       .otherwise(array_distinct(members))
   }
 
+  /** Epoch micros of the able.yaml min_date (2006-01-02T15:04:05Z). */
+  val BaseMicros: Long =
+    java.time.Instant.parse("2006-01-02T15:04:05Z").toEpochMilli * 1000L
+
   private val educations = Seq("high_school", "bachelors", "masters", "doctorate",
     "associates", "vocational", "some_college", "none")
   private val genders    = Seq("female", "male", "nonbinary")
@@ -70,8 +74,10 @@ object AbleGen {
         (pmod(col("id"), lit(3)) + 1).cast("int")).as("gender"),
       zipf(incomes, 1.0, 1.0, 4).as("income_bracket"),
       zipfSet(domains, 1.5, 4.3, 1, 6, 5).as("domain"),
-      (to_timestamp(lit("2006-01-02 15:04:05"))                  // increasing ts
-        + make_dt_interval(lit(0), lit(0), lit(0), col("id") * 0.05)).as("timestamp"),
+      // increasing ts: base + id·50ms in pure integer micros — exactly
+      // replayable by an oracle (float-second intervals round differently
+      // across engines)
+      timestamp_micros(lit(BaseMicros) + col("id") * 50000L).as("timestamp"),
       zipf(parties, 1.0001, 1.0001, 6).as("political_party"),
       (lit(0.2) + u(7) * 1499.8).as("ltv"),
       zipfSet(hobbies, 1.2, 2.0, 0, 4, 8).as("hobby"))
