@@ -103,6 +103,34 @@ class DurableFacadeSpec extends SparkSpec {
     } finally { ch.shutdownNow(); hf.stop(); gf.stop() }
   }
 
+  test("durable writes on a keyed (string-id) DDL-created index survive restart") {
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.warehouse", wh)
+    val f1 = new HttpFacade(s1, sfDir, 0)
+    val p1 = f1.start()
+    try {
+      // REST index with string keys + a keyed mutex field, then keyed writes
+      assert(post(p1, "/index/kdur", """{"options":{"keys":true}}""")._1 == 200)
+      assert(post(p1, "/index/kdur/field/tag",
+        """{"options":{"type":"mutex","keys":true}}""")._1 == 200)
+      val (cw, bw) = post(p1, "/index/kdur/query",
+        "Set('alpha', tag='x') Set('beta', tag='x') Set('alpha', tag='y') Count(Row(tag='x'))")
+      // mutex replace: alpha moved from x to y, so x counts only beta
+      assert(cw == 200 && bw.contains(""""data":[[1]]"""), bw)
+    } finally f1.stop()
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.warehouse", wh)
+    val f2 = new HttpFacade(s2, sfDir, 0)
+    val p2 = f2.start()
+    try {
+      val (c1, b1) = post(p2, "/index/kdur/query", "Count(Row(tag='y'))")
+      assert(c1 == 200 && b1.contains(""""data":[[1]]"""), b1)
+      val (c2, b2) = post(p2, "/index/kdur/query", "Count(All())")
+      assert(c2 == 200 && b2.contains(""""data":[[2]]"""), b2)
+    } finally f2.stop()
+  }
+
   test("REST writes crossing a compaction boundary stay durable and correct") {
     graft.core.TableLog.compactAfter = 8
     val s1 = spark.newSession()

@@ -48,6 +48,34 @@ class TlsSpec extends SparkSpec {
     } finally f.stop()
   }
 
+  test("TLS composes with authn/authz: 403 without a token, 200 with") {
+    val secret = "0123456789abcdef0123456789abcdef".getBytes
+    val perms = Auth.GroupPermissions.fromYaml(
+      """user-groups:
+        |  "readers":
+        |    "region": "read"
+        |admin: "admins"
+        |""".stripMargin)
+    val f = new HttpFacade(spark, sfDir, 0,
+      auth = Some(Auth.Config(new Auth.TokenVerifier(secret), perms)),
+      tls = Some(cfg))
+    val port = f.start()
+    try {
+      val client = HttpClient.newBuilder()
+        .sslContext(Tls.clientContext(cfg)).build()
+      def post(path: String, body: String, token: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"https://localhost:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(post("/index/region/query", "Count(All())", None) == 403)
+      val tok = Auth.TokenVerifier.sign(secret, "uid", "user",
+        Seq(Auth.Group("readers")))
+      assert(post("/index/region/query", "Count(All())", Some(tok)) == 200)
+    } finally f.stop()
+  }
+
   test("gRPC facade serves queries over TLS") {
     val g = new GrpcFacade(spark, sfDir, 0, tls = Some(cfg))
     val port = g.start()
