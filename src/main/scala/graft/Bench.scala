@@ -58,6 +58,11 @@ object Bench {
     val unreliable = medianSpread > 2.0
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // locale-pinned decimal rendering: the bench line must stay parseable
+    // JSON on JVMs whose default locale writes a decimal comma
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
     // ---- able-profile scale rehearsal (`reference/qa/scripts/perf/able/
     // able.yaml`): the same two segmentation queries at 1× and 10× rows of
     // a zipfian customer-360 table. The point is the RATIO: sub-linear
@@ -103,10 +108,10 @@ object Bench {
         .mkString("{", ",", "}")
       val ratios = small.keys.toSeq.sorted.map { k =>
         val r = large(k).drop(1).min / math.max(small(k).drop(1).min, 1e-9)
-        "\"" + k + "\":" + f"$r%.2f"
+        "\"" + k + "\":" + num(r, 2)
       }.mkString("{", ",", "}")
       s""","able":{"rows_small":$nSmall,"rows_large":$nLarge,""" +
-        s""""gen_sec":[${f"$genS%.2f"},${f"$genL%.2f"}],""" +
+        s""""gen_sec":[${num(genS, 2)},${num(genL, 2)}],""" +
         s""""runs_small":${runsJson(small)},"runs_large":${runsJson(large)},""" +
         s""""large_over_small":$ratios}"""
     } catch { case e: Throwable =>
@@ -115,7 +120,7 @@ object Bench {
     }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
-      s""""runs_warm_then_timed":$runsJson,"median_spread":${f"$medianSpread%.3f"},""" +
+      s""""runs_warm_then_timed":$runsJson,"median_spread":${num(medianSpread, 3)},""" +
       s""""unreliable":$unreliable,"sf":"$sfDir"$ableJson}""")
     spark.stop()
   }

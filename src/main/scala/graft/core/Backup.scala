@@ -33,6 +33,12 @@ object Backup {
 
   private def octal(v: Long, width: Int): Array[Byte] = {
     val s = java.lang.Long.toOctalString(v)
+    // an overlong value would spill into the next header field and silently
+    // corrupt the archive (ustar size caps at 8 GiB per file with 11 octal
+    // digits) - fail loudly instead
+    require(s.length <= width - 1,
+      s"value $v overflows a $width-byte ustar octal field; " +
+        "split the file or use a pax-format archiver")
     val padded = ("0" * (width - 1 - s.length)) + s + "\u0000"
     padded.getBytes(US_ASCII)
   }

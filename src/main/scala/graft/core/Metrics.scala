@@ -49,18 +49,23 @@ object Metrics {
   /** Process gauges (`metrics.go:41-46` goroutines/open_files/heap_alloc
     * analogues on the JVM). */
   def gauges: Seq[(String, Long)] = {
-    val rt = Runtime.getRuntime
     val threads = Thread.activeCount().toLong
     val open = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case u: com.sun.management.UnixOperatingSystemMXBean =>
         u.getOpenFileDescriptorCount
       case _ => 0L
     }
+    val heap = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage
     Seq(
       "goroutines" -> threads, // JVM threads; name kept for scrape parity
       "open_files" -> open,
-      "heap_alloc" -> (rt.totalMemory - rt.freeMemory),
-      "heap_inuse" -> rt.totalMemory)
+      // Go HeapAlloc ≈ live object bytes → JVM used; HeapInuse ≈ bytes in
+      // in-use spans → JVM used is the closest pressure-tracking analogue
+      // (committed would read as a flat line unrelated to usage)
+      "heap_alloc" -> heap.getUsed,
+      "heap_inuse" -> heap.getUsed,
+      "heap_committed" -> heap.getCommitted)
   }
 
   /** Prometheus text exposition (the `promhttp.Handler` output shape the

@@ -81,6 +81,14 @@ object TableLog {
     mutateLocks.computeIfAbsent(key(spark, name), _ => new Object)
       .synchronized(f)
 
+  /** Run `f` under the table's mutation lock (reentrant with the mutators
+    * above). A caller that READS state to COMPUTE a delta and then upserts
+    * must hold the lock across all three — computing the delta from a
+    * pre-lock snapshot and locking only the commit loses concurrent
+    * same-row writes (last full row wins with stale sibling fields). */
+  def locked[A](spark: SparkSession, name: String)(f: => A): A =
+    mutate(spark, name)(f)
+
   /** Per-table monotonic piece generation (warehouse mode). Seeded from the
     * dirs already on disk so a restored JVM never reuses a generation. */
   private val gens =
@@ -185,16 +193,19 @@ object TableLog {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Delete piece dirs older than every piece the manifest references AND
-    * older than the retention grace. The manifest only reads newer
-    * generations, but READS are lock-free on the previously-registered
-    * view — a query in flight while a write commits may still scan a
-    * superseded piece, so deleting it immediately fails that read
-    * (FILE_NOT_EXIST). The grace window is Delta VACUUM's retention
-    * answer to the same race: a piece must be BOTH superseded and older
-    * than `spark.graft.gc.graceMs` (default 10 min — far beyond any
-    * serving-path read) before it is removed. Disk is bounded by the
-    * churn within one grace window + the live state. */
+  /** Delete piece dirs that have been SUPERSEDED (older than every piece
+    * the manifest references) for longer than the retention grace. READS
+    * are lock-free on the previously-registered view — a query in flight
+    * while a write commits may still scan a superseded piece, so deleting
+    * it immediately fails that read (FILE_NOT_EXIST). The grace window is
+    * Delta VACUUM's retention answer to the same race, and it must run
+    * from the moment the piece STOPPED being referenced, not its creation
+    * time — a base that served reads for an hour is deleted the instant a
+    * compaction supersedes it if creation mtime is the clock. gc stamps a
+    * `.superseded` marker on first sighting; the dir is removed once the
+    * marker is older than `spark.graft.gc.graceMs` (default 10 min — far
+    * beyond any serving-path read). Disk is bounded by one grace window of
+    * churn + the live state. */
   private def gcGraceMs(spark: SparkSession): Long =
     scala.util.Try(spark.conf.get("spark.graft.gc.graceMs").toLong)
       .getOrElse(600000L)
@@ -205,15 +216,22 @@ object TableLog {
     val floor = live.map(p => p.substring(p.lastIndexOf('-') + 1).toLong)
       .minOption.getOrElse(0L)
     val grace = gcGraceMs(spark)
-    val cutoff = System.currentTimeMillis() - grace
+    val now = System.currentTimeMillis()
     val d = tableDir(wh, name)
     if (java.nio.file.Files.isDirectory(d)) {
       scala.jdk.CollectionConverters.IteratorHasAsScala(
         java.nio.file.Files.list(d).iterator).asScala.toList.foreach { p =>
         p.getFileName.toString match {
-          case PieceRe(n) if n.toLong < floor && !live.contains(p.toString) &&
-              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff =>
-            deleteRec(p)
+          case PieceRe(n) if n.toLong < floor && !live.contains(p.toString) =>
+            val marker = p.resolve(".superseded")
+            if (!java.nio.file.Files.exists(marker))
+              java.nio.file.Files.writeString(marker, now.toString)
+            else {
+              val since = scala.util.Try(
+                java.nio.file.Files.readString(marker).trim.toLong)
+                .getOrElse(now)
+              if (now - since >= grace) deleteRec(p)
+            }
           case _ => ()
         }
       }

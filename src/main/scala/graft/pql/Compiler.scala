@@ -906,21 +906,29 @@ object Pql {
     val calls = Parser.parse(pql)
     require(calls.nonEmpty, "empty PQL program")
     calls.map { c =>
-      val state = spark.table(tableName)
-      val comp = new Compiler(state, graft.core.Tables.timeColumn(tableName))
-      if (comp.isWrite(c)) {
-        comp.writeEffect(c) match {
-          case Compiler.Removed(ids) =>
-            graft.core.TableLog.deleteByIds(spark, tableName, ids)
-          case Compiler.Upserted(ids) =>
-            // delta = the touched rows of the SUCCESSOR state (carries rows
-            // the write creates); TableLog.upsert replaces them by `_id`
-            val next = comp.write(c)
-            graft.core.TableLog.upsert(spark, tableName,
-              next.join(ids, Seq("_id"), "left_semi"))
+      def compiler() =
+        new Compiler(spark.table(tableName), graft.core.Tables.timeColumn(tableName))
+      val probe = compiler()
+      if (probe.isWrite(c)) {
+        // read-state → compute-delta → commit happens UNDER the table's
+        // mutation lock: a delta computed from a pre-lock snapshot would
+        // lose a concurrent same-row write from another frontend (the
+        // upserted full row carries the sibling field at its stale value)
+        graft.core.TableLog.locked(spark, tableName) {
+          val comp = compiler() // re-read state inside the lock
+          comp.writeEffect(c) match {
+            case Compiler.Removed(ids) =>
+              graft.core.TableLog.deleteByIds(spark, tableName, ids)
+            case Compiler.Upserted(ids) =>
+              // delta = the touched rows of the SUCCESSOR state (carries
+              // rows the write creates); upsert replaces them by `_id`
+              val next = comp.write(c)
+              graft.core.TableLog.upsert(spark, tableName,
+                next.join(ids, Seq("_id"), "left_semi"))
+          }
         }
         None
-      } else Some(comp.run(c))
+      } else Some(probe.run(c))
     }
   }
 }

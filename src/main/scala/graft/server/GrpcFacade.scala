@@ -156,23 +156,35 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     Ddl.authKind(sql) match {
       case Some(Ddl.AuthAdmin) => // grpc.go:234-238 DDL → admin
         denied("insufficient permissions to execute request")
-      case Some(Ddl.AuthWrite(targets)) =>
+      case Some(Ddl.AuthWrite(targets, reads)) =>
         val writable = cfg.perms.authorizedIndexes(user.groups, Auth.PermWrite).toSet
-        if (!targets.forall(writable))
+        val readable = cfg.perms.authorizedIndexes(user.groups, Auth.PermRead).toSet
+        if (!targets.forall(writable) || !reads.forall(readable))
           denied("insufficient permissions to access requested tables")
       case Some(Ddl.AuthReadOnly) => () // SHOW/EXPLAIN/txn: metadata only
       case None =>
-        val tables =
-          try {
-            val plan = spark.sessionState.sqlParser.parsePlan(
-              graft.sql.GraftSql.rewrite(sql))
-            plan.collect {
-              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-                r.multipartIdentifier.last
-            }.distinct
-          } catch { case _: Exception =>
+        val plan =
+          try spark.sessionState.sqlParser.parsePlan(
+            graft.sql.GraftSql.rewrite(sql))
+          catch { case _: Exception =>
             denied("insufficient permissions to execute request")
           }
+        // a READ is a pure query plan. Spark's parser also accepts session-
+        // and catalog-mutating statements our dialect regexes never see
+        // (SET, CREATE TEMP VIEW, REFRESH, ...) — those parse to Command /
+        // ParsedStatement nodes with zero UnresolvedRelations, and waving
+        // them through as zero-table "reads" lets a read-only user mutate
+        // the shared session. Anything command-shaped needs admin.
+        val isCommand = plan.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+          case _: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement => true
+          case _ => false
+        }
+        if (isCommand) denied("insufficient permissions to execute request")
+        val tables = plan.collect {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            r.multipartIdentifier.last
+        }.distinct
         val allowed = cfg.perms.authorizedIndexes(user.groups, Auth.PermRead).toSet
         if (!tables.forall(allowed)) // grpc.go:241 isAllowed(parsed.Tables, ...)
           denied("insufficient permissions to access requested tables")

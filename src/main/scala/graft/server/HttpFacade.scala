@@ -234,10 +234,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
               if (durable) {
                 // each write call persists its touched rows through the
                 // TableLog warehouse — restart-safe, O(delta) per write
-                graft.pql.Pql.programResultsDurable(spark, idx, body).map {
+                val wire = graft.pql.Pql.programResultsDurable(spark, idx, body).map {
                   case Some(df) => toWire(df)
                   case None     => "true"
                 }.mkString("""{"results":[""", ",", "]}")
+                if (writes) cardinalityCache.remove(idx)
+                wire
               } else {
                 val (results, next) =
                   graft.pql.Pql.programResults(tableState(idx), idx, body)
@@ -293,6 +295,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         val indexes = graft.core.Tables.names.filter(vis).map { t =>
           val df = spark.table(t)
           val fields = df.schema.fields.filter(_.name != "_id")
+          // drop a memo whose shape no longer matches the schema — DDL can
+          // arrive through /sql or gRPC without passing this facade's
+          // invalidation hooks, and zipping a stale Row with a longer
+          // field list would throw on a metadata probe
+          val stale = Option(cardinalityCache.get(t)).exists(_.length != fields.length)
+          if (stale) cardinalityCache.remove(t)
           val cards = cardinalityCache.computeIfAbsent(t, _ =>
             df.select(fields.map(f =>
               approx_count_distinct(f.name).as(f.name)).toSeq: _*).collect()(0))
@@ -502,12 +510,14 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             val tx = transactions.synchronized {
               import scala.jdk.CollectionConverters._
               // an exclusive transaction is active only when alone, and ANY
-              // new transaction queues behind an active exclusive one
-              // (`transaction.go:24-31`)
-              val exclusiveActive =
-                transactions.values.asScala.exists(t => t.active && t.exclusive)
+              // new transaction queues behind an exclusive one whether that
+              // exclusive is active OR still waiting (`transaction.go:
+              // 24-31`) — otherwise a stream of non-exclusive arrivals
+              // keeps jumping the queue and the exclusive never activates
+              val exclusivePresent =
+                transactions.values.asScala.exists(_.exclusive)
               val active =
-                if (exclusive) transactions.isEmpty else !exclusiveActive
+                if (exclusive) transactions.isEmpty else !exclusivePresent
               val t = Tx(id, active, exclusive, timeout, txSeq.incrementAndGet())
               transactions.put(id, t)
               graft.core.Metrics.inc(graft.core.Metrics.TransactionStart)

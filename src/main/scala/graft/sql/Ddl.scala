@@ -89,16 +89,21 @@ object Ddl {
     * falls back to read-table extraction from the parsed plan. */
   sealed trait AuthKind
   case object AuthAdmin extends AuthKind
-  final case class AuthWrite(tables: Seq[String]) extends AuthKind
+  final case class AuthWrite(tables: Seq[String],
+                             reads: Seq[String] = Seq.empty) extends AuthKind
   case object AuthReadOnly extends AuthKind
 
   def authKind(q: String): Option[AuthKind] = q match {
     case InsertRe(t, _, _)       => Some(AuthWrite(Seq(t)))
     case DeleteRe(t, _)          => Some(AuthWrite(Seq(t)))
-    case CopyRe(s, t, _)         => Some(AuthWrite(Seq(s, t)))
+    // COPY reads src and writes tgt — write-on-source would wrongly deny
+    // read-authorized users copying into their own writable table
+    case CopyRe(s, t, _)         => Some(AuthWrite(Seq(t), reads = Seq(s)))
     case ExplainRe(_) | TxnRe(_) => Some(AuthReadOnly)
-    case _ if BulkInsertRe.findFirstIn(q).isDefined =>
-      BulkInsertRe.findFirstMatchIn(q).map(m => AuthWrite(Seq(m.group(1))))
+    // BULK INSERT ... FROM '<path>' reads SERVER-side files — that is an
+    // operator-level capability, not a table write: admin only (plain
+    // write permission must not buy arbitrary local-file reads)
+    case _ if BulkInsertRe.findFirstIn(q).isDefined => Some(AuthAdmin)
     case _ if ShowRe.findFirstIn(q).isDefined => Some(AuthReadOnly)
     case _ if handles(q) => Some(AuthAdmin) // CREATE/ALTER/DROP → admin
     case _ => None
