@@ -286,6 +286,28 @@ class AuthGrpcSpec extends SparkSpec {
     } finally { reader.shutdownNow(); writer.shutdownNow(); admin.shutdownNow() }
   }
 
+  test("zero-table commands are not reads: SET/TEMP VIEW/BULK INSERT need admin") {
+    val reader = ch("readers"); val writer = ch("writers"); val admin = ch("admins")
+    def sql(c: grpc.ManagedChannel, q: String) =
+      status(GrpcFacade.call(c, facade.QuerySqlUnaryMethod, GrpcFacade.sqlRequest(q)))
+    try {
+      // Spark parses these to Command nodes with no table references — the
+      // old gate's empty-table forall waved them through as "reads"
+      assert(sql(reader, "SET spark.graft.warehouse=/tmp/evil") ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      assert(sql(reader,
+        "CREATE OR REPLACE TEMPORARY VIEW region AS SELECT 1 AS x") ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      // BULK INSERT reads server-side files: write permission must not
+      // buy a local-file read primitive
+      assert(sql(writer, "BULK INSERT INTO grpc_scratch (_id, v) " +
+        "MAP (0 ID, 1 INT) FROM '/etc/hostname' WITH FORMAT 'CSV' INPUT 'FILE'") ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      // admin retains full power
+      assert(sql(admin, "SET spark.sql.ansi.enabled=false") == grpc.Status.Code.OK)
+    } finally { reader.shutdownNow(); writer.shutdownNow(); admin.shutdownNow() }
+  }
+
   test("SQL: table allow-list enforced; missing token denied; admin passes") {
     val reader = ch("readers"); val admin = ch("admins")
     val anon = GrpcFacade.channel(port)

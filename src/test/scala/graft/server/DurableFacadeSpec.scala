@@ -100,6 +100,21 @@ class DurableFacadeSpec extends SparkSpec {
       Await.result(Future.sequence(fs), 120.seconds)
       val (c, b) = post(hp, "/index/customer/query", "Count(Row(c_nationkey=321))")
       assert(c == 200 && b.contains(""""data":[[8]]"""), b) // all 8 bits survive
+
+      // SAME-row, different-field concurrent writes: the delta is computed
+      // under the table lock, so the second write must see the first's
+      // field — a pre-lock snapshot would upsert a full row with the
+      // sibling field at its stale value
+      val sameRow = (0 until 3).flatMap { i =>
+        Seq(
+          Future(post(hp, "/index/customer/query", s"Set(${8000 + i}, c_nationkey=654)")),
+          Future(GrpcFacade.call(ch, gf.QueryPqlUnaryMethod,
+            GrpcFacade.pqlRequest("customer", s"Set(${8000 + i}, c_acctbal=99.5)"))))
+      }
+      Await.result(Future.sequence(sameRow), 120.seconds)
+      val (c2, b2) = post(hp, "/index/customer/query",
+        "Count(Intersect(Row(c_nationkey=654), Row(c_acctbal=99.5)))")
+      assert(c2 == 200 && b2.contains(""""data":[[3]]"""), b2)
     } finally { ch.shutdownNow(); hf.stop(); gf.stop() }
   }
 
