@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 128-agg minhash signatures exceed the default codegen field limit
+      // (100) and silently fall back to interpreted aggregation — ~1.7x
+      // slower on the signature stage; raise the guard
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -303,8 +303,9 @@ class AuthGrpcSpec extends SparkSpec {
       assert(sql(writer, "BULK INSERT INTO grpc_scratch (_id, v) " +
         "MAP (0 ID, 1 INT) FROM '/etc/hostname' WITH FORMAT 'CSV' INPUT 'FILE'") ==
         grpc.Status.Code.PERMISSION_DENIED)
-      // admin retains full power
-      assert(sql(admin, "SET spark.sql.ansi.enabled=false") == grpc.Status.Code.OK)
+      // admin retains full power (a graft-scoped key — flipping e.g. ANSI
+      // mode here would leak into every other suite on the shared session)
+      assert(sql(admin, "SET spark.graft.test.adminset=1") == grpc.Status.Code.OK)
     } finally { reader.shutdownNow(); writer.shutdownNow(); admin.shutdownNow() }
   }
 
