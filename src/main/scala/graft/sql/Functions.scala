@@ -211,11 +211,20 @@ object Functions {
       Some(fn("string", dateTimePart(interval, ts))))
   }
 
-  /** Register all reference-dialect functions on the session (idempotent). */
+  /** Register all reference-dialect functions on the session (idempotent;
+    * memoized — replacing a registered function logs a session-wide WARN per
+    * function per call otherwise). */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    aliases.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name.toLowerCase, builder, "built-in")
+    if (registered.get(spark) == null) {
+      val registry = spark.sessionState.functionRegistry
+      aliases.foreach { case (name, builder) =>
+        registry.createOrReplaceTempFunction(name.toLowerCase, builder, "built-in")
+      }
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
 }
