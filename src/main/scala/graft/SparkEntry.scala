@@ -522,7 +522,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "dd_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5)),
     "dd_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5)),
+      Dedup.minhashPairs(Dedup.shingledPosting(
+        docs(s, dir), "doc_id", "text", layoutById = true), 0.5)),
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
     // flagship composition: the whole training-data cleaning pipeline as ONE
     // oracle-checked query — predicted-language filter → token-count filter →

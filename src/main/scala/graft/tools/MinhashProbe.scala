@@ -27,15 +27,15 @@ object MinhashProbe {
       println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
-    time2("posting")(Dedup.shingledPosting(base, "doc_id", "text"))
+    time2("posting")(Dedup.shingledPosting(base, "doc_id", "text", layoutById = true))
     time2("posting+sig")(Dedup.minhashSignatures(
-      Dedup.shingledPosting(base, "doc_id", "text"), 128))
+      Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128))
     time2("full")(Dedup.minhashPairs(
-      Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
+      Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 0.5))
     time2("full2")(Dedup.minhashPairs(
-      Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
+      Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 0.5))
     time2("full3")(Dedup.minhashPairs(
-      Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
+      Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 0.5))
     spark.stop()
   }
 }
