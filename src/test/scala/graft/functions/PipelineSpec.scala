@@ -26,6 +26,27 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("imperative signature aggregate matches the declarative formula") {
+    import spark.implicits._
+    // merge + serialize paths: force many partitions so partial aggregates
+    // shuffle through the buffer serialization before the final merge
+    val posting = Seq.tabulate(400)(i => (i.toLong % 7, s"shingle-$i"))
+      .toDF("id", "s").repartition(13)
+    val viaAgg = Dedup.minhashSignatures(posting, 16)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), (1 to 16).map(r.getLong)))
+    // reference: the HOF array formula over the same shingle sets
+    val viaArray = posting.groupBy("id").agg(collect_list("s").as("sh"))
+      .select(col("id"), Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    assert(viaAgg.length == 7)
+    viaAgg.zip(viaArray).foreach { case ((idA, sigA), (idB, sigB)) =>
+      assert(idA == idB)
+      assert(sigA == sigB, s"signature mismatch for id $idA")
+    }
+  }
+
   test("minhash LSH: degenerate bucket is capped, not quadratic") {
     import spark.implicits._
     // 300 docs with the SAME text share every band signature — without the
