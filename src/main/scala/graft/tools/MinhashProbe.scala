@@ -30,6 +30,8 @@ object MinhashProbe {
     time2("posting")(Dedup.shingledPosting(base, "doc_id", "text", layoutById = true))
     time2("posting+sig")(Dedup.minhashSignatures(
       Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128))
+    time2("posting+sig+cand")(Dedup.minhashCandidates(
+      Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128, 64, 5000))
     time2("full")(Dedup.minhashPairs(
       Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 0.5))
     time2("full2")(Dedup.minhashPairs(
