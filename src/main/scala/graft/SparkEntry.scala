@@ -470,7 +470,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
 
   // ------------------------- training-data pipeline ops (dedup/similarity/text)
 
-  import graft.functions.{Dedup, Similarity, Text}
+  import graft.functions.{Dedup, Packing, Sampling, Similarity, Text}
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
@@ -544,6 +544,23 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5))),
     "dd_embed_cos" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.45)),
+    // SemDeDup-style semantic dedup: components over the cosine≥0.45 pair
+    // graph, min-id roots (exact pair stage here; the IVF-cell-bounded
+    // variant is the corpus-scale path, recall-spec'd in PipelineSpec)
+    "dd_semantic" -> ((s, dir) =>
+      Similarity.semanticClusters(emb(s, dir), "vec_id", "embedding", 0.45)),
+    // sequence packing: greedy fixed-token-budget training sequences per
+    // shard — one summary row per (shard, seq)
+    "pipe_pack" -> ((s, dir) =>
+      Packing.packSequences(docs(s, dir), "doc_id", "text", budget = 512L)),
+    // deterministic stratified sampling: language-conditioned rates behind
+    // the replayable poly-hash gate — same sample on every rerun/cluster
+    "pipe_sample" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("pred", Text.langId(col("words")))
+      Sampling.stratifiedSample(d, col("doc_id"), col("pred"),
+          Map("en" -> 2000, "es" -> 1000), defaultBp = 500)
+        .select(col("doc_id"), col("pred")).orderBy("doc_id")
+    }),
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 20, excludeId = Some(0L))),
@@ -893,6 +910,19 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
   private val duckBpe =
     "regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')"
 
+  /** `SELECT doc_id, pred FROM documents` with the langid CASE chain —
+    * shared by `txt_langid` and `pipe_sample`. */
+  private val duckLangIdSelect: String = {
+    val ws = "list_distinct(list_filter(string_split(text,' '), x->x<>''))"
+    val scores = duckMarkers.map { case (l, arr) =>
+      s"len(list_intersect($ws, $arr)) AS s_$l" }.mkString(", ")
+    val g = duckMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val caseChain = duckMarkers.map { case (l, _) =>
+      s"WHEN $g > 0 AND s_$l = $g THEN '$l'" }.mkString(" ")
+    s"SELECT doc_id, CASE $caseChain ELSE 'und' END AS pred FROM " +
+      s"(SELECT doc_id, $scores FROM documents)"
+  }
+
   private val pipelineOracles: Map[String, String] = Map(
     "txt_bpe" -> (s"WITH t AS (SELECT doc_id, list_filter($duckBpe, " +
       "x -> regexp_matches(x, '\\S')) AS toks FROM documents) " +
@@ -914,16 +944,38 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s"$duckAllMarkers))::DOUBLE / " +
       "len(list_distinct(list_filter(string_split(text,' '), x->x<>''))), 4) AS stop_ratio " +
       "FROM documents ORDER BY doc_id"),
-    "txt_langid" -> {
-      val ws = "list_distinct(list_filter(string_split(text,' '), x->x<>''))"
-      val scores = duckMarkers.map { case (l, arr) =>
-        s"len(list_intersect($ws, $arr)) AS s_$l" }.mkString(", ")
-      val g = duckMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-      val caseChain = duckMarkers.map { case (l, _) =>
-        s"WHEN $g > 0 AND s_$l = $g THEN '$l'" }.mkString(" ")
-      s"SELECT doc_id, CASE $caseChain ELSE 'und' END AS pred FROM " +
-        s"(SELECT doc_id, $scores FROM documents) ORDER BY doc_id"
-    },
+    "txt_langid" -> s"$duckLangIdSelect ORDER BY doc_id",
+    // stratified sampling: langid pred → per-language basis-point threshold
+    // on the replayed poly-hash of 'doc_id:salt'
+    "pipe_sample" -> (s"WITH langs AS ($duckLangIdSelect) " +
+      "SELECT doc_id, pred FROM langs WHERE " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(doc_id::VARCHAR || ':graft',''), c -> ascii(c)::BIGINT)), " +
+      s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) % 10000 < " +
+      "CASE pred WHEN 'en' THEN 2000 WHEN 'es' THEN 1000 ELSE 500 END " +
+      "ORDER BY doc_id"),
+    // sequence packing: the greedy per-shard scan as a recursive CTE
+    // advancing every shard one doc per iteration
+    "pipe_pack" -> ("WITH RECURSIVE d AS (SELECT doc_id % 8 AS shard, " +
+      "len(list_filter(string_split(text,' '), x->x<>''))::BIGINT AS n, " +
+      "row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn " +
+      "FROM documents), " +
+      "p AS (SELECT shard, rn, n, 0::BIGINT AS seq, n AS acc FROM d WHERE rn = 1 " +
+      "UNION ALL SELECT x.shard, x.rn, x.n, " +
+      "CASE WHEN p.acc + x.n > 512 THEN p.seq + 1 ELSE p.seq END, " +
+      "CASE WHEN p.acc + x.n > 512 THEN x.n ELSE p.acc + x.n END " +
+      "FROM d x JOIN p ON x.shard = p.shard AND x.rn = p.rn + 1) " +
+      "SELECT shard, seq, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens " +
+      "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
+    // semantic dedup: exact cosine pair graph + recursive reach components
+    "dd_semantic" -> ("WITH RECURSIVE pr AS (SELECT a.vec_id AS a, b.vec_id AS b " +
+      "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+      "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45), " +
+      "edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr), " +
+      "nodes AS (SELECT DISTINCT x AS id FROM edges), " +
+      "reach(src, dst) AS (SELECT id, id FROM nodes UNION " +
+      "SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x) " +
+      "SELECT dst AS id, min(src) AS root FROM reach GROUP BY 1 ORDER BY 1"),
     "txt_fingerprint" -> ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(string_split(text,''), c -> ascii(c)::BIGINT)), " +
       s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) AS fp FROM documents ORDER BY doc_id"),

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: hash-gated row
+  * selection that is REPRODUCIBLE (same corpus + salt ⇒ same sample, on any
+  * cluster size, across reruns) and PER-ROW (a pure map-side filter — no
+  * shuffle, no RNG state, pushes into the scan). That is what a data-mixing
+  * recipe needs: "20% of English, 10% of Spanish, 5% of the rest" must mean
+  * the same documents every time the pipeline materializes.
+  *
+  * The gate is the engine's 48-bit polynomial hash ([[Text.FpMod]]) of
+  * `key:salt`, reduced to basis points — the same arithmetic DuckDB replays
+  * with `list_reduce`, so sampled outputs are oracle-checkable row-for-row
+  * (`java.util.Random`/`df.sample` offer no such cross-engine replay).
+  * Changing the salt draws an independent sample (held-out splits, A/B
+  * mixes).
+  */
+object Sampling {
+
+  /** Basis-point bucket (0..9999) of a key under a salt. */
+  def hashBp(key: Column, salt: String): Column =
+    pmod(Text.tokenHash(concat(key.cast("string"), lit(":" + salt))), lit(10000L))
+
+  /** Keep rows whose hash bucket falls under `rateBp` basis points. */
+  def deterministicSample(df: DataFrame, key: Column, rateBp: Int,
+                          salt: String = "graft"): DataFrame = {
+    require(rateBp >= 0 && rateBp <= 10000, s"rateBp out of range: $rateBp")
+    df.filter(hashBp(key, salt) < rateBp)
+  }
+
+  /** Per-stratum rates (basis points), e.g. language-conditioned mixing.
+    * Strata not in `ratesBp` fall back to `defaultBp`. One codegen'd CASE —
+    * still a pure map-side filter. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       ratesBp: Map[String, Int], defaultBp: Int,
+                       salt: String = "graft"): DataFrame = {
+    (defaultBp +: ratesBp.values.toSeq).foreach(bp =>
+      require(bp >= 0 && bp <= 10000, s"rateBp out of range: $bp"))
+    val threshold = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (k, bp)) =>
+      when(strata === k, lit(bp)).otherwise(acc)
+    }
+    df.filter(hashBp(key, salt) < threshold)
+  }
+}

@@ -209,6 +209,58 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** SemDeDup-style semantic deduplication: connected components over the
+    * cosine ≥ threshold pair graph of an embedding column, labeling each
+    * vector with its cluster root (min id) — feed the result to
+    * [[Dedup.dedupKeepOne]] to drop all but one representative per cluster.
+    *
+    * Pair stage: exact all-pairs by default (the verification-scale path,
+    * O(n²) — fine for an eval set, not a corpus). `nCells = Some(k)` bounds
+    * it the way SemDeDup does at scale: k-means cells from [[ivfIndex]],
+    * pairwise only WITHIN a cell — per-cell cost (n·m/k)² and the self-join
+    * co-partitions on `cell`. Each vector joins its `mAssign` NEAREST cells
+    * (multi-assignment): a pair straddling one cell boundary is still
+    * co-located when their cell sets overlap, which is what rescues
+    * borderline-similarity pairs (single-assignment forfeits most of them —
+    * measured in PipelineSpec). Cross-all-cells pairs are still forfeited,
+    * the accepted SemDeDup tradeoff. Cluster propagation runs over the PAIR
+    * set either way ([[Dedup.duplicateClusters]] — near-dup pair sets are
+    * orders of magnitude smaller than the corpus). */
+  def semanticClusters(embeddings: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nCells: Option[Int] = None,
+                       mAssign: Int = 2): DataFrame = {
+    val pairs = nCells match {
+      case None => cosinePairs(embeddings, idCol, vecCol, threshold)
+      case Some(k) =>
+        require(mAssign >= 1 && mAssign <= k, s"mAssign out of range: $mAssign")
+        val (_, centroids) = ivfIndex(embeddings, idCol, vecCol, k)
+        // argmin-m ||v − c||² = argmax-m (v·c − |c|²/2): one codegen'd dot
+        // per centroid (map-side, no job), sort the tiny k-struct array,
+        // keep the m best cells
+        val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(
+            (dot(col("v"), array(c.toIndexedSeq.map(lit): _*))
+              - lit(c.map(x => x * x).sum / 2)).as("s"),
+            lit(i).as("cell"))
+        }: _*)
+        val ranked = array_sort(scored, (l, r) =>
+          when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+            .otherwise(l("cell") - r("cell")))
+        val e = embeddings
+          .select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("cc", explode(slice(ranked, 1, mAssign)))
+          .select(col("cc.cell").as("cell"), col("id"), col("v"))
+        e.as("a")
+          .join(e.as("b"),
+            col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+          .withColumn("sim", cosine(col("a.v"), col("b.v")))
+          .filter(col("sim") >= threshold)
+          // a pair sharing several cells appears once per shared cell
+          .select(col("a.id").as("a"), col("b.id").as("b")).distinct()
+    }
+    Dedup.duplicateClusters(pairs.select("a", "b"))
+  }
+
   /** IVF query: rank cells by centroid distance on the driver (centroid set
     * is tiny), probe the nProbe nearest, exact-cosine rerank inside them.
     * nProbe = nCells degenerates to exhaustive search (recall 1). */

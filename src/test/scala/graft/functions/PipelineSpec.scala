@@ -205,6 +205,59 @@ class PipelineSpec extends SparkSpec {
       "probe must touch only the nProbe=3 nearest cells")
   }
 
+  test("packScan: greedy budget splits, shard resets, oversized doc isolated") {
+    // (shard, id, n) sorted by (shard, id); budget 10
+    val in = Seq(
+      (0L, 1L, 4L), (0L, 2L, 5L),   // seq 0: 4+5=9 fits
+      (0L, 3L, 2L),                 // 9+2>10 → seq 1
+      (0L, 4L, 25L),                // 2+25>10 → seq 2 (oversized, alone)
+      (0L, 5L, 1L),                 // 25+1>10 → seq 3
+      (1L, 6L, 7L), (1L, 7L, 3L)    // new shard → seq 0: 7+3=10 exactly fits
+    )
+    val got = Packing.packScan(in.iterator, 10L).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 9L), (0L, 1L, 1L, 2L), (0L, 2L, 1L, 25L), (0L, 3L, 1L, 1L),
+      (1L, 0L, 2L, 10L)))
+    assert(Packing.packScan(Iterator.empty, 10L).isEmpty)
+  }
+
+  test("packSequences conserves docs and tokens across sequences") {
+    val packed = Packing.packSequences(docs, "doc_id", "text", budget = 512L)
+      .agg(sum("n_docs"), sum("tokens")).head()
+    val direct = docs.agg(count(lit(1)), sum(Text.tokenCount(col("text")))).head()
+    assert(packed.getLong(0) == direct.getLong(0))
+    assert(packed.getLong(1) == direct.getLong(1))
+  }
+
+  test("deterministic sampling: reproducible, salt-independent draws, rate ~ requested") {
+    val ids = docs.select(col("doc_id"))
+    val a = Sampling.deterministicSample(ids, col("doc_id"), 2000)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(ids, col("doc_id"), 2000)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt must draw the same sample")
+    val other = Sampling.deterministicSample(ids, col("doc_id"), 2000, salt = "v2")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != a, "a different salt must draw a different sample")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.2) < 0.06, s"rate off: ${a.size / n}")
+    // a 2000bp draw nests inside a 4000bp draw (same salt) — stable mixing
+    val wider = Sampling.deterministicSample(ids, col("doc_id"), 4000)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider), "narrower rate must be a subset of wider rate")
+  }
+
+  test("semantic dedup: cell-bounded pair stage keeps most exact clusters") {
+    val exact = Similarity.semanticClusters(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test embeddings should contain near-dups")
+    val cellBounded = Similarity.semanticClusters(emb, "vec_id", "embedding", 0.45,
+        nCells = Some(4)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SemDeDup tradeoff: within-cell only — most pairs survive on test data
+    val recall = (cellBounded & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"cell-bounded recall too low: $recall")
+  }
+
   test("PII redaction scrubs emails/phones/IPs and counts them") {
     import spark.implicits._
     val df = Seq((1L, "write bob@corp.io or call 555-123-4567 from 192.168.0.1 ok"))
