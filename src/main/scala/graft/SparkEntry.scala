@@ -822,6 +822,33 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           sum(when(col("gender") === "female", 1L).otherwise(0L)).as("n_female"),
           max(col("timestamp")).as("mts"))
     }),
+    // online dedup at ingest: docs stream through the persistent
+    // inverted-index filter in three id-ordered micro-batches; with
+    // id-ordered arrival the kept set is exactly "not the later side of any
+    // near-dup pair", which the oracle states as one NOT IN
+    "stream_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val src = graft.streaming.Ingest.scratch("q_dedup_src")
+      val state = graft.streaming.Ingest.scratch("q_dedup_state")
+      val out = graft.streaming.Ingest.scratch("q_dedup_out") + "/kept"
+      val ckpt = graft.streaming.Ingest.scratch("q_dedup_ckpt")
+      val cuts = d.stat.approxQuantile("doc_id", Array(0.34, 0.67), 0.0)
+      val ranges = Seq(
+        col("doc_id") <= cuts(0),
+        col("doc_id") > cuts(0) && col("doc_id") <= cuts(1),
+        col("doc_id") > cuts(1))
+      ranges.zipWithIndex.foreach { case (p, i) =>
+        d.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$src/b$i.parquet")
+        // file-stream batch order follows modification time: force id order
+        new java.io.File(s"$src/b$i.parquet").listFiles()
+          .foreach(f => { f.setLastModified(1000000L * (i + 1)); () })
+      }
+      val stream = graft.streaming.Ingest.fileSource(s, src + "/*", "PARQUET",
+        d.schema, maxFilesPerTrigger = 1)
+      graft.streaming.DedupIngest.start(stream, state, out, ckpt,
+        "doc_id", "text", 0.5).awaitTermination()
+      s.read.parquet(out).select("doc_id").orderBy("doc_id")
+    }),
     "stream_upsert" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val src  = graft.streaming.Ingest.scratch("q_upsert_src")
@@ -1049,6 +1076,10 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "stream_quantum_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, " +
       "count(*) AS cnt, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_upsert" -> "SELECT count(*) AS cnt, round(sum(value), 2) AS sv FROM events",
+    // online dedup: kept = docs that are not the later side of a near-dup pair
+    "stream_dedup" -> (duckShingles.substring(0, duckShingles.lastIndexOf("SELECT a, b, round")).trim +
+      " SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+      "(SELECT b FROM pairs WHERE jf >= 0.5) ORDER BY doc_id"),
     "stream_kafka" -> ("SELECT count(*) AS cnt, round(sum(value), 2) AS sv, " +
       "max(ts) AS mts FROM events"),
     "src_sql_jdbc" -> ("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),

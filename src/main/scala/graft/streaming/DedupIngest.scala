@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.Dedup
+
+/** Incremental near-duplicate filtering at ingest — the 100-TB dedup
+  * pattern. A corpus is not re-paired when documents arrive; each
+  * micro-batch is checked against a PERSISTENT shingle inverted index of
+  * everything seen so far, duplicates are dropped at the door, and the
+  * index grows by exactly the batch. Per-batch cost is
+  * (batch posting) ⋈ (store posting on shingle hash) — driven by the batch
+  * size and shingle selectivity, never by corpus pair count.
+  *
+  * Semantics (deterministic, oracle-replayable): a document is DROPPED iff
+  * its exact n-gram Jaccard with any EARLIER-SEEN document reaches the
+  * threshold — earlier batches, or lower-id docs of its own batch. "Seen"
+  * includes docs that were themselves dropped (the whole batch enters the
+  * index), so chained near-dups (B≈A, C≈B, C̸≈A) all collapse onto the
+  * first arrival: with id-ordered arrival the kept set is exactly
+  * `id NOT IN (SELECT b FROM pairs)` over the corpus pair list — a plain
+  * SQL oracle, no recursion.
+  *
+  * Scale notes: the store here is appended parquet; production is the same
+  * two tables as Delta, BUCKETED BY the shingle hash so the per-batch
+  * candidate join co-locates without shuffling the store, plus a
+  * precomputed stop-shingle list (the [[Dedup.jaccardPairs]] `maxDocFreq`
+  * guard, maintained as corpus stats) so no hot shingle makes a batch
+  * quadratic. An LSH signature store (1 row/doc vs ~hundreds) is the swap
+  * when posting storage dominates; the verify join shape is unchanged.
+  */
+object DedupIngest {
+
+  /** One micro-batch through the online filter. Appends the FULL batch to
+    * the posting/sizes store, appends surviving docs to `outDir`. */
+  def dedupBatch(postingDir: String, sizesDir: String, outDir: String,
+                 idCol: String, textCol: String, threshold: Double)
+                (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    // (id, hs): distinct-shingle posting of the batch, 8-byte hashed keys —
+    // three consumers (store join, within-batch join, index append)
+    val postingB = Dedup.shingledPosting(batch, idCol, textCol)
+      .select(col("id"), xxhash64(col("s")).as("hs"))
+      .localCheckpoint()
+    val sizesB = postingB.groupBy("id").agg(count(lit(1)).as("n"))
+    // candidates vs the store (inverted-index join on hs; store ids are all
+    // earlier-seen) plus within-batch lower-id pairs
+    val storeExists = new java.io.File(postingDir).exists()
+    val inBatch = postingB.as("a")
+      .join(postingB.as("b"),
+        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+    val cand =
+      if (storeExists)
+        spark.read.parquet(postingDir).withColumnRenamed("id", "ida")
+          .join(postingB.withColumnRenamed("id", "idb"), "hs")
+          .select("ida", "idb")
+          .unionByName(inBatch)
+      else inBatch
+    val inter = cand.groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+    val sizes =
+      if (storeExists) spark.read.parquet(sizesDir).unionByName(sizesB)
+      else sizesB
+    val dropped = inter
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("n", "na"), "ida")
+      .join(sizesB.withColumnRenamed("id", "idb").withColumnRenamed("n", "nb"), "idb")
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("idb").as(idCol)).distinct()
+    batch.join(dropped, Seq(idCol), "left_anti")
+      .write.mode("append").parquet(outDir)
+    // the WHOLE batch becomes "seen" — kept and dropped alike
+    postingB.write.mode("append").parquet(postingDir)
+    sizesB.write.mode("append").parquet(sizesDir)
+  }
+
+  /** Start the online-dedup ingest loop over a streaming source of
+    * (idCol, textCol) documents. */
+  def start(stream: DataFrame, stateDir: String, outDir: String,
+            checkpointDir: String, idCol: String, textCol: String,
+            threshold: Double): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        dedupBatch(s"$stateDir/posting", s"$stateDir/sizes", outDir,
+          idCol, textCol, threshold)(b, id))
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
