@@ -865,13 +865,19 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     }),
   )
 
-  private val duckShingles =
-    "WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') AS ws FROM documents), " +
+  /** The trigram-Jaccard pair CTE chain (`w` → `sh` → `pairs`), WITHOUT the
+    * leading `WITH ` keyword or a final SELECT — every shingle-pair oracle
+    * composes from this one definition. */
+  private val duckShinglePairsCte =
+    "w AS (SELECT doc_id, list_filter(string_split(text,' '), x->x<>'') AS ws FROM documents), " +
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
     "i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sj FROM w WHERE len(ws)>=3), " +
     "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, " +
     "len(list_intersect(a.sj,b.sj))::DOUBLE/(len(a.sj)+len(b.sj)-len(list_intersect(a.sj,b.sj))) AS jf " +
-    "FROM sh a, sh b WHERE a.doc_id < b.doc_id) " +
+    "FROM sh a, sh b WHERE a.doc_id < b.doc_id)"
+
+  private val duckShingles =
+    s"WITH $duckShinglePairsCte " +
     "SELECT a, b, round(jf, 4) AS j FROM pairs WHERE jf >= 0.5 ORDER BY a, b"
 
   private val duckMarkers = Text.langMarkers.map { case (l, ws) =>
@@ -896,8 +902,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
   /** Connected components over the jaccard pair list via recursive CTE —
     * the DuckDB replay of [[graft.functions.Dedup.duplicateClusters]]. */
   private val duckClusters: String = {
-    val selIdx = duckShingles.lastIndexOf("SELECT a, b, round")
-    duckShingles.substring(0, selIdx).trim.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    s"WITH RECURSIVE $duckShinglePairsCte" +
       ", pr AS (SELECT a, b FROM pairs WHERE jf >= 0.5), " +
       "edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr), " +
       "nodes AS (SELECT DISTINCT x AS id FROM edges), " +
@@ -920,10 +925,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     val baseSql = s"SELECT doc_id, text, $tok AS tok_cnt " +
       s"FROM (SELECT doc_id, text, $scores FROM documents) t " +
       s"WHERE (CASE $caseChain ELSE 'und' END) = 'en' AND $tok >= 20"
-    val shingleChain = duckShingles
-      .substring(0, duckShingles.lastIndexOf("SELECT a, b, round")).trim
-      .replace("FROM documents", "FROM base")
-    shingleChain.replaceFirst("WITH ", s"WITH RECURSIVE base AS ($baseSql), ") +
+    s"WITH RECURSIVE base AS ($baseSql), " +
+      duckShinglePairsCte.replace("FROM documents", "FROM base") +
       ", pr AS (SELECT a, b FROM pairs WHERE jf >= 0.5), " +
       "edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr), " +
       "nodes AS (SELECT DISTINCT x AS id FROM edges), " +
@@ -1077,8 +1080,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "count(*) AS cnt, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_upsert" -> "SELECT count(*) AS cnt, round(sum(value), 2) AS sv FROM events",
     // online dedup: kept = docs that are not the later side of a near-dup pair
-    "stream_dedup" -> (duckShingles.substring(0, duckShingles.lastIndexOf("SELECT a, b, round")).trim +
-      " SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+    "stream_dedup" -> (s"WITH $duckShinglePairsCte " +
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
       "(SELECT b FROM pairs WHERE jf >= 0.5) ORDER BY doc_id"),
     "stream_kafka" -> ("SELECT count(*) AS cnt, round(sum(value), 2) AS sv, " +
       "max(ts) AS mts FROM events"),

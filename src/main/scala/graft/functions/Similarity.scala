@@ -234,22 +234,14 @@ object Similarity {
       case Some(k) =>
         require(mAssign >= 1 && mAssign <= k, s"mAssign out of range: $mAssign")
         val (_, centroids) = ivfIndex(embeddings, idCol, vecCol, k)
-        // argmin-m ||v − c||² = argmax-m (v·c − |c|²/2): one codegen'd dot
-        // per centroid (map-side, no job), sort the tiny k-struct array,
-        // keep the m best cells
-        val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(
-            (dot(col("v"), array(c.toIndexedSeq.map(lit): _*))
-              - lit(c.map(x => x * x).sum / 2)).as("s"),
-            lit(i).as("cell"))
-        }: _*)
-        val ranked = array_sort(scored, (l, r) =>
-          when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
-            .otherwise(l("cell") - r("cell")))
+        // argmin-m ||v − c||² = argmax-m (v·c − |c|²/2): one codegen'd
+        // primitive pass over all centroids per row ([[NearestCells]] — the
+        // centroid matrix is plan DATA, not k·dim expression nodes)
         val e = embeddings
           .select(col(idCol).as("id"), col(vecCol).as("v"))
-          .withColumn("cc", explode(slice(ranked, 1, mAssign)))
-          .select(col("cc.cell").as("cell"), col("id"), col("v"))
+          .withColumn("cell", explode(Shim.column(
+            NearestCells(Shim.expression(col("v")), centroids, mAssign))))
+          .select(col("cell"), col("id"), col("v"))
         e.as("a")
           .join(e.as("b"),
             col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

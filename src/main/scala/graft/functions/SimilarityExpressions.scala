@@ -51,6 +51,44 @@ object SimilarityExpressions {
     case ArrayType(DoubleType, _) => false
     case other => sys.error(s"vector expression over non-float array: $other")
   }
+
+  /** The `m` nearest centroid indices of `v` by Euclidean distance, via
+    * argmax of (v·c − |c|²/2). Ties resolve to the lowest cell index. */
+  def nearestCells(v: ArrayData, vF: Boolean, cents: Array[Array[Double]],
+                   halfNorms: Array[Double], m: Int): ArrayData = {
+    val k = cents.length
+    val dim = v.numElements()
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (vF) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x * cent(j)
+        j += 1
+      }
+      scores(c) = acc - halfNorms(c)
+      c += 1
+    }
+    val out = new Array[Any](m)
+    val taken = new Array[Boolean](k)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `cosine_similarity(a, b)` — one fused pass: dot, |a|², |b|². */
@@ -68,6 +106,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"graft.functions.SimilarityExpressions.cosine($a, $aF, $b, $bF)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
+}
+
+/** `nearest_cells(v)` — indices of the `m` nearest centroids (IVF
+  * multi-assignment). The centroid matrix rides the plan as ONE reference
+  * object (k·dim doubles of data), not k·dim literal expression nodes — at
+  * SemDeDup-scale k a literal formulation would blow up plan construction
+  * before any task ran. Scoring is a primitive loop inside codegen. */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(m >= 1 && m <= centroids.length,
+    s"m=$m out of range for ${centroids.length} centroids")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  private lazy val vF = SimilarityExpressions.isFloat(child.dataType)
+  @transient private lazy val halfNorms: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum / 2)
+  override protected def nullSafeEval(v: Any): Any =
+    SimilarityExpressions.nearestCells(v.asInstanceOf[ArrayData], vF,
+      centroids, halfNorms, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("halfNorms", halfNorms, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.SimilarityExpressions.nearestCells($v, $vF, $cRef, $nRef, $m)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
 }
 
 /** `vector_dot(a, b)` — left-to-right double dot product. */

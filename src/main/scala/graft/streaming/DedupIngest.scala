@@ -32,8 +32,15 @@ import graft.functions.Dedup
   */
 object DedupIngest {
 
-  /** One micro-batch through the online filter. Appends the FULL batch to
-    * the posting/sizes store, appends surviving docs to `outDir`. */
+  /** One micro-batch through the online filter. Adds the FULL batch to the
+    * posting/sizes store, writes surviving docs to `outDir`.
+    *
+    * Idempotent under foreachBatch's at-least-once replay: every write is an
+    * OVERWRITE of a `batch=<id>` partition (a replayed batch replaces its
+    * own half-written partitions instead of appending duplicates), and the
+    * store read EXCLUDES this batch's own partition — present only if a
+    * prior attempt crashed after its store write — so a replay can never
+    * self-match the batch at Jaccard 1 or double intersection counts. */
   def dedupBatch(postingDir: String, sizesDir: String, outDir: String,
                  idCol: String, textCol: String, threshold: Double)
                 (batch: DataFrame, batchId: Long): Unit = {
@@ -45,23 +52,31 @@ object DedupIngest {
       .select(col("id"), xxhash64(col("s")).as("hs"))
       .localCheckpoint()
     val sizesB = postingB.groupBy("id").agg(count(lit(1)).as("n"))
+    // Path API, not java.io.File — the state dirs live on whatever
+    // filesystem the production deployment uses (HDFS/S3), where a local
+    // File.exists() is silently always-false
+    val rootPath = new org.apache.hadoop.fs.Path(postingDir)
+    val storeExists = rootPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rootPath)
+    def readStore(dir: String) =
+      spark.read.parquet(dir).filter(col("batch") =!= batchId)
     // candidates vs the store (inverted-index join on hs; store ids are all
     // earlier-seen) plus within-batch lower-id pairs
-    val storeExists = new java.io.File(postingDir).exists()
     val inBatch = postingB.as("a")
       .join(postingB.as("b"),
         col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
     val cand =
       if (storeExists)
-        spark.read.parquet(postingDir).withColumnRenamed("id", "ida")
+        readStore(postingDir).select(col("id").as("ida"), col("hs"))
           .join(postingB.withColumnRenamed("id", "idb"), "hs")
           .select("ida", "idb")
           .unionByName(inBatch)
       else inBatch
     val inter = cand.groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
     val sizes =
-      if (storeExists) spark.read.parquet(sizesDir).unionByName(sizesB)
+      if (storeExists)
+        readStore(sizesDir).select("id", "n").unionByName(sizesB)
       else sizesB
     val dropped = inter
       .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("n", "na"), "ida")
@@ -70,10 +85,10 @@ object DedupIngest {
         (col("na") + col("nb") - col("inter")) >= threshold)
       .select(col("idb").as(idCol)).distinct()
     batch.join(dropped, Seq(idCol), "left_anti")
-      .write.mode("append").parquet(outDir)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     // the WHOLE batch becomes "seen" — kept and dropped alike
-    postingB.write.mode("append").parquet(postingDir)
-    sizesB.write.mode("append").parquet(sizesDir)
+    postingB.write.mode("overwrite").parquet(s"$postingDir/batch=$batchId")
+    sizesB.write.mode("overwrite").parquet(s"$sizesDir/batch=$batchId")
   }
 
   /** Start the online-dedup ingest loop over a streaming source of

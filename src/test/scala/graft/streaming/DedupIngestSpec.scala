@@ -10,14 +10,18 @@ class DedupIngestSpec extends SparkSpec {
     Ingest.scratch("dedup_spec_out") + "/kept",
     Ingest.scratch("dedup_spec_ckpt"))
 
-  private def run(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+  private def run(batches: Seq[Seq[(Long, String)]],
+                  replayFirst: Boolean = false): Set[Long] = {
     import spark.implicits._
     val (state, out, _) = scratch3()
     batches.zipWithIndex.foreach { case (b, i) =>
-      DedupIngest.dedupBatch(s"$state/posting", s"$state/sizes", out,
-        "doc_id", "text", 0.5)(b.toDF("doc_id", "text"), i.toLong)
+      def once() = DedupIngest.dedupBatch(s"$state/posting", s"$state/sizes",
+        out, "doc_id", "text", 0.5)(b.toDF("doc_id", "text"), i.toLong)
+      once()
+      // at-least-once replay: rerunning a batch must change nothing
+      if (replayFirst && i == 0) once()
     }
-    spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
   }
 
   test("online dedup drops near-dups across batches and within a batch") {
@@ -32,13 +36,24 @@ class DedupIngestSpec extends SparkSpec {
   }
 
   test("chained near-dups collapse onto the first arrival") {
-    // B≈A and C≈B but C's overlap with A alone is below threshold; B is
-    // dropped yet still SEEN, so C must still be dropped
-    val A = "one two three four five six seven eight nine ten"
-    val B = "one two three four five six seven eight nine zzz"
-    val C = "one two three four five six seven eight qqq zzz"
+    // Trigram sets (12 words → 10 trigrams each): J(A,B)=9/11, J(B,C)=7/13
+    // (≥0.5), but J(A,C)=6/14 (<0.5) — so C is dropped ONLY because B,
+    // itself dropped, stayed in the seen-index. This is the load-bearing
+    // check that the whole batch (kept AND dropped) enters the store.
+    val A = "one two three four five six seven eight nine ten eleven twelve"
+    val B = "one two three four five six seven eight nine ten eleven zulu"
+    val C = "one two three four five six xray eight nine ten eleven zulu"
     val kept = run(Seq(Seq(10L -> A), Seq(20L -> B), Seq(30L -> C)))
     assert(kept == Set(10L))
+  }
+
+  test("batch replay is idempotent: rerunning a batch changes nothing") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val batches = Seq(
+      Seq(1L -> a, 2L -> "totally different words here nothing shared at all"),
+      Seq(3L -> a,
+          4L -> "unique content for the fourth document in this stream"))
+    assert(run(batches, replayFirst = true) == run(batches))
   }
 
   test("streamed file source processes id-ordered batches through the filter") {
