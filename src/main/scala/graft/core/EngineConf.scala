@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine-level SQL conf every graft session needs, applied in ONE place so
+  * tools/facades/specs can't drift apart (an Explain session that misses one
+  * of these profiles a different plan than the Bench session it's meant to
+  * explain). */
+object EngineConf {
+  val settings: Seq[(String, String)] = Seq(
+    // the minhash pipeline's ~130-column signature unpack/band projection
+    // exceeds the default codegen field guard (100); past it, whole-stage
+    // codegen silently degrades (measured ~1.7× on the signature stage)
+    "spark.sql.codegen.maxFields" -> "256",
+    // TypedImperativeAggregates (minhash signatures, roaring bitmap build,
+    // bounded collect) plan as ObjectHashAggregate, whose in-memory map
+    // falls back to SORT-based aggregation after only 128 distinct keys per
+    // partition — a hidden O(n log n) sort of the whole posting list on any
+    // real corpus. 128Ki keys × ~1.1 KB signature buffer ≈ 140 MB bounds
+    // the per-partition memory
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")
+
+  /** Apply to a builder: `EngineConf(SparkSession.builder()...)`. */
+  def apply(b: SparkSession.Builder): SparkSession.Builder =
+    settings.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+}

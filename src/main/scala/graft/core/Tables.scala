@@ -83,26 +83,22 @@ object Tables {
       .groupBy(col("user_id").as("_id"))
       .agg(collect_list(struct(col("event_type").as("value"), col("ts"))).as("types"))
 
-  /** Register all tables as temp views for the SQL surface. */
-  /** Catalog registration is memoized per (session, dir): a temp view holds
-    * the table's ANALYZED plan, so re-registering on every query re-lists
-    * files and re-reads parquet footers for all tables — measured ~0.9 s per
-    * SQL call, more than executing the query itself. The memo key includes
-    * the dir so a session switching data directories re-registers; writers
-    * that change what a view should see call [[invalidate]]. */
-  private val registeredDir =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String]())
+  private val registeredDir = new SessionMemo[String]
 
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    if (registeredDir.get(spark) != dir) {
+  /** Register all tables as temp views for the SQL surface. Memoized per
+    * (session, dir): a temp view holds the table's ANALYZED plan, so
+    * re-registering on every query re-lists files and re-reads parquet
+    * footers for all tables — measured ~0.9 s per SQL call, more than
+    * executing the query itself. The memo key includes the dir so a session
+    * switching data directories re-registers; DDL that drops or un-shadows
+    * a base view calls [[invalidate]] (`Ddl` DROP path). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    registeredDir.runIfChanged(spark, dir) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       userEvents(spark, dir).createOrReplaceTempView("user_events")
-      registeredDir.put(spark, dir)
     }
-  }
 
   /** Drop the registration memo for a session — the next [[registerAll]]
     * re-resolves every view (fresh file listing + schema). */
-  def invalidate(spark: SparkSession): Unit = registeredDir.remove(spark)
+  def invalidate(spark: SparkSession): Unit = registeredDir.clear(spark)
 }

@@ -127,7 +127,10 @@ case class BoundedCollectLongAgg(child: Expression, cap: Int,
     val out = new Array[Long](buf.size)
     var i = 0
     while (i < out.length) { out(i) = buf.get(i); i += 1 }
-    new GenericArrayData(out)
+    // fromPrimitiveArray keeps the longs unboxed (GenericArrayData would
+    // box every element in the result projection)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
   override def serialize(buf: java.util.ArrayList[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
@@ -184,7 +187,10 @@ case class MinHashSigAgg(child: Expression, k: Int,
     while (i < k) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
     x
   }
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    // unboxed result array — one per document in the signature hot path
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buf)
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 * k)
     bb.asLongBuffer().put(buf)

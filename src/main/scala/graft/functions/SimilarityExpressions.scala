@@ -72,7 +72,7 @@ object SimilarityExpressions {
       scores(c) = acc - halfNorms(c)
       c += 1
     }
-    val out = new Array[Any](m)
+    val out = new Array[Int](m)
     val taken = new Array[Boolean](k)
     var s = 0
     while (s < m) {
@@ -87,7 +87,8 @@ object SimilarityExpressions {
       out(s) = best
       s += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 }
 

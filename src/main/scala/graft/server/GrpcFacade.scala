@@ -474,11 +474,11 @@ object GrpcFacade {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val port = args.lift(1).map(_.toInt).getOrElse(20101)
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = graft.core.EngineConf(SparkSession.builder().master("local[4]")
       .appName("graft-grpc")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val bound = new GrpcFacade(spark, dir, port).start()

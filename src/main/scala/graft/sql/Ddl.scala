@@ -337,6 +337,10 @@ object Ddl {
       spark.catalog.dropTempView(name)
       viewNames.remove((spark, name.toLowerCase))
       viewDefs.remove(name.toLowerCase)
+      // a DROP may have removed (or un-shadowed) a dir-backed base view —
+      // re-arm the memoized registration so the next statement re-resolves
+      // the base catalog instead of serving TABLE_OR_VIEW_NOT_FOUND forever
+      graft.core.Tables.invalidate(spark)
       ack(spark, s"dropped $name")
 
     case CopyRe(src, tgt, whereOpt) =>

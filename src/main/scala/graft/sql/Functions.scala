@@ -214,17 +214,13 @@ object Functions {
   /** Register all reference-dialect functions on the session (idempotent;
     * memoized — replacing a registered function logs a session-wide WARN per
     * function per call otherwise). */
-  private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val registered = new graft.core.SessionMemo[java.lang.Boolean]
 
-  def register(spark: SparkSession): Unit = {
-    if (registered.get(spark) == null) {
+  def register(spark: SparkSession): Unit =
+    registered.runIfChanged(spark, java.lang.Boolean.TRUE) {
       val registry = spark.sessionState.functionRegistry
       aliases.foreach { case (name, builder) =>
         registry.createOrReplaceTempFunction(name.toLowerCase, builder, "built-in")
       }
-      registered.put(spark, java.lang.Boolean.TRUE)
     }
-  }
 }

@@ -100,10 +100,10 @@ object AbleGen {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val out = args.lift(1).getOrElse(s"/tmp/graft-able-$n")
-    val spark = SparkSession.builder().master("local[*]")
+    val spark = graft.core.EngineConf(SparkSession.builder().master("local[*]")
       .appName("graft-ablegen")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensure(spark, n, out)

@@ -10,12 +10,12 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1 && !args(1).startsWith("--")) args(1)
                 else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
+    val spark = graft.core.EngineConf(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries.get(name)

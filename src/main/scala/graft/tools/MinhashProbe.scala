@@ -9,11 +9,10 @@ import graft.functions.Dedup
   * matching Bench's warmup-then-time protocol). */
 object MinhashProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.core.EngineConf(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val base = graft.core.Tables.load(spark, dir, "documents")

@@ -78,11 +78,11 @@ object Shell {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = graft.core.EngineConf(SparkSession.builder().master("local[8]")
       .appName("graft-shell")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Tables.registerAll(spark, dir)
