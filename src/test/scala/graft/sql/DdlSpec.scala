@@ -218,6 +218,18 @@ class DdlSpec extends SparkSpec {
   // BSI parity: Percentile bisects decimal fields as scaled ints and
   // timestamp fields as epoch-us, returning the field's own type
   // (`reference/pql/decimal.go:55-58`, `executor.go` percentile over BSI)
+  test("DROP of a dir-backed base view self-heals on the next dir statement") {
+    // register the base catalog, then DROP one of its views
+    assert(GraftSql.sql(spark, sfDir, "SELECT count(*) AS n FROM region")
+      .head().getLong(0) > 0)
+    run("DROP TABLE region")
+    // the DROP must invalidate the memoized registration, so the next
+    // dir-scoped statement re-resolves the base catalog instead of failing
+    // with TABLE_OR_VIEW_NOT_FOUND until process restart
+    assert(GraftSql.sql(spark, sfDir, "SELECT count(*) AS n FROM region")
+      .head().getLong(0) > 0)
+  }
+
   test("PQL Percentile over decimal and timestamp fields keeps field typing") {
     run("CREATE TABLE pctl (_id ID, price DECIMAL(2), at TIMESTAMP)")
     run("INSERT INTO pctl VALUES (1, 10.25, '2020-01-01T00:00:00Z'), " +
