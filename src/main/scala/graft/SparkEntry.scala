@@ -518,6 +518,16 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           "doc_id", "text", n = 8)
         .select(col("cid"), col("eid"), col("shared")).orderBy("cid", "eid")
     }),
+    // C4-style boilerplate line removal: a "subscribe" footer planted in
+    // every doc (plus one unique line) — the frequent line is stripped,
+    // docs reassemble in order
+    "pipe_linededup" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nsubscribe now for updates\ndoc line "),
+          col("doc_id")).as("t"))
+      Text.removeFrequentLines(aug, "doc_id", "t", minDf = 100)
+        .select(col("doc_id"), col("cleaned")).orderBy("doc_id")
+    }),
     "dd_exact" -> ((s, dir) => Dedup.exactDupStats(docs(s, dir), col("text"))),
     "dd_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5)),
@@ -1035,6 +1045,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     },
     "dd_exact" -> ("SELECT count(*) AS n, count(DISTINCT text) AS n_distinct, " +
       "count(*) - count(DISTINCT text) AS n_dupes FROM documents"),
+    // boilerplate line removal: same augmentation, line doc-frequency ≥ 100
+    // dropped, docs reassembled in line order
+    "pipe_linededup" -> ("WITH aug AS (SELECT doc_id, text || chr(10) || " +
+      "'subscribe now for updates' || chr(10) || 'doc line ' || doc_id AS t " +
+      "FROM documents), " +
+      "l AS (SELECT doc_id, i AS ord, sp[i] AS line " +
+      "FROM (SELECT doc_id, string_split(t, chr(10)) AS sp FROM aug) a, " +
+      "unnest(range(1, len(sp)+1)) AS u(i)), " +
+      "freq AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 100), " +
+      "kept AS (SELECT doc_id, ord, line FROM l WHERE line NOT IN (SELECT line FROM freq)) " +
+      "SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS cleaned " +
+      "FROM kept GROUP BY doc_id ORDER BY doc_id"),
     "dd_jaccard" -> duckShingles,
     "dd_minhash" -> duckShingles, // LSH recall ≈ 1 at j≥0.5 w/ 64×2 bands; exact-verified
     "dd_simhash" -> duckSimhash,

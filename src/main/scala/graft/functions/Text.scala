@@ -116,4 +116,36 @@ object Text {
   def tokenHash(word: Column): Column =
     aggregate(split(word, ""), lit(0L),
       (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % FpMod)
+
+  /** C4-style boilerplate removal: drop every line that occurs in at least
+    * `minDf` distinct documents (nav bars, cookie banners, "subscribe"
+    * footers — the classic crawl-corpus cleaning step), reassembling each
+    * document's surviving lines in order.
+    *
+    * Scale shape: one narrow posexplode, a partial-agg doc-frequency count
+    * over 8-byte line HASHES (the exchange carries one row per distinct
+    * line hash, never the line text), an anti-join against the frequent
+    * set (tiny by definition — boilerplate is the head of the line
+    * distribution — so AQE broadcasts it), and one groupBy(doc) to
+    * reassemble. A 64-bit line-hash collision could drop an innocent line
+    * alongside a boilerplate one; at n distinct lines the chance any
+    * collision exists is ~n²/2⁶⁵ — immaterial for cleaning.
+    * Output: (idCol, cleaned). */
+  def removeFrequentLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, minDf: Long,
+                          sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "ord").withColumnRenamed("col", "line")
+      .withColumn("h", xxhash64(col("line")))
+    val frequent = lines.groupBy("h")
+      .agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    lines.join(frequent, Seq("h"), "left_anti")
+      .groupBy("id")
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("ord"), col("line")))),
+        s => s("line"))).as("cleaned"))
+      .withColumnRenamed("id", idCol)
+  }
 }

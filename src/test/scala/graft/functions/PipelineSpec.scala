@@ -258,6 +258,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"cell-bounded recall too low: $recall")
   }
 
+  test("boilerplate line removal drops frequent lines, keeps order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\nSUBSCRIBE\nmiddle line\nCOOKIES"),
+      (2L, "SUBSCRIBE\nanother doc\nCOOKIES"),
+      (3L, "COOKIES\nSUBSCRIBE\nthird text")).toDF("id", "t")
+    val got = Text.removeFrequentLines(df, "id", "t", minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(
+      1L -> "unique one\nmiddle line",
+      2L -> "another doc",
+      3L -> "third text"))
+  }
+
   test("PII redaction scrubs emails/phones/IPs and counts them") {
     import spark.implicits._
     val df = Seq((1L, "write bob@corp.io or call 555-123-4567 from 192.168.0.1 ok"))
