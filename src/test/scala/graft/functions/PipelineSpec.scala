@@ -258,6 +258,31 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"cell-bounded recall too low: $recall")
   }
 
+  test("sampling plan is a pure map-side filter: zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+          Map("en" -> 2000), defaultBp = 500)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty, s"sampling must not shuffle: $exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sequence packing plan: one data exchange plus the output ordering") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Packing.packSequences(docs, "doc_id", "text", budget = 512L)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      // one hash exchange groups docs by shard; the trailing orderBy adds a
+      // range exchange for presentation — nothing else may shuffle
+      assert(exchanges.size <= 2, s"unexpected shuffles: $exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("boilerplate line removal drops frequent lines, keeps order") {
     import spark.implicits._
     val df = Seq(
