@@ -15,7 +15,11 @@ object MinhashProbe {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val base = graft.core.Tables.load(spark, dir, "documents")
+    // raw:<path> probes an arbitrary (doc_id, text) parquet — e.g. the
+    // DocGen rehearsal corpora — instead of a testdata sf dir
+    val base =
+      if (dir.startsWith("raw:")) spark.read.parquet(dir.stripPrefix("raw:"))
+      else graft.core.Tables.load(spark, dir, "documents")
     println(s"[probe] docs=${base.count()}")
 
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
