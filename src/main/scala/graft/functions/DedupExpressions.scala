@@ -88,73 +88,6 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * bit-identical to the declarative path and the DuckDB oracle replays
   * unchanged.
   */
-/** `bounded_collect(id, cap)` — collect long ids into a list, keeping at
-  * most cap+1 of them. Fuses the LSH bucket-cap guard into the bucket
-  * grouping itself: a degenerate (band, bucket) group never materializes
-  * more than cap+1 elements in any partial buffer (map-side or merged), and
-  * a final length of cap+1 is the overflow marker — the caller filters
-  * `size(ids) BETWEEN 2 AND cap`, which drops exactly the groups a separate
-  * count-then-anti-join guard would drop. Replacing that separate guard
-  * removes a full exchange: with mostly-singleton buckets, the guard's
-  * "one row per distinct bucket" partial-agg shuffle is as large as the
-  * banded table it is guarding.
-  *
-  * Truncation is order-dependent across partials, but only for groups that
-  * overflow — and those are dropped wholesale, so the kept output is exact.
-  */
-case class BoundedCollectLongAgg(child: Expression, cap: Int,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.ArrayList[Long]]
-  with UnaryLike[Expression] {
-  require(cap >= 1, s"cap must be >= 1, got $cap")
-
-  private val limit = cap + 1
-  override def createAggregationBuffer(): java.util.ArrayList[Long] =
-    new java.util.ArrayList[Long](4)
-  override def update(buf: java.util.ArrayList[Long], row: InternalRow): java.util.ArrayList[Long] = {
-    val v = child.eval(row)
-    if (v != null && buf.size < limit) buf.add(v.asInstanceOf[Long])
-    buf
-  }
-  override def merge(x: java.util.ArrayList[Long], y: java.util.ArrayList[Long]): java.util.ArrayList[Long] = {
-    var i = 0
-    val n = y.size
-    while (i < n && x.size < limit) { x.add(y.get(i)); i += 1 }
-    x
-  }
-  override def eval(buf: java.util.ArrayList[Long]): Any = {
-    val out = new Array[Long](buf.size)
-    var i = 0
-    while (i < out.length) { out(i) = buf.get(i); i += 1 }
-    // fromPrimitiveArray keeps the longs unboxed (GenericArrayData would
-    // box every element in the result projection)
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(out)
-  }
-  override def serialize(buf: java.util.ArrayList[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
-    var i = 0
-    while (i < buf.size) { bb.putLong(buf.get(i)); i += 1 }
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): java.util.ArrayList[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new java.util.ArrayList[Long](bytes.length / 8)
-    while (bb.hasRemaining) out.add(bb.getLong())
-    out
-  }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
-  override def prettyName: String = "bounded_collect"
-  override def withNewMutableAggBufferOffset(offset: Int): BoundedCollectLongAgg =
-    copy(mutableAggBufferOffset = offset)
-  override def withNewInputAggBufferOffset(offset: Int): BoundedCollectLongAgg =
-    copy(inputAggBufferOffset = offset)
-  override protected def withNewChildInternal(c: Expression): BoundedCollectLongAgg =
-    copy(child = c)
-}
-
 case class MinHashSigAgg(child: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)

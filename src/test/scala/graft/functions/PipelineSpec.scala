@@ -47,25 +47,6 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("bounded collect: exact below the cap, overflow-marked above it") {
-    import spark.implicits._
-    import org.apache.spark.sql.graftshim.Shim
-    // group 0: 150 ids (over cap), group 1: 40, group 2: 1 — spread over
-    // many partitions so partial buffers shuffle through serialize/merge
-    val df = Seq.tabulate(191)(i =>
-      (if (i < 150) 0L else if (i < 190) 1L else 2L, i.toLong))
-      .toDF("g", "id").repartition(13)
-    def bounded(cap: Int) = Shim.column(
-      BoundedCollectLongAgg(Shim.expression(col("id")), cap)
-        .toAggregateExpression()).as("ids")
-    val got = df.groupBy("g").agg(bounded(100))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
-    // overflow group: exactly cap+1 elements (the drop marker), never more
-    assert(got(0L).size == 101)
-    // kept groups: the exact id set, order-independent
-    assert(got(1L).toSet == (150L until 190L).toSet && got(2L) == Seq(190L))
-  }
-
   test("bucketPairScan emits i<j pairs per run, skips over-cap runs") {
     // runs: (0,0)=[1,2,3] → 3 pairs; (0,1)=[4] singleton → none;
     // (1,0)=[5,6,7,8] over cap 3 → skipped; (1,1)=[9,10] → 1 pair
