@@ -33,6 +33,14 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
+    // OS load average at start/end: BENCH numbers on a shared box are only
+    // interpretable next to the box's contention — r3's 3× "regression" was
+    // adjudicated as noise by hand; this records the evidence in-band
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
+
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     // warmup pass is itself timed: a reader diagnosing a slow round can see
     // whether warm and timed runs were slow TOGETHER (box contention) or the
@@ -70,6 +78,10 @@ object Bench {
     // clock with no per-row driver cost) validates the partition strategy
     // with data instead of prose. Generation is idempotent (parquet reused
     // across rounds) and reported separately so it never pollutes timings.
+    // release query-loop heap state (localCheckpoint blocks await GC) so the
+    // rehearsal sections measure their own work, not the loop's garbage
+    System.gc()
+
     val ableJson = try {
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_ABLE_N", "500000").toLong
       val nLarge = nSmall * 10
@@ -126,6 +138,7 @@ object Bench {
     // section shows what actually grows when the DATA grows — the judge's
     // "would this survive a 100× scale-up" question answered with a
     // measured ratio instead of prose.
+    System.gc()
     val dedupJson = try {
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_DEDUP_N", "50000").toLong
       val nLarge = nSmall * 10
@@ -154,7 +167,9 @@ object Bench {
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
       s""""runs_warm_then_timed":$runsJson,"median_spread":${num(medianSpread, 3)},""" +
-      s""""unreliable":$unreliable,"sf":"$sfDir"$ableJson$dedupJson}""")
+      s""""unreliable":$unreliable,""" +
+      s""""load_avg":[${num(loadStart, 2)},${num(loadAvg(), 2)}],""" +
+      s""""sf":"$sfDir"$ableJson$dedupJson}""")
     spark.stop()
   }
 }
