@@ -496,6 +496,22 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       .orderBy("doc_id")),
     "txt_fingerprint" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), Text.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+    // Gopher-style repetition signals (duplicate token/n-gram fractions,
+    // dominant-token share)
+    "txt_repetition" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      round(Text.dupTokenRatio(col("text")), 4).as("dup_tok"),
+      round(Text.dupNgramRatio(col("text"), 2), 4).as("dup_2gram"),
+      round(Text.dupNgramRatio(col("text"), 3), 4).as("dup_3gram"),
+      round(Text.topTokenFrac(col("text")), 4).as("top_frac")).orderBy("doc_id")),
+    // token-budget mixing recipe: per-language token quotas; de's quota
+    // exceeds its supply, exercising the rate cap at 1
+    "pipe_mix" -> ((s, dir) =>
+      Sampling.sampleToTokenBudget(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          col("doc_id"), col("lang"), Text.tokenCount(col("text")),
+          Map("en" -> 4000L, "es" -> 1000L, "de" -> 5000L))
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
     // PII scrubbing: deterministic augmentation plants one email/phone/IP
     // per doc (so counts are provably nonzero), then the redaction regexes
     // run over the WHOLE text — both engines replay the same RE2-safe
@@ -1019,6 +1035,27 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "txt_fingerprint" -> ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(string_split(text,''), c -> ascii(c)::BIGINT)), " +
       s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) AS fp FROM documents ORDER BY doc_id"),
+    "txt_repetition" -> ("WITH w AS (SELECT doc_id, " +
+      "list_filter(string_split(text,' '), x->x<>'') AS ws FROM documents) " +
+      "SELECT doc_id, " +
+      "round(CASE WHEN len(ws)=0 THEN 0.0 ELSE 1.0 - len(list_distinct(ws))::DOUBLE/len(ws) END, 4) AS dup_tok, " +
+      "round(CASE WHEN len(ws)-1 <= 0 THEN 0.0 ELSE 1.0 - " +
+      "len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])))::DOUBLE/(len(ws)-1) END, 4) AS dup_2gram, " +
+      "round(CASE WHEN len(ws)-2 <= 0 THEN 0.0 ELSE 1.0 - " +
+      "len(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])))::DOUBLE/(len(ws)-2) END, 4) AS dup_3gram, " +
+      "round(CASE WHEN len(ws)=0 THEN 0.0 ELSE " +
+      "list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w))))::DOUBLE/len(ws) END, 4) AS top_frac " +
+      "FROM w ORDER BY doc_id"),
+    "pipe_mix" -> ("WITH tot AS (SELECT lang, " +
+      "CAST(sum(len(list_filter(string_split(text,' '), x->x<>''))) AS DOUBLE) AS t " +
+      "FROM documents GROUP BY lang) " +
+      "SELECT doc_id, lang FROM documents JOIN tot USING (lang) WHERE " +
+      "(list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(doc_id::VARCHAR || ':graft',''), c -> ascii(c)::BIGINT)), " +
+      s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) % 10000)::DOUBLE < " +
+      "least(1.0, (CASE lang WHEN 'en' THEN 4000.0 WHEN 'es' THEN 1000.0 " +
+      "WHEN 'de' THEN 5000.0 ELSE 0.0 END) / t) * 10000.0 " +
+      "ORDER BY doc_id"),
     "txt_redact" -> {
       val email = Text.EmailRe
       val phone = Text.PhoneRe

@@ -30,6 +30,26 @@ object Sampling {
     df.filter(hashBp(key, salt) < rateBp)
   }
 
+  /** Sample each stratum down to a TOKEN budget — how mixing recipes are
+    * actually written ("2B tokens of web, 500M of code"). Two passes: a
+    * per-stratum token total (one partial-agg pass over the corpus; the
+    * totals table is strata-sized, broadcast), then the same map-side hash
+    * gate at rate `budget/total` (capped at 1). Strata without a budget are
+    * dropped. Deterministic: the rate is IEEE-double arithmetic on the same
+    * integers in any engine, so the oracle replays the sample row-for-row. */
+  def sampleToTokenBudget(df: DataFrame, key: Column, strata: Column,
+                          tokenCount: Column, budgets: Map[String, Long],
+                          salt: String = "graft"): DataFrame = {
+    val totals = df.groupBy(strata.as("__s")).agg(sum(tokenCount).as("__tot"))
+    val rate = budgets.foldLeft(lit(0.0)) { case (acc, (k, b)) =>
+      when(col("__s") === k,
+        least(lit(1.0), lit(b.toDouble) / col("__tot"))).otherwise(acc)
+    }
+    df.join(broadcast(totals), strata === col("__s"), "left")
+      .filter(hashBp(key, salt).cast("double") < rate * 10000.0)
+      .drop("__s", "__tot")
+  }
+
   /** Per-stratum rates (basis points), e.g. language-conditioned mixing.
     * Strata not in `ratesBp` fall back to `defaultBp`. One codegen'd CASE —
     * still a pure map-side filter. */

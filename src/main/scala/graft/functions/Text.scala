@@ -81,6 +81,32 @@ object Text {
     }
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 quality filters):
+    * high duplicate-token / duplicate-n-gram fractions and a dominant top
+    * token mark boilerplate-ish, low-information docs. Pure column
+    * expressions, DuckDB-replayable. */
+  def dupTokenRatio(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier n-gram. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val total = size(ws) - (n - 1)
+    when(total <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(Dedup.shingles(ws, n)).cast("double") / total)
+  }
+
+  /** Occurrence fraction of the most frequent token. */
+  def topTokenFrac(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w)))).cast("double") / size(ws))
+  }
+
   /** 48-bit polynomial rolling hash over the document's characters
     * (acc*31 + codepoint, mod a 48-bit prime). Kept below 2^53 so the exact
     * same arithmetic is expressible in DuckDB BIGINTs for the oracle. */

@@ -248,6 +248,44 @@ class PipelineSpec extends SparkSpec {
     assert(a.subsetOf(wider), "narrower rate must be a subset of wider rate")
   }
 
+  test("repetition signals: duplicate fractions and dominant token") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),              // all dup, top frac 1
+      (2L, "a b c d"),                          // no repetition
+      (3L, "x y x y x y")).toDF("id", "t")      // bigrams repeat
+    val got = df.select(col("id"),
+        Text.dupTokenRatio(col("t")).as("dt"),
+        Text.dupNgramRatio(col("t"), 2).as("d2"),
+        Text.topTokenFrac(col("t")).as("tf"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // expectations spelled as the engine computes them (1.0 - d/n), so the
+    // doubles match bit-for-bit
+    assert(got(1L) == ((0.75, 1.0 - 1.0 / 3, 1.0)))
+    assert(got(2L) == ((0.0, 0.0, 0.25)))
+    // "x y x y x y": 6 tokens 2 distinct → 1-1/3; bigrams [xy,yx,xy,yx,xy]
+    // → 5 total 2 distinct → 1-2/5; top frac 0.5
+    assert(got(3L) == ((1.0 - 2.0 / 6, 1.0 - 2.0 / 5, 0.5)))
+  }
+
+  test("token-budget mixing: quota-capped strata, unbudgeted dropped") {
+    val budgets = Map("en" -> 4000L, "de" -> 1000000L)
+    val mixed = Sampling.sampleToTokenBudget(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"), col("lang"), Text.tokenCount(col("text")), budgets)
+    val byLang = mixed.groupBy("lang")
+      .agg(sum(Text.tokenCount(col("text"))).as("toks"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // unbudgeted languages are gone entirely
+    assert(byLang.keySet == Set("en", "de"))
+    // de's budget exceeds supply → rate caps at 1, every de doc kept
+    val deAll = docs.filter(col("lang") === "de").count()
+    assert(byLang("de")._2 == deAll)
+    // en sampled to ~its quota (hash gate is per-doc, so ±40% slack)
+    val enToks = byLang("en")._1.toDouble
+    assert(enToks > 1500 && enToks < 7000, s"en tokens: $enToks")
+  }
+
   test("semantic dedup: cell-bounded pair stage keeps most exact clusters") {
     val exact = Similarity.semanticClusters(emb, "vec_id", "embedding", 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
