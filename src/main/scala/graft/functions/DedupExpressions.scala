@@ -53,6 +53,50 @@ object DedupExpressions {
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** Packed band bucket keys of a k-long signature (see [[BandKeys]]). */
+  def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9e3779b97f4a7c15L
+      var r = 0
+      while (r < rows) {
+        h = (h ^ sig.getLong(b * rows + r)) * 0xbf58476d1ce4e5b9L
+        h ^= (h >>> 27)
+        r += 1
+      }
+      h *= 0x94d049bb133111ebL
+      h ^= (h >>> 31)
+      out(b) = (b.toLong << 32) | (h & 0xffffffffL)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `band_keys(sig)` — the LSH band bucket keys of a packed signature
+  * array, one 8-byte key per band: band index in the high 32 bits, a mixed
+  * hash of the band's signature rows in the low 32. One primitive loop
+  * over the array — the unpacked formulation (130-column projection + 64
+  * inline hash expressions) generated a method past the JIT's limits and
+  * ran ~4× slower at 32M output rows. The mixer is free to be anything
+  * uniform: no oracle replays band hashes (dd_minhash verifies exactly;
+  * only collision STRUCTURE matters, and two docs collide in a band iff
+  * their band rows are identical, mixer-independent). */
+case class BandKeys(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rows >= 1, s"bad banding: $bands x $rows")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys"
+  override protected def nullSafeEval(s: Any): Any =
+    DedupExpressions.bandKeys(s.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.DedupExpressions.bandKeys($s, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): BandKeys =
+    copy(child = c)
 }
 
 /** `word_shingles(text, n)` — distinct n-gram shingle array, codegen'd. */

@@ -33,6 +33,12 @@ object MinhashProbe {
     time2("posting")(Dedup.shingledPosting(base, "doc_id", "text", layoutById = true))
     time2("posting+sig")(Dedup.minhashSignatures(
       Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128))
+    time2("posting+sig+banded")(Dedup.minhashBanded(
+      Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128, 64))
+    time2("posting+sig+banded+sorted")(Dedup.minhashBanded(
+      Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128, 64)
+      .repartition(org.apache.spark.sql.functions.col("bk"))
+      .sortWithinPartitions("bk", "id"))
     time2("posting+sig+cand")(Dedup.minhashCandidates(
       Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128, 64, 5000))
     time2("full")(Dedup.minhashPairs(

@@ -48,23 +48,23 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("bucketPairScan emits i<j pairs per run, skips over-cap runs") {
-    // runs: (0,0)=[1,2,3] → 3 pairs; (0,1)=[4] singleton → none;
-    // (1,0)=[5,6,7,8] over cap 3 → skipped; (1,1)=[9,10] → 1 pair
+    // runs keyed by packed bucket key: 10=[1,2,3] → 3 pairs; 11=[4]
+    // singleton → none; 20=[5,6,7,8] over cap 3 → skipped; 21=[9,10] → 1
     val rows = Seq(
-      (0, 0, 1L), (0, 0, 2L), (0, 0, 3L), (0, 1, 4L),
-      (1, 0, 5L), (1, 0, 6L), (1, 0, 7L), (1, 0, 8L),
-      (1, 1, 9L), (1, 1, 10L))
+      (10L, 1L), (10L, 2L), (10L, 3L), (11L, 4L),
+      (20L, 5L), (20L, 6L), (20L, 7L), (20L, 8L),
+      (21L, 9L), (21L, 10L))
     val got = Dedup.bucketPairScan(rows.iterator, cap = 3).toSeq
     assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L), (9L, 10L)))
     // final-run close: last run ends at input exhaustion
-    assert(Dedup.bucketPairScan(Seq((5, 5, 1L), (5, 5, 2L)).iterator, 3).toSeq
+    assert(Dedup.bucketPairScan(Seq((5L, 1L), (5L, 2L)).iterator, 3).toSeq
       == Seq((1L, 2L)))
     assert(Dedup.bucketPairScan(Iterator.empty, 3).isEmpty)
     // run of exactly cap length is kept; cap+1 is dropped
     assert(Dedup.bucketPairScan(
-      Seq((0, 0, 1L), (0, 0, 2L), (0, 0, 3L)).iterator, 3).size == 3)
+      Seq((0L, 1L), (0L, 2L), (0L, 3L)).iterator, 3).size == 3)
     assert(Dedup.bucketPairScan(
-      Seq((0, 0, 1L), (0, 0, 2L), (0, 0, 3L), (0, 0, 4L)).iterator, 3).isEmpty)
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).iterator, 3).isEmpty)
   }
 
   test("minhash LSH: degenerate bucket is capped, not quadratic") {
