@@ -113,6 +113,63 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `simhash_agg(h)` — the [[Dedup.SimHashBits]]-bit SimHash as ONE
+  * imperative aggregate: per token hash, each bit position votes ±1 into
+  * an int[bits] buffer; eval assembles the majority bits into the final
+  * long directly. The declarative form (48 separate `sum(CASE ...)`
+  * aggregates + a 48-term assembly expression) is the same
+  * wide-generated-method shape that hurt the minhash signature aggregate. */
+case class SimHashAgg(child: Expression, bits: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+  require(bits >= 1 && bits <= 63, s"bad simhash width: $bits")
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
+  override def update(buf: Array[Int], row: InternalRow): Array[Int] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var b = 0
+      while (b < bits) {
+        buf(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    buf
+  }
+  override def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+    var b = 0
+    while (b < bits) { x(b) += y(b); b += 1 }
+    x
+  }
+  override def eval(buf: Array[Int]): Any = {
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (buf(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * bits)
+    bb.asIntBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bits)
+    java.nio.ByteBuffer.wrap(bytes).asIntBuffer().get(out)
+    out
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash_agg"
+  override def withNewMutableAggBufferOffset(offset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): SimHashAgg =
+    copy(child = c)
+}
+
 /** `minhash_sig(h, k)` — the k-minima MinHash signature as ONE imperative
   * aggregate over a long[k] buffer, replacing k separate declarative
   * `min(...)` aggregates.

@@ -112,9 +112,10 @@ object Text {
     * same arithmetic is expressible in DuckDB BIGINTs for the oracle. */
   val FpMod = 281474976710597L // largest prime < 2^48
 
-  def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % FpMod)
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(PolyHash(Shim.expression(text)))
+  }
 
   /** Same polynomial hash for a single token (used by simhash). */
   /** PII redaction (training-data hygiene — scrub before the corpus ships):
@@ -139,9 +140,7 @@ object Text {
      regexp_count(text, lit(PhoneRe)),
      regexp_count(text, lit(Ipv4Re)))
 
-  def tokenHash(word: Column): Column =
-    aggregate(split(word, ""), lit(0L),
-      (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % FpMod)
+  def tokenHash(word: Column): Column = fingerprint(word)
 
   /** C4-style boilerplate removal: drop every line that occurs in at least
     * `minDf` distinct documents (nav bars, cookie banners, "subscribe"
