@@ -91,12 +91,15 @@ object Text {
       lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
   }
 
-  /** Fraction of word n-grams that are repeats of an earlier n-gram. */
+  /** Fraction of word n-grams that are repeats of an earlier n-gram.
+    * Distinct-gram counting via the codegen'd [[WordShingles]] (the HOF
+    * shingle builder interprets its lambda per gram). */
   def dupNgramRatio(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    val total = size(ws) - (n - 1)
+    import org.apache.spark.sql.graftshim.Shim
+    val total = size(tokens(text)) - (n - 1)
     when(total <= 0, lit(0.0)).otherwise(
-      lit(1.0) - size(Dedup.shingles(ws, n)).cast("double") / total)
+      lit(1.0) - size(Shim.column(WordShingles(Shim.expression(text), n)))
+        .cast("double") / total)
   }
 
   /** Occurrence fraction of the most frequent token. */
