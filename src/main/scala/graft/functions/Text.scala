@@ -102,12 +102,14 @@ object Text {
         .cast("double") / total)
   }
 
-  /** Occurrence fraction of the most frequent token. */
+  /** Occurrence fraction of the most frequent token ([[TopTokenCount]] —
+    * one native pass; the HOF form was O(distinct × total) interpreted). */
   def topTokenFrac(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
     val ws = tokens(text)
     when(size(ws) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(ws),
-        w => size(filter(ws, x => x === w)))).cast("double") / size(ws))
+      Shim.column(TopTokenCount(Shim.expression(text)))
+        .cast("double") / size(ws))
   }
 
   /** 48-bit polynomial rolling hash over the document's characters
@@ -148,7 +150,10 @@ object Text {
   /** C4-style boilerplate removal: drop every line that occurs in at least
     * `minDf` distinct documents (nav bars, cookie banners, "subscribe"
     * footers — the classic crawl-corpus cleaning step), reassembling each
-    * document's surviving lines in order.
+    * document's surviving lines in order. A document whose EVERY line is
+    * frequent disappears from the output entirely — it was pure
+    * boilerplate, and dropping it is the cleaning semantics (C4 does the
+    * same); callers needing row preservation left-join the result back.
     *
     * Scale shape: one narrow posexplode, a partial-agg doc-frequency count
     * over 8-byte line HASHES (the exchange carries one row per distinct

@@ -85,16 +85,8 @@ object AbleGen {
   /** Generate to parquet (idempotent: returns immediately when the target
     * exists with a _SUCCESS marker). Partition count scales with n so the
     * layout matches what a cluster writer would produce. */
-  def ensure(spark: SparkSession, n: Long, path: String): String = {
-    val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists()) {
-      val parts = math.max(spark.sparkContext.defaultParallelism,
-        (n / 1000000L).toInt)
-      frame(spark, n).repartition(parts)
-        .write.mode("overwrite").parquet(path)
-    }
-    path
-  }
+  def ensure(spark: SparkSession, n: Long, path: String): String =
+    GenCache.ensure(spark, n, path)(frame(spark, n))
 
   /** CLI: `runMain graft.tools.AbleGen <nRows> <outPath>`. */
   def main(args: Array[String]): Unit = {

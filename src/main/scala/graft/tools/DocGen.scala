@@ -27,15 +27,6 @@ object DocGen {
         .as("text"))
   }
 
-  /** Idempotent parquet materialization (reused across bench rounds). */
-  def ensure(spark: SparkSession, n: Long, path: String): String = {
-    val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists()) {
-      val parts = math.max(spark.sparkContext.defaultParallelism,
-        (n / 1000000L).toInt)
-      frame(spark, n).repartition(parts)
-        .write.mode("overwrite").parquet(path)
-    }
-    path
-  }
+  def ensure(spark: SparkSession, n: Long, path: String): String =
+    GenCache.ensure(spark, n, path)(frame(spark, n))
 }
