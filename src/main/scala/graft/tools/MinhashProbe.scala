@@ -33,6 +33,9 @@ object MinhashProbe {
     time2("posting")(Dedup.shingledPosting(base, "doc_id", "text", layoutById = true))
     time2("posting+sig")(Dedup.minhashSignatures(
       Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128))
+    // NOTE: the banded stages run the checkpoint-FREE diagnostic path
+    // (single consumer), so they undercount vs the cand/full stages which
+    // pay the pipeline's posting+sig materializations
     time2("posting+sig+banded")(Dedup.minhashBanded(
       Dedup.shingledPosting(base, "doc_id", "text", layoutById = true), 128, 64))
     time2("posting+sig+banded+sorted")(Dedup.minhashBanded(
