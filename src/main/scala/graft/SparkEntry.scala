@@ -150,6 +150,21 @@ object SparkEntry {
         "ExternalLookup(Row(n_regionkey=2), query='SELECT c_nationkey AS nk, " +
           "count(*) AS cnt FROM customer WHERE c_nationkey IN $1 GROUP BY nk ORDER BY nk')")
     }),
+    // write=true (`reference/executor.go:4413-4422`): the id set ships to an
+    // external WRITE statement; verified by reading the target back so the
+    // oracle checks the write's EFFECT, not just the empty ack.
+    "pql_externallookup_write" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft_ext_tgt").toString
+      s.sql("DROP TABLE IF EXISTS ext_tgt")
+      s.sql(s"CREATE TABLE ext_tgt (nk BIGINT) USING parquet LOCATION '$loc'")
+      val ack = Pql.run(s, dir, "nation",
+        "ExternalLookup(Row(n_regionkey=2), write=true, " +
+          "query='INSERT INTO ext_tgt SELECT _id FROM $1')")
+      require(ack.isEmpty, "write mode must return the empty-table ack")
+      s.table("ext_tgt").orderBy("nk")
+    }),
   )
 
   /** DuckDB oracle for reference-semantics Percentile (`reference/executor.go:
@@ -284,6 +299,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "pql_externallookup" -> ("SELECT c_nationkey AS nk, count(*) AS cnt FROM customer " +
       "WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2) " +
       "GROUP BY nk ORDER BY nk"),
+    "pql_externallookup_write" -> ("SELECT CAST(n_nationkey AS BIGINT) AS nk " +
+      "FROM nation WHERE n_regionkey = 2 ORDER BY nk"),
     "sql_intdiv" -> ("SELECT o_orderkey, o_orderkey // 7 AS q, o_orderkey % 7 AS r " +
       "FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey"),
     "sql_case" -> ("SELECT l_returnflag, CASE WHEN l_quantity > 30 THEN 'big' " +
@@ -1151,8 +1168,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "max(ts) AS mts FROM events"),
     "src_kinesis" -> ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
       "round(sum(value), 2) AS sv FROM events"),
-    "src_datagen" -> ("SELECT count(*) AS cnt, sum(i) AS sid, " +
-      "sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS n_female, " +
+    "src_datagen" -> ("SELECT count(*) AS cnt, CAST(sum(i) AS BIGINT) AS sid, " +
+      "CAST(sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_female, " +
       "max(TIMESTAMP '2006-01-02 15:04:05' + to_microseconds(i * 50000)) AS mts " +
       "FROM range(0, 1000) t(i)"),
     "mm_meta" -> ("SELECT doc_id AS _id, " +

@@ -386,6 +386,14 @@ object TableLog {
   /** Whether this session persists DML durably (`spark.graft.warehouse`). */
   def isDurable(spark: SparkSession): Boolean = warehouse(spark).isDefined
 
+  /** Whether the session holds live log state for `name`. Guards
+    * `Tables.registerAll`: after a DROP re-arms the registration memo, the
+    * base catalog must NOT re-register a raw dir-backed view over a name
+    * whose truth is the log's merged view — that would hide durable writes
+    * from reads and make the next stateOf reset onto the stale base. */
+  def hasState(spark: SparkSession, name: String): Boolean =
+    states.containsKey(key(spark, name))
+
   /** Drop all log state for a table (DROP TABLE): forgets the in-memory log
     * and removes the warehouse dir so a restore doesn't resurrect it. */
   def forget(spark: SparkSession, name: String): Unit = {

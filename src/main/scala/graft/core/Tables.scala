@@ -94,7 +94,15 @@ object Tables {
     * a base view calls [[invalidate]] (`Ddl` DROP path). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     registeredDir.runIfChanged(spark, dir) {
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      // Names with live TableLog state keep their merged log view: after an
+      // unrelated DROP re-arms this memo, re-registering the raw dir-backed
+      // parquet would hide the log's overlay from reads AND make the next
+      // write reset the log onto the stale base (losing the overlay once GC
+      // grace expires). The log view is the source of truth for those names.
+      names.foreach { n =>
+        if (!TableLog.hasState(spark, n))
+          load(spark, dir, n).createOrReplaceTempView(n)
+      }
       userEvents(spark, dir).createOrReplaceTempView("user_events")
     }
 

@@ -464,13 +464,25 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       // the id set becomes a uniquely-named temp view (concurrent queries on
       // one session must not race on a shared name), `$1` a subquery over it;
       // the "external" engine is whatever the catalog reaches (JDBC in prod).
+      // write=true (`reference/executor.go:4383`, `:4413-4422`): the
+      // statement is an external WRITE with the id set bound to $1 — an
+      // empty id set short-circuits without executing (`:4404-4406`
+      // !argRow.Any), and the result is the reference's empty-table ack.
+      // Spark's sql() runs DML commands eagerly and atomically per
+      // statement, standing in for the reference's single-Exec pg txn.
       val query = call.str("query")
         .getOrElse(sys.error("ExternalLookup: query required"))
+      val write = call.bool("write").getOrElse(false)
+      val ids = toIds(bits(call.children.head))
       val view = s"_lookup_ids_${Compiler.lookupViewSeq.incrementAndGet()}"
-      toIds(bits(call.children.head)).createOrReplaceTempView(view)
-      try table.sparkSession.sql(
-        query.replace("$1", s"(SELECT _id FROM $view)")).localCheckpoint()
-      finally table.sparkSession.catalog.dropTempView(view)
+      ids.createOrReplaceTempView(view)
+      try {
+        val bound = query.replace("$1", s"(SELECT _id FROM $view)")
+        if (write) {
+          if (!ids.isEmpty) table.sparkSession.sql(bound).collect()
+          table.sparkSession.emptyDataFrame
+        } else table.sparkSession.sql(bound).localCheckpoint()
+      } finally table.sparkSession.catalog.dropTempView(view)
 
     case _ => // bitmap call at top level → its id set
       toIds(bits(call)).orderBy("_id")

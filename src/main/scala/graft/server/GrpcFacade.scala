@@ -152,8 +152,16 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
   private def chkSql(sql: String): Unit = auth.foreach { cfg =>
     val user = authedUser(cfg)
     if (cfg.perms.isAdmin(user.groups)) return
+    chkSqlAs(cfg, user, sql)
+  }
+
+  /** Statement-shaped check, recursive so `EXPLAIN <stmt>` authorizes as
+    * `<stmt>` (plan + schema output leaks exactly what running it would). */
+  private def chkSqlAs(cfg: Auth.Config, user: Auth.UserInfo,
+                       sql: String): Unit = {
     import graft.sql.Ddl
     Ddl.authKind(sql) match {
+      case Some(Ddl.AuthAsInner(inner)) => chkSqlAs(cfg, user, inner)
       case Some(Ddl.AuthAdmin) => // grpc.go:234-238 DDL → admin
         denied("insufficient permissions to execute request")
       case Some(Ddl.AuthWrite(targets, reads)) =>
@@ -161,7 +169,7 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
         val readable = cfg.perms.authorizedIndexes(user.groups, Auth.PermRead).toSet
         if (!targets.forall(writable) || !reads.forall(readable))
           denied("insufficient permissions to access requested tables")
-      case Some(Ddl.AuthReadOnly) => () // SHOW/EXPLAIN/txn: metadata only
+      case Some(Ddl.AuthReadOnly) => () // SHOW/txn: metadata only
       case None =>
         val plan =
           try spark.sessionState.sqlParser.parsePlan(
@@ -204,8 +212,14 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     * lock-free on immutable DataFrames. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** In durable mode also hold TableLog's per-(session,table) mutation lock:
+    * the HTTP facade sharing this SparkSession has its own lock map, and the
+    * log's contract requires read→delta→commit under ITS lock (reentrant,
+    * so the PQL durable path's inner locked() composes). */
   private def writeLock[A](name: String)(f: => A): A =
-    tableLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
+    tableLocks.computeIfAbsent(name, _ => new Object).synchronized(
+      if (durable) graft.core.TableLog.locked(spark, name)(f) else f)
 
   private val MaxWireRows = 100000
 

@@ -172,8 +172,17 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * lock-free on immutable DataFrames. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** In durable mode the facade lock alone is not enough: another FRONTEND
+    * (gRPC) sharing this SparkSession has its own lock map, so the
+    * read→compute-delta→commit sequence must also hold TableLog's
+    * per-(session,table) mutation lock — the log's documented contract.
+    * Intrinsic locks are reentrant, so paths that already take
+    * TableLog.locked deeper down (the PQL durable write path) compose.
+    * Ordering is always facade-lock → log-lock, never the reverse. */
   private def writeLock[A](name: String)(f: => A): A =
-    tableLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
+    tableLocks.computeIfAbsent(name, _ => new Object).synchronized(
+      if (durable) graft.core.TableLog.locked(spark, name)(f) else f)
 
   def start(): Int = {
     graft.core.Tables.registerAll(spark, dir)

@@ -92,6 +92,11 @@ object Ddl {
   final case class AuthWrite(tables: Seq[String],
                              reads: Seq[String] = Seq.empty) extends AuthKind
   case object AuthReadOnly extends AuthKind
+  /** EXPLAIN: authorize AS the inner statement — the plan and schema it
+    * prints leak exactly what reading (or writing) the inner tables would,
+    * so a caller needs the same permissions (the reference gates SQL by the
+    * parsed statement's referenced tables, `grpc.go:223-248`). */
+  final case class AuthAsInner(inner: String) extends AuthKind
 
   def authKind(q: String): Option[AuthKind] = q match {
     case InsertRe(t, _, _)       => Some(AuthWrite(Seq(t)))
@@ -99,7 +104,8 @@ object Ddl {
     // COPY reads src and writes tgt — write-on-source would wrongly deny
     // read-authorized users copying into their own writable table
     case CopyRe(s, t, _)         => Some(AuthWrite(Seq(t), reads = Seq(s)))
-    case ExplainRe(_) | TxnRe(_) => Some(AuthReadOnly)
+    case ExplainRe(body)         => Some(AuthAsInner(body))
+    case TxnRe(_)                => Some(AuthReadOnly)
     // BULK INSERT ... FROM '<path>' reads SERVER-side files — that is an
     // operator-level capability, not a table write: admin only (plain
     // write permission must not buy arbitrary local-file reads)

@@ -172,6 +172,30 @@ class CompilerSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ExternalLookup write=true executes the statement; empty ids skip it") {
+    graft.core.Tables.registerAll(spark, sfDir)
+    val loc = java.nio.file.Files.createTempDirectory("graft_elw").toString
+    spark.sql("DROP TABLE IF EXISTS elw_tgt")
+    spark.sql(s"CREATE TABLE elw_tgt (nk BIGINT) USING parquet LOCATION '$loc'")
+    try {
+      // reference executor.go:4413-4422: the write runs, result is the
+      // empty-table ack
+      val ack = run("nation",
+        "ExternalLookup(Row(n_regionkey=2), write=true, " +
+          "query='INSERT INTO elw_tgt SELECT _id FROM $1')")
+      assert(ack.isEmpty)
+      val wrote = spark.table("elw_tgt").count()
+      assert(wrote > 0)
+      // executor.go:4404-4406 (!argRow.Any): empty id set → statement NOT
+      // executed, target unchanged
+      val ack2 = run("nation",
+        "ExternalLookup(Row(n_regionkey=12345), write=true, " +
+          "query='INSERT INTO elw_tgt SELECT _id FROM $1')")
+      assert(ack2.isEmpty)
+      assert(spark.table("elw_tgt").count() == wrote)
+    } finally spark.sql("DROP TABLE IF EXISTS elw_tgt")
+  }
+
   test("previous= cursor pagination on Rows and GroupBy") {
     val page1 = run("orders", "Rows(o_orderpriority, limit=2)")
       .collect().map(_.getString(0)).toSeq

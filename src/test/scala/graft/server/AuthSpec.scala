@@ -309,6 +309,25 @@ class AuthGrpcSpec extends SparkSpec {
     } finally { reader.shutdownNow(); writer.shutdownNow(); admin.shutdownNow() }
   }
 
+  test("EXPLAIN authorizes as its inner statement (no schema/plan leak)") {
+    val reader = ch("readers"); val admin = ch("admins")
+    def sql(c: grpc.ManagedChannel, q: String) =
+      status(GrpcFacade.call(c, facade.QuerySqlUnaryMethod, GrpcFacade.sqlRequest(q)))
+    try {
+      // reader may EXPLAIN over its authorized table...
+      assert(sql(reader, "EXPLAIN SELECT r_name FROM region") ==
+        grpc.Status.Code.OK)
+      // ...but not over tables it cannot read (plan output leaks schema),
+      // and EXPLAIN of DML/DDL needs the inner statement's permission
+      assert(sql(reader, "EXPLAIN SELECT o_orderkey FROM orders") ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      assert(sql(reader, "EXPLAIN DELETE FROM region") ==
+        grpc.Status.Code.PERMISSION_DENIED)
+      assert(sql(admin, "EXPLAIN SELECT o_orderkey FROM orders") ==
+        grpc.Status.Code.OK)
+    } finally { reader.shutdownNow(); admin.shutdownNow() }
+  }
+
   test("SQL: table allow-list enforced; missing token denied; admin passes") {
     val reader = ch("readers"); val admin = ch("admins")
     val anon = GrpcFacade.channel(port)

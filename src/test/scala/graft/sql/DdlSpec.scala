@@ -230,6 +230,40 @@ class DdlSpec extends SparkSpec {
       .head().getLong(0) > 0)
   }
 
+  test("TableLog state on a base-catalog name survives an unrelated DROP") {
+    import org.apache.spark.sql.functions._
+    // dir-register the base catalog, then write THROUGH the log onto one of
+    // its names — the log's merged view becomes the truth for `nation`
+    val before = GraftSql.sql(spark, sfDir, "SELECT count(*) AS n FROM nation")
+      .head().getLong(0)
+    val incoming = spark.table("nation").limit(1)
+      .withColumn("n_nationkey", lit(900L))
+      .withColumn("n_name", lit("LOGLAND"))
+      .withColumn("_id", lit(900L))
+    graft.core.TableLog.upsert(spark, "nation", incoming)
+    assert(spark.table("nation").count() == before + 1)
+    // an UNRELATED drop re-arms the registration memo; the next dir-scoped
+    // statement must NOT re-register the raw parquet view over the log view
+    run("CREATE TABLE unrelated_drop_victim (_id ID)")
+    run("DROP TABLE unrelated_drop_victim")
+    val after = GraftSql.sql(spark, sfDir, "SELECT count(*) AS n FROM nation")
+      .head().getLong(0)
+    assert(after == before + 1,
+      s"overlay lost: $after != ${before + 1} — registerAll clobbered the log view")
+    // and a FURTHER write must still see the overlay as its base state
+    // (a stateOf reset onto the raw view would silently drop row 900)
+    val inc2 = spark.table("nation").filter("_id = 900")
+      .withColumn("n_nationkey", lit(901L))
+      .withColumn("_id", lit(901L))
+    graft.core.TableLog.upsert(spark, "nation", inc2)
+    assert(spark.table("nation").filter("_id IN (900, 901)").count() == 2)
+    // restore the pristine dir view for later suites
+    graft.core.TableLog.forget(spark, "nation")
+    graft.core.Tables.invalidate(spark)
+    graft.core.Tables.registerAll(spark, sfDir)
+    assert(spark.table("nation").count() == before)
+  }
+
   test("PQL Percentile over decimal and timestamp fields keeps field typing") {
     run("CREATE TABLE pctl (_id ID, price DECIMAL(2), at TIMESTAMP)")
     run("INSERT INTO pctl VALUES (1, 10.25, '2020-01-01T00:00:00Z'), " +
