@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is one JVM standing in for a whole executor fleet: 8g gave
+  // each of 32 task threads ~256MB, which the 100x dedup rehearsal's sort
+  // buffers blow through; 24g ≈ a sane 0.75g/thread on the 128GiB box
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // forward stdin to forked `run` mains (graft.tools.Shell)
 run / connectInput := true

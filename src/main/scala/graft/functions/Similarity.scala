@@ -225,12 +225,26 @@ object Similarity {
     * measured in PipelineSpec). Cross-all-cells pairs are still forfeited,
     * the accepted SemDeDup tradeoff. Cluster propagation runs over the PAIR
     * set either way ([[Dedup.duplicateClusters]] — near-dup pair sets are
-    * orders of magnitude smaller than the corpus). */
+    * orders of magnitude smaller than the corpus).
+    *
+    * The exact path REFUSES corpora above `maxExactRows` (one cheap count
+    * job, metadata-only on a raw parquet scan) rather than silently running
+    * the O(n²) self-join: auto-switching to cells would silently change
+    * which pairs exist, and at corpus scale the all-pairs plan is not slow
+    * but non-terminating. Callers that really mean it raise the cap. */
   def semanticClusters(embeddings: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nCells: Option[Int] = None,
-                       mAssign: Int = 2): DataFrame = {
+                       mAssign: Int = 2,
+                       maxExactRows: Long = 1000000L): DataFrame = {
     val pairs = nCells match {
-      case None => cosinePairs(embeddings, idCol, vecCol, threshold)
+      case None =>
+        val n = embeddings.count()
+        require(n <= maxExactRows,
+          s"semanticClusters: exact all-pairs over $n rows exceeds " +
+            s"maxExactRows=$maxExactRows and would be O(n²) at corpus " +
+            "scale; pass nCells=Some(k) for the cell-bounded SemDeDup " +
+            "path (or raise maxExactRows for an eval-set-sized corpus)")
+        cosinePairs(embeddings, idCol, vecCol, threshold)
       case Some(k) =>
         require(mAssign >= 1 && mAssign <= k, s"mAssign out of range: $mAssign")
         val (_, centroids) = ivfIndex(embeddings, idCol, vecCol, k)

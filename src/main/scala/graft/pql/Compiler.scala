@@ -488,7 +488,7 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       toIds(bits(call)).orderBy("_id")
   }
 
-  private val ShardWidth = 1L << 20 // `reference/shardwidth/helper.go:14`
+  private val ShardWidth = Compiler.ShardWidth
 
   /** TopN(b, field, tanimotoThreshold=T): keep values whose Tanimoto
     * similarity to the source bitmap exceeds T% —
@@ -841,6 +841,10 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
 
 /** Convenience entry: parse + compile + run one PQL query against a table. */
 object Compiler {
+  /** Records per shard (`reference/shardwidth/helper.go:14`) — shared with
+    * the facades' QueryRequest.Shards → `_id`-range pruning. */
+  val ShardWidth = 1L << 20
+
   /** Unique suffix for per-query ExternalLookup temp views. */
   private[pql] val lookupViewSeq = new java.util.concurrent.atomic.AtomicLong()
 

@@ -200,9 +200,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       }
     })
     server.createContext("/index", new HttpHandler {
-      def handle(ex: HttpExchange): Unit = respond(ex) {
+      def handle(ex: HttpExchange): Unit = {
         val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
-        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val bodyBytes = ex.getRequestBody.readAllBytes()
+        // the reference Go client's native protocol: protobuf QueryRequest/
+        // QueryResponse when Content-Type is x-protobuf
+        // (`reference/http_handler.go:2516-2523`)
+        val isProto = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.startsWith("application/x-protobuf"))
+        parts match {
+          case Array("index", idx, "query") if isProto =>
+            protoQuery(ex, idx, bodyBytes)
+          case _ => jsonRoutes(ex, parts, new String(bodyBytes, UTF_8))
+        }
+      }
+
+      private def jsonRoutes(ex: HttpExchange, parts: Array[String],
+                             body: String): Unit = respond(ex) {
         val method = ex.getRequestMethod
         parts match {
           // schema management (`reference/http_handler.go:500-516` router
@@ -223,12 +237,18 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             chk(ex, Some(idx), Auth.PermWrite); createField(idx, f, body)
           case Array("index", idx, "field", f) if method == "DELETE" =>
             chk(ex, Some(idx), Auth.PermWrite); dropField(idx, f)
-          // `GET mutex-check` (`http_handler.go:518`): records whose mutex
-          // field holds >1 value. A scalar column cannot represent that
-          // violation — the invariant the reference audits is structural
-          // here, so the answer is always the empty map.
+          // `GET mutex-check` (`http_handler.go:518`, `api.go:2737`): records
+          // whose mutex field holds >1 value. A scalar column cannot
+          // represent that violation — the invariant the reference audits is
+          // structural here, so the answer is always empty. The WIRE shape
+          // still tracks the reference's marshaling (`api.go:2931-2981`):
+          // details=false collects a LIST of record ids (`result = outIDs`),
+          // details=true a record→values MAP — an empty `[]` vs `{}`.
           case Array("index", idx, "field", _, "mutex-check") if method == "GET" =>
-            chk(ex, Some(idx), Auth.PermRead); "{}"
+            chk(ex, Some(idx), Auth.PermRead)
+            val details = Option(ex.getRequestURI.getQuery).getOrElse("")
+              .split("&").contains("details=true")
+            if (details) "{}" else "[]"
           case Array("index", idx, "query") =>
             val writes = graft.pql.Pql.writeCallN(body) > 0
             graft.core.Metrics.inc(graft.core.Metrics.PqlQueries)
@@ -802,6 +822,61 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     def handle(ex: HttpExchange): Unit = respond(ex) {
       f(new String(ex.getRequestBody.readAllBytes(), UTF_8))
     }
+  }
+
+  /** POST /index/{i}/query in the Go client's protobuf mode
+    * (`reference/client/client.go:281-313`): pb.QueryRequest body,
+    * pb.QueryResponse answer with Content-Type `application/protobuf`
+    * (`reference/http_handler.go:2593-2599`; we always answer protobuf in
+    * this mode — the reference would render JSON on an explicit
+    * `Accept: application/json`, which the client never sends).
+    * QueryRequest.Shards prunes execution to `_id` shard ranges exactly
+    * like Options(shards=); combined with writes it errors rather than
+    * committing a shard-filtered state. */
+  private def protoQuery(ex: HttpExchange, idx: String,
+                         body: Array[Byte]): Unit = {
+    graft.core.Metrics.inc(graft.core.Metrics.HttpRequest)
+    val (code, payload) =
+      try {
+        val (query, shards) = PbQuery.decodeRequest(body)
+        val writes = graft.pql.Pql.writeCallN(query) > 0
+        graft.core.Metrics.inc(graft.core.Metrics.PqlQueries)
+        chk(ex, Some(idx), if (writes) Auth.PermWrite else Auth.PermRead)
+        if (shards.nonEmpty && writes)
+          sys.error("shards restriction unsupported on write programs")
+        val calls = graft.pql.Parser.parse(query)
+        def run(): Array[Byte] =
+          if (durable) {
+            val rs = graft.pql.Pql.programResultsDurable(spark, idx, query)
+            if (writes) cardinalityCache.remove(idx)
+            PbQuery.encodeResponse(calls.zip(rs), MaxWireRows)
+          } else {
+            import org.apache.spark.sql.functions.col
+            val base0 = tableState(idx)
+            val base =
+              if (shards.isEmpty) base0
+              else {
+                val w = graft.pql.Compiler.ShardWidth
+                base0.filter(shards.map(s =>
+                  col("_id") >= s * w && col("_id") < (s + 1) * w)
+                  .reduceLeft(_ || _))
+              }
+            val (rs, next) = graft.pql.Pql.programResults(base, idx, query)
+            val wire = PbQuery.encodeResponse(calls.zip(rs), MaxWireRows)
+            if (writes) commitState(idx, next)
+            wire
+          }
+        (200, tracked(query, "", idx) {
+          if (writes) writeLock(idx)(run()) else run()
+        })
+      } catch {
+        case e: Auth.AuthError => (403, PbQuery.errResponse(msg(e)))
+        case e: Throwable      => (400, PbQuery.errResponse(msg(e)))
+      }
+    ex.getResponseHeaders.set("Content-Type", "application/protobuf")
+    ex.sendResponseHeaders(code, payload.length.toLong)
+    ex.getResponseBody.write(payload)
+    ex.close()
   }
 
   private def respond(ex: HttpExchange)(f: => String): Unit = {

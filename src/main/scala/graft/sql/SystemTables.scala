@@ -37,6 +37,15 @@ object SystemTables {
       .toDF("request_id", "name", "status")
       .createOrReplaceTempView("fb_exec_requests")
 
+    // reference schema `systemobjects.go:43-52`: fb_views rows are the
+    // session's CREATE VIEW definitions (ownership/timestamps untracked)
+    val ts0 = new java.sql.Timestamp(0L)
+    Ddl.viewDefs.toSeq.sortBy(_._1)
+      .map { case (n, b) => (n, n, b, "", "", ts0, ts0) }
+      .toDF("_id", "name", "statement", "owner", "updated_by",
+        "created_at", "updated_at")
+      .createOrReplaceTempView("fb_views")
+
     // reference schema `opsystemtable.go:271-303`: (nodeid, namespace,
     // subsystem, counter_name, value, counter_type); counters live in
     // graft.core.Metrics (counter_type 0 = CTR_TYPE_RAW)

@@ -8,6 +8,20 @@ import graft.functions.Dedup
   * Each stage runs twice, uncached; the second time is reported (JIT-warm,
   * matching Bench's warmup-then-time protocol). */
 object MinhashProbe {
+
+  /** The pipeline's cumulative stage cuts, each a full plan from the raw
+    * docs (stage N's time includes stages < N, so per-stage growth between
+    * two corpus sizes exposes which stage goes super-linear). Used by
+    * [[graft.Bench]]'s dedup rehearsal and by this probe's main. */
+  def stages(base: org.apache.spark.sql.DataFrame)
+      : Seq[(String, () => org.apache.spark.sql.DataFrame)] = {
+    def posting = Dedup.shingledPosting(base, "doc_id", "text", layoutById = true)
+    Seq(
+      "posting" -> (() => posting),
+      "sig" -> (() => Dedup.minhashSignatures(posting, 128)),
+      "cand" -> (() => Dedup.minhashCandidates(posting, 128, 64, 5000)),
+      "full" -> (() => Dedup.minhashPairs(posting, 0.5)))
+  }
   def main(args: Array[String]): Unit = {
     val spark = graft.core.EngineConf(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -1,79 +1,244 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Interactive shell — the `fbsql` analogue (`reference/fbsql/`): reads
+/** Interactive shell — the `fbsql` analogue (`reference/cli/`): reads
   * statements from stdin and prints result tables.
   *
+  * Statement input:
   *   - plain input  → reference-dialect SQL (`graft.sql.GraftSql`)
   *   - `:pql <index> <program>` → PQL against that table
-  *   - `:set warehouse <dir>` → durable DML + archive target
-  *   - `:backup <tar>` / `:restore <tar>` → the `featurebase backup` /
-  *     `restore` verbs (`reference/ctl/backup.go`) over the warehouse
-  *   - `:tables` / `:quit`
+  *   - end a line with `\` to continue the statement on the next line
   *
-  * `sbt "runMain graft.tools.Shell [sfDir]"`. Statements end at a newline;
-  * end with `\` to continue on the next line.
+  * psql-style meta-commands (`reference/cli/meta.go:1110-1161` dispatch):
+  *   - `\d` (SHOW TABLES WITH SYSTEM), `\d <t>` (SHOW COLUMNS) —
+  *     `meta.go:503-534`
+  *   - `\dt` (SHOW TABLES), `\dv` (fb_views), `\l` (SHOW DATABASES)
+  *   - `\i <file>` include: execute statements from a file (`meta.go:411-418`)
+  *   - `\o [file]` redirect query output; no arg resets (`meta.go:651-683`)
+  *   - `\timing [on|off]` per-query `Execution time: Nμs` (`writer.go:80-82`)
+  *   - `\x [on|off]` expanded one-column-per-line display (`meta.go:237-260`)
+  *   - `\echo <text>` / `\qecho <text>` (to terminal / to query output)
+  *   - `\p` print the continuation buffer, `\r` reset it, `\?` help, `\q` quit
+  *
+  * Warehouse meta-commands (ours, `:`-prefixed; the `featurebase backup` /
+  * `restore` verbs, `reference/ctl/backup.go`):
+  *   - `:set warehouse <dir>`, `:backup <tar>`, `:restore <tar>`
+  *   - `:tables`, `:quit`
+  *
+  * `sbt "runMain graft.tools.Shell [sfDir]"`.
   */
 object Shell {
 
-  /** The repl loop, session-injectable so specs can drive it without
-    * owning (or stopping) the process-wide session. Returns on `:quit` or
-    * end of input. */
-  def repl(spark: SparkSession, dir: String, in: java.io.BufferedReader,
-           out: java.io.PrintStream): Unit = {
-    var line: String = null
-    val buf = new StringBuilder
-    out.print("graft> "); out.flush()
-    while ({ line = in.readLine(); line != null }) {
-      if (line.endsWith("\\")) buf.append(line.dropRight(1)).append(' ')
-      else {
-        val stmt = (buf.toString + line).trim
-        buf.clear()
-        stmt match {
-          case "" =>
-          case ":quit" | ":exit" => return
-          case ":tables" => out.println(graft.core.Tables.names.mkString(" "))
-          // `featurebase backup`/`restore` verbs (`reference/ctl/backup.go`)
-          // as shell meta-commands over the durable warehouse
-          case s if s.startsWith(":backup ") =>
-            if (!graft.core.TableLog.isDurable(spark))
-              out.println("error: set spark.graft.warehouse first (:set warehouse <dir>)")
-            else {
-              val tar = s.stripPrefix(":backup ").trim
-              val n = graft.core.Backup.backup(
-                spark.conf.get("spark.graft.warehouse"), tar).length
-              out.println(s"$n entries -> $tar")
-            }
-          case s if s.startsWith(":restore ") =>
-            if (!graft.core.TableLog.isDurable(spark))
-              out.println("error: set spark.graft.warehouse first (:set warehouse <dir>)")
-            else {
-              val tar = s.stripPrefix(":restore ").trim
-              graft.core.Backup.restore(tar, spark.conf.get("spark.graft.warehouse"))
-              val tables = graft.sql.Ddl.restoreSession(spark)
-              out.println(s"restored: ${tables.mkString(" ")}")
-            }
-          case s if s.startsWith(":set warehouse ") =>
-            spark.conf.set("spark.graft.warehouse",
-              s.stripPrefix(":set warehouse ").trim)
-            out.println("ok - DML and :backup/:restore now use the warehouse")
-          case s =>
-            try {
-              val df =
-                if (s.startsWith(":pql ")) {
-                  val rest = s.stripPrefix(":pql ").trim
-                  val (idx, q) = rest.span(!_.isWhitespace)
-                  graft.pql.Pql.program(spark, dir, idx, q.trim)
-                } else graft.sql.GraftSql.sql(spark, dir, s)
-              df.show(50, truncate = false)
-            } catch { case e: Exception =>
-              out.println(s"error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" ")}")
-            }
+  /** Per-repl mutable display state (psql writeOptions analogue). */
+  private final class State(val term: java.io.PrintStream) {
+    var sink: java.io.PrintStream = term  // query output; \o redirects
+    var timing = false
+    var expanded = false
+    var quit = false
+    def resetSink(): Unit = {
+      if (sink ne term) sink.close()
+      sink = term
+    }
+  }
+
+  /** Render a result the way psql does: aligned header table, or expanded
+    * `-[ RECORD n ]-` blocks under `\x`. Capped at `max` rows (the shell is
+    * a terminal, not an export path — `\o` + SQL LIMIT for more). */
+  private def render(df: DataFrame, expanded: Boolean, max: Int = 50): String = {
+    val cols = df.columns
+    val rows = df.take(max + 1)
+    val shown = rows.take(max)
+    def fmt(v: Any): String = v match {
+      case null => ""
+      case s: Seq[_] => s.map(fmt).mkString("[", ",", "]")
+      case b: Array[Byte] => s"<${b.length} bytes>"
+      case x => x.toString
+    }
+    val sb = new StringBuilder
+    if (expanded) {
+      val w = if (cols.isEmpty) 0 else cols.map(_.length).max
+      shown.zipWithIndex.foreach { case (r, i) =>
+        sb.append(s"-[ RECORD ${i + 1} ]-\n")
+        cols.indices.foreach { j =>
+          sb.append(cols(j).padTo(w, ' ')).append(" | ")
+            .append(fmt(r.get(j))).append('\n')
         }
-        out.print("graft> "); out.flush()
+      }
+    } else {
+      val cells = shown.map(r => cols.indices.map(j => fmt(r.get(j))))
+      val widths = cols.indices.map { j =>
+        (cols(j).length +: cells.map(_(j).length)).max
+      }
+      sb.append(cols.indices.map(j => cols(j).padTo(widths(j), ' '))
+        .mkString(" ", " | ", "")).append('\n')
+      sb.append(widths.map("-" * (_: Int)).mkString("-", "-+-", "-")).append('\n')
+      cells.foreach { row =>
+        sb.append(cols.indices.map(j => row(j).padTo(widths(j), ' '))
+          .mkString(" ", " | ", "")).append('\n')
       }
     }
+    val n = shown.length
+    sb.append(s"($n row${if (n == 1) "" else "s"}")
+      .append(if (rows.length > shown.length) s", first $max shown)" else ")")
+    sb.toString
+  }
+
+  /** Execute one SQL/PQL statement and write its rendered result (and the
+    * `\timing` line) to the current sink. Timing covers execute+fetch — the
+    * reference reports server ExecutionTime the same way. */
+  private def runStatement(spark: SparkSession, dir: String, st: State,
+                           stmt: String): Unit = {
+    val t0 = System.nanoTime()
+    try {
+      val df =
+        if (stmt.startsWith(":pql ")) {
+          val rest = stmt.stripPrefix(":pql ").trim
+          val (idx, q) = rest.span(!_.isWhitespace)
+          graft.pql.Pql.program(spark, dir, idx, q.trim)
+        } else graft.sql.GraftSql.sql(spark, dir, stmt)
+      st.sink.println(render(df, st.expanded))
+      if (st.timing)
+        st.sink.println(s"Execution time: ${(System.nanoTime() - t0) / 1000}μs")
+    } catch { case e: Exception =>
+      st.term.println(s"error: ${Option(e.getMessage).getOrElse(e.toString)
+        .linesIterator.take(3).mkString(" ")}")
+    }
+  }
+
+  private val help =
+    """\d [table]      list relations, or columns of a table
+      |\dt  \dv  \l    list tables / views / databases
+      |\i <file>       execute statements from a file
+      |\o [file]       redirect query output to a file (no arg: reset)
+      |\timing [on|off]  toggle per-query execution time
+      |\x [on|off]     toggle expanded display
+      |\echo / \qecho  print text to terminal / to query output
+      |\p  \r          print / reset the continuation buffer
+      |\q              quit
+      |:pql <index> <program>   run PQL
+      |:set warehouse <dir>  :backup <tar>  :restore <tar>  :tables""".stripMargin
+
+  /** Dispatch one complete input line's statement or meta-command. `buf` is
+    * the continuation buffer (for `\p`/`\r`). */
+  private def dispatch(spark: SparkSession, dir: String, st: State,
+                       buf: StringBuilder, stmt: String): Unit = {
+    def onOff(arg: Option[String], cur: Boolean): Boolean = arg match {
+      case None => !cur
+      case Some("on") => true
+      case Some("off") => false
+      case Some(other) =>
+        st.term.println(s"""unrecognized value "$other": Boolean expected""")
+        cur
+    }
+    val parts = stmt.split("\\s+").toList
+    (parts.headOption.getOrElse(""), parts.drop(1)) match {
+      case ("", _) =>
+      case (":quit" | ":exit" | "\\q", _) => st.quit = true
+      case (":tables", _) =>
+        st.term.println(graft.core.Tables.names.mkString(" "))
+      case ("\\?", _) => st.term.println(help)
+      case ("\\d", Nil) =>
+        runStatement(spark, dir, st, "SHOW TABLES WITH SYSTEM")
+      case ("\\d", t :: Nil) =>
+        runStatement(spark, dir, st, s"SHOW COLUMNS FROM $t")
+      case ("\\dt", _) => runStatement(spark, dir, st, "SHOW TABLES")
+      case ("\\dv", _) => runStatement(spark, dir, st, "SELECT * FROM fb_views")
+      case ("\\l", _) => runStatement(spark, dir, st, "SHOW DATABASES")
+      case ("\\echo", args) => st.term.println(args.mkString(" "))
+      case ("\\qecho", args) => st.sink.println(args.mkString(" "))
+      case ("\\p", _) => st.term.println(buf.toString)
+      case ("\\r", _) => buf.clear(); st.term.println("Query buffer reset.")
+      case ("\\timing", args) =>
+        st.timing = onOff(args.headOption, st.timing)
+        st.term.println(s"Timing is ${if (st.timing) "on" else "off"}.")
+      case ("\\x", args) =>
+        st.expanded = onOff(args.headOption, st.expanded)
+        st.term.println(
+          s"Expanded display is ${if (st.expanded) "on" else "off"}.")
+      case ("\\o", Nil) => st.resetSink()
+      case ("\\o", f :: Nil) =>
+        st.resetSink()
+        try st.sink = new java.io.PrintStream(
+          new java.io.FileOutputStream(f, /*append=*/ true), true, "UTF-8")
+        catch { case e: java.io.IOException =>
+          st.term.println(s"error: opening $f: ${e.getMessage}")
+        }
+      case ("\\i", f :: Nil) =>
+        try {
+          val r = new java.io.BufferedReader(new java.io.FileReader(f))
+          try feed(spark, dir, st, r, interactive = false)
+          finally r.close()
+        } catch { case e: java.io.IOException =>
+          st.term.println(s"error: opening $f: ${e.getMessage}")
+        }
+      case (c, _) if c.startsWith("\\") =>
+        st.term.println(s"unsupported meta-command: '$c'")
+      // `featurebase backup`/`restore` verbs (`reference/ctl/backup.go`)
+      // as shell meta-commands over the durable warehouse
+      case (":backup", args) =>
+        if (!graft.core.TableLog.isDurable(spark))
+          st.term.println(
+            "error: set spark.graft.warehouse first (:set warehouse <dir>)")
+        else {
+          val tar = args.mkString(" ")
+          val n = graft.core.Backup.backup(
+            spark.conf.get("spark.graft.warehouse"), tar).length
+          st.term.println(s"$n entries -> $tar")
+        }
+      case (":restore", args) =>
+        if (!graft.core.TableLog.isDurable(spark))
+          st.term.println(
+            "error: set spark.graft.warehouse first (:set warehouse <dir>)")
+        else {
+          graft.core.Backup.restore(args.mkString(" "),
+            spark.conf.get("spark.graft.warehouse"))
+          val tables = graft.sql.Ddl.restoreSession(spark)
+          st.term.println(s"restored: ${tables.mkString(" ")}")
+        }
+      case (":set", "warehouse" :: dirArg) =>
+        spark.conf.set("spark.graft.warehouse", dirArg.mkString(" "))
+        st.term.println("ok - DML and :backup/:restore now use the warehouse")
+      case _ => runStatement(spark, dir, st, stmt)
+    }
+  }
+
+  /** Drain a reader through the statement/meta loop — the repl itself and
+    * `\i` share this (`meta.go:420-466` executeFile replays the same
+    * splitter+buffer pipeline over file lines). */
+  private def feed(spark: SparkSession, dir: String, st: State,
+                   in: java.io.BufferedReader, interactive: Boolean): Unit = {
+    val buf = new StringBuilder
+    var line: String = null
+    if (interactive) { st.term.print("graft> "); st.term.flush() }
+    while (!st.quit && { line = in.readLine(); line != null }) {
+      val trimmed = line.trim
+      if (line.endsWith("\\") && !trimmed.startsWith("\\"))
+        buf.append(line.dropRight(1)).append(' ')
+      else {
+        // a meta-command mid-continuation acts on the pending buffer
+        // (`\p`/`\r`) without consuming it; anything else completes the
+        // statement
+        if (trimmed.startsWith("\\") && buf.nonEmpty)
+          dispatch(spark, dir, st, buf, trimmed)
+        else {
+          val stmt = (buf.toString + line).trim
+          buf.clear()
+          dispatch(spark, dir, st, buf, stmt)
+        }
+        if (interactive && !st.quit) { st.term.print("graft> "); st.term.flush() }
+      }
+    }
+  }
+
+  /** The repl loop, session-injectable so specs can drive it without
+    * owning (or stopping) the process-wide session. Returns on `\q`,
+    * `:quit`, or end of input. */
+  def repl(spark: SparkSession, dir: String, in: java.io.BufferedReader,
+           out: java.io.PrintStream): Unit = {
+    val st = new State(out)
+    try feed(spark, dir, st, in, interactive = true)
+    finally st.resetSink()
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,8 +251,8 @@ object Shell {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Tables.registerAll(spark, dir)
-    println(s"graft shell - tables from $dir. SQL, :pql <index> <q>, :tables, " +
-      ":set warehouse <dir>, :backup <tar>, :restore <tar>, :quit")
+    println(s"graft shell - tables from $dir. SQL, :pql <index> <q>, " +
+      "\\? for meta-commands, \\q to quit")
     repl(spark, dir,
       new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
       System.out)

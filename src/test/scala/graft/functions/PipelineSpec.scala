@@ -297,6 +297,19 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"cell-bounded recall too low: $recall")
   }
 
+  test("semantic dedup: exact all-pairs refuses a corpus-sized input") {
+    // the O(n²) default must not be reachable by accident at scale: above
+    // maxExactRows the call fails fast, naming the nCells knob
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semanticClusters(emb, "vec_id", "embedding", 0.45,
+        maxExactRows = 3)
+    }
+    assert(err.getMessage.contains("nCells"), err.getMessage)
+    // the cell-bounded path is unaffected by the cap
+    assert(Similarity.semanticClusters(emb, "vec_id", "embedding", 0.45,
+      nCells = Some(4), maxExactRows = 3).count() > 0)
+  }
+
   test("sampling plan is a pure map-side filter: zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -24,6 +24,92 @@ class HttpFacadeSpec extends SparkSpec {
 
   override def afterAll(): Unit = { facade.stop(); super.afterAll() }
 
+  private def postProto(path: String, body: Array[Byte]): (Int, Array[Byte]) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/x-protobuf")
+      .header("Accept", "application/x-protobuf")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    (r.statusCode(), r.body())
+  }
+
+  /** pb.QueryRequest exactly as Go's proto.Marshal emits it
+    * (`client.go:1326-1334` makeRequestData; `pb/public.proto:137-144`):
+    * Query = field 1 length-delimited, Shards = field 2 packed varints.
+    * Bytes are written BY HAND here — the independent side of the
+    * wire-compatibility check. */
+  private def queryRequest(q: String, shards: Seq[Long] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val qb = q.getBytes("UTF-8")
+    out.write(0x0A); out.write(qb.length); out.write(qb)
+    if (shards.nonEmpty) {
+      out.write(0x12); out.write(shards.length) // small shard ids: 1 byte each
+      shards.foreach(s => out.write(s.toInt))
+    }
+    out.toByteArray
+  }
+
+  test("protobuf query mode: Go-client wire shapes, golden bytes " +
+    "(client.go:281-313, encoding/proto/proto.go:496-566)") {
+    // Count → QueryResult{N=2:varint, Type=6:varint=5(Uint64)} inside
+    // QueryResponse.Results=2. Golden bytes derived from the proto wire
+    // format by hand: 0x12 len | 0x10 N | 0x30 5
+    val (c1, b1) = postProto("/index/region/query", queryRequest("Count(All())"))
+    assert(c1 == 200)
+    assert(b1.toSeq == Seq(0x12, 4, 0x10, 5, 0x30, 5).map(_.toByte),
+      b1.map(b => f"$b%02x").mkString(" "))
+
+    // bitmap call → Row{Columns=1} Type=1: 0x12 len | 0x0A len 0x08 id | 0x30 1
+    val (c2, b2) = postProto("/index/region/query",
+      queryRequest("Row(r_regionkey=0)"))
+    assert(c2 == 200)
+    assert(b2.toSeq == Seq(0x12, 6, 0x0A, 2, 0x08, 0, 0x30, 1).map(_.toByte),
+      b2.map(b => f"$b%02x").mkString(" "))
+
+    // Shards restriction prunes to `_id` ranges (QueryRequest.Shards,
+    // public.proto:139): all test ids live in shard 0, so shard 9 is empty
+    val (c3, b3) = postProto("/index/region/query",
+      queryRequest("Count(All())", shards = Seq(9L)))
+    assert(c3 == 200)
+    assert(b3.toSeq == Seq(0x12, 4, 0x10, 0, 0x30, 5).map(_.toByte),
+      b3.map(b => f"$b%02x").mkString(" "))
+
+    // write → Bool Changed=4 Type=6: 0x12 len | 0x20 1 | 0x30 6 — and the
+    // follow-up read sees the write (one result per call)
+    val (c4, b4) = postProto("/index/orders/query",
+      queryRequest("Set(7, o_orderpriority='9-PROTO')"))
+    assert(c4 == 200)
+    assert(b4.toSeq == Seq(0x12, 4, 0x20, 1, 0x30, 6).map(_.toByte),
+      b4.map(b => f"$b%02x").mkString(" "))
+    val (c5, b5) = postProto("/index/orders/query",
+      queryRequest("Count(Row(o_orderpriority='9-PROTO'))"))
+    assert(c5 == 200 &&
+      b5.toSeq == Seq(0x12, 4, 0x10, 1, 0x30, 5).map(_.toByte))
+
+    // Sum → ValCount{Val=1, Count=2} Type=4 wrapped in field 5; decode with
+    // the reader and cross-check against the JSON mode's numbers
+    val (c6, b6) = postProto("/index/nation/query",
+      queryRequest("Sum(field=n_regionkey)"))
+    assert(c6 == 200)
+    val qr = new Proto.Reader(b6).fields(2).head.asInstanceOf[Array[Byte]]
+    val r6 = new Proto.Reader(qr)
+    assert(r6.fields(6).head == 4L) // Type=ValCount
+    val vc = new Proto.Reader(r6.fields(5).head.asInstanceOf[Array[Byte]])
+    assert(vc.fields(1).head == 50L) // sum of 25 nations' region keys 0-4
+    assert(vc.fields(2).head == 25L)
+
+    // TopN → PairsField{Pairs,Field} Type=3; spot-decode the first pair
+    val (c7, b7) = postProto("/index/region/query",
+      queryRequest("TopN(r_regionkey, n=2)"))
+    assert(c7 == 200)
+    val qr7 = new Proto.Reader(new Proto.Reader(b7)
+      .fields(2).head.asInstanceOf[Array[Byte]])
+    assert(qr7.fields(6).head == 3L)
+    val pf = new Proto.Reader(qr7.fields(11).head.asInstanceOf[Array[Byte]])
+    val p0 = new Proto.Reader(pf.fields(1).head.asInstanceOf[Array[Byte]])
+    assert(p0.fields(2).head == 1L) // every region key appears once
+  }
+
   test("POST /sql runs reference-dialect SQL and returns wire shape") {
     val (code, body) = post("/sql",
       "SELECT TOP(3) r_regionkey, r_name FROM region ORDER BY r_regionkey")
@@ -110,8 +196,14 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get("/version")._2.contains(""""version""""))
     // GET /index lists every index (http_handler.go:500)
     assert(get("/index")._2.contains(""""name":"orders""""))
-    // structural mutex invariant: always clean (http_handler.go:518)
-    assert(get("/index/part/field/p_size/mutex-check") == (200, "{}"))
+    // structural mutex invariant: always clean (http_handler.go:518), but
+    // the wire SHAPE follows the reference's marshaling (api.go:2931-2981):
+    // details=false is a LIST of violating record ids, details=true a
+    // record→values MAP — empty [] vs {} here
+    assert(get("/index/part/field/p_size/mutex-check") == (200, "[]"))
+    assert(get("/index/part/field/p_size/mutex-check?limit=10") == (200, "[]"))
+    assert(get("/index/part/field/p_size/mutex-check?details=true") ==
+      (200, "{}"))
   }
 
   test("index/field lifecycle over REST (http_handler.go:500-516,1893,2088)") {

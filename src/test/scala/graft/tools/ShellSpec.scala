@@ -59,4 +59,76 @@ class ShellSpec extends SparkSpec {
       Files.deleteIfExists(java.nio.file.Paths.get(tar))
     }
   }
+
+  test("\\d lists relations; \\d <table> describes columns (meta.go:503-534)") {
+    val o = run("\\d\n\\d nation\n\\q\n")
+    assert(o.contains("nation") && o.contains("lineitem"), o)
+    // SHOW COLUMNS wire shape: the described table's columns appear as rows
+    assert(o.contains("n_name") && o.contains("n_regionkey"), o)
+  }
+
+  test("\\dt and \\dv list tables and views; \\echo prints") {
+    val o = run(
+      """CREATE VIEW shell_v AS SELECT r_name FROM region
+        |\dv
+        |\dt
+        |\echo done-echo
+        |\q
+        |""".stripMargin)
+    assert(o.contains("shell_v"), o)          // fb_views row
+    assert(o.contains("region"), o)           // SHOW TABLES row
+    assert(o.contains("done-echo"), o)
+    graft.sql.Ddl.run(spark, "DROP VIEW shell_v")
+  }
+
+  test("\\x expanded display and \\timing wrap query output (writer.go:80)") {
+    val o = run(
+      """\x on
+        |SELECT r_regionkey, r_name FROM region WHERE r_regionkey = 0
+        |\x off
+        |\timing on
+        |SELECT count(*) AS n FROM region
+        |\q
+        |""".stripMargin)
+    assert(o.contains("Expanded display is on."), o)
+    assert(o.contains("-[ RECORD 1 ]-"), o)
+    assert(o.contains("Timing is on."), o)
+    assert(raw"Execution time: \d+μs".r.findFirstIn(o).isDefined, o)
+  }
+
+  test("\\o redirects query output to a file; bare \\o resets (meta.go:651)") {
+    val f = Files.createTempFile("graft-shell-o", ".txt").toString
+    try {
+      val o = run(
+        s"""\\o $f
+           |SELECT r_name FROM region ORDER BY r_regionkey
+           |\\qecho sink-line
+           |\\o
+           |SELECT 1 AS back_on_term
+           |\\q
+           |""".stripMargin)
+      val redirected = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(f)), "UTF-8")
+      assert(redirected.contains("AFRICA") && redirected.contains("sink-line"),
+        redirected)
+      assert(!o.contains("AFRICA"), o)         // rows went to the file
+      assert(o.contains("back_on_term"), o)    // reset restored the terminal
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(f))
+  }
+
+  test("\\i executes statements from a file (meta.go:411-466)") {
+    val f = Files.createTempFile("graft-shell-i", ".sql")
+    Files.write(f,
+      """SELECT count(*) AS nat_count FROM nation
+        |\echo included-ran
+        |""".stripMargin.getBytes("UTF-8"))
+    try {
+      val o = run(s"\\i $f\n\\q\n")
+      assert(o.contains("nat_count"), o)
+      assert(o.contains("included-ran"), o)
+      // a missing file is an error message, not a stack trace
+      val o2 = run("\\i /nonexistent/nope.sql\n\\q\n")
+      assert(o2.contains("error: opening"), o2)
+    } finally Files.deleteIfExists(f)
+  }
 }
