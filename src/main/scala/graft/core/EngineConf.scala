@@ -18,7 +18,14 @@ object EngineConf {
     // partition — a hidden O(n log n) sort of the whole posting list on any
     // real corpus. 128Ki keys × ~1.1 KB signature buffer ≈ 140 MB bounds
     // the per-partition memory
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072",
+    // the driver-generated parquet stores event times as timestamp[us]
+    // WITHOUT isAdjustedToUTC, which Spark 4 infers as TIMESTAMP_NTZ; the
+    // engine's event-time surface (watermarks, time quantum, Row(from=/to=))
+    // is built on TIMESTAMP, and session tz is pinned UTC everywhere, so the
+    // naive reading is identical. Conf-level (not a cast) keeps parquet
+    // filter pushdown on ts intact.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 
   /** Apply to a builder: `EngineConf(SparkSession.builder()...)`. */
   def apply(b: SparkSession.Builder): SparkSession.Builder =

@@ -57,6 +57,10 @@ object Tables {
     // (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench sessions);
     // normalize to TimestampType (µs) here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestamp[us] without isAdjustedToUTC must read as TIMESTAMP, not
+    // TIMESTAMP_NTZ (see EngineConf) — set here too for externally-built
+    // sessions handed to the facades.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val base0 = spark.read.parquet(s"$dir/$name.parquet")
     val base =
       if (name == "events" &&
