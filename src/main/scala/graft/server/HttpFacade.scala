@@ -4,6 +4,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
 
 /** HTTP facade over the engine — the reference's serving surface re-expressed
   * on the JDK's built-in server (zero extra dependencies):
@@ -184,6 +185,13 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     tableLocks.computeIfAbsent(name, _ => new Object).synchronized(
       if (durable) graft.core.TableLog.locked(spark, name)(f) else f)
 
+  /** This node's URI JSON as the Go client's StatusURI/fragmentNode
+    * parse it (`client.go:1602-1606,1650-1654`). */
+  private def nodeUri: String = {
+    val scheme = if (tls.isDefined) "https" else "http"
+    s"""{"scheme":"$scheme","host":"localhost","port":${server.getAddress.getPort}}"""
+  }
+
   def start(): Int = {
     graft.core.Tables.registerAll(spark, dir)
     // durable mode: re-register warehouse tables over the parquet views so
@@ -211,6 +219,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         parts match {
           case Array("index", idx, "query") if isProto =>
             protoQuery(ex, idx, bodyBytes)
+          case Array("index", idx, "field", field, "import") if isProto =>
+            protoImport(ex, idx, field, bodyBytes)
           case _ => jsonRoutes(ex, parts, new String(bodyBytes, UTF_8))
         }
       }
@@ -226,7 +236,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           // index list
           case Array("index") if method == "GET" =>
             val vis = readable(chk(ex, None, Auth.PermRead))
-            graft.core.Tables.names.filter(vis).map(indexInfo).mkString("[", ",", "]")
+            allIndexNames.filter(vis).map(indexInfo).mkString("[", ",", "]")
           case Array("index", idx) if method == "POST" =>
             chk(ex, None, Auth.PermAdmin); createIndex(idx, body)
           case Array("index", idx) if method == "DELETE" =>
@@ -244,10 +254,39 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           // still tracks the reference's marshaling (`api.go:2931-2981`):
           // details=false collects a LIST of record ids (`result = outIDs`),
           // details=true a record→values MAP — an empty `[]` vs `{}`.
-          case Array("index", idx, "field", _, "mutex-check") if method == "GET" =>
+          // Error wire shape matches `handleGetMutexCheck`
+          // (`http_handler.go:3263-3297`): 406 unless the Accept header
+          // admits application/json; 400 on a non-numeric limit=; 500 (via
+          // Go's http.Error, text/plain) when the field is missing
+          // (`api.go:2746` newNotFoundError) or not mutex-typed
+          // (`api.go:2752` "can only check mutex state for mutex fields").
+          case Array("index", idx, "field", f, "mutex-check") if method == "GET" =>
             chk(ex, Some(idx), Auth.PermRead)
-            val details = Option(ex.getRequestURI.getQuery).getOrElse("")
-              .split("&").contains("details=true")
+            if (!acceptsJson(ex))
+              throw PlainError(406, "JSON only acceptable response")
+            val qparams = Option(ex.getRequestURI.getQuery).getOrElse("")
+              .split("&").toSeq
+            qparams.collectFirst { case s if s.startsWith("limit=") =>
+              s.stripPrefix("limit=") }.foreach { v =>
+              if (scala.util.Try(v.toInt).isFailure)
+                throw PlainError(400, "limit must be numeric") }
+            val schema = tableState(idx).schema
+            val fld = schema.fields.find(_.name == f).getOrElse(
+              throw PlainError(500, "field not found"))
+            fld.dataType match {
+              // STRING/ID columns are the reference's mutex fields (SURVEY
+              // §1.2 storage mapping); integer scalars also carry INT (BSI)
+              // — indistinguishable in a scalar column, so admitted. Sets,
+              // bool, decimal, timestamp are distinct reference field types
+              // (`field.go:43-49`) and are rejected like the reference.
+              case org.apache.spark.sql.types.StringType |
+                   org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.ShortType => ()
+              case _ =>
+                throw PlainError(500, "can only check mutex state for mutex fields")
+            }
+            val details = qparams.contains("details=true")
             if (details) "{}" else "[]"
           case Array("index", idx, "query") =>
             val writes = graft.pql.Pql.writeCallN(body) > 0
@@ -368,12 +407,13 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         }
         "" // → 204 No Content like the reference
       } else {
+      // The SchemaInfo shape the reference Go client unmarshals
+      // (`client.go:1666-1700` SchemaInfo/SchemaIndex/SchemaField):
+      // fields carry an options envelope in the reference's field-type
+      // vocabulary, and the index carries the shardWidth the client uses
+      // to route imports.
       val vis = readable(chk(ex, None, Auth.PermRead)) // http_handler.go:524
-      val indexes = graft.core.Tables.names.filter(vis).map { t =>
-        val fields = spark.table(t).schema.fields.map(f =>
-          s"""{"name":${js(f.name)},"type":${js(f.dataType.simpleString)}}""")
-        s"""{"name":${js(t)},"fields":[${fields.mkString(",")}]}"""
-      }
+      val indexes = allIndexNames.filter(vis).map(indexInfo)
       s"""{"indexes":[${indexes.mkString(",")}]}"""
     }}})
     // `GET /info` (`http_handler.go:522,1260`): node/system facts, admin
@@ -390,7 +430,41 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     server.createContext("/status", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
         chk(ex, None, Auth.PermRead)
-        """{"state":"NORMAL","nodes":[{"id":"local","state":"STARTED","isPrimary":true}],"localID":"local","clusterName":"graft"}"""
+        // node uri block: the Go client's Status()/fetchPrimaryNode
+        // (`client.go:629-648`, StatusNode `client.go:1643-1654`) routes
+        // every primary-bound request through it
+        s"""{"state":"NORMAL","nodes":[{"id":"local","state":"STARTED","isPrimary":true,"uri":$nodeUri}],"localID":"local","clusterName":"graft"}"""
+      }
+    })
+    // The single-node answers to the Go client's shard-routing probes:
+    // `/internal/fragment/nodes?shard=N&index=I` (`client.go:608-627`,
+    // every shard lives here) and `/internal/shards/max` (`client.go:
+    // 808-821`, max shard per index from the `_id` range)
+    server.createContext("/internal/fragment/nodes", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        s"""[{"uri":$nodeUri,"grpc-uri":$nodeUri}]"""
+      }
+    })
+    server.createContext("/internal/shards/max", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        import org.apache.spark.sql.functions.{col, max}
+        val w = graft.pql.Compiler.ShardWidth
+        val entries = allIndexNames.map { n =>
+          val maxShard = try {
+            val df = tableState(n)
+            if (df.schema("_id").dataType ==
+                org.apache.spark.sql.types.LongType)
+              df.agg(max(col("_id"))).head.getAs[Any](0) match {
+                case l: java.lang.Long => l.longValue() / w
+                case _ => 0L
+              }
+            else 0L // keyed index: key-hash shards unknowable here
+          } catch { case _: Exception => 0L }
+          s"${js(n)}:$maxShard"
+        }
+        s"""{"standard":{${entries.mkString(",")}}}"""
       }
     })
     // unauthenticated like the reference (`http_handler.go:541`)
@@ -759,19 +833,53 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     success(idx)
   }
 
+  /** Every index the serving surface knows: the parquet test tables plus
+    * DDL-created catalog tables, minus fb_* system views and CREATE VIEW
+    * definitions (the reference's /schema lists indexes, not views). A
+    * driver-side catalog listing — no Spark job. */
+  private def allIndexNames: Seq[String] = {
+    val cat = spark.catalog.listTables().collect().toSeq.map(_.name)
+      .filterNot(_.startsWith("fb_"))
+      .filterNot(graft.sql.Ddl.viewDefs.contains)
+    (graft.core.Tables.names ++ cat).distinct
+  }
+
+  /** FieldInfo.Options (`reference/field.go:2166-2198`) in the reference's
+    * field-type vocabulary (`field.go:43-49`) — the reference has no
+    * "string" field type: keyed scalars are mutex with keys:true, keyed
+    * sets set with keys:true. `keys` has no omitempty tag, so it is always
+    * present, matching the reference's marshaling. */
+  private def fieldOptions(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType                 => """{"type":"mutex","keys":true}"""
+      case LongType | IntegerType | ShortType
+                                      => """{"type":"int","keys":false}"""
+      case BooleanType                => """{"type":"bool","keys":false}"""
+      case TimestampType              => """{"type":"timestamp","keys":false}"""
+      case d: DecimalType => s"""{"type":"decimal","scale":${d.scale},"keys":false}"""
+      case DoubleType | FloatType     => """{"type":"decimal","scale":4,"keys":false}"""
+      case ArrayType(StringType, _)   => """{"type":"set","keys":true}"""
+      case ArrayType(LongType, _)     => """{"type":"set","keys":false}"""
+      case ArrayType(_: StructType, _) => """{"type":"time","keys":true}"""
+      case other => s"""{"type":${js(other.simpleString)},"keys":false}"""
+    }
+  }
+
   /** `GET /index/{i}` (`http_handler.go:1718-1742`): the IndexInfo shape
-    * (name + fields with reference base types); 404 when absent. */
+    * (name, options, fields-with-options, shardWidth — the width the Go
+    * client uses to route imports, `client.go:1677`); 404 when absent. */
   private def indexInfo(idx: String): String = {
     val df =
       try tableState(idx)
       catch { case _: Exception => sys.error(s"Index $idx Not Found") }
     val fields = df.schema.fields.filter(_.name != "_id").map { f =>
-      s"""{"name":${js(f.name)},"options":{"type":${js(
-        graft.sql.SystemTables.refType(f.dataType).toLowerCase)}}}"""
+      s"""{"name":${js(f.name)},"options":${fieldOptions(f.dataType)}}"""
     }
     s"""{"name":${js(idx)},"options":{"keys":${
       df.schema.fields.exists(f => f.name == "_id" &&
-        f.dataType == org.apache.spark.sql.types.StringType)},"trackExistence":true},"fields":[${fields.mkString(",")}]}"""
+        f.dataType == org.apache.spark.sql.types.StringType)},"trackExistence":true},"fields":[${
+      fields.mkString(",")}],"shardWidth":${graft.pql.Compiler.ShardWidth}}"""
   }
 
   /** `POST /index/{i}/field/{f}` (`http_handler.go:2088-2140`): the
@@ -879,15 +987,148 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     ex.close()
   }
 
+  /** POST /index/{i}/field/{f}/import in the Go client's protobuf mode
+    * (`client.go:509-607` EncodeImport/EncodeImportValues →
+    * `http_handler.go:3040-3147` handlePostImport). The client encodes
+    * `pb.ImportRequest` for set/mutex columns — RowIDs/RowKeys are the
+    * VALUES, ColumnIDs/ColumnKeys the record ids — and
+    * `pb.ImportValueRequest` for int/decimal/timestamp columns
+    * (ColumnIDs + Values/FloatValues/StringValues); the server picks the
+    * unmarshal type from the target column's type the same way the
+    * reference picks from `field.Type()`. `?clear=true` routes through
+    * clearBulk like the handler's OptImportOptionsClear. Success answers
+    * the reference's `importOk` — a marshaled `ImportResponse{Err:""}`,
+    * which is zero bytes — with 200; errors follow the handler's
+    * `http.Error` shape (406 non-protobuf Accept, 404 unknown index/field,
+    * 400 undecodable body).
+    *
+    * One divergence, inherent to the storage mapping: an unkeyed mutex
+    * ("ID") column and an int (BSI) column are both LongType here, so both
+    * decode as ImportValueRequest; a client importing an unkeyed-mutex
+    * field with ImportRequest framing is mis-read (keyed mutex — STRING —
+    * columns take the ImportRequest path correctly). */
+  private def protoImport(ex: HttpExchange, idx: String, field: String,
+                          body: Array[Byte]): Unit = {
+    graft.core.Metrics.inc(graft.core.Metrics.HttpRequest)
+    import org.apache.spark.sql.types._
+    val outcome: Either[PlainError, Unit] =
+      try {
+        chk(ex, Some(idx), Auth.PermWrite)
+        if (Option(ex.getRequestHeaders.getFirst("Accept"))
+              .getOrElse("") != "application/x-protobuf")
+          throw PlainError(406, "Not acceptable")
+        val schema =
+          try tableState(idx).schema
+          catch { case _: Exception => throw PlainError(404, "index not found") }
+        val fld = schema.fields.find(_.name == field).getOrElse(
+          throw PlainError(404, "field not found"))
+        val doClear = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").contains("clear=true")
+        val m = new PbQuery.ImportMsg(body)
+        // (record id, value) pairs by column type, stringified onto the
+        // same bulk path as the CSV wire (setBulk casts to the column type)
+        val pairs: Seq[(String, String)] = fld.dataType match {
+          case LongType | IntegerType | ShortType | DoubleType | FloatType |
+               TimestampType | _: DecimalType =>
+            val ids: Seq[String] =
+              { val ks = m.strings(7); if (ks.nonEmpty) ks
+                else m.longs(5).map(_.toString) }
+            val vals: Seq[String] = {
+              val sv = m.strings(9)
+              val fv = m.doubles(8)
+              if (sv.nonEmpty) sv
+              else if (fv.nonEmpty) fv.map(_.toString)
+              else m.longs(6).map(_.toString)
+            }
+            if (ids.length != vals.length)
+              sys.error(s"ids(${ids.length}) != values(${vals.length})")
+            ids.zip(vals)
+          case _ => // keyed mutex / string / set columns: ImportRequest
+            val vals: Seq[String] =
+              { val ks = m.strings(7); if (ks.nonEmpty) ks
+                else m.longs(4).map(_.toString) }
+            val ids: Seq[String] =
+              { val ks = m.strings(8); if (ks.nonEmpty) ks
+                else m.longs(5).map(_.toString) }
+            if (ids.length != vals.length)
+              sys.error(s"ids(${ids.length}) != values(${vals.length})")
+            ids.zip(vals)
+        }
+        writeLock(idx) {
+          val t = tableState(idx)
+          import spark.implicits._
+          val writes = pairs.zipWithIndex
+            .map { case ((id, v), i) => (id, v, i.toLong) }
+            .toDF("_id", "value", "seq")
+          val next =
+            if (doClear) graft.core.Mutation.clearBulk(t, field, writes)
+            else graft.core.Mutation.setBulk(t, field, writes)
+          commitState(idx, next, touched = Some(writes))
+        }
+        Right(())
+      } catch {
+        case e: PlainError     => Left(e)
+        case e: Auth.AuthError => Left(PlainError(403, msg(e)))
+        case e: Throwable      => Left(PlainError(400, msg(e)))
+      }
+    outcome match {
+      case Left(PlainError(code, text)) =>
+        val bytes = (text + "\n").getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+        ex.getResponseHeaders.set("X-Content-Type-Options", "nosniff")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      case Right(()) => // importOk: empty ImportResponse{Err:""}, 200
+        ex.sendResponseHeaders(200, -1L)
+    }
+    ex.close()
+  }
+
+  /** An error answered the way Go's `http.Error` does — text/plain body of
+    * `text\n` with an explicit status — for routes whose reference handler
+    * bypasses the JSON error envelope (mutex-check's 406/400/500). */
+  private case class PlainError(code: Int, text: String)
+    extends RuntimeException(text)
+
+  /** `validHeaderAcceptJSON` (`http_handler.go:1015-1045`): no Accept
+    * header accepts anything; otherwise some listed media type must match
+    * application/json with * wildcards on either side. */
+  private def acceptsJson(ex: HttpExchange): Boolean = {
+    val vs = ex.getRequestHeaders.get("Accept")
+    if (vs == null || vs.isEmpty) true
+    else vs.asScala.flatMap(_.split(",")).exists { v =>
+      v.trim.takeWhile(_ != ';').trim.split("/", 2) match {
+        case Array(t, s) =>
+          (t == "application" || t == "*") && (s == "json" || s == "*")
+        case _ => false
+      }
+    }
+  }
+
   private def respond(ex: HttpExchange)(f: => String): Unit = {
     graft.core.Metrics.inc(graft.core.Metrics.HttpRequest)
-    val (code, payload) =
-      try (200, f)
+    val outcome: Either[PlainError, (Int, String)] =
+      try Right((200, f))
       catch {
+        case e: PlainError     => Left(e)
         // StatusForbidden, reference/http_handler.go:763,843-851
-        case e: Auth.AuthError => (403, s"""{"error":${js(msg(e))}}""")
-        case e: Throwable      => (400, s"""{"error":${js(msg(e))}}""")
+        case e: Auth.AuthError => Right((403, s"""{"error":${js(msg(e))}}"""))
+        case e: Throwable      => Right((400, s"""{"error":${js(msg(e))}}"""))
       }
+    outcome match {
+      case Left(PlainError(code, text)) =>
+        // Go http.Error byte shape (`net/http/server.go` Error): text/plain;
+        // charset=utf-8, nosniff, message + "\n"
+        val bytes = (text + "\n").getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+        ex.getResponseHeaders.set("X-Content-Type-Options", "nosniff")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+        return
+      case Right(_) => ()
+    }
+    val (code, payload) = outcome.toOption.get
     val bytes = payload.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     if (code == 200 && bytes.isEmpty) // ApplySchema-style 204 No Content

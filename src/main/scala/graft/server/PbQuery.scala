@@ -34,7 +34,13 @@ private[server] object PbQuery {
   def decodeRequest(body: Array[Byte]): (String, Seq[Long]) = {
     val r = new Proto.Reader(body)
     val query = r.str(1).getOrElse("")
-    val shards = r.fields.getOrElse(2, Seq.empty).flatMap {
+    (query, repeatedLongs(r, 2))
+  }
+
+  /** Repeated varint field: accepts both packed and unpacked encodings,
+    * as any proto3 parser must. */
+  private[server] def repeatedLongs(r: Proto.Reader, field: Int): Seq[Long] =
+    r.fields.getOrElse(field, Seq.empty).flatMap {
       case n: Long => Seq(n)
       case b: Array[Byte] => // packed: varints back to back
         val out = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -48,7 +54,35 @@ private[server] object PbQuery {
         out.toSeq
       case _ => Seq.empty
     }
-    (query, shards)
+
+  /** One decoded `pb.ImportRequest` / `pb.ImportValueRequest`
+    * (`reference/pb/public.proto:180-207`). The two messages share field
+    * numbers where they agree (Index=1, Field=2, Shard=3, ColumnIDs=5) and
+    * diverge elsewhere, so this exposes raw per-field accessors and the
+    * facade picks which lists apply from the target column's type —
+    * exactly how `handlePostImport` (`reference/http_handler.go:3040-3147`)
+    * chooses the unmarshal type from `field.Type()`. */
+  final class ImportMsg(body: Array[Byte]) {
+    private val r = new Proto.Reader(body)
+    def longs(field: Int): Seq[Long] = repeatedLongs(r, field)
+    def strings(field: Int): Seq[String] =
+      r.fields.getOrElse(field, Seq.empty).collect {
+        case b: Array[Byte] =>
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    /** Repeated double (packed chunks of little-endian fixed64, or
+      * unpacked wire-1 entries). */
+    def doubles(field: Int): Seq[Double] =
+      r.fields.getOrElse(field, Seq.empty).flatMap {
+        case b: Array[Byte] =>
+          (0 until b.length / 8).map { i =>
+            var bits = 0L
+            var j = 7
+            while (j >= 0) { bits = (bits << 8) | (b(i * 8 + j) & 0xffL); j -= 1 }
+            java.lang.Double.longBitsToDouble(bits)
+          }
+        case _ => Seq.empty
+      }
   }
 
   /** `QueryResponse{Err=1}` — the reference marshals errors through the

@@ -238,7 +238,7 @@ object Ddl {
     viewNames.contains((spark, n.toLowerCase))
 
   /** View bodies (lowercased name → dialect SQL) for durable replay. */
-  private[sql] val viewDefs = scala.collection.mutable.Map.empty[String, String]
+  private[graft] val viewDefs = scala.collection.mutable.Map.empty[String, String]
 
   def run(spark: SparkSession, q: String): DataFrame = {
     val out = exec(spark, q)

@@ -206,6 +206,33 @@ class HttpFacadeSpec extends SparkSpec {
       (200, "{}"))
   }
 
+  test("mutex-check error wire shape matches http_handler.go:3263-3297") {
+    def getAccept(path: String, accept: String): (Int, String, String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Accept", accept).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body(),
+        r.headers().firstValue("Content-Type").orElse(""))
+    }
+    // validHeaderAcceptJSON (http_handler.go:1015): xml-only Accept → 406,
+    // Go http.Error's exact text/plain message + "\n"
+    assert(getAccept("/index/part/field/p_name/mutex-check", "text/xml") ==
+      ((406, "JSON only acceptable response\n", "text/plain; charset=utf-8")))
+    // wildcard and json Accepts pass
+    assert(getAccept("/index/part/field/p_name/mutex-check", "*/*")._1 == 200)
+    assert(getAccept("/index/part/field/p_name/mutex-check",
+      "application/json")._1 == 200)
+    // non-numeric limit → 400 "limit must be numeric" (http_handler.go:3279)
+    assert(get("/index/part/field/p_name/mutex-check?limit=abc") ==
+      ((400, "limit must be numeric\n")))
+    // unknown field → 500 (api.go:2746 ErrFieldNotFound via http.Error)
+    assert(get("/index/part/field/nope/mutex-check")._1 == 500)
+    // non-mutex (decimal-typed) field → 500 "can only check mutex state for
+    // mutex fields" (api.go:2750-2752); p_retailprice is a double (decimal)
+    assert(get("/index/part/field/p_retailprice/mutex-check") ==
+      ((500, "can only check mutex state for mutex fields\n")))
+  }
+
   test("index/field lifecycle over REST (http_handler.go:500-516,1893,2088)") {
     def send(method: String, path: String, body: String): (Int, String) = {
       val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
@@ -226,17 +253,130 @@ class HttpFacadeSpec extends SparkSpec {
     val (cw, bw) = post("/index/restidx/query",
       "Set(1, size=42) Set(1, tags='a') Set(2, size=7) Count(Row(size > 10))")
     assert(cw == 200 && bw.contains(""""data":[[1]]"""), bw)
-    // IndexInfo shape with reference base types
+    // IndexInfo shape in the reference's field-type vocabulary
+    // (field.go:43-49 — keyed sets are set+keys, there is no "stringset")
     val (cg, bg) = get("/index/restidx")
     assert(cg == 200 && bg.contains(""""name":"restidx""""), bg)
-    assert(bg.contains(""""name":"size","options":{"type":"int"}"""), bg)
-    assert(bg.contains(""""name":"tags","options":{"type":"stringset"}"""), bg)
+    assert(bg.contains(""""name":"size","options":{"type":"int","keys":false}"""), bg)
+    assert(bg.contains(""""name":"tags","options":{"type":"set","keys":true}"""), bg)
+    assert(bg.contains(""""shardWidth":1048576"""), bg)
     // drop a field: subsequent GET no longer lists it
     assert(send("DELETE", "/index/restidx/field/tags", "")._1 == 200)
     assert(!get("/index/restidx")._2.contains(""""name":"tags""""))
     // drop the index: GET 400s with Not Found wording
     assert(send("DELETE", "/index/restidx", "")._1 == 200)
     assert(get("/index/doesnotexist")._2.contains("Not Found"))
+  }
+
+  test("reference Go client exchange: Schema -> CreateIndex/Field -> " +
+    "Import (pb wire) -> Query (client.go:281-607)") {
+    // Every request below is byte-identical to what the reference Go
+    // client emits (paths from EncodeImport/EncodeImportValues, proto
+    // bodies hand-written per proto.Marshal's ascending-field packed
+    // encoding) — the in-tree substitute for driving the client binary,
+    // which has no Go toolchain in this container.
+    def vint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+    }
+    def str(out: java.io.ByteArrayOutputStream, field: Int, s: String): Unit = {
+      vint(out, (field << 3) | 2); val b = s.getBytes("UTF-8")
+      vint(out, b.length.toLong); out.write(b)
+    }
+    def packed(out: java.io.ByteArrayOutputStream, field: Int,
+               vs: Seq[Long]): Unit = {
+      val body = new java.io.ByteArrayOutputStream()
+      vs.foreach(vint(body, _))
+      vint(out, (field << 3) | 2); vint(out, body.size.toLong)
+      body.writeTo(out)
+    }
+    def send(method: String, path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    // CreateIndex + CreateField (client.go:316-363)
+    assert(send("POST", "/index/goidx", """{"options":{"keys":false}}""")._1 == 200)
+    assert(send("POST", "/index/goidx/field/age",
+      """{"options":{"type":"int"}}""")._1 == 200)
+    assert(send("POST", "/index/goidx/field/color",
+      """{"options":{"type":"mutex","keys":true}}""")._1 == 200)
+    // Schema() (client.go:486-507, readSchema): SchemaInfo JSON the client
+    // unmarshals — index present, options.type in reference vocabulary,
+    // shardWidth for import routing
+    val (cs, bs) = get("/schema")
+    assert(cs == 200 && bs.contains(""""name":"goidx""""), bs)
+    assert(bs.contains(""""name":"age","options":{"type":"int","keys":false}"""), bs)
+    assert(bs.contains(""""name":"color","options":{"type":"mutex","keys":true}"""), bs)
+    assert(bs.contains(""""shardWidth":1048576"""), bs)
+    // ImportValues (EncodeImportValues, client.go:567-590): int field →
+    // pb.ImportValueRequest{Index=1,Field=2,ColumnIDs=5 packed,Values=6
+    // packed}; path and query params exactly as the client builds them
+    val ivr = new java.io.ByteArrayOutputStream()
+    str(ivr, 1, "goidx"); str(ivr, 2, "age")
+    packed(ivr, 5, Seq(1L, 2L, 3L)); packed(ivr, 6, Seq(10L, 20L, 30L))
+    val (ci, bi) = postProto(
+      "/index/goidx/field/age/import?clear=false&ignoreKeyCheck=true",
+      ivr.toByteArray)
+    assert(ci == 200, new String(bi, "UTF-8"))
+    assert(bi.isEmpty) // importOk = ImportResponse{Err:""} = zero bytes
+    // Import (EncodeImport, client.go:520-537): keyed mutex field →
+    // pb.ImportRequest{RowKeys=7 are VALUES, ColumnIDs=5 record ids}
+    val ir = new java.io.ByteArrayOutputStream()
+    str(ir, 1, "goidx"); str(ir, 2, "color")
+    packed(ir, 5, Seq(1L, 2L, 3L))
+    str(ir, 7, "red"); str(ir, 7, "blue"); str(ir, 7, "red")
+    assert(postProto(
+      "/index/goidx/field/color/import?clear=false&ignoreKeyCheck=true",
+      ir.toByteArray)._1 == 200)
+    // Query (client.go:281-313): both imports visible through the pb wire
+    val (cq, bq) = postProto("/index/goidx/query",
+      queryRequest("Count(Row(age > 15))"))
+    assert(cq == 200 &&
+      bq.toSeq == Seq(0x12, 4, 0x10, 2, 0x30, 5).map(_.toByte),
+      bq.map(b => f"$b%02x").mkString(" "))
+    val (cq2, bq2) = postProto("/index/goidx/query",
+      queryRequest("Count(Row(color='red'))"))
+    assert(cq2 == 200 &&
+      bq2.toSeq == Seq(0x12, 4, 0x10, 2, 0x30, 5).map(_.toByte),
+      bq2.map(b => f"$b%02x").mkString(" "))
+    // ?clear=true routes through clearBulk (handlePostImport doClear)
+    val ivc = new java.io.ByteArrayOutputStream()
+    str(ivc, 1, "goidx"); str(ivc, 2, "age")
+    packed(ivc, 5, Seq(2L)); packed(ivc, 6, Seq(20L))
+    assert(postProto(
+      "/index/goidx/field/age/import?clear=true&ignoreKeyCheck=true",
+      ivc.toByteArray)._1 == 200)
+    assert(postProto("/index/goidx/query",
+      queryRequest("Count(Row(age > 15))"))._2.toSeq ==
+      Seq(0x12, 4, 0x10, 1, 0x30, 5).map(_.toByte))
+    // shard-routing probes the client calls before importing
+    // (client.go:608-627 fetchFragmentNodes, 808-821 shardsMax,
+    // 629-648 fetchPrimaryNode via Status)
+    val (cfn, bfn) = get("/internal/fragment/nodes?shard=0&index=goidx")
+    assert(cfn == 200 &&
+      bfn.contains(s""""uri":{"scheme":"http","host":"localhost","port":$port}"""), bfn)
+    val (csm, bsm) = get("/internal/shards/max")
+    assert(csm == 200 && bsm.contains(""""standard":{"""), bsm)
+    assert(bsm.contains(""""goidx":0"""), bsm)
+    val (cst, bst) = get("/status")
+    assert(cst == 200 && bst.contains(""""isPrimary":true""") &&
+      bst.contains(s""""port":$port"""), bst)
+    // error wire shapes (handlePostImport): 406 without the protobuf
+    // Accept; 404 on an unknown field
+    val reqNoAccept = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/index/goidx/field/age/import"))
+      .header("Content-Type", "application/x-protobuf")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(ivr.toByteArray)).build()
+    val rNoAccept = client.send(reqNoAccept, HttpResponse.BodyHandlers.ofString())
+    assert(rNoAccept.statusCode() == 406 && rNoAccept.body() == "Not acceptable\n")
+    val (cnf, bnf) = postProto(
+      "/index/goidx/field/nope/import?clear=false&ignoreKeyCheck=true",
+      ivr.toByteArray)
+    assert(cnf == 404 && new String(bnf, "UTF-8") == "field not found\n")
+    send("DELETE", "/index/goidx", "")
   }
 
   test("keyed index lifecycle: string record keys through create/import/query") {
