@@ -204,7 +204,20 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
 
   private def tableState(name: String): DataFrame =
     if (durable) spark.table(name)
-    else state.computeIfAbsent(name, n => graft.core.Tables.load(spark, dir, n))
+    else state.computeIfAbsent(name, n =>
+      if (graft.core.Tables.names.contains(n))
+        graft.core.Tables.load(spark, dir, n)
+      else spark.table(n)) // DDL/RPC-created indexes live in the catalog
+
+  /** Every index this facade serves: parquet test tables plus DDL-created
+    * catalog tables, minus fb_* system views and CREATE VIEW definitions
+    * (the service's index RPCs list indexes, not views). */
+  private def allIndexNames: Seq[String] = {
+    val cat = spark.catalog.listTables().collect().toSeq.map(_.name)
+      .filterNot(_.startsWith("fb_"))
+      .filterNot(graft.sql.Ddl.viewDefs.contains)
+    (graft.core.Tables.names ++ cat).distinct
+  }
 
   /** gRPC handlers run on netty's pool; write programs hold a per-table
     * lock across state-read -> compute -> commit so concurrent mutations
@@ -365,6 +378,16 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     method("QuerySQL", MethodDescriptor.MethodType.SERVER_STREAMING)
   val QueryPqlMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
     method("QueryPQL", MethodDescriptor.MethodType.SERVER_STREAMING)
+  val CreateIndexMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("CreateIndex", MethodDescriptor.MethodType.UNARY)
+  val GetIndexesMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("GetIndexes", MethodDescriptor.MethodType.UNARY)
+  val GetIndexMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("GetIndex", MethodDescriptor.MethodType.UNARY)
+  val DeleteIndexMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("DeleteIndex", MethodDescriptor.MethodType.UNARY)
+  val InspectMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("Inspect", MethodDescriptor.MethodType.SERVER_STREAMING)
 
   private def unary(f: Proto.Reader => Array[Byte]) =
     ServerCalls.asyncUnaryCall(new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
@@ -403,11 +426,140 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     (r.str(1).getOrElse(sys.error("QueryPQLRequest.index missing")),
      r.str(2).getOrElse(sys.error("QueryPQLRequest.pql missing")))
 
+  // ---------------------------------------------------- index RPCs
+
+  /** Admin gate for CreateIndex/DeleteIndex (`grpc.go:410-416,485-491`:
+    * "must be admin to …" when auth is on). */
+  private def chkAdmin(what: String): Unit = auth.foreach { cfg =>
+    val user = authedUser(cfg)
+    if (!cfg.perms.isAdmin(user.groups))
+      denied(s"must be admin to $what index")
+  }
+
+  /** Read-authorized index names for the calling user (everything when
+    * auth is off), the filter GetIndexes applies (`grpc.go:459-478`). */
+  private def readableIndexes(): Seq[String] = {
+    val names = allIndexNames
+    auth match {
+      case None => names
+      case Some(cfg) =>
+        val user = authedUser(cfg)
+        if (cfg.perms.isAdmin(user.groups)) names
+        else {
+          val ok = cfg.perms.authorizedIndexes(user.groups, Auth.PermRead).toSet
+          names.filter(ok)
+        }
+    }
+  }
+
+  /** `Inspect` (`grpc.go:710-900`): rows of an index selected by an id/key
+    * list, a PQL bitmap query, or All(limit,offset); projected to
+    * filterFields; streamed as RowResponse with `_id` first and headers on
+    * the first row — the exact shape [[toRowResponses]] already emits.
+    * Deprecated in the reference in favor of Extract, but still served. */
+  private def runInspect(r: Proto.Reader): Seq[Array[Byte]] = {
+    import org.apache.spark.sql.functions.col
+    val idx = r.str(1).getOrElse(sys.error("InspectRequest.index missing"))
+    chkPql(idx, "") // read-level access like any non-mutating program
+    val (ids, keys) = r.fields.get(2).flatMap(_.headOption) match {
+      case Some(b: Array[Byte]) => // IdsOrKeys oneof
+        val m = new Proto.Reader(b)
+        val idVals = m.fields.get(1).toSeq.flatMap(_.collect {
+          case ib: Array[Byte] =>
+            PbQuery.repeatedLongs(new Proto.Reader(ib), 1)
+        }.flatten)
+        val keyVals = m.fields.get(2).toSeq.flatMap(_.collect {
+          case kb: Array[Byte] => new Proto.Reader(kb).fields
+            .getOrElse(1, Seq.empty).collect { case s: Array[Byte] =>
+              new String(s, java.nio.charset.StandardCharsets.UTF_8) }
+        }.flatten)
+        (idVals, keyVals)
+      case _ => (Seq.empty[Long], Seq.empty[String])
+    }
+    val filterFields = r.fields.getOrElse(3, Seq.empty).collect {
+      case b: Array[Byte] =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val limit = r.fields.get(4).flatMap(_.headOption)
+      .collect { case l: Long => l }.filter(_ > 0).getOrElse(100000L)
+    val offset = r.fields.get(5).flatMap(_.headOption)
+      .collect { case l: Long => l }.getOrElse(0L)
+    val query = r.str(6).getOrElse("")
+
+    val base = tableState(idx)
+    val selected =
+      if (query.nonEmpty) {
+        if (ids.nonEmpty || keys.nonEmpty)
+          sys.error("found a list of columns in a query-based inspect call")
+        runPqlUnary(idx, query) match {
+          case Some(bits) => // bitmap result: one _id column to semi-join on
+            base.join(bits.select(col("_id")), Seq("_id"), "left_semi")
+          case None => sys.error(s"incorrect query result type for query $query")
+        }
+      }
+      else if (ids.nonEmpty) base.filter(col("_id").isin(ids: _*))
+      else if (keys.nonEmpty) base.filter(col("_id").isin(keys: _*))
+      else base
+    val fields = base.schema.fieldNames.filter(_ != "_id")
+      .filter(f => filterFields.isEmpty || filterFields.contains(f))
+    val page = selected
+      .select(("_id" +: fields.toSeq).map(col): _*)
+      .orderBy(col("_id"))
+      .offset(offset.toInt).limit(limit.toInt)
+    toRowResponses(page)
+  }
+
+  private def indexMsg(w: Proto.Writer, field: Int, name: String): Unit =
+    w.msg(field)(_.string(1, name))
+
   private val service: ServerServiceDefinition =
     ServerServiceDefinition.builder("pilosa.Pilosa")
       .addMethod(QuerySqlUnaryMethod, unary { r =>
         val sql = sqlOf(r); chkSql(sql); toTable(runSql(sql))
       })
+      // the four index-management RPCs + Inspect complete the
+      // `pilosa.Pilosa` service surface (`proto/pilosa.proto:122-131`)
+      .addMethod(CreateIndexMethod, unary { r =>
+        chkAdmin("create") // grpc.go:410-427
+        val name = r.str(1).getOrElse(sys.error("CreateIndexRequest.name missing"))
+        val keys = r.fields.get(2).flatMap(_.headOption).contains(1L)
+        val idType = if (keys) "STRING" else "ID"
+        graft.sql.Ddl.run(spark, s"CREATE TABLE $name (_id $idType)")
+        graft.core.Metrics.inc(graft.core.Metrics.CreateIndex)
+        Array.emptyByteArray // CreateIndexResponse{}
+      })
+      .addMethod(GetIndexesMethod, unary { _ =>
+        val w = new Proto.Writer // grpc.go:459-483
+        readableIndexes().foreach(indexMsg(w, 1, _))
+        w.result
+      })
+      .addMethod(GetIndexMethod, unary { r =>
+        val name = r.str(1).getOrElse(sys.error("GetIndexRequest.name missing"))
+        // permission check BEFORE existence like grpc.go:429-446
+        auth.foreach { cfg =>
+          val user = authedUser(cfg)
+          if (!cfg.perms.isAdmin(user.groups) &&
+              !cfg.perms.authorizedIndexes(user.groups, Auth.PermRead)
+                .contains(name))
+            denied(s"permission denied for index $name")
+        }
+        if (!allIndexNames.contains(name))
+          throw Status.NOT_FOUND
+            .withDescription(s"Index with name $name not found")
+            .asRuntimeException()
+        val w = new Proto.Writer
+        w.msg(1)(_.string(1, name))
+        w.result
+      })
+      .addMethod(DeleteIndexMethod, unary { r =>
+        chkAdmin("delete") // grpc.go:485-501
+        val name = r.str(1).getOrElse(sys.error("DeleteIndexRequest.name missing"))
+        graft.sql.Ddl.run(spark, s"DROP TABLE $name")
+        state.remove(name)
+        graft.core.Metrics.inc(graft.core.Metrics.DeleteIndex)
+        Array.emptyByteArray // DeleteIndexResponse{}
+      })
+      .addMethod(InspectMethod, streaming(runInspect))
       .addMethod(QueryPqlUnaryMethod, unary { r =>
         val (index, pql) = pqlOf(r)
         chkPql(index, pql)

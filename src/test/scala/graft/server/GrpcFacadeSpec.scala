@@ -82,4 +82,88 @@ class GrpcFacadeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("INVALID_ARGUMENT"))
   }
+
+  test("index RPCs complete the pilosa.Pilosa service " +
+    "(proto/pilosa.proto:122-131, grpc.go:410-501)") {
+    def nameReq(name: String): Array[Byte] = {
+      val w = new Proto.Writer; w.string(1, name); w.result
+    }
+    // CreateIndex{name,keys} → empty CreateIndexResponse
+    val createReq = { val w = new Proto.Writer
+      w.string(1, "grpcidx"); w.bool(2, false); w.result }
+    assert(GrpcFacade.call(ch, facade.CreateIndexMethod, createReq).isEmpty)
+    // GetIndexes lists it: repeated Index{name=1} under field 1
+    val names = new Proto.Reader(
+      GrpcFacade.call(ch, facade.GetIndexesMethod, Array.emptyByteArray))
+      .fields.getOrElse(1, Nil)
+      .map(b => new Proto.Reader(b.asInstanceOf[Array[Byte]]).str(1).get)
+    assert(names.contains("grpcidx") && names.contains("region"), names)
+    // GetIndex round-trips the name; unknown → NOT_FOUND with the
+    // reference's message
+    val got = new Proto.Reader(
+      GrpcFacade.call(ch, facade.GetIndexMethod, nameReq("grpcidx")))
+    assert(new Proto.Reader(got.fields(1).head.asInstanceOf[Array[Byte]])
+      .str(1).contains("grpcidx"))
+    val nf = intercept[StatusRuntimeException] {
+      GrpcFacade.call(ch, facade.GetIndexMethod, nameReq("missingidx"))
+    }
+    assert(nf.getMessage.contains("NOT_FOUND") &&
+      nf.getMessage.contains("Index with name missingidx not found"))
+    // DeleteIndex removes it
+    assert(GrpcFacade.call(ch, facade.DeleteIndexMethod, nameReq("grpcidx")).isEmpty)
+    val gone = new Proto.Reader(
+      GrpcFacade.call(ch, facade.GetIndexesMethod, Array.emptyByteArray))
+      .fields.getOrElse(1, Nil)
+      .map(b => new Proto.Reader(b.asInstanceOf[Array[Byte]]).str(1).get)
+    assert(!gone.contains("grpcidx"))
+  }
+
+  test("Inspect streams rows by id list, PQL query, or All() paging " +
+    "(grpc.go:710-900)") {
+    // InspectRequest{index=1, columns=2 IdsOrKeys{ids=1 Uint64Array{vals=1
+    // packed}}, filterFields=3, limit=4, offset=5, query=6}
+    def inspectReq(index: String, ids: Seq[Long] = Nil,
+                   filterFields: Seq[String] = Nil, limit: Long = 0,
+                   offset: Long = 0, query: String = ""): Array[Byte] = {
+      val w = new Proto.Writer
+      w.string(1, index)
+      if (ids.nonEmpty)
+        w.msg(2)(_.msg(1) { arr =>
+          val packed = new Proto.Writer
+          ids.foreach(packed.varint)
+          arr.bytes(1, packed.result)
+        })
+      filterFields.foreach(w.string(3, _))
+      if (limit > 0) w.int(4, limit)
+      if (offset > 0) w.int(5, offset)
+      if (query.nonEmpty) w.string(6, query)
+      w.result
+    }
+    // by id list, all fields: headers _id-first on the first message only
+    val byIds = GrpcFacade.serverStream(ch, facade.InspectMethod,
+      inspectReq("region", ids = Seq(1L, 3L))).map(new Proto.Reader(_))
+    assert(byIds.length == 2)
+    assert(headersOf(byIds.head).head == ("_id", "uint64"))
+    assert(headersOf(byIds.head).map(_._1).contains("r_name"))
+    val idVals = byIds.map(m => columnsOf(m.fields.getOrElse(2, Nil)).head)
+    assert(idVals == Seq(1L, 3L))
+    // query-based selection + field projection
+    val byQuery = GrpcFacade.serverStream(ch, facade.InspectMethod,
+      inspectReq("region", query = "Row(r_regionkey=2)",
+        filterFields = Seq("r_name"))).map(new Proto.Reader(_))
+    assert(byQuery.length == 1)
+    assert(headersOf(byQuery.head).map(_._1) == Seq("_id", "r_name"))
+    assert(columnsOf(byQuery.head.fields.getOrElse(2, Nil)) == Seq(2L, "ASIA"))
+    // no columns → All() with limit/offset paging
+    val page = GrpcFacade.serverStream(ch, facade.InspectMethod,
+      inspectReq("region", limit = 2, offset = 1)).map(new Proto.Reader(_))
+    assert(page.map(m => columnsOf(m.fields.getOrElse(2, Nil)).head) ==
+      Seq(1L, 2L))
+    // ids + query together is the reference's error
+    val e = intercept[StatusRuntimeException] {
+      GrpcFacade.serverStream(ch, facade.InspectMethod,
+        inspectReq("region", ids = Seq(1L), query = "All()"))
+    }
+    assert(e.getMessage.contains("query-based inspect"))
+  }
 }
