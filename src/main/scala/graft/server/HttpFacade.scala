@@ -221,6 +221,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             protoQuery(ex, idx, bodyBytes)
           case Array("index", idx, "field", field, "import") if isProto =>
             protoImport(ex, idx, field, bodyBytes)
+          case Array("index", idx, "field", field, "import-roaring", shard)
+              if isProto =>
+            protoRoaring(ex, idx, field, shard.toLong, bodyBytes)
+          case Array("index", idx, "shard", shard, "import-roaring")
+              if isProto =>
+            protoRoaringShard(ex, idx, shard.toLong, bodyBytes)
           case _ => jsonRoutes(ex, parts, new String(bodyBytes, UTF_8))
         }
       }
@@ -1007,16 +1013,42 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * decode as ImportValueRequest; a client importing an unkeyed-mutex
     * field with ImportRequest framing is mis-read (keyed mutex — STRING —
     * columns take the ImportRequest path correctly). */
-  private def protoImport(ex: HttpExchange, idx: String, field: String,
-                          body: Array[Byte]): Unit = {
+  /** Shared rim of the protobuf-mode write routes: auth + the reference's
+    * `validateProtobufHeader` Accept check (`http_handler.go:2621-2629`),
+    * Go `http.Error`-shaped failures, and the zero-byte 200 ack (importOk —
+    * a marshaled `ImportResponse{Err:""}` is empty). */
+  private def protoWrite(ex: HttpExchange, idx: String)(f: => Unit): Unit = {
     graft.core.Metrics.inc(graft.core.Metrics.HttpRequest)
-    import org.apache.spark.sql.types._
     val outcome: Either[PlainError, Unit] =
       try {
         chk(ex, Some(idx), Auth.PermWrite)
         if (Option(ex.getRequestHeaders.getFirst("Accept"))
               .getOrElse("") != "application/x-protobuf")
           throw PlainError(406, "Not acceptable")
+        f
+        Right(())
+      } catch {
+        case e: PlainError     => Left(e)
+        case e: Auth.AuthError => Left(PlainError(403, msg(e)))
+        case e: Throwable      => Left(PlainError(400, msg(e)))
+      }
+    outcome match {
+      case Left(PlainError(code, text)) =>
+        val bytes = (text + "\n").getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+        ex.getResponseHeaders.set("X-Content-Type-Options", "nosniff")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      case Right(()) =>
+        ex.sendResponseHeaders(200, -1L)
+    }
+    ex.close()
+  }
+
+  private def protoImport(ex: HttpExchange, idx: String, field: String,
+                          body: Array[Byte]): Unit = protoWrite(ex, idx) {
+    import org.apache.spark.sql.types._
+    {
         val schema =
           try tableState(idx).schema
           catch { case _: Exception => throw PlainError(404, "index not found") }
@@ -1065,24 +1097,55 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             else graft.core.Mutation.setBulk(t, field, writes)
           commitState(idx, next, touched = Some(writes))
         }
-        Right(())
-      } catch {
-        case e: PlainError     => Left(e)
-        case e: Auth.AuthError => Left(PlainError(403, msg(e)))
-        case e: Throwable      => Left(PlainError(400, msg(e)))
-      }
-    outcome match {
-      case Left(PlainError(code, text)) =>
-        val bytes = (text + "\n").getBytes(UTF_8)
-        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
-        ex.getResponseHeaders.set("X-Content-Type-Options", "nosniff")
-        ex.sendResponseHeaders(code, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
-      case Right(()) => // importOk: empty ImportResponse{Err:""}, 200
-        ex.sendResponseHeaders(200, -1L)
     }
-    ex.close()
   }
+
+  /** The Go client's roaring import wires, translated onto the existing
+    * JSON-envelope handlers (same decode, same bulk-join apply):
+    * `pb.ImportRoaringRequest` (`importRoaringBitmap`, `client.go:694-733`
+    * — view Name "" is the standard view, Clear flag → action) and
+    * `pb.ImportRoaringShardRequest` (`ImportRoaringShard`,
+    * `client.go:661-680` — per-field Set/Clear roaring payloads +
+    * ClearRecords, one transaction). */
+  private def protoRoaring(ex: HttpExchange, idx: String, field: String,
+                           shard: Long, body: Array[Byte]): Unit =
+    protoWrite(ex, idx) {
+      val m = new PbQuery.ImportMsg(body)
+      val doClear = m.longs(1).contains(1L)
+      val views = new Proto.Reader(body).fields.getOrElse(2, Seq.empty)
+        .collect { case b: Array[Byte] =>
+          val v = new Proto.Reader(b)
+          val name = v.str(1).filter(_.nonEmpty).getOrElse("standard")
+          val data = v.fields.get(2).flatMap(_.headOption)
+            .collect { case d: Array[Byte] => d }.getOrElse(Array.emptyByteArray)
+          s"""${js(name)}:${js(java.util.Base64.getEncoder.encodeToString(data))}"""
+        }
+      val action = if (doClear) "clear" else "set"
+      val json = s"""{"action":"$action","views":{${views.mkString(",")}}}"""
+      writeLock(idx)(importRoaring(idx, field, shard, json))
+    }
+
+  private def protoRoaringShard(ex: HttpExchange, idx: String, shard: Long,
+                                body: Array[Byte]): Unit =
+    protoWrite(ex, idx) {
+      val updates = new Proto.Reader(body).fields.getOrElse(2, Seq.empty)
+        .collect { case b: Array[Byte] =>
+          val v = new Proto.Reader(b)
+          def b64(f: Int): Option[String] = v.fields.get(f)
+            .flatMap(_.headOption).collect { case d: Array[Byte] if d.nonEmpty =>
+              java.util.Base64.getEncoder.encodeToString(d) }
+          val parts = Seq(
+            Some(s""""field":${js(v.str(1).getOrElse(sys.error("RoaringUpdate.Field missing")))}"""),
+            Some(s""""view":${js(v.str(2).filter(_.nonEmpty).getOrElse("standard"))}"""),
+            b64(3).map(s => s""""clear":${js(s)}"""),
+            b64(4).map(s => s""""set":${js(s)}"""),
+            Some(s""""clearRecords":${v.fields.get(5).exists(_.headOption.contains(1L))}""")
+          ).flatten
+          parts.mkString("{", ",", "}")
+        }
+      val json = s"""{"views":[${updates.mkString(",")}]}"""
+      writeLock(idx)(importRoaringShard(idx, shard, json))
+    }
 
   /** An error answered the way Go's `http.Error` does — text/plain body of
     * `text\n` with an explicit status — for routes whose reference handler

@@ -33,6 +33,30 @@ class HttpFacadeSpec extends SparkSpec {
     (r.statusCode(), r.body())
   }
 
+  // ---- hand-rolled proto.Marshal-equivalent writers: the independent side
+  // of every wire-compatibility assertion below
+  private def vint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var x = v
+    while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+    out.write(x.toInt)
+  }
+  private def str(out: java.io.ByteArrayOutputStream, field: Int,
+                  s: String): Unit = {
+    vint(out, (field << 3) | 2); val b = s.getBytes("UTF-8")
+    vint(out, b.length.toLong); out.write(b)
+  }
+  private def bytesField(out: java.io.ByteArrayOutputStream, field: Int,
+                         b: Array[Byte]): Unit = {
+    vint(out, (field << 3) | 2); vint(out, b.length.toLong); out.write(b)
+  }
+  private def packed(out: java.io.ByteArrayOutputStream, field: Int,
+                     vs: Seq[Long]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    vs.foreach(vint(body, _))
+    vint(out, (field << 3) | 2); vint(out, body.size.toLong)
+    body.writeTo(out)
+  }
+
   /** pb.QueryRequest exactly as Go's proto.Marshal emits it
     * (`client.go:1326-1334` makeRequestData; `pb/public.proto:137-144`):
     * Query = field 1 length-delimited, Shards = field 2 packed varints.
@@ -275,22 +299,6 @@ class HttpFacadeSpec extends SparkSpec {
     // bodies hand-written per proto.Marshal's ascending-field packed
     // encoding) — the in-tree substitute for driving the client binary,
     // which has no Go toolchain in this container.
-    def vint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
-      var x = v
-      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt)
-    }
-    def str(out: java.io.ByteArrayOutputStream, field: Int, s: String): Unit = {
-      vint(out, (field << 3) | 2); val b = s.getBytes("UTF-8")
-      vint(out, b.length.toLong); out.write(b)
-    }
-    def packed(out: java.io.ByteArrayOutputStream, field: Int,
-               vs: Seq[Long]): Unit = {
-      val body = new java.io.ByteArrayOutputStream()
-      vs.foreach(vint(body, _))
-      vint(out, (field << 3) | 2); vint(out, body.size.toLong)
-      body.writeTo(out)
-    }
     def send(method: String, path: String, body: String): (Int, String) = {
       val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
         .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
@@ -377,6 +385,43 @@ class HttpFacadeSpec extends SparkSpec {
       ivr.toByteArray)
     assert(cnf == 404 && new String(bnf, "UTF-8") == "field not found\n")
     send("DELETE", "/index/goidx", "")
+  }
+
+  test("Go client roaring imports over the pb wire (client.go:661-733)") {
+    val W = 1L << 20
+    def ser(bits: Long*): Array[Byte] = {
+      val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+      bits.foreach(bm.addLong); graft.index.Bitmap.serialize(bm)
+    }
+    // field-level: ImportRoaringRequest{Clear=1, views=2 repeated
+    // View{Name=1,Data=2}} — Name "" means the standard view
+    // (importRoaringBitmap, client.go:685-692); value 55 for customer
+    // columns {2, 6}
+    val irr = new java.io.ByteArrayOutputStream()
+    val view = new java.io.ByteArrayOutputStream()
+    str(view, 1, ""); bytesField(view, 2, ser(55 * W + 2, 55 * W + 6))
+    bytesField(irr, 2, view.toByteArray)
+    val (cr, br) = postProto(
+      "/index/customer/field/c_nationkey/import-roaring/0?clear=false",
+      irr.toByteArray)
+    assert(cr == 200 && br.isEmpty, new String(br, "UTF-8"))
+    val (cq, bq) = post("/index/customer/query", "Count(Row(c_nationkey=55))")
+    assert(cq == 200 && bq.contains(""""data":[[2]]"""), bq)
+    // shard-level: ImportRoaringShardRequest{Views=2 repeated RoaringUpdate
+    // {Field=1,View=2,Clear=3,Set=4,ClearRecords=5}} — one transaction
+    // across fields (ImportRoaringShard, client.go:661-680)
+    val upd = new java.io.ByteArrayOutputStream()
+    str(upd, 1, "c_nationkey"); str(upd, 2, "standard")
+    bytesField(upd, 3, ser(55 * W + 2)) // clear column 2
+    bytesField(upd, 4, ser(56 * W + 7)) // set 56 for column 7
+    val srr = new java.io.ByteArrayOutputStream()
+    bytesField(srr, 2, upd.toByteArray)
+    assert(postProto("/index/customer/shard/0/import-roaring",
+      srr.toByteArray)._1 == 200)
+    val (cq2, bq2) = post("/index/customer/query",
+      "Count(Row(c_nationkey=55)) Count(Row(c_nationkey=56))")
+    assert(cq2 == 200 && bq2.contains(""""data":[[1]]""") &&
+      bq2.contains(""""data":[[1]]"""), bq2)
   }
 
   test("keyed index lifecycle: string record keys through create/import/query") {
