@@ -31,11 +31,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Shell {
 
   /** Per-repl mutable display state (psql writeOptions analogue). */
-  private final class State(val term: java.io.PrintStream) {
+  private final class State(val term: java.io.PrintStream,
+                            val err: java.io.PrintStream) {
     var sink: java.io.PrintStream = term  // query output; \o redirects
     var timing = false
     var expanded = false
+    var tuplesOnly = false                // \t: rows only, no header/count
     var quit = false
+    // \set/\unset client variables (`meta.go:817-845` — stored and listed,
+    // never interpolated; same in the reference)
+    val variables = scala.collection.mutable.SortedMap.empty[String, String]
+    var lastQuery: Option[String] = None  // \watch target (buffer.lastQuery)
+    var cwd = new java.io.File(System.getProperty("user.dir")) // \cd
+    var reader: java.io.BufferedReader = null // \watch's interrupt probe
+    def resolve(f: String): java.io.File = {
+      val file = new java.io.File(f)
+      if (file.isAbsolute) file else new java.io.File(cwd, f)
+    }
     def resetSink(): Unit = {
       if (sink ne term) sink.close()
       sink = term
@@ -45,7 +57,8 @@ object Shell {
   /** Render a result the way psql does: aligned header table, or expanded
     * `-[ RECORD n ]-` blocks under `\x`. Capped at `max` rows (the shell is
     * a terminal, not an export path — `\o` + SQL LIMIT for more). */
-  private def render(df: DataFrame, expanded: Boolean, max: Int = 50): String = {
+  private def render(df: DataFrame, expanded: Boolean, max: Int = 50,
+                     tuplesOnly: Boolean = false): String = {
     val cols = df.columns
     val rows = df.take(max + 1)
     val shown = rows.take(max)
@@ -56,6 +69,13 @@ object Shell {
       case x => x.toString
     }
     val sb = new StringBuilder
+    if (tuplesOnly) { // \t: unadorned rows (psql tuples_only)
+      shown.foreach { r =>
+        sb.append(cols.indices.map(j => fmt(r.get(j))).mkString(" | "))
+          .append('\n')
+      }
+      return sb.toString.stripLineEnd
+    }
     if (expanded) {
       val w = if (cols.isEmpty) 0 else cols.map(_.length).max
       shown.zipWithIndex.foreach { case (r, i) =>
@@ -97,7 +117,8 @@ object Shell {
           val (idx, q) = rest.span(!_.isWhitespace)
           graft.pql.Pql.program(spark, dir, idx, q.trim)
         } else graft.sql.GraftSql.sql(spark, dir, stmt)
-      st.sink.println(render(df, st.expanded))
+      st.lastQuery = Some(stmt)
+      st.sink.println(render(df, st.expanded, tuplesOnly = st.tuplesOnly))
       if (st.timing)
         st.sink.println(s"Execution time: ${(System.nanoTime() - t0) / 1000}μs")
     } catch { case e: Exception =>
@@ -113,11 +134,20 @@ object Shell {
       |\o [file]       redirect query output to a file (no arg: reset)
       |\timing [on|off]  toggle per-query execution time
       |\x [on|off]     toggle expanded display
-      |\echo / \qecho  print text to terminal / to query output
+      |\t [on|off]     tuples only (rows without header or count)
+      |\set [k v]  \UNSET_ <k>   list / set / drop client variables
+      |\echo / \qecho / \warn   print to terminal / query output / stderr
       |\p  \r          print / reset the continuation buffer
+      |\w <file>       write the continuation buffer to a file
+      |\watch [sec]    re-run the last query every sec (default 2)
+      |\cd [dir]       change the directory for file meta-commands
+      |\! <cmd...>     run a shell command
       |\q              quit
       |:pql <index> <program>   run PQL
       |:set warehouse <dir>  :backup <tar>  :restore <tar>  :tables""".stripMargin
+      // "\u" cannot appear literally in any Scala string (pre-lexer unicode
+      // escape), so the help line above spells \unset via replacement:
+      .replace("\\UNSET_", "\\unset")
 
   /** Dispatch one complete input line's statement or meta-command. `buf` is
     * the continuation buffer (for `\p`/`\r`). */
@@ -160,17 +190,100 @@ object Shell {
       case ("\\o", f :: Nil) =>
         st.resetSink()
         try st.sink = new java.io.PrintStream(
-          new java.io.FileOutputStream(f, /*append=*/ true), true, "UTF-8")
+          new java.io.FileOutputStream(st.resolve(f), /*append=*/ true),
+          true, "UTF-8")
         catch { case e: java.io.IOException =>
           st.term.println(s"error: opening $f: ${e.getMessage}")
         }
       case ("\\i", f :: Nil) =>
         try {
-          val r = new java.io.BufferedReader(new java.io.FileReader(f))
+          val r = new java.io.BufferedReader(
+            new java.io.FileReader(st.resolve(f)))
           try feed(spark, dir, st, r, interactive = false)
           finally r.close()
         } catch { case e: java.io.IOException =>
           st.term.println(s"error: opening $f: ${e.getMessage}")
+        }
+      // \set / \unset client variables (`meta.go:817-845,935-960`): stored
+      // and listed `k = 'v'` sorted; values concatenate WITHOUT a
+      // separator (`\set one two three` → `one = 'twothree'`), exactly the
+      // reference's strings.Join(args[1:], "")
+      case ("\\set", Nil) =>
+        st.variables.foreach { case (k, v) => st.term.println(s"$k = '$v'") }
+      case ("\\set", k :: vs) => st.variables(k) = vs.mkString("")
+      case ("\\unset", Nil) =>
+        st.term.println("\\unset: missing required argument")
+      case ("\\unset", k :: extra) =>
+        extra.foreach(s =>
+          st.term.println(s"""\\unset: extra argument "$s" ignored"""))
+        st.variables.remove(k)
+      // \t tuples-only (`meta.go:896-933`)
+      case ("\\t", args) =>
+        st.tuplesOnly = onOff(args.headOption, st.tuplesOnly)
+        st.term.println(
+          s"Tuples only is ${if (st.tuplesOnly) "on" else "off"}.")
+      // \warn echoes to stderr (`meta.go:964-977`)
+      case ("\\warn", args) => st.err.println(args.mkString(" "))
+      // \w writes the continuation buffer to a file (`meta.go:1041-1070`)
+      case ("\\w", Nil) => st.term.println("\\w: missing required argument")
+      case ("\\w", f :: Nil) =>
+        try {
+          val out = new java.io.PrintStream(
+            new java.io.FileOutputStream(st.resolve(f)), true, "UTF-8")
+          try out.println(buf.toString) finally out.close()
+        } catch { case e: java.io.IOException =>
+          st.term.println(s"error: opening $f: ${e.getMessage}")
+        }
+      // \cd (`meta.go:132-156`): tracked dir resolving relative \i/\o/\w
+      // paths and \! commands (a JVM cannot chdir the process)
+      case ("\\cd", args) =>
+        val target = args.headOption
+          .map(st.resolve).getOrElse(
+            new java.io.File(System.getProperty("user.home")))
+        if (target.isDirectory) st.cwd = target.getCanonicalFile
+        else st.term.println(s"error: changing directory to: ${args.mkString}")
+      // \! runs a shell command (`meta.go:74-90`)
+      case ("\\!", Nil) =>
+        st.term.println("meta command '!' requires at least one argument")
+      case ("\\!", args) =>
+        try {
+          val p = new ProcessBuilder(args: _*)
+            .directory(st.cwd).redirectErrorStream(true).start()
+          val outp = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          p.waitFor()
+          st.term.print(outp); st.term.flush()
+        } catch { case e: Exception =>
+          st.term.println(s"error: running bang command: ${e.getMessage}")
+        }
+      // \watch [sec] (`meta.go:981-1026`): re-run the LAST query every
+      // period until input arrives (the reference loops until SIGINT; a
+      // pending line on stdin is this repl's interrupt)
+      case ("\\watch", args) =>
+        val period = args.headOption.map { a =>
+          try a.toInt
+          catch { case _: NumberFormatException =>
+            st.term.println(s"invalid watch argument: $a"); -1 }
+        }.getOrElse(2)
+        st.lastQuery match {
+          case None => st.term.println("\\watch cannot be used with an empty query")
+          case Some(q) if period >= 0 =>
+            // only a real terminal can interrupt the loop; scripted/piped
+            // input gets one pass so an EOF'd stdin can't spin forever
+            val tty = System.console() != null
+            var go = true
+            while (go) {
+              st.term.println(s"${java.time.Instant.now} (every ${period}s)\n")
+              runStatement(spark, dir, st, q)
+              if (!tty) go = false
+              else {
+                val deadline = System.nanoTime() + period * 1000000000L
+                while (go && System.nanoTime() < deadline) {
+                  if (st.reader == null || st.reader.ready()) go = false
+                  else Thread.sleep(25)
+                }
+              }
+            }
+          case _ => ()
         }
       case (c, _) if c.startsWith("\\") =>
         st.term.println(s"unsupported meta-command: '$c'")
@@ -235,8 +348,10 @@ object Shell {
     * owning (or stopping) the process-wide session. Returns on `\q`,
     * `:quit`, or end of input. */
   def repl(spark: SparkSession, dir: String, in: java.io.BufferedReader,
-           out: java.io.PrintStream): Unit = {
-    val st = new State(out)
+           out: java.io.PrintStream,
+           err: java.io.PrintStream = System.err): Unit = {
+    val st = new State(out, err)
+    st.reader = in
     try feed(spark, dir, st, in, interactive = true)
     finally st.resetSink()
   }

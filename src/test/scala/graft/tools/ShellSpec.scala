@@ -131,4 +131,91 @@ class ShellSpec extends SparkSpec {
       assert(o2.contains("error: opening"), o2)
     } finally Files.deleteIfExists(f)
   }
+
+  test("\\set and \\unset store client variables (meta.go:817-845,935-960)") {
+    // values concatenate WITHOUT a separator, exactly the reference's
+    // strings.Join(args[1:], "")
+    // NB: regular strings throughout — a literal \u in a triple-quoted
+    // string is a unicode-escape lexer error in Scala
+    val o = run("\\set one two three\n\\set zed z\n\\set\n" +
+      "\\unset zed extra\n\\set\n\\unset\n\\q\n")
+    assert(o.contains("one = 'twothree'"), o)
+    assert(o.contains("zed = 'z'"), o)
+    assert(o.indexOf("zed = 'z'") > 0 &&
+      o.lastIndexOf("zed = 'z'") == o.indexOf("zed = 'z'"), o) // unset worked
+    assert(o.contains("\\unset: extra argument \"extra\" ignored"), o)
+    assert(o.contains("\\unset: missing required argument"), o)
+  }
+
+  test("\\t tuples-only strips headers and row counts (meta.go:896-933)") {
+    val o = run(
+      """\t on
+        |SELECT r_name FROM region WHERE r_regionkey = 2
+        |\t off
+        |\q
+        |""".stripMargin)
+    assert(o.contains("Tuples only is on."), o)
+    assert(o.contains("ASIA"), o)
+    assert(!o.contains("r_name"), o)   // no header
+    assert(!o.contains("(1 row)"), o)  // no count footer
+    assert(o.contains("Tuples only is off."), o)
+  }
+
+  test("\\warn writes to stderr, not the terminal stream (meta.go:964-977)") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val errB = new java.io.ByteArrayOutputStream()
+    Shell.repl(spark, sfDir,
+      new java.io.BufferedReader(new java.io.StringReader("\\warn careful\n\\q\n")),
+      new java.io.PrintStream(outB, true, "UTF-8"),
+      new java.io.PrintStream(errB, true, "UTF-8"))
+    assert(!new String(outB.toByteArray, "UTF-8").contains("careful"))
+    assert(new String(errB.toByteArray, "UTF-8").contains("careful"))
+  }
+
+  test("\\w writes the continuation buffer to a file (meta.go:1041-1070)") {
+    val f = Files.createTempFile("graft-shell-w", ".sql")
+    try {
+      // a continued statement is pending in the buffer when \w runs
+      val o = run(s"SELECT 1 \\\n\\w $f\n\\r\n\\q\n")
+      val written = new String(Files.readAllBytes(f), "UTF-8")
+      assert(written.contains("SELECT 1"), written)
+      assert(run("\\w\n\\q\n").contains("\\w: missing required argument"))
+      assert(o.contains("Query buffer reset."), o)
+    } finally Files.deleteIfExists(f)
+  }
+
+  test("\\cd resolves relative paths for file meta-commands; \\! runs a " +
+    "command (meta.go:74-90,132-156)") {
+    val dir = Files.createTempDirectory("graft-shell-cd")
+    val inc = dir.resolve("inc.sql")
+    Files.write(inc, "\\echo from-include\n".getBytes("UTF-8"))
+    try {
+      val o = run(s"\\cd $dir\n\\i inc.sql\n\\q\n")
+      assert(o.contains("from-include"), o)
+      val o2 = run(s"\\cd $dir\n\\! pwd\n\\q\n")
+      assert(o2.contains(dir.toRealPath().toString), o2)
+      assert(run("\\! \n\\q\n")
+        .contains("meta command '!' requires at least one argument"))
+      assert(run("\\cd /nonexistent/nope\n\\q\n").contains("error: changing directory"), o)
+    } finally {
+      Files.deleteIfExists(inc); Files.deleteIfExists(dir)
+    }
+  }
+
+  test("\\watch re-runs the last query; empty buffer and bad arg error " +
+    "(meta.go:981-1026)") {
+    // headless (no tty): one pass, so scripted input can't loop forever
+    val o = run(
+      """SELECT count(*) AS n FROM region
+        |\watch 1
+        |\q
+        |""".stripMargin)
+    val runs = "\\bn\\b".r.findAllIn(o).length
+    assert(o.split("every 1s").length - 1 == 1, o)
+    assert(runs >= 2, o) // original run + one watch pass
+    assert(run("\\watch\n\\q\n")
+      .contains("\\watch cannot be used with an empty query"))
+    assert(run("SELECT 1\n\\watch abc\n\\q\n")
+      .contains("invalid watch argument: abc"))
+  }
 }
