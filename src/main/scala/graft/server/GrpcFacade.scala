@@ -213,7 +213,9 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     * catalog tables, minus fb_* system views and CREATE VIEW definitions
     * (the service's index RPCs list indexes, not views). */
   private def allIndexNames: Seq[String] = {
-    val cat = spark.catalog.listTables().collect().toSeq.map(_.name)
+    // SessionCatalog API: pure driver-side metadata (the Dataset-returning
+    // spark.catalog.listTables would launch a Spark job per probe)
+    val cat = spark.sessionState.catalog.listTables("default").map(_.table)
       .filterNot(_.startsWith("fb_"))
       .filterNot(graft.sql.Ddl.viewDefs.contains)
     (graft.core.Tables.names ++ cat).distinct

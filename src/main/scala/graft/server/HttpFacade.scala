@@ -115,14 +115,14 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         case None => // no id set known — honest whole-state replace
           graft.core.TableLog.replace(spark, name, next, checkpoint = true)
       }
-      cardinalityCache.remove(name)
+      invalidateTableCaches(name)
       return
     }
     val before = state.get(name)
     if (next ne before) {
       val n = writesSince.merge(name, 1, (a, b) => a + b)
       state.put(name, if (n % 16 == 0) next.localCheckpoint() else next)
-      cardinalityCache.remove(name)
+      invalidateTableCaches(name)
     }
   }
 
@@ -133,6 +133,19 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * reference's cached ranked-cache counts. */
   private val cardinalityCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]
+
+  /** `/internal/shards/max` per-table memo: same metadata-probe discipline
+    * as the cardinality memo above — one max(_id) agg per table on first
+    * ask, then served driver-side until a write/DDL invalidates (the
+    * sites that clear cardinalityCache clear this too via
+    * [[invalidateTableCaches]]). */
+  private val maxShardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private def invalidateTableCaches(name: String): Unit = {
+    cardinalityCache.remove(name)
+    maxShardCache.remove(name)
+  }
 
   /** Query tracker (`reference/tracker.go:11-27`): in-flight queries for
     * `GET /queries`, a bounded ring of finished ones for
@@ -312,7 +325,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
                   case Some(df) => toWire(df)
                   case None     => "true"
                 }.mkString("""{"results":[""", ",", "]}")
-                if (writes) cardinalityCache.remove(idx)
+                if (writes) invalidateTableCaches(idx)
                 wire
               } else {
                 val (results, next) =
@@ -374,7 +387,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           // invalidation hooks, and zipping a stale Row with a longer
           // field list would throw on a metadata probe
           val stale = Option(cardinalityCache.get(t)).exists(_.length != fields.length)
-          if (stale) cardinalityCache.remove(t)
+          if (stale) invalidateTableCaches(t)
           val cards = cardinalityCache.computeIfAbsent(t, _ =>
             df.select(fields.map(f =>
               approx_count_distinct(f.name).as(f.name)).toSeq: _*).collect()(0))
@@ -458,16 +471,17 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         import org.apache.spark.sql.functions.{col, max}
         val w = graft.pql.Compiler.ShardWidth
         val entries = allIndexNames.map { n =>
-          val maxShard = try {
-            val df = tableState(n)
-            if (df.schema("_id").dataType ==
-                org.apache.spark.sql.types.LongType)
-              df.agg(max(col("_id"))).head.getAs[Any](0) match {
-                case l: java.lang.Long => l.longValue() / w
-                case _ => 0L
-              }
-            else 0L // keyed index: key-hash shards unknowable here
-          } catch { case _: Exception => 0L }
+          val maxShard = maxShardCache.computeIfAbsent(n, _ =>
+            try {
+              val df = tableState(n)
+              if (df.schema("_id").dataType ==
+                  org.apache.spark.sql.types.LongType)
+                df.agg(max(col("_id"))).head.getAs[Any](0) match {
+                  case l: java.lang.Long => l.longValue() / w
+                  case _ => 0L
+                }
+              else 0L // keyed index: key-hash shards unknowable here
+            } catch { case _: Exception => 0L })
           s"${js(n)}:$maxShard"
         }
         s"""{"standard":{${entries.mkString(",")}}}"""
@@ -558,7 +572,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     server.createContext("/recalculate-caches", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
         chk(ex, None, Auth.PermAdmin)
-        cardinalityCache.clear()
+        cardinalityCache.clear(); maxShardCache.clear()
         graft.core.Metrics.inc(graft.core.Metrics.RecalculateCache)
         ""
       }
@@ -834,7 +848,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   private def dropIndex(idx: String): String = {
     graft.sql.Ddl.run(spark, s"DROP TABLE $idx")
     state.remove(idx)
-    cardinalityCache.remove(idx)
+    invalidateTableCaches(idx)
     graft.core.Metrics.inc(graft.core.Metrics.DeleteIndex)
     success(idx)
   }
@@ -844,7 +858,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * definitions (the reference's /schema lists indexes, not views). A
     * driver-side catalog listing — no Spark job. */
   private def allIndexNames: Seq[String] = {
-    val cat = spark.catalog.listTables().collect().toSeq.map(_.name)
+    // SessionCatalog API: pure driver-side metadata (the Dataset-returning
+    // spark.catalog.listTables would launch a Spark job per probe)
+    val cat = spark.sessionState.catalog.listTables("default").map(_.table)
       .filterNot(_.startsWith("fb_"))
       .filterNot(graft.sql.Ddl.viewDefs.contains)
     (graft.core.Tables.names ++ cat).distinct
@@ -918,7 +934,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     }
     graft.sql.Ddl.run(spark, s"ALTER TABLE $idx ADD COLUMN $field $ddlType")
     state.remove(idx) // next read sees the widened schema
-    cardinalityCache.remove(idx)
+    invalidateTableCaches(idx)
     graft.core.Metrics.inc(graft.core.Metrics.CreateField)
     success(field)
   }
@@ -927,7 +943,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   private def dropField(idx: String, field: String): String = {
     graft.sql.Ddl.run(spark, s"ALTER TABLE $idx DROP COLUMN $field")
     state.remove(idx)
-    cardinalityCache.remove(idx)
+    invalidateTableCaches(idx)
     graft.core.Metrics.inc(graft.core.Metrics.DeleteField)
     success(field)
   }
@@ -962,7 +978,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         def run(): Array[Byte] =
           if (durable) {
             val rs = graft.pql.Pql.programResultsDurable(spark, idx, query)
-            if (writes) cardinalityCache.remove(idx)
+            if (writes) invalidateTableCaches(idx)
             PbQuery.encodeResponse(calls.zip(rs), MaxWireRows)
           } else {
             import org.apache.spark.sql.functions.col

@@ -545,6 +545,31 @@ class HttpFacadeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("/internal/shards/max memoizes per table: repeat probe runs no " +
+    "Spark job; a write invalidates") {
+    val (cp, bp) = get("/internal/shards/max") // prime the memo
+    assert(cp == 200 && bp.contains(""""standard":{"""), bp.take(200))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val (c, b) = get("/internal/shards/max")
+      assert(c == 200 && b == bp)
+      Thread.sleep(1000) // listener events are async
+      assert(jobs.get() == 0, s"expected memoized response, saw ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // a write past the shard boundary moves the reported max shard
+    val w = 1L << 20
+    assert(post("/index/region/query", s"Set(${3 * w + 1}, r_name='FARSHARD')")
+      ._1 == 200)
+    val (c2, b2) = get("/internal/shards/max")
+    assert(c2 == 200 && b2.contains(""""region":3"""), b2)
+  }
+
   test("concurrent writes to one table serialize; no lost updates") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
