@@ -585,6 +585,17 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "dd_clusters" -> ((s, dir) => Dedup.duplicateClusters(
       Dedup.jaccardPairs(
         Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5))),
+    // keep-BEST dedup: per near-dup cluster retain the highest-quality
+    // member (n_chars as the quality proxy; ties -> greatest id)
+    "pipe_clean_best" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(
+          Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
+      Dedup.dedupKeepBest(base, "doc_id", "n_chars", clusters)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
     "dd_embed_cos" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.45)),
     // SemDeDup-style semantic dedup: components over the cosine≥0.45 pair
@@ -1002,6 +1013,24 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "SELECT doc_id, len(toks) AS bpe_cnt, len(list_distinct(toks)) AS bpe_uniq " +
       "FROM t ORDER BY doc_id"),
     "pipe_clean_corpus" -> duckPipeClean,
+    // keep-best dedup: components over jaccard>=0.5 pairs, per-root winner
+    // by (n_chars DESC, id DESC) — the row-value max Spark's
+    // max(struct(s, id)) computes — then drop the clustered non-winners
+    "pipe_clean_best" -> (s"WITH RECURSIVE $duckShinglePairsCte, " +
+      "pr AS (SELECT a, b FROM pairs WHERE jf >= 0.5), " +
+      "edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr), " +
+      "nodes AS (SELECT DISTINCT x AS id FROM edges), " +
+      "reach(src, dst) AS (SELECT id, id FROM nodes UNION " +
+      "SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x), " +
+      "comp AS (SELECT dst AS id, min(src) AS root FROM reach GROUP BY 1), " +
+      "scored AS (SELECT c.id, c.root, d.n_chars FROM comp c " +
+      "JOIN documents d ON d.doc_id = c.id), " +
+      "winners AS (SELECT id FROM (SELECT id, row_number() OVER " +
+      "(PARTITION BY root ORDER BY n_chars DESC, id DESC) AS rn FROM scored) " +
+      "WHERE rn = 1), " +
+      "losers AS (SELECT id FROM comp WHERE id NOT IN (SELECT id FROM winners)) " +
+      "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+      "FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)"),
     "dd_clusters" -> duckClusters,
     "txt_tokens" -> ("SELECT doc_id, " +
       "len(list_filter(string_split(text,' '), x->x<>'')) AS tok_cnt, " +

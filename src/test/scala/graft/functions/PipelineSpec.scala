@@ -206,6 +206,22 @@ class PipelineSpec extends SparkSpec {
       "probe must touch only the nProbe=3 nearest cells")
   }
 
+  test("dedupKeepBest keeps the highest-scored cluster member, ties to " +
+    "greatest id; unclustered rows survive") {
+    import spark.implicits._
+    // clusters: {1,2,3} rooted at 1, {5,6} rooted at 5; 9 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "root")
+    val corpus = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // 2 and 3 tie on score -> keep 3
+      (5L, 50L), (6L, 40L),            // 5 wins outright
+      (9L, 1L)                         // not in any cluster
+    ).toDF("doc_id", "quality")
+    val kept = Dedup.dedupKeepBest(corpus, "doc_id", "quality", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L, 9L), kept)
+  }
+
   test("packScan: greedy budget splits, shard resets, oversized doc isolated") {
     // (shard, id, n) sorted by (shard, id); budget 10
     val in = Seq(
