@@ -615,6 +615,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           Map("en" -> 2000, "es" -> 1000), defaultBp = 500)
         .select(col("doc_id"), col("pred")).orderBy("doc_id")
     }),
+    // deterministic training-order shuffle: the permutation is the sort on
+    // the replayable poly-hash key (emitted so the oracle compares it)
+    "pipe_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(docs(s, dir), col("doc_id"), "epoch0")
+        .select(col("doc_id"),
+          Sampling.shuffleKey(col("doc_id"), "epoch0").as("shuffle_key"))),
+    // corpus vocabulary: top-100 whitespace tokens by frequency (the BPE /
+    // vocab-build precursor); total order breaks count ties by token
+    "txt_vocab" -> ((s, dir) => docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)),
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 20, excludeId = Some(0L))),
@@ -1056,6 +1068,17 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) % 10000 < " +
       "CASE pred WHEN 'en' THEN 2000 WHEN 'es' THEN 1000 ELSE 500 END " +
       "ORDER BY doc_id"),
+    "pipe_shuffle" -> ("WITH h0 AS (SELECT doc_id, " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(doc_id::VARCHAR || ':epoch0',''), c -> ascii(c)::BIGINT)), " +
+      s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) % ${Sampling.ShuffleMod} AS h " +
+      "FROM documents), m AS (SELECT doc_id, " +
+      s"(h*h + h) % ${Sampling.ShuffleMod} AS m1 FROM h0) " +
+      s"SELECT doc_id, (m1*m1 + m1) % ${Sampling.ShuffleMod} AS shuffle_key " +
+      "FROM m ORDER BY shuffle_key, doc_id"),
+    "txt_vocab" -> ("SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM " +
+      "(SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) AS token " +
+      "FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 100"),
     // sequence packing: the greedy per-shard scan as a recursive CTE
     // advancing every shard one doc per iteration
     "pipe_pack" -> ("WITH RECURSIVE d AS (SELECT doc_id % 8 AS shard, " +

@@ -50,6 +50,34 @@ object Sampling {
       .drop("__s", "__tot")
   }
 
+  /** Prime modulus for [[shuffleKey]]'s mixing rounds: 2^31-1, small
+    * enough that h*h fits in int64 in ANY engine (the oracle replays the
+    * arithmetic in DuckDB BIGINTs). */
+  val ShuffleMod = 2147483647L
+
+  /** Deterministic training-order shuffle key. Ordering by (this, key) is
+    * a reproducible total permutation of the corpus — the "shuffle before
+    * epoch 0" step — on any cluster size, replayable by an oracle; a
+    * different salt redraws the permutation (epoch 1, 2, …).
+    *
+    * The poly-hash alone is AFFINE in its input — a salt change adds a
+    * constant, which only rotates an ordering, and short keys do not even
+    * wrap the 48-bit modulus — so two square-mix rounds mod 2^31-1 follow:
+    * h → h(h+1) mod p is non-linear, making distinct salts genuinely
+    * independent permutations. The op itself is ONE range exchange + sort,
+    * exactly what a global ORDER BY costs; no RNG state, no collect. */
+  def shuffleKey(key: Column, salt: String = "graft"): Column = {
+    val p = lit(ShuffleMod)
+    val h = pmod(Text.tokenHash(concat(key.cast("string"), lit(":" + salt))), p)
+    val m1 = pmod(h * h + h, p)
+    pmod(m1 * m1 + m1, p)
+  }
+
+  /** The corpus in deterministic shuffled order (see [[shuffleKey]]). */
+  def deterministicShuffle(df: DataFrame, key: Column,
+                           salt: String = "graft"): DataFrame =
+    df.orderBy(shuffleKey(key, salt), key)
+
   /** Per-stratum rates (basis points), e.g. language-conditioned mixing.
     * Strata not in `ratesBp` fall back to `defaultBp`. One codegen'd CASE —
     * still a pure map-side filter. */

@@ -326,6 +326,29 @@ class PipelineSpec extends SparkSpec {
       nCells = Some(4), maxExactRows = 3).count() > 0)
   }
 
+  test("deterministic shuffle: reproducible total permutation, salt " +
+    "redraws it, one range exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val a = Sampling.deterministicShuffle(docs, col("doc_id"), "epoch0")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = Sampling.deterministicShuffle(docs, col("doc_id"), "epoch0")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val c = Sampling.deterministicShuffle(docs, col("doc_id"), "epoch1")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)                       // same salt -> same permutation
+    assert(a != c)                       // new salt -> new permutation
+    assert(a.toSet == c.toSet)           // both are permutations
+    assert(a != a.sorted)                // and actually shuffled
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Sampling.deterministicShuffle(docs, col("doc_id"), "epoch0")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.length == 1, // the global sort's range exchange only
+        s"shuffle must cost exactly one exchange: $exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sampling plan is a pure map-side filter: zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
