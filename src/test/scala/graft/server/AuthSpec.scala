@@ -328,6 +328,41 @@ class AuthGrpcSpec extends SparkSpec {
     } finally { reader.shutdownNow(); admin.shutdownNow() }
   }
 
+  test("index RPCs: create/delete admin-gated, listing read-filtered, " +
+    "GetIndex denies before not-found (grpc.go:410-501)") {
+    val reader = ch("readers"); val admin = ch("admins")
+    def nameReq(n: String) = { val w = new Proto.Writer; w.string(1, n); w.result }
+    def names(c: grpc.ManagedChannel): Seq[String] = new Proto.Reader(
+      GrpcFacade.call(c, facade.GetIndexesMethod, Array.emptyByteArray))
+      .fields.getOrElse(1, Nil)
+      .map(b => new Proto.Reader(b.asInstanceOf[Array[Byte]]).str(1).get)
+    try {
+      // reader: create/delete denied with the reference's message
+      assert(status(GrpcFacade.call(reader, facade.CreateIndexMethod,
+        nameReq("authidx"))) == grpc.Status.Code.PERMISSION_DENIED)
+      assert(status(GrpcFacade.call(reader, facade.DeleteIndexMethod,
+        nameReq("region"))) == grpc.Status.Code.PERMISSION_DENIED)
+      // listing filters to the reader's one authorized index
+      assert(names(reader) == Seq("region"), names(reader))
+      // GetIndex: permission check comes BEFORE existence — an
+      // unauthorized name is DENIED, not NOT_FOUND (no existence leak)
+      assert(status(GrpcFacade.call(reader, facade.GetIndexMethod,
+        nameReq("orders"))) == grpc.Status.Code.PERMISSION_DENIED)
+      assert(status(GrpcFacade.call(reader, facade.GetIndexMethod,
+        nameReq("region"))) == grpc.Status.Code.OK)
+      // Inspect runs under the same read gate as PQL
+      val insp = { val w = new Proto.Writer; w.string(1, "orders"); w.result }
+      assert(status(GrpcFacade.serverStream(reader, facade.InspectMethod,
+        insp)) == grpc.Status.Code.PERMISSION_DENIED)
+      // admin: full lifecycle
+      assert(status(GrpcFacade.call(admin, facade.CreateIndexMethod,
+        nameReq("authidx"))) == grpc.Status.Code.OK)
+      assert(names(admin).contains("authidx"))
+      assert(status(GrpcFacade.call(admin, facade.DeleteIndexMethod,
+        nameReq("authidx"))) == grpc.Status.Code.OK)
+    } finally { reader.shutdownNow(); admin.shutdownNow() }
+  }
+
   test("SQL: table allow-list enforced; missing token denied; admin passes") {
     val reader = ch("readers"); val admin = ch("admins")
     val anon = GrpcFacade.channel(port)
