@@ -45,6 +45,30 @@ class TlsSpec extends SparkSpec {
             .build(),
           HttpResponse.BodyHandlers.ofString())
       }
+      // the Go client's protobuf exchange runs over the SAME TLS channel
+      // (client.go Query/Import under https):  QueryRequest{Query=1} →
+      // Count over the pb wire, and /status reports https node URIs so the
+      // client routes follow-ups back through TLS
+      val qreq = {
+        val q = "Count(All())".getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(0x0A); out.write(q.length); out.write(q); out.toByteArray
+      }
+      val pr = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"https://localhost:$port/index/region/query"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Accept", "application/x-protobuf")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(qreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(pr.statusCode() == 200 &&
+        pr.body().toSeq == Seq(0x12, 4, 0x10, 5, 0x30, 5).map(_.toByte),
+        pr.body().map(b => f"$b%02x").mkString(" "))
+      val st = client.send(
+        HttpRequest.newBuilder(URI.create(s"https://localhost:$port/status"))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(st.body().contains(""""scheme":"https""""), st.body())
     } finally f.stop()
   }
 
