@@ -187,6 +187,14 @@ object Ddl {
   private[sql] val bounds = scala.collection.mutable.Map
     .empty[String, Map[String, (Option[BigDecimal], Option[BigDecimal])]]
 
+  /** Declared reference column types per (lowercased) table → column →
+    * reference type name ("id"/"int"/"decimal(2)"/…). Spark stores ID and
+    * INT both as LongType, but the reference type-checker distinguishes them
+    * (`sql3/planner/expressiontypes.go`), so [[TypeCheck]] needs the declared
+    * names. */
+  private[graft] val declaredTypes =
+    scala.collection.mutable.Map.empty[String, Map[String, String]]
+
   private val MinRe = raw"(?i)\bMIN\s+(-?\d+(?:\.\d+)?)".r
   private val MaxRe = raw"(?i)\bMAX\s+(-?\d+(?:\.\d+)?)".r
 
@@ -194,7 +202,7 @@ object Ddl {
     * TIMEQUANTUM 'x' | TTL 'x' | CACHETYPE x [SIZE n]]*` — storage hints are
     * accepted and dropped (Parquet/Delta stats replace BSI bounds and ranked
     * caches, SURVEY §1.1); TIMEUNIT/EPOCH are kept as field semantics. */
-  private def parseColumn(defn: String): (StructField, Option[(String, java.time.Instant)], Option[String], Option[(Option[BigDecimal], Option[BigDecimal])]) = {
+  private def parseColumn(defn: String): (StructField, Option[(String, java.time.Instant)], Option[String], Option[(Option[BigDecimal], Option[BigDecimal])], String) = {
     val toks = defn.trim.split("\\s+", 3)
     require(toks.length >= 2, s"bad column def: $defn")
     // type may carry parens: DECIMAL(2)
@@ -211,7 +219,8 @@ object Ddl {
     val mn = MinRe.findFirstMatchIn(rest).map(m => BigDecimal(m.group(1)))
     val mx = MaxRe.findFirstMatchIn(rest).map(m => BigDecimal(m.group(1)))
     val b = if (mn.isDefined || mx.isDefined) Some((mn, mx)) else None
-    (StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id"), unit, fk, b)
+    (StructField(toks(0), sparkType(tpe), nullable = toks(0) != "_id"), unit, fk, b,
+      tpe.toLowerCase.replaceAll("\\s+", ""))
   }
 
   private def parseEpoch(s: String): java.time.Instant = {
@@ -263,12 +272,15 @@ object Ddl {
       val parsed = topSplit(cols, ',').map(parseColumn)
       val schema = StructType(parsed.map(_._1))
       timeUnits(name.toLowerCase) = parsed.collect {
-        case (f, Some(u), _, _) => f.name -> u
+        case (f, Some(u), _, _, _) => f.name -> u
       }.toMap
       bounds(name.toLowerCase) = parsed.collect {
-        case (f, _, _, Some(b)) => f.name -> b
+        case (f, _, _, Some(b), _) => f.name -> b
       }.toMap
-      val fks = parsed.collect { case (f, _, Some(ft), _) => f.name -> ft }.toMap
+      declaredTypes(name.toLowerCase) = parsed.map {
+        case (f, _, _, _, rt) => f.name.toLowerCase -> rt
+      }.toMap
+      val fks = parsed.collect { case (f, _, Some(ft), _, _) => f.name -> ft }.toMap
       fks.values.foreach { ft =>
         require(spark.catalog.tableExists(ft), s"foreign table '$ft' not found")
       }
@@ -343,6 +355,7 @@ object Ddl {
       spark.catalog.dropTempView(name)
       viewNames.remove((spark, name.toLowerCase))
       viewDefs.remove(name.toLowerCase)
+      declaredTypes.remove(name.toLowerCase)
       // a DROP may have removed (or un-shadowed) a dir-backed base view —
       // re-arm the memoized registration so the next statement re-resolves
       // the base catalog instead of serving TABLE_OR_VIEW_NOT_FOUND forever
@@ -371,11 +384,13 @@ object Ddl {
       // full column-definition grammar, constraints included — ALTER ADD
       // shares ColumnDefinition with CREATE TABLE (`reference/sql3/parser/
       // parser.go` alterTableObject → parseColumnDefinition)
-      val (f, unit, fk, bound) = parseColumn(s"$colName $tpe")
+      val (f, unit, fk, bound, refT) = parseColumn(s"$colName $tpe")
       unit.foreach(u => timeUnits(name.toLowerCase) =
         timeUnits.getOrElse(name.toLowerCase, Map.empty) + (f.name -> u))
       bound.foreach(b => bounds(name.toLowerCase) =
         bounds.getOrElse(name.toLowerCase, Map.empty) + (f.name -> b))
+      declaredTypes(name.toLowerCase) =
+        declaredTypes.getOrElse(name.toLowerCase, Map.empty) + (f.name.toLowerCase -> refT)
       fk.foreach { ft =>
         require(spark.catalog.tableExists(ft), s"foreign table '$ft' not found")
         foreignKeys(name.toLowerCase) =
@@ -389,11 +404,17 @@ object Ddl {
     case AlterDropRe(name, colName) =>
       graft.core.TableLog.replace(spark, name, spark.table(name).drop(colName),
         checkpoint = true)
+      declaredTypes.get(name.toLowerCase).foreach(m =>
+        declaredTypes(name.toLowerCase) = m - colName.toLowerCase)
       ack(spark, s"dropped $colName from $name")
 
     case AlterRenameRe(name, from, to) =>
       graft.core.TableLog.replace(spark, name,
         spark.table(name).withColumnRenamed(from, to), checkpoint = true)
+      declaredTypes.get(name.toLowerCase).foreach { m =>
+        m.get(from.toLowerCase).foreach(rt =>
+          declaredTypes(name.toLowerCase) = m - from.toLowerCase + (to.toLowerCase -> rt))
+      }
       ack(spark, s"renamed $from to $to in $name")
 
     case CreateDbRe(ifNotExists, name, withOpts) =>
@@ -822,7 +843,10 @@ object Ddl {
           n -> jobj(Seq("units" -> u.toString, "comment" -> jstr(cm)))
         }),
         "views" -> jobj(viewDefs.toSeq.sortBy(_._1).map { case (n, b) =>
-          n -> jstr(b) })))
+          n -> jstr(b) }),
+        "declaredTypes" -> jobj(declaredTypes.toSeq.sortBy(_._1).map { case (t, m) =>
+          t -> jobj(m.map { case (c, rt) => c -> jstr(rt) })
+        })))
       val dir = java.nio.file.Paths.get(wh)
       java.nio.file.Files.createDirectories(dir)
       val tmp = dir.resolve("_ddlmeta.json.tmp")
@@ -867,6 +891,10 @@ object Ddl {
         fields(m \ "foreignKeys").foreach { case (t, cols) =>
           foreignKeys(t) = fields(cols)
             .map { case (c, ft) => c -> str(ft) }.toMap
+        }
+        fields(m \ "declaredTypes").foreach { case (t, cols) =>
+          declaredTypes(t) = fields(cols)
+            .map { case (c, rt) => c -> str(rt) }.toMap
         }
         fields(m \ "databases").foreach { case (n, spec) =>
           val units = spec \ "units" match {

@@ -34,6 +34,54 @@ object GraftSql {
     * DECIMAL(p,s) (not reference syntax) is left untouched. */
   private val DecScaleRe = raw"(?i)\bDECIMAL\s*\(\s*(\d+)\s*\)".r
 
+  /** Reference CAST target types → Spark types, `AS <type>)`-anchored and
+    * quote-aware. INT maps to BIGINT (the reference's int is int64 —
+    * `sql3/parser/astdatatype.go`), ID to BIGINT too; the original names are
+    * returned positionally so [[TypeCheck]] can still distinguish them. */
+  private val CastTypeRe =
+    raw"(?i)\bAS\s+(ID|INT|BOOL|IDSET|STRINGSET|STRING|VARCHAR|TIMESTAMP|DECIMAL\s*\(\s*(\d+)\s*\))\s*\)".r
+
+  private def maskLiterals(q: String): String = {
+    val b = new StringBuilder(q)
+    var quote: Char = 0
+    for (i <- 0 until q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 else b.setCharAt(i, 'x') }
+      else if (c == '\'' || c == '"') quote = c
+    }
+    b.toString
+  }
+
+  /** Rewrite + the reference cast-target list (in `AS <type>` textual order,
+    * for [[TypeCheck]]'s id/int disambiguation). */
+  def rewriteWithCasts(query0: String): (String, List[TypeCheck.RT]) = {
+    val masked = maskLiterals(query0)
+    val targets = scala.collection.mutable.ListBuffer[TypeCheck.RT]()
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- CastTypeRe.findAllMatchIn(masked)) {
+      sb ++= query0.substring(last, m.start)
+      val t = m.group(1).toUpperCase.replaceAll("\\s+", "")
+      val (sparkT, rt) = t match {
+        case "ID"        => ("BIGINT", TypeCheck.RT("id"))
+        case "INT"       => ("BIGINT", TypeCheck.RT("int"))
+        case "BOOL"      => ("BOOLEAN", TypeCheck.RT("bool"))
+        case "IDSET"     => ("ARRAY<BIGINT>", TypeCheck.RT("idset"))
+        case "STRINGSET" => ("ARRAY<STRING>", TypeCheck.RT("stringset"))
+        case "STRING" | "VARCHAR" => ("STRING", TypeCheck.RT("string"))
+        case "TIMESTAMP" => ("TIMESTAMP", TypeCheck.RT("timestamp"))
+        case dec         => // DECIMAL(s): scale-only (reference semantics)
+          val s = m.group(2).toInt
+          (s"DECIMAL(38,$s)", TypeCheck.RT("decimal", s))
+      }
+      targets += rt
+      sb ++= "AS " + sparkT + ")"
+      last = m.end
+    }
+    sb ++= query0.substring(last)
+    (rewrite(sb.toString), targets.toList)
+  }
+
   /** Rewrite reference-dialect SQL to Spark SQL. */
   def rewrite(query: String): String = {
     val q = DecScaleRe.replaceAllIn(bracketsToArray(query), m => s"DECIMAL(38,${m.group(1)})")
@@ -443,12 +491,7 @@ object GraftSql {
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
-    else {
-      validateDialect(query)
-      val hinted = applyHints(spark, query)
-      percentilePushdown(spark, hinted).getOrElse(
-        translateErrors(dialectFix(spark, runDisambiguated(spark, rewrite(hinted)))))
-    }
+    else runQuery(spark, query)
   }
 
   /** Run a statement with no table dir (DDL-driven sessions). */
@@ -457,11 +500,16 @@ object GraftSql {
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
     if (Ddl.handles(query)) Ddl.run(spark, query)
-    else {
-      validateDialect(query)
-      val hinted = applyHints(spark, query)
-      percentilePushdown(spark, hinted).getOrElse(
-        translateErrors(dialectFix(spark, runDisambiguated(spark, rewrite(hinted)))))
+    else runQuery(spark, query)
+  }
+
+  private def runQuery(spark: SparkSession, query: String): DataFrame = {
+    validateDialect(query)
+    val hinted = applyHints(spark, query)
+    percentilePushdown(spark, hinted).getOrElse {
+      val (rewritten, castTargets) = rewriteWithCasts(hinted)
+      TypeCheck.check(spark, rewritten, castTargets)
+      translateErrors(dialectFix(spark, runDisambiguated(spark, rewritten)))
     }
   }
 }

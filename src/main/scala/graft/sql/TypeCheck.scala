@@ -1,0 +1,503 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's expression type checker, run on Spark's *unresolved* parse
+  * tree before analysis (`reference/sql3/planner/expressionanalyzer.go:397-770`
+  * `analyzeBinaryExpression`/`analyzeUnaryExpression`/`analyzeRangeExpression`,
+  * type matrices `expressiontypes.go:117-851`).
+  *
+  * Spark itself would happily coerce most of what the reference rejects
+  * (int = string, bool + 1, …), so type parity has to be checked up front; it
+  * also produces the reference's exact error wording (`reference/sql3/
+  * errors.go:345-430`), which the golden corpus (sql3/test/defs — 900+
+  * expected-error cases) asserts verbatim.
+  *
+  * The checker is deliberately fail-open: any type it cannot resolve
+  * (functions it doesn't know, subqueries, complex shapes) becomes `None` and
+  * exempts the surrounding checks — Spark's analyzer remains the backstop.
+  * Only [[TypeCheck.RefError]] escapes; machinery errors are swallowed.
+  */
+object TypeCheck {
+
+  /** Reference expression type (`reference/sql3/parser/astdatatype.go:10-26`).
+    * DECIMAL carries only a scale. */
+  final case class RT(base: String, scale: Int = 0) {
+    def desc: String = if (base == "decimal") s"decimal($scale)" else base
+  }
+  private val TId = RT("id"); private val TInt = RT("int")
+  private val TBool = RT("bool"); private val TStr = RT("string")
+  private val TTs = RT("timestamp"); private val TIdSet = RT("idset")
+  private val TStrSet = RT("stringset")
+
+  final class RefError(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new RefError(msg)
+
+  // ------------------------------------------------- matrices (expressiontypes.go)
+  private val logicalOk    = Set("id", "int", "bool") // :117
+  private val equalityOk   = Set("id", "int", "decimal", "bool", "string", "timestamp", "idset", "stringset") // :127
+  private val comparisonOk = Set("id", "int", "decimal", "timestamp") // :140
+  private val bitwiseOk    = Set("id", "int") // :229
+  private val rangeOk      = Set("id", "int", "timestamp", "decimal") // :373
+  private def arithmeticOk(t: RT, op: String): Boolean = t.base match { // :150
+    case "id" | "int" => true
+    case "decimal"    => op != "%"
+    case _            => false
+  }
+  private val numeric = Set("id", "int", "decimal")
+  private def comparable(l: RT, r: RT): Boolean = // typesAreComparable :560
+    (numeric(l.base) && numeric(r.base)) ||
+      (l.base == r.base && Set("bool", "timestamp", "idset", "string", "stringset")(l.base))
+
+  /** typesCanBeCast (`expressiontypes.go:781-851`). */
+  private def castOk(src: RT, tgt: RT): Boolean = src.base match {
+    case "int"       => Set("int", "bool", "decimal", "id", "string", "timestamp")(tgt.base)
+    case "bool"      => Set("bool", "int", "string")(tgt.base)
+    case "decimal"   => (tgt.base == "decimal" && tgt.scale >= src.scale) || tgt.base == "string"
+    case "id"        => Set("int", "bool", "decimal", "id", "string")(tgt.base)
+    case "idset"     => Set("idset", "string")(tgt.base)
+    case "string"    => Set("int", "bool", "decimal", "id", "string", "timestamp")(tgt.base)
+    case "stringset" => Set("stringset", "string")(tgt.base)
+    case "timestamp" => Set("int", "timestamp", "string")(tgt.base)
+    case _           => false
+  }
+
+  /** typesCoercedForArithmeticOperator (`expressiontypes.go:632`) — note the
+    * asymmetry: decimal⊕id coerces, id⊕decimal is a type mismatch. */
+  private def arithCoerce(l: RT, r: RT): RT = (l.base, r.base) match {
+    case ("int", "int") | ("int", "id")          => TInt
+    case ("int", "decimal")                      => r
+    case ("id", "id") | ("id", "int")            => r
+    case ("decimal", "int") | ("decimal", "id")  => l
+    case ("decimal", "decimal")                  => if (l.scale > r.scale) l else r
+    case _ =>
+      fail(s"types '${l.desc}' and '${r.desc}' do not match")
+  }
+
+  // ---------------------------------------------------------------- literals
+  /** Go `StringLit.ConvertToTimestamp` (`reference/sql3/parser/ast.go:1838`):
+    * RFC3339Nano, RFC3339 or bare date. */
+  private def tsParseable(s: String): Boolean =
+    scala.util.Try(java.time.OffsetDateTime.parse(s)).isSuccess ||
+      scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
+
+  private def stringLitValue(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case Literal(v: String, StringType)     => Some(v)
+    case _                                  => None
+  }
+
+  // ------------------------------------------------------------ schema source
+  private def parseRT(s: String): RT = {
+    val DecRe = raw"decimal\((\d+)\)".r
+    s match {
+      case DecRe(sc) => RT("decimal", sc.toInt)
+      case "decimal" => RT("decimal", 0)
+      case other     => RT(other)
+    }
+  }
+
+  private def inferRT(name: String, dt: DataType): Option[RT] = dt match {
+    case _ if name == "_id"                  => Some(TId)
+    case LongType | IntegerType | ShortType  => Some(TInt)
+    case BooleanType                         => Some(TBool)
+    case StringType                          => Some(TStr)
+    case TimestampType                       => Some(TTs)
+    case d: DecimalType                      => Some(RT("decimal", d.scale))
+    case a: ArrayType if Ddl.isSetq(a) =>
+      Some(if (a.elementType.asInstanceOf[StructType]("value").dataType == StringType)
+        RT("stringsetq") else RT("idsetq"))
+    case ArrayType(StringType, _)            => Some(TStrSet)
+    case ArrayType(LongType | IntegerType, _) => Some(TIdSet)
+    case _                                   => None
+  }
+
+  private def tableTypes(spark: SparkSession, name: String): Map[String, RT] =
+    Ddl.declaredTypes.get(name.toLowerCase)
+      .map(_.map { case (c, s) => c -> parseRT(s) })
+      .getOrElse {
+        scala.util.Try(spark.table(name).schema).toOption
+          .map(_.fields.flatMap(f =>
+            inferRT(f.name.toLowerCase, f.dataType).map(f.name.toLowerCase -> _)).toMap)
+          .getOrElse(Map.empty)
+      }
+
+  // ------------------------------------------------------------------- entry
+  /** Check one already-rewritten (Spark-parseable) statement. `castTargets`
+    * is the reference cast-target list collected during [[GraftSql.rewrite]],
+    * in textual `AS <type>` order (= Cast-node `origin.stopIndex` order) —
+    * it disambiguates `id` vs `int`, which share BIGINT after the rewrite. */
+  def check(spark: SparkSession, sparkSql: String, castTargets: List[RT] = Nil): Unit = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sparkSql)
+      catch { case _: Throwable => return } // parser errors surface elsewhere
+    // pair Cast nodes with their reference target types
+    val castMap = new java.util.IdentityHashMap[Cast, RT]()
+    if (castTargets.nonEmpty) {
+      val casts = scala.collection.mutable.ArrayBuffer[Cast]()
+      plan.foreach(_.expressions.foreach(_.foreach {
+        case c: Cast => casts += c
+        case _       => ()
+      }))
+      val ordered = casts.distinct.sortBy(_.origin.stopIndex.getOrElse(Int.MaxValue))
+      if (ordered.size == castTargets.size)
+        ordered.zip(castTargets).foreach { case (c, t) => castMap.put(c, t) }
+    }
+    try walk(spark, plan, castMap)
+    catch {
+      case e: RefError  => throw e
+      case _: Throwable => () // fail open — Spark's analyzer is the backstop
+    }
+    ()
+  }
+
+  // ------------------------------------------------------------------- plans
+  private type Env = Map[String, RT]
+
+  private def walk(spark: SparkSession, plan: LogicalPlan,
+      casts: java.util.IdentityHashMap[Cast, RT]): Env = plan match {
+    case UnresolvedRelation(parts, _, _) =>
+      val base = tableTypes(spark, parts.last)
+      base ++ base.map { case (c, t) => s"${parts.last.toLowerCase}.$c" -> t }
+    case SubqueryAlias(id, child) =>
+      val env = walk(spark, child, casts)
+      env ++ env.filterNot(_._1.contains('.'))
+        .map { case (c, t) => s"${id.name.toLowerCase}.$c" -> t }
+    case UnresolvedSubqueryColumnAliases(names, child) =>
+      val env = walk(spark, child, casts)
+      env // aliased column names unknown positionally — keep child env
+    case Project(list, child) =>
+      val env = walk(spark, child, casts)
+      list.flatMap(outType(spark, _, env, casts)).toMap
+    case Filter(cond, child) =>
+      val env = walk(spark, child, casts)
+      typeOf(spark, cond, env, casts); env
+    case UnresolvedHaving(cond, child) =>
+      val env = walk(spark, child, casts)
+      typeOf(spark, cond, env, casts); env
+    case Aggregate(group, aggs, child, _) =>
+      val env = walk(spark, child, casts)
+      group.foreach(typeOf(spark, _, env, casts))
+      aggs.flatMap(outType(spark, _, env, casts)).toMap
+    case Sort(order, _, child, _) =>
+      val env = walk(spark, child, casts)
+      order.foreach(o => typeOf(spark, o.child, env, casts)); env
+    case Join(l, r, _, cond, _) =>
+      val env = walk(spark, l, casts) ++ walk(spark, r, casts)
+      cond.foreach(typeOf(spark, _, env, casts)); env
+    case Distinct(child)       => walk(spark, child, casts)
+    case GlobalLimit(_, child) => walk(spark, child, casts)
+    case LocalLimit(_, child)  => walk(spark, child, casts)
+    case Offset(_, child)      => walk(spark, child, casts)
+    case _: OneRowRelation     => Map.empty
+    case other =>
+      other.children.foldLeft(Map.empty: Env)((acc, c) => acc ++ walk(spark, c, casts))
+  }
+
+  private def outType(spark: SparkSession, e: Expression, env: Env,
+      casts: java.util.IdentityHashMap[Cast, RT]): Seq[(String, RT)] = e match {
+    case UnresolvedStar(_) => env.toSeq
+    case Alias(child, name) =>
+      typeOf(spark, child, env, casts).map(name.toLowerCase -> _).toSeq
+    case UnresolvedAlias(child, _) =>
+      val t = typeOf(spark, child, env, casts)
+      child match {
+        case u: UnresolvedAttribute => t.map(u.nameParts.last.toLowerCase -> _).toSeq
+        case _                      => Seq.empty
+      }
+    case u: UnresolvedAttribute =>
+      typeOf(spark, u, env, casts).map(u.nameParts.last.toLowerCase -> _).toSeq
+    case other =>
+      typeOf(spark, other, env, casts); Seq.empty
+  }
+
+  // ------------------------------------------------------------- expressions
+  private def opDesc(e: Expression): String = e match {
+    case _: EqualTo            => "="
+    case _: LessThan           => "<"
+    case _: LessThanOrEqual    => "<="
+    case _: GreaterThan        => ">"
+    case _: GreaterThanOrEqual => ">="
+    case _: Add                => "+"
+    case _: Subtract           => "-"
+    case _: Multiply           => "*"
+    case _: Divide             => "/"
+    case _: Remainder          => "%"
+    case _: BitwiseAnd         => "&"
+    case _: BitwiseOr          => "|"
+    case _: ShiftLeft          => "<<"
+    case _: ShiftRight         => ">>"
+    case _: And                => "AND"
+    case _: Or                 => "OR"
+    case _                     => "?"
+  }
+
+  private def typeOf(spark: SparkSession, e: Expression, env: Env,
+      casts: java.util.IdentityHashMap[Cast, RT]): Option[RT] = {
+    def t(x: Expression): Option[RT] = typeOf(spark, x, env, casts)
+
+    /** Apply the reference's string-literal→timestamp conversion
+      * (`expressionanalyzer.go:447-458`): only when the other side is a
+      * timestamp and the literal parses. */
+    def converted(other: Option[RT], lit: Expression, litT: Option[RT]): Option[RT] =
+      if (other.exists(_.base == "timestamp") && litT.exists(_.base == "string") &&
+          stringLitValue(lit).exists(tsParseable)) Some(TTs)
+      else litT
+
+    e match {
+      // `a != b` parses as Not(EqualTo) sharing the origin span — render '!='
+      case n @ Not(eq: EqualTo) if n.origin.startIndex.isDefined &&
+          n.origin.startIndex == eq.origin.startIndex =>
+        equality(spark, eq, "!=", env, casts)
+      case eq: EqualTo => equality(spark, eq, "=", env, casts)
+
+      case cmp @ (_: LessThan | _: LessThanOrEqual | _: GreaterThan | _: GreaterThanOrEqual) =>
+        val b = cmp.asInstanceOf[BinaryComparison]
+        val op = opDesc(cmp)
+        val lt = t(b.left)
+        lt.filterNot(x => comparisonOk(x.base)).foreach(x =>
+          fail(s"operator '$op' incompatible with type '${x.desc}'"))
+        val rt0 = t(b.right)
+        val rt = converted(lt, b.right, rt0)
+        rt.filterNot(x => comparisonOk(x.base)).foreach(x =>
+          fail(s"operator '$op' incompatible with type '${x.desc}'"))
+        for (l <- lt; r <- rt) if (!comparable(l, r))
+          fail(s"types '${l.desc}' and '${r.desc}' are not equatable")
+        Some(TBool)
+
+      case logic @ (_: And | _: Or) =>
+        val b = logic.asInstanceOf[BinaryOperator]
+        val op = opDesc(logic)
+        t(b.left).filterNot(x => logicalOk(x.base)).foreach(x =>
+          fail(s"operator '$op' incompatible with type '${x.desc}'"))
+        t(b.right).filterNot(x => logicalOk(x.base)).foreach(x =>
+          fail(s"operator '$op' incompatible with type '${x.desc}'"))
+        Some(TBool)
+
+      case arith @ (_: Add | _: Subtract | _: Multiply | _: Divide | _: Remainder) =>
+        val b = arith.asInstanceOf[BinaryArithmetic]
+        val op = opDesc(arith)
+        val lt = t(b.left); val rt = t(b.right)
+        lt.filterNot(arithmeticOk(_, op)).foreach(x =>
+          fail(s"operator '$op' incompatible with type '${x.desc}'"))
+        rt.filterNot(arithmeticOk(_, op)).foreach(x =>
+          fail(s"operator '$op' incompatible with type '${x.desc}'"))
+        // literal-zero divisor (`reference/sql3/planner/expression.go:419-434`
+        // evaluation wording, asserted by `defs_binops.go` DivideByZero cases)
+        if (op == "/" || op == "%") b.right match {
+          case Literal(v, _) if v != null && BigDecimal(v.toString) == 0 =>
+            fail("divisor is equal to zero")
+          case _ => ()
+        }
+        for (l <- lt; r <- rt) yield arithCoerce(l, r)
+
+      case bit @ (_: BitwiseAnd | _: BitwiseOr | _: ShiftLeft | _: ShiftRight) =>
+        val (l, r) = bit match {
+          case b: BinaryOperator => (b.left, b.right)
+          case ShiftLeft(x, y)   => (x, y)
+          case ShiftRight(x, y)  => (x, y)
+        }
+        val op = opDesc(bit)
+        t(l).filterNot(x => bitwiseOk(x.base)).foreach(x =>
+          fail(s"operator '$op' incompatible with type '${x.desc}'"))
+        t(r).filterNot(x => bitwiseOk(x.base)).foreach(x =>
+          fail(s"operator '$op' incompatible with type '${x.desc}'"))
+        Some(TInt)
+
+      case Concat(children) if children.size == 2 => // `a || b` (parser-level)
+        children.foreach { c =>
+          t(c).filterNot(_.base == "string").foreach(x =>
+            fail(s"operator '||' incompatible with type '${x.desc}'"))
+        }
+        Some(TStr)
+
+      case like: Like =>
+        t(like.left).filterNot(_.base == "string").foreach(x =>
+          fail(s"operator 'LIKE' incompatible with type '${x.desc}'"))
+        t(like.right).filterNot(_.base == "string").foreach(x =>
+          fail(s"operator 'LIKE' incompatible with type '${x.desc}'"))
+        Some(TBool)
+
+      case In(value, list) =>
+        val lt = t(value)
+        list.foreach { elem =>
+          val et = converted(lt, elem, t(elem))
+          for (l <- lt; r <- et) if (!comparable(l, r))
+            fail(s"types '${l.desc}' and '${r.desc}' are not equatable")
+        }
+        Some(TBool)
+
+      case UnaryMinus(child, _) =>
+        val ct = t(child)
+        ct.filterNot(arithmeticOk(_, "-")).foreach(x =>
+          fail(s"operator '-' incompatible with type '${x.desc}'"))
+        ct
+      case UnaryPositive(child) =>
+        val ct = t(child)
+        ct.filterNot(arithmeticOk(_, "+")).foreach(x =>
+          fail(s"operator '+' incompatible with type '${x.desc}'"))
+        ct
+      case BitwiseNot(child) =>
+        val ct = t(child)
+        ct.filterNot(x => bitwiseOk(x.base)).foreach(x =>
+          fail(s"operator '~' incompatible with type '${x.desc}'"))
+        ct
+
+      case Not(child)      => t(child); Some(TBool)
+      case IsNull(child)   => t(child); Some(TBool)
+      case IsNotNull(child) => t(child); Some(TBool)
+
+      case c: Cast =>
+        val st = t(c.child)
+        val tgt = Option(casts.get(c)).orElse(sparkTargetRT(c.dataType))
+        for (s <- st; g <- tgt) {
+          if (!castOk(s, g))
+            fail(s"'${s.desc}' cannot be cast to '${g.desc}'")
+        }
+        tgt
+
+      case f: UnresolvedFunction =>
+        val name = f.nameParts.last.toLowerCase
+        name match {
+          case "between" if f.arguments.size == 3 =>
+            between(spark, f.arguments(0), f.arguments(1), f.arguments(2), env, casts)
+          case "array" =>
+            val ts = f.arguments.map(t)
+            if (ts.nonEmpty && ts.forall(_.exists(x => numeric(x.base)))) Some(TIdSet)
+            else if (ts.nonEmpty && ts.forall(_.exists(_.base == "string"))) Some(TStrSet)
+            else None
+          case _ =>
+            f.arguments.foreach(t)
+            fnResult.get(name)
+        }
+
+      case CaseWhen(branches, elseValue) =>
+        branches.foreach { case (c, v) => t(c); t(v) }
+        elseValue.foreach(t)
+        branches.view.map(b => t(b._2)).collectFirst { case Some(x) => x }
+
+      case s: SubqueryExpression =>
+        walk(spark, s.plan, casts); None
+
+      case u: UnresolvedAttribute =>
+        val parts = u.nameParts.map(_.toLowerCase)
+        env.get(parts.mkString(".")).orElse(env.get(parts.last))
+
+      case Literal(_, dt) => dt match {
+        case IntegerType | LongType | ShortType => Some(TInt)
+        case StringType                         => Some(TStr)
+        case BooleanType                        => Some(TBool)
+        case d: DecimalType                     => Some(RT("decimal", d.scale))
+        case DoubleType | FloatType             => Some(RT("decimal", 2))
+        case TimestampType                      => Some(TTs)
+        case _                                  => None // null literal etc.
+      }
+
+      case Alias(child, _)          => t(child)
+      case UnresolvedAlias(child, _) => t(child)
+
+      case other =>
+        other.children.foreach(t)
+        None
+    }
+  }
+
+  private def equality(spark: SparkSession, eq: EqualTo, op: String, env: Env,
+      casts: java.util.IdentityHashMap[Cast, RT]): Option[RT] = {
+    def t(x: Expression) = typeOf(spark, x, env, casts)
+    val lt = t(eq.left)
+    lt.filterNot(x => equalityOk(x.base)).foreach(x =>
+      fail(s"operator '$op' incompatible with type '${x.desc}'"))
+    val rt0 = t(eq.right)
+    rt0.filterNot(x => equalityOk(x.base)).foreach(x =>
+      fail(s"operator '$op' incompatible with type '${x.desc}'"))
+    val rt =
+      if (lt.exists(_.base == "timestamp") && rt0.exists(_.base == "string") &&
+          stringLitValue(eq.right).exists(tsParseable)) Some(TTs)
+      else rt0
+    for (l <- lt; r <- rt) if (!comparable(l, r))
+      fail(s"types '${l.desc}' and '${r.desc}' are not equatable")
+    Some(TBool)
+  }
+
+  /** BETWEEN (`expressionanalyzer.go:732-748` + `analyzeRangeExpression`
+    * `:772-820`): bounds are checked as range subscripts first, then the
+    * operand against the range's subscript type. */
+  private def between(spark: SparkSession, input: Expression, lower: Expression,
+      upper: Expression, env: Env,
+      casts: java.util.IdentityHashMap[Cast, RT]): Option[RT] = {
+    def t(x: Expression) = typeOf(spark, x, env, casts)
+    def conv(b: Expression, bt: Option[RT]): Option[RT] =
+      if (bt.exists(_.base == "string") && stringLitValue(b).exists(tsParseable)) Some(TTs)
+      else bt
+    val lo = conv(lower, t(lower))
+    val hi = conv(upper, t(upper))
+    lo.filterNot(x => rangeOk(x.base)).foreach(x =>
+      fail(s"type '${x.desc}' cannot be used as a range subscript"))
+    hi.filterNot(x => rangeOk(x.base)).foreach(x =>
+      fail(s"type '${x.desc}' cannot be used as a range subscript"))
+    // typesOfRangeBoundsAreTheSame (`expressiontypes.go:383-430`)
+    val sub: Option[RT] = (lo, hi) match {
+      case (Some(l), Some(h)) => (l.base, h.base) match {
+        case ("int", "int") | ("int", "id")         => Some(l)
+        case ("int", "decimal")                     => Some(h)
+        case ("id", "id") | ("id", "int")           => Some(l)
+        case ("timestamp", "timestamp")             => Some(l)
+        case ("decimal", "decimal")                 => Some(if (l.scale > h.scale) l else h)
+        case ("decimal", "int") | ("decimal", "id") => Some(l)
+        case _ =>
+          fail(s"incompatible types '${l.desc}' and '${h.desc}' used as range subscripts")
+      }
+      case _ => None
+    }
+    val xt = t(input)
+    // typesAreRangeComparable (`expressiontypes.go:172-210`)
+    for (x <- xt; s <- sub) s.base match {
+      case "timestamp" =>
+        if (x.base != "timestamp")
+          fail(s"operator 'BETWEEN' incompatible with type '${x.desc}'")
+      case "int" | "id" =>
+        if (!numeric(x.base))
+          fail(s"operator 'BETWEEN' incompatible with type '${x.desc}'")
+      case "decimal" =>
+        if (x.base != "decimal")
+          fail(s"operator 'BETWEEN' incompatible with type '${x.desc}'")
+      case _ => ()
+    }
+    Some(TBool)
+  }
+
+  /** Spark cast-target type → reference type (post-rewrite fallback when the
+    * positional cast-target list is unavailable; ID collapses to INT). */
+  private def sparkTargetRT(dt: DataType): Option[RT] = dt match {
+    case LongType | IntegerType   => Some(TInt)
+    case BooleanType              => Some(TBool)
+    case StringType               => Some(TStr)
+    case TimestampType            => Some(TTs)
+    case d: DecimalType           => Some(RT("decimal", d.scale))
+    case ArrayType(LongType, _)   => Some(TIdSet)
+    case ArrayType(StringType, _) => Some(TStrSet)
+    case _                        => None
+  }
+
+  /** Result types of the reference scalar functions
+    * (`reference/sql3/planner/inbuiltfunctions*.go`) — best-effort: unknown
+    * functions yield None, which exempts surrounding checks. */
+  private val fnResult: Map[String, RT] = Map(
+    "upper" -> TStr, "lower" -> TStr, "reverse" -> TStr, "trim" -> TStr,
+    "ltrim" -> TStr, "rtrim" -> TStr, "substring" -> TStr, "replaceall" -> TStr,
+    "space" -> TStr, "str" -> TStr, "format" -> TStr, "char" -> TStr,
+    "replicate" -> TStr, "datetimename" -> TStr,
+    "len" -> TInt, "ascii" -> TInt, "charindex" -> TInt, "datetimepart" -> TInt,
+    "datetimediff" -> TInt,
+    "prefix" -> TBool, "suffix" -> TBool,
+    "setcontains" -> TBool, "setcontainsall" -> TBool, "setcontainsany" -> TBool,
+    "totimestamp" -> TTs, "datetimeadd" -> TTs, "date_trunc" -> TTs,
+    "datetimefromparts" -> TTs,
+    "count" -> TInt, "sum" -> TInt, "min" -> TInt, "max" -> TInt)
+}
