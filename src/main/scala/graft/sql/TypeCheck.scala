@@ -367,13 +367,21 @@ object TypeCheck {
           case "between" if f.arguments.size == 3 =>
             between(spark, f.arguments(0), f.arguments(1), f.arguments(2), env, casts)
           case "array" =>
-            val ts = f.arguments.map(t)
-            if (ts.nonEmpty && ts.forall(_.exists(x => numeric(x.base)))) Some(TIdSet)
-            else if (ts.nonEmpty && ts.forall(_.exists(_.base == "string"))) Some(TStrSet)
+            // reference set literal (`sql3/errors.go:306-313` wording)
+            if (f.arguments.isEmpty)
+              fail("set literal must contain at least one member")
+            val ts = f.arguments.map(a => (a, t(a)))
+            if (ts.exists { case (a, rt) =>
+                a.isInstanceOf[Literal] &&
+                  a.asInstanceOf[Literal].dataType == NullType ||
+                  rt.exists(x => !numeric(x.base) && x.base != "string") })
+              fail("set literal must contain ints or strings")
+            if (ts.forall(_._2.exists(x => numeric(x.base)))) Some(TIdSet)
+            else if (ts.forall(_._2.exists(_.base == "string"))) Some(TStrSet)
             else None
           case _ =>
-            f.arguments.foreach(t)
-            fnResult.get(name)
+            val argTs = f.arguments.map(t).toList
+            checkCall(f.nameParts.last, name, f.arguments.toList, argTs)
         }
 
       case CaseWhen(branches, elseValue) =>
@@ -485,19 +493,172 @@ object TypeCheck {
     case _                        => None
   }
 
-  /** Result types of the reference scalar functions
-    * (`reference/sql3/planner/inbuiltfunctions*.go`) — best-effort: unknown
-    * functions yield None, which exempts surrounding checks. */
-  private val fnResult: Map[String, RT] = Map(
-    "upper" -> TStr, "lower" -> TStr, "reverse" -> TStr, "trim" -> TStr,
-    "ltrim" -> TStr, "rtrim" -> TStr, "substring" -> TStr, "replaceall" -> TStr,
-    "space" -> TStr, "str" -> TStr, "format" -> TStr, "char" -> TStr,
-    "replicate" -> TStr, "datetimename" -> TStr,
-    "len" -> TInt, "ascii" -> TInt, "charindex" -> TInt, "datetimepart" -> TInt,
-    "datetimediff" -> TInt,
-    "prefix" -> TBool, "suffix" -> TBool,
-    "setcontains" -> TBool, "setcontainsall" -> TBool, "setcontainsany" -> TBool,
-    "totimestamp" -> TTs, "datetimeadd" -> TTs, "date_trunc" -> TTs,
-    "datetimefromparts" -> TTs,
-    "count" -> TInt, "sum" -> TInt, "min" -> TInt, "max" -> TInt)
+  // ------------------------------------------------- function signatures
+  /** typesAreAssignmentCompatible (`expressiontypes.go:240-360`). */
+  private def assignOk(param: RT, src: RT): Boolean = src.base == "void" || (param.base match {
+    case "int"       => src.base == "int"
+    case "bool"      => src.base == "bool"
+    case "id"        => Set("int", "id")(src.base)
+    case "stringset" => src.base == "stringset"
+    case "idset"     => src.base == "idset"
+    case "decimal"   => (src.base == "decimal" && param.scale >= src.scale) || src.base == "int"
+    case "timestamp" => Set("timestamp", "string", "int")(src.base)
+    case "string"    => src.base == "string"
+    case _           => false
+  })
+
+  private def countErr(display: String, formal: Int, actual: Int): Nothing =
+    fail(s"'$display': count of formal parameters ($formal) does not match " +
+      s"count of actual parameters ($actual)")
+
+  private def paramErr(src: RT, param: RT): Nothing =
+    fail(s"an expression of type '${src.desc}' cannot be passed to a " +
+      s"parameter of type '${param.desc}'")
+
+  private def assignCheck(param: RT, src: Option[RT]): Unit =
+    src.filterNot(assignOk(param, _)).foreach(paramErr(_, param))
+
+  /** Interval/timeunit literal-value validation (raised at evaluation by the
+    * reference — `inbuiltfunctionsdate.go:271,392,622` — but statically
+    * checkable for literals, which is what the corpus exercises). */
+  private val validIntervals =
+    Set("YY", "YD", "M", "D", "W", "WK", "HH", "MI", "S", "MS", "US", "NS")
+  private val validTimeUnits = Set("s", "ms", "us", "µs", "ns") // field.go:2551
+  private def litCheck(arg: Expression, valid: String => Boolean, pname: String): Unit =
+    stringLitValue(arg).filterNot(valid).foreach(v =>
+      fail(s"invalid value '$v' for parameter '$pname'"))
+
+  /** Per-function arity + parameter checks of the reference's 37 scalar
+    * functions and aggregates (`sql3/planner/expressionanalyzercall.go:25-335`,
+    * `inbuiltfunctions{string,date,set}.go`). Returns the reference result
+    * type; unknown functions return None (checks exempted). */
+  private def checkCall(display: String, name: String, args: List[Expression],
+      argTs: List[Option[RT]]): Option[RT] = {
+    val n = args.size
+    def arity(formal: Int, min: Int, max: Int): Unit =
+      if (n < min || n > max) countErr(display, formal, n)
+    def strParam(i: Int): Unit = argTs(i).filterNot(x =>
+      x.base == "string" || x.base == "void").foreach(_ =>
+      fail("string expression expected"))
+    def intParam(i: Int): Unit = argTs(i).filterNot(x =>
+      Set("int", "id", "void")(x.base)).foreach(_ =>
+      fail("integer expression expected"))
+    def setParam(i: Int): RT = argTs(i) match {
+      case Some(x) if Set("idset", "stringset", "idsetq", "stringsetq")(x.base) => x
+      case Some(_) => fail("set expression expected")
+      case None    => RT("?")
+    }
+    def member(set: RT): RT = set.base match {
+      case "idset" | "idsetq"         => TId
+      case "stringset" | "stringsetq" => TStr
+      case _                          => RT("?")
+    }
+    def aggArg(allowed: Set[String], wording: String): Unit = {
+      arity(1, 1, 1)
+      argTs.head.filterNot(x => allowed(x.base)).foreach(_ => fail(wording))
+    }
+    name match {
+      case "lower" | "upper" | "trim" | "ltrim" | "rtrim" | "reverse" =>
+        arity(1, 1, 1); strParam(0); Some(TStr)
+      case "char" =>
+        arity(1, 1, 1); intParam(0); Some(TStr)
+      case "ascii" =>
+        arity(1, 1, 1); strParam(0)
+        // `inbuiltfunctionsstring.go:334` — a 1-char string is required
+        stringLitValue(args.head).filter(_.length != 1).foreach(v =>
+          fail(s"value '$v' should be of the length 1"))
+        Some(TInt)
+      case "substring" =>
+        arity(2, 2, 3); strParam(0); (1 until n).foreach(intParam); Some(TStr)
+      case "stringsplit" =>
+        arity(2, 2, 3); strParam(0); strParam(1); if (n == 3) intParam(2); Some(TStr)
+      case "replaceall" =>
+        arity(3, 3, 3); (0 until 3).foreach(strParam); Some(TStr)
+      case "prefix" | "suffix" | "replicate" =>
+        arity(2, 2, 2); strParam(0); intParam(1); Some(TStr)
+      case "space" =>
+        arity(1, 1, 1); intParam(0); Some(TStr)
+      case "len" =>
+        arity(1, 1, 1); strParam(0); Some(TInt)
+      case "format" =>
+        arity(1, 1, Int.MaxValue); strParam(0)
+        args.drop(1).foreach {
+          case l: Literal if l.dataType == NullType => fail("null literal not allowed")
+          case _ => ()
+        }
+        Some(TStr)
+      case "charindex" =>
+        arity(3, 2, 3); strParam(0); strParam(1); if (n == 3) intParam(2); Some(TInt)
+      case "str" =>
+        arity(1, 1, 3)
+        assignCheck(RT("decimal", 4), argTs.head)
+        args.drop(1).foreach {
+          case l: Literal if l.dataType == NullType => fail("null literal not allowed")
+          case _ => ()
+        }
+        (1 until n).foreach(intParam)
+        Some(TStr)
+      case "datetimepart" | "datetimename" =>
+        arity(2, 2, 2)
+        assignCheck(TStr, argTs(0)); litCheck(args(0), s => validIntervals(s.toUpperCase), "interval")
+        assignCheck(TTs, argTs(1))
+        Some(if (name == "datetimepart") TInt else TStr)
+      case "date_trunc" =>
+        arity(2, 2, 2)
+        assignCheck(TStr, argTs(0)); litCheck(args(0), s => validIntervals(s.toUpperCase), "interval")
+        assignCheck(TTs, argTs(1)); Some(TTs)
+      case "totimestamp" =>
+        arity(2, 1, 2)
+        assignCheck(TInt, argTs(0))
+        if (n == 2) {
+          assignCheck(TStr, argTs(1))
+          litCheck(args(1), validTimeUnits, "timeunit")
+        }
+        Some(TTs)
+      case "datetimeadd" =>
+        arity(3, 3, 3)
+        assignCheck(TStr, argTs(0)); litCheck(args(0), s => validIntervals(s.toUpperCase), "timeunit")
+        assignCheck(TInt, argTs(1)); assignCheck(TTs, argTs(2)); Some(TTs)
+      case "datetimediff" =>
+        arity(3, 3, 3)
+        assignCheck(TStr, argTs(0)); litCheck(args(0), s => validIntervals(s.toUpperCase), "timeunit")
+        assignCheck(TTs, argTs(1)); assignCheck(TTs, argTs(2)); Some(TInt)
+      case "datetimefromparts" =>
+        arity(7, 7, 7); argTs.foreach(assignCheck(TInt, _)); Some(TTs)
+      case "setcontains" =>
+        arity(2, 2, 2)
+        val s = setParam(0)
+        for (m <- Some(member(s)) if m.base != "?"; r <- argTs(1))
+          if (!comparable(m, r))
+            fail(s"types '${s.desc}' and '${r.desc}' are not equatable")
+        Some(TBool)
+      case "setcontainsall" | "setcontainsany" =>
+        arity(2, 2, 2)
+        val s1 = setParam(0); val s2 = setParam(1)
+        val (m1, m2) = (member(s1), member(s2))
+        if (m1.base != "?" && m2.base != "?" && !comparable(m1, m2))
+          fail(s"types '${m1.desc}' and '${m2.desc}' are not equatable")
+        Some(TBool)
+      case "rangeq" =>
+        arity(3, 2, 3); Some(TBool)
+      case "sum" | "avg" =>
+        aggArg(Set("int", "id", "decimal"), "integer or decimal expression expected")
+        if (name == "avg") Some(RT("decimal", 4)) else argTs.head
+      case "min" | "max" =>
+        aggArg(Set("int", "id", "decimal", "timestamp", "string"),
+          "integer, decimal, timestamp or string expression expected")
+        argTs.head
+      case "var" =>
+        aggArg(Set("int", "id", "decimal", "timestamp"),
+          "integer, decimal or timestamp expression expected")
+        Some(RT("decimal", 6))
+      case "corr" =>
+        arity(2, 2, 2)
+        argTs.foreach(_.filterNot(x => Set("int", "id", "decimal", "timestamp")(x.base))
+          .foreach(_ => fail("integer, decimal or timestamp expression expected")))
+        Some(RT("decimal", 6))
+      case "count" => Some(TInt)
+      case _       => None
+    }
+  }
 }

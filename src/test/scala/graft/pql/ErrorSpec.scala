@@ -47,10 +47,11 @@ class ErrorSpec extends SparkSpec {
     val e = intercept[Exception](
       graft.sql.GraftSql.sql(spark, sfDir, "SELECT FROM WHERE").collect())
     assert(e.getMessage.nonEmpty)
-    // ANSI divide-by-zero errors like the reference (expression.go:421)
+    // literal-zero divisor gets the reference's own wording
+    // (`defs_binops.go` DivideByZero cases; runtime zeros stay ANSI errors)
     val z = intercept[Exception](
       graft.sql.GraftSql.sql(spark, sfDir,
         "SELECT o_orderkey / 0 FROM orders").collect())
-    assert(z.getMessage.toLowerCase.contains("divide"))
+    assert(z.getMessage.contains("divisor is equal to zero"))
   }
 }

@@ -103,7 +103,9 @@ class DefsSpec extends SparkSpec {
     check("SELECT CASE WHEN i1 > 0 THEN 'pos' WHEN i1 < 0 THEN 'neg' ELSE 'null' END " +
       "FROM at WHERE _id IN (1, 2)", Set(Seq("pos"), Seq("neg")))
     check("SELECT CAST(i1 AS STRING) FROM at WHERE _id = 1", Set(Seq("1000")))
-    check("SELECT CAST(d1 AS INT) FROM at WHERE _id = 1", Set(Seq(12L)))
+    // decimal narrows only to string or a wider decimal — `defs_cast.go:345`
+    expectErr("SELECT CAST(d1 AS INT) FROM at WHERE _id = 1",
+      "'decimal(2)' cannot be cast to 'int'")
     check("SELECT CAST('42' AS INT) + 1 FROM at WHERE _id = 1", Set(Seq(43L)))
     // decimal cast matrix (defs_cast.go:58,166,453,660): DECIMAL(s) is
     // scale-only; int→decimal, id→decimal, string→decimal widen exactly
@@ -370,7 +372,7 @@ class DefsSpec extends SparkSpec {
 
   test("join restrictions — defs_join.go:229-256") {
     run("CREATE TABLE jusers (_id ID, name STRING, age INT)")
-    run("CREATE TABLE jorders (_id ID, userid ID, price DECIMAL(2))")
+    run("CREATE TABLE jorders (_id ID, userid INT, price DECIMAL(2))")
     run("INSERT INTO jusers VALUES (1,'a',21),(2,'c',28),(3,'b',31)")
     run("INSERT INTO jorders VALUES (1,1,9.99),(2,2,3.99),(3,1,14.99)")
     expectErr("SELECT u._id, o.userid FROM jusers u JOIN jorders o ON u.name = o.userid",
