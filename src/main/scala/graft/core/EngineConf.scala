@@ -25,7 +25,11 @@ object EngineConf {
     // is built on TIMESTAMP, and session tz is pinned UTC everywhere, so the
     // naive reading is identical. Conf-level (not a cast) keeps parquet
     // filter pushdown on ts intact.
-    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+    // the reference dialect treats double-quoted tokens as IDENTIFIERS
+    // (`select x as "yy"` — sql3/parser; string literals are single-quoted
+    // throughout), matching ANSI; Spark's default reads them as strings
+    "spark.sql.ansi.doubleQuotedIdentifiers" -> "true")
 
   /** Apply to a builder: `EngineConf(SparkSession.builder()...)`. */
   def apply(b: SparkSession.Builder): SparkSession.Builder =

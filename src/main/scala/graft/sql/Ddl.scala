@@ -234,10 +234,13 @@ object Ddl {
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  private def ack(spark: SparkSession, msg: String): DataFrame = {
-    import spark.implicits._
-    Seq(msg).toDF("status")
-  }
+  /** DDL/DML statements answer an EMPTY rowset, like the reference (a
+    * CREATE/INSERT/DELETE plan op has no output columns —
+    * `reference/sql3/planner/compilecreatetable.go`, asserted by the golden
+    * corpus's `ExpHdrs: hdrs()` / `ExpRows: rows()` cases). The message is
+    * kept for tracing only. */
+  private def ack(spark: SparkSession, msg: String): DataFrame =
+    emptyDf(spark, StructType(Seq.empty))
 
   /** Session view names (lowercased) — needed for the reference's
     * view-vs-table error wording (`errors.go:615-669`). */
@@ -263,13 +266,29 @@ object Ddl {
     case _ => false
   }
 
+  private val KeyPartsRe = raw"(?i)\bKEYPARTITIONS\s+(-?\d+)".r
+
   private def exec(spark: SparkSession, q: String): DataFrame = q match {
-    case CreateTableRe(ine, name, cols, _) =>
+    case CreateTableRe(ine, name, cols, tail) =>
       if (spark.catalog.tableExists(name)) {
         if (ine != null) return ack(spark, s"table $name exists")
         sys.error(s"table or view '$name' already exists")
       }
+      // table options (`reference/sql3/planner/compilecreatetable.go`):
+      // KEYPARTITIONS bounds-checked with the reference's wording
+      Option(tail).foreach(t => KeyPartsRe.findFirstMatchIn(t).foreach { m =>
+        val n = m.group(1).toInt
+        if (n < 1 || n > 10000)
+          sys.error(s"invalid value '$n' for key partitions " +
+            "(should be a number between 1-10000)")
+      })
       val parsed = topSplit(cols, ',').map(parseColumn)
+      // `defs_create_table.go` minAboveMax wording
+      parsed.foreach {
+        case (_, _, _, Some((Some(mn), Some(mx))), _) if mn > mx =>
+          sys.error("int field min cannot be greater than max")
+        case _ => ()
+      }
       val schema = StructType(parsed.map(_._1))
       timeUnits(name.toLowerCase) = parsed.collect {
         case (f, Some(u), _, _, _) => f.name -> u
@@ -335,8 +354,19 @@ object Ddl {
       // string literals must survive (e.g. VALUES (1, 'a[0]'))
       val vals = GraftSql.bracketsToArray(
         bracesToStruct(values.trim.stripSuffix(";")))
-      val incoming = spark.sql(s"SELECT * FROM VALUES $vals")
+      val incoming0 = spark.sql(s"SELECT * FROM VALUES $vals")
         .toDF(cols: _*)
+      // a duplicated `_id` within ONE statement applies sequentially — the
+      // LAST tuple wins (mutex replace per write, `reference/field.go:352`;
+      // `defs_groupby.go` fixtures rely on it)
+      val incoming =
+        if (cols.contains("_id")) {
+          import org.apache.spark.sql.expressions.Window
+          incoming0.withColumn("__seq", monotonically_increasing_id())
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("_id").orderBy(col("__seq").desc)))
+            .filter(col("__rn") === 1).drop("__seq", "__rn")
+        } else incoming0
       checkBounds(incoming, name, cols)
       upsert(spark, name, alignTo(incoming, target.schema, cols, name))
 
@@ -384,6 +414,8 @@ object Ddl {
       // full column-definition grammar, constraints included — ALTER ADD
       // shares ColumnDefinition with CREATE TABLE (`reference/sql3/parser/
       // parser.go` alterTableObject → parseColumnDefinition)
+      if (spark.table(name).columns.exists(_.equalsIgnoreCase(colName)))
+        sys.error(s"duplicate column '$colName'")
       val (f, unit, fk, bound, refT) = parseColumn(s"$colName $tpe")
       unit.foreach(u => timeUnits(name.toLowerCase) =
         timeUnits.getOrElse(name.toLowerCase, Map.empty) + (f.name -> u))
@@ -402,6 +434,8 @@ object Ddl {
       ack(spark, s"added $colName to $name")
 
     case AlterDropRe(name, colName) =>
+      if (!spark.table(name).columns.exists(_.equalsIgnoreCase(colName)))
+        sys.error(s"column '$colName' not found")
       graft.core.TableLog.replace(spark, name, spark.table(name).drop(colName),
         checkpoint = true)
       declaredTypes.get(name.toLowerCase).foreach(m =>
@@ -661,8 +695,13 @@ object Ddl {
         val c = col(f.name)
         val inT = df.schema(f.name).dataType
         (f.dataType, units.get(f.name)) match {
-          case (TimestampType, Some((unit, epoch))) if numeric(inT) =>
-            graft.core.TimeUnits.epochToTimestamp(c, unit, epoch).as(f.name)
+          // SQL INSERT/BULK INSERT coerce integers to timestamps as SECONDS
+          // since the epoch REGARDLESS of the column's TIMEUNIT
+          // (`reference/sql3/planner/expressiontypes.go:353`,
+          // `opbulkinsert.go:328` — "int as seconds since unix epoch");
+          // TIMEUNIT/EPOCH govern the import/ingest wire paths only.
+          case (TimestampType, _) if numeric(inT) =>
+            timestamp_seconds(c.cast(LongType)).as(f.name)
           case (t, _) if isSetq(t) =>
             bindSetq(df, f, c).as(f.name)
           case (t, _) if inT.isInstanceOf[StructType] =>

@@ -3,8 +3,9 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Expression, Literal, TimestampAdd, TimestampDiff}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, Expression, If, IsNull, Literal, TimestampAdd, TimestampDiff}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The reference's 37 scalar SQL functions (`reference/sql3/planner/
   * expressionanalyzercall.go:25-335`, evaluators in
@@ -63,9 +64,13 @@ object Functions {
       else fn("substring", a(0), fn("+", a(1), lit(1)), lit(Int.MaxValue))),
     "REPLACEALL" -> (a => fn("replace", a(0), a(1), a(2))),
     "STRINGSPLIT" -> (a => {
-      // reference: 0-based position, pos<=0 → first part, overflow → ""
+      // reference: 0-based position, pos<=0 → first part, overflow → "",
+      // NULL position → NULL (`inbuiltfunctionsstring.go` eval returns nil)
       val pos = if (a.size >= 3) a(2) else lit(0L)
-      fn("split_part", a(0), a(1), fn("+", fn("greatest", pos, lit(0L)), lit(1L)))
+      val split = fn("split_part", a(0), a(1),
+        fn("+", fn("greatest", pos, lit(0L)), lit(1L)))
+      if (a.size >= 3) If(IsNull(a(2)), Literal(null, StringType), split)
+      else split
     }),
     "TRIM"  -> (a => fn("trim", a(0))),
     "RTRIM" -> (a => fn("rtrim", a(0))),
@@ -75,19 +80,48 @@ object Functions {
     "SPACE" -> (a => fn("space", a(0))),
     "LEN"   -> (a => fn("length", a(0))),
     "REPLICATE" -> (a => fn("repeat", a(0), a(1))),
-    "FORMAT" -> (a => fn("format_string", a: _*)),
-    // CHARINDEX(sub, str[, start]) → 0-based index, -1 when absent
+    // FORMAT uses Go fmt verbs (`inbuiltfunctionsstring.go` EvaluateFormat —
+    // fmt.Sprintf): translate %t/%v to Java-formatter equivalents when the
+    // format string is a literal; other verbs map 1:1.
+    "FORMAT" -> (a => a.head match {
+      case Literal(f: UTF8String, StringType) =>
+        val verbs = "%[a-zA-Z]".r.findAllIn(f.toString).toList
+        val newFmt = f.toString.replace("%t", "%s").replace("%v", "%s")
+        val newArgs = a.drop(1).zip(verbs).map {
+          case (arg, "%t" | "%v") => fn("string", arg)
+          case (arg, _)           => arg
+        }
+        fn("format_string", lit(newFmt) +: newArgs: _*)
+      case _ => fn("format_string", a: _*)
+    }),
+    // CHARINDEX(sub, str[, start]) → 0-based index, -1 when absent,
+    // NULL start → NULL
     "CHARINDEX" -> (a => {
       val start = if (a.size >= 3) a(2) else lit(0L)
       // locate(sub, str, pos1based) is 1-based; 0 when absent
       val loc = fn("locate", a(0), a(1), fn("+", fn("int", start), lit(1)))
-      fn("-", loc, lit(1))
+      val res = fn("-", loc, lit(1))
+      if (a.size >= 3) If(IsNull(a(2)), Literal(null, LongType), fn("bigint", res))
+      else res
     }),
-    "STR" -> (a => fn("string", a(0))),
+    // STR(num [,len [,dec]]): SQL-Server-style right-justified fixed-point
+    // rendering; overflow → all '*' (`inbuiltfunctionsstring.go:812-868`)
+    "STR" -> (a => {
+      val len = if (a.size >= 2) a(1) else lit(10L)
+      val dec = if (a.size >= 3) a(2) else lit(0L)
+      val fmt = fn("concat", lit("%"), fn("string", len), lit("."),
+        fn("string", dec), lit("f"))
+      val s = fn("format_string", fmt, fn("double", a(0)))
+      If(org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          fn("length", s), fn("int", len)),
+        fn("repeat", lit("*"), fn("int", len)), s)
+    }),
 
     // --- date functions (`inbuiltfunctionsdate.go:194-720`) ---
-    "DATETIMEPART" -> (a => dateTimePart(a(0), a(1))),
-    "DATETIMENAME" -> (a => dateTimeName(a(0), a(1))),
+    // timestamp params accept ints (epoch seconds) and strings via cast —
+    // typesAreAssignmentCompatible's timestamp case (`expressiontypes.go:340`)
+    "DATETIMEPART" -> (a => dateTimePart(a(0), asLtz(a(1)))),
+    "DATETIMENAME" -> (a => dateTimeName(a(0), asLtz(a(1)))),
     "DATETIMEFROMPARTS" -> (a =>
       // y, m, d, hh, mm, ss, ms (`inbuiltfunctionsdate.go:277`)
       fn("make_timestamp", a(0), a(1), a(2), a(3), a(4),
@@ -95,12 +129,31 @@ object Functions {
     // DATETIMEADD(unit, n, ts) / DATETIMEDIFF(unit, ts1, ts2) with the
     // reference's unit codes (`inbuiltfunctionsdate.go:13-24,478-720`)
     "DATETIMEADD" -> (a => byUnit(a(0), u =>
-      if (u == "NS") TimestampAdd("MICROSECOND", fn("div", a(1), lit(1000L)), a(2))
-      else TimestampAdd(sparkUnit(u), a(1), a(2)))),
+      if (u == "NS") TimestampAdd("MICROSECOND", fn("div", a(1), lit(1000L)), asLtz(a(2)))
+      else TimestampAdd(sparkUnit(u), a(1), asLtz(a(2))))),
     "DATETIMEDIFF" -> (a => byUnit(a(0), u =>
-      if (u == "NS") fn("*", TimestampDiff("MICROSECOND", a(1), a(2)), lit(1000L))
-      else TimestampDiff(sparkUnit(u), a(1), a(2)))),
-    "DATE_TRUNC" -> (a => fn("date_trunc", a(0), a(1))),
+      if (u == "NS") fn("*", TimestampDiff("MICROSECOND", asLtz(a(1)), asLtz(a(2))), lit(1000L))
+      else TimestampDiff(sparkUnit(u), asLtz(a(1)), asLtz(a(2))))),
+    // reference DATE_TRUNC returns a STRING cut of the RFC3339 rendering
+    // (`inbuiltfunctionsdate.go:564-660` — Go Format layouts per unit)
+    "DATE_TRUNC" -> (a => {
+      val ts = asLtz(a(1))
+      def f(pat: String) = fn("date_format", ts, lit(pat))
+      CaseWhen(Seq(
+        (fn("=", fn("upper", a(0)), lit("YY")), f("yyyy")),
+        (fn("=", fn("upper", a(0)), lit("M")), f("yyyy-MM")),
+        (fn("=", fn("upper", a(0)), lit("D")), f("yyyy-MM-dd")),
+        (fn("=", fn("upper", a(0)), lit("HH")), f("yyyy-MM-dd'T'HH")),
+        (fn("=", fn("upper", a(0)), lit("MI")), f("yyyy-MM-dd'T'HH:mm")),
+        (fn("=", fn("upper", a(0)), lit("S")), f("yyyy-MM-dd'T'HH:mm:ss")),
+        (fn("=", fn("upper", a(0)), lit("MS")), f("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+        (fn("=", fn("upper", a(0)), lit("US")), f("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+        (fn("=", fn("upper", a(0)), lit("NS")), f("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS"))),
+        Some(Literal(null)))
+    }),
+    // VAR (`expressionagg.go:1111` — population variance, decimal(6) result,
+    // float→decimal conversion truncates like pql.Decimal)
+    "VAR" -> (a => truncDec(fn("var_pop", fn("double", a(0))), 6)),
     // TOTIMESTAMP(n [, unit]) — epoch number with unit s/ms/us/ns
     // (`inbuiltfunctionsdate.go:352`)
     "TOTIMESTAMP" -> (a => {
@@ -200,6 +253,18 @@ object Functions {
   private def asLtz(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.TimestampType)
+
+  /** Truncate (toward zero) to `scale` decimal places and fix the result
+    * type — the reference's float→pql.Decimal conversion and DivideDecimal
+    * both TRUNCATE rather than round (`reference/pql/decimal.go:150-160`).
+    * Implemented as exact decimal remainder subtraction (codegen-friendly,
+    * no UDF). */
+  private[sql] def truncDec(e: Expression, scale: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Remainder, Subtract}
+    val wide = Cast(e, DecimalType(38, math.min(scale + 6, 37)))
+    val step = Literal(java.math.BigDecimal.ONE.movePointLeft(scale))
+    Cast(Subtract(wide, Remainder(wide, step)), DecimalType(38, scale))
+  }
 
   /** DATETIMENAME: month/weekday return their English names, other parts the
     * numeric value as a string (`inbuiltfunctionsdate.go:399-477`). */

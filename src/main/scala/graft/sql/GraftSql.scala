@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayExists, ArrayFilter, Attribute, AttributeReference, Cast, CreateNamedStruct, Divide, Expression, GetStructField, If, IntegralDivide, IsNull, LambdaFunction, Literal, NamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayExists, ArrayFilter, Attribute, AttributeReference, Cast, CreateNamedStruct, Divide, Expression, GetStructField, If, IntegralDivide, IsNull, LambdaFunction, Like, Literal, NamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, First, Last, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Project, Sort}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
@@ -261,7 +261,18 @@ object GraftSql {
       val c = args(0)
       if (!spark.table(tbl).schema.fieldNames.contains(c))
         sys.error(s"column '$c' not found")
-      java.util.regex.Matcher.quoteReplacement(
+      // reference quirk: the hint is silently IGNORED on a DISTINCT whose
+      // select list carries more than one set column (`defs_groupby.go:
+      // 284-463` — the multi-set DISTINCT case keeps whole-set semantics)
+      val setCols = spark.table(tbl).schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .map(_.name.toLowerCase).toSet
+      val isDistinct = raw"(?is)^\s*SELECT\s+DISTINCT\b".r.findFirstIn(q).isDefined
+      val selectedSets = setCols.count(sc =>
+        raw"(?i)\b$sc\b".r.findFirstIn(q.substring(0, m.start)).isDefined)
+      if (isDistinct && selectedSets > 1)
+        java.util.regex.Matcher.quoteReplacement(tbl)
+      else java.util.regex.Matcher.quoteReplacement(
         s"(SELECT * EXCEPT($c), array(__flat) AS $c " +
         s"FROM (SELECT *, explode($c) AS __flat FROM $tbl)) AS $tbl")
     })
@@ -392,7 +403,27 @@ object GraftSql {
     if (OrderByAggRe.findFirstIn(query).isDefined)
       sys.error("column reference, alias reference or column position expected")
 
-  private def dialectFix(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def builtinFn(name: String, args: Expression*): Expression =
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)).get(args)
+
+  /** Reference LIKE (`sql3/planner/expression.go:2991-3001`
+    * `wildCardToRegexp`): case-insensitive, `%` → `.*`, `_` → `.+` (one OR
+    * MORE — not SQL's exactly-one), other characters used as raw regex. */
+  private def refLikeRegex(p: String): String =
+    "(?i)^" + p.replace("%", ".*").replace("_", ".+") + "$"
+
+  private val Rewritten =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graftDialectRewritten")
+
+  private def scaleOf(e: Expression): Int = e.dataType match {
+    case d: org.apache.spark.sql.types.DecimalType => d.scale
+    case _                                         => 0
+  }
+
+  private def dialectFix(spark: SparkSession, df: DataFrame,
+      castTargets: List[TypeCheck.RT] = Nil): DataFrame = {
     checkJoinsAndSorts(df.queryExecution.analyzed)
     checkIdAggregates(df.queryExecution.analyzed)
     val withFirstLast = rangeqScope(df.queryExecution.analyzed).transform {
@@ -407,10 +438,64 @@ object GraftSql {
           case None => agg
         }
     }
+    // pair user CASTs with their reference target names (id vs int share
+    // BIGINT post-rewrite; textual `AS <t>` order == stopIndex order)
+    val castNames = new java.util.IdentityHashMap[Cast, TypeCheck.RT]()
+    if (castTargets.nonEmpty) {
+      val userCasts = scala.collection.mutable.ArrayBuffer[Cast]()
+      withFirstLast.foreach(_.expressions.foreach(_.foreach {
+        case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined =>
+          userCasts += c
+        case _ => ()
+      }))
+      val ordered = userCasts.distinct.sortBy(_.origin.stopIndex.getOrElse(Int.MaxValue))
+      if (ordered.size == castTargets.size)
+        ordered.zip(castTargets).foreach { case (c, t) => castNames.put(c, t) }
+    }
+    // wrap-rewrites keep the original node as a child — tag it so the
+    // top-down transform doesn't re-match it forever
     val fixed = withFirstLast.transformAllExpressions {
       case Divide(Cast(l, DoubleType, _, _), Cast(r, DoubleType, _, _), _)
           if integral(l.dataType) && integral(r.dataType) =>
         IntegralDivide(l, r)
+      // decimal division truncates at the coerced scale
+      // (`reference/pql/decimal.go:150-160` DivideDecimal — big.Int Div)
+      case d @ Divide(l, r, _)
+          if d.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+             d.getTagValue(Rewritten).isEmpty =>
+        d.setTagValue(Rewritten, true)
+        Functions.truncDec(d, math.max(scaleOf(l), scaleOf(r)))
+      // AVG → decimal(4), CORR → decimal(6), truncated — the reference's
+      // pql.Decimal conversions (`expressionagg.go:418-519,950-1110`)
+      case ae @ AggregateExpression(_: org.apache.spark.sql.catalyst.expressions.aggregate.Average, _, _, _, _)
+          if ae.getTagValue(Rewritten).isEmpty =>
+        ae.setTagValue(Rewritten, true)
+        Functions.truncDec(ae, 4)
+      case ae @ AggregateExpression(_: org.apache.spark.sql.catalyst.expressions.aggregate.Corr, _, _, _, _)
+          if ae.getTagValue(Rewritten).isEmpty =>
+        ae.setTagValue(Rewritten, true)
+        Functions.truncDec(ae, 6)
+      // reference LIKE semantics via regex (literal patterns)
+      case Like(l, p @ Literal(_, StringType), _) if p.value != null =>
+        org.apache.spark.sql.catalyst.expressions.RLike(
+          l, Literal(refLikeRegex(p.value.toString)))
+      // runtime string-cast failures carry the reference's wording
+      // (`sql3/errors.go:257` — "'foo' cannot be cast to 'int'")
+      case c: Cast
+          if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
+             c.getTagValue(Rewritten).isEmpty &&
+             c.child.dataType == StringType &&
+             c.dataType != StringType && !c.child.isInstanceOf[Literal] =>
+        c.setTagValue(Rewritten, true)
+        val refT = Option(castNames.get(c)).map(_.desc).getOrElse(Ddl.refName(c.dataType))
+        val tryCast = Cast(c.child, c.dataType, c.timeZoneId,
+          org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+        val msg = builtinFn("concat", Literal("'"), c.child,
+          Literal(s"' cannot be cast to '$refT'"))
+        If(org.apache.spark.sql.catalyst.expressions.And(
+            org.apache.spark.sql.catalyst.expressions.IsNotNull(c.child),
+            IsNull(tryCast)),
+          Cast(builtinFn("raise_error", msg), c.dataType), c)
     }
     org.apache.spark.sql.graftshim.Shim.ofRows(spark, fixed)
   }
@@ -449,12 +534,12 @@ object GraftSql {
         case org.apache.spark.sql.types.TimestampType  => ()
         case _ => sys.error("integer, decimal or timestamp expression expected")
       }
-      // divergence: the reference also rejects WHERE (`defs_aggregate.go:
-      // 501`) because its PQL pushdown can't carry a filter; ours can
-      // (Row-filtered bisection), so the filtered form is supported.
-      val t = whereOpt.map(w =>
-        base.filter(org.apache.spark.sql.functions.expr(rewrite(w)))).getOrElse(base)
-      val out = new graft.pql.Compiler(t)
+      // the reference rejects WHERE — its PQL pushdown can't carry a filter
+      // (`defs_aggregate.go:501` wording). The filtered form remains
+      // available through PQL `Percentile(filter=Row(...), ...)`.
+      if (whereOpt.isDefined)
+        sys.error("Percentile call that can't be pushed down to PQL is not supported")
+      val out = new graft.pql.Compiler(base)
         .run(graft.pql.Parser.parseOne(s"Percentile(field=$field, nth=$nth)"))
       alias.map(a => out.withColumnRenamed("val", a)).getOrElse(out)
     }.orElse(sys.error("Percentile call that can't be pushed down to PQL"))
@@ -482,6 +567,25 @@ object GraftSql {
               java.util.regex.Matcher.quoteReplacement(alias) + "._id"))
           case None => throw e
         }
+      // the reference resolves base-table-qualified columns even when the
+      // table is aliased (`defs_join.go` innerjoin-aggregate-groupby:
+      // `orders o … sum(orders.price)`); Spark hides the base name, so
+      // retry once with the qualifier swapped for the alias
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+             e.getCondition.startsWith("UNRESOLVED_COLUMN") =>
+        val obj = e.getMessageParameters.getOrDefault("objectName", "")
+          .replace("`", "")
+        val parts = obj.split('.')
+        if (parts.length != 2) throw e
+        val (tblName, _) = (parts(0), parts(1))
+        raw"(?i)\b(?:FROM|JOIN)\s+$tblName\s+(?:AS\s+)?(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|GROUP|ORDER|HAVING|LIMIT|ON|WITH)\b)(\w+)".r
+          .findFirstMatchIn(q) match {
+          case Some(m) =>
+            spark.sql(q.replaceAll(raw"(?i)(?<![\w.`])$tblName\.",
+              java.util.regex.Matcher.quoteReplacement(m.group(1)) + "."))
+          case None => throw e
+        }
     }
 
   /** Run one reference-dialect SQL query against the tables in `dir`. */
@@ -503,13 +607,31 @@ object GraftSql {
     else runQuery(spark, query)
   }
 
+  /** Reference `!x`: the scanner's BITNOT, whose evaluator NEGATES
+    * (`defs_unops.go:35-44`). TypeCheck validates the '!' form (id/int
+    * only); execution rewrites it to arithmetic negation. Quote-aware;
+    * `!=` untouched. */
+  private[sql] def bangToMinus(q: String): String = {
+    val b = new StringBuilder(q)
+    var quote: Char = 0
+    for (i <- 0 until q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '!' && (i + 1 >= q.length || q.charAt(i + 1) != '='))
+        b.setCharAt(i, '-')
+    }
+    b.toString
+  }
+
   private def runQuery(spark: SparkSession, query: String): DataFrame = {
     validateDialect(query)
     val hinted = applyHints(spark, query)
     percentilePushdown(spark, hinted).getOrElse {
       val (rewritten, castTargets) = rewriteWithCasts(hinted)
       TypeCheck.check(spark, rewritten, castTargets)
-      translateErrors(dialectFix(spark, runDisambiguated(spark, rewritten)))
+      translateErrors(dialectFix(spark,
+        runDisambiguated(spark, bangToMinus(rewritten)), castTargets))
     }
   }
 }

@@ -38,6 +38,26 @@ object TypeCheck {
   final class RefError(msg: String) extends RuntimeException(msg)
   private def fail(msg: String): Nothing = throw new RefError(msg)
 
+  /** Reference errors carry `[line:col]` positions (1-based col —
+    * `sql3/errors.go` templates); evaluation-time errors print `[0:0]`. */
+  private def failAt(e: Expression, msg: String): Nothing =
+    (e.origin.line, e.origin.startPosition) match {
+      case (Some(l), Some(c)) => fail(s"[$l:${c + 1}] $msg")
+      case _                  => fail(msg)
+    }
+  private def failAtEnd(e: Expression, msg: String): Nothing =
+    (e.origin.line, e.origin.stopIndex) match {
+      case (Some(l), Some(c)) => fail(s"[$l:${c + 1}] $msg")
+      case _                  => fail(msg)
+    }
+  private def failEval(msg: String): Nothing = fail(s"[0:0] $msg")
+
+  /** First source character of an expression (distinguishes `!x` from
+    * `NOT x`, both of which parse to Not). */
+  private def srcChar(e: Expression): Option[Char] =
+    for (t <- e.origin.sqlText; i <- e.origin.startIndex if i < t.length)
+      yield t.charAt(i)
+
   // ------------------------------------------------- matrices (expressiontypes.go)
   private val logicalOk    = Set("id", "int", "bool") // :117
   private val equalityOk   = Set("id", "int", "decimal", "bool", "string", "timestamp", "idset", "stringset") // :127
@@ -182,6 +202,15 @@ object TypeCheck {
       typeOf(spark, cond, env, casts); env
     case Aggregate(group, aggs, child, _) =>
       val env = walk(spark, child, casts)
+      // the reference's GroupBy pushdown supports COUNT/SUM/AVG only —
+      // MIN/MAX/PERCENTILE in a grouped query are rejected
+      // (`defs_groupby.go:212-224` wording)
+      if (group.nonEmpty) aggs.foreach(_.foreach {
+        case f: UnresolvedFunction
+            if Set("min", "max", "percentile")(f.nameParts.last.toLowerCase) =>
+          fail(s"aggregate '${f.nameParts.last.toUpperCase}()' not allowed in GROUP BY")
+        case _ => ()
+      })
       group.foreach(typeOf(spark, _, env, casts))
       aggs.flatMap(outType(spark, _, env, casts)).toMap
     case Sort(order, _, child, _) =>
@@ -256,6 +285,20 @@ object TypeCheck {
         equality(spark, eq, "!=", env, casts)
       case eq: EqualTo => equality(spark, eq, "=", env, casts)
 
+      // `a NOT LIKE p` parses as Not(Like) on the same span — op 'NOTLIKE'
+      case n @ Not(lk: Like) if n.origin.startIndex.isDefined &&
+          n.origin.startIndex == lk.origin.startIndex =>
+        likeCheck(spark, lk, "NOTLIKE", env, casts)
+
+      // reference `!x`: scanner maps '!' to BITNOT — id/int only, and the
+      // evaluator negates (`defs_unops.go:35-44`: !11 = -11). `NOT x` (the
+      // keyword) is left to Spark's boolean semantics.
+      case n @ Not(child) if srcChar(n).contains('!') =>
+        val ct = t(child)
+        ct.filterNot(x => bitwiseOk(x.base)).foreach(x =>
+          fail(s"operator '!' incompatible with type '${x.desc}'"))
+        ct
+
       case cmp @ (_: LessThan | _: LessThanOrEqual | _: GreaterThan | _: GreaterThanOrEqual) =>
         val b = cmp.asInstanceOf[BinaryComparison]
         val op = opDesc(cmp)
@@ -316,12 +359,7 @@ object TypeCheck {
         }
         Some(TStr)
 
-      case like: Like =>
-        t(like.left).filterNot(_.base == "string").foreach(x =>
-          fail(s"operator 'LIKE' incompatible with type '${x.desc}'"))
-        t(like.right).filterNot(_.base == "string").foreach(x =>
-          fail(s"operator 'LIKE' incompatible with type '${x.desc}'"))
-        Some(TBool)
+      case like: Like => likeCheck(spark, like, "LIKE", env, casts)
 
       case In(value, list) =>
         val lt = t(value)
@@ -381,13 +419,14 @@ object TypeCheck {
             else None
           case _ =>
             val argTs = f.arguments.map(t).toList
-            checkCall(f.nameParts.last, name, f.arguments.toList, argTs)
+            checkCall(f, f.nameParts.last, name, f.arguments.toList, argTs)
         }
 
       case CaseWhen(branches, elseValue) =>
         branches.foreach { case (c, v) => t(c); t(v) }
         elseValue.foreach(t)
-        branches.view.map(b => t(b._2)).collectFirst { case Some(x) => x }
+        branches.view.map(b => t(b._2))
+          .collectFirst { case Some(x) if x.base != "void" => x }
 
       case s: SubqueryExpression =>
         walk(spark, s.plan, casts); None
@@ -403,7 +442,8 @@ object TypeCheck {
         case d: DecimalType                     => Some(RT("decimal", d.scale))
         case DoubleType | FloatType             => Some(RT("decimal", 2))
         case TimestampType                      => Some(TTs)
-        case _                                  => None // null literal etc.
+        case NullType                           => Some(RT("void"))
+        case _                                  => None
       }
 
       case Alias(child, _)          => t(child)
@@ -413,6 +453,16 @@ object TypeCheck {
         other.children.foreach(t)
         None
     }
+  }
+
+  private def likeCheck(spark: SparkSession, like: Like, op: String, env: Env,
+      casts: java.util.IdentityHashMap[Cast, RT]): Option[RT] = {
+    def t(x: Expression) = typeOf(spark, x, env, casts)
+    t(like.left).filterNot(_.base == "string").foreach(x =>
+      fail(s"operator '$op' incompatible with type '${x.desc}'"))
+    t(like.right).filterNot(_.base == "string").foreach(x =>
+      fail(s"operator '$op' incompatible with type '${x.desc}'"))
+    Some(TBool)
   }
 
   private def equality(spark: SparkSession, eq: EqualTo, op: String, env: Env,
@@ -507,9 +557,9 @@ object TypeCheck {
     case _           => false
   })
 
-  private def countErr(display: String, formal: Int, actual: Int): Nothing =
-    fail(s"'$display': count of formal parameters ($formal) does not match " +
-      s"count of actual parameters ($actual)")
+  private def countErr(at: Expression, display: String, formal: Int, actual: Int): Nothing =
+    failAtEnd(at, s"'$display': count of formal parameters ($formal) does not " +
+      s"match count of actual parameters ($actual)")
 
   private def paramErr(src: RT, param: RT): Nothing =
     fail(s"an expression of type '${src.desc}' cannot be passed to a " +
@@ -532,17 +582,39 @@ object TypeCheck {
     * functions and aggregates (`sql3/planner/expressionanalyzercall.go:25-335`,
     * `inbuiltfunctions{string,date,set}.go`). Returns the reference result
     * type; unknown functions return None (checks exempted). */
-  private def checkCall(display: String, name: String, args: List[Expression],
-      argTs: List[Option[RT]]): Option[RT] = {
+  /** Static literal value of a (possibly folded) string argument —
+    * `char(<int literal>)` folds so `ascii(char(255))` can be checked like
+    * the reference's evaluator does. */
+  private def foldedString(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("char") =>
+      f.arguments match {
+        case Seq(Literal(i: Int, IntegerType)) => Some(i.toChar.toString)
+        case Seq(Literal(i: Long, LongType))   => Some(i.toChar.toString)
+        case _                                 => None
+      }
+    case _ => None
+  }
+
+  private def longLitValue(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType)   => Some(v)
+    case UnaryMinus(inner, _)         => longLitValue(inner).map(-_)
+    case _                            => None
+  }
+
+  private def checkCall(fn: Expression, display: String, name: String,
+      args: List[Expression], argTs: List[Option[RT]]): Option[RT] = {
     val n = args.size
     def arity(formal: Int, min: Int, max: Int): Unit =
-      if (n < min || n > max) countErr(display, formal, n)
+      if (n < min || n > max) countErr(fn, display, formal, n)
     def strParam(i: Int): Unit = argTs(i).filterNot(x =>
       x.base == "string" || x.base == "void").foreach(_ =>
-      fail("string expression expected"))
+      failAt(args(i), "string expression expected"))
     def intParam(i: Int): Unit = argTs(i).filterNot(x =>
       Set("int", "id", "void")(x.base)).foreach(_ =>
-      fail("integer expression expected"))
+      failAt(args(i), "integer expression expected"))
+    def outOfRange(v: Long): Nothing = failEval(s"value '$v' out of range")
     def setParam(i: Int): RT = argTs(i) match {
       case Some(x) if Set("idset", "stringset", "idsetq", "stringsetq")(x.base) => x
       case Some(_) => fail("set expression expected")
@@ -561,21 +633,42 @@ object TypeCheck {
       case "lower" | "upper" | "trim" | "ltrim" | "rtrim" | "reverse" =>
         arity(1, 1, 1); strParam(0); Some(TStr)
       case "char" =>
-        arity(1, 1, 1); intParam(0); Some(TStr)
+        arity(1, 1, 1); intParam(0)
+        // ascii range [0,255] (`inbuiltfunctionsstring.go:326-328`)
+        longLitValue(args.head).filter(v => v < 0 || v > 255).foreach(outOfRange)
+        Some(TStr)
       case "ascii" =>
         arity(1, 1, 1); strParam(0)
-        // `inbuiltfunctionsstring.go:334` — a 1-char string is required
-        stringLitValue(args.head).filter(_.length != 1).foreach(v =>
-          fail(s"value '$v' should be of the length 1"))
+        // `inbuiltfunctionsstring.go:334` — one BYTE required (Go len())
+        foldedString(args.head)
+          .filter(_.getBytes("UTF-8").length != 1).foreach(v =>
+            failEval(s"value '$v' should be of the length 1"))
         Some(TInt)
       case "substring" =>
-        arity(2, 2, 3); strParam(0); (1 until n).foreach(intParam); Some(TStr)
+        arity(2, 2, 3); strParam(0); (1 until n).foreach(intParam)
+        // `inbuiltfunctionsstring.go:385-413` index rules, literals only
+        for (s <- foldedString(args.head); st <- longLitValue(args(1))) {
+          if (st < 0 || st >= s.length) outOfRange(st)
+          else if (n == 3) longLitValue(args(2)).foreach { ln =>
+            val end = st + ln
+            if (end < st || end > s.length) outOfRange(end)
+          }
+        }
+        Some(TStr)
       case "stringsplit" =>
         arity(2, 2, 3); strParam(0); strParam(1); if (n == 3) intParam(2); Some(TStr)
       case "replaceall" =>
         arity(3, 3, 3); (0 until 3).foreach(strParam); Some(TStr)
-      case "prefix" | "suffix" | "replicate" =>
-        arity(2, 2, 2); strParam(0); intParam(1); Some(TStr)
+      case "prefix" | "suffix" =>
+        arity(2, 2, 2); strParam(0); intParam(1)
+        // 0 ≤ n ≤ len(s) (`inbuiltfunctionsstring.go:586,618`)
+        for (s <- foldedString(args.head); v <- longLitValue(args(1)))
+          if (v < 0 || v > s.length) outOfRange(v)
+        Some(TStr)
+      case "replicate" =>
+        arity(2, 2, 2); strParam(0); intParam(1)
+        longLitValue(args(1)).filter(_ < 0).foreach(outOfRange)
+        Some(TStr)
       case "space" =>
         arity(1, 1, 1); intParam(0); Some(TStr)
       case "len" =>
@@ -583,12 +676,20 @@ object TypeCheck {
       case "format" =>
         arity(1, 1, Int.MaxValue); strParam(0)
         args.drop(1).foreach {
-          case l: Literal if l.dataType == NullType => fail("null literal not allowed")
+          case l: Literal if l.dataType == NullType =>
+            failAt(l, "null literal not allowed")
           case _ => ()
         }
         Some(TStr)
       case "charindex" =>
-        arity(3, 2, 3); strParam(0); strParam(1); if (n == 3) intParam(2); Some(TInt)
+        arity(3, 2, 3); strParam(0); strParam(1)
+        if (n == 3) {
+          intParam(2)
+          // 0 ≤ pos < len(input) (`inbuiltfunctionsstring.go:774-779`)
+          for (s <- foldedString(args(1)); p <- longLitValue(args(2)))
+            if (p < 0 || p >= s.length) outOfRange(p)
+        }
+        Some(TInt)
       case "str" =>
         arity(1, 1, 3)
         assignCheck(RT("decimal", 4), argTs.head)
@@ -618,13 +719,39 @@ object TypeCheck {
       case "datetimeadd" =>
         arity(3, 3, 3)
         assignCheck(TStr, argTs(0)); litCheck(args(0), s => validIntervals(s.toUpperCase), "timeunit")
-        assignCheck(TInt, argTs(1)); assignCheck(TTs, argTs(2)); Some(TTs)
+        assignCheck(TInt, argTs(1)); assignCheck(TTs, argTs(2))
+        tsLitConvertible(args(2))
+        Some(TTs)
       case "datetimediff" =>
         arity(3, 3, 3)
         assignCheck(TStr, argTs(0)); litCheck(args(0), s => validIntervals(s.toUpperCase), "timeunit")
-        assignCheck(TTs, argTs(1)); assignCheck(TTs, argTs(2)); Some(TInt)
+        assignCheck(TTs, argTs(1)); assignCheck(TTs, argTs(2))
+        tsLitConvertible(args(1)); tsLitConvertible(args(2))
+        Some(TInt)
       case "datetimefromparts" =>
-        arity(7, 7, 7); argTs.foreach(assignCheck(TInt, _)); Some(TTs)
+        arity(7, 7, 7); argTs.foreach(assignCheck(TInt, _))
+        // isValidDateTimeParts (`inbuiltfunctionsdate.go:311-350`), literal args
+        val lits = args.map(longLitValue)
+        if (lits.forall(_.isDefined)) {
+          val p = lits.map(_.get)
+          def bad(v: Long): Nothing = failEval(s"not a valid datetimepart $v")
+          if (p(0) < 0 || p(0) > 9999) bad(p(0))
+          if (p(1) < 1 || p(1) > 12) bad(p(1))
+          val leap = p(0) % 4 == 0 && p(0) % 100 != 0 || p(0) % 400 == 0
+          val maxDay = p(1) match {
+            case 1 | 3 | 5 | 7 | 8 | 10 | 12 => 31
+            case 2                           => if (leap) 29 else 28
+            case _                           => 30
+          }
+          // reference checks 29 as the Feb cap, then rejects 29 on non-leap
+          if (p(1) == 2 && (p(2) < 1 || p(2) > 29)) bad(p(2))
+          if (p(2) < 1 || p(2) > maxDay) bad(p(2))
+          if (p(3) < 0 || p(3) > 23) bad(p(3))
+          if (p(4) < 0 || p(4) > 59) bad(p(4))
+          if (p(5) < 0 || p(5) > 59) bad(p(5))
+          if (p(6) < 0 || p(6) > 999) bad(p(6))
+        }
+        Some(TTs)
       case "setcontains" =>
         arity(2, 2, 2)
         val s = setParam(0)
@@ -657,8 +784,16 @@ object TypeCheck {
         argTs.foreach(_.filterNot(x => Set("int", "id", "decimal", "timestamp")(x.base))
           .foreach(_ => fail("integer, decimal or timestamp expression expected")))
         Some(RT("decimal", 6))
-      case "count" => Some(TInt)
-      case _       => None
+      case "count" =>
+        if (n > 1) countErr(fn, display, 1, n)
+        Some(TInt)
+      case _ => None
     }
   }
+
+  /** A string literal bound to a timestamp parameter must parse
+    * (`sql3/planner/expression.go:3005-3013` wording). */
+  private def tsLitConvertible(arg: Expression): Unit =
+    stringLitValue(arg).filterNot(tsParseable).foreach(v =>
+      failEval(s"unable to convert '$v' to type 'timestamp'"))
 }
