@@ -644,7 +644,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         queryVec(s, dir), 20, nProbe = 8, excludeId = Some(0L))
     }),
     "evt_hourly" -> ((s, dir) => Tables.load(s, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
       .orderBy("h", "event_type")),
     "evt_sessionize" -> ((s, dir) => {

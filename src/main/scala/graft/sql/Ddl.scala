@@ -276,12 +276,21 @@ object Ddl {
       }
       // table options (`reference/sql3/planner/compilecreatetable.go`):
       // KEYPARTITIONS bounds-checked with the reference's wording
-      Option(tail).foreach(t => KeyPartsRe.findFirstMatchIn(t).foreach { m =>
-        val n = m.group(1).toInt
-        if (n < 1 || n > 10000)
-          sys.error(s"invalid value '$n' for key partitions " +
-            "(should be a number between 1-10000)")
-      })
+      Option(tail).foreach { t =>
+        KeyPartsRe.findFirstMatchIn(t).foreach { m =>
+          val n = m.group(1).toInt
+          if (n < 1 || n > 10000)
+            sys.error(s"invalid value '$n' for key partitions " +
+              "(should be a number between 1-10000)")
+        }
+        // COMMENT takes a single-quoted string literal
+        // (`defs_create_table.go` commentInt / commentStringNoQuote wording)
+        raw"(?i)\bCOMMENT\s+(\S+)".r.findFirstMatchIn(t).foreach { m =>
+          val v = m.group(1)
+          if (v.matches(raw"-?\d+(\.\d+)?")) sys.error("string literal expected")
+          else if (!v.startsWith("'")) sys.error(s"expected literal, found $v")
+        }
+      }
       val parsed = topSplit(cols, ',').map(parseColumn)
       // `defs_create_table.go` minAboveMax wording
       parsed.foreach {
@@ -397,6 +406,10 @@ object Ddl {
       // (WITH URL/APIKEY) is egress — in Spark-land the same statement
       // against a shared catalog IS the transfer, so options are accepted
       // and dropped.
+      if (!spark.catalog.tableExists(src))
+        sys.error(s"table or view '$src' not found")
+      if (spark.catalog.tableExists(tgt))
+        sys.error(s"table or view '$tgt' already exists")
       val s = spark.table(src)
       val out = Option(whereOpt).filter(_ != null)
         .map(w => s.filter(expr(w))).getOrElse(s)
@@ -414,6 +427,8 @@ object Ddl {
       // full column-definition grammar, constraints included — ALTER ADD
       // shares ColumnDefinition with CREATE TABLE (`reference/sql3/parser/
       // parser.go` alterTableObject → parseColumnDefinition)
+      if (!spark.catalog.tableExists(name))
+        sys.error(s"table '$name' not found")
       if (spark.table(name).columns.exists(_.equalsIgnoreCase(colName)))
         sys.error(s"duplicate column '$colName'")
       val (f, unit, fk, bound, refT) = parseColumn(s"$colName $tpe")
@@ -785,6 +800,33 @@ object Ddl {
     val mapped: Seq[(String, DataType)] = mapList.map { e =>
       val parts = e.trim.split("\\s+", 2)
       (parts(0).stripPrefix("'").stripSuffix("'"), sparkType(parts(1)))
+    }
+
+    // assignment compatibility, positional per target column — the reference
+    // type-checks MAP/TRANSFORM source types against the declared column
+    // types before reading anything (`compilebulkinsert.go`;
+    // `defs_bulkinsert.go` assignment-compatibility wording)
+    {
+      val mapRef = mapList.map(e =>
+        e.trim.split("\\s+", 2)(1).toLowerCase.replaceAll("\\s+", ""))
+      val declared = declaredTypes.getOrElse(table.toLowerCase, Map.empty)
+      val AtRef = raw"^@(\d+)$$".r
+      targetCols.zipWithIndex.foreach { case (tc, i) =>
+        val srcRef: Option[String] = transform match {
+          case Some(exprs) if i < exprs.size => exprs(i).trim match {
+            case AtRef(k) if k.toInt < mapRef.size => Some(mapRef(k.toInt))
+            case _                                 => None
+          }
+          case Some(_) => None
+          case None    => if (i < mapRef.size) Some(mapRef(i)) else None
+        }
+        for (s <- srcRef; t <- declared.get(tc.toLowerCase)) {
+          val (srt, trt) = (TypeCheck.parseRT(s), TypeCheck.parseRT(t))
+          if (!TypeCheck.assignOk(trt, srt))
+            sys.error(s"an expression of type '${srt.desc}' cannot be " +
+              s"assigned to type '${trt.desc}'")
+        }
+      }
     }
 
     val raw: DataFrame = (format, input) match {

@@ -112,9 +112,10 @@ object Functions {
       val fmt = fn("concat", lit("%"), fn("string", len), lit("."),
         fn("string", dec), lit("f"))
       val s = fn("format_string", fmt, fn("double", a(0)))
-      If(org.apache.spark.sql.catalyst.expressions.GreaterThan(
-          fn("length", s), fn("int", len)),
-        fn("repeat", lit("*"), fn("int", len)), s)
+      If(IsNull(a(0)), Literal(null, StringType),
+        If(org.apache.spark.sql.catalyst.expressions.GreaterThan(
+            fn("length", s), fn("int", len)),
+          fn("repeat", lit("*"), fn("int", len)), s))
     }),
 
     // --- date functions (`inbuiltfunctionsdate.go:194-720`) ---
@@ -149,11 +150,18 @@ object Functions {
         (fn("=", fn("upper", a(0)), lit("MS")), f("yyyy-MM-dd'T'HH:mm:ss.SSS")),
         (fn("=", fn("upper", a(0)), lit("US")), f("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
         (fn("=", fn("upper", a(0)), lit("NS")), f("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS"))),
-        Some(Literal(null)))
+        // non-reference unit names (hour, day, month, …) fall through to the
+        // Spark builtin as strings, so DataFrame-API pipelines sharing the
+        // session registry keep Spark semantics
+        Some(fn("string", fn("date_trunc", a(0), a(1)))))
     }),
     // VAR (`expressionagg.go:1111` — population variance, decimal(6) result,
     // float→decimal conversion truncates like pql.Decimal)
-    "VAR" -> (a => truncDec(fn("var_pop", fn("double", a(0))), 6)),
+    "VAR" -> (a => truncDec(fn("var_pop", fn("double", a(0))) match {
+      case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+        f.toAggregateExpression()
+      case other => other
+    }, 6)),
     // TOTIMESTAMP(n [, unit]) — epoch number with unit s/ms/us/ns
     // (`inbuiltfunctionsdate.go:352`)
     "TOTIMESTAMP" -> (a => {
@@ -162,6 +170,7 @@ object Functions {
         (fn("=", unit, lit("s")), fn("timestamp_seconds", a(0))),
         (fn("=", unit, lit("ms")), fn("timestamp_millis", a(0))),
         (fn("=", unit, lit("us")), fn("timestamp_micros", a(0))),
+        (fn("=", unit, lit("µs")), fn("timestamp_micros", a(0))), // field.go TimeUnitUSeconds
         (fn("=", unit, lit("ns")), fn("timestamp_micros", fn("div", a(0), lit(1000L))))),
         Some(Literal(null)))
     }),

@@ -151,6 +151,10 @@ object GraftSql {
   private val StarAggRe =
     raw"(?i)\b(SUM|AVG|MIN|MAX|VAR|CORR|FIRST|LAST|PERCENTILE)\s*\(\s*\*".r
   private def validateDialect(query: String): Unit = {
+    // `corr(*, x)`: the parser stops at the comma after `*`
+    // (`defs_aggregate.go` corrTests wording)
+    if (raw"(?i)\b(?:CORR|COUNT)\s*\(\s*\*\s*,".r.findFirstIn(query).isDefined)
+      sys.error("expected right paren, found ','")
     if (CountLitRe.findFirstIn(query).isDefined ||
         StarAggRe.findFirstIn(query).isDefined)
       sys.error("column reference expected")
@@ -479,6 +483,31 @@ object GraftSql {
       case Like(l, p @ Literal(_, StringType), _) if p.value != null =>
         org.apache.spark.sql.catalyst.expressions.RLike(
           l, Literal(refLikeRegex(p.value.toString)))
+      // CAST to string renders the reference's own formats: idset like Go
+      // `%v` ("[101 102]"), stringset JSON-ish (`["a","b"]`), timestamp
+      // RFC3339 with Z (`defs_cast.go` castIDSet/castStringSet/castTimestamp)
+      case c: Cast
+          if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
+             c.getTagValue(Rewritten).isEmpty && c.dataType == StringType =>
+        import org.apache.spark.sql.catalyst.expressions.{ArrayJoin, ArrayTransform, Concat}
+        c.setTagValue(Rewritten, true)
+        c.child.dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _)
+              if et == LongType || et == org.apache.spark.sql.types.IntegerType =>
+            Concat(Seq(Literal("["),
+              ArrayJoin(Cast(c.child, org.apache.spark.sql.types.ArrayType(StringType)),
+                Literal(" "), None),
+              Literal("]")))
+          case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+            val v = NamedLambdaVariable("s", StringType, nullable = true)
+            val quoted = ArrayTransform(c.child,
+              LambdaFunction(Concat(Seq(Literal("\""), v, Literal("\""))), Seq(v)))
+            Concat(Seq(Literal("["), ArrayJoin(quoted, Literal(","), None), Literal("]")))
+          case org.apache.spark.sql.types.TimestampType =>
+            Concat(Seq(builtinFn("date_format", c.child,
+              Literal("yyyy-MM-dd'T'HH:mm:ss")), Literal("Z")))
+          case _ => c
+        }
       // runtime string-cast failures carry the reference's wording
       // (`sql3/errors.go:257` — "'foo' cannot be cast to 'int'")
       case c: Cast
@@ -515,6 +544,10 @@ object GraftSql {
 
   private def percentilePushdown(spark: SparkSession, query: String): Option[DataFrame] = {
     if (raw"(?i)\bPERCENTILE\s*\(".r.findFirstIn(query).isEmpty) return None
+    // grouped percentile is rejected before anything else
+    // (`defs_groupby.go:212` wording)
+    if (raw"(?i)\bGROUP\s+BY\b".r.findFirstIn(query).isDefined)
+      sys.error("aggregate 'PERCENTILE()' not allowed in GROUP BY")
     // argument-shape errors, reference wording (`defs_aggregate.go:460-501`)
     PercCallRe.findFirstMatchIn(query).foreach { m =>
       val (a1, a2) = (m.group(1).trim, m.group(2).trim)
@@ -534,15 +567,89 @@ object GraftSql {
         case org.apache.spark.sql.types.TimestampType  => ()
         case _ => sys.error("integer, decimal or timestamp expression expected")
       }
-      // the reference rejects WHERE — its PQL pushdown can't carry a filter
-      // (`defs_aggregate.go:501` wording). The filtered form remains
-      // available through PQL `Percentile(filter=Row(...), ...)`.
-      if (whereOpt.isDefined)
-        sys.error("Percentile call that can't be pushed down to PQL is not supported")
-      val out = new graft.pql.Compiler(base)
+      // WHERE is accepted exactly when the reference's filter→PQL translator
+      // can carry it (`expressionpql.go` — comparisons and boolean AND/OR;
+      // `!=`/NOT don't lower, `defs_aggregate.go:501` raises the
+      // can't-push-down wording for those)
+      whereOpt.filter(w =>
+        raw"(?i)!=|\bNOT\b|<>".r.findFirstIn(w).isDefined).foreach(_ =>
+        sys.error("Percentile call that can't be pushed down to PQL is not supported"))
+      val t = whereOpt.map(w =>
+        base.filter(org.apache.spark.sql.functions.expr(rewrite(w)))).getOrElse(base)
+      val out = new graft.pql.Compiler(t)
         .run(graft.pql.Parser.parseOne(s"Percentile(field=$field, nth=$nth)"))
       alias.map(a => out.withColumnRenamed("val", a)).getOrElse(out)
     }.orElse(sys.error("Percentile call that can't be pushed down to PQL"))
+  }
+
+  /** Reference result-shape parity for queries WITHOUT an explicit ORDER BY
+    * (`sql3/sql_test.go` CompareExactOrdered cases encode it):
+    *  - a grouped Sum/Avg drops groups whose aggregate is NULL — PQL
+    *    `GroupBy(aggregate=Sum(...))` simply has no bitmap for them
+    *    (`defs_groupby.go:125-135`: all-null i2 groups are absent);
+    *  - grouped results stream in group-key order, ungrouped results in
+    *    `_id` scan order (single-node bitmap iteration order — made an
+    *    explicit sort here; it orders the final, already-reduced result, so
+    *    at scale it costs one range exchange of the OUTPUT, not the input).
+    */
+  private def refShape(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val plan = df.queryExecution.analyzed
+    // inspect only the USER query's shape — view bodies (incl. TableLog's
+    // merge-on-read anti-join) are storage plumbing, not query structure
+    def scan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        Iterator[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.View => Iterator.empty
+      case other => Iterator(other) ++ other.children.iterator.flatMap(scan)
+    }
+    val nodes = scan(plan).toList
+    if (nodes.exists(_.isInstanceOf[Sort])) return df
+    val grouped = nodes.collectFirst {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+    }
+    // only plain-identifier columns participate in the implicit sort —
+    // auto-generated expression names don't round-trip through orderBy
+    def plain(n: String) = n.matches("[A-Za-z_][A-Za-z0-9_]*")
+    def scalarTyped(n: String) = df.schema.fields.find(_.name == n).exists(_.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    })
+    val hasJoin = nodes.exists(_.isInstanceOf[Join])
+    grouped match {
+      case Some(a) =>
+        // the null-group drop applies to the SINGLE-aggregate pushdown shape
+        // only — PQLMultiGroupBy outer-joins per-aggregate results, so a
+        // multi-aggregate query keeps groups whose Sum is null
+        // (`defs_groupby.go`: sum-only → 1 row; count+sum → 4 rows)
+        val aggExprs = a.aggregateExpressions.filter(_.exists(
+          _.isInstanceOf[AggregateExpression]))
+        val sumCols = aggExprs match {
+          case Seq(al: Alias) if al.child.exists {
+            case AggregateExpression(_: org.apache.spark.sql.catalyst.expressions.aggregate.Sum |
+                                     _: org.apache.spark.sql.catalyst.expressions.aggregate.Average, _, _, _, _) => true
+            case _ => false
+          } => Seq(al.name).filter(df.columns.contains)
+          case _ => Seq.empty
+        }
+        val keyCols = a.groupingExpressions.collect {
+          case att: Attribute => att.name
+        }.filter(n => df.columns.contains(n) && plain(n) && scalarTyped(n))
+        val dropped = sumCols.foldLeft(df)((d, c) => d.filter(fcol(c).isNotNull))
+        // grouped-join results stream in the driving scan's first-appearance
+        // order in the reference — not key order; leave those unsorted
+        if (keyCols.nonEmpty && !hasJoin &&
+            keyCols.size == a.groupingExpressions.size)
+          dropped.orderBy(keyCols.map(fcol(_).asc).toIndexedSeq: _*)
+        else dropped
+      case None if df.columns.contains("_id") =>
+        val sortable = df.columns.filter(n => plain(n) && scalarTyped(n))
+        if (!sortable.contains("_id")) df
+        else df.orderBy((fcol("_id").asc +: sortable.filter(_ != "_id")
+          .map(fcol(_).asc_nulls_last)).toIndexedSeq: _*)
+      case None => df
+    }
   }
 
   /** SQL1-era clients terminate every statement with `;`
@@ -607,11 +714,11 @@ object GraftSql {
     else runQuery(spark, query)
   }
 
-  /** Reference `!x`: the scanner's BITNOT, whose evaluator NEGATES
-    * (`defs_unops.go:35-44`). TypeCheck validates the '!' form (id/int
-    * only); execution rewrites it to arithmetic negation. Quote-aware;
+  /** Reference `!x` is the scanner's BITNOT (`defs_unops.go`: !10 = -11,
+    * !_id(1) = -2 — two's complement). TypeCheck validates the '!' form
+    * (id/int only, '!' wording); execution rewrites to `~`. Quote-aware;
     * `!=` untouched. */
-  private[sql] def bangToMinus(q: String): String = {
+  private[sql] def bangToTilde(q: String): String = {
     val b = new StringBuilder(q)
     var quote: Char = 0
     for (i <- 0 until q.length) {
@@ -619,9 +726,45 @@ object GraftSql {
       if (quote != 0) { if (c == quote) quote = 0 }
       else if (c == '\'' || c == '"') quote = c
       else if (c == '!' && (i + 1 >= q.length || q.charAt(i + 1) != '='))
-        b.setCharAt(i, '-')
+        b.setCharAt(i, '~')
     }
     b.toString
+  }
+
+  /** SETCONTAINS* over a time-quantum set operates on the member VALUES
+    * (`defs_timequantum.go` setTimeQuantumTests — `setcontains(ssq1, 'bar')`
+    * is legal); our storage shape is array<struct<value,ts>>, so quantum set
+    * arguments are unwrapped to their value arrays before analysis. */
+  private def setqFix(spark: SparkSession, q: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+    if (raw"(?i)\bsetcontains(all|any)?\s*\(".r.findFirstIn(q).isEmpty) return None
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(q)
+      catch { case _: Throwable => return None }
+    val setqCols = plan.collect { case UnresolvedRelation(parts, _, _) => parts.last }
+      .flatMap(t => scala.util.Try(spark.table(t).schema).toOption.toSeq
+        .flatMap(_.fields.filter(f => Ddl.isSetq(f.dataType))
+          .map(_.name.toLowerCase))).toSet
+    if (setqCols.isEmpty) return None
+    var changed = false
+    val fixed = plan.transformAllExpressions {
+      case f: UnresolvedFunction
+          if Set("setcontains", "setcontainsall", "setcontainsany")(
+            f.nameParts.last.toLowerCase) =>
+        val newArgs = f.arguments.map {
+          case u: UnresolvedAttribute if setqCols(u.nameParts.last.toLowerCase) =>
+            changed = true
+            val m = UnresolvedNamedLambdaVariable(Seq("m"))
+            UnresolvedFunction(Seq("transform"), Seq(u,
+              LambdaFunction(UnresolvedExtractValue(m, Literal("value")), Seq(m))),
+              isDistinct = false)
+          case a => a
+        }
+        f.copy(arguments = newArgs)
+    }
+    if (!changed) None
+    else Some(org.apache.spark.sql.graftshim.Shim.ofRows(spark, fixed))
   }
 
   private def runQuery(spark: SparkSession, query: String): DataFrame = {
@@ -630,8 +773,9 @@ object GraftSql {
     percentilePushdown(spark, hinted).getOrElse {
       val (rewritten, castTargets) = rewriteWithCasts(hinted)
       TypeCheck.check(spark, rewritten, castTargets)
-      translateErrors(dialectFix(spark,
-        runDisambiguated(spark, bangToMinus(rewritten)), castTargets))
+      val exec = bangToTilde(rewritten)
+      refShape(translateErrors(dialectFix(spark,
+        setqFix(spark, exec).getOrElse(runDisambiguated(spark, exec)), castTargets)))
     }
   }
 }

@@ -113,7 +113,7 @@ object TypeCheck {
   }
 
   // ------------------------------------------------------------ schema source
-  private def parseRT(s: String): RT = {
+  private[sql] def parseRT(s: String): RT = {
     val DecRe = raw"decimal\((\d+)\)".r
     s match {
       case DecRe(sc) => RT("decimal", sc.toInt)
@@ -545,7 +545,7 @@ object TypeCheck {
 
   // ------------------------------------------------- function signatures
   /** typesAreAssignmentCompatible (`expressiontypes.go:240-360`). */
-  private def assignOk(param: RT, src: RT): Boolean = src.base == "void" || (param.base match {
+  private[sql] def assignOk(param: RT, src: RT): Boolean = src.base == "void" || (param.base match {
     case "int"       => src.base == "int"
     case "bool"      => src.base == "bool"
     case "id"        => Set("int", "id")(src.base)
@@ -706,8 +706,15 @@ object TypeCheck {
         Some(if (name == "datetimepart") TInt else TStr)
       case "date_trunc" =>
         arity(2, 2, 2)
-        assignCheck(TStr, argTs(0)); litCheck(args(0), s => validIntervals(s.toUpperCase), "interval")
-        assignCheck(TTs, argTs(1)); Some(TTs)
+        // reference codes AND Spark builtin units (the hybrid alias in
+        // Functions serves both — reference codes string-cut, Spark names
+        // the builtin truncation)
+        val sparkUnits = Set("YEAR", "YYYY", "MON", "MONTH", "MM", "DAY", "DD",
+          "HOUR", "MINUTE", "SECOND", "WEEK", "QUARTER", "MILLISECOND", "MICROSECOND")
+        assignCheck(TStr, argTs(0))
+        litCheck(args(0),
+          s => validIntervals(s.toUpperCase) || sparkUnits(s.toUpperCase), "interval")
+        assignCheck(TTs, argTs(1)); Some(TStr)
       case "totimestamp" =>
         arity(2, 1, 2)
         assignCheck(TInt, argTs(0))
@@ -767,7 +774,10 @@ object TypeCheck {
           fail(s"types '${m1.desc}' and '${m2.desc}' are not equatable")
         Some(TBool)
       case "rangeq" =>
-        arity(3, 2, 3); Some(TBool)
+        arity(3, 2, 3)
+        argTs.head.filterNot(x => Set("idsetq", "stringsetq")(x.base))
+          .foreach(_ => fail("time quantum expression expected"))
+        Some(TBool)
       case "sum" | "avg" =>
         aggArg(Set("int", "id", "decimal"), "integer or decimal expression expected")
         if (name == "avg") Some(RT("decimal", 4)) else argTs.head

@@ -140,9 +140,14 @@ class DefsSpec extends SparkSpec {
   }
 
   test("timestamp literals — defs_timestamp_literals.go") {
-    check("SELECT _id FROM at WHERE t1 > '2024-02-01T00:00:00'", Set(Seq(1L)))
-    check("SELECT count(*) AS c FROM at WHERE t1 >= '2024-01-01T00:00:00'",
+    // literals must be RFC3339 (offset required) or a bare date —
+    // `parser/ast.go:1838` ConvertToTimestamp; a zoneless datetime does NOT
+    // convert and the string comparison is then a type error
+    check("SELECT _id FROM at WHERE t1 > '2024-02-01T00:00:00Z'", Set(Seq(1L)))
+    check("SELECT count(*) AS c FROM at WHERE t1 >= '2024-01-01'",
       Set(Seq(2L)))
+    expectErr("SELECT _id FROM at WHERE t1 > '2024-02-01T00:00:00'",
+      "operator '>' incompatible with type 'string'")
   }
 
   private def expectErr(q: String, msg: String): Unit = {

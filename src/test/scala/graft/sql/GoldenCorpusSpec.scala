@@ -1,0 +1,84 @@
+package graft.sql
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's COMPLETE golden SQL corpus, swept end-to-end:
+  * `reference/sql3/test/defs/defs_*.go` (153 TableTests, 1,812 cases, 1,856
+  * SQL statements) parsed by [[GoldenDefs]] at test time and executed by
+  * [[GoldenRunner]] with the reference runner's own compare modes
+  * (`sql3/sql_test.go:34-160`).
+  *
+  * Every statement must pass except the divergences enumerated below, each
+  * with its reason. The list is exact — a newly-failing statement fails this
+  * suite, and a divergence that STARTS passing fails it too (so the ledger
+  * can't rot).
+  */
+class GoldenCorpusSpec extends AnyFunSuite {
+
+  /** Documented divergences, keyed by (TableTest var, case name, SQL prefix).
+    * A key matches a result when the sql starts with the given prefix. */
+  private val knownDivergences: Seq[(String, String, String)] = Seq(
+    // The reference test encodes its own BSI-offset bug — its TODO lists the
+    // "correct results below", which are exactly what we return
+    // (`defs_minmaxnegative.go:34-39`).
+    ("minmaxnegatives", "select-all", "select * from minmaxnegatives"),
+    // Hyphenated table names: Spark identifiers don't admit `un-keyed` as a
+    // view name (SURVEY §8 documented limitation).
+    ("selectTests", "<fixture>", "CREATE TABLE un-keyed"),
+    ("selectTests", "select-all", "select * from un-keyed"),
+    ("selectTests", "select-all", "select _id, an_int"),
+    ("selectTests", "", "select *, an_int AS foo from un-keyed"),
+    // Parser-recovery shape: the reference counts `replicate('this',)` as a
+    // 1-arg call; Spark's parser stops at the dangling comma.
+    ("stringScalarFunctionsTests", "ReplicateincorrectArguments", "select replicate('this',)"),
+    // Nanosecond precision: reference timestamps carry ns, Spark µs — the
+    // sub-µs digits of 'NS' parts are zero here (SURVEY §8 divergence).
+    ("dateTimePartTests", "DateTimePartNS", "select _id, datetimepart('ns', ts)"),
+    ("datetimeAddTests", "", "select _id, datetimepart('NS',datetimeadd('NS', 1, ts))"),
+    ("datetimeAddTests", "", "select _id, datetimepart('NS',datetimeadd('NS', 700, ts))"),
+    ("dateTruncTests", "DateTruncOnNanoS", "select _id, date_trunc('ns', ts)"),
+    ("dateTruncTests", "VerifyTimeStamp", "select _id, datetimename('ns', ts)"),
+    ("datetimedifftests", "DatetimeDiffNS", "select datetimediff('ns', startTime, endTime)"),
+    // Year zero: Go time.Date supports year 0000; Spark's make_timestamp
+    // clamps to 0001.
+    ("toTimestampTests", "DateTimeFromPartsAllZeros", "select datetimefromparts(0,1,1,0,0,0,0)"),
+    // Grouped results over a SET column / across a join stream in the
+    // reference's first-appearance (insertion) order, an artifact of its
+    // single-node nested-loop + hash-agg iteration; a distributed group-by
+    // has no such order. Scalar single-table group keys ARE ordered (we
+    // sort by key, matching every other grouped corpus case).
+    ("groupByTests", "", "SELECT COUNT(*), is1 FROM groupby_test group by is1"),
+    ("joinTests", "innerjoin-aggregate-groupby", "select u._id, sum(orders.price)"),
+    // RANGEQ member surface: we return the quantum set as (value, ts)
+    // structs with every member whose timestamp lies in [from, to); the
+    // reference's view-range selection additionally drops the two members
+    // written at explicit D-boundaries (test4/test5) — its own tests pin
+    // that behavior, ours keeps the documented quantum-range contract.
+    ("timeQuantumTest", "stringset-rangeq", "select a._id, a.ss1"),
+    ("timeQuantumTest", "idset-rangeq", "select a._id, a.ids1"))
+
+  private def isKnown(r: GoldenRunner.CaseResult): Boolean =
+    knownDivergences.exists { case (tbl, name, prefix) =>
+      r.table == tbl && r.name == name && r.sql.startsWith(prefix)
+    }
+
+  test("golden corpus: 1,856 reference SQL statements") {
+    val session = SparkSpec.session.newSession()
+    val tests = GoldenDefs.loadCorpus()
+    val results = GoldenRunner.runAll(tests, None, verbose = false, session)
+    val unexpected = results.filterNot(_.ok).filterNot(isKnown)
+    val healed = results.filter(_.ok).filter(isKnown)
+    assert(unexpected.isEmpty,
+      s"${unexpected.size} corpus statements newly failing:\n" +
+        unexpected.take(20).map(r => s"[${r.table}/${r.name}] ${r.sql}\n  -> ${r.detail}")
+          .mkString("\n"))
+    assert(healed.isEmpty,
+      "documented divergences now PASS — remove them from the ledger:\n" +
+        healed.map(r => s"[${r.table}/${r.name}] ${r.sql}").mkString("\n"))
+    val pass = results.count(_.ok)
+    info(s"golden corpus: $pass/${results.size} pass, " +
+      s"${results.size - pass} documented divergences")
+    assert(pass >= 1839)
+  }
+}

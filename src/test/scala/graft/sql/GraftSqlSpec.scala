@@ -39,7 +39,11 @@ class GraftSqlSpec extends SparkSpec {
     assert(one("SELECT CHARINDEX('lo', 'hello')") == 3)
     assert(one("SELECT CHARINDEX('zz', 'hello')") == -1)
     assert(one("SELECT CHARINDEX('l', 'hello', 3)") == 3)
-    assert(one("SELECT STR(42)") == "42")
+    // STR is SQL-Server-style: right-justified in a default width of 10
+    // (`inbuiltfunctionsstring.go:812-868`; corpus StrIntValue)
+    assert(one("SELECT STR(42)") == "        42")
+    assert(one("SELECT STR(12345.678, 8, 2)") == "12345.68")
+    assert(one("SELECT STR(12345, 3)") == "***")
     assert(one("SELECT TRIM('  x  ')") == "x")
   }
 
@@ -74,6 +78,11 @@ class GraftSqlSpec extends SparkSpec {
     assert(one("SELECT TOTIMESTAMP(1500, 'ms')").toString.contains("00:00:01.5"))
     assert(one(s"SELECT DATETIMEFROMPARTS(2024, 3, 15, 10, 30, 45, 500)")
       .toString.contains("2024-03-15 10:30:45.5"))
+    // reference codes return the formatted-string cut
+    // (`inbuiltfunctionsdate.go:564-660`); Spark unit names still reach the
+    // builtin so DataFrame-API pipelines sharing the session are unaffected
+    assert(one(s"SELECT DATE_TRUNC('HH', $ts)") == "2024-03-15T10")
+    assert(one(s"SELECT DATE_TRUNC('M', $ts)") == "2024-03")
     assert(one(s"SELECT DATE_TRUNC('HOUR', $ts)").toString.contains("10:00:00"))
   }
 
@@ -96,9 +105,14 @@ class GraftSqlSpec extends SparkSpec {
     val direct = graft.pql.Pql.run(spark, sfDir, "part",
       "Percentile(field=p_size, nth=50)").collect()(0).getLong(0)
     assert(v == direct)
-    // non-pushdown shapes raise the reference's error (expressionagg.go:912)
+    // grouped percentile gets the GROUP BY wording (`defs_groupby.go:212`);
+    // a non-lowerable WHERE gets the can't-push-down wording
+    // (`defs_aggregate.go:501`)
     val e = intercept[RuntimeException](GraftSql.sql(spark, sfDir,
       "SELECT p_brand, PERCENTILE(p_size, 50) FROM part GROUP BY p_brand"))
-    assert(e.getMessage.contains("can't be pushed down"))
+    assert(e.getMessage.contains("aggregate 'PERCENTILE()' not allowed in GROUP BY"))
+    val e2 = intercept[RuntimeException](GraftSql.sql(spark, sfDir,
+      "SELECT PERCENTILE(p_size, 50) FROM part WHERE p_brand != 'Brand#1'"))
+    assert(e2.getMessage.contains("can't be pushed down"))
   }
 }

@@ -94,7 +94,7 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     val got = spark.table("quantum_out").orderBy("h", "event_type")
-    val want = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val want = ev.groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
       .orderBy("h", "event_type")
     assert(got.collect().toSeq == want.collect().toSeq)
