@@ -180,10 +180,14 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         System.gc()
       }
+      // warm + 2 timed per point, ratio on MIN of the timed runs — the r6
+      // curve's 13.85× first step came from one-sided GC/contention drift in
+      // a single timed run (its own middle point once read warm 23 s, timed
+      // 57 s); min-of-N is the same discipline the headline queries use
       def fullRun(path: String, parts: Int): Seq[Double] = {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        try (1 to 2).map { _ => // warm, timed
+        try (1 to 3).map { _ => // warm, timed, timed
           val t0 = System.nanoTime()
           graft.functions.Dedup.minhashPairs(
             graft.functions.Dedup.shingledPosting(
@@ -196,9 +200,9 @@ object Bench {
       }
       val paths = counts.map(gen)
       val runs = counts.zip(paths).map { case (n, p) => fullRun(p, partsFor(n)) }
-      // timed-run ratio between consecutive points; data grows 10× per step
+      // min-of-timed ratio between consecutive points; data grows 10× per step
       val steps = runs.sliding(2).map { case Seq(a, b) =>
-        num(b.last / math.max(a.last, 1e-9), 2) }.mkString("[", ",", "]")
+        num(b.drop(1).min / math.max(a.drop(1).min, 1e-9), 2) }.mkString("[", ",", "]")
       // single-run stage cuts at the two smaller points (the full pipeline
       // above already JIT-warmed every operator); ratio >10 on a stage whose
       // input grew 10× is the super-linearity flag

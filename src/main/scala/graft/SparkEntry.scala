@@ -460,11 +460,13 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "sql_join_left" -> ("SELECT c_custkey, count(o_orderkey) AS cnt " +
       "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
       "GROUP BY c_custkey ORDER BY c_custkey"),
+    // AVG/CORR truncate at scale 4/6 like the reference's pql.Decimal
+    // conversions (sql/GraftSql dialectFix) — the oracle truncates too
     "sql_agg" -> ("SELECT count(*) AS cnt, count(DISTINCT l_partkey) AS ndp, " +
-      "round(avg(l_quantity), 4) AS avg_qty, min(l_quantity) AS min_qty, " +
+      "trunc(avg(l_quantity) * 10000) / 10000 AS avg_qty, min(l_quantity) AS min_qty, " +
       "max(l_quantity) AS max_qty, round(sum(l_extendedprice), 2) AS sum_price " +
       "FROM lineitem"),
-    "sql_corr" -> "SELECT round(corr(l_quantity, l_extendedprice), 6) AS c FROM lineitem",
+    "sql_corr" -> "SELECT trunc(corr(l_quantity, l_extendedprice) * 1000000) / 1000000 AS c FROM lineitem",
     "sql_var" -> "SELECT round(var_pop(l_quantity), 6) AS v FROM lineitem",
     "sql_groupby_having" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev " +

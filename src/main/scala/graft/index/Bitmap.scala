@@ -43,37 +43,23 @@ object Bitmap {
     expr(s"graft_bitmap_build($sqlExpr)")
   }
 
-  // Scalar bitmap algebra (applied to the aggregated segment table, which is
-  // orders of magnitude smaller than the fact table — UDF cost is irrelevant
-  // there; the fact-table side stays pure codegen).
-  val bitmapCount: Column => Column = {
-    val f = udf((a: Array[Byte]) => deserialize(a).getLongCardinality)
-    c => f(c)
-  }
-  val bitmapAndCount: (Column, Column) => Column = {
-    val f = udf { (a: Array[Byte], b: Array[Byte]) =>
-      val x = deserialize(a); x.and(deserialize(b)); x.getLongCardinality
-    }
-    (a, b) => f(a, b)
-  }
-  val bitmapOrCount: (Column, Column) => Column = {
-    val f = udf { (a: Array[Byte], b: Array[Byte]) =>
-      val x = deserialize(a); x.or(deserialize(b)); x.getLongCardinality
-    }
-    (a, b) => f(a, b)
-  }
-  val bitmapAndNotCount: (Column, Column) => Column = {
-    val f = udf { (a: Array[Byte], b: Array[Byte]) =>
-      val x = deserialize(a); x.andNot(deserialize(b)); x.getLongCardinality
-    }
-    (a, b) => f(a, b)
-  }
-  val bitmapXorCount: (Column, Column) => Column = {
-    val f = udf { (a: Array[Byte], b: Array[Byte]) =>
-      val x = deserialize(a); x.xor(deserialize(b)); x.getLongCardinality
-    }
-    (a, b) => f(a, b)
-  }
+  // Scalar bitmap algebra — ONE surface: the codegen'd native expressions
+  // ([[BitmapCardinality]] et al. in BitmapExpressions.scala). The helpers
+  // here are just Column wrappers; the former duplicate `udf()` path is
+  // gone (two surfaces for one operation invited drift).
+  private def nat(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftshim.Shim.column(e)
+  private def ex(c: Column) = org.apache.spark.sql.graftshim.Shim.expression(c)
+  val bitmapCount: Column => Column =
+    c => nat(BitmapCardinality(ex(c)))
+  val bitmapAndCount: (Column, Column) => Column =
+    (a, b) => nat(BitmapAndCardinality(ex(a), ex(b)))
+  val bitmapOrCount: (Column, Column) => Column =
+    (a, b) => nat(BitmapOrCardinality(ex(a), ex(b)))
+  val bitmapAndNotCount: (Column, Column) => Column =
+    (a, b) => nat(BitmapAndNotCardinality(ex(a), ex(b)))
+  val bitmapXorCount: (Column, Column) => Column =
+    (a, b) => nat(BitmapXorCardinality(ex(a), ex(b)))
 
   /** Segment index: one bitmap of `idCol` per distinct `segCol` value. */
   def segmentIndex(df: DataFrame, segCol: String, idCol: String): DataFrame =

@@ -723,7 +723,10 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     *
     * We replicate exactly with two regimes, picked by the field's (approx)
     * distinct cardinality:
-    *  - CDF path (cardinality ≤ `spark.graft.percentile.maxCdf`, default 4M):
+    *  - CDF path (cardinality ≤ `spark.graft.percentile.maxCdf`, default 1M —
+    *    ~16 MB of (long,long) pairs on the driver; a serving box under
+    *    100×-concurrency holds 100 of these, so the default is sized for the
+    *    FLEET, with the knob available to single-tenant analytics):
     *    ONE distributed groupBy(value) aggregation builds the value histogram,
     *    then the bisection runs driver-side against the in-memory CDF. The
     *    driver holds one (long, long) pair per DISTINCT value — bounded by
@@ -764,7 +767,7 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     val (lo, hi, total, distinctEst) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
     val maxCdf = spark.conf.getOption("spark.graft.percentile.maxCdf")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse(1000000L)
 
     val desiredLess    = ((total.toDouble * nth) / 100.0).toLong
     val desiredGreater = ((total.toDouble * (100 - nth)) / 100.0).toLong

@@ -217,7 +217,10 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     // spark.catalog.listTables would launch a Spark job per probe)
     val cat = spark.sessionState.catalog.listTables("default").map(_.table)
       .filterNot(_.startsWith("fb_"))
-      .filterNot(graft.sql.Ddl.viewDefs.contains)
+      // per-SESSION view check — the process-global viewDefs map is keyed by
+      // name only, so another session's CREATE VIEW must not hide a
+      // same-named table from this session's listings
+      .filterNot(graft.sql.Ddl.isView(spark, _))
     (graft.core.Tables.names ++ cat).distinct
   }
 
@@ -524,6 +527,13 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       .addMethod(CreateIndexMethod, unary { r =>
         chkAdmin("create") // grpc.go:410-427
         val name = r.str(1).getOrElse(sys.error("CreateIndexRequest.name missing"))
+        // errToStatusError maps ErrIndexExists → ALREADY_EXISTS
+        // (`server/grpc.go:80-83`); the raw DDL error would surface as
+        // INVALID_ARGUMENT to status-code-sensitive clients
+        if (allIndexNames.contains(name))
+          throw Status.ALREADY_EXISTS
+            .withDescription("index already exists")
+            .asRuntimeException()
         val keys = r.fields.get(2).flatMap(_.headOption).contains(1L)
         val idType = if (keys) "STRING" else "ID"
         graft.sql.Ddl.run(spark, s"CREATE TABLE $name (_id $idType)")
@@ -556,6 +566,11 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       .addMethod(DeleteIndexMethod, unary { r =>
         chkAdmin("delete") // grpc.go:485-501
         val name = r.str(1).getOrElse(sys.error("DeleteIndexRequest.name missing"))
+        // errToStatusError maps ErrIndexNotFound → NOT_FOUND (`grpc.go:74-78`)
+        if (!allIndexNames.contains(name))
+          throw Status.NOT_FOUND
+            .withDescription("index not found")
+            .asRuntimeException()
         graft.sql.Ddl.run(spark, s"DROP TABLE $name")
         state.remove(name)
         graft.core.Metrics.inc(graft.core.Metrics.DeleteIndex)

@@ -234,12 +234,21 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             protoQuery(ex, idx, bodyBytes)
           case Array("index", idx, "field", field, "import") if isProto =>
             protoImport(ex, idx, field, bodyBytes)
+          // a non-numeric shard path segment answers 400 like the reference's
+          // mux (`http_handler.go` route constraints) — an uncaught
+          // NumberFormatException would make the JDK server drop the exchange
           case Array("index", idx, "field", field, "import-roaring", shard)
               if isProto =>
-            protoRoaring(ex, idx, field, shard.toLong, bodyBytes)
+            shard.toLongOption match {
+              case Some(s) => protoRoaring(ex, idx, field, s, bodyBytes)
+              case None => plainError(ex, 400, s"bad shard '$shard'")
+            }
           case Array("index", idx, "shard", shard, "import-roaring")
               if isProto =>
-            protoRoaringShard(ex, idx, shard.toLong, bodyBytes)
+            shard.toLongOption match {
+              case Some(s) => protoRoaringShard(ex, idx, s, bodyBytes)
+              case None => plainError(ex, 400, s"bad shard '$shard'")
+            }
           case _ => jsonRoutes(ex, parts, new String(bodyBytes, UTF_8))
         }
       }
@@ -471,17 +480,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         import org.apache.spark.sql.functions.{col, max}
         val w = graft.pql.Compiler.ShardWidth
         val entries = allIndexNames.map { n =>
-          val maxShard = maxShardCache.computeIfAbsent(n, _ =>
-            try {
+          // compute OUTSIDE computeIfAbsent: a Spark job must not run while
+          // holding the map's bin lock, and a transient failure must not be
+          // memoized as 0 (only successful probes are cached)
+          val maxShard = Option(maxShardCache.get(n)).map(_.longValue()).getOrElse {
+            val v: Option[Long] = try {
               val df = tableState(n)
               if (df.schema("_id").dataType ==
                   org.apache.spark.sql.types.LongType)
-                df.agg(max(col("_id"))).head.getAs[Any](0) match {
+                Some(df.agg(max(col("_id"))).head.getAs[Any](0) match {
                   case l: java.lang.Long => l.longValue() / w
                   case _ => 0L
-                }
-              else 0L // keyed index: key-hash shards unknowable here
-            } catch { case _: Exception => 0L })
+                })
+              else Some(0L) // keyed index: key-hash shards unknowable here
+            } catch { case _: Exception => None }
+            v.foreach(x => maxShardCache.put(n, java.lang.Long.valueOf(x)))
+            v.getOrElse(0L)
+          }
           s"${js(n)}:$maxShard"
         }
         s"""{"standard":{${entries.mkString(",")}}}"""
@@ -1033,6 +1048,17 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * `validateProtobufHeader` Accept check (`http_handler.go:2621-2629`),
     * Go `http.Error`-shaped failures, and the zero-byte 200 ack (importOk —
     * a marshaled `ImportResponse{Err:""}` is empty). */
+  /** Route-level Go-`http.Error` shape (for failures before a handler's own
+    * error machinery is in scope, e.g. a malformed shard path segment). */
+  private def plainError(ex: HttpExchange, code: Int, text: String): Unit = {
+    val bytes = (text + "\n").getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+    ex.getResponseHeaders.set("X-Content-Type-Options", "nosniff")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
   private def protoWrite(ex: HttpExchange, idx: String)(f: => Unit): Unit = {
     graft.core.Metrics.inc(graft.core.Metrics.HttpRequest)
     val outcome: Either[PlainError, Unit] =
@@ -1081,11 +1107,19 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             val ids: Seq[String] =
               { val ks = m.strings(7); if (ks.nonEmpty) ks
                 else m.longs(5).map(_.toString) }
+            val rowIds = m.longs(4)
             val vals: Seq[String] = {
               val sv = m.strings(9)
               val fv = m.doubles(8)
               if (sv.nonEmpty) sv
               else if (fv.nonEmpty) fv.map(_.toString)
+              // an unkeyed MUTEX column shares LongType with INT, so a Go
+              // client may legitimately send ImportRequest framing here:
+              // no value lists, but RowIDs(4) matching ColumnIDs in length.
+              // Fall back to that framing instead of misreading field 6
+              // (= ImportRequest.Timestamps) as values.
+              else if (m.longs(6).isEmpty && rowIds.nonEmpty &&
+                       rowIds.length == ids.length) rowIds.map(_.toString)
               else m.longs(6).map(_.toString)
             }
             if (ids.length != vals.length)

@@ -246,7 +246,7 @@ object Ddl {
     * view-vs-table error wording (`errors.go:615-669`). */
   private val viewNames =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
-  private def isView(spark: SparkSession, n: String) =
+  private[graft] def isView(spark: SparkSession, n: String) =
     viewNames.contains((spark, n.toLowerCase))
 
   /** View bodies (lowercased name → dialect SQL) for durable replay. */

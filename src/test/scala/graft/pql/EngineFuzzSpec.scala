@@ -1,0 +1,170 @@
+package graft.pql
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Differential fuzzing of the ENGINE (not just the wire codec —
+  * ProtoPropertySpec covers that): hundreds of randomly generated PQL
+  * programs run through parser + compiler + Catalyst, and every result is
+  * checked against a NAIVE in-memory interpreter written directly from the
+  * reference's semantics (`reference/executor.go` —
+  * `executeRowShard`/`executeCount`/`executeSum`/bitmap algebra). The
+  * interpreter shares no code with the compiler, so agreement is evidence of
+  * semantic correctness, not of consistent bugs.
+  *
+  * Semantics encoded independently here:
+  *  - Row(f=v) misses null cells; set fields match by membership
+  *  - Not(a) = existing ∧ ¬a; All() = every existing record
+  *  - Difference = a ∧ ¬b (left-anchored over the record space)
+  *  - Sum/Min/Max aggregate the field over matching records, skipping null
+  *    field values, and carry the reference's (value, count) shape
+  */
+class EngineFuzzSpec extends SparkSpec {
+
+  private case class Rec(id: Long, i: Option[Long], j: Option[Long],
+      s: Option[String], ss: Seq[String], b: Option[Boolean])
+
+  // deterministic 240-record fixture: nulls, skew, empty sets, negatives
+  private lazy val recs: Seq[Rec] = {
+    val rnd = new scala.util.Random(42)
+    (0L until 240L).map { id =>
+      Rec(id,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(40).toLong - 10),
+        if (rnd.nextInt(7) == 0) None else Some(rnd.nextInt(1000).toLong),
+        if (rnd.nextInt(6) == 0) None else Some("v" + rnd.nextInt(8)),
+        Seq.fill(rnd.nextInt(4))("t" + rnd.nextInt(6)).distinct,
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextBoolean()))
+    }
+  }
+
+  private lazy val df = {
+    val schema = StructType(Seq(
+      StructField("_id", LongType, nullable = false),
+      StructField("i", LongType), StructField("j", LongType),
+      StructField("s", StringType),
+      StructField("ss", ArrayType(StringType), nullable = false),
+      StructField("b", BooleanType)))
+    val rows = recs.map(r => Row(r.id, r.i.map(Long.box).orNull,
+      r.j.map(Long.box).orNull, r.s.orNull, r.ss, r.b.map(Boolean.box).orNull))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema).cache()
+  }
+
+  // ---------------------------------------------------- program model
+  private sealed trait P
+  private case class RowEq(f: String, v: String) extends P
+  private case class RowCmp(f: String, op: String, v: Long) extends P
+  private case class RowBetween(f: String, lo: Long, hi: Long) extends P
+  private case class RowNull(f: String, isNull: Boolean) extends P
+  private case class BoolOp(op: String, args: Seq[P]) extends P
+  private case class NotP(a: P) extends P
+  private case object AllP extends P
+
+  private def genP(rnd: scala.util.Random, depth: Int): P =
+    if (depth == 0) rnd.nextInt(6) match {
+      case 0 => RowEq("s", "'v" + rnd.nextInt(9) + "'")
+      case 1 => RowEq("ss", "'t" + rnd.nextInt(7) + "'")
+      case 2 => RowCmp("i", Seq(">", ">=", "<", "<=", "=")(rnd.nextInt(5)),
+        rnd.nextInt(40).toLong - 10)
+      case 3 => RowBetween("i", rnd.nextInt(20).toLong - 10,
+        rnd.nextInt(30).toLong)
+      case 4 => RowNull(Seq("i", "s", "b")(rnd.nextInt(3)), rnd.nextBoolean())
+      case _ => RowEq("b", rnd.nextBoolean().toString)
+    }
+    else rnd.nextInt(4) match {
+      case 0 => genP(rnd, 0)
+      case 1 => NotP(genP(rnd, depth - 1))
+      case 2 => AllP
+      case _ =>
+        val op = Seq("Intersect", "Union", "Difference", "Xor")(rnd.nextInt(4))
+        BoolOp(op, Seq(genP(rnd, depth - 1), genP(rnd, depth - 1)))
+    }
+
+  private def pqlOf(p: P): String = p match {
+    case RowEq(f, v)          => s"Row($f=$v)"
+    case RowCmp(f, "=", v)    => s"Row($f == $v)"
+    case RowCmp(f, op, v)     => s"Row($f $op $v)"
+    case RowBetween(f, lo, hi) => s"Row($f >< [$lo, $hi])"
+    case RowNull(f, true)     => s"Row($f=null)"
+    case RowNull(f, false)    => s"Row($f!=null)"
+    case BoolOp(op, args)     => s"$op(${args.map(pqlOf).mkString(", ")})"
+    case NotP(a)              => s"Not(${pqlOf(a)})"
+    case AllP                 => "All()"
+  }
+
+  /** The naive interpreter — straight from the reference's bitmap rules. */
+  private def eval(p: P, r: Rec): Boolean = p match {
+    case RowEq("s", v)  => r.s.contains(v.stripPrefix("'").stripSuffix("'"))
+    case RowEq("ss", v) => r.ss.contains(v.stripPrefix("'").stripSuffix("'"))
+    case RowEq("b", v)  => r.b.contains(v.toBoolean)
+    case RowEq(f, v)    => sys.error(s"leaf $f")
+    case RowCmp("i", op, v) => r.i.exists(x => op match {
+      case ">" => x > v; case ">=" => x >= v; case "<" => x < v
+      case "<=" => x <= v; case "=" => x == v
+    })
+    case RowCmp(f, _, _) => sys.error(s"leaf $f")
+    case RowBetween("i", lo, hi) => r.i.exists(x => x >= lo && x <= hi)
+    case RowBetween(f, _, _) => sys.error(s"leaf $f")
+    case RowNull("i", n) => r.i.isEmpty == n
+    case RowNull("s", n) => r.s.isEmpty == n
+    case RowNull("b", n) => r.b.isEmpty == n
+    case RowNull(f, _)   => sys.error(s"leaf $f")
+    case BoolOp("Intersect", a)  => a.forall(eval(_, r))
+    case BoolOp("Union", a)      => a.exists(eval(_, r))
+    case BoolOp("Difference", a) => eval(a.head, r) && !a.tail.exists(eval(_, r))
+    case BoolOp("Xor", Seq(a, b)) => eval(a, r) ^ eval(b, r)
+    case BoolOp(op, _)           => sys.error(s"op $op")
+    case NotP(a)                 => !eval(a, r)
+    case AllP                    => true
+  }
+
+  private def compile(q: String) =
+    new Compiler(df).run(Parser.parseOne(q))
+
+  test("differential fuzz: 520 generated PQL programs vs naive interpreter") {
+    val rnd = new scala.util.Random(20260814L)
+    var counts = 0; var sums = 0; var aggs = 0
+    (1 to 520).foreach { k =>
+      val p = genP(rnd, 1 + rnd.nextInt(3))
+      val matches = recs.filter(eval(p, _))
+      def ctx[T](f: => T): T =
+        try f catch { case e: Throwable =>
+          throw new AssertionError(s"#$k over ${pqlOf(p)}: $e", e) }
+      ctx {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // Count
+          counts += 1
+          val got = compile(s"Count(${pqlOf(p)})").collect()(0).getLong(0)
+          assert(got == matches.size,
+            s"#$k Count(${pqlOf(p)}): got $got want ${matches.size}")
+        case 2 => // Sum over j
+          sums += 1
+          val want = matches.flatMap(_.j)
+          val rows = compile(s"Sum(${pqlOf(p)}, field=j)").collect()
+          // an all-null/empty aggregate may answer no row or a null row
+          val got = rows.headOption.filterNot(_.isNullAt(0))
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val expect = if (want.isEmpty) None else Some((want.sum, want.size.toLong))
+          assert(got == expect,
+            s"#$k Sum(${pqlOf(p)}, field=j): got $got want $expect")
+        case _ => // Min or Max over i
+          aggs += 1
+          val (call, pick) =
+            if (rnd.nextBoolean()) ("Min", (xs: Seq[Long]) => xs.min)
+            else ("Max", (xs: Seq[Long]) => xs.max)
+          val want = matches.flatMap(_.i)
+          val rows = compile(s"$call(${pqlOf(p)}, field=i)").collect()
+          val got = rows.headOption.filterNot(_.isNullAt(0))
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val expect =
+            if (want.isEmpty) None
+            else { val v = pick(want); Some((v, want.count(_ == v).toLong)) }
+          assert(got == expect,
+            s"#$k $call(${pqlOf(p)}): got $got want $expect")
+      }
+      }
+    }
+    info(s"fuzzed $counts Count, $sums Sum, $aggs Min/Max programs")
+  }
+}
