@@ -82,17 +82,33 @@ object Backup {
       val files = {
         val s = Files.walk(root)
         try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
-          .asScala.filter(Files.isRegularFile(_)).toList.sortBy(_.toString)
+          .asScala.filter(Files.isRegularFile(_))
+          // `_temporary` is Spark's in-flight commit staging — by definition
+          // uncommitted state that may VANISH mid-walk (found by the
+          // serving-path soak: a backup concurrent with a write hit a
+          // disappearing staging .crc). A piece only becomes engine state
+          // when its commit renames it out of _temporary, so skipping the
+          // staging tree is exactly a consistent snapshot.
+          .filterNot(_.toString.contains("_temporary"))
+          .toList.sortBy(_.toString)
         finally s.close()
       }
       files.foreach { f =>
-        val rel = root.relativize(f).toString
-        val size = Files.size(f)
-        out.write(header(rel, size, dir = false))
-        val in = new BufferedInputStream(Files.newInputStream(f))
-        try copy(in, out, size) finally in.close()
-        pad(out, size)
-        entries += rel
+        // committed files are immutable, but a concurrently-superseded piece
+        // can still be GC'd between the walk and the read — skip, the
+        // manifest never referenced it
+        val ok = try {
+          val rel = root.relativize(f).toString
+          val size = Files.size(f)
+          val in = new BufferedInputStream(Files.newInputStream(f))
+          try {
+            out.write(header(rel, size, dir = false))
+            copy(in, out, size)
+          } finally in.close()
+          pad(out, size)
+          Some(rel)
+        } catch { case _: java.nio.file.NoSuchFileException => None }
+        ok.foreach(entries += _)
       }
       out.write(new Array[Byte](Block * 2)) // end-of-archive
       entries.result()

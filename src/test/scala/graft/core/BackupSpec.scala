@@ -60,4 +60,22 @@ class BackupSpec extends SparkSpec {
       rm(Paths.get(wh1)); rm(Paths.get(wh2)); Files.deleteIfExists(Paths.get(tar))
     }
   }
+
+  test("backup concurrent with a write skips in-flight commit staging") {
+    // found by tools/Soak: a backup walking the warehouse while a write was
+    // mid-commit read a `_temporary` staging file that vanished between the
+    // walk and the open. A consistent snapshot = committed pieces only.
+    val wh = Files.createTempDirectory("graft-bk-race").toString
+    val stage = Paths.get(wh, "t", "overlay-1", "_temporary", "0")
+    Files.createDirectories(stage)
+    Files.writeString(stage.resolve("part-in-flight.parquet"), "x" * 100)
+    Files.createDirectories(Paths.get(wh, "t"))
+    Files.writeString(Paths.get(wh, "t", "base-1.json"), "{}")
+    val tar = Files.createTempFile("graft-bk-race", ".tar").toString
+    try {
+      val entries = Backup.backup(wh, tar)
+      assert(entries.contains("t/base-1.json"))
+      assert(!entries.exists(_.contains("_temporary")), entries)
+    } finally { rm(Paths.get(wh)); Files.deleteIfExists(Paths.get(tar)) }
+  }
 }

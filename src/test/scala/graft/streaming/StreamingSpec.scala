@@ -222,4 +222,21 @@ class StreamingSpec extends SparkSpec {
     assert(kept.filter(col("ts") < lit(cutoff)).count() == 0)
     assert(kept.count() > 0)
   }
+
+  test("broker connector smoke (runs only when the deploy-time jar is present)") {
+    // the kafka connector is a deploy-time `--packages` addition (README
+    // "Deploying the connector-dependent sources"); this container is
+    // zero-egress, so the spec cancels with the instruction instead of
+    // faking coverage
+    val present = scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+    assume(present, "spark-sql-kafka-0-10 not on the classpath — add " +
+      "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 (README)")
+    // with the jar present the source provider must resolve for the same
+    // options KafkaIngest.stream passes
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", "localhost:9092")
+      .option("subscribe", "graft")
+    assert(reader != null)
+  }
 }
