@@ -84,17 +84,22 @@ object Bench {
 
     val ableJson = try {
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_ABLE_N", "500000").toLong
-      val nLarge = nSmall * 10
+      // the reference's perf profile is 1B records (`qa/scripts/perf/able/
+      // able.yaml:2-8`); the 100× (50M) point is the closest a one-box
+      // rehearsal gets — skippable via SPARK_GRAFT_ABLE_DEEP=0
+      val deep = sys.env.getOrElse("SPARK_GRAFT_ABLE_DEEP", "1") != "0"
+      val counts = Seq(nSmall, nSmall * 10) ++ (if (deep) Seq(nSmall * 100) else Nil)
       val tmp = System.getProperty("java.io.tmpdir")
       def genTimed(n: Long): (String, Double) = {
         val t0 = System.nanoTime()
-        // v2: version the cache dir with the generator formula — ensure()
+        // v3: version the cache dir with the generator formula — ensure()
         // reuses existing parquet, so a formula change must miss the cache
-        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-v2-$n")
+        // (v3 = analytic inverse-CDF zipf for large value sets)
+        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-v3-$n")
         (p, (System.nanoTime() - t0) / 1e9)
       }
-      val (pS, genS) = genTimed(nSmall)
-      val (pL, genL) = genTimed(nLarge)
+      val gens = counts.map(genTimed)
+      val paths = gens.map(_._1)
       import org.apache.spark.sql.functions._
       def ableQueries(path: String) = Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "groupby_set_sum" -> (() => spark.read.parquet(path)
@@ -105,39 +110,48 @@ object Bench {
             col("age").between(25, 40) &&
             array_contains(col("domain"), "domain0.example"))
           .agg(count(lit(1)).as("n"))))
-      // INTERLEAVED small/large runs: r5's idx_serve ratio 0.60 came from
-      // running the whole small side immediately after the 10×-table
-      // generation (GC/page-cache drift hit one side only, small runs rose
-      // monotonically while large ran settled). Alternating runs biases
-      // both sides of the ratio equally; median-of-5 timed replaces min so
-      // one lucky run can't set a side's number.
+      // INTERLEAVED runs across all points (r5's one-sided drift lesson);
+      // median-of-5 timed per point.
       def run1(path: String, name: String): Double = {
         val q = ableQueries(path).find(_._1 == name).get._2
         val t0 = System.nanoTime()
         q().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val ableNames = ableQueries(pS).map(_._1)
+      val ableNames = ableQueries(paths.head).map(_._1)
       System.gc() // settle post-generation heap before any timed run
-      val pairs = ableNames.map { name =>
-        val runs = (0 until 6).map(_ => (run1(pS, name), run1(pL, name)))
-        name -> (runs.map(_._1), runs.map(_._2)) // [0] is warmup, visible
+      // runsBy(name)(pointIdx) = warmup +: timed runs
+      val runsBy: Map[String, Seq[Seq[Double]]] = ableNames.map { name =>
+        val rounds = (0 until 6).map(_ => paths.map(run1(_, name)))
+        name -> paths.indices.map(i => rounds.map(_(i)))
       }.toMap
-      val small = pairs.map { case (k, (s, _)) => k -> s }
-      val large = pairs.map { case (k, (_, l)) => k -> l }
       def median(ts: Seq[Double]): Double =
         { val s = ts.sorted; s(s.size / 2) }
-      def runsJson(m: Map[String, Seq[Double]]) = m.toSeq.sortBy(_._1)
-        .map { case (k, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
-        .mkString("{", ",", "}")
-      val ratios = small.keys.toSeq.sorted.map { k =>
-        val r = median(large(k).drop(1)) / math.max(median(small(k).drop(1)), 1e-9)
-        "\"" + k + "\":" + num(r, 2)
+      def runsJson = runsBy.toSeq.sortBy(_._1).map { case (k, perPoint) =>
+        "\"" + k + "\":[" + perPoint.map(ts =>
+          "[" + ts.map(num(_, 3)).mkString(",") + "]").mkString(",") + "]"
       }.mkString("{", ",", "}")
-      s""","able":{"rows_small":$nSmall,"rows_large":$nLarge,""" +
-        s""""gen_sec":[${num(genS, 2)},${num(genL, 2)}],""" +
-        s""""runs_small":${runsJson(small)},"runs_large":${runsJson(large)},""" +
-        s""""large_over_small":$ratios}"""
+      // ratio per 10× step, median-of-timed
+      val ratios = runsBy.toSeq.sortBy(_._1).map { case (k, perPoint) =>
+        val meds = perPoint.map(ts => median(ts.drop(1)))
+        "\"" + k + "\":[" + meds.sliding(2).map { case Seq(a, b) =>
+          num(b / math.max(a, 1e-9), 2) }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      // roaring segment-index build cost per point (the reference's
+      // signature capability — count a segmentation over the whole table;
+      // the serve side is the headline `b_idx_serve`)
+      val idxBuild = paths.map { p =>
+        val t0 = System.nanoTime()
+        graft.index.Bitmap.segmentIndex(
+          spark.read.parquet(p), "education_level", "_id")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      s""","able":{"rows":[${counts.mkString(",")}],""" +
+        s""""gen_sec":[${gens.map(g => num(g._2, 2)).mkString(",")}],""" +
+        s""""idx_build_sec":[${idxBuild.map(num(_, 2)).mkString(",")}],""" +
+        s""""runs_warm_then_timed":$runsJson,""" +
+        s""""step_ratios_at_10x_rows":$ratios}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] able rehearsal skipped: ${e.getMessage}")
       ""
