@@ -259,7 +259,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w " +
       "FROM documents WHERE source='src0') GROUP BY 1, 2 " +
       "ORDER BY cnt DESC, lang ASC, words ASC LIMIT 15"),
-    "pql_fieldvalue" -> "SELECT o_totalprice AS val FROM orders WHERE o_orderkey=7",
+    "pql_fieldvalue" -> "SELECT o_totalprice AS val, CAST(1 AS BIGINT) AS count FROM orders WHERE o_orderkey=7",
     "pql_includescolumn" -> ("SELECT (count(*) > 0) AS includes FROM orders " +
       "WHERE o_orderstatus='F' AND o_orderkey=3"),
     "pql_row_time" -> ("SELECT count(*) AS cnt FROM events WHERE event_type='purchase' " +

@@ -412,9 +412,12 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     case "Percentile" => percentileCall(call)
 
     case "FieldValue" => // point read (`reference/executor.go:943`)
+      // returns a ValCount — (value, count=1) — like the executor's wire
+      // shape (`executor.go:943-990` ValCount{Val, Count: 1})
       val f = call.fieldArg.getOrElse(sys.error("FieldValue: field required"))
       val c = columnOf(call)
-      table.filter(col("_id") === lit(c)).select(col(f).as("val"))
+      table.filter(col("_id") === lit(c))
+        .select(col(f).as("val"), lit(1L).as("count"))
 
     case "IncludesColumn" => // `reference/executor.go:907`
       val c = columnOf(call)

@@ -493,7 +493,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
                   case _ => 0L
                 })
               else Some(0L) // keyed index: key-hash shards unknowable here
-            } catch { case _: Exception => None }
+            } catch { case e: Exception =>
+              System.err.println(s"[graft-server] shards/max probe failed for '$n': ${e.getMessage}")
+              None }
             v.foreach(x => maxShardCache.put(n, java.lang.Long.valueOf(x)))
             v.getOrElse(0L)
           }

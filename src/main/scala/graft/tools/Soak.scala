@@ -106,7 +106,7 @@ object Soak {
             Option(lastValue(w).get(k)).foreach { want =>
               val (c, b) = post("/index/soak/query", s"FieldValue(field=v, column=$k)")
               if (c != 200) sys.error(s"read $c")
-              if (!b.contains(s"[$want]"))
+              if (!b.contains(s"[$want,")) // ValCount row: [value, 1]
                 sys.error(s"stale read key=$k want=$want got=${b.take(120)}")
             }
           }
@@ -174,7 +174,7 @@ object Soak {
     lastValue.zipWithIndex.foreach { case (m, w) =>
       m.forEach { (k, v) =>
         val (c, b) = post("/index/soak/query", s"FieldValue(field=v, column=$k)")
-        if (c != 200 || !b.contains(s"[$v]"))
+        if (c != 200 || !b.contains(s"[$v,"))
           errors.add(s"final: key=$k want=$v got=${b.take(120)}")
         checked += 1
       }

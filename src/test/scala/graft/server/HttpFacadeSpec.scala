@@ -178,8 +178,9 @@ class HttpFacadeSpec extends SparkSpec {
   test("field import endpoint applies Set semantics") {
     val (code, body) = post("/index/part/field/p_size/import", "1,77\n2,88")
     assert(code == 200 && body.contains("imported"))
+    // FieldValue answers a ValCount — (value, count=1), `executor.go:943`
     val (c2, b2) = post("/index/part/query", "FieldValue(field=p_size, column=1)")
-    assert(c2 == 200 && b2.contains(""""data":[[77]]"""))
+    assert(c2 == 200 && b2.contains(""""data":[[77,1]]"""))
   }
 
   test("import-roaring round-trips: imported bits visible to PQL Count") {

@@ -56,14 +56,19 @@ class GoldenCorpusSpec extends AnyFunSuite {
     // written at explicit D-boundaries (test4/test5) — its own tests pin
     // that behavior, ours keeps the documented quantum-range contract.
     ("timeQuantumTest", "stringset-rangeq", "select a._id, a.ss1"),
-    ("timeQuantumTest", "idset-rangeq", "select a._id, a.ids1"))
+    ("timeQuantumTest", "idset-rangeq", "select a._id, a.ids1"),
+    // PQLTests run only under the reference's DAX (serverless) harness
+    // (`dax/test/dax/dax_test.go:171-196`); its MinRow/MaxRow counts
+    // reflect per-partition sharding (count=1), not the single-node
+    // executor's column count (`executor.go:1604` — ours, 3 here).
+    ("keyed", "minrow", "MinRow(field=an_id_set)"))
 
   private def isKnown(r: GoldenRunner.CaseResult): Boolean =
     knownDivergences.exists { case (tbl, name, prefix) =>
       r.table == tbl && r.name == name && r.sql.startsWith(prefix)
     }
 
-  test("golden corpus: 1,856 reference SQL statements") {
+  test("golden corpus: 1,866 reference SQL+PQL statements") {
     val session = SparkSpec.session.newSession()
     val tests = GoldenDefs.loadCorpus()
     val results = GoldenRunner.runAll(tests, None, verbose = false, session)
@@ -79,6 +84,6 @@ class GoldenCorpusSpec extends AnyFunSuite {
     val pass = results.count(_.ok)
     info(s"golden corpus: $pass/${results.size} pass, " +
       s"${results.size - pass} documented divergences")
-    assert(pass >= 1839)
+    assert(pass >= 1848)
   }
 }

@@ -585,6 +585,7 @@ object GoldenDefs {
         name = f.get("name").map(evalStr).getOrElse(""),
         pqls = f.get("PQLs") match {
           case Some(GCall(GId("pqls"), args)) => args.map(evalStr)
+          case Some(GSlice("string", items))  => items.map(evalStr)
           case _                              => Nil
         },
         table = f.get("Table").map(evalStr).getOrElse(""),

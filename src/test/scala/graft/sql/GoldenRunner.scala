@@ -196,6 +196,36 @@ object GoldenRunner {
     }
   }
 
+  /** PQLTests run through the PQL compiler against the same session catalog
+    * (cross-index resolution via `spark.table`). */
+  def runPqlCase(spark: org.apache.spark.sql.SparkSession, tt: TableTest,
+      c: PqlCase, pql: String): CaseResult = {
+    def res(cat: String, detail: String) =
+      CaseResult(tt.varName, c.name, pql, cat, detail)
+    val attempt = scala.util.Try {
+      val df = new graft.pql.Compiler(spark.table(c.table),
+          resolve = n => spark.table(n))
+        .run(graft.pql.Parser.parseOne(pql))
+      df.collect().map(_.toSeq).toSeq
+    }
+    (attempt, c.expErr) match {
+      case (scala.util.Failure(t), Some(err)) =>
+        if (errText(t).contains(err)) res("pass", "")
+        else res("err-text", s"expected <$err> got <${errText(t).linesIterator.take(2).mkString(" | ").take(300)}>")
+      case (scala.util.Success(_), Some(err)) =>
+        res("err-missing", s"expected error <$err>")
+      case (scala.util.Failure(t), None) =>
+        res("unexpected-error", errText(t).linesIterator.take(2).mkString(" | ").take(300))
+      case (scala.util.Success(rows), None) =>
+        c.rows match {
+          case None => res("pass", "")
+          case Some(exp) =>
+            if (multisetMatch(exp, rows)) res("pass", "")
+            else res("rows", s"expected $exp got ${rows.take(5)}")
+        }
+    }
+  }
+
   def runAll(tests: List[TableTest], filter: Option[String], verbose: Boolean,
       spark0: org.apache.spark.sql.SparkSession = null): List[CaseResult] = {
     val spark = if (spark0 != null) spark0 else SparkSpec.session
@@ -216,10 +246,12 @@ object GoldenRunner {
           }
         case None => true
       }
-      if (fixtureOk)
+      if (fixtureOk) {
         for (c <- tt.sqlTests; sql <- c.sqls)
           results += runCase(spark, tt, c, sql)
-      else
+        for (c <- tt.pqlTests; pql <- c.pqls)
+          results += runPqlCase(spark, tt, c, pql)
+      } else
         for (c <- tt.sqlTests; sql <- c.sqls)
           results += CaseResult(tt.varName, c.name, sql, "fixture-skip", "")
     }
