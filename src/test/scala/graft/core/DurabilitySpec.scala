@@ -49,6 +49,11 @@ class DurabilitySpec extends SparkSpec {
 
       Ddl.run(s2, "DROP VIEW dur_v")
       Ddl.run(s2, "DROP TABLE dur_t")
+      // the view/table were CREATED in the shared `spark` session — drop
+      // there too, or a dangling view over the deleted warehouse leaks into
+      // every later suite sharing the session (it made the facade's
+      // shards/max probe fail suite-order-dependently)
+      Ddl.run(spark, "DROP VIEW IF EXISTS dur_v")
       Ddl.run(spark, "DROP TABLE IF EXISTS dur_t")
     }
   }
