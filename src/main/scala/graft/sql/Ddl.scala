@@ -323,14 +323,14 @@ object Ddl {
         if (isView(spark, name)) sys.error(s"view '$name' already exists")
         else sys.error(s"table or view '$name' already exists")
       }
-      spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(name)
+      spark.sql(GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(name)
       viewNames.add((spark, name.toLowerCase))
       viewDefs(name.toLowerCase) = body
       ack(spark, s"created view $name")
 
     case AlterViewRe(name, body) =>
       if (!isView(spark, name)) sys.error(s"view '$name' not found")
-      spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(name)
+      spark.sql(GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(name)
       viewDefs(name.toLowerCase) = body
       ack(spark, s"altered view $name")
 
@@ -418,7 +418,7 @@ object Ddl {
 
     case ExplainRe(body) =>
       import spark.implicits._
-      val plan = spark.sql(GraftSql.rewrite(body))
+      val plan = spark.sql(GraftSql.rewriteWithCasts(body)._1)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
       plan.split("\n").toSeq.toDF("plan")
@@ -991,7 +991,7 @@ object Ddl {
           progressed = false
           pending = pending.filter { case (n, body) =>
             val ok = scala.util.Try {
-              spark.sql(GraftSql.rewrite(body)).createOrReplaceTempView(n)
+              spark.sql(GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(n)
               viewNames.add((spark, n))
               viewDefs(n) = body
             }.isSuccess
