@@ -437,12 +437,14 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "(SELECT lang, unnest(list_distinct(list_filter(string_split(text, ' '), " +
       "x -> x <> ''))) AS w FROM documents WHERE lang = 'fr') " +
       "GROUP BY lang, w"),
+    // membership is case-insensitive like the engine's SETCONTAINS*
+    // (reference strings.EqualFold semantics)
     "sql_setcontains" -> ("SELECT count(*) AS cnt FROM documents " +
-      "WHERE list_contains(string_split(text, ' '), 'spark')"),
+      "WHERE list_contains(list_transform(string_split(text, ' '), x -> lower(x)), 'spark')"),
     "sql_setcontainsall" -> ("SELECT count(*) AS cnt FROM documents " +
-      "WHERE list_has_all(string_split(text, ' '), ['spark', 'data'])"),
+      "WHERE list_has_all(list_transform(string_split(text, ' '), x -> lower(x)), ['spark', 'data'])"),
     "sql_setcontainsany" -> ("SELECT count(*) AS cnt FROM documents " +
-      "WHERE list_has_any(string_split(text, ' '), ['spark', 'data'])"),
+      "WHERE list_has_any(list_transform(string_split(text, ' '), x -> lower(x)), ['spark', 'data'])"),
     "sql_stringfuncs" -> ("SELECT p_partkey, upper(p_name) AS un, reverse(p_brand) AS rb, " +
       "substring(p_type, 1, 5) AS st, replace(p_name, ' ', '_') AS rn, " +
       "length(p_name) AS ln, left(p_type, 3) AS pf, right(p_type, 3) AS sf, " +

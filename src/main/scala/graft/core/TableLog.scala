@@ -260,7 +260,7 @@ object TableLog {
           st0.registered)
       else st0
     val view = merged(st)
-    view.createOrReplaceTempView(name)
+    view.createOrReplaceTempView(Idents.q(name))
     states.put(key(spark, name), st.copy(registered = canon(view)))
     warehouse(spark).foreach { wh =>
       writeManifest(wh, name, st)
@@ -271,7 +271,7 @@ object TableLog {
   /** Current log state for `name`, resetting onto the live view if someone
     * re-registered it without going through us. */
   private def stateOf(spark: SparkSession, name: String): State = {
-    val cur = spark.table(name)
+    val cur = spark.table(Idents.q(name))
     val existing = Option(states.get(key(spark, name)))
       .filter(st => scala.util.Try(canon(cur) == st.registered).getOrElse(false))
     existing.getOrElse(State(Piece(cur, None), None, None, 0, canon(cur)))
@@ -287,7 +287,7 @@ object TableLog {
       if (warehouse(spark).isDefined) mat(spark, name, "base", df)
       else if (checkpoint) Piece(df.localCheckpoint(), None)
       else Piece(df, None)
-    base.df.createOrReplaceTempView(name)
+    base.df.createOrReplaceTempView(Idents.q(name))
     val st = State(base, None, None, 0, canon(base.df))
     states.put(key(spark, name), st)
     warehouse(spark).foreach { wh =>
@@ -435,7 +435,7 @@ object TableLog {
           val st = State(base, piece("overlay", schema),
             piece("tombstones", tombSchema), depth, null)
           val view = merged(st)
-          view.createOrReplaceTempView(name)
+          view.createOrReplaceTempView(Idents.q(name))
           states.put(key(spark, name), st.copy(registered = canon(view)))
           name
         }

@@ -19,23 +19,25 @@ import org.apache.spark.sql.types._
   */
 object Ddl {
 
+  // table-name groups are `[-\w]+`, not `\w+`: reference identifiers may
+  // contain hyphens (`parser/scanner.go:338-339`; `graft.core.Idents`)
   private val CreateTableRe =
-    raw"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*(\w.*)?$$".r
+    raw"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([-\w]+)\s*\((.*)\)\s*(\w.*)?$$".r
   private val CreateViewRe =
-    raw"(?is)^\s*CREATE\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$$".r
+    raw"(?is)^\s*CREATE\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([-\w]+)\s+AS\s+(.*)$$".r
   // ALTER VIEW v AS select … (`reference/sql3/test/defs/defs_views.go:81`)
   private val AlterViewRe =
-    raw"(?is)^\s*ALTER\s+VIEW\s+(\w+)\s+AS\s+(.*)$$".r
+    raw"(?is)^\s*ALTER\s+VIEW\s+([-\w]+)\s+AS\s+(.*)$$".r
   private val InsertRe =
-    raw"(?is)^\s*(?:INSERT|REPLACE)\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)$$".r
+    raw"(?is)^\s*(?:INSERT|REPLACE)\s+INTO\s+([-\w]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)$$".r
   private val BulkInsertRe =
-    (raw"(?is)^\s*BULK\s+INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*" +
+    (raw"(?is)^\s*BULK\s+INSERT\s+INTO\s+([-\w]+)\s*\(([^)]*)\)\s*" +
      raw"MAP\s*\((.*?)\)\s*(?:TRANSFORM\s*\((.*?)\)\s*)?" +
      raw"FROM\s+x?'(.*?)'\s*(?:WITH\s+(.*?))?;?\s*$$").r
   private val DeleteRe =
-    raw"(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$$".r
+    raw"(?is)^\s*DELETE\s+FROM\s+([-\w]+)(?:\s+WHERE\s+(.*?))?;?\s*$$".r
   private val DropRe =
-    raw"(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$$".r
+    raw"(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([-\w]+)\s*;?\s*$$".r
   private val ShowRe = raw"(?is)^\s*SHOW\s+.*$$".r
   // COPY src TO tgt [WHERE expr] [WITH URL '…' APIKEY '…']
   // (`reference/sql3/parser/parser.go:1174-1230`)
@@ -114,6 +116,13 @@ object Ddl {
     case _ if handles(q) => Some(AuthAdmin) // CREATE/ALTER/DROP → admin
     case _ => None
   }
+
+  /** Spark's name-parsing catalog APIs with reference-identifier quoting
+    * (hyphens are identifier characters in the reference — [[graft.core.Idents]]). */
+  private def tableQ(spark: SparkSession, name: String): DataFrame =
+    spark.table(graft.core.Idents.q(name))
+  private def tableExistsQ(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(graft.core.Idents.q(name))
 
   /** Reference SQL type → Spark type (SURVEY §1.2 mapping,
     * `reference/sql3/parser/astdatatype.go:10-26`). */
@@ -270,7 +279,7 @@ object Ddl {
 
   private def exec(spark: SparkSession, q: String): DataFrame = q match {
     case CreateTableRe(ine, name, cols, tail) =>
-      if (spark.catalog.tableExists(name)) {
+      if (tableExistsQ(spark, name)) {
         if (ine != null) return ack(spark, s"table $name exists")
         sys.error(s"table or view '$name' already exists")
       }
@@ -310,7 +319,7 @@ object Ddl {
       }.toMap
       val fks = parsed.collect { case (f, _, Some(ft), _, _) => f.name -> ft }.toMap
       fks.values.foreach { ft =>
-        require(spark.catalog.tableExists(ft), s"foreign table '$ft' not found")
+        require(tableExistsQ(spark, ft), s"foreign table '$ft' not found")
       }
       foreignKeys(name.toLowerCase) = fks
       graft.core.TableLog.replace(spark, name, emptyDf(spark, schema),
@@ -318,26 +327,26 @@ object Ddl {
       ack(spark, s"created table $name")
 
     case CreateViewRe(ine, name, body) =>
-      if (spark.catalog.tableExists(name)) {
+      if (tableExistsQ(spark, name)) {
         if (ine != null) return ack(spark, s"view $name exists")
         if (isView(spark, name)) sys.error(s"view '$name' already exists")
         else sys.error(s"table or view '$name' already exists")
       }
-      spark.sql(GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(name)
+      GraftSql.dialectSql(spark, GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(graft.core.Idents.q(name))
       viewNames.add((spark, name.toLowerCase))
       viewDefs(name.toLowerCase) = body
       ack(spark, s"created view $name")
 
     case AlterViewRe(name, body) =>
       if (!isView(spark, name)) sys.error(s"view '$name' not found")
-      spark.sql(GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(name)
+      GraftSql.dialectSql(spark, GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(graft.core.Idents.q(name))
       viewDefs(name.toLowerCase) = body
       ack(spark, s"altered view $name")
 
     case InsertRe(name, colsOpt, values) =>
       // validation chain and wording per `defs_inserts.go:64-111`
-      if (!spark.catalog.tableExists(name)) sys.error(s"table '$name' not found")
-      val target = spark.table(name)
+      if (!tableExistsQ(spark, name)) sys.error(s"table '$name' not found")
+      val target = tableQ(spark, name)
       val cols = Option(colsOpt).filter(_ != null).map(topSplit(_, ',').map(_.trim))
         .getOrElse(target.columns.toSeq)
       cols.find(c => !target.columns.contains(c))
@@ -385,7 +394,7 @@ object Ddl {
       ack(spark, s"deleted from $name")
 
     case DropRe(kind, ifExists, name) =>
-      if (!spark.catalog.tableExists(name)) {
+      if (!tableExistsQ(spark, name)) {
         if (ifExists != null) return ack(spark, s"$name absent")
         if (kind.equalsIgnoreCase("VIEW")) sys.error(s"view '$name' not found")
         else sys.error(s"table '$name' not found")
@@ -406,11 +415,11 @@ object Ddl {
       // (WITH URL/APIKEY) is egress — in Spark-land the same statement
       // against a shared catalog IS the transfer, so options are accepted
       // and dropped.
-      if (!spark.catalog.tableExists(src))
+      if (!tableExistsQ(spark, src))
         sys.error(s"table or view '$src' not found")
-      if (spark.catalog.tableExists(tgt))
+      if (tableExistsQ(spark, tgt))
         sys.error(s"table or view '$tgt' already exists")
-      val s = spark.table(src)
+      val s = tableQ(spark, src)
       val out = Option(whereOpt).filter(_ != null)
         .map(w => s.filter(expr(w))).getOrElse(s)
       graft.core.TableLog.replace(spark, tgt, out, checkpoint = true)
@@ -427,9 +436,9 @@ object Ddl {
       // full column-definition grammar, constraints included — ALTER ADD
       // shares ColumnDefinition with CREATE TABLE (`reference/sql3/parser/
       // parser.go` alterTableObject → parseColumnDefinition)
-      if (!spark.catalog.tableExists(name))
+      if (!tableExistsQ(spark, name))
         sys.error(s"table '$name' not found")
-      if (spark.table(name).columns.exists(_.equalsIgnoreCase(colName)))
+      if (tableQ(spark, name).columns.exists(_.equalsIgnoreCase(colName)))
         sys.error(s"duplicate column '$colName'")
       val (f, unit, fk, bound, refT) = parseColumn(s"$colName $tpe")
       unit.foreach(u => timeUnits(name.toLowerCase) =
@@ -439,19 +448,19 @@ object Ddl {
       declaredTypes(name.toLowerCase) =
         declaredTypes.getOrElse(name.toLowerCase, Map.empty) + (f.name.toLowerCase -> refT)
       fk.foreach { ft =>
-        require(spark.catalog.tableExists(ft), s"foreign table '$ft' not found")
+        require(tableExistsQ(spark, ft), s"foreign table '$ft' not found")
         foreignKeys(name.toLowerCase) =
           foreignKeys.getOrElse(name.toLowerCase, Map.empty) + (f.name -> ft)
       }
       graft.core.TableLog.replace(spark, name,
-        spark.table(name).withColumn(colName, lit(null).cast(f.dataType)),
+        tableQ(spark, name).withColumn(colName, lit(null).cast(f.dataType)),
         checkpoint = true)
       ack(spark, s"added $colName to $name")
 
     case AlterDropRe(name, colName) =>
-      if (!spark.table(name).columns.exists(_.equalsIgnoreCase(colName)))
+      if (!tableQ(spark, name).columns.exists(_.equalsIgnoreCase(colName)))
         sys.error(s"column '$colName' not found")
-      graft.core.TableLog.replace(spark, name, spark.table(name).drop(colName),
+      graft.core.TableLog.replace(spark, name, tableQ(spark, name).drop(colName),
         checkpoint = true)
       declaredTypes.get(name.toLowerCase).foreach(m =>
         declaredTypes(name.toLowerCase) = m - colName.toLowerCase)
@@ -459,7 +468,7 @@ object Ddl {
 
     case AlterRenameRe(name, from, to) =>
       graft.core.TableLog.replace(spark, name,
-        spark.table(name).withColumnRenamed(from, to), checkpoint = true)
+        tableQ(spark, name).withColumnRenamed(from, to), checkpoint = true)
       declaredTypes.get(name.toLowerCase).foreach { m =>
         m.get(from.toLowerCase).foreach(rt =>
           declaredTypes(name.toLowerCase) = m - from.toLowerCase + (to.toLowerCase -> rt))
@@ -527,7 +536,7 @@ object Ddl {
         .sorted
         .map { n =>
           val keyed = scala.util.Try(
-            spark.table(n).schema("_id").dataType == org.apache.spark.sql.types.StringType
+            tableQ(spark, n).schema("_id").dataType == org.apache.spark.sql.types.StringType
           ).getOrElse(false)
           (n, n, "", "", ts, ts, keyed, 0L, "")
         }
@@ -539,7 +548,7 @@ object Ddl {
       // projection): _id, name, type, created_at, keys, cache_type,
       // cache_size, scale, min, max, timeunit, epoch, timequantum, ttl
       import spark.implicits._
-      val tbl = scala.util.Try(spark.table(name)).getOrElse(
+      val tbl = scala.util.Try(tableQ(spark, name)).getOrElse(
         sys.error(s"table or view '$name' not found"))
       val ts = new java.sql.Timestamp(0L)
       tbl.schema.fields.toSeq.map { f =>
@@ -755,7 +764,7 @@ object Ddl {
     * point-read of matching ids (semi join, AQE broadcasts the incoming side)
     * plus an O(incoming) left join, the Delta MERGE source-join shape. */
   private def upsert(spark: SparkSession, name: String, incoming: DataFrame): DataFrame = {
-    val target  = spark.table(name)
+    val target  = tableQ(spark, name)
     val setqCols = target.schema.fields.filter(f => isSetq(f.dataType))
     val merged =
       if (setqCols.isEmpty || !incoming.columns.contains("_id")) incoming
@@ -866,7 +875,7 @@ object Ddl {
         targetCols.zipWithIndex.map { case (tc, i) => col(s"m$i").as(tc) }
     }
     val incoming = projected.select(finalCols: _*)
-    val aligned  = alignTo(incoming, spark.table(table).schema, targetCols, table)
+    val aligned  = alignTo(incoming, tableQ(spark, table).schema, targetCols, table)
     upsert(spark, table, aligned)
   }
 
@@ -991,7 +1000,7 @@ object Ddl {
           progressed = false
           pending = pending.filter { case (n, body) =>
             val ok = scala.util.Try {
-              spark.sql(GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(n)
+              GraftSql.dialectSql(spark, GraftSql.rewriteWithCasts(body)._1).createOrReplaceTempView(graft.core.Idents.q(n))
               viewNames.add((spark, n))
               viewDefs(n) = body
             }.isSuccess

@@ -38,8 +38,29 @@ object Functions {
 
   private def lit(v: Any): Expression = Literal(v)
 
+  private val integralTypes = Set[org.apache.spark.sql.types.DataType](
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+
   /** name → builder over the raw argument expressions */
   private val aliases: Map[String, Seq[Expression] => Expression] = Map(
+    // Internal: every `/` in reference-dialect SQL is swapped to this call
+    // at PARSE time ([[GraftSql.dialectPlan]]). The reference's INT ÷ INT is
+    // int64 division (`sql3/planner/expression.go:419-423`); Spark's `/`
+    // coerces to double, which both mis-types anything downstream of the
+    // division (int expected, double produced — e.g. `(a/b) & c` fails
+    // analysis outright) and loses the truncating semantics. Builders run
+    // once operands are RESOLVED, so the true operand types are visible
+    // here; non-integral operands fall through to Spark's Divide and the
+    // usual coercion + decimal-truncation fixups.
+    "GRAFT_DIV" -> (a => {
+      val bothInt = scala.util.Try(
+        integralTypes(a(0).dataType) && integralTypes(a(1).dataType))
+        .getOrElse(false)
+      if (bothInt)
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(a(0), a(1))
+      else org.apache.spark.sql.catalyst.expressions.Divide(a(0), a(1))
+    }),
     // --- set functions (`inbuiltfunctionsset.go:10-160`) ---
     "SETCONTAINS" -> (a => fn("array_contains", a(0), a(1))),
     "SETCONTAINSALL" -> (a =>

@@ -82,9 +82,36 @@ object GraftSql {
     (rewrite(sb.toString), targets.toList)
   }
 
+  /** Reference identifiers may contain `-` (`parser/scanner.go:338-339`:
+    * isUnquotedIdent admits '-', so `un-keyed` is ONE token and subtraction
+    * needs surrounding spaces). Mirror that lexing rule by backtick-quoting
+    * every hyphenated identifier token — alpha/underscore start, hyphen
+    * flanked by identifier chars — outside string literals. `--` comments
+    * survive: the second '-' is not an identifier char, so `a--b` never
+    * matches. Digit-started tokens (`1e-5`, `7-2`) never match either,
+    * exactly like the reference scanner's number path. */
+  private val HyphenIdentRe =
+    raw"[A-Za-z_][A-Za-z0-9_]*(?:-[A-Za-z0-9_]+)+".r
+  private[sql] def quoteHyphenIdents(q: String): String = {
+    val masked = maskLiterals(q) // literal interiors are all 'x' — no hyphens
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- HyphenIdentRe.findAllMatchIn(masked)) {
+      val pre = if (m.start > 0) masked.charAt(m.start - 1) else ' '
+      val post = if (m.end < masked.length) masked.charAt(m.end) else ' '
+      sb ++= q.substring(last, m.start)
+      if (pre == '`' || post == '`') sb ++= q.substring(m.start, m.end)
+      else sb ++= "`" + q.substring(m.start, m.end) + "`"
+      last = m.end
+    }
+    sb ++= q.substring(last)
+    sb.toString
+  }
+
   /** Rewrite reference-dialect SQL to Spark SQL. */
   def rewrite(query: String): String = {
-    val q = DecScaleRe.replaceAllIn(bracketsToArray(query), m => s"DECIMAL(38,${m.group(1)})")
+    val q = DecScaleRe.replaceAllIn(bracketsToArray(quoteHyphenIdents(query)),
+      m => s"DECIMAL(38,${m.group(1)})")
     TopRe.findFirstMatchIn(q) match {
       case Some(m) =>
         // the reference parses LIMIT too and rejects the combination, its
@@ -263,12 +290,12 @@ object GraftSql {
         sys.error("query hint 'flatten' expected 1 parameter(s) " +
           s"(column name), got ${args.length} parameters")
       val c = args(0)
-      if (!spark.table(tbl).schema.fieldNames.contains(c))
+      if (!spark.table(graft.core.Idents.q(tbl)).schema.fieldNames.contains(c))
         sys.error(s"column '$c' not found")
       // reference quirk: the hint is silently IGNORED on a DISTINCT whose
       // select list carries more than one set column (`defs_groupby.go:
       // 284-463` — the multi-set DISTINCT case keeps whole-set semantics)
-      val setCols = spark.table(tbl).schema.fields
+      val setCols = spark.table(graft.core.Idents.q(tbl)).schema.fields
         .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
         .map(_.name.toLowerCase).toSet
       val isDistinct = raw"(?is)^\s*SELECT\s+DISTINCT\b".r.findFirstIn(q).isDefined
@@ -421,6 +448,18 @@ object GraftSql {
   private val Rewritten =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graftDialectRewritten")
 
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
+  }
+
+  /** `transform(arr, x -> lower(x))` as an analyzed expression. */
+  private def loweredArray(arr: Expression): Expression = {
+    val v = NamedLambdaVariable("x", StringType, nullable = true)
+    org.apache.spark.sql.catalyst.expressions.ArrayTransform(arr,
+      LambdaFunction(builtinFn("lower", v), Seq(v)))
+  }
+
   private def scaleOf(e: Expression): Int = e.dataType match {
     case d: org.apache.spark.sql.types.DecimalType => d.scale
     case _                                         => 0
@@ -483,6 +522,25 @@ object GraftSql {
       case Like(l, p @ Literal(_, StringType), _) if p.value != null =>
         org.apache.spark.sql.catalyst.expressions.RLike(
           l, Literal(refLikeRegex(p.value.toString)))
+      // STRINGSET membership is case-INSENSITIVE in the reference
+      // (`sql3/planner/inbuiltfunctionsset.go:166-168` — strings.EqualFold
+      // in stringSetContains, shared by the Any/All variants); idset
+      // membership stays exact. SETCONTAINS/ALL/ANY are the only dialect
+      // sources of these array ops, so matching them here (post-analysis,
+      // where element types are known) lowers both sides. Null semantics
+      // survive: transform/lower propagate null like the originals.
+      case org.apache.spark.sql.catalyst.expressions.ArrayContains(a, v)
+          if isStringArray(a) =>
+        org.apache.spark.sql.catalyst.expressions.ArrayContains(
+          loweredArray(a), builtinFn("lower", v))
+      case org.apache.spark.sql.catalyst.expressions.ArrayExcept(t, a)
+          if isStringArray(t) =>
+        org.apache.spark.sql.catalyst.expressions.ArrayExcept(
+          loweredArray(t), loweredArray(a))
+      case org.apache.spark.sql.catalyst.expressions.ArraysOverlap(a, b)
+          if isStringArray(a) =>
+        org.apache.spark.sql.catalyst.expressions.ArraysOverlap(
+          loweredArray(a), loweredArray(b))
       // CAST to string renders the reference's own formats: idset like Go
       // `%v` ("[101 102]"), stringset JSON-ish (`["a","b"]`), timestamp
       // RFC3339 with Z (`defs_cast.go` castIDSet/castStringSet/castTimestamp)
@@ -561,7 +619,7 @@ object GraftSql {
     PercentileRe.findFirstMatchIn(query).map { m =>
       val (field, nth, alias, tbl, whereOpt) =
         (m.group(1), m.group(2), Option(m.group(3)), m.group(4), Option(m.group(5)))
-      val base = spark.table(tbl)
+      val base = spark.table(graft.core.Idents.q(tbl))
       base.schema(field).dataType match {
         case _: org.apache.spark.sql.types.NumericType => ()
         case org.apache.spark.sql.types.TimestampType  => ()
@@ -662,15 +720,43 @@ object GraftSql {
     * INNER JOIN joiner j …` returns grouper ids; the legacy `sql/extract.go`
     * translator always read `_id` from the queried index). Spark calls that
     * ambiguous, so qualify with the left relation's alias and retry once. */
+  /** Parse reference-dialect SQL and apply PARSE-TIME expression swaps —
+    * currently one: `/` → `graft_div(…)`, whose builder picks int64 division
+    * for integral operands once they resolve (see [[Functions]]). This must
+    * happen before analysis: Spark's Divide coerces ints to double during
+    * resolution, which poisons every consumer of the quotient (`(a/b) & c`
+    * is a type error, `(a/b) + c` goes double where the reference stays
+    * int). Subquery plans are walked explicitly — transformAllExpressions
+    * does not descend into them. */
+  private[sql] def dialectPlan(spark: SparkSession,
+      q: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    def fix(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      p.transformAllExpressions {
+        case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          sub.withNewPlan(fix(sub.plan))
+        case Divide(l, r, _) =>
+          UnresolvedFunction(Seq("graft_div"), Seq(l, r), isDistinct = false)
+      }
+    fix(spark.sessionState.sqlParser.parsePlan(q))
+  }
+
+  /** `spark.sql` with the parse-time dialect swaps applied. */
+  private[sql] def dialectSql(spark: SparkSession, q: String): DataFrame = {
+    Functions.register(spark)
+    org.apache.spark.sql.graftshim.Shim.ofRows(spark, dialectPlan(spark, q))
+  }
+
   private def runDisambiguated(spark: SparkSession, q: String): DataFrame =
-    try spark.sql(q) catch {
+    try dialectSql(spark, q) catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("`_id` is ambiguous") =>
         raw"(?i)\bFROM\s+(\w+)(?:\s+(?:AS\s+)?(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|GROUP|ORDER|HAVING|LIMIT|ON|WITH)\b)(\w+))?".r
           .findFirstMatchIn(q) match {
           case Some(m) =>
             val alias = Option(m.group(2)).getOrElse(m.group(1))
-            spark.sql(q.replaceAll(raw"(?<![\w.`])_id\b",
+            dialectSql(spark, q.replaceAll(raw"(?<![\w.`])_id\b",
               java.util.regex.Matcher.quoteReplacement(alias) + "._id"))
           case None => throw e
         }
@@ -689,7 +775,7 @@ object GraftSql {
         raw"(?i)\b(?:FROM|JOIN)\s+$tblName\s+(?:AS\s+)?(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|GROUP|ORDER|HAVING|LIMIT|ON|WITH)\b)(\w+)".r
           .findFirstMatchIn(q) match {
           case Some(m) =>
-            spark.sql(q.replaceAll(raw"(?i)(?<![\w.`])$tblName\.",
+            dialectSql(spark, q.replaceAll(raw"(?i)(?<![\w.`])$tblName\.",
               java.util.regex.Matcher.quoteReplacement(m.group(1)) + "."))
           case None => throw e
         }
@@ -740,10 +826,10 @@ object GraftSql {
     import org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
     if (raw"(?i)\bsetcontains(all|any)?\s*\(".r.findFirstIn(q).isEmpty) return None
     val plan =
-      try spark.sessionState.sqlParser.parsePlan(q)
+      try dialectPlan(spark, q)
       catch { case _: Throwable => return None }
     val setqCols = plan.collect { case UnresolvedRelation(parts, _, _) => parts.last }
-      .flatMap(t => scala.util.Try(spark.table(t).schema).toOption.toSeq
+      .flatMap(t => scala.util.Try(spark.table(graft.core.Idents.q(t)).schema).toOption.toSeq
         .flatMap(_.fields.filter(f => Ddl.isSetq(f.dataType))
           .map(_.name.toLowerCase))).toSet
     if (setqCols.isEmpty) return None

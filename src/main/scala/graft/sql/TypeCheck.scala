@@ -141,7 +141,7 @@ object TypeCheck {
     Ddl.declaredTypes.get(name.toLowerCase)
       .map(_.map { case (c, s) => c -> parseRT(s) })
       .getOrElse {
-        scala.util.Try(spark.table(name).schema).toOption
+        scala.util.Try(spark.table(graft.core.Idents.q(name)).schema).toOption
           .map(_.fields.flatMap(f =>
             inferRT(f.name.toLowerCase, f.dataType).map(f.name.toLowerCase -> _)).toMap)
           .getOrElse(Map.empty)

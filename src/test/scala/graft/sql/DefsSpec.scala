@@ -598,4 +598,20 @@ class DefsSpec extends SparkSpec {
       r.getString(2) == "str1" && r.getLong(3) == 11L)
     run("DROP TABLE selx")
   }
+
+  // `parser/scanner.go:338-339`: '-' is an identifier character, so
+  // `un-keyed` is one token (`defs_select.go` fixture) — and by the same
+  // lexing rule unspaced `i1-1` is an unknown-column reference, not
+  // subtraction.
+  test("hyphenated identifiers — scanner.go:338-339 / defs_select.go") {
+    run("CREATE TABLE un-keyed (_id ID, an_int INT MIN 0 MAX 100)")
+    run("INSERT INTO un-keyed VALUES (1, 11), (2, 22)")
+    check("select * from un-keyed", Set(Seq(1L, 11L), Seq(2L, 22L)))
+    check("select _id, an_int AS foo from un-keyed where _id = 2",
+      Set(Seq(2L, 22L)))
+    check("select an_int - 1 from un-keyed where _id = 1", Set(Seq(10L)))
+    expectErr("select an_int-1 from un-keyed",
+      "column 'an_int-1' not found")
+    run("DROP TABLE un-keyed")
+  }
 }

@@ -54,6 +54,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(one("SELECT SETCONTAINSALL(array('a','b'), array('a','z'))") == false)
     assert(one("SELECT SETCONTAINSANY(array('a','b'), array('z','b'))") == true)
     assert(one("SELECT SETCONTAINSANY(array('a','b'), array('z'))") == false)
+    // string membership is case-INSENSITIVE (reference strings.EqualFold,
+    // `sql3/planner/inbuiltfunctionsset.go:166-168`)
+    assert(one("SELECT SETCONTAINS(array('Foo','Bar'), 'fOO')") == true)
+    assert(one("SELECT SETCONTAINSALL(array('Foo','Bar'), array('bar','FOO'))") == true)
+    assert(one("SELECT SETCONTAINSANY(array('Foo','Bar'), array('z','BAR'))") == true)
+    assert(one("SELECT SETCONTAINSANY(array('Foo'), array('z'))") == false)
   }
 
   test("date functions match reference unit codes") {
