@@ -38,6 +38,15 @@ object Shell {
     var expanded = false
     var tuplesOnly = false                // \t: rows only, no header/count
     var quit = false
+    // \c / \org connection state (`cli.go:528-577`; single-node: the
+    // database is a recorded context, queries hit the same engine)
+    var database = ""
+    var databaseId = ""
+    var org = ""
+    // \pset write options (`writer.go:18-41` defaults)
+    var border = 1                        // 0 | 1 | 2
+    var format = "aligned"                // aligned | csv
+    var location: java.time.ZoneId = java.time.ZoneId.systemDefault()
     // \set/\unset client variables (`meta.go:817-845` — stored and listed,
     // never interpolated; same in the reference)
     val variables = scala.collection.mutable.SortedMap.empty[String, String]
@@ -54,29 +63,45 @@ object Shell {
     }
   }
 
-  /** Render a result the way psql does: aligned header table, or expanded
-    * `-[ RECORD n ]-` blocks under `\x`. Capped at `max` rows (the shell is
-    * a terminal, not an export path — `\o` + SQL LIMIT for more). */
-  private def render(df: DataFrame, expanded: Boolean, max: Int = 50,
-                     tuplesOnly: Boolean = false): String = {
+  /** Render a result the way psql does: aligned header table (border 0/1/2),
+    * CSV under `\pset format csv`, or expanded `-[ RECORD n ]-` blocks under
+    * `\x`. Timestamps print RFC3339 in the `\pset location` zone
+    * (`writer.go:211-219` cleanRow). Capped at `max` rows (the shell is a
+    * terminal, not an export path — `\o` + SQL LIMIT for more). */
+  private def render(df: DataFrame, st: State, max: Int = 50): String = {
     val cols = df.columns
     val rows = df.take(max + 1)
     val shown = rows.take(max)
     def fmt(v: Any): String = v match {
       case null => ""
+      case t: java.sql.Timestamp =>
+        java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME.format(
+          t.toInstant.atZone(st.location))
       case s: Seq[_] => s.map(fmt).mkString("[", ",", "]")
       case b: Array[Byte] => s"<${b.length} bytes>"
       case x => x.toString
     }
     val sb = new StringBuilder
-    if (tuplesOnly) { // \t: unadorned rows (psql tuples_only)
+    if (st.format == "csv") { // `writer.go:60-142` formatCSV
+      def csv(s: String): String =
+        if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      if (!st.tuplesOnly) sb.append(cols.map(csv).mkString(",")).append('\n')
+      shown.foreach { r =>
+        sb.append(cols.indices.map(j => csv(fmt(r.get(j)))).mkString(","))
+          .append('\n')
+      }
+      return sb.toString.stripLineEnd
+    }
+    if (st.tuplesOnly) { // \t: unadorned rows (psql tuples_only)
       shown.foreach { r =>
         sb.append(cols.indices.map(j => fmt(r.get(j))).mkString(" | "))
           .append('\n')
       }
       return sb.toString.stripLineEnd
     }
-    if (expanded) {
+    if (st.expanded) {
       val w = if (cols.isEmpty) 0 else cols.map(_.length).max
       shown.zipWithIndex.foreach { case (r, i) =>
         sb.append(s"-[ RECORD ${i + 1} ]-\n")
@@ -90,13 +115,27 @@ object Shell {
       val widths = cols.indices.map { j =>
         (cols(j).length +: cells.map(_(j).length)).max
       }
-      sb.append(cols.indices.map(j => cols(j).padTo(widths(j), ' '))
-        .mkString(" ", " | ", "")).append('\n')
-      sb.append(widths.map("-" * (_: Int)).mkString("-", "-+-", "-")).append('\n')
-      cells.foreach { row =>
-        sb.append(cols.indices.map(j => row(j).padTo(widths(j), ' '))
-          .mkString(" ", " | ", "")).append('\n')
+      // psql border levels: 0 = whitespace-separated, 1 = internal `|`
+      // dividers (default), 2 = full frame
+      def line(vals: Seq[String]): String = st.border match {
+        case 0 => vals.mkString(" ")
+        case 2 => vals.mkString("| ", " | ", " |")
+        case _ => vals.mkString(" ", " | ", "")
       }
+      def rule: String = st.border match {
+        case 0 => widths.map("-" * (_: Int)).mkString(" ")
+        case 2 => widths.map("-" * (_: Int)).mkString("+-", "-+-", "-+")
+        case _ => widths.map("-" * (_: Int)).mkString("-", "-+-", "-")
+      }
+      if (st.border == 2) sb.append(rule).append('\n')
+      sb.append(line(cols.indices.map(j => cols(j).padTo(widths(j), ' '))))
+        .append('\n')
+      sb.append(rule).append('\n')
+      cells.foreach { row =>
+        sb.append(line(cols.indices.map(j => row(j).padTo(widths(j), ' '))))
+          .append('\n')
+      }
+      if (st.border == 2) sb.append(rule).append('\n')
     }
     val n = shown.length
     sb.append(s"($n row${if (n == 1) "" else "s"}")
@@ -118,7 +157,7 @@ object Shell {
           graft.pql.Pql.program(spark, dir, idx, q.trim)
         } else graft.sql.GraftSql.sql(spark, dir, stmt)
       st.lastQuery = Some(stmt)
-      st.sink.println(render(df, st.expanded, tuplesOnly = st.tuplesOnly))
+      st.sink.println(render(df, st))
       if (st.timing)
         st.sink.println(s"Execution time: ${(System.nanoTime() - t0) / 1000}μs")
     } catch { case e: Exception =>
@@ -135,6 +174,10 @@ object Shell {
       |\timing [on|off]  toggle per-query execution time
       |\x [on|off]     toggle expanded display
       |\t [on|off]     tuples only (rows without header or count)
+      |\c [db]        show the connection, or connect to a database ('-' resets)
+      |\org [id]      show or set the organization
+      |\pset [k [v]]  show or set border/expanded/format/location/tuples_only
+      |\file <f>      append a file's contents to the query buffer
       |\set [k v]  \UNSET_ <k>   list / set / drop client variables
       |\echo / \qecho / \warn   print to terminal / query output / stderr
       |\p  \r          print / reset the continuation buffer
@@ -222,6 +265,98 @@ object Shell {
         st.tuplesOnly = onOff(args.headOption, st.tuplesOnly)
         st.term.println(
           s"Tuples only is ${if (st.tuplesOnly) "on" else "off"}.")
+      // \c / \connect (`meta.go:158-181`, `cli.go:528-577`): zero args
+      // prints the connection, one arg connects by name via SHOW DATABASES
+      // ("-" disconnects); single-node, so "connecting" records context
+      case ("\\c" | "\\connect", args) =>
+        def connMsg(): String =
+          if (st.database.isEmpty) "You are not connected to a database."
+          else s"""You are now connected to database "${st.database}" (${st.databaseId})."""
+        args match {
+          case Nil => st.term.println(connMsg())
+          case ("-" | "") :: Nil =>
+            st.database = ""; st.databaseId = ""
+            st.term.println(connMsg())
+          case name :: Nil =>
+            try {
+              // reference rows are (_id, name, …); Spark's native SHOW
+              // DATABASES is a single `namespace` column — the name doubles
+              // as the id there
+              val rows = graft.sql.GraftSql.sql(spark, dir, "SHOW DATABASES")
+                .collect()
+              val hit = rows.find(r =>
+                (if (r.size >= 2) r.getString(1) else r.getString(0)) == name)
+              hit match {
+                case Some(r) =>
+                  st.database = name
+                  st.databaseId = r.getString(0)
+                  st.term.println(connMsg())
+                case None => st.term.println(s"error: invalid database: $name")
+              }
+            } catch { case e: Exception =>
+              st.term.println(s"error: ${e.getMessage}") }
+          case _ =>
+            st.term.println("meta command 'connect' takes zero or one argument")
+        }
+      // \org (`meta.go:610-636`): records the organization id
+      case ("\\org", args) =>
+        def orgMsg(): String =
+          if (st.org.isEmpty) "You have not set an organization."
+          else s"""You have set organization "${st.org}"."""
+        args match {
+          case Nil => st.term.println(orgMsg())
+          case o :: Nil => st.org = o; st.term.println(orgMsg())
+          case _ =>
+            st.term.println("meta command 'org' takes zero or one argument")
+        }
+      // \pset (`meta.go:699-764`): print or set the write options
+      case ("\\pset", Nil) =>
+        def onOffS(b: Boolean) = if (b) "on" else "off"
+        st.term.println(
+          s"""border      ${st.border}
+             |expanded    ${onOffS(st.expanded)}
+             |format      ${st.format}
+             |location    ${st.location.getId}
+             |tuples_only ${onOffS(st.tuplesOnly)}""".stripMargin)
+      case ("\\pset", key :: rest) if rest.size <= 1 => key match {
+        case "border" => // `meta.go:104-119`: 1, 2, anything else → 0
+          rest.foreach(v => st.border = v match {
+            case "1" => 1; case "2" => 2; case _ => 0 })
+        case "expanded" | "x" => // zero args toggles (`meta.go:237-252`)
+          st.expanded = onOff(rest.headOption, st.expanded)
+          st.term.println(
+            s"Expanded display is ${if (st.expanded) "on" else "off"}.")
+        case "format" => rest.foreach { // `meta.go:311-326`
+          case f @ ("aligned" | "csv") => st.format = f
+          case _ =>
+            st.term.println("\\pset: allowed formats are aligned, csv")
+        }
+        case "location" => rest.foreach { l => // `meta.go:591-601`
+          try st.location = java.time.ZoneId.of(l)
+          catch { case _: Exception =>
+            st.term.println(s"error: loading location: $l") }
+        }
+        case "tuples_only" | "t" =>
+          st.tuplesOnly = onOff(rest.headOption, st.tuplesOnly)
+          st.term.println(
+            s"Tuples only is ${if (st.tuplesOnly) "on" else "off"}.")
+        case other =>
+          st.term.println(s"""unrecognized value "$other" for "pset"""")
+      }
+      case ("\\pset", _) =>
+        st.term.println("meta command 'pset' takes zero, one, or two arguments")
+      // \file (`meta.go:264-291`): append a file's contents to the query
+      // buffer — it becomes part of the statement being composed
+      case ("\\file", f :: Nil) =>
+        try {
+          val text = new String(java.nio.file.Files.readAllBytes(
+            st.resolve(f).toPath), "UTF-8")
+          buf.append(text.stripLineEnd).append(' ')
+        } catch { case e: java.io.IOException =>
+          st.term.println(s"error: opening file: $f")
+        }
+      case ("\\file", _) =>
+        st.term.println("meta command 'file' requires exactly one argument")
       // \warn echoes to stderr (`meta.go:964-977`)
       case ("\\warn", args) => st.err.println(args.mkString(" "))
       // \w writes the continuation buffer to a file (`meta.go:1041-1070`)

@@ -202,6 +202,70 @@ class ShellSpec extends SparkSpec {
     }
   }
 
+  test("\\pset shows and sets write options; csv and border rendering " +
+    "(meta.go:699-764, writer.go:18-142)") {
+    val o = run("\\pset\n\\q\n")
+    assert(o.contains("border      1"), o)
+    assert(o.contains("expanded    off"), o)
+    assert(o.contains("format      aligned"), o)
+    assert(o.contains("tuples_only off"), o)
+    val csv = run(
+      """\pset format csv
+        |SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2 ORDER BY r_regionkey
+        |\q
+        |""".stripMargin)
+    assert(csv.contains("r_regionkey,r_name"), csv)
+    assert(csv.contains("0,AFRICA"), csv)
+    assert(csv.contains("1,AMERICA"), csv)
+    val framed = run(
+      """\pset border 2
+        |SELECT r_name FROM region WHERE r_regionkey = 0
+        |\q
+        |""".stripMargin)
+    assert(framed.contains("| AFRICA |"), framed)
+    assert(framed.contains("+-"), framed)
+    assert(run("\\pset format json\n\\q\n")
+      .contains("\\pset: allowed formats are aligned, csv"))
+    assert(run("\\pset nope\n\\q\n")
+      .contains("unrecognized value \"nope\" for \"pset\""))
+    assert(run("\\pset location Nowhere/Nope\n\\q\n")
+      .contains("error: loading location"))
+    assert(run("\\pset a b c\n\\q\n")
+      .contains("meta command 'pset' takes zero, one, or two arguments"))
+  }
+
+  test("\\c connects to a database by name; \\org records the organization " +
+    "(meta.go:158-181,610-636, cli.go:528-577)") {
+    assert(run("\\c\n\\q\n").contains("You are not connected to a database."))
+    val o = run(
+      """CREATE DATABASE IF NOT EXISTS shelldb
+        |\c shelldb
+        |\c
+        |\c -
+        |\q
+        |""".stripMargin)
+    assert(o.contains("You are now connected to database \"shelldb\""), o)
+    assert(o.contains("You are not connected to a database."), o)
+    assert(run("\\c nosuchdb\n\\q\n").contains("error: invalid database: nosuchdb"))
+    val org = run("\\org\n\\org acme\n\\org\n\\q\n")
+    assert(org.contains("You have not set an organization."), org)
+    assert(org.contains("You have set organization \"acme\"."), org)
+  }
+
+  test("\\file appends a file's contents to the query buffer (meta.go:264-291)") {
+    val f = Files.createTempFile("graft-shell-file", ".sql")
+    try {
+      Files.write(f, "SELECT count(*) AS n_file FROM region".getBytes("UTF-8"))
+      val o = run(s"\\file $f\n\n\\q\n")
+      assert(o.contains("n_file"), o)
+      assert(o.contains("5"), o)
+      assert(run("\\file\n\\q\n")
+        .contains("meta command 'file' requires exactly one argument"))
+      assert(run("\\file /nonexistent/nope.sql\n\\q\n")
+        .contains("error: opening file"))
+    } finally Files.deleteIfExists(f)
+  }
+
   test("\\watch re-runs the last query; empty buffer and bad arg error " +
     "(meta.go:981-1026)") {
     // headless (no tty): one pass, so scripted input can't loop forever
