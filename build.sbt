@@ -26,10 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] is one JVM standing in for a whole executor fleet: 8g gave
-  // each of 32 task threads ~256MB, which the 100x dedup rehearsal's sort
-  // buffers blow through; 24g ≈ a sane 0.75g/thread on the 128GiB box
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // local[32] is one JVM standing in for a whole executor fleet on a
+  // 128GiB box. 8g gave each of 32 task threads ~256MB (the 100x dedup
+  // rehearsal's sort buffers blow through that); 24g fit the sorts but its
+  // ~6GB storage pool forced the 5M-doc rehearsal's ~8.5GB of serialized
+  // checkpoint blocks to disk — measured 138s vs 79s for the identical run
+  // at 48g. 64g = 2g/thread, the memory a 32-core executor would actually
+  // get on this box, and keeps the deep rehearsal points storage-resident.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )
 // forward stdin to forked `run` mains (graft.tools.Shell)
 run / connectInput := true

@@ -177,12 +177,16 @@ object Bench {
       val tmp = System.getProperty("java.io.tmpdir")
       def gen(n: Long): String =
         graft.tools.DocGen.ensure(spark, n, s"$tmp/graft-docs-v1-$n")
-      // shuffle partitions scale with the data, exactly as a cluster sizes
-      // them by maxPartitionBytes: a fixed 32 at 100× docs puts ~800k
-      // postings (and their sort buffers) in every task — the scale bug
-      // this rehearsal exists to catch.
+      // shuffle partitions scale with the data BY BYTES, exactly as a
+      // cluster sizes them via maxPartitionBytes: the banded table is
+      // ~64 rows × 16B per doc, so n/80000 ≈ 80MB partitions. A fixed 32
+      // at 100× docs puts ~800k postings (and their sort buffers) in every
+      // task — the scale bug this rehearsal exists to catch — while the
+      // row-proportional n/20000 over-split the 100× point into 250
+      // partitions whose concurrent sort buffers spilled a 24g heap
+      // (measured 138s vs 88s at 64 partitions, same data, same heap).
       def partsFor(n: Long): Int =
-        math.min(1024L, math.max(cpus.toLong, n / 20000L)).toInt
+        math.min(1024L, math.max(cpus.toLong, n / 80000L)).toInt
       // each pipeline execution leaves its localCheckpoint blocks cached
       // until a driver GC lets the ContextCleaner at them; at the 5M point
       // one run's posting+sig is ~10GB, so carrying the PREVIOUS run's

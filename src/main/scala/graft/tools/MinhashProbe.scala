@@ -23,8 +23,10 @@ object MinhashProbe {
       "full" -> (() => Dedup.minhashPairs(posting, 0.5)))
   }
   def main(args: Array[String]): Unit = {
-    val spark = graft.core.EngineConf(SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val spark = graft.core.EngineConf(SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -132,7 +132,35 @@ class EngineFuzzSpec extends SparkSpec {
         try f catch { case e: Throwable =>
           throw new AssertionError(s"#$k over ${pqlOf(p)}: $e", e) }
       ctx {
-      rnd.nextInt(4) match {
+      rnd.nextInt(7) match {
+        case 4 => // Distinct over a scalar or set field
+          val (f, want0) =
+            if (rnd.nextBoolean()) ("s", matches.flatMap(_.s))
+            else ("ss", matches.flatMap(_.ss))
+          val want = want0.distinct.sorted
+          val got = compile(s"Distinct(${pqlOf(p)}, field=$f)")
+            .collect().map(_.getString(0)).toSeq
+          assert(got == want, s"#$k Distinct($f): got $got want $want")
+        case 5 => // TopN with filter (exact counts, (cnt desc, val asc) order)
+          val n = 1 + rnd.nextInt(4)
+          val (f, data) =
+            if (rnd.nextBoolean()) ("s", matches.flatMap(_.s))
+            else ("ss", matches.flatMap(_.ss))
+          val want = data.groupBy(identity).toSeq
+            .map { case (v, vs) => (v, vs.size.toLong) }
+            .sortBy { case (v, c) => (-c, v) }.take(n)
+          val got = compile(s"TopN(${pqlOf(p)}, $f, n=$n)")
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          assert(got == want, s"#$k TopN($f, n=$n): got $got want $want")
+        case 6 => // Extract: (_id, i, s) for matching records, _id order
+          val want = matches.sortBy(_.id).map(r =>
+            (r.id, r.i.map(Long.box).orNull, r.s.orNull))
+          val got = compile(s"Extract(${pqlOf(p)}, Rows(i), Rows(s))")
+            .collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+              if (r.isNullAt(2)) null else r.getString(2))).toSeq
+          assert(got == want, s"#$k Extract: got ${got.take(5)}… want ${want.take(5)}…")
+        case m => m match {
         case 0 | 1 => // Count
           counts += 1
           val got = compile(s"Count(${pqlOf(p)})").collect()(0).getLong(0)
@@ -162,6 +190,7 @@ class EngineFuzzSpec extends SparkSpec {
             else { val v = pick(want); Some((v, want.count(_ == v).toLong)) }
           assert(got == expect,
             s"#$k $call(${pqlOf(p)}): got $got want $expect")
+      }
       }
       }
     }

@@ -62,7 +62,7 @@ class GoldenCorpusSpec extends AnyFunSuite {
       r.table == tbl && r.name == name && r.sql.startsWith(prefix)
     }
 
-  test("golden corpus: 1,866 reference SQL+PQL statements") {
+  test("golden corpus: 1,865 reference SQL+PQL statements") {
     val session = SparkSpec.session.newSession()
     val tests = GoldenDefs.loadCorpus()
     val results = GoldenRunner.runAll(tests, None, verbose = false, session)
