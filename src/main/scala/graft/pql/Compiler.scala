@@ -929,7 +929,7 @@ object Pql {
     require(calls.nonEmpty, "empty PQL program")
     calls.map { c =>
       def compiler() =
-        new Compiler(spark.table(tableName), graft.core.Tables.timeColumn(tableName))
+        new Compiler(spark.table(graft.core.Idents.q(tableName)), graft.core.Tables.timeColumn(tableName))
       val probe = compiler()
       if (probe.isWrite(c)) {
         // read-state → compute-delta → commit happens UNDER the table's

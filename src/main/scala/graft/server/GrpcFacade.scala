@@ -203,11 +203,11 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
   private def durable: Boolean = graft.core.TableLog.isDurable(spark)
 
   private def tableState(name: String): DataFrame =
-    if (durable) spark.table(name)
+    if (durable) spark.table(graft.core.Idents.q(name))
     else state.computeIfAbsent(name, n =>
       if (graft.core.Tables.names.contains(n))
         graft.core.Tables.load(spark, dir, n)
-      else spark.table(n)) // DDL/RPC-created indexes live in the catalog
+      else spark.table(graft.core.Idents.q(n))) // DDL/RPC-created indexes live in the catalog
 
   /** Every index this facade serves: parquet test tables plus DDL-created
     * catalog tables, minus fb_* system views and CREATE VIEW definitions

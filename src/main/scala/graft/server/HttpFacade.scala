@@ -86,11 +86,11 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
   private def tableState(name: String): DataFrame =
-    if (durable) spark.table(name)
+    if (durable) spark.table(graft.core.Idents.q(name))
     else state.computeIfAbsent(name, n =>
       if (graft.core.Tables.names.contains(n))
         graft.core.Tables.load(spark, dir, n)
-      else spark.table(n)) // DDL-created indexes live in the catalog
+      else spark.table(graft.core.Idents.q(n))) // DDL-created indexes live in the catalog
 
   /** Writes since the last materialization, per table. */
   private val writesSince =
@@ -389,7 +389,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         val vis = readable(chk(ex, None, Auth.PermRead))
         import org.apache.spark.sql.functions.approx_count_distinct
         val indexes = graft.core.Tables.names.filter(vis).map { t =>
-          val df = spark.table(t)
+          val df = spark.table(graft.core.Idents.q(t))
           val fields = df.schema.fields.filter(_.name != "_id")
           // drop a memo whose shape no longer matches the schema — DDL can
           // arrive through /sql or gRPC without passing this facade's
@@ -428,7 +428,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           Option(ix.get("fields")).filter(_.isArray).foreach(_.forEach { f =>
             val fname = Option(f.get("name")).map(_.asText)
               .getOrElse(sys.error("field missing name"))
-            if (!spark.table(name).columns.contains(fname))
+            if (!spark.table(graft.core.Idents.q(name)).columns.contains(fname))
               createField(name, fname, Option(f.get("options"))
                 .map(o => s"""{"options":${o.toString}}""").getOrElse(""))
           })

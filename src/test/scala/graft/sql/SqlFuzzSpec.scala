@@ -88,10 +88,14 @@ class SqlFuzzSpec extends SparkSpec {
   private case class AndOr(or: Boolean, a: BE, b: BE) extends BE
   private case class NotE(a: BE) extends BE
 
+  private case class StrFn(fn: String) extends IE // len(s1) | charindex('x', s1)
+
   private def genI(rnd: scala.util.Random, depth: Int): IE =
-    if (depth == 0) rnd.nextInt(4) match {
+    if (depth == 0) rnd.nextInt(6) match {
       case 0 => I1
       case 1 => I2
+      case 2 => StrFn("len")
+      case 3 => StrFn("charindex")
       case _ => ILit(rnd.nextInt(19).toLong - 9)
     }
     else rnd.nextInt(8) match {
@@ -130,6 +134,8 @@ class SqlFuzzSpec extends SparkSpec {
   private def sqlI(e: IE): String = e match {
     case I1 => "i1"
     case I2 => "i2"
+    case StrFn("len") => "len(s1)"
+    case StrFn(_) => "charindex('a', s1)" // 0-based, -1 when absent
     case ILit(v) => if (v < 0) s"(0 - ${-v})" else v.toString
     case Bin(op, a, b) => s"(${sqlI(a)} $op ${sqlI(b)})"
     case Neg(a) => s"(0 - ${sqlI(a)})" // avoids `--` comment ambiguity
@@ -153,6 +159,10 @@ class SqlFuzzSpec extends SparkSpec {
   private def evalI(e: IE, r: R): Option[Long] = e match {
     case I1 => r.i1
     case I2 => r.i2
+    case StrFn("len") => r.s1.map(_.length.toLong)
+    // reference CHARINDEX is Go strings.Index: 0-based, case-sensitive,
+    // -1 when absent (`inbuiltfunctionsstring.go:727`) — Java indexOf
+    case StrFn(_) => r.s1.map(_.indexOf("a").toLong)
     case ILit(v) => Some(v)
     case Neg(a) => evalI(a, r).map(0L - _)
     case Bin(op, a, b) =>
@@ -230,7 +240,25 @@ class SqlFuzzSpec extends SparkSpec {
       def ctx[T](q: String)(f: => T): T =
         try f catch { case e: Throwable =>
           throw new AssertionError(s"#$k over: $q\n$e", e) }
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
+        case 5 => // string functions + CASE WHEN (3VL: null pred → ELSE)
+          rowQ += 1
+          val bp = genB(rnd, 1)
+          val q = "select _id, upper(s1) as u, reverse(s1) as rv, " +
+            "replaceall(s1, 'a', 'z') as rp, " +
+            s"(case when ${sqlB(bp)} then 'T' else 'F' end) as c " +
+            s"from fz where ${sqlB(pred)}"
+          ctx(q) {
+            val got = asMultiset(collectRows(q))
+            val want = asMultiset(matches.map { r =>
+              Seq[Any](r.id,
+                r.s1.map(_.toUpperCase).orNull,
+                r.s1.map(_.reverse).orNull,
+                r.s1.map(_.replace("a", "z")).orNull,
+                if (evalB(bp, r).contains(true)) "T" else "F")
+            })
+            assert(got == want, s"#$k string-fn mismatch for: $q")
+          }
         case 0 | 1 => // row-wise projection
           rowQ += 1
           val proj = genI(rnd, 1 + rnd.nextInt(2))
