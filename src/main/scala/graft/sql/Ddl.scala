@@ -42,16 +42,16 @@ object Ddl {
   // COPY src TO tgt [WHERE expr] [WITH URL '…' APIKEY '…']
   // (`reference/sql3/parser/parser.go:1174-1230`)
   private val CopyRe =
-    raw"(?is)^\s*COPY\s+(\w+)\s+TO\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+WITH\s+.*?)?;?\s*$$".r
+    raw"(?is)^\s*COPY\s+([-\w]+)\s+TO\s+([-\w]+)(?:\s+WHERE\s+(.*?))?(?:\s+WITH\s+.*?)?;?\s*$$".r
   private val ExplainRe = raw"(?is)^\s*EXPLAIN\s+(.*)$$".r
   // ALTER TABLE t ADD|DROP|RENAME [COLUMN] … (`reference/sql3/parser/
   // parser.go:3685-3755`; table rename is commented out there too)
   private val AlterAddRe =
-    raw"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(\S+.*?);?\s*$$".r
+    raw"(?is)^\s*ALTER\s+TABLE\s+([-\w]+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(\S+.*?);?\s*$$".r
   private val AlterDropRe =
-    raw"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$$".r
+    raw"(?is)^\s*ALTER\s+TABLE\s+([-\w]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$$".r
   private val AlterRenameRe =
-    raw"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$$".r
+    raw"(?is)^\s*ALTER\s+TABLE\s+([-\w]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$$".r
   private val TxnRe = raw"(?is)^\s*(BEGIN|COMMIT|ROLLBACK)\s*(?:TRANSACTION\s*)?;?\s*$$".r
   // CREATE/ALTER/DROP DATABASE (`reference/sql3/planner/
   // compilecreatedatabase.go`, `compilealterdatabase.go`): WITH UNITS n is a
@@ -64,11 +64,11 @@ object Ddl {
   private val DropDbRe =
     raw"(?is)^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$$".r
   private val ShowCreateRe =
-    raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$$".r
+    raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([-\w]+)\s*;?\s*$$".r
   private val ShowTablesRe =
     raw"(?is)^\s*SHOW\s+TABLES\s*(WITH\s+SYSTEM\s*)?;?\s*$$".r
   private val ShowColumnsRe =
-    raw"(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(\w+)\s*;?\s*$$".r
+    raw"(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([-\w]+)\s*;?\s*$$".r
   private val UnitsRe   = raw"(?i)\bUNITS\s+(\d+)".r
   private val CommentRe = raw"(?i)\bCOMMENT\s+'([^']*)'".r
 

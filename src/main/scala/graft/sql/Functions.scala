@@ -144,10 +144,19 @@ object Functions {
     // typesAreAssignmentCompatible's timestamp case (`expressiontypes.go:340`)
     "DATETIMEPART" -> (a => dateTimePart(a(0), asLtz(a(1)))),
     "DATETIMENAME" -> (a => dateTimeName(a(0), asLtz(a(1)))),
-    "DATETIMEFROMPARTS" -> (a =>
+    "DATETIMEFROMPARTS" -> (a => {
       // y, m, d, hh, mm, ss, ms (`inbuiltfunctionsdate.go:277`)
-      fn("make_timestamp", a(0), a(1), a(2), a(3), a(4),
-        fn("+", fn("double", a(5)), fn("/", fn("double", a(6)), lit(1000.0))))),
+      val frac = fn("+", fn("double", a(5)), fn("/", fn("double", a(6)), lit(1000.0)))
+      def mk(y: Expression) =
+        fn("make_timestamp", y, a(1), a(2), a(3), a(4), frac)
+      // Go time.Date accepts proleptic year 0 (`defs_date_functions.go:360`
+      // DateTimeFromPartsAllZeros) but Spark's make_timestamp requires
+      // year >= 1 — so build 0-M-D as 4-M-D minus the exact 1461 days
+      // between them (years 0 and 4 are both leap, 1-3 are not; UTC, so no
+      // DST wrinkles)
+      CaseWhen(Seq((fn("=", a(0), lit(0)),
+        TimestampAdd("DAY", lit(-1461), mk(lit(4))))), Some(mk(a(0))))
+    }),
     // DATETIMEADD(unit, n, ts) / DATETIMEDIFF(unit, ts1, ts2) with the
     // reference's unit codes (`inbuiltfunctionsdate.go:13-24,478-720`)
     "DATETIMEADD" -> (a => byUnit(a(0), u =>

@@ -132,7 +132,25 @@ class EngineFuzzSpec extends SparkSpec {
         try f catch { case e: Throwable =>
           throw new AssertionError(s"#$k over ${pqlOf(p)}: $e", e) }
       ctx {
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
+        case 7 => // GroupBy over a scalar field: (group, cnt)
+          val got = compile(s"GroupBy(Rows(s), filter=${pqlOf(p)})")
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+          val want = matches.flatMap(_.s).groupBy(identity)
+            .map { case (v, vs) => (v, vs.size.toLong) }.toSet
+          assert(got == want, s"#$k GroupBy(s): got $got want $want")
+        case 8 => // GroupBy over a SET field with Sum: (group, cnt, sum)
+          val got = compile(
+            s"GroupBy(Rows(ss), filter=${pqlOf(p)}, aggregate=Sum(field=j))")
+            .collect().map(r => (r.getString(0), r.getLong(1),
+              if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toSet
+          val want = matches.flatMap(r => r.ss.map(_ -> r)).groupBy(_._1)
+            .map { case (tag, prs) =>
+              val js = prs.map(_._2).flatMap(_.j)
+              (tag, prs.size.toLong,
+                if (js.isEmpty) null else Long.box(js.sum))
+            }.toSet
+          assert(got == want, s"#$k GroupBy(ss, Sum(j)): got $got want $want")
         case 4 => // Distinct over a scalar or set field
           val (f, want0) =
             if (rnd.nextBoolean()) ("s", matches.flatMap(_.s))

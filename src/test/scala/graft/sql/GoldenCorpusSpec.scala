@@ -34,9 +34,6 @@ class GoldenCorpusSpec extends AnyFunSuite {
     ("dateTruncTests", "DateTruncOnNanoS", "select _id, date_trunc('ns', ts)"),
     ("dateTruncTests", "VerifyTimeStamp", "select _id, datetimename('ns', ts)"),
     ("datetimedifftests", "DatetimeDiffNS", "select datetimediff('ns', startTime, endTime)"),
-    // Year zero: Go time.Date supports year 0000; Spark's make_timestamp
-    // clamps to 0001.
-    ("toTimestampTests", "DateTimeFromPartsAllZeros", "select datetimefromparts(0,1,1,0,0,0,0)"),
     // Grouped results over a SET column / across a join stream in the
     // reference's first-appearance (insertion) order, an artifact of its
     // single-node nested-loop + hash-agg iteration; a distributed group-by
@@ -64,6 +61,10 @@ class GoldenCorpusSpec extends AnyFunSuite {
 
   test("golden corpus: 1,865 reference SQL+PQL statements") {
     val session = SparkSpec.session.newSession()
+    // proleptic java.time values on collect: java.sql.Timestamp rebases
+    // pre-1582 dates to the hybrid Julian calendar (days off at year 0 —
+    // DateTimeFromPartsAllZeros), Instants are exact
+    session.conf.set("spark.sql.datetime.java8API.enabled", "true")
     val tests = GoldenDefs.loadCorpus()
     val results = GoldenRunner.runAll(tests, None, verbose = false, session)
     val unexpected = results.filterNot(_.ok).filterNot(isKnown)
@@ -79,7 +80,7 @@ class GoldenCorpusSpec extends AnyFunSuite {
     info(s"golden corpus: $pass/${results.size} pass, " +
       s"${results.size - pass} documented divergences")
     // 1,865 recorded statements (fixture statements only record on failure),
-    // 14 documented divergences
-    assert(pass >= 1851)
+    // 13 documented divergences
+    assert(pass >= 1852)
   }
 }

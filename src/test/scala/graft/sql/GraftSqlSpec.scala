@@ -62,6 +62,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(one("SELECT SETCONTAINSANY(array('Foo'), array('z'))") == false)
   }
 
+  test("datetimefromparts accepts proleptic year 0 like Go time.Date " +
+    "(defs_date_functions.go:360)") {
+    // compared through the engine's own string cast: collect() would rebase
+    // a year-0 java.sql.Timestamp into the hybrid Julian calendar
+    assert(one("SELECT CAST(DATETIMEFROMPARTS(0, 1, 1, 0, 0, 0, 0) AS STRING)")
+      == "0000-01-01T00:00:00Z")
+    // and ordinary years are untouched
+    assert(one("SELECT CAST(DATETIMEFROMPARTS(2024, 3, 15, 10, 30, 45, 0) AS STRING)")
+      == "2024-03-15T10:30:45Z")
+  }
+
   test("date functions match reference unit codes") {
     val ts = "TIMESTAMP '2024-03-15 10:30:45.123456'"
     assert(one(s"SELECT DATETIMEPART('YY', $ts)") == 2024)
