@@ -144,6 +144,13 @@ object SparkEntry {
       "Arrow(Row(p_size > 40), header=['p_name', 'p_size'])"),
     "pql_apply" -> pqlQ("part",
       "Apply(Row(p_size > 40), 'p_partkey + p_size AS v')"),
+    // real ivy programs (`reference/apply.go:36-46`): right-assoc APL
+    // evaluation per shard, identity reduce stays distributed
+    "pql_apply_ivy" -> pqlQ("part",
+      "Apply(Row(p_size > 40), '2 * _ID + p_size', '_')"),
+    // associative reduce `+/_` combines shard-side partials
+    "pql_apply_ivy_sum" -> pqlQ("part",
+      "Apply(Row(p_size > 40), 'p_size', '+/_')"),
     "pql_externallookup" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       Pql.run(s, dir, "nation",
@@ -296,6 +303,10 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "WHERE p_size > 40 ORDER BY _id"),
     "pql_apply" -> ("SELECT p_partkey AS _id, p_partkey + p_size AS v FROM part " +
       "WHERE p_size > 40 ORDER BY _id"),
+    "pql_apply_ivy" -> ("SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS idx, " +
+      "2 * (p_partkey + p_size) AS value FROM part WHERE p_size > 40"),
+    "pql_apply_ivy_sum" -> ("SELECT CAST(1 AS BIGINT) AS idx, " +
+      "CAST(SUM(p_size) AS BIGINT) AS value FROM part WHERE p_size > 40"),
     "pql_externallookup" -> ("SELECT c_nationkey AS nk, count(*) AS cnt FROM customer " +
       "WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2) " +
       "GROUP BY nk ORDER BY nk"),

@@ -450,17 +450,23 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       val base = call.children.headOption.map(c => filtered(bits(c))).getOrElse(table)
       base.select(col("_id") +: hdr.map(col): _*).orderBy("_id")
 
-    case "Apply" => // `reference/apply.go:50-120`: per-shard program over raw
-      // values. The reference's program language is ivy (APL), behind the
-      // disabled-by-default dataframeEnabled flag; re-expressed Spark-first
-      // the program is a Spark SQL projection over the filtered records —
-      // the same capability, whole-stage-codegen'd instead of interpreted.
-      // Multiple output expressions separate with ';'.
-      val program = call.positional.collectFirst { case StrV(s) => s }
+    case "Apply" => // `reference/apply.go:50-120`: per-shard ivy (APL) program
+      // over raw values, optional second-string reduce program run over the
+      // concatenated shard results at the coordinator. Real ivy programs run
+      // through the [[Ivy]] interpreter subset (per-shard flatMapSortedGroups
+      // map, associative `op/_` reduces combined shard-side); programs that
+      // aren't ivy (or reference columns the table lacks) fall back to the
+      // earlier Spark-SQL-projection mode ('expr AS name; ...'), kept as a
+      // documented extension — whole-stage-codegen'd where ivy interprets.
+      val strArgs = call.positional.collect { case StrV(s) => s }
+      val program = strArgs.headOption
         .getOrElse(sys.error("Apply: program required"))
       val base = call.children.headOption.map(c => filtered(bits(c))).getOrElse(table)
-      base.selectExpr("_id" +: program.split(";").map(_.trim).filter(_.nonEmpty).toSeq: _*)
-        .orderBy("_id")
+      if (Ivy.eligible(program, base.schema))
+        Ivy.applyIvy(base, program, strArgs.lift(1))
+      else
+        base.selectExpr("_id" +: program.split(";").map(_.trim).filter(_.nonEmpty).toSeq: _*)
+          .orderBy("_id")
 
     case "ExternalLookup" => // `reference/executor.go:4357-4711`: ship the
       // bitmap's ids to an external SQL engine as $1 and join back. Spark:

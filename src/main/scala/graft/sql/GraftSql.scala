@@ -110,7 +110,8 @@ object GraftSql {
 
   /** Rewrite reference-dialect SQL to Spark SQL. */
   def rewrite(query: String): String = {
-    val q = DecScaleRe.replaceAllIn(bracketsToArray(quoteHyphenIdents(query)),
+    val q = DecScaleRe.replaceAllIn(
+      bracketsToArray(quoteHyphenIdents(danglingCommas(query))),
       m => s"DECIMAL(38,${m.group(1)})")
     TopRe.findFirstMatchIn(q) match {
       case Some(m) =>
@@ -124,6 +125,30 @@ object GraftSql {
         s"$stripped LIMIT $n"
       case None => q
     }
+  }
+
+  /** The reference's hand-written parser tolerates a dangling comma in call
+    * argument lists — `replicate('this',)` parses as a ONE-arg call and the
+    * type checker reports the arity mismatch at the `)` position
+    * (`defs_string_functions.go:1055-1061` pins `[1:25]`). Spark's parser
+    * rejects the comma outright, so blank it (a SPACE, not a deletion —
+    * every downstream error position must stay byte-identical). Quote-aware. */
+  private[sql] def danglingCommas(q: String): String = {
+    val cs = q.toCharArray
+    var quote: Char = 0
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == ',') {
+        var j = i + 1
+        while (j < cs.length && cs(j).isWhitespace) j += 1
+        if (j < cs.length && cs(j) == ')') cs(i) = ' '
+      }
+      i += 1
+    }
+    new String(cs)
   }
 
   /** `[a, b]` set literals (`reference/sql3/parser/parser.go` SetLiteralExpr)

@@ -23,9 +23,6 @@ class GoldenCorpusSpec extends AnyFunSuite {
     // "correct results below", which are exactly what we return
     // (`defs_minmaxnegative.go:34-39`).
     ("minmaxnegatives", "select-all", "select * from minmaxnegatives"),
-    // Parser-recovery shape: the reference counts `replicate('this',)` as a
-    // 1-arg call; Spark's parser stops at the dangling comma.
-    ("stringScalarFunctionsTests", "ReplicateincorrectArguments", "select replicate('this',)"),
     // Nanosecond precision: reference timestamps carry ns, Spark µs — the
     // sub-µs digits of 'NS' parts are zero here (SURVEY §8 divergence).
     ("dateTimePartTests", "DateTimePartNS", "select _id, datetimepart('ns', ts)"),
@@ -80,7 +77,7 @@ class GoldenCorpusSpec extends AnyFunSuite {
     info(s"golden corpus: $pass/${results.size} pass, " +
       s"${results.size - pass} documented divergences")
     // 1,865 recorded statements (fixture statements only record on failure),
-    // 13 documented divergences
-    assert(pass >= 1852)
+    // 12 documented divergences
+    assert(pass >= 1853)
   }
 }
