@@ -44,10 +44,28 @@ class SqlFuzzSpec extends SparkSpec {
     }
   }
 
+  /** Join dimension: k overlaps i1's domain, with duplicate keys (fan-out)
+    * and nulls (never join-equal under 3VL). */
+  private case class D(id: Long, k: Option[Long], name: Option[String])
+  private lazy val dims: Seq[D] = {
+    val rnd = new scala.util.Random(11)
+    (0L until 40L).map { id =>
+      D(id,
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(50).toLong - 20),
+        if (rnd.nextInt(5) == 0) None else Some(s"n${rnd.nextInt(8)}"))
+    }
+  }
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     GraftSql.statement(spark,
       "CREATE TABLE IF NOT EXISTS fz (_id ID, i1 INT, i2 INT, s1 STRING, ss1 STRINGSET, b1 BOOL)")
+    GraftSql.statement(spark,
+      "CREATE TABLE IF NOT EXISTS fzd (_id ID, k INT, name STRING)")
+    GraftSql.statement(spark,
+      "INSERT INTO fzd (_id, k, name) VALUES " + dims.map(d =>
+        s"(${d.id}, ${d.k.map(_.toString).getOrElse("NULL")}, " +
+          s"${d.name.map("'" + _ + "'").getOrElse("NULL")})").mkString(", "))
     def lit(r: R): String = {
       def s(o: Option[String]) = o.map("'" + _ + "'").getOrElse("NULL")
       def l(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
@@ -64,8 +82,10 @@ class SqlFuzzSpec extends SparkSpec {
   }
 
   override def afterAll(): Unit = {
-    try GraftSql.statement(spark, "DROP TABLE IF EXISTS fz")
-    finally super.afterAll()
+    try {
+      GraftSql.statement(spark, "DROP TABLE IF EXISTS fz")
+      GraftSql.statement(spark, "DROP TABLE IF EXISTS fzd")
+    } finally super.afterAll()
   }
 
   // ------------------------------------------------------------ expr model
@@ -240,7 +260,48 @@ class SqlFuzzSpec extends SparkSpec {
       def ctx[T](q: String)(f: => T): T =
         try f catch { case e: Throwable =>
           throw new AssertionError(s"#$k over: $q\n$e", e) }
-      rnd.nextInt(6) match {
+      rnd.nextInt(9) match {
+        case 6 => // INNER/LEFT join on int keys (nested-loop semantics,
+          // `opnestedloops.go:15` — nulls never join-equal, LEFT null-extends)
+          rowQ += 1
+          val left = rnd.nextBoolean()
+          val kind = if (left) "left" else "inner"
+          val q = s"select fz._id as fid, fzd.name as nm from fz " +
+            s"$kind join fzd on fz.i1 = fzd.k where ${sqlB(pred)}"
+          ctx(q) {
+            val got = asMultiset(collectRows(q))
+            val want = asMultiset(matches.flatMap { r =>
+              val ds = r.i1.toSeq.flatMap(v => dims.filter(_.k.contains(v)))
+              if (ds.nonEmpty) ds.map(d => Seq[Any](r.id, d.name.orNull))
+              else if (left) Seq(Seq[Any](r.id, null))
+              else Nil
+            })
+            assert(got == want, s"#$k join mismatch for: $q")
+          }
+        case 7 => // join + grouped aggregate over the dimension attribute
+          grpQ += 1
+          val q = "select fzd.name as nm, count(*) as c from fz " +
+            s"inner join fzd on fz.i1 = fzd.k where ${sqlB(pred)} " +
+            "and (fzd.name is not null) group by fzd.name"
+          ctx(q) {
+            val got = asMultiset(collectRows(q))
+            val want = asMultiset(matches.flatMap { r =>
+              r.i1.toSeq.flatMap(v => dims.filter(_.k.contains(v))).flatMap(_.name)
+            }.groupBy(identity).toSeq.map { case (nm, xs) =>
+              Seq[Any](nm, xs.size.toLong)
+            })
+            assert(got == want, s"#$k join-group mismatch for: $q")
+          }
+        case 8 => // DISTINCT projection
+          rowQ += 1
+          val q = s"select distinct s1, b1 from fz where ${sqlB(pred)}"
+          ctx(q) {
+            val got = asMultiset(collectRows(q))
+            val want = asMultiset(matches
+              .map(r => Seq[Any](r.s1.orNull, r.b1.map(Boolean.box).orNull))
+              .distinct)
+            assert(got == want, s"#$k distinct mismatch for: $q")
+          }
         case 5 => // string functions + CASE WHEN (3VL: null pred → ELSE)
           rowQ += 1
           val bp = genB(rnd, 1)
@@ -294,20 +355,23 @@ class SqlFuzzSpec extends SparkSpec {
               if (vals.isEmpty) null else Long.box(vals.max)))
             assert(got == want, s"#$k agg mismatch for: $q\n got $got\n want $want")
           }
-        case _ => // grouped aggregates over s1
+        case _ => // grouped aggregates over s1, sometimes with HAVING
           grpQ += 1
           val e = genI(rnd, 1)
+          val minC = if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(20)) else None
+          val having = minC.map(c => s" having count(*) >= $c").getOrElse("")
           val q = s"select s1 as g, count(*) as c, sum(${sqlI(e)}) as s " +
-            s"from fz where ${sqlB(pred)} and (s1 is not null) group by s1"
+            s"from fz where ${sqlB(pred)} and (s1 is not null) group by s1$having"
           ctx(q) {
             val got = asMultiset(collectRows(q))
             val want = asMultiset(
-              matches.filter(_.s1.isDefined).groupBy(_.s1.get).toSeq.map {
-                case (g, rs) =>
+              matches.filter(_.s1.isDefined).groupBy(_.s1.get).toSeq
+                .filter { case (_, rs) => minC.forall(rs.size >= _) }
+                .map { case (g, rs) =>
                   val vals = rs.flatMap(r => evalI(e, r))
                   Seq[Any](g, rs.size.toLong,
                     if (vals.isEmpty) null else Long.box(vals.sum))
-              })
+                })
             assert(got == want, s"#$k grouped mismatch for: $q")
           }
       }
