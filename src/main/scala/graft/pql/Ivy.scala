@@ -480,10 +480,24 @@ object Ivy {
       if (partials.isEmpty) vecToDf(spark, Vec(IndexedSeq.empty))
       else vecToDf(spark, partials.toIndexedSeq.reduceRight((a, b) => binary(partialOp.get, a, b)))
     } else {
-      // identity reduce: stay distributed; global position + one typed column
-      val kmax = cells.agg(coalesce(max(col("kind")), lit(0)).as("k"))
-        .collect()(0).getInt(0)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("shard"), col("idx"))
+      // identity reduce: stay distributed. Global result positions come from
+      // per-shard counts (O(shards) driver state, broadcast back) — NOT a
+      // global row_number window, which would funnel the whole result
+      // through one partition. One pass also reads the max kind for the
+      // output column type.
+      val persisted = cells.toDF().persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val stats = persisted.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max(col("kind")).as("k"))
+        .collect().sortBy(_.getLong(0))
+      val kmax = if (stats.isEmpty) 0 else stats.map(_.getInt(2)).max
+      var acc = 0L
+      val offRows = stats.map { r =>
+        val o = acc; acc += r.getLong(1); Row(r.getLong(0), o)
+      }
+      val offDf = spark.createDataFrame(
+        java.util.Arrays.asList(offRows: _*),
+        StructType(Seq(StructField("shard", LongType), StructField("off", LongType))))
       val valueCol = kmax match {
         case 2 => when(col("kind") === 2, col("s"))
           .when(col("kind") === 1, col("f").cast(StringType))
@@ -491,8 +505,9 @@ object Ivy {
         case 1 => when(col("kind") === 1, col("f")).otherwise(col("i").cast(DoubleType))
         case _ => col("i")
       }
-      cells.toDF().withColumn("idx", row_number().over(w).cast(LongType))
-        .select(col("idx"), valueCol.as("value"))
+      persisted.join(broadcast(offDf), "shard")
+        .select((col("off") + col("idx") + 1L).as("idx"), valueCol.as("value"))
+        .orderBy("idx")
     }
   }
 
