@@ -642,6 +642,11 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       .select(explode(Text.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(100)),
+    // BPE merge training (tokenizer fitting): iterations run on the word
+    // vocab, not the corpus — DuckDB replays the identical recurrence
+    // unrolled per merge
+    "txt_bpe_train" -> ((s, dir) =>
+      Text.bpeTrain(docs(s, dir), "text", 3).orderBy("rank")),
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 20, excludeId = Some(0L))),
@@ -1021,6 +1026,31 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
   private val duckBpe =
     "regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')"
 
+  /** BPE merge-training oracle: the merge recurrence unrolled k times —
+    * v_i = vocab after i merges, p_i = adjacent-pair counts, m_i = argmax
+    * (ties freq DESC, l, r); greedy left-to-right merge via list_reduce. */
+  private def duckBpeTrain(k: Int): String = {
+    val sb = new StringBuilder(
+      "WITH v0 AS (SELECT string_split(w,'') toks, cnt FROM (" +
+        s"SELECT w, COUNT(*) cnt FROM (SELECT unnest(list_filter($duckBpe, " +
+        "x -> regexp_matches(x,'\\S'))) w FROM documents) GROUP BY w))")
+    for (i <- 1 to k) {
+      sb ++= s", p$i AS (SELECT t.toks[x.i] l, t.toks[x.i+1] r, SUM(t.cnt) freq " +
+        s"FROM v${i - 1} t, LATERAL (SELECT unnest(generate_series(1, len(t.toks)-1)) i) x " +
+        "GROUP BY 1,2)"
+      sb ++= s", m$i AS (SELECT CAST($i AS BIGINT) rank, l, r, CAST(freq AS BIGINT) freq " +
+        s"FROM p$i ORDER BY freq DESC, l, r LIMIT 1)"
+      if (i < k)
+        sb ++= s", v$i AS (SELECT list_reduce(list_transform(t.toks, y -> [y]), " +
+          "(acc, y) -> CASE WHEN acc[-1] = m.l AND y[1] = m.r " +
+          "THEN list_concat(acc[1:len(acc)-1], [m.l || m.r]) " +
+          s"ELSE list_concat(acc, y) END) toks, t.cnt FROM v${i - 1} t, m$i m)"
+    }
+    sb ++= " " + (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ") +
+      " ORDER BY rank"
+    sb.toString
+  }
+
   /** `SELECT doc_id, pred FROM documents` with the langid CASE chain —
     * shared by `txt_langid` and `pipe_sample`. */
   private val duckLangIdSelect: String = {
@@ -1094,6 +1124,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "txt_vocab" -> ("SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM " +
       "(SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) AS token " +
       "FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 100"),
+    "txt_bpe_train" -> duckBpeTrain(3),
     // sequence packing: the greedy per-shard scan as a recursive CTE
     // advancing every shard one doc per iteration
     "pipe_pack" -> ("WITH RECURSIVE d AS (SELECT doc_id % 8 AS shard, " +

@@ -181,4 +181,73 @@ object Text {
         s => s("line"))).as("cleaned"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Distributed BPE merge training — tokenizer fitting, the canonical
+    * pretraining-pipeline step downstream of [[bpeTokens]]:
+    * learn `nMerges` byte-pair merges from a corpus by iterated
+    * most-frequent-adjacent-pair selection (Sennrich et al. 2016).
+    *
+    * Scale shape: ONE corpus-scale stage (pretoken explode → word counts —
+    * the same shuffle [[Text.tokens]] vocab building pays), then every
+    * iteration runs on the WORD VOCABULARY only — corpus-size-independent,
+    * one partial-agg pair count + a 1-row argmax collect per merge; the
+    * driver holds just the learned (l, r) list. Vocab lineage is cut with a
+    * localCheckpoint every few merges so the plan depth stays O(1).
+    *
+    * Determinism: ties break on (freq DESC, l ASC, r ASC); merging is greedy
+    * left-to-right and non-overlapping (`aaab` + merge (a,a) → `aa a b`),
+    * matching the standard BPE definition — the DuckDB oracle replays the
+    * identical recurrence.
+    *
+    * Returns (rank LONG, l, r, freq LONG) — one row per learned merge. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    var vocab = df
+      .select(explode(bpeTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("toks"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = vocab
+        .filter(size(col("toks")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("l"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("r"))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, freq) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank.toLong, l, r, freq))
+        val m = l + r
+        // greedy left-to-right merge; CaseWhen branches evaluate in order so
+        // element_at never sees an empty accumulator
+        vocab = vocab.select(
+          aggregate(col("toks"),
+            array().cast(ArrayType(StringType, containsNull = false)),
+            (acc, x) =>
+              when(size(acc) === 0, array(x))
+                .when(element_at(acc, -1) === lit(l) && x === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+                .otherwise(concat(acc, array(x)))).as("toks"),
+          col("cnt"))
+        if (rank % 4 == 0) vocab = vocab.localCheckpoint()
+        rank += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.result().map { case (rk, l, r, f) => Row(rk, l, r, f) }.asJava,
+      StructType(Seq(StructField("rank", LongType), StructField("l", StringType),
+        StructField("r", StringType), StructField("freq", LongType))))
+  }
 }

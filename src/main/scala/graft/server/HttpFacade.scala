@@ -271,6 +271,22 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             chk(ex, None, Auth.PermAdmin); dropIndex(idx)
           case Array("index", idx) if method == "GET" =>
             chk(ex, Some(idx), Auth.PermRead); indexInfo(idx)
+          // `GET /index/{i}/dataframe` (`http_handler.go:508`,
+          // `apply.go:655-686` GetDataframeSchema): the Apply()/Arrow()
+          // sidecar schema in the arrow type vocabulary — here the table
+          // itself, typed with the changeset cast set (`apply.go:287-303`:
+          // int64 / float64 / utf8), `_ID` spelled like the sidecar's.
+          case Array("index", idx, "dataframe") if method == "GET" =>
+            chk(ex, Some(idx), Auth.PermRead)
+            import org.apache.spark.sql.types._
+            tableState(idx).schema.fields.map { f =>
+              val t = f.dataType match {
+                case StringType => "utf8"
+                case DoubleType | FloatType | _: DecimalType => "float64"
+                case _ => "int64"
+              }
+              s"""{"Name":${js(if (f.name == "_id") "_ID" else f.name)},"Type":${js(t)}}"""
+            }.mkString("[", ",", "]")
           case Array("index", idx, "field", f) if method == "POST" =>
             chk(ex, Some(idx), Auth.PermWrite); createField(idx, f, body)
           case Array("index", idx, "field", f) if method == "DELETE" =>
@@ -502,6 +518,72 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           s"${js(n)}:$maxShard"
         }
         s"""{"standard":{${entries.mkString(",")}}}"""
+      }
+    })
+    // `GET /internal/mem-usage` (`http_handler.go:560,1182-1199`,
+    // `util.go:45-57`): host memory {capacity, totalUsed}; 406 unless the
+    // Accept header admits JSON (validHeaderAcceptJSON)
+    server.createContext("/internal/mem-usage", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        if (!acceptsJson(ex)) throw PlainError(406, "JSON only acceptable response")
+        val (cap, used) = hostMemory()
+        s"""{"capacity":$cap,"totalUsed":$used}"""
+      }
+    })
+    // `GET /internal/disk-usage[/{index}]` (`http_handler.go:558-559,
+    // 1201-1224`, `util.go:59-84`): recursive byte size of the data dir
+    // (the warehouse when durable, the parquet dir otherwise) or one
+    // index's storage; a bad path answers 500 with the walk error like
+    // Go's http.Error
+    server.createContext("/internal/disk-usage", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        if (!acceptsJson(ex)) throw PlainError(406, "JSON only acceptable response")
+        val base = Option(spark.conf.get("spark.graft.warehouse", null))
+          .getOrElse(dir)
+        val rest = ex.getRequestURI.getPath
+          .stripPrefix("/internal/disk-usage").stripPrefix("/")
+        val target =
+          if (rest.isEmpty) java.nio.file.Paths.get(base)
+          else {
+            val cands = Seq(
+              java.nio.file.Paths.get(base, rest),
+              java.nio.file.Paths.get(dir, s"$rest.parquet"),
+              java.nio.file.Paths.get(dir, rest))
+            cands.find(java.nio.file.Files.exists(_)).getOrElse(
+              throw PlainError(500, s"lstat $rest: no such file or directory"))
+          }
+        var size = 0L
+        val st = java.nio.file.Files.walk(target)
+        try st.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) size += java.nio.file.Files.size(p)
+        } finally st.close()
+        s"""{"usage":$size}"""
+      }
+    })
+    // `GET /internal/nodes` (`http_handler.go:2782-2797` handleGetNodes):
+    // all cluster hosts — this single logical node
+    server.createContext("/internal/nodes", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        if (!acceptsJson(ex)) throw PlainError(406, "JSON only acceptable response")
+        s"""[{"id":"local","state":"STARTED","isPrimary":true,"uri":$nodeUri,"grpc-uri":$nodeUri}]"""
+      }
+    })
+    // `GET /internal/partition/nodes?partition=N` (`http_handler.go:564,
+    // 2750-2778`): owner nodes of a key partition; non-numeric partition
+    // answers the reference's own (mislabeled) 400 text
+    server.createContext("/internal/partition/nodes", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        if (!acceptsJson(ex)) throw PlainError(406, "JSON only acceptable response")
+        val part = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").collectFirst { case s if s.startsWith("partition=") =>
+            s.stripPrefix("partition=") }.getOrElse("")
+        if (scala.util.Try(part.toLong).isFailure)
+          throw PlainError(400, "shard should be an unsigned integer")
+        s"""[{"id":"local","state":"STARTED","isPrimary":true,"uri":$nodeUri,"grpc-uri":$nodeUri}]"""
       }
     })
     // unauthenticated like the reference (`http_handler.go:541`)
@@ -1204,6 +1286,28 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * bypasses the JSON error envelope (mutex-check's 406/400/500). */
   private case class PlainError(code: Int, text: String)
     extends RuntimeException(text)
+
+  /** Host memory (capacity, used) — /proc/meminfo, standing in for the
+    * reference's gopsutil VirtualMemory (`util.go:50-57`); JVM numbers as
+    * the non-Linux fallback. */
+  private def hostMemory(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try {
+        val kv = src.getLines().flatMap { l =>
+          l.split(":\\s+") match {
+            case Array(k, v) =>
+              v.trim.split(" ")(0).toLongOption.map(n => k -> n * 1024L)
+            case _ => None
+          }
+        }.toMap
+        val total = kv("MemTotal")
+        (total, total - kv.getOrElse("MemAvailable", 0L))
+      } finally src.close()
+    } catch { case _: Exception =>
+      val rt = Runtime.getRuntime
+      (rt.maxMemory, rt.totalMemory - rt.freeMemory)
+    }
 
   /** `validHeaderAcceptJSON` (`http_handler.go:1015-1045`): no Accept
     * header accepts anything; otherwise some listed media type must match

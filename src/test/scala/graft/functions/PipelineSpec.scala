@@ -435,4 +435,63 @@ class PipelineSpec extends SparkSpec {
     // poly hash: ('a'=97, 'b'=98) → (0*31+97)*31+98 = 3105
     assert(fps(0) == 3105L)
   }
+
+  // ------------------------------------------------------------ BPE training
+
+  /** Independent single-node BPE (Sennrich 2016): greedy left-to-right
+    * non-overlapping merges, ties (freq DESC, l, r). */
+  private def naiveBpe(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    val re = Text.BpePattern.r
+    def mergeGreedy(toks: List[String], l: String, r: String): List[String] =
+      toks.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    var vocab: Map[List[String], Long] = texts
+      .flatMap(t => re.findAllIn(t)).filter(_.exists(!_.isWhitespace))
+      .groupBy(w => w.map(_.toString).toList)
+      .map { case (toks, ws) => toks -> ws.size.toLong }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= k && !done) {
+      val pairs = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (toks, cnt) =>
+        toks.zip(toks.tail).foreach(p => pairs(p) += cnt)
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), f) = pairs.toSeq.minBy { case ((l, r), f) => (-f, l, r) }
+        out += ((rank, l, r, f))
+        vocab = vocab.toSeq.map { case (toks, cnt) => (mergeGreedy(toks, l, r), cnt) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain matches an independent single-node BPE on real docs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val got = Text.bpeTrain(docs, "text", 6).orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == naiveBpe(texts, 6))
+    assert(got.size == 6)
+  }
+
+  test("bpeTrain greedy merge is left-to-right non-overlapping") {
+    import spark.implicits._
+    // 'aaab' x3 + 'ab' x1: merge 1 must be (a,a) freq 3 (aaab contributes ONE
+    // overlapping pair-site twice but greedy counts 2 adjacent slots; the
+    // pair-count stage counts positions: aaab has (a,a) twice)
+    val df = Seq.fill(3)("aaab").zipWithIndex.map(_.swap)
+      .toDF("id", "t")
+    val got = Text.bpeTrain(df, "t", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = naiveBpe(Seq.fill(3)("aaab"), 2)
+    assert(got == want)
+    // after merging (a,a): 'aa','a','b' — NOT 'a','aa','b' (left-to-right)
+    assert(got.head._2 == "a" && got.head._3 == "a")
+  }
 }

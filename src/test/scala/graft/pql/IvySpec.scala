@@ -154,4 +154,41 @@ class IvySpec extends SparkSpec {
     val got = apply_("part", "Apply(Row(p_size > 40), 'p_partkey + p_size AS v')")
     assert(got.columns.toSeq == Seq("_id", "v") && got.count() > 0)
   }
+
+  test("differential fuzz: 150 random ivy programs, distributed vs driver-side eval") {
+    // sf0.001 ids all fall in shard 0, so the per-shard map equals a
+    // whole-corpus evaluation — the distributed path must agree exactly
+    // with Ivy.run over the collected column vectors.
+    val df = Tables.load(spark, sfDir, "part").select("_id", "p_size")
+    val rows = df.orderBy("_id").collect()
+    val env = Map[String, V](
+      "_ID" -> Vec(rows.map(r => IN(r.getAs[Number](0).longValue)).toIndexedSeq),
+      "p_size" -> Vec(rows.map(r => IN(r.getAs[Number](1).longValue)).toIndexedSeq))
+    val rnd = new scala.util.Random(42)
+    val atoms = Vector("_ID", "p_size", "2", "3", "7")
+    val ops = Vector("+", "-", "*", "max", "min")
+    def gen(depth: Int): String =
+      if (depth == 0) atoms(rnd.nextInt(atoms.size))
+      else rnd.nextInt(6) match {
+        case 0 => s"(- ${gen(depth - 1)})"
+        case 1 => s"(${Vector("+", "max", "min")(rnd.nextInt(3))}/ ${gen(depth - 1)})"
+        case _ => s"(${gen(depth - 1)} ${ops(rnd.nextInt(ops.size))} ${gen(depth - 1)})"
+      }
+    var ran = 0
+    (1 to 150).foreach { k =>
+      val prog = gen(1 + rnd.nextInt(3))
+      val want = try Some(Ivy.run(Ivy.parse(prog), env)) catch {
+        case _: ArithmeticException => None // overflow: both paths throw
+      }
+      want.foreach { w =>
+        ran += 1
+        val items = w match { case Vec(vs) => vs; case s => IndexedSeq(s) }
+        val got = Ivy.applyIvy(df, prog, None).orderBy("idx")
+          .collect().map(_.getLong(1)).toSeq
+        val wantL = items.map { case IN(v) => v; case other => fail(s"#$k non-int $other") }
+        assert(got == wantL, s"#$k mismatch for program: $prog")
+      }
+    }
+    info(s"fuzzed $ran ivy programs (of 150 generated; overflowing ones skipped)")
+  }
 }

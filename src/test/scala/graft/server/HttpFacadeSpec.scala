@@ -214,6 +214,27 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get("/userinfo")._1 == 204) // http_handler.go:4007-4010
   }
 
+  test("internal diagnostics endpoints: mem/disk usage, nodes, dataframe schema") {
+    // /internal/mem-usage (util.go:45-57 shape)
+    val (mc, mb) = get("/internal/mem-usage")
+    assert(mc == 200 && mb.contains("\"capacity\":") && mb.contains("\"totalUsed\":"))
+    // /internal/disk-usage + per-index (util.go:59-84 {"usage": bytes})
+    val (dc, db) = get("/internal/disk-usage")
+    assert(dc == 200 && db.matches("""\{"usage":\d+\}"""))
+    val (dic, dib) = get("/internal/disk-usage/lineitem")
+    assert(dic == 200 && dib.matches("""\{"usage":[1-9]\d*\}"""))
+    assert(get("/internal/disk-usage/nope_missing")._1 == 500)
+    // /internal/nodes + /internal/partition/nodes (http_handler.go:2750-2797)
+    assert(get("/internal/nodes")._2.contains("\"isPrimary\":true"))
+    assert(get("/internal/partition/nodes?partition=3")._1 == 200)
+    val (pc, pb) = get("/internal/partition/nodes?partition=x")
+    assert(pc == 400 && pb.contains("shard should be an unsigned integer"))
+    // GET /index/{i}/dataframe — arrow-vocabulary schema (apply.go:655-686)
+    val (fc, fb) = get("/index/part/dataframe")
+    assert(fc == 200 && fb.contains("""{"Name":"_ID","Type":"int64"}"""))
+    assert(fb.contains(""""Name":"p_name","Type":"utf8""""))
+  }
+
   test("GET /schema lists tables and fields; GET /status healthy") {
     val (code, body) = get("/schema")
     assert(code == 200 && body.contains(""""name":"lineitem""""))
