@@ -34,6 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at 48g. 64g = 2g/thread, the memory a 32-core executor would actually
   // get on this box, and keeps the deep rehearsal points storage-resident.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-)
+  // Throughput GC for the one-JVM executor-fleet stand-in: G1 on this heap
+  // ran the 5M-doc dedup rehearsal bimodally (164-344 s for identical
+  // consecutive runs — region/humongous churn under ~10GB of serialized
+  // checkpoint blocks per run); ParallelGC settles at 76-82 s, the
+  // flat-curve number. Override with SPARK_GC_OPTS.
+) ++ sys.env.get("SPARK_GC_OPTS").map(_.split("\\s+").toSeq)
+  .getOrElse(Seq("-XX:+UseParallelGC"))
 // forward stdin to forked `run` mains (graft.tools.Shell)
 run / connectInput := true

@@ -202,10 +202,10 @@ object Bench {
       // curve's 13.85× first step came from one-sided GC/contention drift in
       // a single timed run (its own middle point once read warm 23 s, timed
       // 57 s); min-of-N is the same discipline the headline queries use
-      def fullRun(path: String, parts: Int): Seq[Double] = {
+      def fullRun(path: String, parts: Int, nRuns: Int): Seq[Double] = {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        try (1 to 3).map { _ => // warm, timed, timed
+        try (1 to nRuns).map { _ => // warm, then timed
           val t0 = System.nanoTime()
           graft.functions.Dedup.minhashPairs(
             graft.functions.Dedup.shingledPosting(
@@ -217,7 +217,12 @@ object Bench {
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       val paths = counts.map(gen)
-      val runs = counts.zip(paths).map { case (n, p) => fullRun(p, partsFor(n)) }
+      // the deepest point gets an extra timed run: at ~50GB of heap traffic
+      // it keeps settling (page-faulting the grown heap, JIT'd spill paths)
+      // for two runs — measured 183/145/114/… monotone — and min-of-timed
+      // should read the settled number, not the settling
+      val runs = counts.zip(paths).map { case (n, p) =>
+        fullRun(p, partsFor(n), if (n >= counts.max) 4 else 3) }
       // min-of-timed ratio between consecutive points; data grows 10× per step
       val steps = runs.sliding(2).map { case Seq(a, b) =>
         num(b.drop(1).min / math.max(a.drop(1).min, 1e-9), 2) }.mkString("[", ",", "]")
