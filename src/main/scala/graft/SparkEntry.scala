@@ -708,6 +708,21 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s.sql("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
         "FROM ev_idx_q GROUP BY event_type ORDER BY seg")
     }),
+    // global seg-filtered count-distinct: index bitmaps OR-merged
+    // (BitmapOrAgg), zero fact-table scan — the reference's Count(Union(
+    // Row…)) served from fragments (plan asserted in IndexRewriteSpec)
+    "idx_rewrite_global" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val idxDir = graft.streaming.Ingest.scratch("idx_rewrite") + "/events_event_type"
+      graft.index.Bitmap.segmentIndex(base, "event_type", "user_id")
+        .write.mode("overwrite").parquet(idxDir)
+      graft.plans.IndexCatalog.register(s"$dir/events.parquet",
+        "event_type", "user_id", s.read.parquet(idxDir))
+      graft.plans.IndexRewrite.install(s)
+      base.createOrReplaceTempView("ev_idx_g")
+      s.sql("SELECT count(DISTINCT user_id) AS cnt FROM ev_idx_g " +
+        "WHERE event_type IN ('click', 'view')")
+    }),
     // Structured Streaming surface (SURVEY §2.3): each runs a genuine
     // streaming query (file source → state → sink) to completion and returns
     // the result for the oracle gate.
@@ -1320,6 +1335,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "FROM pos GROUP BY 1, 2 ORDER BY 1, 2"),
     "idx_rewrite_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
+    "idx_rewrite_global" -> ("SELECT count(DISTINCT user_id) AS cnt " +
+      "FROM events WHERE event_type IN ('click', 'view')"),
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
   )

@@ -43,6 +43,14 @@ object Bitmap {
     expr(s"graft_bitmap_build($sqlExpr)")
   }
 
+  /** bitmap_or_agg over a SQL expression: OR-merge SERIALIZED bitmaps — the
+    * cross-shard row-bitmap union reduce ([[BitmapOrAgg]]). */
+  def bitmapOrAgg(spark: SparkSession, sqlExpr: String): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_or_agg", args => BitmapOrAgg(args.head), "built-in")
+    expr(s"graft_bitmap_or_agg($sqlExpr)")
+  }
+
   // Scalar bitmap algebra — ONE surface: the codegen'd native expressions
   // ([[BitmapCardinality]] et al. in BitmapExpressions.scala). The helpers
   // here are just Column wrappers; the former duplicate `udf()` path is

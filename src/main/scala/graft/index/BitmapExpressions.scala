@@ -66,6 +66,41 @@ case class BitmapBuildAgg(child: Expression,
     copy(child = newChild)
 }
 
+/** `bitmap_or_agg(bm)` — native aggregate OR-merging SERIALIZED bitmaps
+  * (vs [[BitmapBuildAgg]], which builds from raw ids). This is the
+  * reference's cross-shard row-bitmap union reduce (`reference/
+  * executor.go:5382` union merged at the coordinator): it lets a query
+  * combine pre-built index rows — e.g. a global count-distinct over several
+  * segment bitmaps — without touching the fact table. Buffer is the live
+  * bitmap; shuffle encoding is roaring's compact serialization. */
+case class BitmapOrAgg(child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64NavigableMap] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Roaring64NavigableMap = new Roaring64NavigableMap()
+  override def update(b: Roaring64NavigableMap, row: InternalRow): Roaring64NavigableMap = {
+    val v = child.eval(row)
+    if (v != null) b.or(Bitmap.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = {
+    a.or(b); a
+  }
+  override def eval(b: Roaring64NavigableMap): Any = Bitmap.serialize(b)
+  override def serialize(b: Roaring64NavigableMap): Array[Byte] = Bitmap.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Roaring64NavigableMap = Bitmap.deserialize(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_or_agg"
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapOrAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapOrAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapOrAgg =
+    copy(child = newChild)
+}
+
 /** `bitmap_cardinality(bm)` — |bm| (the reference's per-row bitmap Count,
   * `reference/executor.go:5839`, served from a stored fragment). */
 case class BitmapCardinality(child: Expression)

@@ -73,6 +73,20 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => agg
       }
+    // GLOBAL seg-filtered count-distinct — the reference's
+    // `Count(Row(seg=v))` / `Count(Union(Row…))` answered from stored
+    // fragments (`reference/executor.go:5839,5382`): OR the matching index
+    // bitmaps, read one cardinality; no fact-table scan.
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      (globalSegFilterScan(child), globalDistinctTarget(aggExprs)) match {
+        case (Some((paths, segAttrRef, segConds)), Some(idAttr)) =>
+          IndexCatalog.lookup(paths, segAttrRef.name, idAttr.name) match {
+            case Some(entry) =>
+              substituteGlobal(agg, segAttrRef, segConds, entry).getOrElse(agg)
+            case None => agg
+          }
+        case _ => agg
+      }
   }
 
   private def groupAttr(e: Expression): Option[Attribute] = e match {
@@ -112,6 +126,69 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.nonEmpty && ids.forall(_.isDefined) && ids.flatten.distinct.length == 1)
       ids.head
     else None
+  }
+
+  /** Global case: the scan must carry at least one filter, every predicate
+    * referencing exactly one attribute — the segment column the index is
+    * keyed on. (Unfiltered global distinct is deliberately not rewritten:
+    * picking an index would be ambiguous, and a full-table distinct is a
+    * scan-shaped query anyway.) */
+  private def globalSegFilterScan(p: LogicalPlan)
+      : Option[(Seq[String], AttributeReference, Seq[Expression])] = {
+    def walk(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(Seq[String], Seq[Expression])] = p match {
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        walk(child, conds)
+      case Filter(cond, child) => walk(child, cond +: conds)
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some((fs.location.rootPaths.map(_.toString), conds))
+      case _ => None
+    }
+    walk(p, Nil).flatMap { case (paths, conds) =>
+      val refs = conds.flatMap(_.references.toSeq).distinct
+      (conds, refs) match {
+        case (c, Seq(seg: AttributeReference)) if c.nonEmpty =>
+          Some((paths, seg, conds))
+        case _ => None
+      }
+    }
+  }
+
+  /** All agg expressions must be `count(DISTINCT id)` of one id attr. */
+  private def globalDistinctTarget(aggExprs: Seq[NamedExpression])
+      : Option[AttributeReference] = {
+    val ids = aggExprs.map {
+      case Alias(AggregateExpression(Count(Seq(id: AttributeReference)), _, true, None, _), _) =>
+        Some(id)
+      case _ => None
+    }
+    if (ids.nonEmpty && ids.forall(_.isDefined) && ids.flatten.distinct.length == 1)
+      ids.head
+    else None
+  }
+
+  private def substituteGlobal(agg: Aggregate, seg: AttributeReference,
+      segConds: Seq[Expression], entry: IndexCatalog.Entry): Option[LogicalPlan] = {
+    val idxOut = entry.indexPlan.output
+    for {
+      segAttr <- idxOut.find(_.name == "seg")
+      bmAttr  <- idxOut.find(_.name == "bm")
+      if segAttr.dataType == seg.dataType
+    } yield {
+      val cond = segConds.reduce(And).transform {
+        case a: AttributeReference if a.exprId == seg.exprId => segAttr
+      }
+      val orAgg = AggregateExpression(
+        graft.index.BitmapOrAgg(bmAttr),
+        org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+        isDistinct = false)
+      val projList = agg.aggregateExpressions.map {
+        case al @ Alias(AggregateExpression(Count(_), _, true, _, _), name) =>
+          Alias(BitmapCardinality(orAgg), name)(exprId = al.exprId)
+        case other => other
+      }
+      Aggregate(Nil, projList, Filter(cond, entry.indexPlan))
+    }
   }
 
   private def substitute(agg: Aggregate, g: Attribute, segConds: Seq[Expression],
@@ -180,6 +257,8 @@ object BitmapFunctions {
       es => BitmapXorCardinality(es(0), es(1)), "built-in")
     fr.createOrReplaceTempFunction("bitmap_build",
       es => graft.index.BitmapBuildAgg(es.head), "built-in")
+    fr.createOrReplaceTempFunction("bitmap_or_agg",
+      es => graft.index.BitmapOrAgg(es.head), "built-in")
   }
 }
 

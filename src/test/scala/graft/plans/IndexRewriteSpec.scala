@@ -93,4 +93,54 @@ class IndexRewriteSpec extends SparkSpec {
     assert((pair.getLong(0), pair.getLong(1), pair.getLong(2), pair.getLong(3))
       == ((2L, 3L, 1L, 1L)))
   }
+
+  test("TopK-by-distinct-count is served from the index (Sort/Limit compose)") {
+    buildAndRegister()
+    val q = spark.sql(
+      "SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
+        "FROM ev_idx GROUP BY event_type ORDER BY cnt DESC, seg LIMIT 3")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bitmap_cardinality"), s"not rewritten:\n$opt")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("events.parquet"), s"fact table still scanned:\n$phys")
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type").as("seg"))
+      .agg(countDistinct("user_id").as("cnt"))
+      .orderBy(col("cnt").desc, col("seg")).limit(3).collect()
+    assert(q.collect().toSeq == want.toSeq)
+  }
+
+  test("global seg-filtered count-distinct ORs index bitmaps, no fact scan") {
+    buildAndRegister()
+    val q = spark.sql(
+      "SELECT count(DISTINCT user_id) AS cnt FROM ev_idx " +
+        "WHERE event_type IN ('click', 'view')")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bitmap_or_agg") && opt.contains("bitmap_cardinality"),
+      s"not rewritten:\n$opt")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("events.parquet"), s"fact table still scanned:\n$phys")
+    val want = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .agg(countDistinct("user_id").as("cnt")).collect()
+    assert(q.collect().toSeq == want.toSeq)
+    // equality predicate works too (the Count(Row(seg=v)) shape)
+    val q1 = spark.sql(
+      "SELECT count(DISTINCT user_id) AS cnt FROM ev_idx WHERE event_type = 'click'")
+    assert(q1.queryExecution.optimizedPlan.toString.contains("bitmap_or_agg"))
+    val want1 = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "click")
+      .agg(countDistinct("user_id").as("cnt")).collect()
+    assert(q1.collect().toSeq == want1.toSeq)
+  }
+
+  test("global rewrite declines without a seg filter or with foreign predicates") {
+    buildAndRegister()
+    val plain = spark.sql("SELECT count(DISTINCT user_id) FROM ev_idx")
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("bitmap_or_agg"))
+    val mixed = spark.sql(
+      "SELECT count(DISTINCT user_id) FROM ev_idx " +
+        "WHERE event_type = 'click' AND value > 10")
+    assert(!mixed.queryExecution.optimizedPlan.toString.contains("bitmap_or_agg"))
+  }
 }
