@@ -708,6 +708,19 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s.sql("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
         "FROM ev_idx_q GROUP BY event_type ORDER BY seg")
     }),
+    // PQL Count(Row(seg=v)) served scan-free from a RECORD-ID index —
+    // the reference's headline bitmap count (`executor.go:5839`); _id
+    // uniqueness makes per-seg cardinality = row count
+    "idx_rewrite_pqlcount" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val idxDir = graft.streaming.Ingest.scratch("idx_rewrite") + "/events_type_recid"
+      graft.index.Bitmap.segmentIndex(base, "event_type", "_id")
+        .write.mode("overwrite").parquet(idxDir)
+      graft.plans.IndexCatalog.register(s"$dir/events.parquet",
+        "event_type", "_id", s.read.parquet(idxDir))
+      graft.plans.IndexRewrite.install(s)
+      Pql.run(s, dir, "events", "Count(Row(event_type='click'))")
+    }),
     // global seg-filtered count-distinct: index bitmaps OR-merged
     // (BitmapOrAgg), zero fact-table scan — the reference's Count(Union(
     // Row…)) served from fragments (plan asserted in IndexRewriteSpec)
@@ -1337,6 +1350,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "FROM events GROUP BY 1 ORDER BY 1"),
     "idx_rewrite_global" -> ("SELECT count(DISTINCT user_id) AS cnt " +
       "FROM events WHERE event_type IN ('click', 'view')"),
+    "idx_rewrite_pqlcount" ->
+      "SELECT count(*) AS cnt FROM events WHERE event_type = 'click'",
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
   )

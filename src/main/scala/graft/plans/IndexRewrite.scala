@@ -65,28 +65,53 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case agg @ Aggregate(Seq(groupExpr), aggExprs, child, _)
         if groupAttr(groupExpr).isDefined =>
       val g = groupAttr(groupExpr).get
-      (scanWithSegFilter(child, g), distinctCountTarget(aggExprs, g)) match {
-        case (Some((paths, segConds)), Some(idAttr)) =>
-          IndexCatalog.lookup(paths, g.name, idAttr.name) match {
+      val target = distinctCountTarget(aggExprs, g).map(_.name)
+        // plain count(*) per segment: valid against a RECORD-ID index —
+        // `_id` is unique per record (the FB data model invariant,
+        // `reference/index.go:26`), so per-seg cardinality = row count
+        .orElse(if (rowCountShape(aggExprs, Some(g))) Some("_id") else None)
+      (scanWithSegFilter(child, g), target) match {
+        case (Some((paths, segConds)), Some(idName)) =>
+          IndexCatalog.lookup(paths, g.name, idName) match {
             case Some(entry) => substitute(agg, g, segConds, entry).getOrElse(agg)
             case None        => agg
           }
         case _ => agg
       }
-    // GLOBAL seg-filtered count-distinct — the reference's
-    // `Count(Row(seg=v))` / `Count(Union(Row…))` answered from stored
-    // fragments (`reference/executor.go:5839,5382`): OR the matching index
-    // bitmaps, read one cardinality; no fact-table scan.
+    // GLOBAL seg-filtered count — the reference's `Count(Row(seg=v))` /
+    // `Count(Union(Row…))` answered from stored fragments
+    // (`reference/executor.go:5839,5382`): OR the matching index bitmaps,
+    // read one cardinality; no fact-table scan. count(DISTINCT id) against
+    // its index; plain count(*) against a record-id (`_id`) index.
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
-      (globalSegFilterScan(child), globalDistinctTarget(aggExprs)) match {
-        case (Some((paths, segAttrRef, segConds)), Some(idAttr)) =>
-          IndexCatalog.lookup(paths, segAttrRef.name, idAttr.name) match {
+      val target = globalDistinctTarget(aggExprs).map(_.name)
+        .orElse(if (rowCountShape(aggExprs, None)) Some("_id") else None)
+      (globalSegFilterScan(child), target) match {
+        case (Some((paths, segAttrRef, segConds)), Some(idName)) =>
+          IndexCatalog.lookup(paths, segAttrRef.name, idName) match {
             case Some(entry) =>
               substituteGlobal(agg, segAttrRef, segConds, entry).getOrElse(agg)
             case None => agg
           }
         case _ => agg
       }
+  }
+
+  /** All (non-group) agg expressions are plain `count(1)`/`count(*)` —
+    * non-distinct Count over a literal. */
+  private def rowCountShape(aggExprs: Seq[NamedExpression],
+      g: Option[Attribute]): Boolean = {
+    val nonGroup = aggExprs.filter {
+      case a: AttributeReference => !g.exists(_.exprId == a.exprId)
+      case Alias(a: AttributeReference, _) => !g.exists(_.exprId == a.exprId)
+      case _ => true
+    }
+    nonGroup.nonEmpty && nonGroup.forall {
+      case Alias(AggregateExpression(
+        Count(Seq(_: org.apache.spark.sql.catalyst.expressions.Literal)),
+        _, false, None, _), _) => true
+      case _ => false
+    }
   }
 
   private def groupAttr(e: Expression): Option[Attribute] = e match {
@@ -183,7 +208,7 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
         isDistinct = false)
       val projList = agg.aggregateExpressions.map {
-        case al @ Alias(AggregateExpression(Count(_), _, true, _, _), name) =>
+        case al @ Alias(AggregateExpression(Count(_), _, _, _, _), name) =>
           Alias(BitmapCardinality(orAgg), name)(exprId = al.exprId)
         case other => other
       }
@@ -204,7 +229,7 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(segAttr, a.name)(exprId = a.exprId)
         case al @ Alias(a: AttributeReference, name) if a.exprId == g.exprId =>
           Alias(segAttr, name)(exprId = al.exprId)
-        case al @ Alias(AggregateExpression(Count(_), _, true, _, _), name) =>
+        case al @ Alias(AggregateExpression(Count(_), _, _, _, _), name) =>
           Alias(BitmapCardinality(bmAttr), name)(exprId = al.exprId)
         case other => other
       }

@@ -134,6 +134,44 @@ class IndexRewriteSpec extends SparkSpec {
     assert(q1.collect().toSeq == want1.toSeq)
   }
 
+  private def registerRecordIdIndex(): Unit = {
+    val base = Tables.load(spark, sfDir, "events")
+    val idxDir = "/tmp/graft_index/events_type_recid"
+    Bitmap.segmentIndex(base, "event_type", "_id")
+      .write.mode("overwrite").parquet(idxDir)
+    IndexCatalog.register(s"$sfDir/events.parquet", "event_type", "_id",
+      spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    base.createOrReplaceTempView("ev_idx")
+  }
+
+  test("plain count(*) per segment is served from a record-id index") {
+    registerRecordIdIndex()
+    val q = spark.sql(
+      "SELECT event_type AS seg, count(*) AS cnt FROM ev_idx " +
+        "GROUP BY event_type ORDER BY seg")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bitmap_cardinality"), s"not rewritten:\n$opt")
+    assert(!q.queryExecution.executedPlan.toString.contains("events.parquet"))
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type").as("seg"))
+      .agg(count(lit(1)).as("cnt")).orderBy("seg").collect()
+    assert(q.collect().toSeq == want.toSeq)
+  }
+
+  test("PQL Count(Row(seg=v)) is served scan-free through the same rule") {
+    registerRecordIdIndex()
+    val q = graft.pql.Pql.run(spark, sfDir, "events",
+      "Count(Row(event_type='click'))")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bitmap"), s"PQL count not index-served:\n$opt")
+    assert(!q.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "fact table still scanned")
+    val want = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "click").count()
+    assert(q.collect()(0).getLong(0) == want)
+  }
+
   test("global rewrite declines without a seg filter or with foreign predicates") {
     buildAndRegister()
     val plain = spark.sql("SELECT count(DISTINCT user_id) FROM ev_idx")
