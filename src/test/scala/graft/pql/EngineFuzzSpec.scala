@@ -132,7 +132,38 @@ class EngineFuzzSpec extends SparkSpec {
         try f catch { case e: Throwable =>
           throw new AssertionError(s"#$k over ${pqlOf(p)}: $e", e) }
       ctx {
-      rnd.nextInt(9) match {
+      rnd.nextInt(12) match {
+        case 9 => // Limit: ids in _id order, paged
+          val off = rnd.nextInt(4)
+          val lim = 1 + rnd.nextInt(6)
+          val want = matches.map(_.id).sorted.slice(off, off + lim)
+          val got = compile(s"Limit(${pqlOf(p)}, limit=$lim, offset=$off)")
+            .collect().map(_.getLong(0)).toSeq
+          assert(got == want, s"#$k Limit($lim,$off): got $got want $want")
+        case 10 => // Sort by BSI field: (_id, i) by (value, _id), Spark null
+          // convention (asc nulls first / desc nulls last), optional limit
+          val desc = rnd.nextBoolean()
+          val lim = 1 + rnd.nextInt(8)
+          // asc = nulls first (None < Some); desc = full reverse of that =
+          // values descending, nulls last — Spark's orderBy convention
+          val key: Ordering[(Option[Long], Long)] =
+            Ordering.Tuple2(
+              if (desc) Ordering.Option(Ordering.Long).reverse
+              else Ordering.Option(Ordering.Long),
+              Ordering.Long)
+          val want = matches.map(r => (r.i, r.id)).sorted(key)
+            .take(lim).map { case (i, id) => (id, i.map(Long.box).orNull) }
+          val got = compile(
+            s"Sort(${pqlOf(p)}, field=i, sort-desc=$desc, limit=$lim)")
+            .collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) null else Long.box(r.getLong(1)))).toSeq
+          assert(got == want, s"#$k Sort(desc=$desc,lim=$lim): got $got want $want")
+        case 11 => // FieldValue point read
+          val id = rnd.nextInt(recs.size + 5).toLong
+          val want = recs.find(_.id == id).flatMap(_.i)
+          val rows = compile(s"FieldValue(field=i, column=$id)").collect()
+          val got = rows.headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+          assert(got == want, s"#$k FieldValue($id): got $got want $want")
         case 7 => // GroupBy over a scalar field: (group, cnt)
           val got = compile(s"GroupBy(Rows(s), filter=${pqlOf(p)})")
             .collect().map(r => (r.getString(0), r.getLong(1))).toSet
