@@ -55,7 +55,8 @@ object Ivy {
 
   private val binOps = Set("+", "-", "*", "/", "**", "mod", "div", "max", "min",
     "==", "!=", "<", "<=", ">", ">=", "and", "or", "xor", ",", "rho", "take", "drop")
-  private val unOps = Set("-", "+", "not", "abs", "iota", "rho", "floor", "ceil", "sgn", "rev")
+  private val unOps = Set("-", "+", "not", "abs", "iota", "rho", "floor", "ceil",
+    "sgn", "rev", "sqrt", "log", "exp", "up", "down")
 
   // ------------------------------------------------------------------ parser
 
@@ -242,7 +243,7 @@ object Ivy {
   }
 
   private def unary(op: String, v: V): V = (op, v) match {
-    case (_, Vec(vs)) if op != "iota" && op != "rho" && op != "rev" =>
+    case (_, Vec(vs)) if !Set("iota", "rho", "rev", "up", "down")(op) =>
       Vec(vs.map(unary(op, _)))
     case ("-", IN(a)) => IN(-a)
     case ("-", FN(a)) => FN(-a)
@@ -264,6 +265,21 @@ object Ivy {
     case ("rho", _) => Vec(IndexedSeq.empty) // scalar has empty shape
     case ("rev", Vec(vs)) => Vec(vs.reverse)
     case ("rev", s) => s
+    case ("sqrt", x) =>
+      val d = toD(x); if (d < 0) err("sqrt of negative") else FN(math.sqrt(d))
+    case ("log", x) =>
+      val d = toD(x); if (d <= 0) err("log of non-positive") else FN(math.log(d))
+    case ("exp", x) => FN(math.exp(toD(x)))
+    // grade up/down: origin-1 index permutation that sorts the vector
+    // (stable — ties keep original order), the APL `x[up x]` sort idiom
+    case ("up", Vec(vs)) =>
+      Vec(vs.zipWithIndex.sortBy { case (x, i) => (sortKey(x), i) }
+        .map { case (_, i) => IN(i + 1L) })
+    case ("down", Vec(vs)) =>
+      Vec(vs.zipWithIndex.sortBy { case (x, i) => (-sortKey(x), i) }
+        .map { case (_, i) => IN(i + 1L) })
+    case ("up", s) => IN(1)
+    case ("down", s) => IN(1)
     case _ => err(s"unary $op undefined on ${tn(v)}")
   }
 
@@ -358,6 +374,11 @@ object Ivy {
 
   private def toD(v: V): Double = v match {
     case IN(a) => a.toDouble; case FN(a) => a; case _ => err("number expected")
+  }
+
+  private def sortKey(v: V): Double = v match {
+    case IN(a) => a.toDouble; case FN(a) => a
+    case _ => err("grade of non-numeric vector")
   }
 
   /** APL right-fold reduction: op/x1 x2 x3 = x1 op (x2 op x3). */

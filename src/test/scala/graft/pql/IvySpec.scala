@@ -66,6 +66,17 @@ class IvySpec extends SparkSpec {
     assert(ev("not 0 1 5") == Vec(IndexedSeq(IN(1), IN(0), IN(0))))
   }
 
+  test("sqrt/log/exp and grade up/down (the x[up x] sort idiom)") {
+    assert(ev("sqrt 16") == FN(4.0))
+    assert(ev("floor exp log 7") == IN(6) || ev("floor exp log 7") == IN(7))
+    assert(ev("up 30 10 20") == Vec(IndexedSeq(IN(2), IN(3), IN(1))))
+    assert(ev("down 30 10 20") == Vec(IndexedSeq(IN(1), IN(3), IN(2))))
+    assert(ev("x[up x]", Map("x" -> Vec(IndexedSeq(IN(3), IN(1), IN(2)))))
+      == Vec(IndexedSeq(IN(1), IN(2), IN(3))))
+    // stable grade: ties keep original order
+    assert(ev("up 5 5 1") == Vec(IndexedSeq(IN(3), IN(1), IN(2))))
+  }
+
   test("assignment statements; `_` is the last evaluated expression") {
     assert(ev("x = iota 4\n+/x*x") == IN(30))
     assert(ev("x = 2\ny = 3\nx**y") == IN(8))
