@@ -120,6 +120,16 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A predicate may move from the fact table onto the index table only if
+    * re-evaluating it once per index row instead of once per fact row cannot
+    * change its value: it must be deterministic (`seg = 'a' OR rand() < 0.5`
+    * references only seg yet is per-row random) and subquery-free (a
+    * [[org.apache.spark.sql.catalyst.expressions.PlanExpression]] would be
+    * re-planned against the wrong child). */
+  private def transferable(cond: Expression): Boolean =
+    cond.deterministic &&
+      cond.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty
+
   /** Child must be a (column-pruned) parquet scan: Project of plain
     * attributes over a LogicalRelation, optionally filtered on the SEGMENT
     * column only — such predicates transfer onto the index table's `seg`
@@ -130,7 +140,8 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def scanWithSegFilter(p: LogicalPlan, g: Attribute): Option[(Seq[String], Seq[Expression])] = p match {
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       scanWithSegFilter(child, g)
-    case Filter(cond, child) if cond.references.subsetOf(AttributeSet(Seq(g))) =>
+    case Filter(cond, child) if cond.references.subsetOf(AttributeSet(Seq(g))) &&
+        transferable(cond) =>
       scanWithSegFilter(child, g).map { case (paths, conds) => (paths, cond +: conds) }
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       Some((fs.location.rootPaths.map(_.toString), Nil))
@@ -164,7 +175,7 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         : Option[(Seq[String], Seq[Expression])] = p match {
       case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
         walk(child, conds)
-      case Filter(cond, child) => walk(child, cond +: conds)
+      case Filter(cond, child) if transferable(cond) => walk(child, cond +: conds)
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         Some((fs.location.rootPaths.map(_.toString), conds))
       case _ => None

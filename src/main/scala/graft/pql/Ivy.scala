@@ -332,8 +332,24 @@ object Ivy {
       case "div" => if (b == 0) err("division by zero") else IN(Math.floorDiv(a, b))
       case "mod" => if (b == 0) err("division by zero") else IN(Math.floorMod(a, b))
       case "**" =>
-        if (b >= 0) { var acc = 1L; var i = 0L; while (i < b) { acc = Math.multiplyExact(acc, a); i += 1 }; IN(acc) }
-        else FN(math.pow(a.toDouble, b.toDouble))
+        // Squaring, not an O(b) loop: `1 ** 999999999999` must not spin a
+        // core. |base|<=1 fast-paths (the only bases where a huge exponent
+        // doesn't overflow anyway); any other base overflows multiplyExact
+        // within 63 steps, bounding the loop.
+        if (b >= 0) {
+          if (a == 0L) IN(if (b == 0) 1L else 0L)
+          else if (a == 1L) IN(1L)
+          else if (a == -1L) IN(if ((b & 1L) == 0L) 1L else -1L)
+          else {
+            var acc = 1L; var base = a; var e = b
+            while (e > 0) {
+              if ((e & 1L) == 1L) acc = Math.multiplyExact(acc, base)
+              e >>= 1
+              if (e > 0) base = Math.multiplyExact(base, base)
+            }
+            IN(acc)
+          }
+        } else FN(math.pow(a.toDouble, b.toDouble))
       case "max" => IN(math.max(a, b))
       case "min" => IN(math.min(a, b))
       case "==" => IN(if (a == b) 1 else 0)
@@ -505,8 +521,12 @@ object Ivy {
       // per-shard counts (O(shards) driver state, broadcast back) — NOT a
       // global row_number window, which would funnel the whole result
       // through one partition. One pass also reads the max kind for the
-      // output column type.
-      val persisted = cells.toDF().persist(
+      // output column type. localCheckpoint (not persist): persist pins
+      // blocks in persistentRdds until an explicit unpersist that no caller
+      // here could issue, so a long-lived server accumulated one cached
+      // cells copy per Apply query; checkpoint blocks are freed by
+      // ContextCleaner once the returned DataFrame is dropped.
+      val persisted = cells.toDF().localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val stats = persisted.groupBy("shard")
         .agg(count(lit(1)).as("n"), max(col("kind")).as("k"))

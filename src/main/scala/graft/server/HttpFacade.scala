@@ -544,13 +544,21 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           .getOrElse(dir)
         val rest = ex.getRequestURI.getPath
           .stripPrefix("/internal/disk-usage").stripPrefix("/")
+        // `..` segments must not escape the data roots: a PermRead caller
+        // could otherwise size (and expensively walk) arbitrary directories.
+        val roots = Seq(base, dir).map(r =>
+          java.nio.file.Paths.get(r).toAbsolutePath.normalize)
+        def inRoots(p: java.nio.file.Path): Boolean = {
+          val n = p.toAbsolutePath.normalize
+          roots.exists(n.startsWith)
+        }
         val target =
           if (rest.isEmpty) java.nio.file.Paths.get(base)
           else {
             val cands = Seq(
               java.nio.file.Paths.get(base, rest),
               java.nio.file.Paths.get(dir, s"$rest.parquet"),
-              java.nio.file.Paths.get(dir, rest))
+              java.nio.file.Paths.get(dir, rest)).filter(inRoots)
             cands.find(java.nio.file.Files.exists(_)).getOrElse(
               throw PlainError(500, s"lstat $rest: no such file or directory"))
           }

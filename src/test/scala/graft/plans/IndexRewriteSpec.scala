@@ -181,4 +181,21 @@ class IndexRewriteSpec extends SparkSpec {
         "WHERE event_type = 'click' AND value > 10")
     assert(!mixed.queryExecution.optimizedPlan.toString.contains("bitmap_or_agg"))
   }
+
+  test("nondeterministic seg-only predicates are NOT transferred to the index") {
+    buildAndRegister()
+    // `event_type = 'click' OR rand() < 0.5` references only seg, but
+    // evaluating it once per index row instead of once per fact row would
+    // change results — the rewrite must decline both shapes.
+    val grouped = spark.sql(
+      "SELECT event_type, count(DISTINCT user_id) FROM ev_idx " +
+        "WHERE event_type = 'click' OR rand() < 0.5 GROUP BY event_type")
+    assert(!grouped.queryExecution.optimizedPlan.toString.contains("bitmap_cardinality"),
+      "nondeterministic filter transferred onto grouped index scan")
+    val global = spark.sql(
+      "SELECT count(DISTINCT user_id) FROM ev_idx " +
+        "WHERE event_type = 'click' OR rand() < 0.5")
+    assert(!global.queryExecution.optimizedPlan.toString.contains("bitmap_or_agg"),
+      "nondeterministic filter transferred onto global index scan")
+  }
 }

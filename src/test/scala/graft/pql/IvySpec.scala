@@ -36,6 +36,25 @@ class IvySpec extends SparkSpec {
     assert(ev("2**10") == IN(1024))
   }
 
+  test("** is squaring with overflow check, not an O(exponent) loop") {
+    // |base|<=1 with a huge exponent must return instantly (was a spin loop)
+    val t0 = System.nanoTime()
+    assert(ev("1 ** 999999999999") == IN(1))
+    assert(ev("0 ** 999999999999") == IN(0))
+    assert(ev("0 ** 0") == IN(1))
+    assert(ev("5 ** 0") == IN(1))
+    assert(ev("3 ** 1") == IN(3))
+    assert(ev("(0-1) ** 999999999999") == IN(-1))
+    assert(ev("(0-1) ** 999999999998") == IN(1))
+    assert((System.nanoTime() - t0) < 2e9, "|a|<=1 fast path must not loop")
+    assert(ev("2 ** 62") == IN(1L << 62))
+    assert(ev("3 ** 5") == IN(243))
+    assert(ev("(0-2) ** 3") == IN(-8))
+    // any |base|>=2 overflows within 63 squarings — error, not a hang
+    intercept[Exception](ev("2 ** 64"))
+    intercept[Exception](ev("2 ** 999999999999"))
+  }
+
   test("iota, rho, take, drop, rev, indexing at origin 1") {
     assert(ev("iota 5") == Vec((1L to 5).map(IN(_)).toIndexedSeq))
     assert(ev("rho iota 5") == IN(5))

@@ -224,6 +224,10 @@ class HttpFacadeSpec extends SparkSpec {
     val (dic, dib) = get("/internal/disk-usage/lineitem")
     assert(dic == 200 && dib.matches("""\{"usage":[1-9]\d*\}"""))
     assert(get("/internal/disk-usage/nope_missing")._1 == 500)
+    // `..` traversal must not escape the data roots (information disclosure)
+    assert(get("/internal/disk-usage/../..")._1 == 500)
+    assert(get("/internal/disk-usage/..%2F..%2Fetc")._1 == 500)
+    assert(get("/internal/disk-usage/foo/../../..")._1 == 500)
     // /internal/nodes + /internal/partition/nodes (http_handler.go:2750-2797)
     assert(get("/internal/nodes")._2.contains("\"isPrimary\":true"))
     assert(get("/internal/partition/nodes?partition=3")._1 == 200)
