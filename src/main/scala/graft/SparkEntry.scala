@@ -583,6 +583,15 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       Dedup.minhashPairs(Dedup.shingledPosting(
         docs(s, dir), "doc_id", "text", layoutById = true), 0.5)),
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    // exact-substring dedup (Lee et al. 2021 shape): every 5-token run
+    // occurring at >1 corpus position is cut from all occurrences
+    "dd_substring" -> ((s, dir) =>
+      Dedup.substringDedup(docs(s, dir), "doc_id", "text", 5)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+    // BM25 keyword relevance over the corpus for a fixed query-term set
+    "txt_bm25" -> ((s, dir) =>
+      Text.bm25(docs(s, dir), "doc_id", "text", Seq("spark", "hash", "window"))
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
     // flagship composition: the whole training-data cleaning pipeline as ONE
     // oracle-checked query — predicted-language filter → token-count filter →
     // near-dup cluster dedup (keep-one) → corpus stats
@@ -1225,6 +1234,48 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     },
     "dd_exact" -> ("SELECT count(*) AS n, count(DISTINCT text) AS n_distinct, " +
       "count(*) - count(DISTINCT text) AS n_dupes FROM documents"),
+    // exact-substring dedup: replay the 48-bit poly hash over each 5-token
+    // gram (chr(31)-joined), find grams at >1 corpus position, merge covered
+    // spans per doc, rebuild from surviving tokens
+    "dd_substring" -> ("WITH d AS (SELECT doc_id, " +
+      "list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents), " +
+      "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, " +
+      "list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(string_split(array_to_string(ts[i:i+4], chr(31)), ''), " +
+      "c -> ascii(c)::BIGINT)), " +
+      s"(acc,x) -> (acc*31+x) % ${graft.functions.Text.FpMod}) AS gh " +
+      "FROM d, unnest(range(1, greatest(len(ts)-3, 1))) u(i)), " +
+      "dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1), " +
+      "cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM g JOIN dup USING (gh), " +
+      "unnest(range(0, 5)) v(o)), " +
+      "isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER " +
+      "(PARTITION BY doc_id ORDER BY p) = 1 THEN 0 ELSE 1 END AS brk FROM cov), " +
+      "sp AS (SELECT doc_id, CAST(sum(brk) AS BIGINT) AS n_spans, " +
+      "CAST(count(*) AS BIGINT) AS n_removed FROM isl GROUP BY doc_id), " +
+      "tk AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS tok " +
+      "FROM d, unnest(range(1, len(ts)+1)) u(i)), " +
+      "cl AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text " +
+      "FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.p " +
+      "WHERE cov.p IS NULL GROUP BY tk.doc_id) " +
+      "SELECT d.doc_id, COALESCE(sp.n_spans, 0) AS n_spans, " +
+      "COALESCE(sp.n_removed, 0) AS n_removed, " +
+      "COALESCE(cl.clean_text, '') AS clean_text " +
+      "FROM d LEFT JOIN sp USING (doc_id) LEFT JOIN cl USING (doc_id) " +
+      "ORDER BY doc_id"),
+    // BM25 with the Lucene k1=1.2 b=0.75 defaults and ln(1+(N-df+.5)/(df+.5))
+    "txt_bm25" -> ("WITH d AS (SELECT doc_id, " +
+      "list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, ts FROM d), " +
+      "st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf " +
+      "FROM (SELECT doc_id, dl, unnest(ts) AS tok FROM dl) " +
+      "WHERE tok IN ('spark','hash','window') GROUP BY doc_id, dl, tok), " +
+      "df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok) " +
+      "SELECT tf.doc_id, " +
+      "sum(ln((st.nd - df.df + 0.5) / (df.df + 0.5) + 1.0) " +
+      "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score " +
+      "FROM tf JOIN df USING (tok) CROSS JOIN st " +
+      "GROUP BY tf.doc_id ORDER BY doc_id"),
     // boilerplate line removal: same augmentation, line doc-frequency ≥ 100
     // dropped, docs reassembled in line order
     "pipe_linededup" -> ("WITH aug AS (SELECT doc_id, text || chr(10) || " +

@@ -250,4 +250,40 @@ object Text {
       StructType(Seq(StructField("rank", LongType), StructField("l", StringType),
         StructField("r", StringType), StructField("freq", LongType))))
   }
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson/Spärck Jones; the Lucene `(k1=1.2, b=0.75)` defaults and its
+    * non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf).
+    *
+    * Scale shape (100 TB): the per-document term-frequency table is filtered
+    * to the query terms INSIDE the scan projection (map-side, before any
+    * exchange), so the one shuffle carries a row per (query term, matching
+    * doc), not the corpus vocabulary; document-frequency stats aggregate
+    * from that already-tiny table and broadcast back. Corpus size and mean
+    * doc length are one scalar aggregate. No inverted index is required for
+    * a fixed query set — for ad-hoc serving, persist `tf` keyed by term and
+    * this becomes an index lookup.
+    *
+    * Returns (id, score DOUBLE) for documents matching ≥1 term. */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .withColumn("dl", size(col("ts")))
+    val stat = toks.agg(count(lit(1)).as("nd"), avg(col("dl")).as("avgdl")).head()
+    val nd = stat.getLong(0).toDouble
+    val avgdl = stat.getDouble(1)
+    val termArr = array(terms.map(lit): _*)
+    val tf = toks.select(col("id"), col("dl"),
+        explode(filter(col("ts"), t => array_contains(termArr, t))).as("t"))
+      .groupBy("id", "dl", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "t")
+      .withColumn("idf",
+        log((lit(nd) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy("id").agg(sum(col("s")).as("score"))
+  }
 }

@@ -613,13 +613,50 @@ object Ddl {
     case other                            => other.simpleString
   }
 
-  /** Bind an incoming value column to a SETQ target: plain set literals get
-    * the statement's batch time, `{ts, [..]}` tuples their own view time —
-    * the reference's FieldTypeTime import path (`reference/sql3/planner/
-    * opinsert.go:259-330`: plain slice → `row.Time = qbatchTime`, tuple →
-    * member[0] coerced to timestamp, member[1] the set). Mis-shaped
-    * assignments raise the reference's type-checker wording. */
-  private def bindSetq(df: DataFrame, f: StructField, c: Column): Column = {
+  /** The shared per-row quantum write time (`fbbatch.Row.Time` — ONE time
+    * per inserted row, `reference/batch/batch.go:355-363`): the reference's
+    * insert loop walks the statement's columns in order and each SETQ
+    * column's SHAPE updates it (`opinsert.go:259-330` FieldTypeTime switch)
+    * — a `{ts, [..]}` tuple sets its timestamp, a plain ID-set literal sets
+    * the statement batch time (`qbatchTime` = now, `opinsert.go:172-173`),
+    * a plain string-set literal leaves it untouched. EVERY quantum member
+    * in the row is then written at the FINAL value, so with two setq
+    * columns the LAST one's tuple timestamp silently rebinds the first's
+    * (`defs_timequantum.go:103-118` → the rangeq expectations pin exactly
+    * that). Quantum-shaped pass-throughs (table-to-table COPY) keep their
+    * own per-member times and don't participate. */
+  private def rowQuantumTime(df: DataFrame, schema: StructType,
+                             provided: Seq[String]): Column = {
+    val now = lit(java.sql.Timestamp.from(java.time.Instant.now()))
+      .cast(TimestampType)
+    val contributions = provided.flatMap { name =>
+      schema.fields.find(_.name == name)
+        .filter(f => isSetq(f.dataType)).flatMap { _ =>
+          df.schema(name).dataType match {
+            case st: StructType if st.fields.length == 2 =>
+              st.fields(0).dataType match {
+                case TimestampType => Some(col(name).getField(st.fields(0).name))
+                case StringType =>
+                  Some(col(name).getField(st.fields(0).name).cast(TimestampType))
+                case _: NumericType => Some(timestamp_seconds(
+                  col(name).getField(st.fields(0).name).cast(LongType)))
+                case _ => None
+              }
+            case ArrayType(_: NumericType, _) => Some(now) // plain idset
+            case _ => None // plain stringset / quantum-shaped / other
+          }
+        }
+    }
+    contributions.lastOption.getOrElse(now)
+  }
+
+  /** Bind an incoming value column to a SETQ target at the row's SHARED
+    * quantum time (see [[rowQuantumTime]]) — a tuple's own timestamp is NOT
+    * what its members are stored under unless it is also the row's final
+    * time. Mis-shaped assignments raise the reference's type-checker
+    * wording. */
+  private def bindSetq(df: DataFrame, f: StructField, c: Column,
+                       rowTime: Column): Column = {
     val elemT = f.dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[StructType]("value").dataType
     val qname = refName(f.dataType)
@@ -640,21 +677,14 @@ object Ddl {
               if setOk(e) && (tsT == StringType || tsT == TimestampType ||
                               tsT.isInstanceOf[NumericType]) =>
             validateTupleTs(df, f.name, st) // after shape check, like coerceValue
-            val tsm = c.getField(st.fields(0).name)
-            val ts = tsT match {
-              case TimestampType  => tsm
-              case StringType     => tsm.cast(TimestampType)
-              case _              => timestamp_seconds(tsm.cast(LongType))
-            }
-            transform(c.getField(st.fields(1).name), x => entry(x, ts))
+            transform(c.getField(st.fields(1).name), x => entry(x, rowTime))
           case _ =>
             sys.error(s"an expression of type '${refName(st)}' cannot be " +
               s"assigned to type '$qname'")
         }
       case ArrayType(e, _) if setOk(e) =>
-        // plain set literal: all views at batch time (qbatchTime)
-        transform(c, x => entry(x, lit(java.sql.Timestamp.from(
-          java.time.Instant.now())).cast(TimestampType)))
+        // plain set literal: written at the row's shared time
+        transform(c, x => entry(x, rowTime))
       case other =>
         sys.error(s"an expression of type '${refName(other)}' cannot be " +
           s"assigned to type '$qname'")
@@ -714,6 +744,7 @@ object Ddl {
       case _: NumericType => true
       case _              => false
     }
+    lazy val rowTime = rowQuantumTime(df, schema, provided)
     val sel = schema.fields.map { f =>
       if (provided.contains(f.name)) {
         val c = col(f.name)
@@ -727,7 +758,7 @@ object Ddl {
           case (TimestampType, _) if numeric(inT) =>
             timestamp_seconds(c.cast(LongType)).as(f.name)
           case (t, _) if isSetq(t) =>
-            bindSetq(df, f, c).as(f.name)
+            bindSetq(df, f, c, rowTime).as(f.name)
           case (t, _) if inT.isInstanceOf[StructType] =>
             // tuple literal bound to a non-quantum column
             sys.error(s"an expression of type '${refName(inT)}' cannot be " +

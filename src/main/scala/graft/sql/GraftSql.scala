@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayExists, ArrayFilter, Attribute, AttributeReference, Cast, CreateNamedStruct, Divide, Expression, GetStructField, If, IntegralDivide, IsNull, LambdaFunction, Like, Literal, NamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayDistinct, ArrayExists, ArrayFilter, ArrayTransform, Attribute, AttributeReference, Cast, CreateNamedStruct, Divide, Expression, GetStructField, If, IntegralDivide, IsNull, LambdaFunction, Like, Literal, NamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, First, Last, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Project, Sort}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
@@ -387,9 +387,24 @@ object GraftSql {
             case ar: AttributeReference if repl.contains(ar.exprId) =>
               repl(ar.exprId).toAttribute
           }
+          // the reference's Extract returns the member VALUES (row keys) of
+          // the in-range views, deduped — not (value, ts) pairs: the top
+          // projection maps `m.value` off the filtered structs and
+          // distincts (a member written at several in-range times appears
+          // once, `executor.go:4887` dedup map); the filter below still
+          // sees the struct-typed column
+          def values(of: Expression, a: AttributeReference): Expression = {
+            val elemT = a.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            val m = NamedLambdaVariable("m", elemT, nullable = false)
+            val toValue = LambdaFunction(
+              GetStructField(m, elemT.fieldIndex("value"), Some("value")), Seq(m))
+            ArrayDistinct(ArrayTransform(of, toValue))
+          }
           val newList = list.map {
             case a: AttributeReference if repl.contains(a.exprId) =>
-              Alias(repl(a.exprId).toAttribute, a.name)(exprId = a.exprId)
+              Alias(values(repl(a.exprId).toAttribute,
+                scoped(a.exprId)._1), a.name)(exprId = a.exprId)
             case other => other.transformUp {
               case ar: AttributeReference if repl.contains(ar.exprId) =>
                 repl(ar.exprId).toAttribute

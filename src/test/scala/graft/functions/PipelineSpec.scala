@@ -494,4 +494,52 @@ class PipelineSpec extends SparkSpec {
     // after merging (a,a): 'aa','a','b' — NOT 'a','aa','b' (left-to-right)
     assert(got.head._2 == "a" && got.head._3 == "a")
   }
+
+  test("substringDedup cuts every duplicated n-gram occurrence, merges spans") {
+    import spark.implicits._
+    // docs 1 and 2 share "p q r s t"; doc 1 repeats it internally at an
+    // overlapping offset so its two covered spans merge into one; doc 3 is
+    // untouched
+    val df = Seq(
+      (1L, "a p q r s t p q r s t z"),
+      (2L, "x x p q r s t y y"),
+      (3L, "completely unrelated words here only once")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: duplicated gram "p q r s t" starts at {2, 7} -> covered
+    // [2,6] and [7,11] are adjacent and merge into ONE span of 10 tokens
+    assert(got(0) == ((1L, 1L, 10L, "a z")))
+    assert(got(1) == ((2L, 1L, 5L, "x x y y")))
+    assert(got(2) == ((3L, 0L, 0L, "completely unrelated words here only once")))
+  }
+
+  test("substringDedup: doc shorter than n, empty doc, no-dup corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e f g h i")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 0L, 0L, "a b c"), (2L, 0L, 0L, ""),
+      (3L, 0L, 0L, "d e f g h i")))
+  }
+
+  test("bm25 matches the hand formula; only matching docs returned") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark spark other words here"),
+      (2L, "spark alone"),
+      (3L, "no match at all")).toDF("doc_id", "text")
+    val got = Text.bm25(df, "doc_id", "text", Seq("spark"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    val nd = 3.0; val dfq = 2.0; val avgdl = (6 + 2 + 4) / 3.0
+    val idf = math.log((nd - dfq + 0.5) / (dfq + 0.5) + 1.0)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(got(0)._2 - s(3, 6)) < 1e-12)
+    assert(math.abs(got(1)._2 - s(1, 2)) < 1e-12)
+    // higher tf scores higher at comparable length
+    assert(got(0)._2 > got(1)._2)
+  }
 }

@@ -216,10 +216,12 @@ class DefsSpec extends SparkSpec {
     assert(r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L))
     // rangeq with an open end filters rows AND scopes the projected set to
-    // members in range (defs_timequantum.go:144-171 expected rows are the
-    // range-filtered subsets; 1676649734 = 2023-02-17Z, member 1 = batch time)
+    // the member VALUES in range — bare deduped values, not (value, ts)
+    // structs, the reference's Extract row-key surface
+    // (defs_timequantum.go:144-171 expected rows are the range-filtered
+    // value sets; 1676649734 = 2023-02-17Z, member 1 = batch time)
     assert(rowsOf("SELECT ids1 FROM tq WHERE rangeq(ids1, '2023-01-01T00:00:00Z', null)")
-      .map(_.map { case l: List[_] => l.map(_.asInstanceOf[org.apache.spark.sql.Row].getLong(0)).toSet }) ==
+      .map(_.map { case l: List[_] => l.map(_.asInstanceOf[Long]).toSet }) ==
       Set(Seq(Set(1L, 2L))))
     assert(rowsOf("SELECT _id FROM tq WHERE rangeq(ids1, null, '2022-06-01T00:00:00Z')")
       == Set(Seq(1L)))

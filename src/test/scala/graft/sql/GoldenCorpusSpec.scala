@@ -38,13 +38,6 @@ class GoldenCorpusSpec extends AnyFunSuite {
     // sort by key, matching every other grouped corpus case).
     ("groupByTests", "", "SELECT COUNT(*), is1 FROM groupby_test group by is1"),
     ("joinTests", "innerjoin-aggregate-groupby", "select u._id, sum(orders.price)"),
-    // RANGEQ member surface: we return the quantum set as (value, ts)
-    // structs with every member whose timestamp lies in [from, to); the
-    // reference's view-range selection additionally drops the two members
-    // written at explicit D-boundaries (test4/test5) — its own tests pin
-    // that behavior, ours keeps the documented quantum-range contract.
-    ("timeQuantumTest", "stringset-rangeq", "select a._id, a.ss1"),
-    ("timeQuantumTest", "idset-rangeq", "select a._id, a.ids1"),
     // PQLTests run only under the reference's DAX (serverless) harness
     // (`dax/test/dax/dax_test.go:171-196`); its MinRow/MaxRow counts
     // reflect per-partition sharding (count=1), not the single-node
@@ -77,7 +70,8 @@ class GoldenCorpusSpec extends AnyFunSuite {
     info(s"golden corpus: $pass/${results.size} pass, " +
       s"${results.size - pass} documented divergences")
     // 1,865 recorded statements (fixture statements only record on failure),
-    // 12 documented divergences
-    assert(pass >= 1853)
+    // 10 documented divergences (r8 closed the two rangeq rows by matching
+    // the reference's shared per-row quantum write time)
+    assert(pass >= 1855)
   }
 }
