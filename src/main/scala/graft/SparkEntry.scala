@@ -592,6 +592,11 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "txt_bm25" -> ((s, dir) =>
       Text.bm25(docs(s, dir), "doc_id", "text", Seq("spark", "hash", "window"))
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+    // perplexity-filter quality signal: per-doc cross-entropy under a
+    // corpus-self Laplace bigram LM (CCNet-style)
+    "txt_perplexity" -> ((s, dir) =>
+      Text.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
     // flagship composition: the whole training-data cleaning pipeline as ONE
     // oracle-checked query — predicted-language filter → token-count filter →
     // near-dup cluster dedup (keep-one) → corpus stats
@@ -1276,6 +1281,19 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score " +
       "FROM tf JOIN df USING (tok) CROSS JOIN st " +
       "GROUP BY tf.doc_id ORDER BY doc_id"),
+    // bigram-LM cross-entropy: replay the Laplace bigram model exactly
+    "txt_perplexity" -> ("WITH d AS (SELECT doc_id, " +
+      "list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents), " +
+      "uni AS (SELECT w1, count(*)::BIGINT c1 " +
+      "FROM (SELECT unnest(ts) w1 FROM d) GROUP BY w1), " +
+      "v AS (SELECT count(*)::BIGINT nv FROM uni), " +
+      "big AS (SELECT doc_id, ts[i] w1, ts[i+1] w2 " +
+      "FROM d, unnest(range(1, len(ts))) u(i)), " +
+      "bc AS (SELECT w1, w2, count(*)::BIGINT c2 FROM big GROUP BY w1, w2) " +
+      "SELECT big.doc_id, count(*)::BIGINT AS n_bigrams, " +
+      "avg(-log2(((bc.c2+1)::DOUBLE) / ((uni.c1 + v.nv)::DOUBLE))) AS xent " +
+      "FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v " +
+      "GROUP BY big.doc_id ORDER BY doc_id"),
     // boilerplate line removal: same augmentation, line doc-frequency ≥ 100
     // dropped, docs reassembled in line order
     "pipe_linededup" -> ("WITH aug AS (SELECT doc_id, text || chr(10) || " +

@@ -251,6 +251,46 @@ object Text {
         StructField("r", StringType), StructField("freq", LongType))))
   }
 
+  /** Per-document cross-entropy under a corpus-self bigram language model —
+    * the perplexity-filter quality signal (CCNet-style, with the corpus
+    * itself as the LM training set): documents whose token transitions are
+    * atypical for the corpus score high.
+    *
+    * Model: Laplace-smoothed bigram, P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) with
+    * V the corpus vocabulary size; score = mean over a document's bigram
+    * slots of -log2 P. Deterministic integer counts → any engine replays it.
+    *
+    * Scale shape (100 TB): two linear groupBy passes build the model
+    * (unigram + bigram counts, both partial-aggregated map-side), one
+    * shuffle join scores the corpus against the bigram table (key = the
+    * bigram — the join that IS the lookup; the unigram table is the small
+    * side). Nothing is quadratic; the model tables are vocabulary-sized,
+    * not corpus-sized.
+    *
+    * Returns (id, n_bigrams, xent) for documents with ≥1 bigram. */
+  def bigramCrossEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count()
+    val big = toks.select(col("id"), explode(
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    big.join(bigCounts, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select(col("id"),
+        (-log2((col("c2") + 1).cast("double") /
+          (col("c1") + vocab).cast("double"))).as("bits"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("bits")).as("xent"))
+  }
+
   /** BM25 relevance of every document against a fixed query-term set
     * (Robertson/Spärck Jones; the Lucene `(k1=1.2, b=0.75)` defaults and its
     * non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf).

@@ -524,6 +524,24 @@ class PipelineSpec extends SparkSpec {
       (3L, 0L, 0L, "d e f g h i")))
   }
 
+  test("bigram cross-entropy matches the hand-computed Laplace model") {
+    import spark.implicits._
+    // doc1 "a b a b" (bigram slots ab, ba, ab), doc2 "a c" (ac), doc3 "x"
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val got = Text.bigramCrossEntropy(df, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // unigrams: a:3 b:2 c:1 x:1 -> V=4; bigrams: (a,b):2 (b,a):1 (a,c):1
+    val pAB = 3.0 / 7.0  // (2+1)/(3+4)
+    val pBA = 2.0 / 6.0  // (1+1)/(2+4)
+    val pAC = 2.0 / 7.0  // (1+1)/(3+4)
+    def l2(x: Double) = math.log(x) / math.log(2)
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((1L, 3L), (2L, 1L)))
+    assert(math.abs(got(0)._3 - (-(l2(pAB) * 2 + l2(pBA)) / 3)) < 1e-9)
+    assert(math.abs(got(1)._3 - -l2(pAC)) < 1e-12)
+    // single-token doc 3 has no bigrams and is absent
+  }
+
   test("bm25 matches the hand formula; only matching docs returned") {
     import spark.implicits._
     val df = Seq(
