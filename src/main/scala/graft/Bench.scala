@@ -244,12 +244,37 @@ object Bench {
       val stRatio = stS.zip(stM).map { case ((k, a), (_, b)) =>
         "\"" + k + "\":" + num(b / math.max(a, 1e-9), 2)
       }.mkString("{", ",", "}")
+      // exact-substring dedup on the same corpora (the OTHER corpus-wide
+      // dedup shape: gram-count groupBy + join-back instead of LSH) — one
+      // warm + timed pair per point, ratio answers the 10× question
+      def subRun(path: String, parts: Int): Seq[Double] = {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.functions.Dedup.substringDedup(
+              spark.read.parquet(path), "doc_id", "text", 5)
+            .write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          dropCheckpoints()
+          t
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      val subCounts = counts.take(2) // 50k + 500k: the ratio, cheaply
+      val subRuns = subCounts.zip(paths).map { case (n, p) =>
+        subRun(p, partsFor(n)) }
+      val subSteps = subRuns.sliding(2).map { case Seq(a, b) =>
+        num(b.drop(1).min / math.max(a.drop(1).min, 1e-9), 2) }
+        .mkString("[", ",", "]")
       s""","dedup_scale":{"docs":[${counts.mkString(",")}],""" +
         s""""runs_warm_then_timed":[${runs.map(r =>
              "[" + r.map(num(_, 3)).mkString(",") + "]").mkString(",")}],""" +
         s""""step_ratios_at_10x_data":$steps,""" +
         s""""stages_1x":${stJson(stS)},"stages_10x":${stJson(stM)},""" +
-        s""""stage_ratios":$stRatio}"""
+        s""""stage_ratios":$stRatio,""" +
+        s""""substring_runs":[${subRuns.map(r =>
+             "[" + r.map(num(_, 3)).mkString(",") + "]").mkString(",")}],""" +
+        s""""substring_step_ratios_at_10x_data":$subSteps}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] dedup rehearsal skipped: ${e.getMessage}")
       ""

@@ -524,6 +524,48 @@ class PipelineSpec extends SparkSpec {
       (3L, 0L, 0L, "d e f g h i")))
   }
 
+  test("bm25 plan: term filter is map-side inside the scan, no corpus-wide " +
+      "vocabulary shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Text.bm25(docs, "doc_id", "text", Seq("spark", "hash"))
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      // tf groupBy, df groupBy, final per-doc sum (+ ordering) — every
+      // exchange AFTER the first carries only (query term, matching doc)
+      // rows, never the corpus vocabulary
+      assert(exchanges.size <= 4, s"unexpected shuffles: $exchanges")
+      // the IN(query terms) predicate evaluates below the first exchange
+      // (map-side in the scan stage), so the tf shuffle is term-pruned
+      val firstEx = exchanges.minBy(_.collectLeaves().size)
+      assert(firstEx.child.toString.contains("array_contains") ||
+        firstEx.child.collectLeaves().exists(_.toString.contains("documents")),
+        s"term filter not below the exchange:\n$firstEx")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("substringDedup plan: the exploded gram table shuffles at most twice") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.substringDedup(docs, "doc_id", "text", 5)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // gram-count exchange, starts groupBy(id), final doc join(+order) —
+      // anything more means a side recomputed its own corpus-wide shuffle
+      assert(shuffles.size <= 4, s"unexpected shuffles (${shuffles.size}):\n" +
+        shuffles.mkString("\n"))
+      // the n×-multiplied gram explode may feed at most 2 exchanges (the
+      // dup count; plus the join-back ONLY if the dup side is too big to
+      // broadcast — at which point ReuseExchange shares the gram shuffle)
+      val gramFed = shuffles.count(_.child.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.nonEmpty)
+      assert(gramFed <= 2, s"gram explode shuffled $gramFed times:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bigram cross-entropy matches the hand-computed Laplace model") {
     import spark.implicits._
     // doc1 "a b a b" (bigram slots ab, ba, ab), doc2 "a c" (ac), doc3 "x"
