@@ -77,6 +77,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * successor chain for the life of the server (the dev/test mode). */
   private def durable: Boolean = graft.core.TableLog.isDurable(spark)
 
+  /** key↔id translation for `/internal/translate/...` — warehouse-durable
+    * when the facade is (ids must survive a bounce; a client holds them). */
+  private val keyTranslate = new KeyTranslate(
+    Option(spark.conf.get("spark.graft.warehouse", null))
+      .map(w => java.nio.file.Paths.get(w, "_translate.tsv")))
+
   /** Per-table mutable state (non-durable mode): PQL writes and field
     * imports persist across requests for the life of the server — the
     * reference's immediately-queryable mutable fragments. Seeded lazily
@@ -518,6 +524,98 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           s"${js(n)}:$maxShard"
         }
         s"""{"standard":{${entries.mkString(",")}}}"""
+      }
+    })
+    // `POST /internal/translate/index/{i}/keys/{find|create}` and
+    // `/internal/translate/field/{i}/{f}/keys/{find|create}`
+    // (`http_handler.go:574-579,3610-3691` handleFindOrCreateKeys): a JSON
+    // string array in, `{key: id}` out — the reference batch ingester's
+    // pre-translation surface (`client/client.go:1042-1140`). Ids come from
+    // [[KeyTranslate]] (sequential per scope, warehouse-durable); error
+    // shapes follow the handler exactly: 415 non-JSON Content-Type, 406
+    // unacceptable Accept, 400 undecodable body, 500 "translating keys: …"
+    // for translation-layer failures (`cluster.go:258-276,358-380,567-700`
+    // wordings).
+    server.createContext("/internal/translate", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin)
+        if (Option(ex.getRequestHeaders.getFirst("Content-Type"))
+              .getOrElse("") != "application/json")
+          throw PlainError(415, "Unsupported media type")
+        if (!acceptsJson(ex)) throw PlainError(406, "Not acceptable")
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val keys: Seq[String] =
+          try {
+            val node = mapper.readTree(body)
+            require(node.isArray, "expected a JSON array of strings")
+            node.elements().asScala.map(_.asText).toSeq
+          } catch { case e: Exception =>
+            throw PlainError(400, s"failed to decode request: ${msg(e)}")
+          }
+        def err500(m: String) = PlainError(500, s"translating keys: $m")
+        import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+        def isKeyedField(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case StringType                   => true // keyed mutex
+            case ArrayType(StringType, _)     => true // stringset
+            case ArrayType(s: StructType, _)  =>      // stringsetq
+              s.fields.exists(f => f.name == "value" && f.dataType == StringType)
+            case _                            => false
+          }
+        val segs = ex.getRequestURI.getPath
+          .stripPrefix("/internal/translate").stripPrefix("/").split("/")
+        segs match {
+          case Array("index", idx, "keys", op) if op == "find" || op == "create" =>
+            val sch =
+              try tableState(idx).schema
+              catch { case _: Exception => throw err500("index not found") }
+            if (sch("_id").dataType != StringType)
+              throw err500(s"cannot $op keys on unkeyed index ${js(idx)}")
+            val m = if (op == "create") keyTranslate.create(s"idx:$idx", keys)
+                    else keyTranslate.find(s"idx:$idx", keys)
+            "{" + m.map { case (k, v) => s"${js(k)}:$v" }.mkString(",") + "}"
+          case Array("field", idx, f, "keys", op) if op == "find" || op == "create" =>
+            // holder.Field(index, field) answers nil for a missing index OR
+            // field — both surface as "<f>: field not found" (api.go:2335)
+            val fld =
+              (try Some(tableState(idx).schema)
+               catch { case _: Exception => None })
+                .flatMap(_.fields.find(_.name == f))
+                .getOrElse(throw err500(s"$f: field not found"))
+            if (!isKeyedField(fld.dataType))
+              throw err500(s"cannot $op keys on unkeyed field ${js(f)}")
+            val m = if (op == "create") keyTranslate.create(s"fld:$idx/$f", keys)
+                    else keyTranslate.find(s"fld:$idx/$f", keys)
+            "{" + m.map { case (k, v) => s"${js(k)}:$v" }.mkString(",") + "}"
+          case _ => throw PlainError(404, "404 page not found")
+        }
+      }
+    })
+    // `GET /internal/index/{index}/shards` (`http_handler.go:570,1670-1689`
+    // handleGetIndexAvailableShards): `{"shards":[...]}` — every shard with
+    // data; a single node owns 0..maxShard contiguously.
+    server.createContext("/internal/index", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        val segs = ex.getRequestURI.getPath
+          .stripPrefix("/internal/index").stripPrefix("/").split("/")
+        segs match {
+          case Array(idx, "shards") =>
+            chk(ex, Some(idx), Auth.PermRead)
+            if (!acceptsJson(ex))
+              throw PlainError(406, "JSON only acceptable response")
+            val w = graft.pql.Compiler.ShardWidth
+            val df = tableState(idx)
+            val maxShard =
+              if (df.schema("_id").dataType ==
+                  org.apache.spark.sql.types.LongType)
+                Option(df.agg(org.apache.spark.sql.functions.max(
+                    org.apache.spark.sql.functions.col("_id"))).head.get(0))
+                  .map { case l: java.lang.Long => l.longValue / w }
+                  .getOrElse(0L)
+              else 0L // keyed: key-hash shards collapse to this node
+            s"""{"shards":[${(0L to maxShard).mkString(",")}]}"""
+          case _ => throw PlainError(404, "404 page not found")
+        }
       }
     })
     // `GET /internal/mem-usage` (`http_handler.go:560,1182-1199`,

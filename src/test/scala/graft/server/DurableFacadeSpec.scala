@@ -53,6 +53,42 @@ class DurableFacadeSpec extends SparkSpec {
     } finally f2.stop()
   }
 
+  test("translated key ids survive a facade restart (warehouse TSV replay)") {
+    def sendJson(port: Int, path: String, body: String): (Int, String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .header("Content-Type", "application/json")
+          .header("Accept", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.warehouse", wh)
+    val f1 = new HttpFacade(s1, sfDir, 0)
+    val p1 = f1.start()
+    try {
+      assert(post(p1, "/index/trdur", """{"options":{"keys":true}}""")._1 == 200)
+      val (c, b) = sendJson(p1,
+        "/internal/translate/index/trdur/keys/create", """["u1","u2"]""")
+      assert(c == 200 && b.contains("\"u1\":1") && b.contains("\"u2\":2"), b)
+    } finally f1.stop()
+    // a client that cached {u1:1, u2:2} must see the SAME ids after a
+    // bounce, and a new key must not collide with an acked one
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.warehouse", wh)
+    val f2 = new HttpFacade(s2, sfDir, 0)
+    val p2 = f2.start()
+    try {
+      val (c1, b1) = sendJson(p2,
+        "/internal/translate/index/trdur/keys/find", """["u1","u2"]""")
+      assert(c1 == 200 && b1.contains("\"u1\":1") && b1.contains("\"u2\":2"), b1)
+      val (c2, b2) = sendJson(p2,
+        "/internal/translate/index/trdur/keys/create", """["u3"]""")
+      assert(c2 == 200 && b2.contains("\"u3\":3"), b2)
+    } finally f2.stop()
+  }
+
   test("point writes after the first are O(delta): base piece written once") {
     val s = spark.newSession()
     s.conf.set("spark.graft.warehouse", wh)

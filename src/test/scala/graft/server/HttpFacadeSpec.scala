@@ -228,6 +228,11 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get("/internal/disk-usage/../..")._1 == 500)
     assert(get("/internal/disk-usage/..%2F..%2Fetc")._1 == 500)
     assert(get("/internal/disk-usage/foo/../../..")._1 == 500)
+    // /internal/index/{i}/shards (http_handler.go:1670-1689): contiguous
+    // 0..maxShard on one node; lineitem at sf0.001 fits in shard 0
+    val (sc, sb) = get("/internal/index/lineitem/shards")
+    assert(sc == 200 && sb == """{"shards":[0]}""", sb)
+    assert(get("/internal/index/nope/shards")._1 == 400)
     // /internal/nodes + /internal/partition/nodes (http_handler.go:2750-2797)
     assert(get("/internal/nodes")._2.contains("\"isPrimary\":true"))
     assert(get("/internal/partition/nodes?partition=3")._1 == 200)
@@ -470,6 +475,55 @@ class HttpFacadeSpec extends SparkSpec {
       "Set('userD', kind='gold') Count(Row(kind='gold'))")
     assert(cw == 200 && bw.contains(""""data":[[3]]"""), bw)
     assert(send("DELETE", "/index/keyedidx", "")._1 == 200)
+  }
+
+  test("key translation endpoints: create assigns stable ids, find answers " +
+      "existing only, errors match http_handler.go:3610-3691") {
+    def send(method: String, path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .header("Accept", "application/json")
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    assert(send("POST", "/index/tridx", """{"options":{"keys":true}}""")._1 == 200)
+    assert(send("POST", "/index/tridx/field/color",
+      """{"options":{"type":"mutex","keys":true}}""")._1 == 200)
+    // index keys: create assigns sequential ids; repeat create is stable
+    val (c1, b1) = send("POST",
+      "/internal/translate/index/tridx/keys/create", """["ka","kb"]""")
+    assert(c1 == 200 && b1.contains("\"ka\":1") && b1.contains("\"kb\":2"), b1)
+    val (c2, b2) = send("POST",
+      "/internal/translate/index/tridx/keys/create", """["kb","kc"]""")
+    assert(c2 == 200 && b2.contains("\"kb\":2") && b2.contains("\"kc\":3"), b2)
+    // find returns existing only — the absent key is simply not present
+    val (c3, b3) = send("POST",
+      "/internal/translate/index/tridx/keys/find", """["ka","nope"]""")
+    assert(c3 == 200 && b3.contains("\"ka\":1") && !b3.contains("nope"), b3)
+    // field keys live in their own scope (ids restart at 1)
+    val (c4, b4) = send("POST",
+      "/internal/translate/field/tridx/color/keys/create", """["red"]""")
+    assert(c4 == 200 && b4.contains("\"red\":1"), b4)
+    // error shapes: unkeyed index, missing field, bad content type, bad body
+    val (c5, b5) = send("POST",
+      "/internal/translate/index/lineitem/keys/create", """["x"]""")
+    assert(c5 == 500 &&
+      b5.contains("translating keys: cannot create keys on unkeyed index"), b5)
+    val (c6, b6) = send("POST",
+      "/internal/translate/field/tridx/nope/keys/find", """["x"]""")
+    assert(c6 == 500 && b6.contains("translating keys: nope: field not found"), b6)
+    val reqNoCt = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/internal/translate/index/tridx/keys/find"))
+      .header("Accept", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString("""["x"]""")).build()
+    val rNoCt = client.send(reqNoCt, HttpResponse.BodyHandlers.ofString())
+    assert(rNoCt.statusCode() == 415 &&
+      rNoCt.body().contains("Unsupported media type"), rNoCt.body())
+    val (c7, b7) = send("POST",
+      "/internal/translate/index/tridx/keys/create", """{"not":"array"}""")
+    assert(c7 == 400 && b7.contains("failed to decode request"), b7)
+    assert(send("DELETE", "/index/tridx", "")._1 == 200)
   }
 
   test("GET /export dumps value,id CSV per field and shard (api.go:797)") {
