@@ -892,9 +892,30 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     val views = node.get("views")
     require(views != null && views.isObject, """body must carry {"views":{"standard":"<base64 roaring>"}}""")
     import spark.implicits._
+    // keyed targets: a roaring payload carries TRANSLATED ids (the batch
+    // ingester pre-translates keys through /internal/translate/... and
+    // builds bitmaps over the returned uint64s, `batch/batch.go:1380-1470`)
+    // — map record positions and row ids back through [[KeyTranslate]] so
+    // the fbbatch flow round-trips: CreateIndexKeys → import-roaring →
+    // query by key.
+    val idKeyed = t.schema("_id").dataType ==
+      org.apache.spark.sql.types.StringType
+    val fldKeyed = t.schema(field).dataType match {
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    def recKey(id: Long): String =
+      keyTranslate.keyOf(s"idx:$idx", id).getOrElse(
+        sys.error(s"translating id $id: key not found"))
+    def rowKey(r: Long): String =
+      keyTranslate.keyOf(s"fld:$idx/$field", r).getOrElse(
+        sys.error(s"translating row $r: key not found"))
     var next = t
     var bits = 0L
-    val touchedIds = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val touchedL = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val touchedS = scala.collection.mutable.LinkedHashSet.empty[String]
     val names = views.fieldNames()
     while (names.hasNext) {
       val view = names.next()
@@ -912,15 +933,26 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         buf += ((shard * ShardWidth + p % ShardWidth, p / ShardWidth, seq))
         seq += 1
       }
-      val writes = buf.toSeq.toDF("_id", "value", "seq")
+      val writes = (idKeyed, fldKeyed) match {
+        case (false, false) => buf.toSeq.toDF("_id", "value", "seq")
+        case (true, false) =>
+          buf.toSeq.map(x => (recKey(x._1), x._2, x._3)).toDF("_id", "value", "seq")
+        case (false, true) =>
+          buf.toSeq.map(x => (x._1, rowKey(x._2), x._3)).toDF("_id", "value", "seq")
+        case (true, true) =>
+          buf.toSeq.map(x => (recKey(x._1), rowKey(x._2), x._3))
+            .toDF("_id", "value", "seq")
+      }
       next =
         if (action == "clear") graft.core.Mutation.clearBulk(next, field, writes)
         else graft.core.Mutation.setBulk(next, field, writes)
-      touchedIds ++= buf.map(_._1)
+      if (idKeyed) touchedS ++= buf.map(x => recKey(x._1))
+      else touchedL ++= buf.map(_._1)
       bits += seq
     }
     commitState(idx, next,
-      touched = Some(touchedIds.toSeq.toDF("_id")))
+      touched = Some(if (idKeyed) touchedS.toSeq.toDF("_id")
+                     else touchedL.toSeq.toDF("_id")))
     graft.core.Metrics.add(graft.core.Metrics.ImportedN, bits)
     s"""{"imported":true,"bits":$bits}"""
   }

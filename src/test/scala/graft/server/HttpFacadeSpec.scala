@@ -526,6 +526,53 @@ class HttpFacadeSpec extends SparkSpec {
     assert(send("DELETE", "/index/tridx", "")._1 == 200)
   }
 
+  test("fbbatch flow: CreateIndexKeys/CreateFieldKeys -> import-roaring with " +
+      "translated ids -> query by key (batch/batch.go:1380-1470)") {
+    def send(method: String, path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .header("Accept", "application/json")
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    assert(send("POST", "/index/fbb", """{"options":{"keys":true}}""")._1 == 200)
+    assert(send("POST", "/index/fbb/field/tier",
+      """{"options":{"type":"mutex","keys":true}}""")._1 == 200)
+    // 1. pre-translate record and field keys, exactly like the batch client
+    val (_, recB) = send("POST",
+      "/internal/translate/index/fbb/keys/create", """["alice","bob","carol"]""")
+    val (_, rowB) = send("POST",
+      "/internal/translate/field/fbb/tier/keys/create", """["gold","silver"]""")
+    def idOf(body: String, k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    val (a, b, c) = (idOf(recB, "alice"), idOf(recB, "bob"), idOf(recB, "carol"))
+    val (g, s) = (idOf(rowB, "gold"), idOf(rowB, "silver"))
+    // 2. build the shard-0 roaring fragment over the TRANSLATED ids:
+    //    bit = rowId*2^20 + columnId — alice,carol gold; bob silver
+    val W = 1L << 20
+    val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    bm.addLong(g * W + a); bm.addLong(g * W + c); bm.addLong(s * W + b)
+    val b64 =
+      java.util.Base64.getEncoder.encodeToString(graft.index.Bitmap.serialize(bm))
+    assert(post("/index/fbb/field/tier/import-roaring/0",
+      s"""{"views":{"standard":"$b64"}}""")._1 == 200)
+    // 3. the imported bits answer keyed PQL
+    val (cq, bq) = post("/index/fbb/query", "Count(Row(tier='gold'))")
+    assert(cq == 200 && bq.contains(""""data":[[2]]"""), bq)
+    val (cq2, bq2) = post("/index/fbb/query", "Row(tier='silver')")
+    assert(cq2 == 200 && bq2.contains("bob"), bq2)
+    // an untranslated id in the payload is a clean 400, not silent data
+    val bad = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    bad.addLong(g * W + 999999)
+    val bad64 =
+      java.util.Base64.getEncoder.encodeToString(graft.index.Bitmap.serialize(bad))
+    val (cb, bb) = post("/index/fbb/field/tier/import-roaring/0",
+      s"""{"views":{"standard":"$bad64"}}""")
+    assert(cb == 400 && bb.contains("key not found"), s"$cb $bb")
+    assert(send("DELETE", "/index/fbb", "")._1 == 200)
+  }
+
   test("GET /export dumps value,id CSV per field and shard (api.go:797)") {
     // customer: no other test mutates it, so the count is the table's
     val req = HttpRequest.newBuilder(
