@@ -811,6 +811,12 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       graft.functions.Multimodal.audioFeatures(
         graft.functions.Multimodal.wavFixtures(Tables.load(s, dir, "documents")))
         .orderBy("_id")),
+    // REAL animated-GIF frame extraction (ImageIO write-sequence fixtures →
+    // per-frame decode): the actual-codec form of video frame sampling
+    "mm_gif_frames" -> ((s, dir) =>
+      graft.functions.Multimodal.gifFrameFeatures(
+        graft.functions.Multimodal.gifFixtures(Tables.load(s, dir, "documents")))
+        .orderBy("_id", "frame_idx")),
     "mm_embed" -> ((s, dir) =>
       graft.functions.Multimodal.embed(
         graft.functions.Multimodal.deriveMedia(Tables.load(s, dir, "documents")),
@@ -1399,6 +1405,16 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "min((doc_id*31 + i) % 256) AS min_px, max((doc_id*31 + i) % 256) AS max_px " +
       "FROM (SELECT doc_id, unnest(generate_series(0, (doc_id%5+3)*(doc_id%4+2) - 1)) AS i " +
       "FROM documents) GROUP BY doc_id ORDER BY _id"),
+    // real-GIF frame stats: doc d = (d%3+2) frames on 4x3, frame f pixel i
+    // = (d*31 + f*97 + i) % 256 — the indexed-gray round trip is exact, so
+    // the oracle replays the formula
+    "mm_gif_frames" -> ("SELECT doc_id AS _id, f AS frame_idx, 4 AS w, 3 AS h, " +
+      "round(avg((doc_id*31 + f*97 + i) % 256), 4) AS mean_px, " +
+      "min((doc_id*31 + f*97 + i) % 256) AS min_px, " +
+      "max((doc_id*31 + f*97 + i) % 256) AS max_px " +
+      "FROM (SELECT doc_id, unnest(range(0, doc_id%3 + 2)) AS f FROM documents), " +
+      "unnest(range(0, 12)) u(i) " +
+      "GROUP BY doc_id, f ORDER BY _id, frame_idx"),
     "mm_decode_wav" -> ("SELECT doc_id AS _id, 8000 AS sample_rate, " +
       "count(*) AS n_samples, round(avg(v), 4) AS mean_s, min(v) AS min_s, max(v) AS max_s " +
       "FROM (SELECT doc_id, ((doc_id*37 + i*11) % 65536) - 32768 AS v " +

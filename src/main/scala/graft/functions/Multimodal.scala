@@ -168,6 +168,113 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** 256-entry gray palette: GIF stores palette INDICES, so writing indexed
+    * images through this model makes the encode→decode round trip exact
+    * (sample in = index stored = sample out) — a TYPE_BYTE_GRAY source
+    * would leave exactness to the writer's quantizer. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** REAL animated-GIF encode (`javax.imageio` write sequence): one
+    * grayscale-indexed frame per element of `frames`. */
+  def encodeGif(width: Int, height: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    // interlace OFF: the writer's default is interlaced frames, which the
+    // platform reader reassembles wrong for heights below the pass stride
+    // (rows land on pass boundaries, gaps zero-fill)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    frames.foreach { px =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, px(y * width + x)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL animated-GIF frame extraction: every stored frame decoded through
+    * the actual ImageIO GIF reader. Returns (frameIdx, w, h, samples). */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Array[Int])] = {
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        (i, w, h, out)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Deterministic REAL-GIF fixture table: doc d is an animated GIF of
+    * (d%3+2) frames on a 4×3 grid, frame f pixel i = (d·31 + f·97 + i) mod
+    * 256 — encoded through the actual GIF writer on executors, replayable
+    * by the oracle as arithmetic. */
+  def gifFixtures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = (id % 3 + 2).toInt
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(12)(i => ((id * 31 + f * 97 + i) % 256).toInt))
+          (id, encodeGif(4, 3, frames))
+        }
+      }.toDF("_id", "bytes")
+  }
+
+  /** Per-frame stats through the REAL GIF reader — one output row per
+    * stored frame (video-style frame sampling with an actual codec).
+    * Narrow map + explode of a per-doc-bounded list: no shuffle, blobs
+    * never leave their partition. */
+  def gifFrameFeatures(gifs: DataFrame): DataFrame = {
+    val spark = gifs.sparkSession
+    import spark.implicits._
+    val out = gifs.select(col("_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            decodeGifFrames(bytes).map { case (f, w, h, s) =>
+              (id, f.toLong, w, h,
+                s.map(_.toDouble).sum / s.length, s.min.toLong, s.max.toLong)
+            }
+          }
+        }
+      }
+    out.toDF("_id", "frame_idx", "w", "h", "mean_px", "min_px", "max_px")
+      .withColumn("mean_px", round(col("mean_px"), 4))
+  }
+
   /** Deterministic REAL-PNG fixture table: pixel (row-major index i) of doc d
     * is (d·31 + i) mod 256 on a (d%5+3) × (d%4+2) grayscale grid, encoded
     * through the actual PNG writer ON EXECUTORS (narrow map — fixture bytes

@@ -133,4 +133,36 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(mean - g) <= 3.0, s"jpeg mean $mean vs $g")
     }
   }
+
+  test("animated GIF round-trips frame-exact through the real ImageIO codec") {
+    // indexed gray palette => stored palette index == sample value, so the
+    // encode->decode round trip must be EXACT per frame
+    val frames = Seq(
+      Array.tabulate(12)(i => (i * 20) % 256),
+      Array.tabulate(12)(i => 255 - i),
+      Array.tabulate(12)(_ => 7))
+    val bytes = Multimodal.encodeGif(4, 3, frames)
+    val got = Multimodal.decodeGifFrames(bytes)
+    assert(got.length == 3)
+    got.zip(frames).zipWithIndex.foreach { case (((idx, w, h, s), want), i) =>
+      assert(idx == i && w == 4 && h == 3)
+      assert(s.toSeq == want.toSeq, s"frame $i bytes differ")
+    }
+    // distributed: fixtures encode on executors, features explode per frame
+    val docs = spark.range(0, 7).toDF("doc_id")
+    val feats = Multimodal.gifFrameFeatures(Multimodal.gifFixtures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // doc d has d%3+2 frames; frame f mean = avg((d*31 + f*97 + i) % 256)
+    (0L until 7L).foreach { d =>
+      val nf = (d % 3 + 2).toInt
+      val mine = feats.filter(_._1 == d)
+      assert(mine.length == nf, s"doc $d frame count")
+      (0 until nf).foreach { f =>
+        val want = (0 until 12).map(i => ((d * 31 + f * 97 + i) % 256).toDouble)
+          .sum / 12
+        val got = mine.find(_._2 == f).get._3
+        assert(math.abs(got - want) < 1e-3, s"doc $d frame $f mean")
+      }
+    }
+  }
 }

@@ -123,9 +123,12 @@ class EngineFuzzSpec extends SparkSpec {
     new Compiler(df).run(Parser.parseOne(q))
 
   test("differential fuzz: 520 generated PQL programs vs naive interpreter") {
-    val rnd = new scala.util.Random(20260814L)
+    val rnd = new scala.util.Random(
+      sys.env.get("SPARK_GRAFT_PQL_FUZZ_SEED").map(_.toLong)
+        .getOrElse(20260814L))
+    val nFuzz = sys.env.getOrElse("SPARK_GRAFT_PQL_FUZZ_N", "520").toInt
     var counts = 0; var sums = 0; var aggs = 0
-    (1 to 520).foreach { k =>
+    (1 to nFuzz).foreach { k =>
       val p = genP(rnd, 1 + rnd.nextInt(3))
       val matches = recs.filter(eval(p, _))
       def ctx[T](f: => T): T =

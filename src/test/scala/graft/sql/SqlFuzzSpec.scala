@@ -252,7 +252,9 @@ class SqlFuzzSpec extends SparkSpec {
 
   test("differential fuzz: 420 generated SQL statements vs naive evaluator") {
     val n = sys.env.getOrElse("SPARK_GRAFT_SQL_FUZZ_N", "420").toInt
-    val rnd = new scala.util.Random(20260814L)
+    val rnd = new scala.util.Random(
+      sys.env.get("SPARK_GRAFT_SQL_FUZZ_SEED").map(_.toLong)
+        .getOrElse(20260814L))
     var rowQ = 0; var aggQ = 0; var grpQ = 0
     (1 to n).foreach { k =>
       val pred = genB(rnd, 1 + rnd.nextInt(2))
