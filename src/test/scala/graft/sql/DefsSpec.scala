@@ -37,6 +37,63 @@ class DefsSpec extends SparkSpec {
       "(3, NULL, NULL, NULL, NULL, NULL, NULL, NULL)")
   }
 
+  test("quantum insert property: rangeq matches a naive model of the " +
+      "reference's shared per-row write time") {
+    // the reference's fbbatch Row.Time is ONE per inserted row: walking the
+    // statement's columns, a {ts,[..]} tuple sets it, a plain idset literal
+    // sets the batch time, a plain stringset leaves it — every quantum
+    // member in the row is stored at the FINAL value. Differential check:
+    // 40 random inserts, naive Scala model vs the engine, on three rangeq
+    // windows.
+    run("""CREATE TABLE tqprop (_id ID, ss STRINGSETQ TIMEQUANTUM 'YMD',
+          | ids IDSETQ TIMEQUANTUM 'YMD')""".stripMargin)
+    val rnd = new scala.util.Random(42)
+    val days = (1 to 9).map(d => f"2022-02-0$d%dT00:00:00Z")
+    // model: member -> set of write instants (epoch day is enough here)
+    val mSs = scala.collection.mutable.Map.empty[String, Set[String]]
+      .withDefaultValue(Set.empty)
+    val mIds = scala.collection.mutable.Map.empty[Long, Set[String]]
+      .withDefaultValue(Set.empty)
+    val FUTURE = "9999-01-01T00:00:00Z" // stands in for "now" (batch time)
+    for (_ <- 1 to 40) {
+      val ssTuple = rnd.nextBoolean()
+      val idTuple = rnd.nextBoolean()
+      val ssTs = days(rnd.nextInt(days.size))
+      val idTs = days(rnd.nextInt(days.size))
+      val ssVals = Seq.fill(1 + rnd.nextInt(2))("m" + rnd.nextInt(6))
+      val idVals = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(6).toLong)
+      val ssLit =
+        if (ssTuple) s"{'$ssTs', [${ssVals.map("'" + _ + "'").mkString(",")}]}"
+        else s"[${ssVals.map("'" + _ + "'").mkString(",")}]"
+      val idLit =
+        if (idTuple) s"{'$idTs', [${idVals.mkString(",")}]}"
+        else s"[${idVals.mkString(",")}]"
+      run(s"INSERT INTO tqprop (_id, ss, ids) VALUES (1, $ssLit, $idLit)")
+      // row time: ss column processed first, ids second; ids wins
+      val rowTime =
+        if (idTuple) idTs
+        else FUTURE // plain idset literal = batch time (now >> any window)
+      ssVals.foreach(v => mSs(v) = mSs(v) + rowTime)
+      idVals.foreach(v => mIds(v) = mIds(v) + rowTime)
+    }
+    for ((from, to) <- Seq(
+        ("'2022-02-03T00:00:00Z'", "null"),
+        ("null", "'2022-02-06T00:00:00Z'"),
+        ("'2022-02-02T00:00:00Z'", "'2022-02-08T00:00:00Z'"))) {
+      def in(ts: String): Boolean =
+        (from == "null" || ts >= from.drop(1).dropRight(1)) &&
+          (to == "null" || ts < to.drop(1).dropRight(1))
+      val wantSs = mSs.filter(_._2.exists(in)).keySet.toSet
+      val wantIds = mIds.filter(_._2.exists(in)).keySet.toSet
+      val gotSs = rowsOf(s"SELECT ss FROM tqprop WHERE rangeq(ss, $from, $to)")
+        .flatMap(_.head.asInstanceOf[List[_]].map(_.asInstanceOf[String]))
+      val gotIds = rowsOf(s"SELECT ids FROM tqprop WHERE rangeq(ids, $from, $to)")
+        .flatMap(_.head.asInstanceOf[List[_]].map(_.asInstanceOf[Long]))
+      assert(gotSs == wantSs, s"ss rangeq($from,$to)")
+      assert(gotIds == wantIds, s"ids rangeq($from,$to)")
+    }
+  }
+
   test("between — defs_between.go semantics") {
     check("SELECT _id, _id BETWEEN 1 AND 10 FROM at",
       Set(Seq(1L, true), Seq(2L, true), Seq(3L, true)))
