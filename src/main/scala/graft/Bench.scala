@@ -92,10 +92,11 @@ object Bench {
       val tmp = System.getProperty("java.io.tmpdir")
       def genTimed(n: Long): (String, Double) = {
         val t0 = System.nanoTime()
-        // v3: version the cache dir with the generator formula — ensure()
-        // reuses existing parquet, so a formula change must miss the cache
-        // (v3 = analytic inverse-CDF zipf for large value sets)
-        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-v3-$n")
+        // version the cache dir with the generator formula — ensure()
+        // reuses existing parquet, so a formula/layout change must miss the
+        // cache (v3 = analytic inverse-CDF zipf for large value sets; v4 =
+        // shuffle-free range-partitioned generation, id-ordered files)
+        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-v4-$n")
         (p, (System.nanoTime() - t0) / 1e9)
       }
       val gens = counts.map(genTimed)
@@ -176,7 +177,7 @@ object Bench {
                    else Seq(nBase, nBase * 10)
       val tmp = System.getProperty("java.io.tmpdir")
       def gen(n: Long): String =
-        graft.tools.DocGen.ensure(spark, n, s"$tmp/graft-docs-v1-$n")
+        graft.tools.DocGen.ensure(spark, n, s"$tmp/graft-docs-v2-$n")
       // shuffle partitions scale with the data BY BYTES, exactly as a
       // cluster sizes them via maxPartitionBytes: the banded table is
       // ~64 rows × 16B per doc, so n/80000 ≈ 80MB partitions. A fixed 32

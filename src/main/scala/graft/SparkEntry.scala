@@ -677,6 +677,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
         queryVec(s, dir), 20, nProbe = 8, excludeId = Some(0L))
     }),
+    // product quantization: ADC over the code table + exact rerank; a
+    // shortlist ≥ corpus makes the rerank exhaustive → exact top-k,
+    // oracle-checkable regardless of what codebooks the sampled k-means
+    // fit produced (production dials shortlist << corpus — recall/IO dial,
+    // PipelineSpec measures it)
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.pqTrain(e, "embedding", dim = 64, m = 8, k = 16)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", 64, cb)
+      Similarity.pqTopK(codes, e, "vec_id", "embedding", cb,
+        queryVec(s, dir), 20, shortlist = 1000000, excludeId = Some(0L))
+    }),
     "evt_hourly" -> ((s, dir) => Tables.load(s, dir, "events")
       .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
@@ -1324,6 +1336,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
       "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     "sim_ivf_topk" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
+    "sim_pq_topk" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
       "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
       "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     "sim_lsh_topk" -> Similarity.annTopKOracleSql(

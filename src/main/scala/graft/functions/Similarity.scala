@@ -287,4 +287,106 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // --------------------------------------------------- product quantization
+
+  /** PQ codebook training (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the vector space is split into `m`
+    * subspaces of `dim/m` dims, each quantized independently by its own
+    * k-means codebook of `k` centroids. A vector is then `m` small codes
+    * (k ≤ 256 → one byte each) plus its exact norm — the compressed scan
+    * layout that makes 100 TB of fp32 embeddings ANN-searchable from a few
+    * hundred GB of codes.
+    *
+    * Fit runs on the same bounded no-pre-count sample as [[ivfIndex]]
+    * (`fitPointsPerCentroid`·k rows, capped per partition by a codegen'd
+    * filter on the partition-local ordinal); the sample is persisted once
+    * and each subspace fits on a slice of it, so training never re-scans
+    * the corpus. Returns `codebooks(i)(j)` = centroid j of subspace i. */
+  def pqTrain(embeddings: DataFrame, vecCol: String, dim: Int, m: Int,
+              k: Int, seed: Long = 42L,
+              fitPointsPerCentroid: Int = 64): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    val target = fitPointsPerCentroid.toLong * k
+    val parts = math.max(1, embeddings.rdd.getNumPartitions)
+    val cap = (target + parts - 1) / parts
+    val fit = embeddings
+      .filter((monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1))) < cap)
+      .select((0 until m).map(i => array_to_vector(
+        transform(slice(col(vecCol), i * sub + 1, sub), x => x.cast("double")))
+        .as(s"__s$i")): _*)
+      .persist()
+    try (0 until m).map { i =>
+      new KMeans().setK(k).setSeed(seed + i).setFeaturesCol(s"__s$i")
+        .setPredictionCol("__c").fit(fit)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    finally { fit.unpersist(blocking = false); () }
+  }
+
+  /** PQ encode: one embarrassingly parallel map pass producing
+    * `(id, code array<int>, vnorm)` — per subspace the nearest-centroid
+    * code via the codegen'd [[NearestCells]] primitive (codebook matrix is
+    * plan data), plus the EXACT vector norm so cosine can be reconstructed
+    * from approximate dot products without a second corpus pass. The code
+    * table is what gets stored/scanned at serving time: `m`+4 bytes per
+    * vector instead of 4·dim. */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String, dim: Int,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val codeCols = (0 until m).map { i =>
+      element_at(Shim.column(NearestCells(
+        Shim.expression(slice(col(vecCol), i * sub + 1, sub)),
+        codebooks(i), 1)), 1)
+    }
+    embeddings.select(col(idCol), array(codeCols: _*).as("code"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("vnorm"))
+  }
+
+  /** PQ query with asymmetric distance computation (ADC) + exact rerank:
+    * the per-subspace table of query·centroid dot products is computed on
+    * the DRIVER (m·k doubles) and inlined as literal arrays, so the corpus
+    * scan is `m` codegen'd `element_at`s + adds per row over the code
+    * column ONLY — column pruning keeps the fat vector column untouched.
+    * approx cos = Σᵢ table(i)(codeᵢ) / (|q|·vnorm); the `shortlist` best by
+    * approx score (TakeOrderedAndProject — per-partition partial top-k, no
+    * corpus sort) broadcast-join back to the original vectors for exact
+    * rerank. `shortlist` ≥ corpus size degenerates to exact brute force
+    * (recall 1) — the oracle-verification configuration, same trick as
+    * [[ivfTopK]]'s exhaustive probe. */
+  def pqTopK(codes: DataFrame, original: DataFrame, idCol: String,
+             vecCol: String, codebooks: Array[Array[Array[Double]]],
+             query: Seq[Float], k: Int, shortlist: Int,
+             excludeId: Option[Long] = None): DataFrame = {
+    val m = codebooks.length
+    val sub = query.size / m
+    require(sub * m == query.size, s"query dim ${query.size} not divisible by m=$m")
+    val q = query.map(_.toDouble).toArray
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val tables = codebooks.zipWithIndex.map { case (cb, i) =>
+      cb.map(c => c.zip(q.slice(i * sub, (i + 1) * sub))
+        .map { case (a, b) => a * b }.sum)
+    }
+    val adcDot = (0 until m).map(i =>
+        element_at(array(tables(i).map(lit).toIndexedSeq: _*),
+          element_at(col("code"), i + 1) + 1))
+      .reduce(_ + _)
+    val base = excludeId.map(e => codes.filter(col(idCol) =!= e))
+      .getOrElse(codes)
+    val short = base
+      .select(col(idCol), (adcDot / (col("vnorm") * qnorm)).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(shortlist)
+      .select(idCol)
+    original.join(broadcast(short), idCol)
+      .select(col(idCol),
+        round(cosine(col(vecCol), array(query.map(lit): _*)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

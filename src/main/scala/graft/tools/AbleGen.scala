@@ -80,9 +80,12 @@ object AbleGen {
   private val domains    = (0 until 1000).map(i => s"domain$i.example")
   private val hobbies    = (0 until 24).map(i => s"hobby_$i")
 
-  /** The able-shaped DataFrame, n rows. */
-  def frame(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).select(
+  /** The able-shaped DataFrame, n rows. `parts <= 0` keeps the session's
+    * default range partitioning; a positive count makes generation an
+    * embarrassingly parallel map over that many range partitions (no
+    * shuffle at any n). */
+  def frame(spark: SparkSession, n: Long, parts: Int = 0): DataFrame =
+    (if (parts > 0) spark.range(0, n, 1, parts) else spark.range(n)).select(
       col("id").as("_id"),                                       // sequential uint
       when(u(1) < 0.01, lit(null))                               // null_chance .01
         .otherwise((lit(15) + (u(2) * 92).cast("int")).cast("long")).as("age"),
@@ -103,7 +106,7 @@ object AbleGen {
     * exists with a _SUCCESS marker). Partition count scales with n so the
     * layout matches what a cluster writer would produce. */
   def ensure(spark: SparkSession, n: Long, path: String): String =
-    GenCache.ensure(spark, n, path)(frame(spark, n))
+    GenCache.ensure(spark, n, path)(parts => frame(spark, n, parts))
 
   /** CLI: `runMain graft.tools.AbleGen <nRows> <outPath>`. */
   def main(args: Array[String]): Unit = {

@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
 object DocGen {
 
   def frame(spark: SparkSession, n: Long, wordsPerDoc: Int = 40,
-            vocab: Long = 5000L): DataFrame = {
+            vocab: Long = 5000L, parts: Int = 0): DataFrame = {
     // duplicate planting: doc 97k copies doc 97k-1 verbatim
     val seed = when(pmod(col("id"), lit(97)) === 0 && col("id") > 0,
       col("id") - 1).otherwise(col("id"))
-    spark.range(n).select(
+    (if (parts > 0) spark.range(0, n, 1, parts) else spark.range(n)).select(
       col("id").as("doc_id"),
       concat_ws(" ", (0 until wordsPerDoc).map(j =>
         concat(lit("w"), pmod(xxhash64(seed, lit(j)), lit(vocab)))): _*)
@@ -28,5 +28,5 @@ object DocGen {
   }
 
   def ensure(spark: SparkSession, n: Long, path: String): String =
-    GenCache.ensure(spark, n, path)(frame(spark, n))
+    GenCache.ensure(spark, n, path)(parts => frame(spark, n, parts = parts))
 }

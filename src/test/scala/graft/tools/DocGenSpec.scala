@@ -21,9 +21,9 @@ class DocGenSpec extends SparkSpec {
 
   test("GenCache materializes once and reuses the parquet") {
     val dir = graft.streaming.Ingest.scratch("docgen_cache") + "/c"
-    GenCache.ensure(spark, 100, dir)(DocGen.frame(spark, 100))
+    GenCache.ensure(spark, 100, dir)(p => DocGen.frame(spark, 100, parts = p))
     val mtime = new java.io.File(dir, "_SUCCESS").lastModified()
-    GenCache.ensure(spark, 100, dir)(sys.error("must not regenerate"))
+    GenCache.ensure(spark, 100, dir)(_ => sys.error("must not regenerate"))
     assert(new java.io.File(dir, "_SUCCESS").lastModified() == mtime)
     assert(spark.read.parquet(dir).count() == 100)
   }
