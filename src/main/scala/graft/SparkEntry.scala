@@ -661,6 +661,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     // unrolled per merge
     "txt_bpe_train" -> ((s, dir) =>
       Text.bpeTrain(docs(s, dir), "text", 3).orderBy("rank")),
+    // tokenizer application: train 3 merges, encode the corpus with them
+    // (zero-shuffle codegen'd pass), report per-doc token totals
+    "txt_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Text.bpeTrain(d, "text", 3).orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+      Text.bpeEncode(d, "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), explode(col("toks")).as("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), countDistinct("token").as("n_uniq"))
+        .orderBy("doc_id")
+    }),
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 20, excludeId = Some(0L))),
@@ -1111,6 +1123,41 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     sb.toString
   }
 
+  /** BPE encode oracle: re-derive the k merges with [[duckBpeTrain]]'s CTE
+    * chain, then run a word-preserving parallel chain w_0..w_k (the same
+    * list_reduce greedy merge, keeping the source word) and join every doc
+    * occurrence back through it — per-doc encoded token totals. */
+  private def duckBpeEncode(k: Int): String = {
+    val words = s"list_filter($duckBpe, x -> regexp_matches(x,'\\S'))"
+    val sb = new StringBuilder(
+      "WITH v0 AS (SELECT string_split(w,'') toks, cnt FROM (" +
+        s"SELECT w, COUNT(*) cnt FROM (SELECT unnest($words) w " +
+        "FROM documents) GROUP BY w)), " +
+        "w0 AS (SELECT w, string_split(w,'') toks FROM (" +
+        s"SELECT DISTINCT unnest($words) w FROM documents))")
+    def reduceToks(src: String) =
+      s"list_reduce(list_transform($src.toks, y -> [y]), " +
+        "(acc, y) -> CASE WHEN acc[-1] = m.l AND y[1] = m.r " +
+        "THEN list_concat(acc[1:len(acc)-1], [m.l || m.r]) " +
+        "ELSE list_concat(acc, y) END)"
+    for (i <- 1 to k) {
+      sb ++= s", p$i AS (SELECT t.toks[x.i] l, t.toks[x.i+1] r, SUM(t.cnt) freq " +
+        s"FROM v${i - 1} t, LATERAL (SELECT unnest(generate_series(1, len(t.toks)-1)) i) x " +
+        "GROUP BY 1,2)"
+      sb ++= s", m$i AS (SELECT l, r FROM p$i ORDER BY freq DESC, l, r LIMIT 1)"
+      if (i < k)
+        sb ++= s", v$i AS (SELECT ${reduceToks("t")} toks, t.cnt " +
+          s"FROM v${i - 1} t, m$i m)"
+      sb ++= s", w$i AS (SELECT t.w, ${reduceToks("t")} toks FROM w${i - 1} t, m$i m)"
+    }
+    sb ++= s", d AS (SELECT doc_id, unnest($words) w FROM documents)" +
+      s", u AS (SELECT d.doc_id, unnest(e.toks) AS token FROM d JOIN w$k e USING (w)) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+      "CAST(COUNT(DISTINCT token) AS BIGINT) AS n_uniq " +
+      "FROM u GROUP BY doc_id ORDER BY doc_id"
+    sb.toString
+  }
+
   /** `SELECT doc_id, pred FROM documents` with the langid CASE chain —
     * shared by `txt_langid` and `pipe_sample`. */
   private val duckLangIdSelect: String = {
@@ -1185,6 +1232,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "(SELECT unnest(list_filter(string_split(text,' '), x->x<>'')) AS token " +
       "FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 100"),
     "txt_bpe_train" -> duckBpeTrain(3),
+    "txt_bpe_encode" -> duckBpeEncode(3),
     // sequence packing: the greedy per-shard scan as a recursive CTE
     // advancing every shard one doc per iteration
     "pipe_pack" -> ("WITH RECURSIVE d AS (SELECT doc_id % 8 AS shard, " +

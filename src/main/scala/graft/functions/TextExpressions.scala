@@ -32,6 +32,11 @@ object TextExpressions {
     max.toLong
   }
 
+  def bpeApply(w: UTF8String, enc: BpeEncoder):
+      org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      enc.encode(w.toString).map(UTF8String.fromString))
+
   def polyHash(s: UTF8String, mod: Long): Long = {
     val str = s.toString
     var acc = 0L
@@ -68,5 +73,110 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s =>
       s"graft.functions.TextExpressions.polyHash($s, ${Text.FpMod}L)")
   override protected def withNewChildInternal(c: Expression): PolyHash =
+    copy(child = c)
+}
+
+/** Stateful, thread-safe BPE word encoder applying a trained merge list
+  * ([[Text.bpeTrain]] output) in rank order, greedy left-to-right per rank
+  * — exactly the transformation training applied to its vocabulary, so
+  * encoding the training corpus reproduces the trained vocab.
+  *
+  * Implementation is the classic min-rank loop (repeatedly merge the
+  * lowest-rank pair present) rather than a literal scan over all R ranks:
+  * equivalent because a rule consuming a merged token is always learned
+  * AFTER the rule that created it (its rank is strictly greater), so
+  * processing the lowest present rank first can never miss an
+  * earlier-rank match — and the loop is O(pairs·merges-applied) instead of
+  * O(R·len) for the 32k-merge vocabularies real tokenizers carry
+  * (PipelineSpec differential-checks it against the naive rank scan).
+  *
+  * A per-THREAD bounded LRU memo (word → tokens) makes repeated words
+  * O(1): Zipf corpora re-encode the same few thousand words billions of
+  * times, and the thread-local keeps the map unsynchronized while tasks
+  * share the deserialized expression in one executor JVM. */
+final class BpeEncoder(val merges: Array[(String, String)]) extends Serializable {
+  // key is length-prefixed so pairs can't collide (pretokens may contain
+  // any character, including the would-be separator)
+  private def key(l: String, r: String): String = l.length + ":" + l + r
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    for (((l, r), i) <- merges.zipWithIndex)
+      m.putIfAbsent(key(l, r), Int.box(i))
+    m
+  }
+  @transient private lazy val cache:
+      ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[String]]): Boolean =
+          size() > 65536
+      })
+
+  /** Code-point split (matches DuckDB `string_split(w, '')`). */
+  private def chars(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  def encode(w: String): Array[String] = {
+    val c = cache.get()
+    val hit = c.get(w)
+    if (hit != null) return hit
+    var toks = chars(w)
+    var done = toks.length < 2 || merges.isEmpty
+    while (!done) {
+      // lowest-rank adjacent pair present
+      var best = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.get(key(toks(i), toks(i + 1)))
+        if (r != null && r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(best)
+        val m = l + r
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == l && toks(j + 1) == r) {
+            out += m; j += 2 // greedy left-to-right, non-overlapping
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.result()
+        if (toks.length < 2) done = true
+      }
+    }
+    c.put(w, toks)
+    toks
+  }
+}
+
+/** `bpe_apply(word)` — tokens of one pretoken under the trained merges
+  * (the merge table is plan data via a reference object, like
+  * [[NearestCells]]' centroid matrix). */
+case class BpeApply(child: Expression, encoder: BpeEncoder)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+  override protected def nullSafeEval(s: Any): Any =
+    TextExpressions.bpeApply(s.asInstanceOf[UTF8String], encoder)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", encoder,
+      classOf[BpeEncoder].getName)
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.TextExpressions.bpeApply($s, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeApply =
     copy(child = c)
 }

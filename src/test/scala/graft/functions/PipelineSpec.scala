@@ -186,6 +186,71 @@ class PipelineSpec extends SparkSpec {
     assert(topk.collect().toSeq == direct)
   }
 
+  test("BPE encode: min-rank loop equals the naive rank scan; hand examples") {
+    // naive reference: literally apply every rank in order, greedy
+    // left-to-right — the formulation the DuckDB oracle unrolls
+    def naive(w: String, merges: Seq[(String, String)]): Seq[String] = {
+      var toks: Seq[String] = w.map(_.toString)
+      for ((l, r) <- merges) {
+        val out = Seq.newBuilder[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == l && toks(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    // greedy non-overlap: merge (a,a) on "aaab" gives [aa, a, b]
+    val e1 = new BpeEncoder(Array(("a", "a")))
+    assert(e1.encode("aaab").toSeq == Seq("aa", "a", "b"))
+    // chained ranks: (a,b) then (ab,c) — the later rank consumes the
+    // earlier's product
+    val e2 = new BpeEncoder(Array(("a", "b"), ("ab", "c")))
+    assert(e2.encode("abcabc").toSeq == Seq("abc", "abc"))
+    // differential fuzz over random words and random merge tables
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val alpha = "abcd"
+      val w = Seq.fill(2 + rnd.nextInt(12))(alpha(rnd.nextInt(4))).mkString
+      // grow merges the way training does: later rules may reference
+      // earlier products
+      var units = alpha.map(_.toString).toIndexedSeq
+      val merges = (1 to (1 + rnd.nextInt(6))).map { _ =>
+        val l = units(rnd.nextInt(units.size))
+        val r = units(rnd.nextInt(units.size))
+        units = units :+ (l + r)
+        (l, r)
+      }
+      val enc = new BpeEncoder(merges.toArray)
+      assert(enc.encode(w).toSeq == naive(w, merges),
+        s"word=$w merges=$merges")
+    }
+  }
+
+  test("BPE encode over the corpus: tokens reassemble the pretokens; memo is per-thread") {
+    val merges = Text.bpeTrain(docs, "text", 3).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    assert(merges.size == 3)
+    val enc = Text.bpeEncode(docs, "doc_id", "text", merges)
+    // concatenating a doc's encoded tokens must reproduce exactly the
+    // concatenation of its pretokens (encode splits, never rewrites)
+    val joined = enc.select(col("id"), concat_ws("", col("toks")).as("enc"))
+      .join(docs.select(col("doc_id").as("id"),
+        concat_ws("", Text.bpeTokens(col("text"))).as("pre")), "id")
+      .filter(col("enc") =!= col("pre")).count()
+    assert(joined == 0L)
+    // and the trained merges actually fire: some doc has fewer tokens than
+    // characters-in-pretokens
+    val shrunk = enc.select(size(col("toks")).as("n"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (a, x) => a + x).as("chars"))
+      .filter(col("n") < col("chars")).count()
+    assert(shrunk > 0L)
+  }
+
   test("PQ: exhaustive shortlist equals brute force; encode matches a naive replay") {
     val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val cb = Similarity.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16)
