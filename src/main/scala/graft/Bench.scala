@@ -281,11 +281,82 @@ object Bench {
       ""
     }
 
+    // ---- ANN scale rehearsal: PQ codes vs brute force at 10× the vectors.
+    // The claim under test is the SERVING asymmetry: brute-force top-k
+    // reads 4·dim bytes/vector and grows linearly; the ADC scan reads the
+    // m-byte code table (column pruning) and its 10× step should track the
+    // code table's size, with recall reported alongside (unstructured
+    // vectors are PQ's worst case — a floor, not a showcase). Build cost
+    // (train+encode+write) is reported separately like idx_build.
+    System.gc()
+    val annJson = try {
+      val nSmall = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "100000").toLong
+      val counts = Seq(nSmall, nSmall * 10)
+      val tmp = System.getProperty("java.io.tmpdir")
+      import org.apache.spark.sql.functions._
+      import graft.functions.Similarity
+      val dim = 64
+      val paths = counts.map(n =>
+        graft.tools.EmbGen.ensure(spark, n, s"$tmp/graft-emb-v1-$n"))
+      val q = graft.tools.EmbGen.frame(spark, 1, dim)
+        .select("embedding").head().getSeq[Float](0)
+      val builds = counts.zip(paths).map { case (n, p) =>
+        val t0 = System.nanoTime()
+        val emb = spark.read.parquet(p)
+        val cb = Similarity.pqTrain(emb, "embedding", dim, m = 16, k = 32)
+        Similarity.pqEncode(emb, "vec_id", "embedding", dim, cb)
+          .write.mode("overwrite").parquet(s"$tmp/graft-pqcodes-$n")
+        (cb, (System.nanoTime() - t0) / 1e9)
+      }
+      // interleaved warm+2-timed runs across points, brute and ADC
+      def bruteRun(p: String): Double = {
+        val t0 = System.nanoTime()
+        Similarity.cosineTopK(spark.read.parquet(p), "vec_id", "embedding",
+          q, 20).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def pqRun(n: Long, p: String, cb: Array[Array[Array[Double]]]): Double = {
+        val t0 = System.nanoTime()
+        Similarity.pqTopK(spark.read.parquet(s"$tmp/graft-pqcodes-$n"),
+          spark.read.parquet(p), "vec_id", "embedding", cb, q, 20,
+          shortlist = 200)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val rounds = (0 until 3).map { _ =>
+        counts.indices.map(i =>
+          (bruteRun(paths(i)), pqRun(counts(i), paths(i), builds(i)._1)))
+      }
+      val bruteBy = counts.indices.map(i => rounds.map(_(i)._1))
+      val pqBy = counts.indices.map(i => rounds.map(_(i)._2))
+      // recall of the production-shaped PQ query at the deep point
+      val deep = counts.indices.last
+      val bruteIds = Similarity.cosineTopK(spark.read.parquet(paths(deep)),
+        "vec_id", "embedding", q, 20).collect().map(_.getLong(0)).toSet
+      val pqIds = Similarity.pqTopK(
+        spark.read.parquet(s"$tmp/graft-pqcodes-${counts(deep)}"),
+        spark.read.parquet(paths(deep)), "vec_id", "embedding",
+        builds(deep)._1, q, 20, shortlist = 200)
+        .collect().map(_.getLong(0)).toSet
+      def runsArr(rs: Seq[Seq[Double]]) = rs.map(r =>
+        "[" + r.map(num(_, 3)).mkString(",") + "]").mkString("[", ",", "]")
+      def step(rs: Seq[Seq[Double]]) =
+        num(rs(1).drop(1).min / math.max(rs(0).drop(1).min, 1e-9), 2)
+      s""","ann_scale":{"vectors":[${counts.mkString(",")}],""" +
+        s""""pq_build_sec":[${builds.map(b => num(b._2, 2)).mkString(",")}],""" +
+        s""""brute_runs":${runsArr(bruteBy)},"pq_runs":${runsArr(pqBy)},""" +
+        s""""brute_step_at_10x":${step(bruteBy)},"pq_step_at_10x":${step(pqBy)},""" +
+        s""""recall_at_20":${(pqIds & bruteIds).size}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann rehearsal skipped: ${e.getMessage}")
+      ""
+    }
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
       s""""runs_warm_then_timed":$runsJson,"median_spread":${num(medianSpread, 3)},""" +
       s""""unreliable":$unreliable,""" +
       s""""load_avg":[${num(loadStart, 2)},${num(loadAvg(), 2)}],""" +
-      s""""sf":"$sfDir"$ableJson$dedupJson}""")
+      s""""sf":"$sfDir"$ableJson$dedupJson$annJson}""")
     spark.stop()
   }
 }

@@ -270,15 +270,23 @@ object Similarity {
   /** IVF query: rank cells by centroid distance on the driver (centroid set
     * is tiny), probe the nProbe nearest, exact-cosine rerank inside them.
     * nProbe = nCells degenerates to exhaustive search (recall 1). */
-  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
-              idCol: String, vecCol: String, query: Seq[Float], k: Int,
-              nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+  /** The nProbe cells nearest the query, ranked by centroid L2 on the
+    * driver (the centroid set is tiny) — shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]. */
+  private def probeCellsFor(centroids: Array[Array[Double]],
+                            query: Seq[Float], nProbe: Int): Array[Int] = {
     val q = query.map(_.toDouble).toArray
     def dist2(c: Array[Double]): Double =
       c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
-    val probeCells = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, i) => (dist2(c), i) }
       .take(nProbe).map(_._2)
+  }
+
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              idCol: String, vecCol: String, query: Seq[Float], k: Int,
+              nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val probeCells = probeCellsFor(centroids, query, nProbe)
     val base = excludeId.map(e => assigned.filter(col(idCol) =!= e))
       .getOrElse(assigned)
     base.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
@@ -336,7 +344,8 @@ object Similarity {
     * table is what gets stored/scanned at serving time: `m`+4 bytes per
     * vector instead of 4·dim. */
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String, dim: Int,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+               codebooks: Array[Array[Array[Double]]],
+               keep: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val sub = dim / m
     val codeCols = (0 until m).map { i =>
@@ -344,8 +353,9 @@ object Similarity {
         Shim.expression(slice(col(vecCol), i * sub + 1, sub)),
         codebooks(i), 1)), 1)
     }
-    embeddings.select(col(idCol), array(codeCols: _*).as("code"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("vnorm"))
+    embeddings.select(col(idCol) +: keep.map(col) :+
+      array(codeCols: _*).as("code") :+
+      sqrt(dot(col(vecCol), col(vecCol))).as("vnorm"): _*)
   }
 
   /** PQ query with asymmetric distance computation (ADC) + exact rerank:
@@ -388,5 +398,35 @@ object Similarity {
         round(cosine(col(vecCol), array(query.map(lit): _*)), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF-PQ composed build — the canonical billion-scale serving layout
+    * (FAISS IVFPQ shape): the coarse quantizer's cell becomes the PHYSICAL
+    * partition key (write the result `partitionBy("cell")`) and PQ codes
+    * compress within, so a query touches nProbe partitions of m-byte codes
+    * instead of the corpus: I/O ≈ |corpus| · (nProbe/nCells) · (m+4)/(4·dim)
+    * bytes. Returns ((id, cell, code, vnorm), cell centroids, codebooks). */
+  def ivfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, nCells: Int, m: Int, k: Int, seed: Long = 42L)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (assigned, centroids) = ivfIndex(embeddings, idCol, vecCol, nCells, seed)
+    val codebooks = pqTrain(embeddings, vecCol, dim, m, k, seed)
+    (pqEncode(assigned, idCol, vecCol, dim, codebooks, keep = Seq("cell")),
+      centroids, codebooks)
+  }
+
+  /** IVF-PQ query: probe the nProbe nearest cells (partition pruning on a
+    * cell-partitioned layout — the filter is a driver-computed literal
+    * list), ADC-score only their codes, exact-rerank the shortlist against
+    * the original vectors. nProbe = nCells AND shortlist ≥ corpus
+    * degenerates to exact brute force. */
+  def ivfPqTopK(codes: DataFrame, original: DataFrame, idCol: String,
+                vecCol: String, centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]], query: Seq[Float],
+                k: Int, nProbe: Int, shortlist: Int,
+                excludeId: Option[Long] = None): DataFrame = {
+    val probeCells = probeCellsFor(centroids, query, nProbe)
+    pqTopK(codes.filter(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      original, idCol, vecCol, codebooks, query, k, shortlist, excludeId)
   }
 }

@@ -255,18 +255,18 @@ object Text {
     * order) to every document: the tokenizer-application pass that turns a
     * cleaned corpus into token ids for training. Returns (id, toks).
     *
-    * Scale shape (100 TB): ZERO shuffle — one map-side pass where each
-    * pretoken runs through the codegen'd [[BpeApply]] primitive (merge
-    * table is plan data; per-thread LRU memo makes Zipf-repeated words
-    * O(1), the dictionary-encode win without the dictionary join's
-    * corpus-wide shuffle). */
+    * Scale shape (100 TB): ZERO shuffle — one map-side pass through the
+    * fused codegen'd [[BpeEncodeText]] primitive (pretokenize + filter +
+    * encode + flatten in one expression; merge table is plan data; a
+    * per-thread LRU memo makes Zipf-repeated words O(1) — the
+    * dictionary-encode win without a dictionary join's corpus-wide
+    * shuffle). */
   def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftshim.Shim
     val enc = new BpeEncoder(merges.toArray)
     df.select(col(idCol).as("id"),
-      flatten(transform(bpeTokens(col(textCol)),
-        w => Shim.column(BpeApply(Shim.expression(w), enc)))).as("toks"))
+      Shim.column(BpeEncodeText(Shim.expression(col(textCol)), enc)).as("toks"))
   }
 
   /** Per-document cross-entropy under a corpus-self bigram language model —

@@ -37,6 +37,25 @@ object TextExpressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       enc.encode(w.toString).map(UTF8String.fromString))
 
+  private lazy val bpePretokenRe =
+    java.util.regex.Pattern.compile(Text.BpePattern)
+  private lazy val nonWsRe = java.util.regex.Pattern.compile("\\S")
+
+  def bpeEncodeText(text: UTF8String, enc: BpeEncoder):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = Array.newBuilder[UTF8String]
+    val m = bpePretokenRe.matcher(text.toString)
+    while (m.find()) {
+      val tok = m.group()
+      if (nonWsRe.matcher(tok).find()) {
+        val enc0 = enc.encode(tok)
+        var i = 0
+        while (i < enc0.length) { out += UTF8String.fromString(enc0(i)); i += 1 }
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.result())
+  }
+
   def polyHash(s: UTF8String, mod: Long): Long = {
     val str = s.toString
     var acc = 0L
@@ -158,6 +177,33 @@ final class BpeEncoder(val merges: Array[(String, String)]) extends Serializable
     c.put(w, toks)
     toks
   }
+}
+
+/** `bpe_encode_text(text)` — the whole tokenizer-application pass fused
+  * into ONE codegen'd expression: pretokenize with the GPT-2 split pattern
+  * ([[Text.BpePattern]], the same java.util.regex semantics
+  * `regexp_extract_all` uses), drop all-whitespace pretokens (the `\S`
+  * filter of [[Text.bpeTokens]]), encode each pretoken through the
+  * [[BpeEncoder]] memo, emit the flat token stream. The HOF formulation
+  * (`flatten(transform(filter(regexp_extract_all(...))))`) keeps the
+  * project out of whole-stage codegen and interprets four lambdas per
+  * pretoken; this is one matcher and one memo lookup. */
+case class BpeEncodeText(child: Expression, encoder: BpeEncoder)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_text"
+  override protected def nullSafeEval(s: Any): Any =
+    TextExpressions.bpeEncodeText(s.asInstanceOf[UTF8String], encoder)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", encoder,
+      classOf[BpeEncoder].getName)
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.TextExpressions.bpeEncodeText($s, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncodeText =
+    copy(child = c)
 }
 
 /** `bpe_apply(word)` — tokens of one pretoken under the trained merges

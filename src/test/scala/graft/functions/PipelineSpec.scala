@@ -249,6 +249,15 @@ class PipelineSpec extends SparkSpec {
           (a, x) => a + x).as("chars"))
       .filter(col("n") < col("chars")).count()
     assert(shrunk > 0L)
+    // the fused expression equals the compositional HOF formulation
+    // (pretokenize -> per-word BpeApply -> flatten)
+    import org.apache.spark.sql.graftshim.Shim
+    val encObj = new BpeEncoder(merges.toArray)
+    val viaHof = docs.select(col("doc_id").as("id"),
+      flatten(transform(Text.bpeTokens(col("text")),
+        w => Shim.column(BpeApply(Shim.expression(w), encObj)))).as("toks"))
+    assert(enc.exceptAll(viaHof).count() == 0 &&
+      viaHof.exceptAll(enc).count() == 0)
   }
 
   test("PQ: exhaustive shortlist equals brute force; encode matches a naive replay") {
@@ -318,6 +327,45 @@ class PipelineSpec extends SparkSpec {
         !f.schema.fieldNames.contains("embedding") &&
           f.schema.fieldNames.toSet.subsetOf(Set("vec_id", "code", "vnorm"))),
       s"code scan read ${codeScans.map(_.schema.fieldNames.mkString(","))}")
+  }
+
+  test("IVF-PQ: exhaustive config equals brute force; probe prunes partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val (codes, centroids, cb) = Similarity.ivfPqIndex(
+      emb, "vec_id", "embedding", dim = 64, nCells = 8, m = 16, k = 32)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20, Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    // nProbe = nCells + shortlist >= corpus: exact regardless of quantizers
+    val exhaustive = Similarity.ivfPqTopK(codes, emb, "vec_id", "embedding",
+      centroids, cb, q, 20, nProbe = 8, shortlist = 1000000, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(exhaustive == brute)
+    // cell-partitioned layout: the production query touches nProbe
+    // partitions of codes, never the corpus
+    val dir = graft.streaming.Ingest.scratch("ivfpq_index") + "/cells"
+    codes.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (got, scans) =
+      try {
+        val topk = Similarity.ivfPqTopK(stored, emb, "vec_id", "embedding",
+          centroids, cb, q, 20, nProbe = 3, shortlist = 100, excludeId = Some(0L))
+        (topk.collect().map(_.getLong(0)).toSet,
+          topk.queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec if f.relation.location.rootPaths
+              .exists(_.toString.contains("ivfpq_index")) => f
+          })
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty, "expected a scan of the IVF-PQ layout")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "cell probe must be a partition filter (physical pruning)")
+    val touched = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(touched <= 3, s"query touched $touched cells, expected <= 3")
+    assert(scans.forall(!_.schema.fieldNames.contains("embedding")),
+      "code scan must not read the vector column")
+    val recall = (got & brute.toSet).size
+    assert(recall >= 10, s"IVF-PQ recall too low: $recall/20")
   }
 
   test("IVF cell-partitioned layout: probe reads only nProbe cells") {
@@ -480,6 +528,22 @@ class PipelineSpec extends SparkSpec {
       val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
       assert(exchanges.length == 1, // the global sort's range exchange only
         s"shuffle must cost exactly one exchange: $exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("BPE encode plan is a pure map-side pass: zero exchanges, codegen'd") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val enc = Text.bpeEncode(docs, "doc_id", "text",
+        Seq(("w", "1"), ("w1", "2")))
+      val plan = enc.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty, s"encode must not shuffle: $exchanges")
+      val wscg = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+      assert(wscg.nonEmpty && wscg.exists(_.toString.contains("bpe_encode_text")),
+        s"encode should run inside whole-stage codegen:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
