@@ -290,7 +290,9 @@ object Bench {
     // (train+encode+write) is reported separately like idx_build.
     System.gc()
     val annJson = try {
-      val nSmall = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "100000").toLong
+      // 1M/10M vectors: below ~1M both paths are job-overhead-bound and
+      // the code-vs-vector scan asymmetry is invisible
+      val nSmall = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "1000000").toLong
       val counts = Seq(nSmall, nSmall * 10)
       val tmp = System.getProperty("java.io.tmpdir")
       import org.apache.spark.sql.functions._
@@ -319,7 +321,7 @@ object Bench {
         val t0 = System.nanoTime()
         Similarity.pqTopK(spark.read.parquet(s"$tmp/graft-pqcodes-$n"),
           spark.read.parquet(p), "vec_id", "embedding", cb, q, 20,
-          shortlist = 200)
+          shortlist = 500)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
@@ -336,7 +338,7 @@ object Bench {
       val pqIds = Similarity.pqTopK(
         spark.read.parquet(s"$tmp/graft-pqcodes-${counts(deep)}"),
         spark.read.parquet(paths(deep)), "vec_id", "embedding",
-        builds(deep)._1, q, 20, shortlist = 200)
+        builds(deep)._1, q, 20, shortlist = 500)
         .collect().map(_.getLong(0)).toSet
       def runsArr(rs: Seq[Seq[Double]]) = rs.map(r =>
         "[" + r.map(num(_, 3)).mkString(",") + "]").mkString("[", ",", "]")

@@ -308,53 +308,121 @@ object Similarity {
     *
     * Fit runs on the same bounded no-pre-count sample as [[ivfIndex]]
     * (`fitPointsPerCentroid`·k rows, capped per partition by a codegen'd
-    * filter on the partition-local ordinal); the sample is persisted once
-    * and each subspace fits on a slice of it, so training never re-scans
-    * the corpus. Returns `codebooks(i)(j)` = centroid j of subspace i. */
+    * filter on the partition-local ordinal). The sample is BOUNDED BY
+    * CONSTRUCTION (a few thousand rows whatever the corpus size), so it is
+    * collected once and all m codebooks fit DRIVER-LOCAL with seeded
+    * k-means++ / Lloyd's — m distributed KMeans jobs over a 2k-row frame
+    * are pure scheduler overhead (measured ~30 s of it; local fit is
+    * milliseconds), and the local fit is deterministic for fixed seed and
+    * sample. Returns `codebooks(i)(j)` = centroid j of subspace i. */
   def pqTrain(embeddings: DataFrame, vecCol: String, dim: Int, m: Int,
               k: Int, seed: Long = 42L,
               fitPointsPerCentroid: Int = 64): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / m
     val target = fitPointsPerCentroid.toLong * k
     val parts = math.max(1, embeddings.rdd.getNumPartitions)
     val cap = (target + parts - 1) / parts
-    val fit = embeddings
+    val rows = embeddings
       .filter((monotonically_increasing_id()
         .bitwiseAND(lit((1L << 33) - 1))) < cap)
-      .select((0 until m).map(i => array_to_vector(
-        transform(slice(col(vecCol), i * sub + 1, sub), x => x.cast("double")))
-        .as(s"__s$i")): _*)
-      .persist()
-    try (0 until m).map { i =>
-      new KMeans().setK(k).setSeed(seed + i).setFeaturesCol(s"__s$i")
-        .setPredictionCol("__c").fit(fit)
-        .clusterCenters.map(_.toArray)
+      .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (0 until m).map { i =>
+      val pts = rows.map(v => java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub))
+      localKMeans(pts, k, seed + i)
     }.toArray
-    finally { fit.unpersist(blocking = false); () }
+  }
+
+  /** Seeded k-means++ init + Lloyd's iterations, driver-local, for the
+    * bounded PQ fit sample. Deterministic: weighted init draws from a
+    * seeded RNG, assignment ties break on the lower centroid index, empty
+    * clusters keep their previous centroid. May return < k centroids when
+    * the sample has < k distinct points. */
+  private def localKMeans(pts: Array[Array[Double]], k: Int,
+                          seed: Long): Array[Array[Double]] = {
+    if (pts.isEmpty) return Array.empty
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centers = scala.collection.mutable.ArrayBuffer(
+      pts(rnd.nextInt(pts.length)).clone())
+    val minD = pts.map(d2(_, centers(0)))
+    var exhausted = false
+    while (centers.size < k && !exhausted) {
+      val total = minD.sum
+      if (total <= 0) exhausted = true // < k distinct points
+      else {
+        var r = rnd.nextDouble() * total
+        var idx = 0
+        while (idx < pts.length - 1 && r >= minD(idx)) { r -= minD(idx); idx += 1 }
+        centers += pts(idx).clone()
+        var i = 0
+        while (i < pts.length) {
+          val d = d2(pts(i), centers.last)
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+      }
+    }
+    val cs = centers.toArray
+    val assign = new Array[Int](pts.length)
+    var moved = true
+    var iter = 0
+    while (moved && iter < 25) {
+      moved = false
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bd = d2(pts(i), cs(0)); var j = 1
+        while (j < cs.length) {
+          val d = d2(pts(i), cs(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(cs.length)(new Array[Double](cs(0).length))
+        val ns = new Array[Int](cs.length)
+        var p = 0
+        while (p < pts.length) {
+          val a = assign(p); ns(a) += 1
+          var d = 0
+          while (d < pts(p).length) { sums(a)(d) += pts(p)(d); d += 1 }
+          p += 1
+        }
+        var c = 0
+        while (c < cs.length) {
+          if (ns(c) > 0) {
+            var d = 0
+            while (d < cs(c).length) { cs(c)(d) = sums(c)(d) / ns(c); d += 1 }
+          } // empty cluster keeps its previous centroid
+          c += 1
+        }
+      }
+      iter += 1
+    }
+    cs
   }
 
   /** PQ encode: one embarrassingly parallel map pass producing
-    * `(id, code array<int>, vnorm)` — per subspace the nearest-centroid
-    * code via the codegen'd [[NearestCells]] primitive (codebook matrix is
-    * plan data), plus the EXACT vector norm so cosine can be reconstructed
-    * from approximate dot products without a second corpus pass. The code
-    * table is what gets stored/scanned at serving time: `m`+4 bytes per
-    * vector instead of 4·dim. */
+    * `(id, code BINARY, vnorm)` — the m-byte code word via the single
+    * codegen'd [[PqCodes]] primitive (codebook tensor is plan data; no
+    * per-subspace slicing), plus the EXACT vector norm so cosine can be
+    * reconstructed from approximate dot products without a second corpus
+    * pass. The code table is what gets stored/scanned at serving time:
+    * m+8 bytes per vector instead of 4·dim. */
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String, dim: Int,
                codebooks: Array[Array[Array[Double]]],
                keep: Seq[String] = Nil): DataFrame = {
-    val m = codebooks.length
-    val sub = dim / m
-    val codeCols = (0 until m).map { i =>
-      element_at(Shim.column(NearestCells(
-        Shim.expression(slice(col(vecCol), i * sub + 1, sub)),
-        codebooks(i), 1)), 1)
-    }
+    require(codebooks.map(_.head.length).sum == dim,
+      s"codebook subspace dims ${codebooks.map(_.head.length).toSeq} do not cover dim=$dim")
     embeddings.select(col(idCol) +: keep.map(col) :+
-      array(codeCols: _*).as("code") :+
+      Shim.column(PqCodes(Shim.expression(col(vecCol)), codebooks)).as("code") :+
       sqrt(dot(col(vecCol), col(vecCol))).as("vnorm"): _*)
   }
 
@@ -382,10 +450,7 @@ object Similarity {
       cb.map(c => c.zip(q.slice(i * sub, (i + 1) * sub))
         .map { case (a, b) => a * b }.sum)
     }
-    val adcDot = (0 until m).map(i =>
-        element_at(array(tables(i).map(lit).toIndexedSeq: _*),
-          element_at(col("code"), i + 1) + 1))
-      .reduce(_ + _)
+    val adcDot = Shim.column(AdcScore(Shim.expression(col("code")), tables))
     val base = excludeId.map(e => codes.filter(col(idCol) =!= e))
       .getOrElse(codes)
     val short = base

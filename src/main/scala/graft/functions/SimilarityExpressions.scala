@@ -52,6 +52,48 @@ object SimilarityExpressions {
     case other => sys.error(s"vector expression over non-float array: $other")
   }
 
+  /** PQ code word of `v`: per subspace the argmin-distance centroid index
+    * (ties lowest), one byte each. */
+  def pqCodes(v: ArrayData, vF: Boolean,
+              cbs: Array[Array[Array[Double]]]): Array[Byte] = {
+    val m = cbs.length
+    val out = new Array[Byte](m)
+    var off = 0
+    var i = 0
+    while (i < m) {
+      val cb = cbs(i)
+      val sub = cb(0).length
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = if (vF) v.getFloat(off + j).toDouble else v.getDouble(off + j)
+          val d = x - cent(j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < bd) { bd = acc; best = c }
+        c += 1
+      }
+      out(i) = best.toByte
+      off += sub
+      i += 1
+    }
+    out
+  }
+
+  /** ADC: Σᵢ tablesᵢ(codeᵢ). */
+  def adcScore(code: Array[Byte], tables: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < code.length) { s += tables(i)(code(i) & 0xFF); i += 1 }
+    s
+  }
+
   /** The `m` nearest centroid indices of `v` by Euclidean distance, via
     * argmax of (v·c − |c|²/2). Ties resolve to the lowest cell index. */
   def nearestCells(v: ArrayData, vF: Boolean, cents: Array[Array[Double]],
@@ -134,6 +176,46 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], m: I
       s"graft.functions.SimilarityExpressions.nearestCells($v, $vF, $cRef, $nRef, $m)")
   }
   override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
+/** `pq_codes(v)` — the PQ code word: per subspace the argmin-distance
+  * centroid index (ties to the lowest index), packed ONE BYTE each (k ≤
+  * 256). The codebook tensor rides the plan as a single reference object;
+  * scoring is a primitive loop inside codegen — no per-subspace slice
+  * allocation, no per-element lambda. */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(cb => cb.nonEmpty && cb.length <= 256),
+    "PQ codebooks must be non-empty with k <= 256 (one byte per code)")
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pq_codes"
+  private lazy val vF = SimilarityExpressions.isFloat(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    SimilarityExpressions.pqCodes(v.asInstanceOf[ArrayData], vF, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.SimilarityExpressions.pqCodes($v, $vF, $cRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqCodes =
+    copy(child = c)
+}
+
+/** `adc_score(code)` — asymmetric distance computation: Σᵢ tableᵢ(codeᵢ),
+  * the query-side dot-product tables as one reference object. */
+case class AdcScore(child: Expression, tables: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "adc_score"
+  override protected def nullSafeEval(b: Any): Any =
+    SimilarityExpressions.adcScore(b.asInstanceOf[Array[Byte]], tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("adcTables", tables, "double[][]")
+    defineCodeGen(ctx, ev, b =>
+      s"graft.functions.SimilarityExpressions.adcScore($b, $tRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): AdcScore =
     copy(child = c)
 }
 

@@ -272,7 +272,7 @@ class PipelineSpec extends SparkSpec {
       .collect()
     for (r <- sample) {
       val v = r.getSeq[Float](1).map(_.toDouble)
-      val code = r.getSeq[Int](2)
+      val code = r.getAs[Array[Byte]](2).map(_ & 0xff).toSeq
       val naive = (0 until 8).map { i =>
         val sv = v.slice(i * 8, (i + 1) * 8)
         cb(i).zipWithIndex.minBy { case (c, j) =>
