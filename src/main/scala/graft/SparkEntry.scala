@@ -701,6 +701,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       Similarity.pqTopK(codes, e, "vec_id", "embedding", cb,
         queryVec(s, dir), 20, shortlist = 1000000, excludeId = Some(0L))
     }),
+    // IVF-PQ composed layout, exhaustive config (nProbe = nCells,
+    // shortlist ≥ corpus) → exact, oracle-checkable; production prunes to
+    // nProbe cell partitions of m-byte codes (PipelineSpec asserts the
+    // physical pruning)
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (codes, centroids, cb) = Similarity.ivfPqIndex(
+        e, "vec_id", "embedding", dim = 64, nCells = 8, m = 8, k = 16)
+      Similarity.ivfPqTopK(codes, e, "vec_id", "embedding", centroids, cb,
+        queryVec(s, dir), 20, nProbe = 8, shortlist = 1000000,
+        excludeId = Some(0L))
+    }),
     "evt_hourly" -> ((s, dir) => Tables.load(s, dir, "events")
       .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
@@ -1387,6 +1399,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
       "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     "sim_pq_topk" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
+    "sim_ivfpq_topk" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
       "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
       "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     "sim_lsh_topk" -> Similarity.annTopKOracleSql(
