@@ -735,11 +735,21 @@ object GraftSql {
           case att: Attribute => att.name
         }.filter(n => df.columns.contains(n) && plain(n) && scalarTyped(n))
         val dropped = sumCols.foldLeft(df)((d, c) => d.filter(fcol(c).isNotNull))
-        // grouped-join results stream in the driving scan's first-appearance
-        // order in the reference — not key order; leave those unsorted
-        if (keyCols.nonEmpty && !hasJoin &&
+        // grouped-join and SET-keyed results stream in the driving scan's
+        // FIRST-APPEARANCE order in the reference — its post-PQL aggregator
+        // is an insertion-ordered map over the stream (key-ordered output
+        // exists only where the group compiles to PQL bitmap-row
+        // iteration). Reproduced deterministically: min(driving `_id`) per
+        // group, one extra partial-agg column + a sort of the reduced
+        // OUTPUT (never the input)
+        val setKeyed = a.groupingExpressions.exists {
+          case att: Attribute => att.dataType.isInstanceOf[ArrayType]
+          case _ => false
+        }
+        if (keyCols.nonEmpty && !hasJoin && !setKeyed &&
             keyCols.size == a.groupingExpressions.size)
           dropped.orderBy(keyCols.map(fcol(_).asc).toIndexedSeq: _*)
+        else if (hasJoin || setKeyed) firstEncounterSort(dropped, a)
         else dropped
       case None if df.columns.contains("_id") =>
         val sortable = df.columns.filter(n => plain(n) && scalarTyped(n))
@@ -747,6 +757,44 @@ object GraftSql {
         else df.orderBy((fcol("_id").asc +: sortable.filter(_ != "_id")
           .map(fcol(_).asc_nulls_last)).toIndexedSeq: _*)
       case None => df
+    }
+  }
+
+  /** Rewrites a grouped query so its output streams in FIRST-APPEARANCE
+    * order of the group key in the driving scan (reference semantics for
+    * join-grouped and set-keyed aggregation, `defs_join.go:71-86`,
+    * `defs_groupby.go:226-241`): the Aggregate grows a `min(driving _id)`
+    * column and a global Sort on it sits directly above (order survives
+    * the narrow Projects ancestors add). The driving scan is the leftmost
+    * leaf of the join tree; bails unchanged when no `_id` is in scope. */
+  private def firstEncounterSort(df: DataFrame, a: Aggregate): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def leftDeep(p: LogicalPlan): LogicalPlan = p match {
+      case j: Join => leftDeep(j.left)
+      case other if other.children.size == 1 => leftDeep(other.children.head)
+      case other => other
+    }
+    def firstJoin(p: LogicalPlan): Option[Join] = p match {
+      case j: Join => Some(j)
+      case other => other.children.iterator.flatMap(firstJoin).nextOption()
+    }
+    val ordAttr = firstJoin(a.child) match {
+      case Some(j) => leftDeep(j.left).output.find(_.name == "_id")
+      case None => a.child.output.find(_.name == "_id")
+    }
+    ordAttr match {
+      case None => df
+      case Some(id) =>
+        val ordAgg = Alias(AggregateExpression(
+          Min(id), Complete, isDistinct = false), "__first_enc")()
+        val newPlan = df.queryExecution.analyzed.transformUp {
+          case agg: Aggregate if agg eq a =>
+            Sort(Seq(SortOrder(ordAgg.toAttribute, Ascending)), global = true,
+              agg.copy(aggregateExpressions = agg.aggregateExpressions :+ ordAgg))
+        }
+        org.apache.spark.sql.graftshim.Shim.ofRows(df.sparkSession, newPlan)
+          .drop("__first_enc") // present only when the Aggregate is the top node
     }
   }
 

@@ -31,13 +31,6 @@ class GoldenCorpusSpec extends AnyFunSuite {
     ("dateTruncTests", "DateTruncOnNanoS", "select _id, date_trunc('ns', ts)"),
     ("dateTruncTests", "VerifyTimeStamp", "select _id, datetimename('ns', ts)"),
     ("datetimedifftests", "DatetimeDiffNS", "select datetimediff('ns', startTime, endTime)"),
-    // Grouped results over a SET column / across a join stream in the
-    // reference's first-appearance (insertion) order, an artifact of its
-    // single-node nested-loop + hash-agg iteration; a distributed group-by
-    // has no such order. Scalar single-table group keys ARE ordered (we
-    // sort by key, matching every other grouped corpus case).
-    ("groupByTests", "", "SELECT COUNT(*), is1 FROM groupby_test group by is1"),
-    ("joinTests", "innerjoin-aggregate-groupby", "select u._id, sum(orders.price)"),
     // PQLTests run only under the reference's DAX (serverless) harness
     // (`dax/test/dax/dax_test.go:171-196`); its MinRow/MaxRow counts
     // reflect per-partition sharding (count=1), not the single-node
@@ -70,8 +63,11 @@ class GoldenCorpusSpec extends AnyFunSuite {
     info(s"golden corpus: $pass/${results.size} pass, " +
       s"${results.size - pass} documented divergences")
     // 1,865 recorded statements (fixture statements only record on failure),
-    // 10 documented divergences (r8 closed the two rangeq rows by matching
-    // the reference's shared per-row quantum write time)
-    assert(pass >= 1855)
+    // 8 documented divergences (r8 closed the two rangeq rows by matching
+    // the reference's shared per-row quantum write time, and the two
+    // grouped-output-order rows by emitting first-appearance order for
+    // join-grouped / set-keyed aggregation like the reference's post-PQL
+    // insertion-ordered aggregator)
+    assert(pass >= 1857)
   }
 }
