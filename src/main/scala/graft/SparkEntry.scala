@@ -592,6 +592,20 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "txt_bm25" -> ((s, dir) =>
       Text.bm25(docs(s, dir), "doc_id", "text", Seq("spark", "hash", "window"))
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+    // hybrid retrieval: BM25 keyword + embedding-cosine sources fused by
+    // reciprocal rank (scores rounded before ranking so any engine replays
+    // the identical rank assignment)
+    "txt_rrf" -> ((s, dir) => {
+      val bm = Text.bm25(docs(s, dir), "doc_id", "text",
+          Seq("spark", "hash", "window"))
+        .select(col("id"), round(col("score"), 9).as("score"))
+      val cos = Similarity.cosineTopK(emb(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), 50, excludeId = Some(0L))
+        .select(col("vec_id").as("id"), col("sim").as("score"))
+      Text.rrfFuse(Seq(bm, cos), "id", "score", topN = 50)
+        .select(col("id").as("doc_id"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+    }),
     // perplexity-filter quality signal: per-doc cross-entropy under a
     // corpus-self Laplace bigram LM (CCNet-style)
     "txt_perplexity" -> ((s, dir) =>
@@ -1359,6 +1373,30 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score " +
       "FROM tf JOIN df USING (tok) CROSS JOIN st " +
       "GROUP BY tf.doc_id ORDER BY doc_id"),
+    // hybrid RRF: replay BOTH retrieval sources (BM25 chain + cosine) and
+    // the reciprocal-rank merge with identical rounded-score rank order
+    "txt_rrf" -> ("WITH d AS (SELECT doc_id, " +
+      "list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, ts FROM d), " +
+      "st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf " +
+      "FROM (SELECT doc_id, dl, unnest(ts) AS tok FROM dl) " +
+      "WHERE tok IN ('spark','hash','window') GROUP BY doc_id, dl, tok), " +
+      "df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok), " +
+      "bm AS (SELECT tf.doc_id AS id, " +
+      "round(sum(ln((st.nd - df.df + 0.5) / (df.df + 0.5) + 1.0) " +
+      "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 9) AS score " +
+      "FROM tf JOIN df USING (tok) CROSS JOIN st GROUP BY tf.doc_id), " +
+      "bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r " +
+      "FROM bm QUALIFY r <= 50), " +
+      "cos AS (SELECT vec_id AS id, round(list_cosine_similarity(embedding::DOUBLE[], " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS score " +
+      "FROM embeddings WHERE vec_id <> 0), " +
+      "cosr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r " +
+      "FROM cos QUALIFY r <= 50), " +
+      "u AS (SELECT id, r FROM bmr UNION ALL SELECT id, r FROM cosr) " +
+      "SELECT id AS doc_id, sum(1.0/(60+r)) AS rrf FROM u GROUP BY id " +
+      "ORDER BY rrf DESC, doc_id LIMIT 20"),
     // bigram-LM cross-entropy: replay the Laplace bigram model exactly
     "txt_perplexity" -> ("WITH d AS (SELECT doc_id, " +
       "list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents), " +

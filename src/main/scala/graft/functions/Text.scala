@@ -269,6 +269,34 @@ object Text {
       Shim.column(BpeEncodeText(Shim.expression(col(textCol)), enc)).as("toks"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine several ranked
+    * retrieval sources into one list by Σ 1/(kRrf + rank) — the standard
+    * hybrid-retrieval merge (e.g. BM25 keyword + embedding cosine).
+    *
+    * Scale shape: each source is first bounded to its top-N by
+    * `orderBy(...).limit` (TakeOrderedAndProject — per-partition partial
+    * top-k, no corpus sort); ranks are then a window over AT MOST topN
+    * rows per source, so the single-partition window is bounded by
+    * construction, and the fusion groupBy runs over ≤ sources·topN rows.
+    * Sources carry (idCol, scoreCol); ranks tie-break (score DESC, id
+    * ASC) on the score AS GIVEN — round scores first if cross-engine
+    * replay matters. */
+  def rrfFuse(sources: Seq[org.apache.spark.sql.DataFrame], idCol: String,
+      scoreCol: String, topN: Int, kRrf: Int = 60): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sources.nonEmpty, "rrfFuse: no sources")
+    val ranked = sources.map { s =>
+      val top = s.select(col(idCol), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc).limit(topN)
+      top.withColumn("r", row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+        .select(col(idCol), col("r"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum(lit(1.0) / (col("r") + kRrf)).as("rrf"))
+  }
+
   /** Per-document cross-entropy under a corpus-self bigram language model —
     * the perplexity-filter quality signal (CCNet-style, with the corpus
     * itself as the LM training set): documents whose token transitions are

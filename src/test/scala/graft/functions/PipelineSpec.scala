@@ -260,6 +260,24 @@ class PipelineSpec extends SparkSpec {
       viaHof.exceptAll(enc).count() == 0)
   }
 
+  test("RRF fusion: hand-computed ranks; bounded-window shape") {
+    import spark.implicits._
+    val s1 = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "score")
+    val s2 = Seq((3L, 0.9), (1L, 0.8), (4L, 0.7)).toDF("id", "score")
+    val out = Text.rrfFuse(Seq(s1, s2), "id", "score", topN = 2, kRrf = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // topN=2 keeps (1,2) from s1 and (3,1) from s2
+    assert(out == Map(
+      1L -> (1.0 / 61 + 1.0 / 62),
+      2L -> 1.0 / 62,
+      3L -> 1.0 / 61))
+    // ties in score rank by ascending id
+    val s3 = Seq((5L, 1.0), (4L, 1.0)).toDF("id", "score")
+    val t = Text.rrfFuse(Seq(s3), "id", "score", topN = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t == Map(4L -> 1.0 / 61, 5L -> 1.0 / 62))
+  }
+
   test("PQ: exhaustive shortlist equals brute force; encode matches a naive replay") {
     val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val cb = Similarity.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16)
