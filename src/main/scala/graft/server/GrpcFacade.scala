@@ -45,9 +45,13 @@ private[server] object Proto {
     * raw fixed64 bits. Unknown fields are skipped per proto rules. */
   final class Reader(buf: Array[Byte]) {
     private var pos = 0
+    private def malformed(what: String): Nothing =
+      sys.error(s"malformed protobuf: $what at offset $pos")
     private def varint(): Long = {
       var shift = 0; var acc = 0L
-      while ({ val b = buf(pos); pos += 1
+      while ({ if (pos >= buf.length) malformed("truncated varint")
+               if (shift > 63) malformed("varint overlong")
+               val b = buf(pos); pos += 1
                acc |= (b & 0x7fL) << shift; shift += 7; (b & 0x80) != 0 }) ()
       acc
     }
@@ -58,11 +62,17 @@ private[server] object Proto {
         val (field, wire) = ((k >>> 3).toInt, (k & 7).toInt)
         val v: Any = wire match {
           case 0 => varint()
-          case 1 => val b = java.util.Arrays.copyOfRange(buf, pos, pos + 8)
+          case 1 => if (pos + 8 > buf.length) malformed("truncated fixed64")
+                    val b = java.util.Arrays.copyOfRange(buf, pos, pos + 8)
                     pos += 8; b
-          case 2 => val len = varint().toInt
-                    val b = java.util.Arrays.copyOfRange(buf, pos, pos + len)
-                    pos += len; b
+          case 2 => val len = varint()
+                    // validate the length CLAIM against the actual buffer
+                    // before allocating — a 10-byte message claiming a 2^30
+                    // length must not allocate a gigabyte (remote DoS)
+                    if (len < 0 || len > buf.length - pos)
+                      malformed(s"length $len exceeds remaining input")
+                    val b = java.util.Arrays.copyOfRange(buf, pos, pos + len.toInt)
+                    pos += len.toInt; b
           case w => sys.error(s"unsupported wire type $w")
         }
         m(field) = m.getOrElse(field, Vector.empty) :+ v

@@ -166,4 +166,26 @@ class GrpcFacadeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("query-based inspect"))
   }
+
+  test("malformed request payloads answer INVALID_ARGUMENT; channel survives") {
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq(
+      Array(0x0a, 0x80, 0x80, 0x80, 0x80, 0x04, 'x').map(_.toByte), // GB claim
+      Array(0x08, 0xff).map(_.toByte),                              // cut varint
+      Array.fill(32)(rnd.nextInt(256).toByte))
+    payloads.foreach { p =>
+      val e = intercept[StatusRuntimeException] {
+        GrpcFacade.call(ch, facade.QuerySqlUnaryMethod, p)
+      }
+      assert(e.getStatus.getCode ==
+        org.sparkproject.connect.grpc.Status.Code.INVALID_ARGUMENT ||
+        e.getStatus.getCode ==
+          org.sparkproject.connect.grpc.Status.Code.PERMISSION_DENIED,
+        s"${e.getStatus} for ${p.map("%02x".format(_)).mkString}")
+    }
+    // and the SAME channel still serves a real query afterward
+    val resp = new Proto.Reader(GrpcFacade.call(ch, facade.QuerySqlUnaryMethod,
+      GrpcFacade.sqlRequest("SELECT COUNT(*) FROM region")))
+    assert(tableRows(resp) == Seq(Seq(5L)))
+  }
 }

@@ -83,6 +83,44 @@ class ProtoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("malformed input never hangs, over-allocates, or escapes cleanly-thrown errors") {
+    // the length-claim attack: 10 bytes claiming a gigabyte payload must
+    // throw a clean malformed error WITHOUT allocating the claim
+    val attack = new java.io.ByteArrayOutputStream()
+    attack.write(0x0a) // field 1, wire 2
+    // varint 2^30
+    attack.write(0x80); attack.write(0x80); attack.write(0x80); attack.write(0x80)
+    attack.write(0x04)
+    attack.write('x')
+    val before = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    val e = intercept[RuntimeException](new Proto.Reader(attack.toByteArray).fields)
+    assert(e.getMessage.contains("malformed"), e.getMessage)
+    val after = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    assert(after - before < 100L * 1024 * 1024, "length claim was allocated")
+    // truncated varint / fixed64
+    for (bad <- Seq(Array(0x08, 0xff).map(_.toByte),      // varint cut mid-byte
+                    Array(0x09, 0x01).map(_.toByte),      // fixed64 with 1 byte
+                    Array.fill(11)(0xff.toByte))) {       // overlong varint
+      val ex = intercept[RuntimeException](new Proto.Reader(bad).fields)
+      assert(ex.getMessage.contains("malformed") ||
+        ex.getMessage.contains("unsupported wire type"), ex.getMessage)
+    }
+    // random-bytes fuzz: parse returns or throws RuntimeException promptly;
+    // nothing else (no AIOOBE, no NegativeArraySize, no hang)
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 3000) {
+      val bytes = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      try { new Proto.Reader(bytes).fields; () }
+      catch {
+        case e: RuntimeException =>
+          assert(e.getMessage.contains("malformed") ||
+            e.getMessage.contains("unsupported wire type"),
+            s"unexpected error ${e.getClass}: ${e.getMessage} for " +
+              bytes.map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   test("QueryRequest decode matches what the writer encodes for any " +
     "query + shard list") {
     check(Prop.forAll(Gen.asciiPrintableStr,
