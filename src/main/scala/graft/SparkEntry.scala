@@ -625,6 +625,27 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       Dedup.dedupKeepOne(base, "doc_id", clusters)
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"))
     }),
+    // END-TO-END pretraining pipeline in ONE hash: langid+quality filter →
+    // exact-jaccard cluster dedup → BPE tokenizer TRAINED on the cleaned
+    // corpus → corpus encoded with it → token-budget sequence packing.
+    // Every stage is individually oracled elsewhere; this composes them so
+    // stage-boundary drift (filtered set, merge table, token totals, pack
+    // boundaries) cannot hide
+    "pipe_e2e" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("pred", Text.langId(col("words")))
+        .withColumn("tok_cnt", Text.tokenCount(col("text")))
+        .filter(col("pred") === "en" && col("tok_cnt") >= 20)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(
+          Dedup.shingledPosting(base, "doc_id", "text"), 0.5))
+      val clean = Dedup.dedupKeepOne(base, "doc_id", clusters)
+      val merges = Text.bpeTrain(clean, "text", 3).orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+      val counted = Text.bpeEncode(clean, "doc_id", "text", merges)
+        .select(col("id"), size(col("toks")).cast("long").as("n"))
+      Packing.packSequencesByCount(counted, "id", "n", budget = 512L)
+    }),
     "dd_clusters" -> ((s, dir) => Dedup.duplicateClusters(
       Dedup.jaccardPairs(
         Dedup.shingledPosting(docs(s, dir), "doc_id", "text"), 0.5))),
@@ -1095,10 +1116,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "SELECT dst AS id, min(src) AS root FROM reach GROUP BY 1 ORDER BY 1"
   }
 
-  /** DuckDB replay of the full cleaning pipeline (`pipe_clean_corpus`):
-    * langid + token filter → jaccard pairs → recursive-CTE components →
-    * keep-one → stats. */
-  private val duckPipeClean: String = {
+  /** The cleaning pipeline's filtered-base SELECT (langid 'en' + ≥20
+    * tokens), shared by [[duckPipeClean]] and the `pipe_e2e` oracle. */
+  private lazy val duckCleanBase: String = {
     val ws = "list_distinct(list_filter(string_split(text,' '), x->x<>''))"
     val scores = duckMarkers.map { case (l, arr) =>
       s"len(list_intersect($ws, $arr)) AS s_$l" }.mkString(", ")
@@ -1106,20 +1126,55 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     val caseChain = duckMarkers.map { case (l, _) =>
       s"WHEN $g > 0 AND s_$l = $g THEN '$l'" }.mkString(" ")
     val tok = "len(list_filter(string_split(text,' '), x->x<>''))"
-    val baseSql = s"SELECT doc_id, text, $tok AS tok_cnt " +
+    s"SELECT doc_id, text, $tok AS tok_cnt " +
       s"FROM (SELECT doc_id, text, $scores FROM documents) t " +
       s"WHERE (CASE $caseChain ELSE 'und' END) = 'en' AND $tok >= 20"
-    s"WITH RECURSIVE base AS ($baseSql), " +
+  }
+
+  /** DuckDB replay of the full cleaning pipeline (`pipe_clean_corpus`):
+    * langid + token filter → jaccard pairs → recursive-CTE components →
+    * keep-one → stats. */
+  private lazy val duckPipeClean: String =
+    s"WITH RECURSIVE ${duckCleanCtes(duckCleanBase)} " +
+      "SELECT count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS n_tokens FROM base " +
+      "WHERE doc_id NOT IN (SELECT id FROM losers)"
+
+  /** Composed `pipe_e2e` oracle: the cleaning CTEs feed the BPE
+    * train+encode chain (merges derived from the CLEANED corpus), per-doc
+    * encoded token totals feed the greedy pack recurrence. */
+  private lazy val duckPipeE2e: String =
+    // MATERIALIZED hints are load-bearing: the pack recursion references
+    // `pd` once per iteration, and without them DuckDB re-inlines the
+    // whole upstream chain (recursive components included) ~60 times —
+    // measured minutes instead of seconds
+    s"WITH RECURSIVE ${duckCleanCtes(duckCleanBase)}, " +
+      "clean AS MATERIALIZED (SELECT doc_id, text FROM base " +
+      "WHERE doc_id NOT IN (SELECT id FROM losers)), " +
+      duckBpeChain(3, "clean") +
+      ", nper AS (SELECT bpedocs.doc_id, CAST(SUM(len(e.toks)) AS BIGINT) AS n " +
+      "FROM bpedocs JOIN w3 e USING (w) GROUP BY bpedocs.doc_id), " +
+      "pd AS MATERIALIZED (SELECT doc_id % 8 AS shard, n, " +
+      "row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn FROM nper), " +
+      "pk AS (SELECT shard, rn, n, 0::BIGINT AS seq, n AS acc FROM pd WHERE rn = 1 " +
+      "UNION ALL SELECT x.shard, x.rn, x.n, " +
+      "CASE WHEN p.acc + x.n > 512 THEN p.seq + 1 ELSE p.seq END, " +
+      "CASE WHEN p.acc + x.n > 512 THEN x.n ELSE p.acc + x.n END " +
+      "FROM pd x JOIN pk p ON x.shard = p.shard AND x.rn = p.rn + 1) " +
+      "SELECT shard, seq, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens " +
+      "FROM pk GROUP BY 1, 2 ORDER BY 1, 2"
+
+  /** The cleaning-pipeline CTE list (base → jaccard pairs → recursive
+    * components → losers) shared by [[duckPipeClean]] and the composed
+    * `pipe_e2e` oracle. */
+  private def duckCleanCtes(baseSql: String): String =
+    s"base AS ($baseSql), " +
       duckShinglePairsCte.replace("FROM documents", "FROM base") +
       ", pr AS (SELECT a, b FROM pairs WHERE jf >= 0.5), " +
       "edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr), " +
       "nodes AS (SELECT DISTINCT x AS id FROM edges), " +
       "reach(src, dst) AS (SELECT id, id FROM nodes UNION " +
       "SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x), " +
-      "losers AS (SELECT dst AS id FROM reach GROUP BY 1 HAVING min(src) <> dst) " +
-      "SELECT count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS n_tokens FROM base " +
-      "WHERE doc_id NOT IN (SELECT id FROM losers)"
-  }
+      "losers AS (SELECT dst AS id FROM reach GROUP BY 1 HAVING min(src) <> dst)"
 
   private val duckBpe =
     "regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')"
@@ -1149,20 +1204,21 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     sb.toString
   }
 
-  /** BPE encode oracle: re-derive the k merges with [[duckBpeTrain]]'s CTE
-    * chain, then run a word-preserving parallel chain w_0..w_k (the same
-    * list_reduce greedy merge, keeping the source word) and join every doc
-    * occurrence back through it — per-doc encoded token totals. */
-  private def duckBpeEncode(k: Int): String = {
+  /** The BPE train+encode CTE list over source relation `src(doc_id,
+    * text)`: v_i / m_i re-derive the k merges ([[duckBpeTrain]]'s
+    * recurrence) and a word-preserving parallel chain w_0..w_k applies
+    * them (same list_reduce greedy merge, keeping the source word). The
+    * caller appends its own final SELECT over `w<k>` / `bpedocs`. */
+  private def duckBpeChain(k: Int, src: String): String = {
     val words = s"list_filter($duckBpe, x -> regexp_matches(x,'\\S'))"
     val sb = new StringBuilder(
-      "WITH v0 AS (SELECT string_split(w,'') toks, cnt FROM (" +
+      "v0 AS (SELECT string_split(w,'') toks, cnt FROM (" +
         s"SELECT w, COUNT(*) cnt FROM (SELECT unnest($words) w " +
-        "FROM documents) GROUP BY w)), " +
+        s"FROM $src) GROUP BY w)), " +
         "w0 AS (SELECT w, string_split(w,'') toks FROM (" +
-        s"SELECT DISTINCT unnest($words) w FROM documents))")
-    def reduceToks(src: String) =
-      s"list_reduce(list_transform($src.toks, y -> [y]), " +
+        s"SELECT DISTINCT unnest($words) w FROM $src))")
+    def reduceToks(s0: String) =
+      s"list_reduce(list_transform($s0.toks, y -> [y]), " +
         "(acc, y) -> CASE WHEN acc[-1] = m.l AND y[1] = m.r " +
         "THEN list_concat(acc[1:len(acc)-1], [m.l || m.r]) " +
         "ELSE list_concat(acc, y) END)"
@@ -1176,13 +1232,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           s"FROM v${i - 1} t, m$i m)"
       sb ++= s", w$i AS (SELECT t.w, ${reduceToks("t")} toks FROM w${i - 1} t, m$i m)"
     }
-    sb ++= s", d AS (SELECT doc_id, unnest($words) w FROM documents)" +
-      s", u AS (SELECT d.doc_id, unnest(e.toks) AS token FROM d JOIN w$k e USING (w)) " +
+    sb ++= s", bpedocs AS (SELECT doc_id, unnest($words) w FROM $src)"
+    sb.toString
+  }
+
+  /** BPE encode oracle: per-doc encoded token totals via [[duckBpeChain]]. */
+  private def duckBpeEncode(k: Int): String =
+    s"WITH ${duckBpeChain(k, "documents")}" +
+      s", u AS (SELECT bpedocs.doc_id, unnest(e.toks) AS token " +
+      s"FROM bpedocs JOIN w$k e USING (w)) " +
       "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
       "CAST(COUNT(DISTINCT token) AS BIGINT) AS n_uniq " +
       "FROM u GROUP BY doc_id ORDER BY doc_id"
-    sb.toString
-  }
 
   /** `SELECT doc_id, pred FROM documents` with the langid CASE chain —
     * shared by `txt_langid` and `pipe_sample`. */
@@ -1203,6 +1264,7 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "SELECT doc_id, len(toks) AS bpe_cnt, len(list_distinct(toks)) AS bpe_uniq " +
       "FROM t ORDER BY doc_id"),
     "pipe_clean_corpus" -> duckPipeClean,
+    "pipe_e2e" -> duckPipeE2e,
     // keep-best dedup: components over jaccard>=0.5 pairs, per-root winner
     // by (n_chars DESC, id DESC) — the row-value max Spark's
     // max(struct(s, id)) computes — then drop the clustered non-winners

@@ -25,13 +25,21 @@ object Packing {
     * document count and token total. `nShards` is the parallelism dial —
     * at corpus scale set it so a shard's docs fit one task comfortably. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    budget: Long, nShards: Int = 8): DataFrame = {
+                    budget: Long, nShards: Int = 8): DataFrame =
+    packSequencesByCount(
+      df.select(col(idCol), Text.tokenCount(col(textCol)).cast("long").as("__n")),
+      idCol, "__n", budget, nShards)
+
+  /** [[packSequences]] over a PRECOMPUTED per-doc token count (e.g. BPE
+    * token totals from [[Text.bpeEncode]] instead of whitespace counts). */
+  def packSequencesByCount(df: DataFrame, idCol: String, nCol: String,
+                           budget: Long, nShards: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(
         pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         col(idCol).cast("long").as("id"),
-        Text.tokenCount(col(textCol)).cast("long").as("n"))
+        col(nCol).cast("long").as("n"))
       .as[(Long, Long, Long)]
     rows
       // hash-partition by shard: a shard's rows land wholly in one task
