@@ -226,6 +226,95 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         }
       }
     })
+    // `POST /import-atomic-record` (`http_handler.go:499,3089-3151`
+    // handlePostImportAtomicRecord): one record's BSI value imports (Ivr)
+    // and bit imports (Ir) applied ATOMICALLY — the reference spans every
+    // sub-import with one Qcx and aborts on failure; here all sub-imports
+    // fold over one state under the table write lock and commit once (any
+    // error throws before the commit). Protobuf-only (415/406); success is
+    // the zero-byte importOk.
+    server.createContext("/import-atomic-record", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val bodyBytes = ex.getRequestBody.readAllBytes()
+        if (Option(ex.getRequestHeaders.getFirst("Content-Type"))
+              .getOrElse("") != "application/x-protobuf") {
+          plainError(ex, 415, "Unsupported media type"); return
+        }
+        val simLoss = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").find(_.startsWith("simPowerLossAfter="))
+          .map(_.stripPrefix("simPowerLossAfter="))
+        if (simLoss.exists(_.toLongOption.isEmpty)) {
+          plainError(ex, 400, s"invalid simPowerLossAfter"); return
+        }
+        val outer =
+          try new Proto.Reader(bodyBytes)
+          catch { case e: Exception => plainError(ex, 400, msg(e)); return }
+        val idx = outer.str(1).getOrElse("")
+        protoWrite(ex, idx) {
+          if (idx.isEmpty) sys.error("AtomicRecord.Index missing")
+          def msgs(f: Int) = outer.fields.getOrElse(f, Seq.empty).collect {
+            case b: Array[Byte] => new PbQuery.ImportMsg(b)
+          }
+          writeLock(idx) {
+            var t = try tableState(idx)
+                    catch { case _: Exception =>
+                      throw PlainError(404, "index not found") }
+            val schema = t.schema
+            import spark.implicits._
+            val touched = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+            def apply1(field: String, pairs: Seq[(String, String)],
+                       clear: Boolean): Unit = {
+              if (!schema.fields.exists(_.name == field))
+                throw PlainError(404, "field not found")
+              if (pairs.nonEmpty) {
+                val writes = pairs.zipWithIndex
+                  .map { case ((id, v), i) => (id, v, i.toLong) }
+                  .toDF("_id", "value", "seq")
+                t = if (clear) graft.core.Mutation.clearBulk(t, field, writes)
+                    else graft.core.Mutation.setBulk(t, field, writes)
+                touched += writes.select("_id")
+              }
+            }
+            // Ivr = pb.ImportValueRequest (BSI values): ids ColumnKeys(7)|
+            // ColumnIDs(5); values StringValues(9)|FloatValues(8)|Values(6);
+            // Clear(12)
+            msgs(3).foreach { m =>
+              val field = m.strings(2).headOption.getOrElse(
+                sys.error("ImportValueRequest.Field missing"))
+              val ids = { val ks = m.strings(7)
+                          if (ks.nonEmpty) ks else m.longs(5).map(_.toString) }
+              val vals = { val sv = m.strings(9)
+                           val fv = m.doubles(8)
+                           if (sv.nonEmpty) sv
+                           else if (fv.nonEmpty) fv.map(_.toString)
+                           else m.longs(6).map(_.toString) }
+              if (ids.length != vals.length)
+                sys.error(s"ids(${ids.length}) != values(${vals.length})")
+              apply1(field, ids.zip(vals),
+                m.longs(12).headOption.exists(_ == 1L))
+            }
+            // Ir = pb.ImportRequest (bits): values RowKeys(7)|RowIDs(4);
+            // ids ColumnKeys(8)|ColumnIDs(5); Clear(11)
+            msgs(4).foreach { m =>
+              val field = m.strings(2).headOption.getOrElse(
+                sys.error("ImportRequest.Field missing"))
+              val vals = { val ks = m.strings(7)
+                           if (ks.nonEmpty) ks else m.longs(4).map(_.toString) }
+              val ids = { val ks = m.strings(8)
+                          if (ks.nonEmpty) ks else m.longs(5).map(_.toString) }
+              if (ids.length != vals.length)
+                sys.error(s"ids(${ids.length}) != values(${vals.length})")
+              apply1(field, ids.zip(vals),
+                m.longs(11).headOption.exists(_ == 1L))
+            }
+            val allTouched = touched.result()
+            if (allTouched.nonEmpty)
+              commitState(idx, t,
+                touched = Some(allTouched.reduce(_ unionByName _)))
+          }
+        }
+      }
+    })
     server.createContext("/index", new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
@@ -538,6 +627,28 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     // wordings).
     server.createContext("/internal/translate", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
+        val pathSegs = ex.getRequestURI.getPath
+          .stripPrefix("/internal/translate").stripPrefix("/").split("/")
+        // `POST …/field/{i}/{f}/keys/like` (`http_handler.go:580,3691-3727`
+        // handleMatchField, authz.Read): body is a RAW SQL-LIKE pattern
+        // (`like.go` — `%` any run, `_` one char), answer is the JSON id
+        // array of matching field keys in key order; a missing index/field
+        // is the handler's blanket 500 (api.MatchField's nil-field error).
+        if (pathSegs.length == 5 && pathSegs(0) == "field" &&
+            pathSegs(3) == "keys" && pathSegs(4) == "like") {
+          chk(ex, None, Auth.PermRead)
+          if (!acceptsJson(ex)) throw PlainError(406, "Not acceptable")
+          val (idx, f) = (pathSegs(1), pathSegs(2))
+          val like = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val fieldExists =
+            (try Some(tableState(idx).schema)
+             catch { case _: Exception => None })
+              .exists(_.fields.exists(_.name == f))
+          if (!fieldExists) throw PlainError(500, "failed to match pattern")
+          val ids = keyTranslate.matchLike(s"fld:$idx/$f", like)
+          // json.Encoder on Go's nil slice renders null
+          if (ids.isEmpty) "null" else ids.mkString("[", ",", "]")
+        } else {
         chk(ex, None, Auth.PermAdmin)
         if (Option(ex.getRequestHeaders.getFirst("Content-Type"))
               .getOrElse("") != "application/json")
@@ -562,9 +673,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
               s.fields.exists(f => f.name == "value" && f.dataType == StringType)
             case _                            => false
           }
-        val segs = ex.getRequestURI.getPath
-          .stripPrefix("/internal/translate").stripPrefix("/").split("/")
-        segs match {
+        pathSegs match {
           case Array("index", idx, "keys", op) if op == "find" || op == "create" =>
             val sch =
               try tableState(idx).schema
@@ -588,6 +697,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
                     else keyTranslate.find(s"fld:$idx/$f", keys)
             "{" + m.map { case (k, v) => s"${js(k)}:$v" }.mkString(",") + "}"
           case _ => throw PlainError(404, "404 page not found")
+        }
         }
       }
     })

@@ -85,4 +85,32 @@ final class KeyTranslate(persistTo: Option[Path]) {
       s.fwd.entrySet.asScala.find(_.getValue.longValue == id).map(_.getKey)
     }
   }
+
+  /** Ids of keys matching a SQL-LIKE pattern (`reference/like.go`: `%` any
+    * run incl. empty, `_` exactly one character), in key order like the
+    * reference's translate-store iteration (BoltDB iterates keys in byte
+    * order — compared here as UTF-8 bytes). */
+  def matchLike(scope: String, like: String): Seq[Long] = synchronized {
+    val re = {
+      val sb = new StringBuilder("(?s)")
+      like.foreach {
+        case '%' => sb.append(".*")
+        case '_' => sb.append(".")
+        case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      java.util.regex.Pattern.compile(sb.toString)
+    }
+    Option(scopes.get(scope)).map { s =>
+      s.fwd.entrySet.asScala.toSeq
+        .filter(e => re.matcher(e.getKey).matches())
+        .sortWith { (a, b) =>
+          val (x, y) = (a.getKey.getBytes(UTF_8), b.getKey.getBytes(UTF_8))
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n && x(i) == y(i)) i += 1
+          if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+        }
+        .map(_.getValue.longValue)
+    }.getOrElse(Seq.empty)
+  }
 }

@@ -526,6 +526,87 @@ class HttpFacadeSpec extends SparkSpec {
     assert(send("DELETE", "/index/tridx", "")._1 == 200)
   }
 
+  test("keys/like matches field keys with SQL-LIKE semantics (http_handler.go:580)") {
+    def send(method: String, path: String, body: String,
+             ct: Option[String] = Some("application/json")): (Int, String) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Accept", "application/json")
+      ct.foreach(c => b.header("Content-Type", c))
+      val r = client.send(b.method(method,
+        HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    assert(send("POST", "/index/likix", """{"options":{"keys":true}}""")._1 == 200)
+    assert(send("POST", "/index/likix/field/fruit",
+      """{"options":{"type":"mutex","keys":true}}""")._1 == 200)
+    assert(send("POST", "/internal/translate/field/likix/fruit/keys/create",
+      """["banana","apple","apricot"]""")._1 == 200)
+    // like body is a RAW pattern, not JSON; ids answer in KEY order
+    // (apple=2, apricot=3, banana=1 — created in that id order)
+    val (c1, b1) = send("POST",
+      "/internal/translate/field/likix/fruit/keys/like", "ap%", None)
+    assert(c1 == 200 && b1.trim == "[2,3]", b1)
+    val (c2, b2) = send("POST",
+      "/internal/translate/field/likix/fruit/keys/like", "%an_na", None)
+    assert(c2 == 200 && b2.trim == "[1]", b2)
+    // `_` is exactly one char; no match renders Go's nil slice as null
+    val (c3, b3) = send("POST",
+      "/internal/translate/field/likix/fruit/keys/like", "apple_", None)
+    assert(c3 == 200 && b3.trim == "null", b3)
+    // missing field is the handler's blanket 500
+    val (c4, b4) = send("POST",
+      "/internal/translate/field/likix/nope/keys/like", "%", None)
+    assert(c4 == 500 && b4.contains("failed to match pattern"), b4)
+    assert(send("DELETE", "/index/likix", "")._1 == 200)
+  }
+
+  test("import-atomic-record applies Ivr+Ir atomically (http_handler.go:3089-3151)") {
+    def importValueReq(field: String, ids: Seq[Long], vals: Seq[Long]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      str(o, 2, field); packed(o, 5, ids); packed(o, 6, vals)
+      o.toByteArray
+    }
+    def importReq(field: String, rowKeys: Seq[String], colIds: Seq[Long]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      str(o, 2, field)
+      rowKeys.foreach(str(o, 7, _)); packed(o, 5, colIds)
+      o.toByteArray
+    }
+    def atomic(idx: String, ivr: Seq[Array[Byte]], ir: Seq[Array[Byte]]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      str(o, 1, idx)
+      ivr.foreach(bytesField(o, 3, _)); ir.foreach(bytesField(o, 4, _))
+      o.toByteArray
+    }
+    // one record: BSI value (s_nationkey=77) + keyed-mutex bit
+    // (s_name='atomic-name') land together, zero-byte importOk back
+    val (c1, b1) = postProto("/import-atomic-record",
+      atomic("supplier",
+        Seq(importValueReq("s_nationkey", Seq(1L), Seq(77L))),
+        Seq(importReq("s_name", Seq("atomic-name"), Seq(1L)))))
+    assert(c1 == 200 && b1.isEmpty, s"$c1 ${new String(b1)}")
+    val (qc, qb) = post("/index/supplier/query",
+      "Count(Intersect(Row(s_nationkey=77), Row(s_name='atomic-name')))")
+    assert(qc == 200 && qb.contains("1"), qb)
+    // atomicity: a bad second sub-import must not apply the first
+    val (c2, _) = postProto("/import-atomic-record",
+      atomic("supplier",
+        Seq(importValueReq("s_nationkey", Seq(2L), Seq(88L))),
+        Seq(importReq("nosuchfield", Seq("x"), Seq(2L)))))
+    assert(c2 == 404, s"$c2")
+    val (qc2, qb2) = post("/index/supplier/query", "Count(Row(s_nationkey=88))")
+    assert(qc2 == 200 && qb2.contains("\"count\":0") || qb2.contains("[0]") ||
+      qb2.contains(":0"), qb2)
+    // non-protobuf content type is the reference's 415
+    val req = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/import-atomic-record"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
+    assert(client.send(req, HttpResponse.BodyHandlers.ofString())
+      .statusCode() == 415)
+  }
+
   test("fbbatch flow: CreateIndexKeys/CreateFieldKeys -> import-roaring with " +
       "translated ids -> query by key (batch/batch.go:1380-1470)") {
     def send(method: String, path: String, body: String): (Int, String) = {
