@@ -770,19 +770,24 @@ object GraftSql {
   private def firstEncounterSort(df: DataFrame, a: Aggregate): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    def leftDeep(p: LogicalPlan): LogicalPlan = p match {
-      case j: Join => leftDeep(j.left)
-      case other if other.children.size == 1 => leftDeep(other.children.head)
-      case other => other
+    // walk the LEFT join spine and take `_id` from the FIRST node whose
+    // output carries it — stopping at the topmost occurrence matters for
+    // parquet-backed tables whose `_id` is COMPUTED by the view's project
+    // (descending to the leaf relation would find no `_id` and silently
+    // forfeit the sort; attrs pass through Projects with stable exprIds,
+    // so the one found here resolves at the Aggregate)
+    def drivingId(p: LogicalPlan): Option[Attribute] = p match {
+      case j: Join => drivingId(j.left)
+      case other => other.output.find(_.name == "_id") match {
+        case some @ Some(_) => some
+        case None if other.children.size == 1 => drivingId(other.children.head)
+        case None => None
+      }
     }
-    def firstJoin(p: LogicalPlan): Option[Join] = p match {
-      case j: Join => Some(j)
-      case other => other.children.iterator.flatMap(firstJoin).nextOption()
-    }
-    val ordAttr = firstJoin(a.child) match {
-      case Some(j) => leftDeep(j.left).output.find(_.name == "_id")
-      case None => a.child.output.find(_.name == "_id")
-    }
+    // the attr must still be VISIBLE at the Aggregate (a subquery's project
+    // may have pruned it — then bail to unsorted rather than build an
+    // unresolvable Min reference)
+    val ordAttr = drivingId(a.child).filter(a.child.outputSet.contains)
     ordAttr match {
       case None => df
       case Some(id) =>

@@ -132,4 +132,36 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT PERCENTILE(p_size, 50) FROM part WHERE p_brand != 'Brand#1'"))
     assert(e2.getMessage.contains("can't be pushed down"))
   }
+
+  test("join-grouped first-appearance order sorts the REDUCED output, not the input") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = GraftSql.sql(spark, sfDir,
+        "select n_regionkey, sum(s_acctbal) from supplier s " +
+          "inner join nation n on s.s_nationkey = n.n_nationkey " +
+          "group by n_regionkey")
+      // semantic check: group keys appear in first-encounter order of the
+      // driving (supplier) scan in _id order
+      val keys = df.collect().map(_.getAs[Number](0).longValue).toSeq
+      val nk = GraftSql.sql(spark, sfDir,
+        "select s_nationkey from supplier order by _id").collect()
+        .map(_.getAs[Number](0).longValue)
+      val region = GraftSql.sql(spark, sfDir,
+        "select n_nationkey, n_regionkey from nation").collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+      val want = nk.map(region).distinct.toSeq
+      assert(keys == want, s"got $keys want $want")
+      // plan check: every Sort sits ABOVE the final aggregate — the
+      // first-appearance order costs a sort of the reduced output, never
+      // of the join input
+      val plan = df.queryExecution.executedPlan
+      val sorts = plan.collect { case s: SortExec => s }
+      assert(sorts.nonEmpty, "expected the first-appearance output sort")
+      assert(sorts.forall(s =>
+          s.collectFirst { case a: HashAggregateExec => a }.isDefined),
+        s"a Sort has no aggregate beneath it (it would sort the input):\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
