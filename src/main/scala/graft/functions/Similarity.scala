@@ -444,6 +444,9 @@ object Similarity {
     val m = codebooks.length
     val sub = query.size / m
     require(sub * m == query.size, s"query dim ${query.size} not divisible by m=$m")
+    require(codebooks.forall(_.head.length == sub),
+      s"codebook subspace dims ${codebooks.map(_.head.length).toSeq} do not " +
+        s"match query dim ${query.size} / m=$m")
     val q = query.map(_.toDouble).toArray
     val qnorm = math.sqrt(q.map(x => x * x).sum)
     val tables = codebooks.zipWithIndex.map { case (cb, i) =>

@@ -249,7 +249,13 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         val outer =
           try new Proto.Reader(bodyBytes)
           catch { case e: Exception => plainError(ex, 400, msg(e)); return }
-        val idx = outer.str(1).getOrElse("")
+        // outer Index, falling back to the first sub-import's own Index
+        // field (clients may rely on the inner requests alone)
+        val idx = outer.str(1).filter(_.nonEmpty).orElse(
+          (outer.fields.getOrElse(3, Seq.empty) ++
+            outer.fields.getOrElse(4, Seq.empty)).collectFirst {
+              case b: Array[Byte] => new PbQuery.ImportMsg(b).strings(1).headOption
+            }.flatten).getOrElse("")
         protoWrite(ex, idx) {
           if (idx.isEmpty) sys.error("AtomicRecord.Index missing")
           def msgs(f: Int) = outer.fields.getOrElse(f, Seq.empty).collect {
