@@ -239,4 +239,52 @@ class StreamingSpec extends SparkSpec {
       .option("subscribe", "graft")
     assert(reader != null)
   }
+
+  test("streaming ANN ingest: PQ-encode is stateless, codes land in the cell layout") {
+    // the serving-index build composes with Structured Streaming: vectors
+    // arrive as a stream, the codegen'd PqCodes/NearestCells expressions
+    // encode them per micro-batch (no state, no shuffle), and foreachBatch
+    // appends to the cell-partitioned code layout a query then prunes
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Similarity
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val (_, centroids, cb) = Similarity.ivfPqIndex(
+      emb, "vec_id", "embedding", dim = 64, nCells = 4, m = 8, k = 16)
+    val dir = Ingest.scratch("ann_stream") + "/cells"
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val stream = ms.toDF()
+      .select(col("_1").as("vec_id"),
+        col("_2").cast("array<float>").as("embedding"))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val assigned = batch.withColumn("cell", element_at(
+          org.apache.spark.sql.graftshim.Shim.column(
+            graft.functions.NearestCells(
+              org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
+              centroids, 1)), 1))
+        Similarity.pqEncode(assigned, "vec_id", "embedding", 64, cb,
+            keep = Seq("cell"))
+          .write.mode("append").partitionBy("cell").parquet(dir)
+        ()
+      }.start()
+    try {
+      val vecs = emb.limit(6).collect()
+        .map(r => (r.getLong(0) + 100000L, r.getSeq[Float](1)))
+      ms.addData(vecs.take(3).toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(vecs.drop(3).toIndexedSeq)
+      q.processAllAvailable()
+      val stored = spark.read.parquet(dir)
+      assert(stored.count() == 6)
+      // codes match the batch encode of the same vectors byte-for-byte
+      val viaBatch = Similarity.pqEncode(
+          emb.limit(6).select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")), "vec_id", "embedding", 64, cb)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      val viaStream = stored.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Array[Byte]]("code").toSeq).toMap
+      assert(viaStream == viaBatch)
+    } finally q.stop()
+  }
 }
