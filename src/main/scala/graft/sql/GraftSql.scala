@@ -795,7 +795,14 @@ object GraftSql {
           Min(id), Complete, isDistinct = false), "__first_enc")()
         val newPlan = df.queryExecution.analyzed.transformUp {
           case agg: Aggregate if agg eq a =>
-            Sort(Seq(SortOrder(ordAgg.toAttribute, Ascending)), global = true,
+            // group-key tie-breakers: a fan-out join can FIRST-introduce two
+            // groups from the same driving row (equal min _id) — without
+            // them their relative order would be partition-dependent
+            val ties = agg.groupingExpressions.collect {
+              case att: Attribute if org.apache.spark.sql.catalyst.expressions
+                .RowOrdering.isOrderable(att.dataType) => SortOrder(att, Ascending)
+            }
+            Sort(SortOrder(ordAgg.toAttribute, Ascending) +: ties, global = true,
               agg.copy(aggregateExpressions = agg.aggregateExpressions :+ ordAgg))
         }
         org.apache.spark.sql.graftshim.Shim.ofRows(df.sparkSession, newPlan)
