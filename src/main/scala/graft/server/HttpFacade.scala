@@ -246,77 +246,80 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         if (simLoss.exists(_.toLongOption.isEmpty)) {
           plainError(ex, 400, s"invalid simPowerLossAfter"); return
         }
-        val outer =
-          try new Proto.Reader(bodyBytes)
-          catch { case e: Exception => plainError(ex, 400, msg(e)); return }
-        // outer Index, falling back to the first sub-import's own Index
-        // field (clients may rely on the inner requests alone)
-        val idx = outer.str(1).filter(_.nonEmpty).orElse(
-          (outer.fields.getOrElse(3, Seq.empty) ++
-            outer.fields.getOrElse(4, Seq.empty)).collectFirst {
-              case b: Array[Byte] => new PbQuery.ImportMsg(b).strings(1).headOption
-            }.flatten).getOrElse("")
-        protoWrite(ex, idx) {
-          if (idx.isEmpty) sys.error("AtomicRecord.Index missing")
-          def msgs(f: Int) = outer.fields.getOrElse(f, Seq.empty).collect {
-            case b: Array[Byte] => new PbQuery.ImportMsg(b)
-          }
-          writeLock(idx) {
-            var t = try tableState(idx)
-                    catch { case _: Exception =>
-                      throw PlainError(404, "index not found") }
-            val schema = t.schema
-            import spark.implicits._
-            val touched = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-            def apply1(field: String, pairs: Seq[(String, String)],
-                       clear: Boolean): Unit = {
-              if (!schema.fields.exists(_.name == field))
-                throw PlainError(404, "field not found")
-              if (pairs.nonEmpty) {
-                val writes = pairs.zipWithIndex
-                  .map { case ((id, v), i) => (id, v, i.toLong) }
-                  .toDF("_id", "value", "seq")
-                t = if (clear) graft.core.Mutation.clearBulk(t, field, writes)
-                    else graft.core.Mutation.setBulk(t, field, writes)
-                touched += writes.select("_id")
+        val lossAfter = simLoss.flatMap(_.toLongOption).getOrElse(0L)
+        // decode the WHOLE envelope inside an error path that still
+        // answers 400: a wire-type-confused Index field (varint where
+        // bytes are expected) or a malformed sub-import blob must not
+        // throw past the handler and kill the exchange responseless
+        val decoded: Either[String, (String, Seq[PbQuery.ImportMsg], Seq[PbQuery.ImportMsg])] =
+          try {
+            val outer = new Proto.Reader(bodyBytes)
+            def msgs(f: Int) = outer.fields.getOrElse(f, Seq.empty).collect {
+              case b: Array[Byte] => new PbQuery.ImportMsg(b)
+            }
+            val (ivr, ir) = (msgs(3), msgs(4))
+            // outer Index, else the first sub-import that CARRIES one
+            val idx = outer.fields.getOrElse(1, Seq.empty).collectFirst {
+                case b: Array[Byte] => new String(b, UTF_8)
+              }.filter(_.nonEmpty)
+              .orElse((ivr.iterator ++ ir.iterator)
+                .flatMap(_.strings(1).headOption).find(_.nonEmpty))
+              .getOrElse("")
+            Right((idx, ivr, ir))
+          } catch { case e: Exception => Left(msg(e)) }
+        decoded match {
+          case Left(m) => plainError(ex, 400, m)
+          case Right((idx, ivr, ir)) => protoWrite(ex, idx) {
+            if (idx.isEmpty) sys.error("AtomicRecord.Index missing")
+            writeLock(idx) {
+              var t = try tableState(idx)
+                      catch { case _: Exception =>
+                        throw PlainError(404, "index not found") }
+              val schema = t.schema
+              import spark.implicits._
+              val touched = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+              // the reference's SimPowerLossAfter QA hook (`api.go:
+              // 1358-1412`): abort once the sub-import counter passes the
+              // threshold — its Qcx rolls everything back, our
+              // single-commit does the same by never committing
+              var tot = 0L
+              def checkLoss(): Unit = {
+                tot += 1
+                if (lossAfter > 0 && tot > lossAfter)
+                  throw PlainError(500, "error: update was aborted")
               }
+              def apply1(field: String, pairs: Seq[(String, String)],
+                         clear: Boolean): Unit = {
+                if (!schema.fields.exists(_.name == field))
+                  throw PlainError(404, "field not found")
+                if (pairs.nonEmpty) {
+                  val writes = pairs.zipWithIndex
+                    .map { case ((id, v), i) => (id, v, i.toLong) }
+                    .toDF("_id", "value", "seq")
+                  t = if (clear) graft.core.Mutation.clearBulk(t, field, writes)
+                      else graft.core.Mutation.setBulk(t, field, writes)
+                  touched += writes.select("_id")
+                }
+              }
+              ivr.foreach { m => // pb.ImportValueRequest (BSI values)
+                checkLoss()
+                val field = m.strings(2).headOption.getOrElse(
+                  sys.error("ImportValueRequest.Field missing"))
+                apply1(field, PbQuery.valuePairs(m),
+                  m.longs(12).headOption.exists(_ == 1L))
+              }
+              ir.foreach { m => // pb.ImportRequest (bits)
+                checkLoss()
+                val field = m.strings(2).headOption.getOrElse(
+                  sys.error("ImportRequest.Field missing"))
+                apply1(field, PbQuery.rowPairs(m),
+                  m.longs(11).headOption.exists(_ == 1L))
+              }
+              val allTouched = touched.result()
+              if (allTouched.nonEmpty)
+                commitState(idx, t,
+                  touched = Some(allTouched.reduce(_ unionByName _)))
             }
-            // Ivr = pb.ImportValueRequest (BSI values): ids ColumnKeys(7)|
-            // ColumnIDs(5); values StringValues(9)|FloatValues(8)|Values(6);
-            // Clear(12)
-            msgs(3).foreach { m =>
-              val field = m.strings(2).headOption.getOrElse(
-                sys.error("ImportValueRequest.Field missing"))
-              val ids = { val ks = m.strings(7)
-                          if (ks.nonEmpty) ks else m.longs(5).map(_.toString) }
-              val vals = { val sv = m.strings(9)
-                           val fv = m.doubles(8)
-                           if (sv.nonEmpty) sv
-                           else if (fv.nonEmpty) fv.map(_.toString)
-                           else m.longs(6).map(_.toString) }
-              if (ids.length != vals.length)
-                sys.error(s"ids(${ids.length}) != values(${vals.length})")
-              apply1(field, ids.zip(vals),
-                m.longs(12).headOption.exists(_ == 1L))
-            }
-            // Ir = pb.ImportRequest (bits): values RowKeys(7)|RowIDs(4);
-            // ids ColumnKeys(8)|ColumnIDs(5); Clear(11)
-            msgs(4).foreach { m =>
-              val field = m.strings(2).headOption.getOrElse(
-                sys.error("ImportRequest.Field missing"))
-              val vals = { val ks = m.strings(7)
-                           if (ks.nonEmpty) ks else m.longs(4).map(_.toString) }
-              val ids = { val ks = m.strings(8)
-                          if (ks.nonEmpty) ks else m.longs(5).map(_.toString) }
-              if (ids.length != vals.length)
-                sys.error(s"ids(${ids.length}) != values(${vals.length})")
-              apply1(field, ids.zip(vals),
-                m.longs(11).headOption.exists(_ == 1L))
-            }
-            val allTouched = touched.result()
-            if (allTouched.nonEmpty)
-              commitState(idx, t,
-                touched = Some(allTouched.reduce(_ unionByName _)))
           }
         }
       }
@@ -1438,41 +1441,19 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           .split("&").contains("clear=true")
         val m = new PbQuery.ImportMsg(body)
         // (record id, value) pairs by column type, stringified onto the
-        // same bulk path as the CSV wire (setBulk casts to the column type)
+        // same bulk path as the CSV wire (setBulk casts to the column
+        // type). Decode shapes are shared with /import-atomic-record
+        // ([[PbQuery.valuePairs]]/[[PbQuery.rowPairs]]); the value path
+        // additionally tolerates ImportRequest framing for unkeyed MUTEX
+        // columns (they share LongType with INT, so this type dispatch
+        // can't distinguish — rowIdFallback reads RowIDs(4) as values
+        // when no value list is present).
         val pairs: Seq[(String, String)] = fld.dataType match {
           case LongType | IntegerType | ShortType | DoubleType | FloatType |
                TimestampType | _: DecimalType =>
-            val ids: Seq[String] =
-              { val ks = m.strings(7); if (ks.nonEmpty) ks
-                else m.longs(5).map(_.toString) }
-            val rowIds = m.longs(4)
-            val vals: Seq[String] = {
-              val sv = m.strings(9)
-              val fv = m.doubles(8)
-              if (sv.nonEmpty) sv
-              else if (fv.nonEmpty) fv.map(_.toString)
-              // an unkeyed MUTEX column shares LongType with INT, so a Go
-              // client may legitimately send ImportRequest framing here:
-              // no value lists, but RowIDs(4) matching ColumnIDs in length.
-              // Fall back to that framing instead of misreading field 6
-              // (= ImportRequest.Timestamps) as values.
-              else if (m.longs(6).isEmpty && rowIds.nonEmpty &&
-                       rowIds.length == ids.length) rowIds.map(_.toString)
-              else m.longs(6).map(_.toString)
-            }
-            if (ids.length != vals.length)
-              sys.error(s"ids(${ids.length}) != values(${vals.length})")
-            ids.zip(vals)
+            PbQuery.valuePairs(m, rowIdFallback = true)
           case _ => // keyed mutex / string / set columns: ImportRequest
-            val vals: Seq[String] =
-              { val ks = m.strings(7); if (ks.nonEmpty) ks
-                else m.longs(4).map(_.toString) }
-            val ids: Seq[String] =
-              { val ks = m.strings(8); if (ks.nonEmpty) ks
-                else m.longs(5).map(_.toString) }
-            if (ids.length != vals.length)
-              sys.error(s"ids(${ids.length}) != values(${vals.length})")
-            ids.zip(vals)
+            PbQuery.rowPairs(m)
         }
         writeLock(idx) {
           val t = tableState(idx)

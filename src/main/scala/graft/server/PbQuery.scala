@@ -38,7 +38,9 @@ private[server] object PbQuery {
   }
 
   /** Repeated varint field: accepts both packed and unpacked encodings,
-    * as any proto3 parser must. */
+    * as any proto3 parser must. Packed chunks get the same
+    * malformed-input guards as [[Proto.Reader]] (a chunk ending on a
+    * continuation bit must throw a clean error, not AIOOBE). */
   private[server] def repeatedLongs(r: Proto.Reader, field: Int): Seq[Long] =
     r.fields.getOrElse(field, Seq.empty).flatMap {
       case n: Long => Seq(n)
@@ -47,13 +49,58 @@ private[server] object PbQuery {
         var pos = 0
         while (pos < b.length) {
           var shift = 0; var acc = 0L
-          while ({ val x = b(pos); pos += 1
+          while ({ if (pos >= b.length)
+                     sys.error("malformed protobuf: truncated packed varint")
+                   if (shift > 63)
+                     sys.error("malformed protobuf: packed varint overlong")
+                   val x = b(pos); pos += 1
                    acc |= (x & 0x7fL) << shift; shift += 7; (x & 0x80) != 0 }) ()
           out += acc
         }
         out.toSeq
       case _ => Seq.empty
     }
+
+  /** (record id, value) pairs of a `pb.ImportValueRequest`
+    * (`public.proto:195-207`): ids ColumnKeys(7)|ColumnIDs(5), values
+    * StringValues(9)|FloatValues(8)|Values(6). `rowIdFallback` enables the
+    * unkeyed-mutex framing tolerance the type-dispatched `/import` path
+    * needs (no value list, RowIDs(4) matching ids in length) — see
+    * HttpFacade.protoImport. */
+  private[server] def valuePairs(m: ImportMsg,
+      rowIdFallback: Boolean = false): Seq[(String, String)] = {
+    val ids: Seq[String] =
+      { val ks = m.strings(7); if (ks.nonEmpty) ks
+        else m.longs(5).map(_.toString) }
+    val rowIds = m.longs(4)
+    val vals: Seq[String] = {
+      val sv = m.strings(9)
+      val fv = m.doubles(8)
+      if (sv.nonEmpty) sv
+      else if (fv.nonEmpty) fv.map(_.toString)
+      else if (rowIdFallback && m.longs(6).isEmpty && rowIds.nonEmpty &&
+               rowIds.length == ids.length) rowIds.map(_.toString)
+      else m.longs(6).map(_.toString)
+    }
+    if (ids.length != vals.length)
+      sys.error(s"ids(${ids.length}) != values(${vals.length})")
+    ids.zip(vals)
+  }
+
+  /** (record id, value) pairs of a `pb.ImportRequest`
+    * (`public.proto:180-193`): values RowKeys(7)|RowIDs(4), ids
+    * ColumnKeys(8)|ColumnIDs(5). */
+  private[server] def rowPairs(m: ImportMsg): Seq[(String, String)] = {
+    val vals: Seq[String] =
+      { val ks = m.strings(7); if (ks.nonEmpty) ks
+        else m.longs(4).map(_.toString) }
+    val ids: Seq[String] =
+      { val ks = m.strings(8); if (ks.nonEmpty) ks
+        else m.longs(5).map(_.toString) }
+    if (ids.length != vals.length)
+      sys.error(s"ids(${ids.length}) != values(${vals.length})")
+    ids.zip(vals)
+  }
 
   /** One decoded `pb.ImportRequest` / `pb.ImportValueRequest`
     * (`reference/pb/public.proto:180-207`). The two messages share field

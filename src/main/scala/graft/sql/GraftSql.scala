@@ -797,11 +797,20 @@ object GraftSql {
           case agg: Aggregate if agg eq a =>
             // group-key tie-breakers: a fan-out join can FIRST-introduce two
             // groups from the same driving row (equal min _id) — without
-            // them their relative order would be partition-dependent
+            // them their relative order would be partition-dependent. The
+            // Sort sits ABOVE the Aggregate, so a tie key must be one of
+            // the aggregate's OUTPUT attributes: a pass-through grouping
+            // attr keeps its exprId, an aliased one sorts by the alias,
+            // and a key absent from the SELECT list is skipped (it is not
+            // in scope above the Aggregate).
             val ties = agg.groupingExpressions.collect {
               case att: Attribute if org.apache.spark.sql.catalyst.expressions
-                .RowOrdering.isOrderable(att.dataType) => SortOrder(att, Ascending)
-            }
+                .RowOrdering.isOrderable(att.dataType) =>
+                agg.aggregateExpressions.collectFirst {
+                  case a2: Attribute if a2.exprId == att.exprId => a2
+                  case al: Alias if al.child.semanticEquals(att) => al.toAttribute
+                }
+            }.flatten.map(SortOrder(_, Ascending))
             Sort(SortOrder(ordAgg.toAttribute, Ascending) +: ties, global = true,
               agg.copy(aggregateExpressions = agg.aggregateExpressions :+ ordAgg))
         }

@@ -605,6 +605,33 @@ class HttpFacadeSpec extends SparkSpec {
       .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
     assert(client.send(req, HttpResponse.BodyHandlers.ofString())
       .statusCode() == 415)
+    // wire-type-confused Index field (varint where bytes are expected)
+    // must answer 400, never kill the exchange responseless
+    val (cBad, _) = postProto("/import-atomic-record",
+      Array(0x08, 0x01).map(_.toByte))
+    assert(cBad == 400, s"$cBad")
+    // the index may ride a LATER sub-import when the envelope omits it
+    def withIndex(inner: Array[Byte], idx: String): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      str(o, 1, idx); o.write(inner); o.toByteArray
+    }
+    val (cInner, _) = postProto("/import-atomic-record",
+      atomic("",
+        Seq(importValueReq("s_nationkey", Seq(3L), Seq(19L)),
+          withIndex(importValueReq("s_nationkey", Seq(3L), Seq(19L)), "supplier")),
+        Nil))
+    assert(cInner == 200, s"$cInner")
+    // SimPowerLossAfter: abort once the sub-import counter passes the
+    // threshold; the single commit means NOTHING lands (api.go:1358-1412)
+    val (cLoss, bLoss) = postProto("/import-atomic-record?simPowerLossAfter=1",
+      atomic("supplier",
+        Seq(importValueReq("s_nationkey", Seq(4L), Seq(9377L)),
+          importValueReq("s_nationkey", Seq(5L), Seq(9377L))),
+        Nil))
+    assert(cLoss == 500 && bLoss.nonEmpty &&
+      new String(bLoss).contains("update was aborted"), s"$cLoss")
+    val (qc3, qb3) = post("/index/supplier/query", "Count(Row(s_nationkey=9377))")
+    assert(qc3 == 200 && qb3.contains("\"data\":[[0]]"), qb3)
   }
 
   test("fbbatch flow: CreateIndexKeys/CreateFieldKeys -> import-roaring with " +

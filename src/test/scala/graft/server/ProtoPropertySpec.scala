@@ -121,6 +121,21 @@ class ProtoPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packed repeated-varint chunks get the same malformed guards as the reader") {
+    // a packed Shards chunk ending on a continuation bit: clean error, no
+    // AIOOBE (this layer sits BELOW Proto.Reader's own varint guards)
+    val w = new Proto.Writer
+    w.string(1, "Count(All())")
+    w.bytes(2, Array(0x03, 0x80).map(_.toByte)) // varint 3, then truncated
+    val e = intercept[RuntimeException](PbQuery.decodeRequest(w.result))
+    assert(e.getMessage.contains("malformed"), e.getMessage)
+    // overlong: 11 continuation bytes inside a packed chunk
+    val w2 = new Proto.Writer
+    w2.bytes(2, Array.fill(11)(0xff.toByte))
+    val e2 = intercept[RuntimeException](PbQuery.decodeRequest(w2.result))
+    assert(e2.getMessage.contains("malformed"), e2.getMessage)
+  }
+
   test("QueryRequest decode matches what the writer encodes for any " +
     "query + shard list") {
     check(Prop.forAll(Gen.asciiPrintableStr,

@@ -162,6 +162,19 @@ class GraftSqlSpec extends SparkSpec {
       assert(sorts.forall(s =>
           s.collectFirst { case a: HashAggregateExec => a }.isDefined),
         s"a Sort has no aggregate beneath it (it would sort the input):\n$plan")
+      // a group key ABSENT from the SELECT list must not break the sort
+      // rewrite (the tie-break may only reference aggregate OUTPUT attrs)
+      val hidden = GraftSql.sql(spark, sfDir,
+        "select sum(s_acctbal) from supplier s " +
+          "inner join nation n on s.s_nationkey = n.n_nationkey " +
+          "group by n_regionkey")
+      assert(hidden.collect().length == 5)
+      // an ALIASED group key still tie-breaks (sorts by the alias)
+      val aliased = GraftSql.sql(spark, sfDir,
+        "select n_regionkey as rk, sum(s_acctbal) from supplier s " +
+          "inner join nation n on s.s_nationkey = n.n_nationkey " +
+          "group by n_regionkey")
+      assert(aliased.collect().map(_.getAs[Number](0).longValue).toSeq == want)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
