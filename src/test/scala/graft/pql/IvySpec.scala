@@ -185,7 +185,8 @@ class IvySpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("_id", "v") && got.count() > 0)
   }
 
-  test("differential fuzz: 150 random ivy programs, distributed vs driver-side eval") {
+  test("differential fuzz: random ivy programs, distributed vs driver-side eval " +
+      "(count/seed via SPARK_GRAFT_IVY_FUZZ_N/_SEED)") {
     // sf0.001 ids all fall in shard 0, so the per-shard map equals a
     // whole-corpus evaluation — the distributed path must agree exactly
     // with Ivy.run over the collected column vectors.
@@ -194,7 +195,9 @@ class IvySpec extends SparkSpec {
     val env = Map[String, V](
       "_ID" -> Vec(rows.map(r => IN(r.getAs[Number](0).longValue)).toIndexedSeq),
       "p_size" -> Vec(rows.map(r => IN(r.getAs[Number](1).longValue)).toIndexedSeq))
-    val rnd = new scala.util.Random(42)
+    val nFuzz = sys.env.getOrElse("SPARK_GRAFT_IVY_FUZZ_N", "150").toInt
+    val rnd = new scala.util.Random(
+      sys.env.get("SPARK_GRAFT_IVY_FUZZ_SEED").map(_.toLong).getOrElse(42L))
     val atoms = Vector("_ID", "p_size", "2", "3", "7")
     val ops = Vector("+", "-", "*", "max", "min")
     def gen(depth: Int): String =
@@ -205,7 +208,7 @@ class IvySpec extends SparkSpec {
         case _ => s"(${gen(depth - 1)} ${ops(rnd.nextInt(ops.size))} ${gen(depth - 1)})"
       }
     var ran = 0
-    (1 to 150).foreach { k =>
+    (1 to nFuzz).foreach { k =>
       val prog = gen(1 + rnd.nextInt(3))
       val want = try Some(Ivy.run(Ivy.parse(prog), env)) catch {
         case _: ArithmeticException => None // overflow: both paths throw
@@ -219,6 +222,6 @@ class IvySpec extends SparkSpec {
         assert(got == wantL, s"#$k mismatch for program: $prog")
       }
     }
-    info(s"fuzzed $ran ivy programs (of 150 generated; overflowing ones skipped)")
+    info(s"fuzzed $ran ivy programs (of $nFuzz generated; overflowing ones skipped)")
   }
 }
