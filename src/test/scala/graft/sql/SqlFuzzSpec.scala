@@ -262,7 +262,7 @@ class SqlFuzzSpec extends SparkSpec {
       def ctx[T](q: String)(f: => T): T =
         try f catch { case e: Throwable =>
           throw new AssertionError(s"#$k over: $q\n$e", e) }
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 6 => // INNER/LEFT join on int keys (nested-loop semantics,
           // `opnestedloops.go:15` — nulls never join-equal, LEFT null-extends)
           rowQ += 1
@@ -293,6 +293,23 @@ class SqlFuzzSpec extends SparkSpec {
               Seq[Any](nm, xs.size.toLong)
             })
             assert(got == want, s"#$k join-group mismatch for: $q")
+          }
+        case 9 => // ORDER BY + TOP through the full pipeline, compared as
+          // an ORDERED list (null keys filtered out so the comparison is
+          // total without modeling the reference's null placement)
+          rowQ += 1
+          val desc = rnd.nextBoolean()
+          val dir = if (desc) "desc" else "asc"
+          val q = s"select top(10) _id, i1 from fz where (i1 is not null) " +
+            s"and (${sqlB(pred)}) order by i1 $dir, _id asc"
+          ctx(q) {
+            val got = collectRows(q)
+            val base = matches.filter(_.i1.isDefined)
+            val sorted =
+              if (desc) base.sortBy(r => (-r.i1.get, r.id))
+              else base.sortBy(r => (r.i1.get, r.id))
+            val want = sorted.take(10).map(r => Seq[Any](r.id, r.i1.get))
+            assert(got == want, s"#$k order-by mismatch for: $q")
           }
         case 8 => // DISTINCT projection
           rowQ += 1
