@@ -43,3 +43,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   .getOrElse(Seq("-XX:+UseParallelGC"))
 // forward stdin to forked `run` mains (graft.tools.Shell)
 run / connectInput := true
+// local-cluster[...] masters (the multi-JVM gate, SPARK_GRAFT_MASTER) have
+// the in-process Worker spawn executor JVMs via the launcher library, which
+// builds the executor classpath from SPARK_HOME/jars — point it at the
+// distribution the unmanagedBase jars come from. Harmless for local[] runs.
+// SPARK_SCALA_VERSION: normally exported by bin/load-spark-env.sh, which the
+// in-process Worker's direct executor spawn bypasses — without it the
+// launcher's classpath builder aborts with "Cannot find any build
+// directories." envVars is set for run, runMain, and Test scopes (each forks
+// its own JVM with its own env).
+val sparkEnv = Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+Compile / run / envVars ++= sparkEnv
+Compile / runMain / envVars ++= sparkEnv
+Test / envVars ++= sparkEnv

@@ -973,7 +973,19 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           ins.executeUpdate()
         }
         ins.close(); st.close()
-      } finally conn.close()
+      } finally {
+        conn.close()
+        // release the embedded boot: Derby lets only ONE JVM have a
+        // database booted, and under a multi-JVM master (local-cluster /
+        // standalone) the JDBC scan task runs in an EXECUTOR, which cannot
+        // boot the db while this driver JVM still holds it. Shutdown
+        // "succeeds" by throwing 08006. (A production deployment points
+        // SqlIngest at a server database — MySQL/Postgres, like the
+        // reference's idk/sql — where concurrent connections are the norm;
+        // the single-JVM embedded engine is this fixture's quirk.)
+        try { java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true"); () }
+        catch { case _: java.sql.SQLException => () }
+      }
       graft.streaming.SqlIngest.read(s, url,
         """SELECT r_regionkey AS "r_regionkey__ID", r_name AS "r_name__String" FROM region""")
         .orderBy("r_regionkey")

@@ -34,4 +34,36 @@ object EngineConf {
   /** Apply to a builder: `EngineConf(SparkSession.builder()...)`. */
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     settings.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Master selection shared by every main/spec, honoring
+    * `SPARK_GRAFT_MASTER` — the multi-JVM gate. `local-cluster[n,c,memMB]`
+    * launches n REAL worker-spawned executor JVMs (the mode Spark's own
+    * suites use for distribution bugs local[] structurally hides:
+    * classloading of custom codegen'd expressions, serialization of
+    * imperative-aggregate buffers and closures across process boundaries).
+    *
+    * local-cluster executors are fresh JVMs with only the Spark
+    * distribution on their classpath (`SPARK_HOME=/opt/spark`, set for
+    * forked JVMs in build.sbt), so graft's own classes must be handed to
+    * them explicitly: `spark.executor.extraClassPath` gets the sbt
+    * classes dirs (always present when running under sbt; override with
+    * SPARK_GRAFT_EXECUTOR_CP for a packaged-jar deployment). Executor
+    * memory follows the worker grant from the master string — the default
+    * 1g would waste the worker and spill every rehearsal sort.
+    */
+  def master(b: SparkSession.Builder, defaultMaster: String): SparkSession.Builder = {
+    val m = sys.env.getOrElse("SPARK_GRAFT_MASTER", defaultMaster)
+    val bb = b.master(m)
+    if (!m.startsWith("local-cluster")) bb
+    else {
+      val cp = sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_CP",
+        Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+          .map(p => new java.io.File(p).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator))
+      val mem = "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)".r
+        .findFirstMatchIn(m).map(_.group(1).toInt).getOrElse(1024)
+      bb.config("spark.executor.extraClassPath", cp)
+        .config("spark.executor.memory", s"${mem}m")
+    }
+  }
 }

@@ -74,6 +74,25 @@ object DedupExpressions {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
   }
+
+  /** Space-joined tokens whose 1-based positions are absent from the
+    * sorted `cov` int array — one forward merge of two sorted sequences
+    * (see [[RemoveCovered]]). */
+  def removeCovered(ts: ArrayData, cov: ArrayData): UTF8String = {
+    val n = ts.numElements()
+    val m = cov.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      val pos = i + 1
+      while (j < m && cov.getInt(j) < pos) j += 1
+      if (!(j < m && cov.getInt(j) == pos)) kept.add(ts.getUTF8String(i))
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      kept.toArray(new Array[UTF8String](kept.size())): _*)
+  }
 }
 
 /** `band_keys(sig)` — the LSH band bucket keys of a packed signature
@@ -111,6 +130,28 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       s"graft.functions.DedupExpressions.shingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
+}
+
+/** `remove_covered(tokens, cov)` — rebuild a document from the tokens whose
+  * 1-based positions are NOT in the sorted covered-position array, joined by
+  * single spaces. One merge-scan of two sorted sequences, O(tokens +
+  * covered): the HOF formulation (`filter` + `array_contains`) re-scans the
+  * covered array per token — O(tokens × covered) per document, ~10^10
+  * comparisons on one core for a fully-duplicated 100k-token doc — and no
+  * higher-order fold can express the linear merge without per-step array
+  * copies. */
+case class RemoveCovered(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_covered"
+  override protected def nullSafeEval(ts: Any, cov: Any): Any =
+    DedupExpressions.removeCovered(
+      ts.asInstanceOf[ArrayData], cov.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DedupExpressions.removeCovered($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RemoveCovered = copy(left = l, right = r)
 }
 
 /** `simhash_agg(h)` — the [[Dedup.SimHashBits]]-bit SimHash as ONE

@@ -328,6 +328,10 @@ object Similarity {
         .bitwiseAND(lit((1L << 33) - 1))) < cap)
       .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
       .collect().map(_.getSeq[Double](0).toArray)
+    // fail HERE, naming the real problem — empty codebooks otherwise crash
+    // far from the cause inside pqEncode (codebooks.map(_.head))
+    require(rows.nonEmpty, "pqTrain: no rows to fit codebooks " +
+      "(empty or fully filtered input)")
     (0 until m).map { i =>
       val pts = rows.map(v => java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub))
       localKMeans(pts, k, seed + i)

@@ -351,25 +351,57 @@ object Text {
     * this becomes an index lookup.
     *
     * Returns (id, score DOUBLE) for documents matching ≥1 term. */
+  /** Sentinel "term" carrying each doc's length through the one corpus
+    * pass: a token can never BE a space (tokenization splits on it). */
+  private[functions] val BmSentinel = " "
+
+  /** The single corpus pass behind [[bm25]], exposed for plan assertions:
+    * per-doc term frequencies of the query terms (filtered map-side INSIDE
+    * the scan projection, before the one exchange) plus one sentinel row
+    * per document carrying its length. */
+  private[functions] def bm25TermRows(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), size(col("ts")).as("dl"),
+        filter(col("ts"), t => array_contains(termArr, t)).as("mts"))
+      .select(col("id"), col("dl"),
+        explode(concat(col("mts"), array(lit(BmSentinel)))).as("t"))
+      .groupBy("id", "dl", "t").agg(count(lit(1)).as("tf"))
+  }
+
   def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25: empty query")
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
-      .withColumn("dl", size(col("ts")))
-    val stat = toks.agg(count(lit(1)).as("nd"), avg(col("dl")).as("avgdl")).head()
-    val nd = stat.getLong(0).toDouble
-    val avgdl = stat.getDouble(1)
-    val termArr = array(terms.map(lit): _*)
-    val tf = toks.select(col("id"), col("dl"),
-        explode(filter(col("ts"), t => array_contains(termArr, t))).as("t"))
-      .groupBy("id", "dl", "t").agg(count(lit(1)).as("tf"))
+    require(!terms.contains(BmSentinel),
+      "bm25: a bare space is not a valid query term")
+    // ONE corpus pass: bm25TermRows (term filter map-side inside the scan,
+    // sentinel row per doc) materialized via localCheckpoint, so the three
+    // consumers below (corpus stats, document frequencies, scoring) never
+    // re-scan the corpus. The old shape tokenized the corpus twice —
+    // doubling the dominant CPU cost at scale — and plan-level exchange
+    // reuse is defeated here by per-branch filter pushdown, so explicit
+    // materialization of the tiny tf table is the robust single-pass form.
+    val sent = BmSentinel
+    val tfAll = bm25TermRows(df, idCol, textCol, terms).localCheckpoint()
+    // corpus stats ride the final plan as a broadcast one-row aggregate
+    // over the sentinel rows (one per doc) instead of a driver collect —
+    // an empty (or all-empty-docs) corpus yields an empty result through
+    // ordinary SQL null/empty semantics rather than an NPE on a null
+    // avg(dl); greatest() skips the null avg and guards avgdl = 0
+    val stats = tfAll.filter(col("t") === sent)
+      .agg(count(lit(1)).cast("double").as("nd"),
+        greatest(avg(col("dl")), lit(1e-9)).as("avgdl"))
+    val tf = tfAll.filter(col("t") =!= sent)
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "t")
+      .crossJoin(broadcast(stats))
       .withColumn("idf",
-        log((lit(nd) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("s", col("idf") * (col("tf") * (k1 + 1)) /
-        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("id").agg(sum(col("s")).as("score"))
   }
 }

@@ -114,6 +114,24 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   * times, and the thread-local keeps the map unsynchronized while tasks
   * share the deserialized expression in one executor JVM. */
 final class BpeEncoder(val merges: Array[(String, String)]) extends Serializable {
+  // the min-rank loop's equivalence to the naive rank scan REQUIRES a
+  // training-ordered merge list: every rule's sides must be base characters
+  // or products of strictly lower-rank rules. An arbitrary caller-supplied
+  // list violating that (e.g. [(ab,c),(a,b)] on "abc") would silently
+  // diverge from the documented rank-scan semantics, so refuse it here.
+  locally {
+    val products = new java.util.HashSet[String]
+    def ok(t: String): Boolean =
+      (t.nonEmpty && t.length == Character.charCount(t.codePointAt(0))) ||
+        products.contains(t)
+    for (((l, r), i) <- merges.zipWithIndex) {
+      require(ok(l) && ok(r),
+        s"BpeEncoder: merge rank $i ($l,$r) references a token that is " +
+          "neither a base character nor the product of a lower-rank rule; " +
+          "merges must be bpeTrain-ordered")
+      products.add(l + r)
+    }
+  }
   // key is length-prefixed so pairs can't collide (pretokens may contain
   // any character, including the would-be separator)
   private def key(l: String, r: String): String = l.length + ":" + l + r

@@ -507,8 +507,24 @@ object Ivy {
       }
 
     if (generalReduce) {
-      // coordinator reduce, same as the reference (`apply.go:100-115`)
-      val all = cells.orderBy("shard", "idx").collect()
+      // coordinator reduce, same as the reference (`apply.go:100-115`) —
+      // which also concatenates every shard's result on one node. That
+      // parity shape is driver-bounded BY CONSTRUCTION only for queries
+      // whose per-shard output is small; guard the collect with an explicit
+      // row bound so a corpus-sized general reduce fails with an error that
+      // names the associative path (which combines shard-side and stays
+      // distributed) instead of an opaque driver OOM.
+      val bound = math.min(Int.MaxValue - 1L,
+        spark.conf.getOption("graft.ivy.maxReduceRows")
+          .map(_.toLong).getOrElse(10000000L)).toInt
+      // limit(bound+1) makes the probe part of the one collect (no extra
+      // count job); one row past the bound proves the overflow
+      val all = cells.orderBy("shard", "idx").limit(bound + 1).collect()
+      require(all.length <= bound,
+        s"ivy general reduce would collect more than $bound rows to the " +
+          "coordinator (conf graft.ivy.maxReduceRows); use an associative " +
+          "reduce ('+/_', 'min/_', ...) which combines shard-side, or " +
+          "raise the bound")
       val vec = Vec(all.map(fromCell).toIndexedSeq)
       val res = run(reduceStmts, Map("_" -> vec))
       vecToDf(spark, res)

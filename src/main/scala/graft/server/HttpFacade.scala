@@ -272,9 +272,15 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           case Right((idx, ivr, ir)) => protoWrite(ex, idx) {
             if (idx.isEmpty) sys.error("AtomicRecord.Index missing")
             writeLock(idx) {
+              // the reference's handlePostImportAtomicRecord error switch
+              // (`http_handler.go:3117-3126`) has NO not-found case — a
+              // missing index/field falls to the default 500 with the
+              // api-layer wrapped wording (`api.go:1377-1380` "getting
+              // index"; newNotFoundError renders "<name>: index not found")
               var t = try tableState(idx)
                       catch { case _: Exception =>
-                        throw PlainError(404, "index not found") }
+                        throw PlainError(500,
+                          s"getting index: $idx: index not found") }
               val schema = t.schema
               import spark.implicits._
               val touched = Seq.newBuilder[org.apache.spark.sql.DataFrame]
@@ -289,9 +295,13 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
                   throw PlainError(500, "error: update was aborted")
               }
               def apply1(field: String, pairs: Seq[(String, String)],
-                         clear: Boolean): Unit = {
+                         clear: Boolean, wrap: String): Unit = {
+                // 500, not 404: mirrors `api.go:1400-1417` errors.Wrap over
+                // indexField's "getting index and field" over the
+                // newNotFoundError rendering
                 if (!schema.fields.exists(_.name == field))
-                  throw PlainError(404, "field not found")
+                  throw PlainError(500,
+                    s"$wrap: getting index and field: $field: field not found")
                 if (pairs.nonEmpty) {
                   val writes = pairs.zipWithIndex
                     .map { case ((id, v), i) => (id, v, i.toLong) }
@@ -306,14 +316,16 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
                 val field = m.strings(2).headOption.getOrElse(
                   sys.error("ImportValueRequest.Field missing"))
                 apply1(field, PbQuery.valuePairs(m),
-                  m.longs(12).headOption.exists(_ == 1L))
+                  m.longs(12).headOption.exists(_ == 1L),
+                  "ImportAtomicRecord ImportValueWithTx")
               }
               ir.foreach { m => // pb.ImportRequest (bits)
                 checkLoss()
                 val field = m.strings(2).headOption.getOrElse(
                   sys.error("ImportRequest.Field missing"))
                 apply1(field, PbQuery.rowPairs(m),
-                  m.longs(11).headOption.exists(_ == 1L))
+                  m.longs(11).headOption.exists(_ == 1L),
+                  "ImportAtomicRecord ImportWithTx")
               }
               val allTouched = touched.result()
               if (allTouched.nonEmpty)
@@ -1052,20 +1064,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         buf += ((shard * ShardWidth + p % ShardWidth, p / ShardWidth, seq))
         seq += 1
       }
+      // translate each bit's record id ONCE and reuse the mapped tuples for
+      // the touched set — recKey holds the KeyTranslate lock, so a second
+      // per-bit pass doubled time under it on the bulk-ingest hot path
+      val keyed = if (idKeyed) buf.toSeq.map(x => (recKey(x._1), x._2, x._3))
+                  else Seq.empty
       val writes = (idKeyed, fldKeyed) match {
         case (false, false) => buf.toSeq.toDF("_id", "value", "seq")
-        case (true, false) =>
-          buf.toSeq.map(x => (recKey(x._1), x._2, x._3)).toDF("_id", "value", "seq")
+        case (true, false)  => keyed.toDF("_id", "value", "seq")
         case (false, true) =>
           buf.toSeq.map(x => (x._1, rowKey(x._2), x._3)).toDF("_id", "value", "seq")
         case (true, true) =>
-          buf.toSeq.map(x => (recKey(x._1), rowKey(x._2), x._3))
-            .toDF("_id", "value", "seq")
+          keyed.map(x => (x._1, rowKey(x._2), x._3)).toDF("_id", "value", "seq")
       }
       next =
         if (action == "clear") graft.core.Mutation.clearBulk(next, field, writes)
         else graft.core.Mutation.setBulk(next, field, writes)
-      if (idKeyed) touchedS ++= buf.map(x => recKey(x._1))
+      if (idKeyed) touchedS ++= keyed.map(_._1)
       else touchedL ++= buf.map(_._1)
       bits += seq
     }

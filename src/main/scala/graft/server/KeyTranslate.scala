@@ -26,7 +26,15 @@ import scala.jdk.CollectionConverters._
 final class KeyTranslate(persistTo: Option[Path]) {
   private final class Scope {
     val fwd = new java.util.LinkedHashMap[String, java.lang.Long]
+    // reverse id→key map maintained alongside fwd (create + replay): keyOf
+    // is called once per BIT on the pre-translated import-roaring path, so
+    // a linear scan of fwd there is O(bits × keys) under this lock —
+    // quadratic on exactly the fbbatch bulk-ingest flow it serves
+    val rev = new java.util.HashMap[java.lang.Long, String]
     var next = 1L
+    def put(k: String, id: Long): Unit = {
+      fwd.put(k, id); rev.put(id, k)
+    }
   }
   private val scopes = new java.util.HashMap[String, Scope]
 
@@ -37,7 +45,7 @@ final class KeyTranslate(persistTo: Option[Path]) {
           val s = scopes.computeIfAbsent(sc, _ => new Scope)
           val key = java.net.URLDecoder.decode(k, UTF_8)
           val i = id.toLong
-          s.fwd.put(key, i)
+          s.put(key, i)
           if (i >= s.next) s.next = i + 1
         case _ => ()
       }
@@ -53,7 +61,7 @@ final class KeyTranslate(persistTo: Option[Path]) {
     val added = Seq.newBuilder[(String, Long)]
     keys.foreach { k =>
       val id = Option(s.fwd.get(k)).map(_.longValue).getOrElse {
-        val i = s.next; s.next += 1; s.fwd.put(k, i); added += ((k, i)); i
+        val i = s.next; s.next += 1; s.put(k, i); added += ((k, i)); i
       }
       out += k -> id
     }
@@ -79,11 +87,10 @@ final class KeyTranslate(persistTo: Option[Path]) {
     }.getOrElse(Map.empty)
   }
 
-  /** Reverse lookup (id → key) for import paths that arrive pre-translated. */
+  /** Reverse lookup (id → key) for import paths that arrive pre-translated.
+    * O(1) via the maintained reverse map. */
   def keyOf(scope: String, id: Long): Option[String] = synchronized {
-    Option(scopes.get(scope)).flatMap { s =>
-      s.fwd.entrySet.asScala.find(_.getValue.longValue == id).map(_.getKey)
-    }
+    Option(scopes.get(scope)).flatMap(s => Option(s.rev.get(id)))
   }
 
   /** Ids of keys matching a SQL-LIKE pattern (`reference/like.go`: `%` any

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Multi-JVM execution proof INSIDE the test suite: spawns a fresh driver
+  * JVM running [[graft.tools.ClusterProbe]] under
+  * `local-cluster[2,4,3072]` — a real standalone master + 2 workers, each
+  * launching a separate EXECUTOR JVM — and asserts every risky
+  * serialization surface (custom codegen'd expressions, roaring-buffer
+  * imperative aggregates, the minhash signature aggregate, BPE-encode
+  * fused codegen, ivy closures, PQ ADC scans) executes across the process
+  * boundary. `local[]` structurally hides this bug class: expression
+  * trees, TypedImperativeAggregate buffers, and closures never leave the
+  * driver's classloader there.
+  *
+  * A spawned JVM (not a session swap) because [[SparkSpec]]'s shared
+  * session is a JVM-wide singleton — stopping it to rebuild with a
+  * cluster master would strand every later suite on a dead context.
+  *
+  * The full 140-query parity run is tools-level (graft.Verify under
+  * SPARK_GRAFT_MASTER + graft.tools.VerifyDiff); this spec keeps the
+  * in-suite gate fast (~90 s) while covering each distinct surface.
+  */
+class ClusterParitySpec extends AnyFunSuite {
+  test("custom expressions/aggregates/closures execute in separate " +
+      "executor JVMs under local-cluster") {
+    assume(new java.io.File("/opt/spark/jars").isDirectory,
+      "no Spark distribution at /opt/spark")
+    val classesDir = new java.io.File("target/scala-2.13/classes")
+    assume(classesDir.isDirectory, "compiled classes not at the sbt layout")
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // reuse this JVM's --add-opens set (Spark 4 on JDK 17 needs them);
+    // input arguments carry each flag as ONE string "--add-opens" followed
+    // by its value OR as "--add-opens=..." depending on the launcher
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toVector
+    val opens = Vector.newBuilder[String]
+    var i = 0
+    while (i < in.size) {
+      if (in(i) == "--add-opens" && i + 1 < in.size) {
+        opens += in(i) += in(i + 1); i += 2
+      } else if (in(i).startsWith("--add-opens=")) { opens += in(i); i += 1 }
+      else i += 1
+    }
+    val cmd = (Vector(javaBin) ++ opens.result() ++ Vector(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ClusterProbe")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.directory(new java.io.File("."))
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.environment().put("SPARK_GRAFT_MASTER", "local-cluster[2,4,3072]")
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val finished = p.waitFor()
+    val probeLines = out.linesIterator.filter(_.startsWith("PROBE")).toVector
+    assert(finished == 0, s"probe exit $finished:\n${out.takeRight(4000)}")
+    assert(probeLines.exists(_.startsWith("PROBE master=local-cluster")),
+      probeLines.mkString("\n"))
+    // executors really are OTHER processes
+    val jvms = probeLines.find(_.startsWith("PROBE jvms OK"))
+      .getOrElse(fail(s"no jvms line:\n${probeLines.mkString("\n")}"))
+    val pids = "executorPids=([0-9,]+) driverPid=([0-9]+)".r
+      .findFirstMatchIn(jvms).getOrElse(fail(s"unparseable: $jvms"))
+    val execPids = pids.group(1).split(",").toSet
+    assert(execPids.size == 2 && !execPids.contains(pids.group(2)),
+      s"expected 2 executor JVMs distinct from the driver: $jvms")
+    // every surface crossed the boundary
+    for (surface <- Seq("minhash_pipeline", "roaring_agg", "bpe_encode",
+        "ivy_apply", "pq_adc"))
+      assert(probeLines.exists(l =>
+        l.startsWith(s"PROBE $surface OK")),
+        s"$surface did not pass:\n${probeLines.mkString("\n")}")
+    assert(!probeLines.exists(_.contains(" FAIL ")),
+      probeLines.filter(_.contains(" FAIL ")).mkString("\n"))
+  }
+}

@@ -228,6 +228,15 @@ class PipelineSpec extends SparkSpec {
       assert(enc.encode(w).toSeq == naive(w, merges),
         s"word=$w merges=$merges")
     }
+    // a NON-training-ordered list (earlier rank consumes a later rank's
+    // product) is where min-rank and the naive scan diverge — the
+    // constructor must refuse it rather than silently pick one semantics
+    val bad = intercept[IllegalArgumentException] {
+      new BpeEncoder(Array(("ab", "c"), ("a", "b")))
+    }
+    assert(bad.getMessage.contains("bpeTrain-ordered"))
+    // multi-codepoint base chars (astral plane) are still single "chars"
+    new BpeEncoder(Array(("😀", "a"))) // must not throw
   }
 
   test("BPE encode over the corpus: tokens reassemble the pretokens; memo is per-thread") {
@@ -745,19 +754,15 @@ class PipelineSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = Text.bm25(docs, "doc_id", "text", Seq("spark", "hash"))
-        .queryExecution.executedPlan
-      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
-      // tf groupBy, df groupBy, final per-doc sum (+ ordering) — every
-      // exchange AFTER the first carries only (query term, matching doc)
-      // rows, never the corpus vocabulary
-      assert(exchanges.size <= 4, s"unexpected shuffles: $exchanges")
-      // the IN(query terms) predicate evaluates below the first exchange
-      // (map-side in the scan stage), so the tf shuffle is term-pruned
-      val firstEx = exchanges.minBy(_.collectLeaves().size)
-      assert(firstEx.child.toString.contains("array_contains") ||
-        firstEx.child.collectLeaves().exists(_.toString.contains("documents")),
-        s"term filter not below the exchange:\n$firstEx")
+      // the one corpus pass (pre-checkpoint): exactly ONE exchange, and
+      // the IN(query terms) predicate evaluates below it (map-side in the
+      // scan stage), so the tf shuffle is term-pruned
+      val pass = Text.bm25TermRows(docs, "doc_id", "text",
+        Seq("spark", "hash")).queryExecution.executedPlan
+      val passEx = pass.collect { case e: ShuffleExchangeExec => e }
+      assert(passEx.size == 1, s"corpus pass shuffles ${passEx.size}×:\n$pass")
+      assert(passEx.head.child.toString.contains("array_contains"),
+        s"term filter not below the exchange:\n${passEx.head}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -780,6 +785,50 @@ class PipelineSpec extends SparkSpec {
       }.nonEmpty)
       assert(gramFed <= 2, s"gram explode shuffled $gramFed times:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("substringDedup: a long fully-duplicated doc reassembles in linear " +
+      "time (merge-scan, not per-token array_contains)") {
+    import spark.implicits._
+    // two 50k-token copies: every position is covered in both docs. The
+    // old filter+array_contains reassembly was O(tokens × covered) ≈ 2.5e9
+    // comparisons per doc on one core; the merge-scan finishes in seconds.
+    val body = (1 to 50000).map(i => s"w${i % 9000}").mkString(" ")
+    val df = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Dedup.substringDedup(df, "doc_id", "text", 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got.toSeq == Seq((1L, 1L, 50000L, ""), (2L, 1L, 50000L, "")))
+    assert(sec < 60.0, s"pathological doc took ${sec}s — reassembly is " +
+      "super-linear again")
+  }
+
+  test("bm25: ONE corpus pass (tf table checkpointed; scoring plan never " +
+      "re-reads the corpus); empty corpus is empty, not an NPE") {
+    // the corpus scan+tokenize lives only in the checkpoint job; the
+    // returned scoring plan reads the materialized tf rows — zero parquet
+    // scans means the corpus cannot be tokenized a second time
+    val q = Text.bm25(docs, "doc_id", "text", Seq("spark", "hash"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"scoring plan re-scans the corpus:\n$p")
+    // empty corpus: zero rows through ordinary SQL semantics (the old
+    // shape NPE'd driver-side on a null avg(dl))
+    assert(Text.bm25(docs.limit(0), "doc_id", "text", Seq("spark")).count() == 0L)
+    // all-empty-docs corpus (avgdl = 0): guarded, empty result
+    import spark.implicits._
+    val empties = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    assert(Text.bm25(empties, "doc_id", "text", Seq("spark")).count() == 0L)
+  }
+
+  test("pqTrain refuses an empty input with an error naming the cause") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb.limit(0), "embedding", 8, 2, 4)
+    }
+    assert(e.getMessage.contains("no rows to fit codebooks"))
   }
 
   test("bigram cross-entropy matches the hand-computed Laplace model") {

@@ -166,6 +166,27 @@ class IvySpec extends SparkSpec {
     }
   }
 
+  test("general reduce refuses an over-bound coordinator collect, " +
+      "naming the associative path") {
+    // the parity shape (apply.go:100-115) concatenates every shard's rows
+    // on the coordinator; past the configurable bound that must fail with
+    // a useful error, not an opaque driver OOM
+    spark.conf.set("graft.ivy.maxReduceRows", "5")
+    try {
+      val e = intercept[Exception] {
+        apply_("part", "Apply('p_size', '(+/_) / rho _')").collect()
+      }
+      assert(e.getMessage.contains("associative"), e.getMessage)
+      assert(e.getMessage.contains("graft.ivy.maxReduceRows"), e.getMessage)
+    } finally spark.conf.unset("graft.ivy.maxReduceRows")
+    // associative reduces combine shard-side — unaffected by the bound
+    spark.conf.set("graft.ivy.maxReduceRows", "1")
+    try {
+      val got = apply_("part", "Apply('p_size', '+/_')").collect()
+      assert(got.length == 1)
+    } finally spark.conf.unset("graft.ivy.maxReduceRows")
+  }
+
   test("empty filter yields empty result") {
     assert(apply_("region", "Apply(ConstRow(columns=[999999]), '_ID', '_')").count() == 0)
   }

@@ -591,11 +591,17 @@ class HttpFacadeSpec extends SparkSpec {
     assert(qc == 200 && qb.contains("1"), qb)
     // atomicity: a bad second sub-import must not apply the first (value
     // 9388 is touched by no other test in this shared-state suite)
-    val (c2, _) = postProto("/import-atomic-record",
+    // 500 with the api-layer wrapped wording, NOT 404: the reference's
+    // atomic-record error switch has no not-found case (http_handler.go:
+    // 3117-3126 default → InternalServerError)
+    val (c2, b2raw) = postProto("/import-atomic-record",
       atomic("supplier",
         Seq(importValueReq("s_nationkey", Seq(2L), Seq(9388L))),
         Seq(importReq("nosuchfield", Seq("x"), Seq(2L)))))
-    assert(c2 == 404, s"$c2")
+    assert(c2 == 500, s"$c2")
+    assert(new String(b2raw, "UTF-8").contains(
+      "ImportAtomicRecord ImportWithTx: getting index and field: " +
+        "nosuchfield: field not found"), new String(b2raw, "UTF-8"))
     val (qc2, qb2) = post("/index/supplier/query", "Count(Row(s_nationkey=9388))")
     assert(qc2 == 200 && qb2.contains("\"data\":[[0]]"), qb2)
     // non-protobuf content type is the reference's 415
