@@ -66,7 +66,10 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
 
   // ------------------------------------------------------------ bitmap calls
 
-  def bits(call: Call): Bits = call.name match {
+  def bits(call: Call): Bits = graft.core.Trace.span(
+      s"executor.execute${call.name}Call")(bitsImpl(call))
+
+  private def bitsImpl(call: Call): Bits = call.name match {
     case "Row" | "Range"  => rowBits(call)
     case "Intersect"      => call.children.map(bits).reduceLeft(andBits)
     case "Union"          => call.children.map(bits).reduceLeft(orBits)
@@ -337,8 +340,14 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
 
   // ------------------------------------------------------------ top-level ops
 
-  /** Execute a top-level PQL call → DataFrame with stable column names. */
-  def run(call: Call): DataFrame = call.name match {
+  /** Execute a top-level PQL call → DataFrame with stable column names.
+    * Each call opens a named child span when a request trace is active
+    * (`executor.go:680` executeCall → per-operator sections); nested
+    * bitmap calls nest through [[bits]]. */
+  def run(call: Call): DataFrame = graft.core.Trace.span(
+    s"executor.execute${call.name}")(runImpl(call))
+
+  private def runImpl(call: Call): DataFrame = call.name match {
     case "Count" =>
       filtered(bits(call.children.head)).agg(count(lit(1)).as("cnt"))
 

@@ -157,7 +157,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * `GET /queries`, a bounded ring of finished ones for
     * `GET /query-history`. */
   private case class QueryRec(pql: String, sql: String, index: String,
-                              startNs: Long, endNs: Long = 0L)
+                              startNs: Long, endNs: Long = 0L,
+                              spans: String = "")
   private val activeQueries =
     new java.util.concurrent.ConcurrentHashMap[Long, QueryRec]
   private val querySeq = new java.util.concurrent.atomic.AtomicLong
@@ -165,23 +166,38 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     new java.util.concurrent.ConcurrentLinkedDeque[QueryRec]
   private val PastQueriesKept = 100
 
+  /** Per-query span tracing (`reference/tracing/tracing.go:14-58`;
+    * `executor.go` wraps each executor section): one ROOT span per tracked
+    * request, compiler sections attach as nested children through the
+    * thread-local, and the Spark jobs the request launched (matched by job
+    * group) attach at close. Spans land on the /query-history record. */
+  private val jobSpans = new graft.core.JobSpanListener
+
   private def tracked[A](pql: String, sql: String, index: String)(f: => A): A = {
     val id = querySeq.incrementAndGet()
     val rec = QueryRec(pql, sql, index, System.nanoTime())
     activeQueries.put(id, rec)
-    try f
+    val group = s"graft-q$id"
+    spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+    val root = new graft.core.Trace.Span("request", System.nanoTime())
+    try graft.core.Trace.install(root)(f)
     finally {
+      root.endNs = System.nanoTime()
+      spark.sparkContext.clearJobGroup()
+      jobSpans.drain(group).foreach(root.children.add)
       activeQueries.remove(id)
-      pastQueries.addFirst(rec.copy(endNs = System.nanoTime()))
+      pastQueries.addFirst(rec.copy(endNs = System.nanoTime(),
+        spans = root.toJson))
       while (pastQueries.size > PastQueriesKept) pastQueries.pollLast()
     }
   }
 
   private def queryJson(r: QueryRec, past: Boolean): String = {
     val base = s""""PQL":${js(r.pql)}${if (r.sql.nonEmpty) s""","SQL":${js(r.sql)}""" else ""},"node":"local","index":${js(r.index)}"""
-    if (past)
-      s"""{$base,"runtimeNanoseconds":${r.endNs - r.startNs}}"""
-    else
+    if (past) {
+      val spans = if (r.spans.nonEmpty) s""","spans":${r.spans}""" else ""
+      s"""{$base,"runtimeNanoseconds":${r.endNs - r.startNs}$spans}"""
+    } else
       s"""{$base,"age":${System.nanoTime() - r.startNs}}"""
   }
 
@@ -212,6 +228,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   }
 
   def start(): Int = {
+    spark.sparkContext.addSparkListener(jobSpans)
     graft.core.Tables.registerAll(spark, dir)
     // durable mode: re-register warehouse tables over the parquet views so
     // writes from a previous process are visible (restart = restore)
@@ -825,6 +842,46 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     })
     // unauthenticated like the reference (`http_handler.go:541`)
     server.createContext("/version", handler { _ => """{"version":"graft-0.1"}""" })
+    // embedded admin console at `/` + the reference's lattice mounts
+    // (`http_handler.go:613-624`: `/`, `/static` prefix, favicons,
+    // manifest, and the SPA routes rewritten to the page — statikHandler's
+    // refresh behavior, `:921-927`). The JDK server's "/" context is the
+    // fallback for every unmatched path, so this handler also owns the
+    // router's 404 (gorilla mux's plain "404 page not found").
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        val isCurl = Option(ex.getRequestHeaders.getFirst("User-Agent"))
+          .exists(_.startsWith("curl"))
+        def send(code: Int, body: Array[Byte], ctype: String): Unit = {
+          ex.getResponseHeaders.set("Content-Type", ctype)
+          ex.sendResponseHeaders(code, body.length.toLong)
+          ex.getResponseBody.write(body)
+          ex.close()
+        }
+        def text(code: Int, s: String): Unit =
+          send(code, (s + "\n").getBytes(UTF_8), "text/plain; charset=utf-8")
+        val uiPaths = "/" +: AdminUi.LatticeRoutes
+        path match {
+          case p if uiPaths.contains(p) =>
+            // curl gets the reference's 404 welcome line, a browser the
+            // console (`http_handler.go:904-911`)
+            if (isCurl) text(404, AdminUi.curlWelcome("v0.1"))
+            else send(200, AdminUi.page("graft-0.1").getBytes(UTF_8),
+              "text/html; charset=utf-8")
+          case "/favicon.svg" =>
+            send(200, AdminUi.faviconSvg.getBytes(UTF_8), "image/svg+xml")
+          case "/favicon.png" => // single-file UI: the svg serves both
+            send(200, AdminUi.faviconSvg.getBytes(UTF_8), "image/svg+xml")
+          case "/manifest.json" =>
+            send(200, AdminUi.manifest.getBytes(UTF_8), "application/json")
+          case p if p.startsWith("/static") =>
+            // the console is one self-contained page — no asset tree
+            text(404, "static asset not found")
+          case _ => text(404, "404 page not found")
+        }
+      }
+    })
     // `GET /health` (`http_handler.go:606,4189-4191`): bare 200, no auth —
     // the load-balancer liveness probe must work before tokens do
     server.createContext("/health", new HttpHandler {
@@ -995,7 +1052,12 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    // unregister from the SHARED session: specs start many facades on one
+    // SparkContext, and leaked listeners would accumulate per facade
+    spark.sparkContext.removeSparkListener(jobSpans)
+    server.stop(0)
+  }
 
   /** FeatureBase's shard width: ShardWidth = 1 << Exponent, Exponent = 20
     * (`reference/shardwidth/helper.go:14`). A fragment bit at position p in

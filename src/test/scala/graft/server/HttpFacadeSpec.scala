@@ -869,4 +869,72 @@ class HttpFacadeSpec extends SparkSpec {
     val (code, body) = post("/sql", "SELECT FROM nonsense syntax")
     assert(code == 400 && body.contains(""""error":"""))
   }
+
+  test("query spans: nested executor sections + spark jobs on " +
+      "/query-history (tracing/tracing.go:14-58, executor.go:680)") {
+    // a multi-call nested program: request → executeCount →
+    // executeIntersectCall → executeRowCall ×2, plus the Spark jobs the
+    // collect actually ran (job-span attach is async-listener best-effort,
+    // so retry the query a few times for that part)
+    var bh = ""
+    var sawJob = false
+    var attempt = 0
+    while (!sawJob && attempt < 5) {
+      val (c, _) = post("/index/part/query",
+        "Count(Intersect(Row(p_size=7), Row(p_size=8)))")
+      assert(c == 200)
+      Thread.sleep(50L * attempt)
+      bh = get("/query-history")._2
+      sawJob = bh.contains("spark.job-")
+      attempt += 1
+    }
+    assert(bh.contains(""""spans":{"name":"request""""), bh.take(600))
+    val iCount = bh.indexOf("executor.executeCount")
+    val iIx = bh.indexOf("executor.executeIntersectCall")
+    val iRow = bh.indexOf("executor.executeRowCall")
+    assert(iCount >= 0 && iIx > iCount && iRow > iIx, bh.take(1200))
+    // nesting, not just order: each deeper span sits inside the previous
+    // span's children array
+    assert(bh.substring(iCount, iIx).contains("\"children\""), bh.take(1200))
+    assert(bh.substring(iIx, iRow).contains("\"children\""), bh.take(1200))
+    assert(sawJob, "no spark.job span attached after 5 attempts: " +
+      bh.take(1200))
+  }
+
+  test("admin console: / serves the UI; lattice SPA routes, favicons, " +
+      "manifest, curl welcome (http_handler.go:613-624,903-930)") {
+    def getUa(path: String, ua: String): (Int, String, String) = {
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path"))
+        .header("User-Agent", ua).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body(),
+        r.headers().firstValue("Content-Type").orElse(""))
+    }
+    // a browser gets the console page, wired to the live endpoints
+    val (c, b, ct) = getUa("/", "Mozilla/5.0")
+    assert(c == 200 && ct.startsWith("text/html"), s"$c $ct")
+    assert(b.contains("graft console") && b.contains("/schema") &&
+      b.contains("/sql") && b.contains("/metrics.json"), b.take(400))
+    // the reference's latticeRoutes (http_handler.go:486) all render the
+    // page — the SPA refresh behavior of statikHandler
+    for (route <- Seq("/tables", "/query", "/querybuilder", "/signin")) {
+      val (cr, br, _) = getUa(route, "Mozilla/5.0")
+      assert(cr == 200 && br.contains("graft console"), s"$route -> $cr")
+    }
+    // curl gets the 404 welcome line, not HTML (http_handler.go:904-911)
+    val (cc, cb, _) = getUa("/", "curl/8.0")
+    assert(cc == 404 && cb.contains("Welcome") && cb.contains("running"),
+      s"$cc $cb")
+    // favicons + manifest exist (http_handler.go:619-621)
+    assert(getUa("/favicon.svg", "Mozilla/5.0")._1 == 200)
+    assert(getUa("/favicon.png", "Mozilla/5.0")._1 == 200)
+    val (cm, bm, _) = getUa("/manifest.json", "Mozilla/5.0")
+    assert(cm == 200 && bm.contains("\"start_url\""))
+    // /static is mounted but this build has no asset tree
+    assert(getUa("/static/js/app.js", "Mozilla/5.0")._1 == 404)
+    // unmatched paths keep a plain 404 (gorilla mux default body)
+    val (cu, bu, _) = getUa("/no-such-route-xyz", "Mozilla/5.0")
+    assert(cu == 404 && bu.contains("404 page not found"), s"$cu $bu")
+  }
 }
