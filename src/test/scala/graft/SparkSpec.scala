@@ -21,6 +21,15 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // TableLog's non-durable pieces cut lineage via Dataset.localCheckpoint;
+    // when the optimizer collapses VALUES-cast aliases the checkpoint path
+    // logs a benign "output columns are expected to the same" warning per
+    // INSERT (exprId renames only — the LogicalRDD rewrites the references).
+    // ~80 of them across a full run drown real warnings, so scope this one
+    // logger to ERROR for the suites.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.LogicalRDD",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }
