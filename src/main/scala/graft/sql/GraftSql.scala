@@ -896,7 +896,7 @@ object GraftSql {
     Tables.registerAll(spark, dir)
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
-    if (Ddl.handles(query)) Ddl.run(spark, query)
+    if (Ddl.handles(query)) graft.core.Trace.span("sql.ddl")(Ddl.run(spark, query))
     else runQuery(spark, query)
   }
 
@@ -905,7 +905,7 @@ object GraftSql {
     val query = stripTerminator(query0)
     Functions.register(spark)
     if (query.toLowerCase.contains("fb_")) SystemTables.register(spark)
-    if (Ddl.handles(query)) Ddl.run(spark, query)
+    if (Ddl.handles(query)) graft.core.Trace.span("sql.ddl")(Ddl.run(spark, query))
     else runQuery(spark, query)
   }
 
@@ -962,15 +962,29 @@ object GraftSql {
     else Some(org.apache.spark.sql.graftshim.Shim.ofRows(spark, fixed))
   }
 
+  /** SQL sections open child spans when a request trace is active — the
+    * SQL sibling of the PQL compiler's `executor.execute<Call>` sections;
+    * names follow the reference's one named phase
+    * (`sql3/planner/executionplanner.go:59` CompilePlan) plus our
+    * dialect-pipeline stages. No-ops outside a traced request. */
   private def runQuery(spark: SparkSession, query: String): DataFrame = {
     validateDialect(query)
-    val hinted = applyHints(spark, query)
+    val hinted = graft.core.Trace.span("sql.hints") {
+      applyHints(spark, query)
+    }
     percentilePushdown(spark, hinted).getOrElse {
-      val (rewritten, castTargets) = rewriteWithCasts(hinted)
-      TypeCheck.check(spark, rewritten, castTargets)
+      val (rewritten, castTargets) = graft.core.Trace.span("sql.rewrite") {
+        rewriteWithCasts(hinted)
+      }
+      graft.core.Trace.span("sql.typecheck") {
+        TypeCheck.check(spark, rewritten, castTargets)
+      }
       val exec = bangToTilde(rewritten)
-      refShape(translateErrors(dialectFix(spark,
-        setqFix(spark, exec).getOrElse(runDisambiguated(spark, exec)), castTargets)))
+      graft.core.Trace.span("sql.CompilePlan") {
+        refShape(translateErrors(dialectFix(spark,
+          setqFix(spark, exec).getOrElse(runDisambiguated(spark, exec)),
+          castTargets)))
+      }
     }
   }
 }

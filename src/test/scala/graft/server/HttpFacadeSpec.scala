@@ -899,6 +899,13 @@ class HttpFacadeSpec extends SparkSpec {
     assert(bh.substring(iIx, iRow).contains("\"children\""), bh.take(1200))
     assert(sawJob, "no spark.job span attached after 5 attempts: " +
       bh.take(1200))
+    // the SQL path gets its own sections (sql.rewrite/typecheck/CompilePlan
+    // — the reference's one named phase, executionplanner.go:59)
+    val (cs, _) = post("/sql", "SELECT count(*) AS n FROM part")
+    assert(cs == 200)
+    val sh = get("/query-history")._2
+    for (s <- Seq("sql.rewrite", "sql.typecheck", "sql.CompilePlan"))
+      assert(sh.contains(s), s"missing $s in: " + sh.take(800))
   }
 
   test("admin console JS EXECUTES: schema render, table expand, SQL rows, " +
