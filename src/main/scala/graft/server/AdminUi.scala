@@ -183,6 +183,11 @@ async function run() {
     } else $$('error').textContent = text;
   } catch (e) { $$('error').textContent = String(e); }
 }
+function spanText(s, d) {
+  let out = '  '.repeat(d) + s.name + ' ' + ((s.ns || 0) / 1e6).toFixed(1) + ' ms';
+  for (const c of (s.children || [])) out += '\\n' + spanText(c, d + 1);
+  return out;
+}
 async function loadOps() {
   try {
     const m = await (await fetch('/metrics.json')).json();
@@ -199,6 +204,7 @@ async function loadOps() {
       const tr = document.createElement('tr');
       cells(tr, 'td', [q.SQL || q.PQL || '',
         ((q.runtimeNanoseconds || 0) / 1e6).toFixed(1) + ' ms']);
+      if (q.spans) tr.title = spanText(q.spans, 0); // hover = span tree
       t.appendChild(tr);
     }
   } catch (e) {}

@@ -94,6 +94,13 @@ async function main() {
     throw new Error('history empty');
   const histRow = byId('history').children[0].children.map(c => c.textContent);
   if (!/ms$/.test(histRow[1])) throw new Error('history row: ' + histRow);
+  // PQL/SQL queries ran above, so at least one row carries a span-tree
+  // tooltip with nested (indented) sections
+  const titled = byId('history').children.map(r => r.title || '')
+    .filter(t => t.includes('request'));
+  if (!titled.length) throw new Error('no span tooltip on history rows');
+  if (!titled.some(t => /\n  \S/.test(t)))
+    throw new Error('span tooltip not nested: ' + JSON.stringify(titled[0]));
 
   console.log('CONSOLE-DRIVE-OK tables=' + names.length +
     ' histRows=' + byId('history').children.length);
