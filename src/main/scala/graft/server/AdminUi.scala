@@ -89,7 +89,9 @@ table.res th { background:#222a33; position:sticky; top:0; }
 </head>
 <body>
 <header><h1>graft console</h1><span class="v">$version</span>
-  <span class="v dim" id="stat"></span></header>
+  <span class="v dim" id="stat"></span>
+  <input type="password" id="tok" placeholder="bearer token (if auth on)"
+    style="margin-left:auto;width:210px" autocomplete="off"></header>
 <main>
   <div class="panel"><h2>Tables</h2><div id="tables" class="dim">loading…</div></div>
   <div>
@@ -118,6 +120,17 @@ table.res th { background:#222a33; position:sticky; top:0; }
 </main>
 <script>
 const $$ = id => document.getElementById(id);
+// all console requests carry the bearer token when one is set (the facade
+// takes "Authorization: Bearer <jwt>" when auth is enabled); kept in
+// localStorage so a refresh doesn't drop the session
+function gf(url, opts) {
+  const o = opts || {};
+  let t = '';
+  try { t = localStorage.getItem('graft-token') || ''; } catch (_) {}
+  if (t) o.headers = Object.assign({}, o.headers,
+    { 'Authorization': 'Bearer ' + t });
+  return fetch(url, o);
+}
 function cells(tr, tag, vals) {
   for (const v of vals) {
     const c = document.createElement(tag);
@@ -127,7 +140,7 @@ function cells(tr, tag, vals) {
 }
 async function loadSchema() {
   try {
-    const j = await (await fetch('/schema')).json();
+    const j = await (await gf('/schema')).json();
     const host = $$('tables'); host.textContent = '';
     host.classList.remove('dim');
     for (const ix of (j.indexes || [])) {
@@ -164,7 +177,7 @@ async function run() {
   const url = mode === 'sql' ? '/sql'
     : '/index/' + encodeURIComponent($$('pqlidx').value || '') + '/query';
   try {
-    const r = await fetch(url, { method: 'POST', body: q });
+    const r = await gf(url, { method: 'POST', body: q });
     const text = await r.text();
     let j; try { j = JSON.parse(text); } catch (_) { j = null; }
     if (!r.ok || (j && j.error)) {
@@ -190,7 +203,7 @@ function spanText(s, d) {
 }
 async function loadOps() {
   try {
-    const m = await (await fetch('/metrics.json')).json();
+    const m = await (await gf('/metrics.json')).json();
     const t = $$('metrics'); t.textContent = '';
     for (const [k, v] of Object.entries(m.local || {})) {
       const tr = document.createElement('tr');
@@ -198,7 +211,7 @@ async function loadOps() {
     }
   } catch (e) {}
   try {
-    const h = await (await fetch('/query-history')).json();
+    const h = await (await gf('/query-history')).json();
     const t = $$('history'); t.textContent = '';
     for (const q of (Array.isArray(h) ? h : []).slice(0, 20)) {
       const tr = document.createElement('tr');
@@ -213,6 +226,11 @@ $$('mode').onchange = () =>
   $$('pqlidx').style.display =
     $$('mode').value === 'pql' ? 'inline-block' : 'none';
 $$('run').onclick = run;
+try { $$('tok').value = localStorage.getItem('graft-token') || ''; } catch (_) {}
+$$('tok').onchange = () => {
+  try { localStorage.setItem('graft-token', $$('tok').value); } catch (_) {}
+  loadSchema(); loadOps();
+};
 $$('q').addEventListener('keydown', e => {
   if ((e.ctrlKey || e.metaKey) && e.key === 'Enter') run();
 });

@@ -25,8 +25,21 @@ global.document = {
   getElementById: byId,
   createElement: tag => Object.assign(el(''), { tag }),
 };
+// a token in the store exercises the gf() Authorization-header path on
+// every request (the unauthenticated facade ignores the header; an authed
+// one requires it — set GRAFT_TOKEN accordingly)
+global.localStorage = {
+  _t: process.env.GRAFT_TOKEN || 'console-drive-dummy-token',
+  getItem(k) { return k === 'graft-token' ? this._t : null; },
+  setItem(k, v) { if (k === 'graft-token') this._t = v; },
+};
 const realFetch = global.fetch;
-global.fetch = (url, opts) => realFetch(BASE + url, opts);
+let sawAuthHeader = false;
+global.fetch = (url, opts) => {
+  if (opts && opts.headers && /^Bearer .+/.test(opts.headers.Authorization || ''))
+    sawAuthHeader = true;
+  return realFetch(BASE + url, opts);
+};
 global.setInterval = () => 0; // don't keep the process alive
 
 async function main() {
@@ -101,6 +114,9 @@ async function main() {
   if (!titled.length) throw new Error('no span tooltip on history rows');
   if (!titled.some(t => /\n  \S/.test(t)))
     throw new Error('span tooltip not nested: ' + JSON.stringify(titled[0]));
+
+  if (!sawAuthHeader)
+    throw new Error('gf() never attached the Authorization header');
 
   console.log('CONSOLE-DRIVE-OK tables=' + names.length +
     ' histRows=' + byId('history').children.length);
