@@ -986,9 +986,21 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         try { java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true"); () }
         catch { case _: java.sql.SQLException => () }
       }
-      graft.streaming.SqlIngest.read(s, url,
-        """SELECT r_regionkey AS "r_regionkey__ID", r_name AS "r_name__String" FROM region""")
-        .orderBy("r_regionkey")
+      val idkSql =
+        """SELECT r_regionkey AS "r_regionkey__ID", r_name AS "r_name__String" FROM region"""
+      // embedded Derby admits ONE booted JVM; under a multi-JVM master the
+      // Spark JDBC scan (and every sort/sample job over its lineage) runs
+      // in an arbitrary executor, so the cluster sweep surfaced XSDB6
+      // boot-lock deadlocks no matter which side shut down when. The
+      // distributed spark.read.jdbc path stays exercised under local[*]
+      // (and is the production path against a server database, like the
+      // reference's idk/sql); multi-JVM masters take the driver-local
+      // fetch through the SAME alias-header decode chain.
+      val multiJvm = !s.sparkContext.master.startsWith("local[")
+      val jdbcRaw =
+        if (multiJvm) graft.streaming.SqlIngest.readLocal(s, url, idkSql)
+        else graft.streaming.SqlIngest.read(s, url, idkSql)
+      jdbcRaw.orderBy("r_regionkey")
     }),
     "stream_csv" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")

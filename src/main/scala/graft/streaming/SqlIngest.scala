@@ -44,6 +44,50 @@ object SqlIngest {
     if (dedupe) typed.dropDuplicates() else typed
   }
 
+  /** Driver-local variant of [[read]] for single-JVM EMBEDDED databases
+    * (Derby, H2 in embedded mode) under a multi-JVM master: such engines
+    * admit exactly one booted JVM, but Spark's JDBC scan — plus every
+    * sort/sample job over its lineage — runs in whichever executor gets
+    * the task, so a 2-executor cluster deadlocks on the boot lock
+    * (XSDB6) no matter who shuts down when. Fetch the result set on the
+    * DRIVER with plain JDBC (the embedded engine's one legal home), then
+    * run the SAME alias-header parse + convert chain as [[read]]. A
+    * production deployment points [[read]] at a server database
+    * (MySQL/Postgres, like the reference's idk/sql), where executors
+    * connect concurrently and the distributed path applies. */
+  def readLocal(spark: SparkSession, url: String, query: String,
+                separator: String = ",", dedupe: Boolean = true): DataFrame = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    val (names, rows) =
+      try {
+        val st = conn.createStatement()
+        val rs = st.executeQuery(query)
+        val md = rs.getMetaData
+        val n = md.getColumnCount
+        val names = (1 to n).map(md.getColumnLabel)
+        val buf = Seq.newBuilder[org.apache.spark.sql.Row]
+        while (rs.next()) {
+          // render every cell to string; the convert chain casts from
+          // string exactly as it casts from whatever the JDBC driver
+          // produced (both go through Catalyst Cast)
+          buf += org.apache.spark.sql.Row.fromSeq(
+            (1 to n).map(i => Option(rs.getObject(i)).map(_.toString).orNull))
+        }
+        rs.close(); st.close()
+        (names, buf.result())
+      } finally conn.close()
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val raw = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val fields = CsvIngest.parseHeader(names)
+    val renamed = raw.toDF(fields.map(_._1.name): _*)
+    val typed = renamed.select(fields.collect {
+      case (f, dest) if f.typ != "ignore" => convert(f, dest, separator)
+    }: _*)
+    if (dedupe) typed.dropDuplicates() else typed
+  }
+
   /** JDBC values arrive typed, so conversions cast from whatever the driver
     * produced; split character-class semantics match `Splitter`
     * (`source.go:231-240`). */

@@ -15,7 +15,8 @@ object RunQuery {
     val name = args.headOption.getOrElse(sys.error("usage: RunQuery <name> [sfDir] [outDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(2).getOrElse("/tmp/runquery_out")
-    val spark = graft.core.EngineConf(SparkSession.builder().master("local[8]")
+    val spark = graft.core.EngineConf(graft.core.EngineConf.master(
+      SparkSession.builder(), "local[8]")
       .appName("graft-runquery")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false"))
