@@ -61,4 +61,18 @@ class SqlIngestSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id"))
     assert(df.count() == 3)
   }
+
+  test("readLocal (the multi-JVM embedded-db path) matches read row for " +
+      "row — schema, types, dedupe, separator class") {
+    val q =
+      """SELECT id AS "id__ID", name AS "name__String", age AS "age__Int",
+         score AS "score__Decimal_2", tags AS "tags__StringArray",
+         joined AS "joined__RecordTime" FROM people"""
+    val dist = SqlIngest.read(spark, url, q, separator = ",;")
+    val local = SqlIngest.readLocal(spark, url, q, separator = ",;")
+    assert(local.schema == dist.schema, s"${local.schema} vs ${dist.schema}")
+    val (a, b) = (dist.orderBy("id").collect().toSeq,
+      local.orderBy("id").collect().toSeq)
+    assert(a == b, s"\ndistributed: $a\nlocal:       $b")
+  }
 }
