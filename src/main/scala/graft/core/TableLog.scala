@@ -145,7 +145,7 @@ object TableLog {
         val p = tableDir(wh, name).resolve(s"$kind-${nextGen(wh, name)}").toString
         laid.write.mode("overwrite").parquet(p)
         Piece(spark.read.schema(df.schema).parquet(p), Some(p))
-      case None => Piece(laid.localCheckpoint(), None)
+      case None => Piece(Materialize.stable(laid), None)
     }
   }
 
@@ -285,7 +285,7 @@ object TableLog {
               checkpoint: Boolean): Unit = mutate(spark, name) {
     val base =
       if (warehouse(spark).isDefined) mat(spark, name, "base", df)
-      else if (checkpoint) Piece(df.localCheckpoint(), None)
+      else if (checkpoint) Piece(Materialize.stable(df), None)
       else Piece(df, None)
     base.df.createOrReplaceTempView(Idents.q(name))
     val st = State(base, None, None, 0, canon(base.df))
@@ -323,7 +323,7 @@ object TableLog {
           st.overlay.map(_.df.unionByName(incoming)).getOrElse(incoming))
         st.copy(overlay = Some(o), depth = st.depth + 1)
       } else {
-        val inc = incoming.localCheckpoint() // reused by the joins below
+        val inc = Materialize.stable(incoming) // reused by the joins below
         val ids = inc.select("_id")
         val o = mat(spark, name, "overlay", st.overlay match {
           case Some(prev) => prev.df.join(ids, Seq("_id"), "left_anti")

@@ -209,7 +209,7 @@ object Text {
       .select(explode(bpeTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(split(col("w"), "").as("toks"), col("cnt"))
-      .localCheckpoint()
+    vocab = graft.core.Materialize.stable(vocab)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -240,7 +240,7 @@ object Text {
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
                 .otherwise(concat(acc, array(x)))).as("toks"),
           col("cnt"))
-        if (rank % 4 == 0) vocab = vocab.localCheckpoint()
+        if (rank % 4 == 0) vocab = graft.core.Materialize.stable(vocab)
         rank += 1
       }
     }
@@ -385,7 +385,8 @@ object Text {
     // reuse is defeated here by per-branch filter pushdown, so explicit
     // materialization of the tiny tf table is the robust single-pass form.
     val sent = BmSentinel
-    val tfAll = bm25TermRows(df, idCol, textCol, terms).localCheckpoint()
+    val tfAll =
+      graft.core.Materialize.stable(bm25TermRows(df, idCol, textCol, terms))
     // corpus stats ride the final plan as a broadcast one-row aggregate
     // over the sentinel rows (one per doc) instead of a driver collect —
     // an empty (or all-empty-docs) corpus yields an empty result through

@@ -499,7 +499,7 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
         if (write) {
           if (!ids.isEmpty) table.sparkSession.sql(bound).collect()
           table.sparkSession.emptyDataFrame
-        } else table.sparkSession.sql(bound).localCheckpoint()
+        } else graft.core.Materialize.stable(table.sparkSession.sql(bound))
       } finally table.sparkSession.catalog.dropTempView(view)
 
     case _ => // bitmap call at top level → its id set

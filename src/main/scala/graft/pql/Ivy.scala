@@ -537,12 +537,13 @@ object Ivy {
       // per-shard counts (O(shards) driver state, broadcast back) — NOT a
       // global row_number window, which would funnel the whole result
       // through one partition. One pass also reads the max kind for the
-      // output column type. localCheckpoint (not persist): persist pins
+      // output column type. Materialize.stable (not persist): persist pins
       // blocks in persistentRdds until an explicit unpersist that no caller
       // here could issue, so a long-lived server accumulated one cached
       // cells copy per Apply query; checkpoint blocks are freed by
-      // ContextCleaner once the returned DataFrame is dropped.
-      val persisted = cells.toDF().localCheckpoint(true,
+      // ContextCleaner once the returned DataFrame is dropped — and stable
+      // additionally survives executor loss (replicated / reliable tiers).
+      val persisted = graft.core.Materialize.stable(cells.toDF(),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val stats = persisted.groupBy("shard")
         .agg(count(lit(1)).as("n"), max(col("kind")).as("k"))

@@ -127,7 +127,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     val before = state.get(name)
     if (next ne before) {
       val n = writesSince.merge(name, 1, (a, b) => a + b)
-      state.put(name, if (n % 16 == 0) next.localCheckpoint() else next)
+      state.put(name,
+        if (n % 16 == 0) graft.core.Materialize.stable(next) else next)
       invalidateTableCaches(name)
     }
   }

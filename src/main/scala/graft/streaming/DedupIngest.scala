@@ -48,9 +48,9 @@ object DedupIngest {
     if (batch.isEmpty) return
     // (id, hs): distinct-shingle posting of the batch, 8-byte hashed keys —
     // three consumers (store join, within-batch join, index append)
-    val postingB = Dedup.shingledPosting(batch, idCol, textCol)
-      .select(col("id"), xxhash64(col("s")).as("hs"))
-      .localCheckpoint()
+    val postingB = graft.core.Materialize.stable(
+      Dedup.shingledPosting(batch, idCol, textCol)
+        .select(col("id"), xxhash64(col("s")).as("hs")))
     val sizesB = postingB.groupBy("id").agg(count(lit(1)).as("n"))
     // Path API, not java.io.File — the state dirs live on whatever
     // filesystem the production deployment uses (HDFS/S3), where a local

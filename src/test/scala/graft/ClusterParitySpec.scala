@@ -25,41 +25,11 @@ import scala.jdk.CollectionConverters._
 class ClusterParitySpec extends AnyFunSuite {
   test("custom expressions/aggregates/closures execute in separate " +
       "executor JVMs under local-cluster") {
-    assume(new java.io.File("/opt/spark/jars").isDirectory,
-      "no Spark distribution at /opt/spark")
-    val classesDir = new java.io.File("target/scala-2.13/classes")
-    assume(classesDir.isDirectory, "compiled classes not at the sbt layout")
-
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    // reuse this JVM's --add-opens set (Spark 4 on JDK 17 needs them);
-    // input arguments carry each flag as ONE string "--add-opens" followed
-    // by its value OR as "--add-opens=..." depending on the launcher
-    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toVector
-    val opens = Vector.newBuilder[String]
-    var i = 0
-    while (i < in.size) {
-      if (in(i) == "--add-opens" && i + 1 < in.size) {
-        opens += in(i) += in(i + 1); i += 2
-      } else if (in(i).startsWith("--add-opens=")) { opens += in(i); i += 1 }
-      else i += 1
-    }
-    val cmd = (Vector(javaBin) ++ opens.result() ++ Vector(
-      "-Xmx3g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.ClusterProbe")).asJava
-    val pb = new ProcessBuilder(cmd)
-    pb.directory(new java.io.File("."))
-    pb.environment().put("SPARK_HOME", "/opt/spark")
-    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-    pb.environment().put("SPARK_GRAFT_MASTER", "local-cluster[2,4,3072]")
-    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    val finished = p.waitFor()
-    val probeLines = out.linesIterator.filter(_.startsWith("PROBE")).toVector
-    assert(finished == 0, s"probe exit $finished:\n${out.takeRight(4000)}")
+    assume(ClusterLaunch.available, "no Spark distribution / sbt classes")
+    val (finished, probeLines, tail) = ClusterLaunch.probe(
+      "graft.tools.ClusterProbe", "local-cluster[2,4,3072]",
+      Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001"))
+    assert(finished == 0, s"probe exit $finished:\n$tail")
     assert(probeLines.exists(_.startsWith("PROBE master=local-cluster")),
       probeLines.mkString("\n"))
     // executors really are OTHER processes
