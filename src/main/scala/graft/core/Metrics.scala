@@ -31,6 +31,9 @@ object Metrics {
   val TransactionStart = "transaction_start"
   val TransactionEnd   = "transaction_end"
   val HttpRequest      = "http_request_total"
+  // flat-counter form of the reference's slow="true" label on its
+  // http_requests duration summary (metrics.go:185-195, collectStats)
+  val SlowQuery        = "http_request_slow_total"
 
   private val counters = new ConcurrentHashMap[String, LongAdder]
 

@@ -91,10 +91,20 @@ final class JobSpanListener extends org.apache.spark.scheduler.SparkListener {
   private val jobGroupOf =
     new java.util.concurrent.ConcurrentHashMap[Int, String]
 
+  /** Killed-group hooks: group → cancel action. A request killed by
+    * deadline or explicit cancellation registers its group here; group
+    * cancellation is one-shot in Spark, so a job the request launches
+    * AFTER the kill (the next call of a multi-call program, a retry) would
+    * otherwise run to completion. onJobStart re-cancels event-driven —
+    * only when a job actually exists, so no blind periodic re-cancel and
+    * no "cannot find active jobs" scheduler warnings. */
+  val killed = new java.util.concurrent.ConcurrentHashMap[String, () => Unit]
+
   override def onJobStart(
       e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
     val group = Option(e.properties)
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
+    if (group != null) Option(killed.get(group)).foreach(cancel => cancel())
     // size guard: a job-start event that arrives AFTER its group was
     // drained (listener bus is async) would strand an entry forever; cap
     // the map so the stranded set stays bounded regardless
@@ -120,6 +130,20 @@ final class JobSpanListener extends org.apache.spark.scheduler.SparkListener {
           if (j.id == e.jobId && j.end == 0L) j.end = System.nanoTime()
         }
       }
+    }
+  }
+
+  /** Does the group have a job that started and hasn't ended? Used by the
+    * kill path to cancel only when there's something to cancel (a blind
+    * cancel on an idle group logs a scheduler warning); a job whose start
+    * event hasn't been delivered yet is caught by the onJobStart hook. */
+  def hasActive(group: String): Boolean = {
+    val l = byGroup.get(group)
+    l != null && l.synchronized {
+      val it = l.iterator()
+      var live = false
+      while (!live && it.hasNext) live = it.next().end == 0L
+      live
     }
   }
 

@@ -924,6 +924,7 @@ object Pql {
     require(calls.nonEmpty, "empty PQL program")
     var state = initial
     val results = calls.map { c =>
+      graft.core.QueryContext.validate() // executor.go:193 per-call ctx check
       val comp = new Compiler(state, graft.core.Tables.timeColumn(tableName))
       if (comp.isWrite(c)) { state = comp.write(c); None }
       else Some(comp.run(c))
@@ -943,6 +944,7 @@ object Pql {
     val calls = Parser.parse(pql)
     require(calls.nonEmpty, "empty PQL program")
     calls.map { c =>
+      graft.core.QueryContext.validate() // executor.go:193 per-call ctx check
       def compiler() =
         new Compiler(spark.table(graft.core.Idents.q(tableName)), graft.core.Tables.timeColumn(tableName))
       val probe = compiler()

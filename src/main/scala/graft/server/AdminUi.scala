@@ -115,6 +115,8 @@ table.res th { background:#222a33; position:sticky; top:0; }
         <table class="res" id="metrics"></table></div>
       <div class="panel"><h2>Query history</h2>
         <table class="res" id="history"></table></div>
+      <div class="panel"><h2>Active queries</h2>
+        <table class="res" id="active"></table></div>
     </div>
   </div>
 </main>
@@ -219,6 +221,29 @@ async function loadOps() {
         ((q.runtimeNanoseconds || 0) / 1e6).toFixed(1) + ' ms']);
       if (q.spans) tr.title = spanText(q.spans, 0); // hover = span tree
       t.appendChild(tr);
+    }
+  } catch (e) {}
+  try {
+    // /queries (the reference's ActiveQueryStatus list) + our additive
+    // "id" field feeding POST /queries/cancel?id=
+    const a = await (await gf('/queries')).json();
+    const t = $$('active'); t.textContent = '';
+    for (const q of (a.queries || [])) {
+      const tr = document.createElement('tr');
+      cells(tr, 'td', [q.SQL || q.PQL || '',
+        ((q.age || 0) / 1e6).toFixed(1) + ' ms']);
+      const td = document.createElement('td');
+      const b = document.createElement('button');
+      b.textContent = 'cancel';
+      b.onclick = async () => {
+        await gf('/queries/cancel?id=' + q.id, { method: 'POST' });
+        loadOps();
+      };
+      td.appendChild(b); tr.appendChild(td); t.appendChild(tr);
+    }
+    if (!(a.queries || []).length) {
+      const tr = document.createElement('tr');
+      cells(tr, 'td', ['(idle)']); t.appendChild(tr);
     }
   } catch (e) {}
 }

@@ -174,15 +174,74 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * group) attach at close. Spans land on the /query-history record. */
   private val jobSpans = new graft.core.JobSpanListener
 
+  /** Query governance — the reference's context semantics on Spark's
+    * mechanism. `validateQueryContext` (`reference/executor.go:8165-8180`)
+    * aborts a request whose context is done: deadline → ErrQueryTimeout,
+    * cancellation → ErrQueryCancelled (`reference/pilosa.go:55-56`); and
+    * `collectStats` logs queries over the configured LongQueryTime
+    * (`reference/http_handler.go:397-406`, `server.go:199-204`). Plain-HTTP
+    * clients can't carry a Go context, so here the deadline comes from
+    * `spark.graft.queryTimeout` and explicit cancellation from the admin
+    * `POST /queries/cancel?id=` extension (the reference cancels on client
+    * disconnect, which JDK HttpServer does not surface mid-handler).
+    * Enforcement is the request's Spark job group: `killWith` cancels it
+    * with `interruptOnCancel=true` — running tasks are interrupted and the
+    * 32 cores free IMMEDIATELY, the Spark-native form of the reference's
+    * per-shard ctx polls. Group cancellation is one-shot and a multi-call
+    * program would otherwise launch its next job past it, so the kill also
+    * registers the group with [[graft.core.JobSpanListener]].killed: any
+    * job that starts in the group after the kill is re-cancelled
+    * event-driven from onJobStart. Driver-side call boundaries poll
+    * [[graft.core.QueryContext]] like the executor sections do. */
+  private final class QueryCtl(val group: String) {
+    val kill = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def killWith(reason: String): Unit =
+      if (kill.compareAndSet(null, reason)) {
+        jobSpans.killed.put(group, () => spark.sparkContext.cancelJobGroup(group))
+        // cancel now only if a job is live; a job whose start event is
+        // still in flight (or launched later) dies via the killed hook
+        if (jobSpans.hasActive(group)) spark.sparkContext.cancelJobGroup(group)
+      }
+    def close(): Unit = jobSpans.killed.remove(group)
+  }
+  private val activeCtl =
+    new java.util.concurrent.ConcurrentHashMap[Long, QueryCtl]
+  private val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-query-watchdog"); t.setDaemon(true); t
+    }
+  private def confMs(key: String): Long =
+    Option(spark.conf.get(key, null)).filter(_.nonEmpty)
+      .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+      .getOrElse(0L)
+
   private def tracked[A](pql: String, sql: String, index: String)(f: => A): A = {
     val id = querySeq.incrementAndGet()
     val rec = QueryRec(pql, sql, index, System.nanoTime())
     activeQueries.put(id, rec)
     val group = s"graft-q$id"
-    spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+    val ctl = new QueryCtl(group)
+    activeCtl.put(id, ctl)
+    spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+    val timeoutMs = confMs("spark.graft.queryTimeout")
+    val deadline: Option[java.util.concurrent.ScheduledFuture[_]] =
+      if (timeoutMs <= 0) None
+      else Some(watchdog.schedule(new Runnable {
+        def run(): Unit = ctl.killWith("query timeout") // pilosa.go:56
+      }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    val check: () => Unit =
+      () => Option(ctl.kill.get).foreach(r => throw new RuntimeException(r))
     val root = new graft.core.Trace.Span("request", System.nanoTime())
-    try graft.core.Trace.install(root)(f)
-    finally {
+    try graft.core.Trace.install(root)(graft.core.QueryContext.install(check)(f))
+    catch {
+      // a killed request surfaces Spark's job-group-cancel wording; answer
+      // with the reference's error instead (ErrQueryCancelled/Timeout)
+      case e: Throwable => throw Option(ctl.kill.get)
+        .map(new RuntimeException(_)).getOrElse(e)
+    } finally {
+      deadline.foreach(_.cancel(false))
+      ctl.close()
+      activeCtl.remove(id)
       root.endNs = System.nanoTime()
       spark.sparkContext.clearJobGroup()
       jobSpans.drain(group).foreach(root.children.add)
@@ -190,16 +249,30 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       pastQueries.addFirst(rec.copy(endNs = System.nanoTime(),
         spans = root.toJson))
       while (pastQueries.size > PastQueriesKept) pastQueries.pollLast()
+      val longNs = confMs("spark.graft.longQueryTime") * 1000000L
+      val durNs = root.endNs - rec.startNs
+      if (longNs > 0 && durNs > longNs) {
+        // http_handler.go:406 log shape (method/URL → index + query text)
+        System.err.println(
+          s"HTTP query duration ${durNs / 1000000}ms exceeds ${longNs / 1000000}ms: " +
+            s"$index ${if (pql.nonEmpty) pql else sql}")
+        graft.core.Metrics.inc(graft.core.Metrics.SlowQuery)
+      }
     }
   }
 
-  private def queryJson(r: QueryRec, past: Boolean): String = {
+  private def queryJson(r: QueryRec, past: Boolean, id: Long = -1L): String = {
     val base = s""""PQL":${js(r.pql)}${if (r.sql.nonEmpty) s""","SQL":${js(r.sql)}""" else ""},"node":"local","index":${js(r.index)}"""
     if (past) {
       val spans = if (r.spans.nonEmpty) s""","spans":${r.spans}""" else ""
       s"""{$base,"runtimeNanoseconds":${r.endNs - r.startNs}$spans}"""
-    } else
-      s"""{$base,"age":${System.nanoTime() - r.startNs}}"""
+    } else {
+      // "id" is additive vs the reference's ActiveQueryStatus
+      // (tracker.go:11-17) — it names the query for POST /queries/cancel,
+      // our explicit form of its client-disconnect cancellation
+      val ref = if (id >= 0) s""","id":$id""" else ""
+      s"""{$base,"age":${System.nanoTime() - r.startNs}$ref}"""
+    }
   }
 
   /** Per-table write serialization: requests run on a thread pool (below),
@@ -949,7 +1022,30 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       def handle(ex: HttpExchange): Unit = respond(ex) {
         chk(ex, None, Auth.PermAdmin)
         import scala.jdk.CollectionConverters._
-        s"""{"queries":[${activeQueries.values.asScala.map(queryJson(_, past = false)).mkString(",")}]}"""
+        s"""{"queries":[${activeQueries.entrySet.asScala.toSeq.sortBy(_.getKey)
+          .map(e => queryJson(e.getValue, past = false, id = e.getKey))
+          .mkString(",")}]}"""
+      }
+    })
+    // POST /queries/cancel?id=N (admin; engine-native extension): explicit
+    // cancellation of an in-flight query by the id /queries reports. The
+    // reference cancels by killing the client connection (Go's http server
+    // cancels r.Context(), validateQueryContext turns it into
+    // ErrQueryCancelled, executor.go:8165-8180); JDK HttpServer gives the
+    // handler no disconnect signal, so an admin names the query instead.
+    // Same downstream semantics: the job group dies, the cores free, the
+    // caller gets `{"error":"query cancelled"}` (pilosa.go:55 wording).
+    server.createContext("/queries/cancel", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin)
+        val id = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").collectFirst { case s if s.startsWith("id=") =>
+            s.drop(3).toLong }
+          .getOrElse(sys.error("id required"))
+        activeCtl.get(id) match {
+          case null => throw PlainError(404, s"no active query $id")
+          case ctl  => ctl.killWith("query cancelled"); s"""{"cancelled":$id}"""
+        }
       }
     })
     server.createContext("/query-history", new HttpHandler {
@@ -1057,6 +1153,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     // unregister from the SHARED session: specs start many facades on one
     // SparkContext, and leaked listeners would accumulate per facade
     spark.sparkContext.removeSparkListener(jobSpans)
+    watchdog.shutdownNow()
     server.stop(0)
   }
 

@@ -115,6 +115,13 @@ async function main() {
   if (!titled.some(t => /\n  \S/.test(t)))
     throw new Error('span tooltip not nested: ' + JSON.stringify(titled[0]));
 
+  // active-queries panel: nothing in flight from this synchronous harness,
+  // so it renders the idle row (cancel buttons are driven by
+  // QueryGovernanceSpec against the endpoint itself)
+  const active = byId('active');
+  if (active.children.length < 1 || !/\(idle\)/.test(active.textContent))
+    throw new Error('active panel: ' + active.textContent);
+
   if (!sawAuthHeader)
     throw new Error('gf() never attached the Authorization header');
 
