@@ -112,6 +112,79 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
 
   private val state = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  // ----------------------------------------------------- query governance
+  /** The reference's request-context semantics on the gRPC surface: the Go
+    * server hands the RPC's ctx to `api.Query`, so a client disconnect or
+    * deadline aborts the request (`validateQueryContext`,
+    * `reference/executor.go:8165-8180`) and `errToStatusError` maps
+    * ErrQueryTimeout → DEADLINE_EXCEEDED, ErrQueryCancelled → CANCELLED
+    * (`reference/server/grpc.go:109-113`). The shaded grpc `Context`
+    * carries exactly that signal here: its cancellation listener kills the
+    * request's Spark job group (`interruptOnCancel=true` — running tasks
+    * interrupt and the cores free). Group cancellation is one-shot, so the
+    * kill also registers with [[graft.core.JobSpanListener]].killed and
+    * any job launched after it (AQE re-plans, the next call of a program)
+    * is re-cancelled event-driven from onJobStart; driver-side call
+    * boundaries poll [[graft.core.QueryContext]]. A server-side
+    * `spark.graft.queryTimeout` deadline applies when clients set none. */
+  private final class Killed(val reason: String) extends RuntimeException(reason)
+  private val jobSpans = new graft.core.JobSpanListener
+  private val grpcSeq = new java.util.concurrent.atomic.AtomicLong
+  private val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-grpc-watchdog"); t.setDaemon(true); t
+    }
+  private def confMs(key: String): Long =
+    Option(spark.conf.get(key, null)).filter(_.nonEmpty)
+      .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+      .getOrElse(0L)
+
+  private def governed[A](f: => A): A = {
+    val group = s"graft-grpc-q${grpcSeq.incrementAndGet()}"
+    val kill = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def killWith(reason: String): Unit =
+      if (kill.compareAndSet(null, reason)) {
+        jobSpans.killed.put(group,
+          () => spark.sparkContext.cancelJobGroup(group))
+        if (jobSpans.hasActive(group)) spark.sparkContext.cancelJobGroup(group)
+      }
+    spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+    val ctx = grpc.Context.current()
+    val lis = new grpc.Context.CancellationListener {
+      def cancelled(c: grpc.Context): Unit =
+        killWith(
+          if (Option(c.getDeadline).exists(_.isExpired)) "query timeout"
+          else "query cancelled") // pilosa.go:55-56 wordings
+    }
+    ctx.addListener(lis, (r: Runnable) => r.run())
+    val timeoutMs = confMs("spark.graft.queryTimeout")
+    val deadline: Option[java.util.concurrent.ScheduledFuture[_]] =
+      if (timeoutMs <= 0) None
+      else Some(watchdog.schedule(new Runnable {
+        def run(): Unit = killWith("query timeout")
+      }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    val check: () => Unit =
+      () => Option(kill.get).foreach(r => throw new Killed(r))
+    try graft.core.QueryContext.install(check)(f)
+    catch {
+      // a killed request surfaces Spark's group-cancel wording; answer
+      // with the reference's error instead
+      case e: Throwable =>
+        throw Option(kill.get).map(new Killed(_)).getOrElse(e)
+    } finally {
+      deadline.foreach(_.cancel(false))
+      ctx.removeListener(lis)
+      jobSpans.killed.remove(group)
+      jobSpans.drain(group) // spans unused on this surface; keeps the map bounded
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  private def killedStatus(e: Killed): grpc.StatusRuntimeException =
+    (if (e.reason == "query timeout") Status.DEADLINE_EXCEEDED
+     else Status.CANCELLED)
+      .withDescription(e.reason).asRuntimeException()
+
   // ----------------------------------------------------------------- auth
   // The reference's gRPC authz (`reference/server/grpc.go:159-300`): the
   // bearer token rides the `authorization` metadata key; PQL needs
@@ -407,8 +480,9 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
   private def unary(f: Proto.Reader => Array[Byte]) =
     ServerCalls.asyncUnaryCall(new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
       def invoke(req: Array[Byte], out: StreamObserver[Array[Byte]]): Unit =
-        try { out.onNext(f(new Proto.Reader(req))); out.onCompleted() }
+        try { out.onNext(governed(f(new Proto.Reader(req)))); out.onCompleted() }
         catch {
+          case e: Killed => out.onError(killedStatus(e))
           case e: grpc.StatusRuntimeException => out.onError(e)
           case e: Auth.AuthError => out.onError(Status.PERMISSION_DENIED
             .withDescription(msg(e)).asRuntimeException())
@@ -421,8 +495,9 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         def invoke(req: Array[Byte], out: StreamObserver[Array[Byte]]): Unit =
-          try { f(new Proto.Reader(req)).foreach(out.onNext); out.onCompleted() }
+          try { governed(f(new Proto.Reader(req))).foreach(out.onNext); out.onCompleted() }
           catch {
+            case e: Killed => out.onError(killedStatus(e))
             case e: grpc.StatusRuntimeException => out.onError(e)
             case e: Auth.AuthError => out.onError(Status.PERMISSION_DENIED
               .withDescription(msg(e)).asRuntimeException())
@@ -627,9 +702,14 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       graft.core.Tables.registerAll(spark, dir)
       graft.sql.Ddl.restoreSession(spark)
     }
+    spark.sparkContext.addSparkListener(jobSpans) // killed-group re-cancel hook
     server.start(); server.getPort
   }
-  def stop(): Unit = server.shutdownNow()
+  def stop(): Unit = {
+    spark.sparkContext.removeSparkListener(jobSpans)
+    watchdog.shutdownNow()
+    server.shutdownNow()
+  }
 }
 
 object GrpcFacade {

@@ -188,4 +188,38 @@ class GrpcFacadeSpec extends SparkSpec {
       GrpcFacade.sqlRequest("SELECT COUNT(*) FROM region")))
     assert(tableRows(resp) == Seq(Seq(5L)))
   }
+
+  test("query governance: server deadline answers DEADLINE_EXCEEDED with " +
+    "the reference wording (grpc.go:109-110, pilosa.go:56); client " +
+    "deadline cancels via the grpc Context; facade keeps serving") {
+    import org.sparkproject.connect.grpc.Status
+    spark.conf.set("spark.graft.queryTimeout", "1ms")
+    try {
+      val e = intercept[StatusRuntimeException] {
+        GrpcFacade.call(ch, facade.QuerySqlUnaryMethod,
+          GrpcFacade.sqlRequest("SELECT COUNT(*) FROM lineitem a, lineitem b"))
+      }
+      assert(e.getStatus.getCode == Status.Code.DEADLINE_EXCEEDED, e.getStatus)
+      assert(e.getStatus.getDescription == "query timeout", e.getStatus)
+    } finally spark.conf.unset("spark.graft.queryTimeout")
+
+    // client-set deadline: the call's grpc Context cancels server-side (the
+    // reference's ctx flow); the client races its own clock so it reports
+    // DEADLINE_EXCEEDED locally — the server half is the group kill, which
+    // must leave the facade fully serviceable
+    val e2 = intercept[StatusRuntimeException] {
+      import org.sparkproject.connect.grpc.stub.ClientCalls
+      import org.sparkproject.connect.grpc.CallOptions
+      import java.util.concurrent.TimeUnit
+      ClientCalls.blockingUnaryCall(ch, facade.QuerySqlUnaryMethod,
+        CallOptions.DEFAULT.withDeadlineAfter(80, TimeUnit.MILLISECONDS),
+        GrpcFacade.sqlRequest("SELECT COUNT(*) FROM lineitem a, lineitem b"))
+    }
+    assert(e2.getStatus.getCode == Status.Code.DEADLINE_EXCEEDED, e2.getStatus)
+
+    // governance is per-request: the next query on the same channel works
+    val resp = new Proto.Reader(GrpcFacade.call(ch, facade.QuerySqlUnaryMethod,
+      GrpcFacade.sqlRequest("SELECT COUNT(*) FROM region")))
+    assert(tableRows(resp) == Seq(Seq(5L)))
+  }
 }
