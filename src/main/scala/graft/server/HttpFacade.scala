@@ -310,10 +310,30 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     server.createContext("/sql", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
         chk(ex, None, Auth.PermAdmin) // reference/http_handler.go:536
+        // `?plan=true` appends the compiled plan to the envelope
+        // (`http_handler.go:1438-1545`: strconv.ParseBool values, 400 on
+        // anything else; plan rendered as nested {"_op":...} maps like the
+        // sql3 planner's Plan() — ours is the Spark PHYSICAL plan, where
+        // pushed filters and exchanges are visible)
+        val includePlan = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").collectFirst { case s if s.startsWith("plan=") =>
+            s.drop(5) } match {
+          case None => false
+          case Some(v) if Seq("1", "t", "T", "TRUE", "true", "True").contains(v) => true
+          case Some(v) if Seq("0", "f", "F", "FALSE", "false", "False").contains(v) => false
+          case Some(v) => sys.error(s"""strconv.ParseBool: parsing "$v": invalid syntax""")
+        }
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         graft.core.Metrics.inc(graft.core.Metrics.SqlQueries)
         tracked("", body, "") {
-          toWire(graft.sql.GraftSql.sql(spark, dir, body))
+          val t0 = System.nanoTime()
+          val df = graft.sql.GraftSql.sql(spark, dir, body)
+          val wire = toWire(df) // collect finalizes the AQE plan
+          val plan = if (includePlan) s""","query-plan":${planJson(df)}""" else ""
+          // the reference closes every /sql envelope with the execution
+          // time in microseconds (http_handler.go:1481-1494)
+          wire.dropRight(1) + plan +
+            s""","execution-time":${(System.nanoTime() - t0) / 1000}}"""
         }
       }
     })
@@ -825,17 +845,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             chk(ex, Some(idx), Auth.PermRead)
             if (!acceptsJson(ex))
               throw PlainError(406, "JSON only acceptable response")
-            val w = graft.pql.Compiler.ShardWidth
-            val df = tableState(idx)
-            val maxShard =
-              if (df.schema("_id").dataType ==
-                  org.apache.spark.sql.types.LongType)
-                Option(df.agg(org.apache.spark.sql.functions.max(
-                    org.apache.spark.sql.functions.col("_id"))).head.get(0))
-                  .map { case l: java.lang.Long => l.longValue / w }
-                  .getOrElse(0L)
-              else 0L // keyed: key-hash shards collapse to this node
-            s"""{"shards":[${(0L to maxShard).mkString(",")}]}"""
+            s"""{"shards":[${(0L to maxShardOf(idx)).mkString(",")}]}"""
           case _ => throw PlainError(404, "404 page not found")
         }
       }
@@ -1077,6 +1087,34 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         chk(ex, None, Auth.PermRead) // http_handler.go:534 chkAuthZ Read
         import scala.jdk.CollectionConverters._
         s"""{"transactions":[${transactions.values.asScala.map(txJson).mkString(",")}]}"""
+      }
+    })
+    // `GET /ui/transaction[/]` (`http_handler.go:544-545,2333-2366`
+    // handleGetTransactionList): the same registry as a JSON ARRAY in
+    // creation order (the reference sorts by CreatedAt; `seq` is ours)
+    server.createContext("/ui/transaction", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermRead)
+        if (!acceptsJson(ex))
+          throw PlainError(406, "JSON only acceptable response")
+        import scala.jdk.CollectionConverters._
+        transactions.values.asScala.toSeq.sortBy(_.seq)
+          .map(txJson).mkString("[", ",", "]")
+      }
+    })
+    // `GET /ui/shard-distribution` (`http_handler.go:546,1226-1233`;
+    // `api.go:2038-2051` ShardDistribution, `cluster.go:174-205`
+    // shardDistributionByIndex): {index: {nodeID: {"primary-shards":[…],
+    // "replica-shards":[…]}}} — one node here, so it owns every shard as
+    // primary and replicas are empty
+    server.createContext("/ui/shard-distribution", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin)
+        val dist = allIndexNames.sorted.map { idx =>
+          val shards = (0L to maxShardOf(idx)).mkString(",")
+          s"""${js(idx)}:{"local":{"primary-shards":[$shards],"replica-shards":[]}}"""
+        }
+        dist.mkString("{", ",", "}")
       }
     })
     server.createContext("/transaction", new HttpHandler {
@@ -1388,6 +1426,19 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * DDL-created catalog tables, minus fb_* system views and CREATE VIEW
     * definitions (the reference's /schema lists indexes, not views). A
     * driver-side catalog listing — no Spark job. */
+  /** Highest `_id`-range shard with data; a single node owns 0..maxShard
+    * contiguously (keyed tables collapse to shard 0 on this node). */
+  private def maxShardOf(idx: String): Long = {
+    val df = tableState(idx)
+    if (df.schema("_id").dataType == org.apache.spark.sql.types.LongType)
+      Option(df.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("_id"))).head.get(0))
+        .map { case l: java.lang.Long =>
+          l.longValue / graft.pql.Compiler.ShardWidth }
+        .getOrElse(0L)
+    else 0L
+  }
+
   private def allIndexNames: Seq[String] = {
     // SessionCatalog API: pure driver-side metadata (the Dataset-returning
     // spark.catalog.listTables would launch a Spark job per probe)
@@ -1779,6 +1830,36 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   private val MaxWireRows = 100000
 
   /** DataFrame → reference wire shape. */
+  /** The `?plan=true` operator tree — the reference renders its sql3 plan
+    * as nested maps with `_op`/`_schema` plus op-specific keys
+    * (`sql3/planner/opprojection.go:61-75`). Ours renders the FINAL Spark
+    * physical plan (post-AQE), because that's where the answers to "did
+    * the filter push down, where are the exchanges, did the join
+    * broadcast" live. Depth-capped so a pathological plan can't produce an
+    * unbounded response. */
+  private def planJson(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def node(p: SparkPlan, depth: Int): String = {
+      val unwrapped = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other                    => other
+      }
+      val schema = unwrapped.output
+        .map(a => js(s"${a.name}:${a.dataType.simpleString}"))
+        .mkString("[", ",", "]")
+      val details = js(unwrapped.simpleString(25).take(800))
+      val kids =
+        if (depth >= 40 || unwrapped.children.isEmpty) ""
+        else if (unwrapped.children.length == 1)
+          s""","child":${node(unwrapped.children.head, depth + 1)}"""
+        else
+          s""","children":[${unwrapped.children.map(node(_, depth + 1)).mkString(",")}]"""
+      s"""{"_op":${js(unwrapped.nodeName)},"_schema":$schema,"details":$details$kids}"""
+    }
+    node(df.queryExecution.executedPlan, 0)
+  }
+
   private def toWire(df: DataFrame): String = {
     val fields = df.schema.fields.map(f =>
       s"""{"name":${js(f.name)},"base-type":${js(f.dataType.simpleString)}}""")

@@ -142,6 +142,28 @@ class HttpFacadeSpec extends SparkSpec {
     assert(body.contains(""""data":[[0,"""))
   }
 
+  test("POST /sql?plan=true appends the compiled plan; every envelope " +
+    "carries execution-time (http_handler.go:1438-1545)") {
+    // default: no plan, but the closing execution-time is always there
+    val (c0, b0) = post("/sql", "SELECT COUNT(*) AS n FROM region")
+    assert(c0 == 200 && b0.contains(""","execution-time":"""), b0.take(300))
+    assert(!b0.contains("query-plan"), b0.take(300))
+
+    // plan=true: nested {"_op":...} operator maps of the FINAL physical
+    // plan — the filter must be visible pushed into the parquet scan
+    val (c1, b1) = post("/sql?plan=true",
+      "SELECT r_name FROM region WHERE r_regionkey = 1")
+    assert(c1 == 200, b1.take(300))
+    assert(b1.contains(""""query-plan":{"_op":"""), b1.take(500))
+    assert(b1.contains(""""child":{"_op":"""), b1.take(500))
+    assert(b1.contains("PushedFilters"), b1)
+    assert(b1.contains(""","execution-time":"""))
+
+    // strconv.ParseBool values only (http_handler.go:1445): else 400
+    val (c2, b2) = post("/sql?plan=bogus", "SELECT 1")
+    assert(c2 == 400 && b2.contains("invalid syntax"), s"$c2 $b2")
+  }
+
   test("POST /index/{i}/query runs PQL") {
     val (code, body) = post("/index/lineitem/query", "Count(Row(l_quantity > 30))")
     assert(code == 200)
@@ -233,6 +255,15 @@ class HttpFacadeSpec extends SparkSpec {
     val (sc, sb) = get("/internal/index/lineitem/shards")
     assert(sc == 200 && sb == """{"shards":[0]}""", sb)
     assert(get("/internal/index/nope/shards")._1 == 400)
+    // /ui/shard-distribution (http_handler.go:546,1226-1233;
+    // cluster.go:174-205 shape): one node owns every shard as primary
+    val (uc, ub) = get("/ui/shard-distribution")
+    assert(uc == 200 &&
+      ub.contains(""""lineitem":{"local":{"primary-shards":[0],"replica-shards":[]}}"""),
+      ub.take(400))
+    // /ui/transaction (http_handler.go:544,2333-2366): JSON array form
+    val (tc2, tb2) = get("/ui/transaction")
+    assert(tc2 == 200 && tb2.startsWith("["), tb2.take(100))
     // /internal/nodes + /internal/partition/nodes (http_handler.go:2750-2797)
     assert(get("/internal/nodes")._2.contains("\"isPrimary\":true"))
     assert(get("/internal/partition/nodes?partition=3")._1 == 200)
