@@ -206,6 +206,10 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   }
   private val activeCtl =
     new java.util.concurrent.ConcurrentHashMap[Long, QueryCtl]
+  /** In-flight JFR recording between /cpu-profile/start and /stop (the
+    * reference's pprofCPUProfileBuffer slot, `http_handler.go:1624`). */
+  private val cpuProfile =
+    new java.util.concurrent.atomic.AtomicReference[jdk.jfr.Recording](null)
   private val watchdog =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-query-watchdog"); t.setDaemon(true); t
@@ -972,6 +976,107 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       def handle(ex: HttpExchange): Unit = {
         ex.sendResponseHeaders(200, -1L); ex.close()
       }
+    })
+    // `GET /cpu-profile/start|stop` (`http_handler.go:596-597,1624-1668`,
+    // admin): the reference buffers a Go pprof CPU profile between the two
+    // calls; the JVM-native artifact is a JFR recording under the JDK's
+    // "profile" configuration — same lifecycle, same error wordings, same
+    // attachment response shape; the bytes are .jfr (JDK Mission Control /
+    // `jfr print`) instead of pprof protobuf, the one divergence a Go
+    // runtime's absence forces.
+    server.createContext("/cpu-profile/start", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        try {
+          chk(ex, None, Auth.PermAdmin)
+          val r = new jdk.jfr.Recording(
+            jdk.jfr.Configuration.getConfiguration("profile"))
+          if (!cpuProfile.compareAndSet(null, r)) {
+            r.close()
+            plainError(ex, 400, "cpu profile already in progress")
+          } else {
+            try r.start()
+            catch { case e: Exception =>
+              cpuProfile.set(null); r.close()
+              plainError(ex, 400, msg(e)); return }
+            ex.sendResponseHeaders(200, -1L); ex.close()
+          }
+        } catch {
+          case e: Auth.AuthError => plainError(ex, 403, msg(e))
+          case e: Exception      => plainError(ex, 400, msg(e))
+        }
+    })
+    server.createContext("/cpu-profile/stop", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        try {
+          chk(ex, None, Auth.PermAdmin)
+          val r = cpuProfile.getAndSet(null)
+          if (r == null) plainError(ex, 400, "no cpu profile in progress")
+          else {
+            r.stop()
+            val tmp = java.nio.file.Files.createTempFile("graft-cpu", ".jfr")
+            try {
+              r.dump(tmp)
+              val by = java.nio.file.Files.readAllBytes(tmp)
+              // `http_handler.go:1647-1662`: pprof-handler response shape
+              ex.getResponseHeaders.set("Content-Disposition",
+                "attachment; filename=\"profile\"")
+              ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+              ex.getResponseHeaders.set("X-Content-Type-Options", "nosniff")
+              ex.sendResponseHeaders(200, by.length.toLong)
+              ex.getResponseBody.write(by)
+              ex.close()
+            } finally { r.close(); java.nio.file.Files.deleteIfExists(tmp) }
+          }
+        } catch {
+          case e: Auth.AuthError => plainError(ex, 403, msg(e))
+          case e: Exception      => plainError(ex, 400, msg(e))
+        }
+    })
+    // `GET /debug/pprof/…` (`http_handler.go:493` mounts Go's
+    // net/http/pprof mux): the two JVM analogues that answer the same
+    // operator questions — `goroutine` as a full thread dump and `heap`
+    // as the memory-pool table, both plain text. The reference mounts
+    // these UNAUTHENTICATED; stacks are internals, so ours require admin
+    // when auth is enabled (documented hardening divergence).
+    server.createContext("/debug/pprof/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        try {
+          chk(ex, None, Auth.PermAdmin)
+          import scala.jdk.CollectionConverters._
+          val sb = new StringBuilder
+          ex.getRequestURI.getPath.stripPrefix("/debug/pprof/") match {
+            case "goroutine" =>
+              val all = Thread.getAllStackTraces.asScala.toSeq
+                .sortBy(_._1.getName)
+              sb.append(s"threads: ${all.size}\n\n")
+              all.foreach { case (t, frames) =>
+                sb.append(s"${t.getName} [${t.getState}]" +
+                  s"${if (t.isDaemon) " daemon" else ""}\n")
+                frames.foreach(f => sb.append(s"\t$f\n"))
+                sb.append("\n")
+              }
+            case "heap" =>
+              val heap = java.lang.management.ManagementFactory
+                .getMemoryMXBean.getHeapMemoryUsage
+              sb.append(s"heap: used=${heap.getUsed} " +
+                s"committed=${heap.getCommitted} max=${heap.getMax}\n")
+              java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+                .asScala.foreach { p =>
+                  val u = p.getUsage
+                  sb.append(s"pool ${p.getName}: used=${u.getUsed} " +
+                    s"committed=${u.getCommitted}\n")
+                }
+            case _ => plainError(ex, 404, "404 page not found"); return
+          }
+          val by = sb.toString.getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+          ex.sendResponseHeaders(200, by.length.toLong)
+          ex.getResponseBody.write(by)
+          ex.close()
+        } catch {
+          case e: Auth.AuthError => plainError(ex, 403, msg(e))
+          case e: Exception      => plainError(ex, 400, msg(e))
+        }
     })
     // `GET /userinfo` (`http_handler.go:603,4002-4020`): 204 with auth off,
     // else the authenticated caller's identity

@@ -142,6 +142,39 @@ class HttpFacadeSpec extends SparkSpec {
     assert(body.contains(""""data":[[0,"""))
   }
 
+  test("profiling endpoints: /cpu-profile start/stop lifecycle with the " +
+    "reference wordings (http_handler.go:1624-1668, JFR artifact); " +
+    "/debug/pprof goroutine + heap") {
+    // stop with nothing running → the reference's 400
+    val (s0, b0) = get("/cpu-profile/stop")
+    assert(s0 == 400 && b0.startsWith("no cpu profile in progress"), s"$s0 $b0")
+    // start → 200; double start → 400
+    assert(get("/cpu-profile/start")._1 == 200)
+    val (s1, b1) = get("/cpu-profile/start")
+    assert(s1 == 400 && b1.startsWith("cpu profile already in progress"), s"$s1 $b1")
+    // profile some actual work, then stop → a JFR file (magic "FLR\0")
+    post("/sql", "SELECT count(*) AS n FROM lineitem")
+    val req = java.net.http.HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/cpu-profile/stop")).build()
+    val r = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Disposition").orElse("")
+      .contains("""filename="profile""""))
+    val by = r.body()
+    assert(by.length > 1000, s"profile only ${by.length} bytes")
+    assert(by(0) == 'F' && by(1) == 'L' && by(2) == 'R', "not a JFR file")
+
+    // /debug/pprof/goroutine: a real thread dump with frames
+    val (gc, gb) = get("/debug/pprof/goroutine")
+    assert(gc == 200 && gb.contains("threads:") &&
+      gb.contains("java.lang.Thread"), gb.take(300))
+    // /debug/pprof/heap: pool table; unknown profile → 404
+    val (hc, hb) = get("/debug/pprof/heap")
+    assert(hc == 200 && hb.contains("heap: used="), hb.take(200))
+    assert(get("/debug/pprof/nope")._1 == 404)
+  }
+
   test("POST /sql?plan=true appends the compiled plan; every envelope " +
     "carries execution-time (http_handler.go:1438-1545)") {
     // default: no plan, but the closing execution-time is always there
