@@ -139,8 +139,20 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
       .getOrElse(0L)
 
+  /** The reference's per-query gRPC access line (`server/grpc.go:1638-1662`
+    * LogQuery: `GRPC: ip, ua, method, userid, username, [index]pql|sql`),
+    * emitted when `spark.graft.queryLog` is set. The shaded ServerCalls
+    * layer doesn't surface peer ip/user-agent to the handler; they log
+    * empty, like the reference's own not-ok fallbacks. */
+  private def logQuery(method: String, index: String, q: String): Unit =
+    if (spark.conf.get("spark.graft.queryLog", "false") == "true") {
+      val body = if (index.nonEmpty) s"[$index]$q" else q
+      System.err.println(s"GRPC: , [], $method, , , $body")
+    }
+
   private def governed[A](f: => A): A = {
     val group = s"graft-grpc-q${grpcSeq.incrementAndGet()}"
+    val t0 = System.nanoTime()
     val kill = new java.util.concurrent.atomic.AtomicReference[String](null)
     def killWith(reason: String): Unit =
       if (kill.compareAndSet(null, reason)) {
@@ -177,6 +189,15 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       jobSpans.killed.remove(group)
       jobSpans.drain(group) // spans unused on this surface; keeps the map bounded
       spark.sparkContext.clearJobGroup()
+      // LongQueryTime accounting, uniform with the HTTP facade
+      // (http_handler.go:397-406; flat counter on /metrics)
+      val longNs = confMs("spark.graft.longQueryTime") * 1000000L
+      val durNs = System.nanoTime() - t0
+      if (longNs > 0 && durNs > longNs) {
+        System.err.println(
+          s"GRPC query duration ${durNs / 1000000}ms exceeds ${longNs / 1000000}ms")
+        graft.core.Metrics.inc(graft.core.Metrics.SlowQuery)
+      }
     }
   }
 
@@ -605,7 +626,8 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
   private val service: ServerServiceDefinition =
     ServerServiceDefinition.builder("pilosa.Pilosa")
       .addMethod(QuerySqlUnaryMethod, unary { r =>
-        val sql = sqlOf(r); chkSql(sql); toTable(runSql(sql))
+        val sql = sqlOf(r); logQuery("QuerySQLUnary", "", sql)
+        chkSql(sql); toTable(runSql(sql))
       })
       // the four index-management RPCs + Inspect complete the
       // `pilosa.Pilosa` service surface (`proto/pilosa.proto:122-131`)
@@ -664,6 +686,7 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
       .addMethod(InspectMethod, streaming(runInspect))
       .addMethod(QueryPqlUnaryMethod, unary { r =>
         val (index, pql) = pqlOf(r)
+        logQuery("QueryPQLUnary", index, pql)
         chkPql(index, pql)
         runPqlUnary(index, pql) match {
           case Some(df) => toTable(df)
@@ -671,10 +694,12 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
         }
       })
       .addMethod(QuerySqlMethod, streaming { r =>
-        val sql = sqlOf(r); chkSql(sql); toRowResponses(runSql(sql))
+        val sql = sqlOf(r); logQuery("QuerySQL", "", sql)
+        chkSql(sql); toRowResponses(runSql(sql))
       })
       .addMethod(QueryPqlMethod, streaming { r =>
         val (index, pql) = pqlOf(r)
+        logQuery("QueryPQL", index, pql)
         chkPql(index, pql)
         runPqlUnary(index, pql) match {
           case Some(df) => toRowResponses(df)

@@ -222,4 +222,31 @@ class GrpcFacadeSpec extends SparkSpec {
       GrpcFacade.sqlRequest("SELECT COUNT(*) FROM region")))
     assert(tableRows(resp) == Seq(Seq(5L)))
   }
+
+  test("query accounting: LongQueryTime overrun bumps the slow counter; " +
+    "spark.graft.queryLog emits the reference's GRPC access line " +
+    "(grpc.go:1638-1662)") {
+    val before = graft.core.Metrics.get(graft.core.Metrics.SlowQuery)
+    val buf = new java.io.ByteArrayOutputStream
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try {
+      spark.conf.set("spark.graft.longQueryTime", "1ms")
+      spark.conf.set("spark.graft.queryLog", "true")
+      val resp = new Proto.Reader(GrpcFacade.call(ch, facade.QueryPqlUnaryMethod,
+        GrpcFacade.pqlRequest("region", "Count(All())")))
+      // earlier suite tests may have written to region; the count's exact
+      // value isn't under test here, the accounting side effects are
+      assert(tableRows(resp).length == 1)
+    } finally {
+      System.setErr(old)
+      spark.conf.unset("spark.graft.longQueryTime")
+      spark.conf.unset("spark.graft.queryLog")
+    }
+    assert(graft.core.Metrics.get(graft.core.Metrics.SlowQuery) > before)
+    val err = buf.toString
+    assert(err.contains("GRPC: , [], QueryPQLUnary, , , [region]Count(All())"),
+      err.take(400))
+    assert(err.contains("GRPC query duration"), err.take(400))
+  }
 }
