@@ -96,6 +96,44 @@ class QueryGovernanceSpec extends SparkSpec {
     assert(b404.startsWith(s"no active query $id"), b404)
   }
 
+  test("cancellation storm: concurrent multi-call programs cancelled " +
+    "mid-flight answer cleanly and leave the facade fully serviceable") {
+    val n = 10
+    val results = new Array[(Int, String)](n)
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => results(i) =
+        post("/index/lineitem/query", Seq.fill(40)("Count(All())").mkString(" ")),
+        s"gov-storm-$i")
+      t.start(); t
+    }
+    // fire cancels at every id that shows up while the storm runs; a 404
+    // (already finished) is fine — the race is the point
+    val until = System.nanoTime() + 8L * 1000000000L
+    var cancelsSent = 0
+    while (System.nanoTime() < until && threads.exists(_.isAlive)) {
+      val (_, qb) = get("/queries")
+      """"id":(\d+)""".r.findAllMatchIn(qb).foreach { m =>
+        post(s"/queries/cancel?id=${m.group(1)}", ""); cancelsSent += 1
+      }
+      Thread.sleep(30)
+    }
+    threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive), "storm requests did not all return")
+    assert(cancelsSent > 0, "storm never observed an in-flight query")
+    // every response is a clean outcome: full results or the exact
+    // reference cancellation error — nothing garbled, nothing hung
+    val cancelled = results.count(_ == ((400, """{"error":"query cancelled"}""")))
+    results.foreach { r =>
+      assert(r._1 == 200 || r == ((400, """{"error":"query cancelled"}""")),
+        s"${r._1} ${r._2.take(120)}")
+    }
+    assert(cancelled > 0, "no request was actually cancelled mid-flight")
+    // registry drained, engine healthy
+    assert(get("/queries")._2 == """{"queries":[]}""")
+    val (c, b) = post("/index/region/query", "Count(All())")
+    assert(c == 200, s"$c $b")
+  }
+
   test("long-query accounting: LongQueryTime overrun increments the slow " +
     "counter surfaced at /metrics (http_handler.go:397-406)") {
     val before = graft.core.Metrics.get(graft.core.Metrics.SlowQuery)
