@@ -195,6 +195,14 @@ class HttpFacadeSpec extends SparkSpec {
     // strconv.ParseBool values only (http_handler.go:1445): else 400
     val (c2, b2) = post("/sql?plan=bogus", "SELECT 1")
     assert(c2 == 400 && b2.contains("invalid syntax"), s"$c2 $b2")
+
+    // the plan answers the scale questions from the wire: a fact⋈dim join
+    // must render as a broadcast join in the final (post-AQE) plan
+    val (c3, b3) = post("/sql?plan=true",
+      "SELECT count(*) AS n FROM lineitem AS l INNER JOIN supplier AS s " +
+        "ON l.l_suppkey = s.s_suppkey")
+    assert(c3 == 200, b3.take(300))
+    assert(b3.contains("BroadcastHashJoin"), b3.take(2000))
   }
 
   test("POST /index/{i}/query runs PQL") {
