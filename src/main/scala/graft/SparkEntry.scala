@@ -520,6 +520,15 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       col("doc_id"),
       round(Text.punctRatio(col("text")), 4).as("punct_ratio"),
       round(Text.stopwordRatio(col("text")), 4).as("stop_ratio")).orderBy("doc_id")),
+    // sliding-window chunking (RAG / context-window prep): 64-token
+    // windows, 16-token overlap, one row per chunk — map-side explode,
+    // zero shuffles before the orderBy
+    "txt_chunk" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        explode(Text.chunks(col("text"), 64, 16)).as("c"))
+      .select(col("doc_id"), col("c.ix").as("chunk_ix"),
+        col("c.chunk").as("chunk_text"), col("c.n").as("n_toks"))
+      .orderBy("doc_id", "chunk_ix")),
     "txt_langid" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), Text.langId(col("words")).as("pred")).orderBy("doc_id")),
     "txt_bpe" -> ((s, dir) => docs(s, dir).select(
@@ -1315,6 +1324,15 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "w -> length(w)::BIGINT), 'sum')::DOUBLE / " +
       "len(list_filter(string_split(text,' '), x->x<>'')), 4) AS mean_len " +
       "FROM documents ORDER BY doc_id"),
+    "txt_chunk" -> ("WITH t AS (SELECT doc_id, " +
+      "list_filter(string_split(text,' '), x->x<>'') AS toks FROM documents), " +
+      "c AS (SELECT doc_id, k::INT AS chunk_ix, " +
+      "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text, " +
+      "least(64, len(toks) - k*48)::INT AS n_toks " +
+      "FROM t, unnest(generate_series(0, (len(toks)-1)//48)) AS u(k) " +
+      "WHERE len(toks) > 0) " +
+      "SELECT doc_id, chunk_ix, chunk_text, n_toks FROM c " +
+      "ORDER BY doc_id, chunk_ix"),
     "txt_quality" -> ("SELECT doc_id, " +
       "round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE " +
       "/ length(text), 4) AS punct_ratio, " +

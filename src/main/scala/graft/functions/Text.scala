@@ -18,6 +18,33 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Sliding-window document chunking — the RAG / context-window prep
+    * primitive: fixed `size`-token windows starting every `size - overlap`
+    * tokens (starts 0, step, 2·step, … while start < nTokens, so every
+    * token lands in a chunk and consecutive chunks share `overlap`
+    * tokens; the tail chunk may be short). Returns
+    * `array<struct<ix:int, chunk:string, n:int>>` — explode it for one
+    * row per chunk. Pure column expressions: at 100 TB this is a map-side
+    * projection inside the scan, zero shuffles, and chunk rows never
+    * materialize outside their task. Empty documents chunk to an empty
+    * array (dropped by a plain explode). */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0, s"chunk size must be positive: $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size): $overlap vs $size")
+    val step = size - overlap
+    val ts = tokens(text)
+    val n = org.apache.spark.sql.functions.size(ts)
+    when(n > 0,
+      transform(
+        sequence(lit(0), ((n - 1) / lit(step)).cast("int")),
+        k => struct(
+          k.cast("int").as("ix"),
+          array_join(slice(ts, k * step + 1, lit(size)), " ").as("chunk"),
+          least(lit(size), n - k * step).cast("int").as("n"))))
+      .otherwise(array().cast("array<struct<ix:int,chunk:string,n:int>>"))
+  }
+
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
   /** BPE-style pre-tokenizer (the GPT-2 split pattern, ASCII form):

@@ -867,4 +867,29 @@ class PipelineSpec extends SparkSpec {
     // higher tf scores higher at comparable length
     assert(got(0)._2 > got(1)._2)
   }
+
+  test("sliding-window chunking: starts every size-overlap tokens, tail " +
+    "short, full coverage, empty doc drops") {
+    import spark.implicits._
+    // 10 tokens, size 4, overlap 2 → starts 0,2,4,6,8 (step 2)
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+                 (2L, ""), (3L, "a b")).toDF("id", "text")
+    val got = df.select(col("id"),
+        explode(graft.functions.Text.chunks(col("text"), 4, 2)).as("c"))
+      .select(col("id"), col("c.ix"), col("c.chunk"), col("c.n"))
+      .orderBy("id", "ix")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val doc1 = got.filter(_._1 == 1L).toSeq
+    assert(doc1 == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4), (1L, 1, "w3 w4 w5 w6", 4),
+      (1L, 2, "w5 w6 w7 w8", 4), (1L, 3, "w7 w8 w9 w10", 4),
+      (1L, 4, "w9 w10", 2)), doc1)
+    assert(!got.exists(_._1 == 2L)) // empty doc → no chunks
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0, "a b", 2)))
+    // invalid configs refuse loudly
+    intercept[IllegalArgumentException](
+      graft.functions.Text.chunks(col("text"), 4, 4))
+    intercept[IllegalArgumentException](
+      graft.functions.Text.chunks(col("text"), 0, 0))
+  }
 }
