@@ -688,6 +688,12 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           Map("en" -> 2000, "es" -> 1000), defaultBp = 500)
         .select(col("doc_id"), col("pred")).orderBy("doc_id")
     }),
+    // deterministic train/val/test split: exclusive hash-threshold
+    // assignment, replayed bucket-for-bucket by the oracle
+    "pipe_split" -> ((s, dir) =>
+      Sampling.split(docs(s, dir), col("doc_id"),
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), salt = "splits")
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
     // deterministic training-order shuffle: the permutation is the sort on
     // the replayable poly-hash key (emitted so the oracle compares it)
     "pipe_shuffle" -> ((s, dir) =>
@@ -1350,6 +1356,12 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) % 10000 < " +
       "CASE pred WHEN 'en' THEN 2000 WHEN 'es' THEN 1000 ELSE 500 END " +
       "ORDER BY doc_id"),
+    "pipe_split" -> ("SELECT doc_id, CASE WHEN bp < 8000 THEN 'train' " +
+      "WHEN bp < 9000 THEN 'val' ELSE 'test' END AS split FROM " +
+      "(SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(doc_id::VARCHAR || ':splits',''), c -> ascii(c)::BIGINT)), " +
+      s"(acc,x) -> (acc*31+x) % ${graft.functions.Text.FpMod}) % 10000 AS bp " +
+      "FROM documents) ORDER BY doc_id"),
     "pipe_shuffle" -> ("WITH h0 AS (SELECT doc_id, " +
       "list_reduce(list_prepend(0::BIGINT, list_transform(" +
       "string_split(doc_id::VARCHAR || ':epoch0',''), c -> ascii(c)::BIGINT)), " +

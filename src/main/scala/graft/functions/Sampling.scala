@@ -50,6 +50,30 @@ object Sampling {
       .drop("__s", "__tot")
   }
 
+  /** Deterministic train/val/test partitioning: EXCLUSIVE multi-way
+    * assignment of every row to exactly one named split by cumulative
+    * hash-bucket thresholds. Reproducible on any cluster size and across
+    * reruns (the property an eval split must have — a re-materialized
+    * pipeline must not leak yesterday's val docs into today's train), and
+    * a pure map-side CASE over the same replayable hash as the samplers —
+    * no shuffle, no RNG. Fractions are basis points and must sum to
+    * exactly 10000 so assignment is total. */
+  def split(df: DataFrame, key: Column, splitsBp: Seq[(String, Int)],
+            salt: String = "graft"): DataFrame = {
+    require(splitsBp.nonEmpty, "at least one split required")
+    splitsBp.foreach { case (n, bp) =>
+      require(bp > 0, s"split '$n' must get a positive share: $bp") }
+    require(splitsBp.map(_._2).sum == 10000,
+      s"split shares must sum to 10000 bp: ${splitsBp.map(_._2).sum}")
+    val bp = hashBp(key, salt)
+    val uppers = splitsBp.scanLeft(0) { case (acc, (_, share)) => acc + share }.tail
+    val first = when(bp < uppers.head, lit(splitsBp.head._1))
+    val assign = splitsBp.tail.zip(uppers.tail).foldLeft(first) {
+      case (acc, ((name, _), hi)) => acc.when(bp < hi, lit(name))
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Prime modulus for [[shuffleKey]]'s mixing rounds: 2^31-1, small
     * enough that h*h fits in int64 in ANY engine (the oracle replays the
     * arithmetic in DuckDB BIGINTs). */

@@ -892,4 +892,31 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.functions.Text.chunks(col("text"), 0, 0))
   }
+
+  test("deterministic split: exclusive, total, reproducible; shares must " +
+    "sum to 10000") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    def run() = Sampling.split(df, col("id"),
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), salt = "s1")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = run()
+    assert(counts.keySet == Set("train", "val", "test"), counts)
+    assert(counts.values.sum == 500, counts) // total: every row exactly once
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    assert(run() == counts) // reproducible
+    // a row's assignment is independent of the rest of the corpus
+    val one = Sampling.split(Seq(42L).toDF("id"), col("id"),
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), salt = "s1")
+      .head.getString(1)
+    val inFull = Sampling.split(df, col("id"),
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), salt = "s1")
+      .filter(col("id") === 42L).head.getString(1)
+    assert(one == inFull)
+    intercept[IllegalArgumentException](
+      Sampling.split(df, col("id"), Seq("a" -> 5000, "b" -> 4000)))
+    intercept[IllegalArgumentException](
+      Sampling.split(df, col("id"), Seq("a" -> 10001, "b" -> -1)))
+  }
 }
