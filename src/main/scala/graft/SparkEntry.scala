@@ -520,6 +520,20 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       col("doc_id"),
       round(Text.punctRatio(col("text")), 4).as("punct_ratio"),
       round(Text.stopwordRatio(col("text")), 4).as("stop_ratio")).orderBy("doc_id")),
+    // pre-tokenization cleanup: crafted prefix/suffix force the NFC
+    // combine (a + U+0301 → á), the control drop (U+0001), and the
+    // whitespace collapse + trim to all fire on every row
+    "txt_normalize" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      Text.normalizeText(concat(lit("  á \t"), col("text"),
+        lit("x  "))).as("norm")).orderBy("doc_id")),
+    // markup strip: crafted wrapper exercises tag removal, all five
+    // entities, and the no-double-decode ordering (&amp;lt; → literal &lt;)
+    "txt_striphtml" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      Text.stripHtml(concat(lit("<p class=\"x\">"), col("text"),
+        lit("</p> <br/>&amp;lt; &quot;q&#39;s&quot; &nbsp;&gt;end")))
+        .as("clean")).orderBy("doc_id")),
     // sliding-window chunking (RAG / context-window prep): 64-token
     // windows, 16-token overlap, one row per chunk — map-side explode,
     // zero shuffles before the orderBy
@@ -1330,6 +1344,22 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "w -> length(w)::BIGINT), 'sum')::DOUBLE / " +
       "len(list_filter(string_split(text,' '), x->x<>'')), 4) AS mean_len " +
       "FROM documents ORDER BY doc_id"),
+    "txt_normalize" -> ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+      "nfc_normalize('  a' || chr(769) || ' ' || chr(9) || text || chr(1) || 'x  '), " +
+      "'[\\x00-\\x08\\x0E-\\x1B\\x7F]', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r\\x1C-\\x1F]+', ' ', 'g')) AS norm " +
+      "FROM documents ORDER BY doc_id"),
+    "txt_striphtml" -> {
+      val input = """'<p class="x">' || text || """ +
+        """'</p> <br/>&amp;lt; &quot;q&#39;s&quot; &nbsp;&gt;end'"""
+      val noTags = s"regexp_replace($input, '<[^>]*>', ' ', 'g')"
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+          "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(noTags) { case (c, (e, v)) =>
+          s"regexp_replace($c, '$e', '$v', 'g')" }
+      s"SELECT doc_id, trim(regexp_replace($decoded, ' +', ' ', 'g')) " +
+        "AS clean FROM documents ORDER BY doc_id"
+    },
     "txt_chunk" -> ("WITH t AS (SELECT doc_id, " +
       "list_filter(string_split(text,' '), x->x<>'') AS toks FROM documents), " +
       "c AS (SELECT doc_id, k::INT AS chunk_ix, " +

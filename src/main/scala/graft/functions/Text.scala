@@ -149,6 +149,31 @@ object Text {
     Shim.column(PolyHash(Shim.expression(text)))
   }
 
+  /** Pre-tokenization cleanup (ftfy-lite): NFC normalization, control-char
+    * strip, ASCII-whitespace-run collapse, trim — one fused codegen'd pass
+    * ([[NormalizeText]]); map-side, zero shuffles. */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(NormalizeText(Shim.expression(text)))
+  }
+
+  /** Markup strip for crawled corpora: tags (`<...>`) become spaces so
+    * `<p>a</p><p>b</p>` keeps a token boundary, then the five core
+    * entities decode with `&amp;` LAST (never double-decodes
+    * `&amp;lt;` → `<`), then space runs collapse and trim. Pure regex
+    * chain — codegen'd map-side work, and the exact same chain the
+    * oracle replays. Boilerplate REMOVAL (which lines to keep) is the
+    * separate C4-style `lineDedup` operator; this is the character-level
+    * markup pass that precedes it. */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
   /** Same polynomial hash for a single token (used by simhash). */
   /** PII redaction (training-data hygiene — scrub before the corpus ships):
     * emails / dashed-or-dotted phone numbers / IPv4 literals replaced by

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd text hashing. The HOF formulation
@@ -12,6 +12,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * the DuckDB `list_reduce` replay the oracles use): per code point,
   * `acc = (acc*31 + cp) % FpMod`. */
 object TextExpressions {
+
+  /** See [[NormalizeText]]; the whitespace set here is deliberately the
+    * exact set the oracle's regex replays. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val n = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    def ws(c: Char): Boolean =
+      c == ' ' || (c >= 0x09 && c <= 0x0D) || (c >= 0x1C && c <= 0x1F)
+    def dropped(c: Char): Boolean =
+      c <= 0x08 || (c >= 0x0E && c <= 0x1B) || c == 0x7F
+    val sb = new java.lang.StringBuilder(n.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (ws(c)) { if (sb.length > 0) pendingSpace = true }
+      else if (!dropped(c)) {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 
   /** Occurrence count of the most frequent whitespace token — one pass and
     * one hash map. The HOF formulation (`transform(distinct ws, w ->
@@ -79,6 +103,24 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s =>
       s"graft.functions.TextExpressions.topTokenCount($s)")
   override protected def withNewChildInternal(c: Expression): TopTokenCount =
+    copy(child = c)
+}
+
+/** `normalize_text(s)` — NFC unicode normalization, then one pass that
+  * drops non-whitespace ISO control characters (0x00-0x08, 0x0E-0x1B,
+  * 0x7F), collapses ASCII-whitespace runs (space, 0x09-0x0D, and the
+  * 0x1C-0x1F separators — exactly the set the DuckDB oracle replays; wide
+  * unicode spaces pass through untouched) to one space, and trims. The
+  * standard pre-tokenization cleanup, fused into one codegen'd call. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override protected def nullSafeEval(s: Any): Any =
+    TextExpressions.normalizeText(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.TextExpressions.normalizeText($s)")
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
     copy(child = c)
 }
 

@@ -57,6 +57,13 @@ object ClusterProbe {
         .agg(sum("c")).head().getLong(0)
       s"bits=$n"
     }
+    // fused normalize expression (java.text.Normalizer inside codegen)
+    check("normalize_text") {
+      val n = docs.select(graft.functions.Text.normalizeText(
+          concat(lit("  x́ "), col("text"))).as("t"))
+        .agg(sum(length(col("t")))).head().getLong(0)
+      s"chars=$n"
+    }
     // fused BPE encode expression (per-thread state inside codegen)
     check("bpe_encode") {
       val merges = graft.functions.Text.bpeTrain(docs.limit(200), "text", 20)

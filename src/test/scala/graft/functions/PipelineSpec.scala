@@ -893,6 +893,33 @@ class PipelineSpec extends SparkSpec {
       graft.functions.Text.chunks(col("text"), 0, 0))
   }
 
+  test("normalizeText: NFC combine, control drop, whitespace collapse, trim") {
+    import spark.implicits._
+    val in = Seq(
+      "  áb  c\tde  f  ", // combining acute, ctrl, vtab
+      "", "   ", "xyz").toDF("t")
+    val got = in.select(graft.functions.Text.normalizeText(col("t")))
+      .collect().map(_.getString(0))
+    assert(got(0) == "áb c de f", got(0).map(_.toInt).mkString(","))
+    assert(got(1) == "" && got(2) == "")
+    // BEL dropped joins x+y; FS (0x1C) is whitespace → splits y z
+    assert(got(3) == "xy z", got(3))
+  }
+
+  test("stripHtml: tags become boundaries, entities decode once, " +
+    "&amp; decodes last") {
+    import spark.implicits._
+    val in = Seq(
+      "<p class=\"x\">a</p><p>b</p>",
+      "&amp;lt; stays; &lt; decodes; &quot;q&#39;s&quot;&nbsp;end",
+      "no markup at all").toDF("t")
+    val got = in.select(graft.functions.Text.stripHtml(col("t")))
+      .collect().map(_.getString(0))
+    assert(got(0) == "a b", got(0)) // tag → space keeps the token boundary
+    assert(got(1) == "&lt; stays; < decodes; \"q's\" end", got(1))
+    assert(got(2) == "no markup at all")
+  }
+
   test("deterministic split: exclusive, total, reproducible; shares must " +
     "sum to 10000") {
     import spark.implicits._
