@@ -29,7 +29,15 @@ object EngineConf {
     // the reference dialect treats double-quoted tokens as IDENTIFIERS
     // (`select x as "yy"` — sql3/parser; string literals are single-quoted
     // throughout), matching ANSI; Spark's default reads them as strings
-    "spark.sql.ansi.doubleQuotedIdentifiers" -> "true")
+    "spark.sql.ansi.doubleQuotedIdentifiers" -> "true",
+    // Materialize.stable's reliable tier writes Dataset.checkpoint files
+    // under spark.graft.checkpointDir on the serving path (bm25, Ivy,
+    // Compiler, TableLog); Spark never deletes reliable checkpoint data on
+    // its own — without this conf a long-lived server leaks one checkpoint
+    // tree per query until the shared FS fills. With it, the
+    // ContextCleaner removes each checkpoint dir once the referencing RDD
+    // is garbage-collected
+    "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
 
   /** Apply to a builder: `EngineConf(SparkSession.builder()...)`. */
   def apply(b: SparkSession.Builder): SparkSession.Builder =

@@ -27,10 +27,12 @@ import org.apache.spark.storage.StorageLevel
   *  - **Reliable** (`spark.graft.checkpointDir` set — the 100-TB
   *    production mode): `Dataset.checkpoint` to a fault-tolerant
   *    filesystem (HDFS/S3/NFS). Blocks survive ANY number of executor
-  *    losses; re-reads come from the FS. Checkpoint files are reclaimed by
-  *    the ContextCleaner when `spark.cleaner.referenceTracking
-  *    .cleanCheckpoints=true`, else at application teardown — standard
-  *    Spark checkpoint lifecycle.
+  *    losses; re-reads come from the FS. Spark does NOT reclaim reliable
+  *    checkpoint files at application teardown — the ONLY in-process
+  *    reclamation is the ContextCleaner with `spark.cleaner
+  *    .referenceTracking.cleanCheckpoints=true`, which
+  *    [[graft.core.EngineConf]] therefore sets engine-wide (without it a
+  *    long-lived server leaks one checkpoint tree per query).
   *  - **Replicated** (any non-`local[*]` master without the conf):
   *    `localCheckpoint` at the requested storage level with replication 2.
   *    Each block lives on two executors, so the routine failure — ONE

@@ -133,21 +133,11 @@ final class JobSpanListener extends org.apache.spark.scheduler.SparkListener {
     }
   }
 
-  /** Does the group have a job that started and hasn't ended? Used by the
-    * kill path to cancel only when there's something to cancel (a blind
-    * cancel on an idle group logs a scheduler warning); a job whose start
-    * event hasn't been delivered yet is caught by the onJobStart hook. */
-  def hasActive(group: String): Boolean = {
-    val l = byGroup.get(group)
-    l != null && l.synchronized {
-      val it = l.iterator()
-      var live = false
-      while (!live && it.hasNext) live = it.next().end == 0L
-      live
-    }
-  }
-
-  /** Remove and convert the group's jobs to spans. */
+  /** Remove and convert the group's jobs to spans. Governance (the kill
+    * path) deliberately does NOT consult this listener's state: `byGroup`
+    * is capped for span bookkeeping, so gating a cancel on it would skip
+    * kills for the 513th+ concurrent query. Kill paths cancel their job
+    * group unconditionally and rely on [[killed]] for late job starts. */
   def drain(group: String): Seq[Trace.Span] = {
     val l = byGroup.remove(group)
     if (l == null) Seq.empty

@@ -71,7 +71,12 @@ object Sampling {
     val assign = splitsBp.tail.zip(uppers.tail).foldLeft(first) {
       case (acc, ((name, _), hi)) => acc.when(bp < hi, lit(name))
     }
-    df.withColumn("split", assign)
+    // a NULL key hashes to NULL, making every branch false — without this
+    // the row would get split=NULL and silently vanish from every
+    // downstream split filter, violating the exclusive-total contract.
+    // All NULL keys are the "same key", so routing them to one fixed
+    // split is exactly what the hash would do for any other shared key
+    df.withColumn("split", assign.otherwise(lit(splitsBp.head._1)))
   }
 
   /** Prime modulus for [[shuffleKey]]'s mixing rounds: 2^31-1, small

@@ -154,11 +154,15 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     val group = s"graft-grpc-q${grpcSeq.incrementAndGet()}"
     val t0 = System.nanoTime()
     val kill = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val ctlClosed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def killWith(reason: String): Unit =
-      if (kill.compareAndSet(null, reason)) {
+      if (!ctlClosed.get && kill.compareAndSet(null, reason)) {
         jobSpans.killed.put(group,
           () => spark.sparkContext.cancelJobGroup(group))
-        if (jobSpans.hasActive(group)) spark.sparkContext.cancelJobGroup(group)
+        // teardown raced between our put and its remove → self-clean;
+        // otherwise cancel unconditionally (see HttpFacade.QueryCtl)
+        if (ctlClosed.get) jobSpans.killed.remove(group)
+        else spark.sparkContext.cancelJobGroup(group)
       }
     spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
     val ctx = grpc.Context.current()
@@ -186,6 +190,7 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     } finally {
       deadline.foreach(_.cancel(false))
       ctx.removeListener(lis)
+      ctlClosed.set(true)
       jobSpans.killed.remove(group)
       jobSpans.drain(group) // spans unused on this surface; keeps the map bounded
       spark.sparkContext.clearJobGroup()

@@ -195,14 +195,21 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     * [[graft.core.QueryContext]] like the executor sections do. */
   private final class QueryCtl(val group: String) {
     val kill = new java.util.concurrent.atomic.AtomicReference[String](null)
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def killWith(reason: String): Unit =
-      if (kill.compareAndSet(null, reason)) {
+      if (!closed.get && kill.compareAndSet(null, reason)) {
         jobSpans.killed.put(group, () => spark.sparkContext.cancelJobGroup(group))
-        // cancel now only if a job is live; a job whose start event is
-        // still in flight (or launched later) dies via the killed hook
-        if (jobSpans.hasActive(group)) spark.sparkContext.cancelJobGroup(group)
+        // deadline.cancel(false) can't stop a watchdog task already past
+        // the CAS: if close() raced between our put and its remove, the
+        // entry would leak forever — re-check and self-clean
+        if (closed.get) jobSpans.killed.remove(group)
+        // cancel unconditionally: the killed hook re-cancels jobs that
+        // start later, and gating on span-listener liveness would skip the
+        // cancel entirely once the listener's group cap is hit (a cancel
+        // on an idle group merely logs a scheduler warning)
+        else spark.sparkContext.cancelJobGroup(group)
       }
-    def close(): Unit = jobSpans.killed.remove(group)
+    def close(): Unit = { closed.set(true); jobSpans.killed.remove(group) }
   }
   private val activeCtl =
     new java.util.concurrent.ConcurrentHashMap[Long, QueryCtl]

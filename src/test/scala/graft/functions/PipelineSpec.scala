@@ -945,5 +945,13 @@ class PipelineSpec extends SparkSpec {
       Sampling.split(df, col("id"), Seq("a" -> 5000, "b" -> 4000)))
     intercept[IllegalArgumentException](
       Sampling.split(df, col("id"), Seq("a" -> 10001, "b" -> -1)))
+    // NULL keys hash to NULL; assignment must still be total (all NULLs
+    // are "the same key" and land together in the first split, never
+    // split=NULL which would vanish from downstream split filters)
+    val withNull = Sampling.split(
+        Seq(Some(1L), None, Some(2L)).toDF("id"), col("id"),
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), salt = "s1")
+    assert(withNull.filter(col("split").isNull).count() == 0)
+    assert(withNull.filter(col("id").isNull).head.getString(1) == "train")
   }
 }
