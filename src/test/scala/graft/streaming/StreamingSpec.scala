@@ -263,8 +263,8 @@ class StreamingSpec extends SparkSpec {
             graft.functions.NearestCells(
               org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
               centroids, 1)), 1))
-        Similarity.pqEncode(assigned, "vec_id", "embedding", 64, cb,
-            keep = Seq("cell"))
+        Similarity.ivfPqEncode(assigned, "vec_id", "embedding", 64,
+            centroids, cb)
           .write.mode("append").partitionBy("cell").parquet(dir)
         ()
       }.start()
@@ -278,10 +278,18 @@ class StreamingSpec extends SparkSpec {
       val stored = spark.read.parquet(dir)
       assert(stored.count() == 6)
       // codes match the batch encode of the same vectors byte-for-byte
-      val viaBatch = Similarity.pqEncode(
-          emb.limit(6).select((col("vec_id") + 100000L).as("vec_id"),
-            col("embedding")), "vec_id", "embedding", 64, cb)
-        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      // (same cell assignment → same residual → same code)
+      val batchAssigned = emb.limit(6)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .withColumn("cell", element_at(
+          org.apache.spark.sql.graftshim.Shim.column(
+            graft.functions.NearestCells(
+              org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
+              centroids, 1)), 1))
+      val viaBatch = Similarity.ivfPqEncode(
+          batchAssigned, "vec_id", "embedding", 64, centroids, cb)
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code").toSeq).toMap
       val viaStream = stored.collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Array[Byte]]("code").toSeq).toMap
       assert(viaStream == viaBatch)
