@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   * noop sink so limit-ended plans can't short-circuit.
   */
 object Bench {
+
+  /** Cumulative executor-side GC time and spill bytes from task metrics —
+    * the in-artifact evidence the 5M dedup spread asked for (r9 runs
+    * [83.8, 57.7, 134.3, 46.9] could not be adjudicated between GC and
+    * spill from times alone). Listener-bus events are async; reads are
+    * taken after a run's job completes plus the GC/unpersist settle that
+    * already follows each run, so attribution error is the bus lag
+    * (milliseconds) against runs of seconds. */
+  private final class TaskCounters
+      extends org.apache.spark.scheduler.SparkListener {
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,6 +62,14 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadStart = loadAvg()
+    val counters = new TaskCounters
+    spark.sparkContext.addSparkListener(counters)
+    // load average read after each deep block: if a block inflates the box
+    // into a later block's window, the artifact itself says which one
+    val loadByBlock = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // key numbers from each deep block, re-emitted on the compact headline
+    // line so driver tail-truncation can never lose the round's record
+    val summary = scala.collection.mutable.LinkedHashMap[String, String]()
 
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     // warmup pass is itself timed: a reader diagnosing a slow round can see
@@ -148,6 +178,7 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      summary("able_step_ratios") = ratios
       s""","able":{"rows":[${counts.mkString(",")}],""" +
         s""""gen_sec":[${gens.map(g => num(g._2, 2)).mkString(",")}],""" +
         s""""idx_build_sec":[${idxBuild.map(num(_, 2)).mkString(",")}],""" +
@@ -157,6 +188,7 @@ object Bench {
       System.err.println(s"[bench] able rehearsal skipped: ${e.getMessage}")
       ""
     }
+    loadByBlock("able") = loadAvg()
 
     // ---- dedup scale rehearsal: the FULL MinHash+LSH pipeline on synthetic
     // corpora at 10×, 100×, and 1000× the sf0.1 document count (5k → 50k →
@@ -203,18 +235,26 @@ object Bench {
       // curve's 13.85× first step came from one-sided GC/contention drift in
       // a single timed run (its own middle point once read warm 23 s, timed
       // 57 s); min-of-N is the same discipline the headline queries use
-      def fullRun(path: String, parts: Int, nRuns: Int): Seq[Double] = {
+      // each run records (wall sec, executor GC sec, spilled bytes) — the
+      // counters that adjudicate a noisy point between GC and spill
+      // in-artifact instead of by next-round archaeology
+      def instrumented(run: () => Unit): (Double, Double, Long) = {
+        val (gc0, sp0) = (counters.gcMs.get, counters.spillBytes.get)
+        val t0 = System.nanoTime()
+        run()
+        val t = (System.nanoTime() - t0) / 1e9
+        dropCheckpoints() // also settles the async listener bus
+        (t, (counters.gcMs.get - gc0) / 1e3, counters.spillBytes.get - sp0)
+      }
+      def fullRun(path: String, parts: Int, nRuns: Int): Seq[(Double, Double, Long)] = {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         try (1 to nRuns).map { _ => // warm, then timed
-          val t0 = System.nanoTime()
-          graft.functions.Dedup.minhashPairs(
-            graft.functions.Dedup.shingledPosting(
-              spark.read.parquet(path), "doc_id", "text", layoutById = true), 0.5)
-            .write.format("noop").mode("overwrite").save()
-          val t = (System.nanoTime() - t0) / 1e9
-          dropCheckpoints()
-          t
+          instrumented(() =>
+            graft.functions.Dedup.minhashPairs(
+              graft.functions.Dedup.shingledPosting(
+                spark.read.parquet(path), "doc_id", "text", layoutById = true), 0.5)
+              .write.format("noop").mode("overwrite").save())
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       val paths = counts.map(gen)
@@ -224,8 +264,9 @@ object Bench {
       // should read the settled number, not the settling
       val runs = counts.zip(paths).map { case (n, p) =>
         fullRun(p, partsFor(n), if (n >= counts.max) 4 else 3) }
+      val runTimes = runs.map(_.map(_._1))
       // min-of-timed ratio between consecutive points; data grows 10× per step
-      val steps = runs.sliding(2).map { case Seq(a, b) =>
+      val steps = runTimes.sliding(2).map { case Seq(a, b) =>
         num(b.drop(1).min / math.max(a.drop(1).min, 1e-9), 2) }.mkString("[", ",", "]")
       // single-run stage cuts at the two smaller points (the full pipeline
       // above already JIT-warmed every operator); ratio >10 on a stage whose
@@ -246,40 +287,51 @@ object Bench {
         "\"" + k + "\":" + num(b / math.max(a, 1e-9), 2)
       }.mkString("{", ",", "}")
       // exact-substring dedup on the same corpora (the OTHER corpus-wide
-      // dedup shape: gram-count groupBy + join-back instead of LSH) — one
-      // warm + timed pair per point, ratio answers the 10× question
-      def subRun(path: String, parts: Int): Seq[Double] = {
+      // dedup shape: gram-count groupBy + join-back instead of LSH) — runs
+      // at ALL points including 5M (r9 silently dropped the deep point;
+      // both 10× steps are the record), warm+1 timed at the deepest
+      def subRun(path: String, parts: Int,
+                 nRuns: Int): Seq[(Double, Double, Long)] = {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        try (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          graft.functions.Dedup.substringDedup(
-              spark.read.parquet(path), "doc_id", "text", 5)
-            .write.format("noop").mode("overwrite").save()
-          val t = (System.nanoTime() - t0) / 1e9
-          dropCheckpoints()
-          t
+        try (1 to nRuns).map { _ =>
+          instrumented(() =>
+            graft.functions.Dedup.substringDedup(
+                spark.read.parquet(path), "doc_id", "text", 5)
+              .write.format("noop").mode("overwrite").save())
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
-      val subCounts = counts.take(2) // 50k + 500k: the ratio, cheaply
-      val subRuns = subCounts.zip(paths).map { case (n, p) =>
-        subRun(p, partsFor(n)) }
-      val subSteps = subRuns.sliding(2).map { case Seq(a, b) =>
+      val subRuns = counts.zip(paths).map { case (n, p) =>
+        subRun(p, partsFor(n), if (n >= counts.max) 2 else 3) }
+      val subTimes = subRuns.map(_.map(_._1))
+      val subSteps = subTimes.sliding(2).map { case Seq(a, b) =>
         num(b.drop(1).min / math.max(a.drop(1).min, 1e-9), 2) }
         .mkString("[", ",", "]")
+      def perRun(rs: Seq[Seq[(Double, Double, Long)]],
+                 f: ((Double, Double, Long)) => String) =
+        rs.map(r => "[" + r.map(f).mkString(",") + "]").mkString("[", ",", "]")
+      summary("dedup_steps") = steps
+      summary("substring_steps") = subSteps
+      summary("dedup_deep_gc_sec") =
+        "[" + runs.last.map(r => num(r._2, 1)).mkString(",") + "]"
+      summary("dedup_deep_spill_gb") =
+        "[" + runs.last.map(r => num(r._3 / 1e9, 1)).mkString(",") + "]"
       s""","dedup_scale":{"docs":[${counts.mkString(",")}],""" +
-        s""""runs_warm_then_timed":[${runs.map(r =>
-             "[" + r.map(num(_, 3)).mkString(",") + "]").mkString(",")}],""" +
+        s""""runs_warm_then_timed":${perRun(runs, r => num(r._1, 3))},""" +
+        s""""run_gc_sec":${perRun(runs, r => num(r._2, 1))},""" +
+        s""""run_spill_bytes":${perRun(runs, r => r._3.toString)},""" +
         s""""step_ratios_at_10x_data":$steps,""" +
         s""""stages_1x":${stJson(stS)},"stages_10x":${stJson(stM)},""" +
         s""""stage_ratios":$stRatio,""" +
-        s""""substring_runs":[${subRuns.map(r =>
-             "[" + r.map(num(_, 3)).mkString(",") + "]").mkString(",")}],""" +
+        s""""substring_runs":${perRun(subRuns, r => num(r._1, 3))},""" +
+        s""""substring_gc_sec":${perRun(subRuns, r => num(r._2, 1))},""" +
+        s""""substring_spill_bytes":${perRun(subRuns, r => r._3.toString)},""" +
         s""""substring_step_ratios_at_10x_data":$subSteps}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] dedup rehearsal skipped: ${e.getMessage}")
       ""
     }
+    loadByBlock("dedup") = loadAvg()
 
     // ---- ANN scale rehearsal: PQ codes vs brute force at 10× the vectors.
     // The claim under test is the SERVING asymmetry: brute-force top-k
@@ -302,13 +354,15 @@ object Bench {
         graft.tools.EmbGen.ensure(spark, n, s"$tmp/graft-emb-v1-$n"))
       val q = graft.tools.EmbGen.frame(spark, 1, dim)
         .select("embedding").head().getSeq[Float](0)
+      // residual IVF-PQ, full bit depth — the same serving config as
+      // ann_deep (see the comment there); codes stay 16 bytes + vnorm
       val builds = counts.zip(paths).map { case (n, p) =>
         val t0 = System.nanoTime()
         val emb = spark.read.parquet(p)
-        val cb = Similarity.pqTrain(emb, "embedding", dim, m = 16, k = 32)
-        Similarity.pqEncode(emb, "vec_id", "embedding", dim, cb)
-          .write.mode("overwrite").parquet(s"$tmp/graft-pqcodes-$n")
-        (cb, (System.nanoTime() - t0) / 1e9)
+        val (codesDf, cents, cb) = Similarity.ivfPqIndex(
+          emb, "vec_id", "embedding", dim, nCells = 64, m = 16, k = 256)
+        codesDf.write.mode("overwrite").parquet(s"$tmp/graft-pqcodes-$n")
+        ((cents, cb), (System.nanoTime() - t0) / 1e9)
       }
       // interleaved warm+2-timed runs across points, brute and ADC
       def bruteRun(p: String): Double = {
@@ -317,11 +371,12 @@ object Bench {
           q, 20).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      def pqRun(n: Long, p: String, cb: Array[Array[Array[Double]]]): Double = {
+      def pqRun(n: Long, p: String,
+                b: (Array[Array[Double]], Array[Array[Array[Double]]])): Double = {
         val t0 = System.nanoTime()
-        Similarity.pqTopK(spark.read.parquet(s"$tmp/graft-pqcodes-$n"),
-          spark.read.parquet(p), "vec_id", "embedding", cb, q, 20,
-          shortlist = 500)
+        Similarity.ivfPqTopK(spark.read.parquet(s"$tmp/graft-pqcodes-$n"),
+          spark.read.parquet(p), "vec_id", "embedding", b._1, b._2, q, 20,
+          nProbe = 64, shortlist = 500)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
@@ -335,15 +390,18 @@ object Bench {
       val deep = counts.indices.last
       val bruteIds = Similarity.cosineTopK(spark.read.parquet(paths(deep)),
         "vec_id", "embedding", q, 20).collect().map(_.getLong(0)).toSet
-      val pqIds = Similarity.pqTopK(
+      val pqIds = Similarity.ivfPqTopK(
         spark.read.parquet(s"$tmp/graft-pqcodes-${counts(deep)}"),
         spark.read.parquet(paths(deep)), "vec_id", "embedding",
-        builds(deep)._1, q, 20, shortlist = 500)
+        builds(deep)._1._1, builds(deep)._1._2, q, 20, nProbe = 64,
+        shortlist = 500)
         .collect().map(_.getLong(0)).toSet
       def runsArr(rs: Seq[Seq[Double]]) = rs.map(r =>
         "[" + r.map(num(_, 3)).mkString(",") + "]").mkString("[", ",", "]")
       def step(rs: Seq[Seq[Double]]) =
         num(rs(1).drop(1).min / math.max(rs(0).drop(1).min, 1e-9), 2)
+      summary("ann_pq_step") = step(pqBy)
+      summary("ann_recall") = (pqIds & bruteIds).size.toString
       s""","ann_scale":{"vectors":[${counts.mkString(",")}],""" +
         s""""pq_build_sec":[${builds.map(b => num(b._2, 2)).mkString(",")}],""" +
         s""""brute_runs":${runsArr(bruteBy)},"pq_runs":${runsArr(pqBy)},""" +
@@ -353,6 +411,7 @@ object Bench {
       System.err.println(s"[bench] ann rehearsal skipped: ${e.getMessage}")
       ""
     }
+    loadByBlock("ann_scale") = loadAvg()
 
     // ---- 1B able point (the reference's OWN published design point:
     // `qa/scripts/perf/able/able.yaml:2-8` is 10^9 records and
@@ -420,6 +479,9 @@ object Bench {
           }
           def arr(ts: Seq[Double]) =
             ts.map(num(_, 3)).mkString("[", ",", "]")
+          summary("able_1b_hc_min") = num(hcRuns.min, 1)
+          summary("able_1b_seg_min") = num(segRuns.drop(1).min, 2)
+          summary("able_1b_idx_serve_min") = num(idxServe.drop(1).min, 2)
           s""","able_1b":{"rows":$n1b,"gen_sec":${num(genSec, 1)},""" +
             s""""hc_groupby_runs":${arr(hcRuns)},""" +
             s""""seg_count_runs":${arr(segRuns)},""" +
@@ -431,6 +493,7 @@ object Bench {
       System.err.println(s"[bench] able_1b skipped: ${e.getMessage}")
       ""
     }
+    loadByBlock("able_1b") = loadAvg()
 
     // ---- 100M-vector ANN point (r8's out-of-band tools.AnnProbe, now
     // in-band): the PQ serving asymmetry at the scale where the code table
@@ -458,10 +521,20 @@ object Bench {
           val emb = spark.read.parquet(p)
           val q = graft.tools.EmbGen.frame(spark, 1, dim)
             .select("embedding").head().getSeq[Float](0)
+          // residual IVF-PQ at full bit depth (m=16, k=256 → same 16-byte
+          // code as the old k=32 config but 8 bits/subspace instead of 5,
+          // and codes quantize v − centroid(cell)): RecallProbe measured
+          // 20/20 vs flat-k32's 19/20 at 1M/shortlist-500, and r9's
+          // 100M-point recall was 11/20 — the round-10 fix. All 64 cells
+          // are probed (uniform vectors give the coarse quantizer nothing
+          // to prune by — nProbe=16 measured 11/20), so the serving scan
+          // is the same code-table pass as flat PQ plus one per-cell
+          // offset lookup; the recall win comes entirely from the codes.
           val tb = System.nanoTime()
-          val cb = Similarity.pqTrain(emb, "embedding", dim, m = 16, k = 32)
-          Similarity.pqEncode(emb, "vec_id", "embedding", dim, cb)
-            .write.mode("overwrite").parquet(codesPath)
+          val nCells = 64
+          val (codesDf, cents, cb) = Similarity.ivfPqIndex(
+            emb, "vec_id", "embedding", dim, nCells, m = 16, k = 256)
+          codesDf.write.mode("overwrite").parquet(codesPath)
           val buildSec = (System.nanoTime() - tb) / 1e9
           def dirSize(path: String): Long = {
             def walk(f: java.io.File): Long =
@@ -476,18 +549,23 @@ object Bench {
           }
           def pq(): Double = {
             val t = System.nanoTime()
-            Similarity.pqTopK(spark.read.parquet(codesPath), emb, "vec_id",
-                "embedding", cb, q, 20, shortlist = 500)
+            Similarity.ivfPqTopK(spark.read.parquet(codesPath), emb,
+                "vec_id", "embedding", cents, cb, q, 20, nProbe = nCells,
+                shortlist = 500)
               .write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t) / 1e9
           }
           val runs = (0 to 2).map(_ => (brute(), pq())) // warm + 2 timed
           val bruteIds = Similarity.cosineTopK(emb, "vec_id", "embedding",
             q, 20).collect().map(_.getLong(0)).toSet
-          val pqIds = Similarity.pqTopK(spark.read.parquet(codesPath), emb,
-              "vec_id", "embedding", cb, q, 20, shortlist = 500)
+          val pqIds = Similarity.ivfPqTopK(spark.read.parquet(codesPath),
+              emb, "vec_id", "embedding", cents, cb, q, 20,
+              nProbe = nCells, shortlist = 500)
             .collect().map(_.getLong(0)).toSet
           val (rawB, codeB) = (dirSize(rawPath), dirSize(codesPath))
+          summary("ann_deep_recall") = (pqIds & bruteIds).size.toString
+          summary("ann_deep_pq_min") = num(runs.drop(1).map(_._2).min, 2)
+          summary("ann_deep_brute_min") = num(runs.drop(1).map(_._1).min, 2)
           s""","ann_deep":{"vectors":$n,"gen_sec":${num(genSec, 1)},""" +
             s""""build_sec":${num(buildSec, 1)},"raw_bytes":$rawB,""" +
             s""""code_bytes":$codeB,""" +
@@ -515,11 +593,29 @@ object Bench {
       ""
     }
 
+    loadByBlock("ann_deep") = loadAvg()
+    val loadJson = loadByBlock.map { case (k, v) =>
+      "\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
+    val summaryJson = summary.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // FULL record first (complete per-run detail; may lose its head to the
+    // driver's tail-truncation)…
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
       s""""runs_warm_then_timed":$runsJson,"median_spread":${num(medianSpread, 3)},""" +
       s""""unreliable":$unreliable,""" +
       s""""load_avg":[${num(loadStart, 2)},${num(loadAvg(), 2)}],""" +
+      s""""load_after_block":$loadJson,""" +
       s""""sf":"$sfDir"$ableJson$dedupJson$annJson$able1bJson$annDeepJson}""")
+    // …then a compact headline line LAST: the driver's artifact keeps the
+    // tail of stdout, so whatever is printed last survives truncation —
+    // BENCH_r09 lost its first ~6 headline queries this way. This line is
+    // sized well under the driver's tail window and carries the headline
+    // mins plus each deep block's key numbers.
+    println(s"""{"metric":"headline","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""queries":$qJson,"median_spread":${num(medianSpread, 3)},""" +
+      s""""unreliable":$unreliable,""" +
+      s""""load_avg":[${num(loadStart, 2)},${num(loadAvg(), 2)}],""" +
+      s""""load_after_block":$loadJson,"deep":$summaryJson}""")
     spark.stop()
   }
 }
