@@ -30,6 +30,21 @@ object EngineConf {
     // (`select x as "yy"` — sql3/parser; string literals are single-quoted
     // throughout), matching ANSI; Spark's default reads them as strings
     "spark.sql.ansi.doubleQuotedIdentifiers" -> "true",
+    // aggregations that RIDE a join's output partitioning (a groupBy on a
+    // superset of the join keys needs no exchange of its own — common in
+    // the SQL surface and the dedup verify shapes) make OptimizeSkewedJoin
+    // refuse by default: splitting the skewed partition would break the
+    // downstream co-location, and the rule may not introduce the repair
+    // shuffle. This conf permits that trade at RUNTIME only: plans are
+    // unchanged when no skew is detected, and a detected straggler
+    // partition is split at the cost of re-shuffling the rider's input —
+    // on a 1000-executor cluster a straggler pinning a stage costs more
+    // than the exchange it saves. (The minhash verify join's own skew is
+    // bounded by construction instead — explode-above-exchange plus a
+    // composite-key output spread, plan-asserted in SkewSpec — because
+    // its posting side rides a reused non-shuffle child no splitter can
+    // act on.)
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
     // Materialize.stable's reliable tier writes Dataset.checkpoint files
     // under spark.graft.checkpointDir on the serving path (bm25, Ivy,
     // Compiler, TableLog); Spark never deletes reliable checkpoint data on
