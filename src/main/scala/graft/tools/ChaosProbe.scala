@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Chaos sweep of the RELIABLE checkpoint tier ([[graft.core.Materialize]]
+  * with `spark.graft.checkpointDir` — the 100-TB production mode): under a
+  * multi-JVM master it runs a representative query subset — the MinHash
+  * pipeline, exact-substring dedup, the connected-components loop, and BPE
+  * training — each with a `kill -9` of a RANDOM executor JVM landed
+  * mid-query, and asserts every faulted run returns a result identical to
+  * its fault-free run. [[FaultProbe]] proves one kill on one query per
+  * tier; this probe is the breadth pass the reliable tier needed — each
+  * query routes its `Materialize.stable` sites through
+  * `Dataset.checkpoint` on the shared filesystem, so recovery reads
+  * checkpoint files instead of dead-executor blocks, and the loops
+  * (components label propagation, BPE merge iterations) checkpoint
+  * REPEATEDLY, giving the kill a different materialization to land on each
+  * attempt. The reference's equivalent is re-fetching fragments from
+  * replicas on ErrShardUnavailable (`/root/reference/executor.go:5966`).
+  *
+  *   SPARK_GRAFT_MASTER='local-cluster[2,4,3072]' \
+  *     sbt 'runMain graft.tools.ChaosProbe'
+  *
+  * PROBE lines (consumed by ClusterFaultSpec):
+  *   PROBE chaos_tier OK checkpointDir=...
+  *   PROBE chaos_minhash OK digest=... killAt=...
+  *   PROBE chaos_substring OK ...
+  *   PROBE chaos_components OK ...
+  *   PROBE chaos_bpe OK ...
+  *   PROBE chaos_aborts OK count=0
+  */
+object ChaosProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.EngineConf(graft.core.EngineConf.master(
+      SparkSession.builder(), "local[4]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"PROBE master=${spark.sparkContext.master}")
+
+    var failures = 0
+    def check(name: String)(body: => String): Unit =
+      try println(s"PROBE $name OK $body")
+      catch { case e: Throwable =>
+        failures += 1
+        println(s"PROBE $name FAIL ${e.getClass.getName}: ${e.getMessage}")
+        e.getStackTrace.take(8).foreach(f => println(s"  at $f"))
+      }
+
+    // reliable tier ON for the whole sweep
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-chaos-ck").toString
+    spark.conf.set("spark.graft.checkpointDir", ckDir)
+    check("chaos_tier") {
+      require(spark.conf.get("spark.graft.checkpointDir") == ckDir)
+      s"checkpointDir=$ckDir"
+    }
+
+    def executorPids(): Set[Long] =
+      spark.sparkContext.parallelize(1 to 64, 16)
+        .map(_ => ProcessHandle.current().pid()).distinct().collect().toSet
+    def awaitExecutors(want: Int, timeoutMs: Long = 90000): Set[Long] = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var pids = executorPids()
+      while (pids.size < want && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000); pids = executorPids()
+      }
+      pids
+    }
+    val tracker = spark.sparkContext.statusTracker
+    val killedPids = collection.mutable.Set[Long]()
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("SPARK_GRAFT_CHAOS_SEED", "1009").toLong)
+
+    /** (count, order-independent value hash) of a result — value identity
+      * without assuming an output ordering. */
+    def digest(df: DataFrame): String = {
+      // bit_xor: order-independent and overflow-free (a sum of hashes
+      // trips ANSI long-overflow on any decent-sized result)
+      val r = df
+        .select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("__h"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(expr("bit_xor(__h)"), lit(0L)).as("h")).head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
+
+    /** Run `q` fault-free twice (pin answer, calibrate the kill window),
+      * then with a kill -9 of a random executor landed mid-query; the
+      * faulted result must be identical. Retries with earlier kill points
+      * if a run outruns the kill. */
+    def chaos(name: String)(q: () => String): Unit = check(s"chaos_$name") {
+      val expected = q()
+      val w0 = System.nanoTime()
+      val again = q()
+      var lastRunSec = (System.nanoTime() - w0) / 1e9
+      require(again == expected,
+        s"fault-free reruns diverged: $expected vs $again")
+      var attempt = 0
+      var midKill = false
+      var got = ""
+      var killAtSec, faultedSec = 0.0
+      var victim = 0L
+      while (!midKill && attempt < 4) {
+        attempt += 1
+        val pids = awaitExecutors(2)
+        val alive = (pids -- killedPids).toSeq.sorted
+        victim = alive(rnd.nextInt(alive.size))
+        // random point inside the measured window, biased earlier on retry
+        val frac = (0.1 + rnd.nextDouble() * 0.5) / attempt
+        @volatile var killTsNs = 0L
+        @volatile var died = false
+        val killer = new Thread(() => {
+          val deadline = System.currentTimeMillis() + 60000
+          while (tracker.getActiveJobIds().isEmpty &&
+                 System.currentTimeMillis() < deadline) Thread.sleep(20)
+          Thread.sleep(math.max(100L, (lastRunSec * frac * 1000).toLong))
+          ProcessHandle.of(victim).ifPresent { h =>
+            killTsNs = System.nanoTime()
+            h.destroyForcibly()
+            val dl = System.currentTimeMillis() + 30000
+            while (h.isAlive && System.currentTimeMillis() < dl) Thread.sleep(50)
+            died = !h.isAlive
+          }
+        }, s"chaos-killer-$name-$attempt")
+        val q0 = System.nanoTime()
+        killer.start()
+        got = q() // an abort throws here and fails the check loudly
+        val q1 = System.nanoTime()
+        killer.join(60000)
+        if (died) killedPids += victim
+        faultedSec = (q1 - q0) / 1e9
+        lastRunSec = faultedSec
+        killAtSec = (killTsNs - q0) / 1e9
+        midKill = killTsNs > q0 && killTsNs < q1 && died
+        if (!midKill) println(s"PROBE note $name attempt $attempt missed " +
+          s"the window (kill at $killAtSec s of $faultedSec s, died=$died)")
+      }
+      require(midKill, s"kill never landed inside the $name query window")
+      require(got == expected,
+        s"$name diverged after executor kill: $expected vs $got")
+      s"digest=$got killAt=${f"$killAtSec%.2f"}s of ${f"$faultedSec%.2f"}s " +
+        s"pid=$victim attempt=$attempt"
+    }
+
+    // corpora as pure distributed expressions (no parquet round-trip);
+    // sized so each query runs long enough for a kill window on 2×4 cores
+    val docs = DocGen.frame(spark, 100000L, parts = 32)
+    val docsSmall = DocGen.frame(spark, 40000L, parts = 16)
+
+    chaos("minhash") { () =>
+      digest(graft.functions.Dedup.minhashPairs(
+        graft.functions.Dedup.shingledPosting(docs, "doc_id", "text",
+          layoutById = true), 0.5))
+    }
+    chaos("substring") { () =>
+      digest(graft.functions.Dedup.substringDedup(docs, "doc_id", "text", 5))
+    }
+    chaos("components") { () =>
+      // label-propagation loop: every iteration re-materializes its state
+      // through the reliable tier, so the kill lands mid-loop
+      digest(graft.functions.Dedup.duplicateClusters(
+        graft.functions.Dedup.minhashPairs(
+          graft.functions.Dedup.shingledPosting(docsSmall, "doc_id", "text",
+            layoutById = true), 0.3)))
+    }
+    chaos("bpe") { () =>
+      digest(graft.functions.Text.bpeTrain(docsSmall, "text", 24))
+    }
+
+    check("chaos_aborts") {
+      require(failures == 0, s"$failures scenario(s) aborted or diverged")
+      "count=0"
+    }
+
+    println("PROBE done")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -33,6 +33,20 @@ class ClusterFaultSpec extends AnyFunSuite {
     assert(m.group(1) == m.group(2), res)
   }
 
+  test("reliable-tier chaos sweep: minhash, substring, components loop and " +
+      "BPE train each survive a random executor kill with identical results") {
+    assume(ClusterLaunch.available, "no Spark distribution / sbt classes")
+    val (exit, probes, tail) =
+      ClusterLaunch.probe("graft.tools.ChaosProbe", "local-cluster[2,4,3072]")
+    assert(exit == 0, s"probe exit $exit:\n$tail")
+    for (surface <- Seq("chaos_tier", "chaos_minhash", "chaos_substring",
+        "chaos_components", "chaos_bpe", "chaos_aborts"))
+      assert(probes.exists(_.startsWith(s"PROBE $surface OK")),
+        s"$surface did not pass:\n${probes.mkString("\n")}")
+    assert(!probes.exists(_.contains(" FAIL ")),
+      probes.filter(_.contains(" FAIL ")).mkString("\n"))
+  }
+
   test("streaming upsert survives kill -9 of an executor JVM mid-stream " +
       "with exactly-once output") {
     assume(ClusterLaunch.available, "no Spark distribution / sbt classes")
