@@ -177,6 +177,12 @@ object ChaosProbe {
 
     println("PROBE done")
     spark.stop()
+    // the sweep's checkpoint trees are probe-local scratch; reclaim them
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(ckDir))
     if (failures > 0) sys.exit(1)
   }
 }
