@@ -551,8 +551,13 @@ object Similarity {
     // carried as one small array literal the offset lookup indexes by cell
     val qDotC = centroids.map(c =>
       c.zip(q).map { case (a, b) => a * b }.sum).toSeq
-    pqTopK(codes.filter(col("cell").isin(probeCells.toIndexedSeq: _*)),
-      original, idCol, vecCol, codebooks, query, k, shortlist, excludeId,
-      adcOffset = element_at(typedLit(qDotC), col("cell") + 1))
+    // probing every cell (the exhaustive / nothing-to-prune config) makes
+    // the membership filter a per-row nCells-way comparison that can
+    // never drop a row — skip it
+    val probed =
+      if (probeCells.length >= centroids.length) codes
+      else codes.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    pqTopK(probed, original, idCol, vecCol, codebooks, query, k, shortlist,
+      excludeId, adcOffset = element_at(typedLit(qDotC), col("cell") + 1))
   }
 }
