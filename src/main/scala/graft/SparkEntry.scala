@@ -708,6 +708,13 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       Sampling.split(docs(s, dir), col("doc_id"),
           Seq("train" -> 8000, "val" -> 1000, "test" -> 1000), salt = "splits")
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+    // per-source document cap (the C4 "cap docs per domain" step):
+    // deterministic hash-ranked survivors, replayed rank-for-rank by the
+    // oracle's window over the same mix arithmetic
+    "pipe_domaincap" -> ((s, dir) =>
+      Sampling.capPerKey(docs(s, dir), col("source"), col("doc_id"),
+          cap = 10, salt = "domcap")
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
     // deterministic training-order shuffle: the permutation is the sort on
     // the replayable poly-hash key (emitted so the oracle compares it)
     "pipe_shuffle" -> ((s, dir) =>
@@ -1392,6 +1399,18 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "string_split(doc_id::VARCHAR || ':splits',''), c -> ascii(c)::BIGINT)), " +
       s"(acc,x) -> (acc*31+x) % ${graft.functions.Text.FpMod}) % 10000 AS bp " +
       "FROM documents) ORDER BY doc_id"),
+    "pipe_domaincap" -> ("WITH h0 AS (SELECT doc_id, source, " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(doc_id::VARCHAR || ':domcap',''), c -> ascii(c)::BIGINT)), " +
+      s"(acc,x) -> (acc*31+x) % ${Text.FpMod}) % ${Sampling.ShuffleMod} AS h " +
+      "FROM documents), m AS (SELECT doc_id, source, " +
+      s"(h*h + h) % ${Sampling.ShuffleMod} AS m1 FROM h0), " +
+      s"k AS (SELECT doc_id, source, (m1*m1 + m1) % ${Sampling.ShuffleMod} AS sk " +
+      "FROM m), r AS (SELECT doc_id, source, row_number() OVER " +
+      "(PARTITION BY source ORDER BY sk, doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY source) AS n FROM k) " +
+      "SELECT doc_id, source FROM r WHERE n <= 10 OR rn <= 10 " +
+      "ORDER BY doc_id"),
     "pipe_shuffle" -> ("WITH h0 AS (SELECT doc_id, " +
       "list_reduce(list_prepend(0::BIGINT, list_transform(" +
       "string_split(doc_id::VARCHAR || ':epoch0',''), c -> ascii(c)::BIGINT)), " +

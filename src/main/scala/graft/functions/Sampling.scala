@@ -107,6 +107,45 @@ object Sampling {
                            salt: String = "graft"): DataFrame =
     df.orderBy(shuffleKey(key, salt), key)
 
+  /** C4/RefinedWeb-style per-key document cap: keep at most `cap` rows per
+    * key (domain, source, site), chosen DETERMINISTICALLY — the `cap`
+    * survivors are the key's rows ranked by [[shuffleKey]] (then id), so
+    * reruns, cluster sizes and engines agree row-for-row, and the kept
+    * subset is an unbiased draw rather than "whatever the scan saw first"
+    * (ingest order over-represents a crawler's breadth-first head).
+    *
+    * Scale shape: the corpus NEVER takes a per-key sort. A count-aggregate
+    * (map-side combined, key-cardinality-sized) finds the oversized keys;
+    * the corpus left-joins that small set (AQE broadcasts it — zero corpus
+    * exchange) and splits: under-cap keys pass through map-side untouched,
+    * and ONLY the oversized keys' rows — bounded by the skew the cap
+    * exists to remove — go through the rank window. A mega-domain still
+    * ranks inside one task (the window's partition), the accepted cost of
+    * an exact cap; the binomial alternative ([[stratifiedSample]] with a
+    * per-key rate) caps in expectation with no window at all.
+    *
+    * NULL keys are never capped (no meaningful "per-key" identity; they
+    * pass through like under-cap keys). */
+  def capPerKey(df: DataFrame, key: Column, id: Column, cap: Int,
+                salt: String = "graft"): DataFrame = {
+    require(cap >= 1, s"cap must be positive: $cap")
+    val cols = df.columns.toSeq
+    val keyed = df.withColumn("__k", key)
+    val over = keyed.groupBy("__k").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col("__k"), lit(true).as("__over"))
+    val marked = keyed.join(over, Seq("__k"), "left")
+    val pass = marked.filter(col("__over").isNull)
+      .select(cols.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(shuffleKey(id, salt).asc, id.asc)
+    val capped = marked.filter(col("__over") === true)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cap)
+      .select(cols.map(col): _*)
+    pass.union(capped)
+  }
+
   /** Per-stratum rates (basis points), e.g. language-conditioned mixing.
     * Strata not in `ratesBp` fall back to `defaultBp`. One codegen'd CASE —
     * still a pure map-side filter. */

@@ -954,4 +954,37 @@ class PipelineSpec extends SparkSpec {
     assert(withNull.filter(col("split").isNull).count() == 0)
     assert(withNull.filter(col("id").isNull).head.getString(1) == "train")
   }
+
+  test("capPerKey: exact deterministic per-key cap; under-cap keys pass " +
+      "whole; survivors independent of the rest of the corpus") {
+    import spark.implicits._
+    // hot key (40 rows), exactly-at-cap key (5), under-cap key (2)
+    val df = ((1 to 40).map(i => (i.toLong, "hot")) ++
+      (41 to 45).map(i => (i.toLong, "atcap")) ++
+      Seq((46L, "cold"), (47L, "cold"))).toDF("id", "domain")
+    val out = Sampling.capPerKey(df, col("domain"), col("id"), cap = 5,
+      salt = "s1")
+    val counts = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("hot" -> 5L, "atcap" -> 5L, "cold" -> 2L), counts)
+    // deterministic: identical survivor set on rerun
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.capPerKey(df, col("domain"), col("id"), cap = 5,
+      salt = "s1").select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+    // a key's survivors don't depend on OTHER keys' rows (per-key rank)
+    val hotOnly = Sampling.capPerKey(df.filter(col("domain") === "hot"),
+        col("domain"), col("id"), cap = 5, salt = "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hotOnly == ids.filter(_ <= 40), s"$hotOnly vs $ids")
+    // a different salt redraws the hot key's survivors
+    val redrawn = Sampling.capPerKey(df, col("domain"), col("id"), cap = 5,
+      salt = "s2").select("id").collect().map(_.getLong(0)).toSet
+    assert(redrawn != ids)
+    // NULL keys are never capped
+    val withNull = (1 to 10).map(i => (i.toLong, Option.empty[String]))
+      .toDF("id", "domain")
+    assert(Sampling.capPerKey(withNull, col("domain"), col("id"), cap = 2,
+      salt = "s1").count() == 10)
+  }
 }
