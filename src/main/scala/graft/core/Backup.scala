@@ -79,19 +79,39 @@ object Backup {
     val out = new BufferedOutputStream(Files.newOutputStream(Paths.get(tarOut)))
     try {
       val entries = Seq.newBuilder[String]
+      // hand-rolled walk instead of Files.walk: `_temporary` is Spark's
+      // in-flight commit staging — by definition uncommitted state that
+      // may VANISH mid-walk (found by the serving-path soak, twice: first
+      // a disappearing staging .crc, then Files.walk itself throwing
+      // UncheckedIOException when DESCENDING into a staging dir the
+      // committer deleted between list and visit). A piece only becomes
+      // engine state when its commit renames it out of _temporary, so
+      // pruning the staging tree BEFORE descent — and treating any
+      // directory that vanishes mid-list as empty — is exactly a
+      // consistent snapshot.
+      def walkFiles(dir: java.nio.file.Path,
+                    acc: scala.collection.mutable.ListBuffer[java.nio.file.Path]): Unit = {
+        val children =
+          try {
+            val s = Files.list(dir)
+            try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+              .asScala.toList
+            finally s.close()
+          } catch {
+            case _: java.nio.file.NoSuchFileException => Nil
+            case e: java.io.UncheckedIOException
+                if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => Nil
+          }
+        children.foreach { p =>
+          if (Files.isDirectory(p)) {
+            if (p.getFileName.toString != "_temporary") walkFiles(p, acc)
+          } else acc += p
+        }
+      }
       val files = {
-        val s = Files.walk(root)
-        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
-          .asScala.filter(Files.isRegularFile(_))
-          // `_temporary` is Spark's in-flight commit staging — by definition
-          // uncommitted state that may VANISH mid-walk (found by the
-          // serving-path soak: a backup concurrent with a write hit a
-          // disappearing staging .crc). A piece only becomes engine state
-          // when its commit renames it out of _temporary, so skipping the
-          // staging tree is exactly a consistent snapshot.
-          .filterNot(_.toString.contains("_temporary"))
-          .toList.sortBy(_.toString)
-        finally s.close()
+        val acc = scala.collection.mutable.ListBuffer[java.nio.file.Path]()
+        walkFiles(root, acc)
+        acc.toList.sortBy(_.toString)
       }
       files.foreach { f =>
         // committed files are immutable, but a concurrently-superseded piece
