@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Raw column-scan timings over a parquet table — separates IO/decode
+  * cost per column from query-shape cost when a table-scale number moves
+  * between rounds. `runMain graft.tools.ScanProbe <path> [runs]`
+  *
+  * Round-10 findings on the 1B able table, recorded because the negative
+  * one is the useful one:
+  *  - IO acquitted: the domain explode+count is ~4 s and the scalar
+  *    3-string-key groupBy ~7 s; hc_groupby's ~50 s is the hash-agg
+  *    PROBE on 4 string keys over ~3B post-explode rows.
+  *  - int64 keys probe 1.7× faster (29 s) — but recovering the EXACT
+  *    string labels costs the win back: `first(label)` aggregates have
+  *    string buffers, which HashAggregate cannot hold in its mutable
+  *    UnsafeRow, so Spark silently falls back to SortAggregate — a
+  *    3B-row SORT (caught live: a 27-core pin for 25+ minutes at 1B;
+  *    invisible at spec scale). Per-field dictionaries need their own
+  *    corpus-wide distincts (~20 s) — a wash. The string-keyed
+  *    HashAggregate stays; the roaring segment index (idx_serve, 0.8 s)
+  *    remains the engine's precomputed answer for hot segmentations. */
+object ScanProbe {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/graft-able-v4-1000000000")
+    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = graft.core.EngineConf(SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "128")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet(path)
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"SCAN $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    for (_ <- 1 to runs) {
+      timed("domain-explode-count") {
+        df.select(explode(col("domain")).as("d"))
+          .select(count(lit(1))).head(): Unit
+      }
+      timed("scalar-4col-group-count") {
+        df.groupBy("education_level", "gender", "political_party")
+          .agg(sum("age")).select(count(lit(1))).head(): Unit
+      }
+      timed("hc-shape-full") {
+        df.select(col("education_level"), col("gender"),
+            col("political_party"), explode(col("domain")).as("d"), col("age"))
+          .groupBy("education_level", "gender", "political_party", "d")
+          .agg(count(lit(1)), sum("age"))
+          .select(count(lit(1))).head(): Unit
+      }
+      timed("hc-shape-hashed-keys") {
+        df.select(xxhash64(col("education_level")).as("e"),
+            xxhash64(col("gender")).as("g"),
+            xxhash64(col("political_party")).as("p"),
+            explode(col("domain")).as("d0"), col("age"))
+          .select(col("e"), col("g"), col("p"), xxhash64(col("d0")).as("d"),
+            col("age"))
+          .groupBy("e", "g", "p", "d").agg(count(lit(1)), sum("age"))
+          .select(count(lit(1))).head(): Unit
+      }
+      timed("hc-shape-hashed-first-labels") {
+        df.select(col("education_level"), col("gender"),
+            col("political_party"), explode(col("domain")).as("d0"),
+            col("age"))
+          .select(xxhash64(col("education_level")).as("e"),
+            xxhash64(col("gender")).as("g"),
+            xxhash64(col("political_party")).as("p"),
+            xxhash64(col("d0")).as("d"),
+            col("education_level"), col("gender"), col("political_party"),
+            col("d0"), col("age"))
+          .groupBy("e", "g", "p", "d")
+          .agg(first("education_level"), first("gender"),
+            first("political_party"), first("d0"),
+            count(lit(1)), sum("age"))
+          .select(count(lit(1))).head(): Unit
+      }
+    }
+    spark.stop()
+  }
+}
