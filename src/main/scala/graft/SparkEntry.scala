@@ -1409,7 +1409,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "FROM m), r AS (SELECT doc_id, source, row_number() OVER " +
       "(PARTITION BY source ORDER BY sk, doc_id) AS rn, " +
       "count(*) OVER (PARTITION BY source) AS n FROM k) " +
-      "SELECT doc_id, source FROM r WHERE n <= 10 OR rn <= 10 " +
+      // NULL sources pass through uncapped (capPerKey's contract: no per-key
+      // identity); SQL's window would lump all NULLs into one capped group
+      "SELECT doc_id, source FROM r WHERE source IS NULL OR n <= 10 OR rn <= 10 " +
       "ORDER BY doc_id"),
     "pipe_shuffle" -> ("WITH h0 AS (SELECT doc_id, " +
       "list_reduce(list_prepend(0::BIGINT, list_transform(" +

@@ -103,9 +103,14 @@ object Backup {
                 if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => Nil
           }
         children.foreach { p =>
-          if (Files.isDirectory(p)) {
+          // NOFOLLOW: a symlink cycle under the root must not recurse
+          // forever, and a symlinked dir is not engine state. Only regular
+          // files enter the tar — sockets/broken links would abort the
+          // stream with an IOException far from the cause
+          if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
             if (p.getFileName.toString != "_temporary") walkFiles(p, acc)
-          } else acc += p
+          } else if (Files.isRegularFile(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+            acc += p
         }
       }
       val files = {

@@ -130,6 +130,14 @@ object Sampling {
                 salt: String = "graft"): DataFrame = {
     require(cap >= 1, s"cap must be positive: $cap")
     val cols = df.columns.toSeq
+    // the temp columns below would silently shadow same-named inputs
+    // (withColumn replaces; the join key would collide) — corrupt output,
+    // so refuse up front. NB the input is consumed by BOTH branches of the
+    // split, so the corpus is scanned twice — the exact-cap cost; the
+    // binomial stratifiedSample alternative is single-pass
+    Seq("__k", "__n", "__over", "__r").foreach(r =>
+      require(!cols.contains(r), s"capPerKey: input column '$r' collides " +
+        "with a reserved temp column"))
     val keyed = df.withColumn("__k", key)
     val over = keyed.groupBy("__k").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)

@@ -170,6 +170,32 @@ object Similarity {
 
   // -------------------------------------------------------------------- IVF
 
+  /** Deterministic, PARTITIONING-INDEPENDENT fit sample: the `target` rows
+    * with the smallest `xxhash64(key)` (ties broken on `key` itself), so the
+    * sample — and every centroid fitted from it — is a pure function of the
+    * DATA, not of file layout, partition count, or scan order. The previous
+    * partition-ordinal filter made quantizer fits (and therefore ANN recall)
+    * shift between boxes whose partitioning differed — the round-10
+    * SURVEY-vs-artifact recall gap.
+    *
+    * Shape at 100 TB: one cheap `count` (metadata-only on parquet) sizes a
+    * map-side hash GATE that passes ~4·target rows — the exact top-`target`
+    * sort then runs over that bounded set, never the corpus. Without the
+    * gate, per-partition top-K feeding a single merge task grows with
+    * partition count (parts × target rows through one task). */
+  private[graft] def fitSample(df: DataFrame, key: Column, target: Long): DataFrame = {
+    val n = df.count()
+    // both branches end in sort+limit: ONE partition, one row order, on any
+    // input partitioning — distributed k-means|| init and driver-side
+    // k-means++ both draw by position, so order is part of determinism
+    if (n <= target) df.orderBy(xxhash64(key), key).limit(math.max(1L, n).toInt)
+    else {
+      val threshold = math.max(1L, math.ceil(4.0e6 * target / n).toLong)
+      df.filter(pmod(xxhash64(key), lit(1000000L)) < threshold)
+        .orderBy(xxhash64(key), key).limit(target.toInt)
+    }
+  }
+
   /** IVF index build: k-means coarse quantizer; every vector is assigned to
     * its nearest centroid cell (the `cell` column). The billion-scale ANN
     * layout: the assignment is a one-time distributed job, cells become the
@@ -180,16 +206,9 @@ object Similarity {
     * rows): centroid quality saturates at a few hundred points per cell, so
     * iterating k-means over the full corpus — a multi-pass job over 100 TB —
     * buys nothing. The full corpus is assigned exactly once by the model
-    * transform.
-    *
-    * The sample is the first `target / numPartitions` rows of EVERY
-    * partition, selected by a codegen'd filter on the partition-local
-    * ordinal — no pre-count job (sizing a fraction-based Bernoulli sample
-    * needs the total first, a full pass over the corpus), no shuffle, and
-    * every partition contributes (a global `limit` would fit on a prefix of
-    * the corpus — biased when the data is clustered by ingest order).
-    * Corpora at or under the target still fit on everything as long as rows
-    * spread across partitions (`maxPartitionBytes` bounds rows/partition). */
+    * transform. The sample is [[fitSample]] keyed on `idCol` — identical
+    * rows in identical order on ANY box/partitioning, so for a fixed seed
+    * the centroids (and downstream recall) are reproducible, not a band. */
   def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                nCells: Int, seed: Long = 42L,
                fitPointsPerCell: Int = 256): (DataFrame, Array[Array[Double]]) = {
@@ -198,11 +217,7 @@ object Similarity {
     val feat = embeddings.withColumn("__feat",
       array_to_vector(transform(col(vecCol), x => x.cast("double"))))
     val target = fitPointsPerCell.toLong * nCells
-    // monotonically_increasing_id = partitionId<<33 | partition-local ordinal
-    val parts = math.max(1, feat.rdd.getNumPartitions)
-    val cap = (target + parts - 1) / parts
-    val fitSet = feat.filter(
-      (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))) < cap)
+    val fitSet = fitSample(feat, col(idCol), target)
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__feat").setPredictionCol("cell").fit(fitSet)
     val assigned = model.transform(feat).drop("__feat")
@@ -273,7 +288,7 @@ object Similarity {
   /** The nProbe cells nearest the query, ranked by centroid L2 on the
     * driver (the centroid set is tiny) — shared by [[ivfTopK]] and
     * [[ivfPqTopK]]. */
-  private def probeCellsFor(centroids: Array[Array[Double]],
+  private[graft] def probeCellsFor(centroids: Array[Array[Double]],
                             query: Seq[Float], nProbe: Int): Array[Int] = {
     val q = query.map(_.toDouble).toArray
     def dist2(c: Array[Double]): Double =
@@ -306,27 +321,27 @@ object Similarity {
     * layout that makes 100 TB of fp32 embeddings ANN-searchable from a few
     * hundred GB of codes.
     *
-    * Fit runs on the same bounded no-pre-count sample as [[ivfIndex]]
-    * (`fitPointsPerCentroid`·k rows, capped per partition by a codegen'd
-    * filter on the partition-local ordinal). The sample is BOUNDED BY
-    * CONSTRUCTION (a few thousand rows whatever the corpus size), so it is
-    * collected once and all m codebooks fit DRIVER-LOCAL with seeded
-    * k-means++ / Lloyd's — m distributed KMeans jobs over a 2k-row frame
-    * are pure scheduler overhead (measured ~30 s of it; local fit is
-    * milliseconds), and the local fit is deterministic for fixed seed and
-    * sample. Returns `codebooks(i)(j)` = centroid j of subspace i. */
+    * Fit runs on the same bounded partitioning-independent [[fitSample]] as
+    * [[ivfIndex]] (`fitPointsPerCentroid`·k rows), keyed on the vector
+    * CONTENT (pqTrain's input may be a projected residual frame with no id
+    * column — hashing the vector itself keeps the sample a pure function of
+    * the data). The sample is BOUNDED BY CONSTRUCTION (a few thousand rows
+    * whatever the corpus size), so it is collected once and all m codebooks
+    * fit DRIVER-LOCAL with seeded k-means++ / Lloyd's — m distributed
+    * KMeans jobs over a 2k-row frame are pure scheduler overhead (measured
+    * ~30 s of it; local fit is milliseconds), and the local fit is
+    * deterministic for fixed seed and sample — on ANY box or partitioning.
+    * Returns `codebooks(i)(j)` = centroid j of subspace i. */
   def pqTrain(embeddings: DataFrame, vecCol: String, dim: Int, m: Int,
               k: Int, seed: Long = 42L,
               fitPointsPerCentroid: Int = 64): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
     val target = fitPointsPerCentroid.toLong * k
-    val parts = math.max(1, embeddings.rdd.getNumPartitions)
-    val cap = (target + parts - 1) / parts
-    val rows = embeddings
-      .filter((monotonically_increasing_id()
-        .bitwiseAND(lit((1L << 33) - 1))) < cap)
-      .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val rows = fitSample(embeddings.select(
+        transform(col(vecCol), x => x.cast("double")).as("__v")),
+        col("__v"), target)
+      .select("__v")
       .collect().map(_.getSeq[Double](0).toArray)
     // fail HERE, naming the real problem — empty codebooks otherwise crash
     // far from the cause inside pqEncode (codebooks.map(_.head))

@@ -26,6 +26,10 @@ object AbTest {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // restore the ENGINE-applied value after the legs, not the session
+    // default — unset() would silently drop an EngineConf-set conf for
+    // every later query in the loop
+    val before = spark.conf.getOption(conf)
     for (name <- names) {
       run1(name); run1(name) // warm
       for (v <- Seq("true", "false", "true", "false")) {
@@ -33,7 +37,10 @@ object AbTest {
         val ts = (1 to 3).map(_ => run1(name))
         println(f"ABTEST $name $conf=$v min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
       }
-      spark.conf.unset(conf)
+      before match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None    => spark.conf.unset(conf)
+      }
     }
     spark.stop()
   }

@@ -40,6 +40,14 @@ object ChaosProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"PROBE master=${spark.sparkContext.master}")
+    // under plain local[N] executors ARE the driver JVM — executorPids()
+    // would return the driver's own pid and the chaos kill would destroy
+    // the probe itself. Refuse anything but real separate executor JVMs.
+    val m = spark.sparkContext.master
+    require(m.startsWith("local-cluster") || m.startsWith("spark://") ||
+      m.startsWith("yarn") || m.startsWith("k8s"),
+      s"ChaosProbe needs a multi-JVM master (got '$m'); run with " +
+        "SPARK_GRAFT_MASTER='local-cluster[2,4,3072]'")
 
     var failures = 0
     def check(name: String)(body: => String): Unit =
