@@ -457,7 +457,24 @@ object Bench {
             "Rows(political_party), Rows(domain), aggregate=Sum(field=age))"
           val seg = "Count(Intersect(Row(education_level='high_school'), " +
             "Row(age >< [25, 40]), Row(domain='domain0.example')))"
-          val hcRuns = (1 to 2).map(_ => run1(hc))   // warm + 1 timed
+          // SELF-ADJUDICATING hc runs (r10's 47→76 s artifact swing could
+          // not be attributed between box load and a real regression): after
+          // the warm run, keep timing until two consecutive timed runs agree
+          // within 20% (cap 6), and record the box load around EVERY run —
+          // the artifact then carries both the settled number and the
+          // evidence for any outlier
+          val hcLoads = scala.collection.mutable.ArrayBuffer(loadAvg())
+          val hcRuns = scala.collection.mutable.ArrayBuffer(run1(hc)) // warm
+          hcLoads += loadAvg()
+          var settled = false
+          while (!settled && hcRuns.size < 6) {
+            hcRuns += run1(hc)
+            hcLoads += loadAvg()
+            settled = hcRuns.size >= 3 && {
+              val (a, b) = (hcRuns(hcRuns.size - 2), hcRuns.last)
+              math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.2
+            }
+          }
           val segRuns = (1 to 3).map(_ => run1(seg)) // warm + 2 timed
           // roaring segment index: reuse across rounds (build_sec = -1 when
           // served from cache), serve the count from the 849 MB code table
@@ -477,16 +494,48 @@ object Bench {
               .write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t) / 1e9
           }
+          // grouped-Sum index: the SAME hc PQL answered from a materialized
+          // GroupIndex through the optimizer rule — the reference's headline
+          // GroupBy precomputed the way FeatureBase's fragments precompute
+          // (`executor.go:3176`). Build is one hc-shaped aggregation, cached
+          // across rounds like the roaring index (-1 = served from cache).
+          val gidxPath = s"$tmp/graft-able-gidx-$n1b"
+          val gCols = Seq("education_level", "gender", "political_party", "domain")
+          val gidxBuildSec =
+            if (new java.io.File(gidxPath).isDirectory) -1.0
+            else {
+              val t = System.nanoTime()
+              graft.index.GroupIndex.buildTo(df, gCols, Seq("age"), gidxPath)
+              (System.nanoTime() - t) / 1e9
+            }
+          graft.plans.IndexCatalog.registerGroup(p, gCols, Set("domain"),
+            Seq("age"), spark.read.parquet(gidxPath))
+          graft.plans.IndexRewrite.install(spark)
+          // plan proof in-artifact: the served query must read the group
+          // index, not the 1B fact table
+          val servedPlan = new graft.pql.Compiler(df)
+            .run(graft.pql.Parser.parseOne(hc))
+            .queryExecution.executedPlan.toString
+          val gidxFired = servedPlan.contains("graft-able-gidx") &&
+            !servedPlan.contains("graft-able-v4")
+          val gidxServe = (1 to 3).map(_ => run1(hc)) // warm + 2 timed
           def arr(ts: Seq[Double]) =
             ts.map(num(_, 3)).mkString("[", ",", "]")
-          summary("able_1b_hc_min") = num(hcRuns.min, 1)
+          summary("able_1b_hc_min") = num(hcRuns.drop(1).min, 1)
           summary("able_1b_seg_min") = num(segRuns.drop(1).min, 2)
           summary("able_1b_idx_serve_min") = num(idxServe.drop(1).min, 2)
+          summary("able_1b_gidx_serve_min") = num(gidxServe.drop(1).min, 2)
+          summary("able_1b_gidx_fired") = gidxFired.toString
           s""","able_1b":{"rows":$n1b,"gen_sec":${num(genSec, 1)},""" +
-            s""""hc_groupby_runs":${arr(hcRuns)},""" +
+            s""""hc_groupby_runs":${arr(hcRuns.toSeq)},""" +
+            s""""hc_load_around_runs":${arr(hcLoads.toSeq)},""" +
+            s""""hc_settled":$settled,""" +
             s""""seg_count_runs":${arr(segRuns)},""" +
             s""""idx_build_sec":${num(idxBuildSec, 1)},""" +
-            s""""idx_serve_runs":${arr(idxServe)}}"""
+            s""""idx_serve_runs":${arr(idxServe)},""" +
+            s""""gidx_build_sec":${num(gidxBuildSec, 1)},""" +
+            s""""gidx_rewrite_fired":$gidxFired,""" +
+            s""""gidx_serve_runs":${arr(gidxServe)}}"""
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
     } catch { case e: Throwable =>

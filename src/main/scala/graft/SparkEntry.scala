@@ -784,6 +784,37 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         queryVec(s, dir), 20, nProbe = 8, shortlist = 1000000,
         excludeId = Some(0L))
     }),
+    // ANN through the SERVING layer: the HTTP facade's /ann endpoints with
+    // EXHAUSTIVE dials (nProbe = nCells, shortlist ≥ corpus) — exact, so the
+    // brute-force oracle applies; production turns the same two dials down
+    // (documented recall/latency tradeoffs in graft.server.AnnServe)
+    "sim_ann_serve" -> ((s, dir) => {
+      val facade = new graft.server.HttpFacade(s, dir, 0)
+      val port = facade.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def post(path: String, body: String): String = {
+          val r = client.send(java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port$path"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(r.statusCode() == 200,
+            s"$path -> ${r.statusCode()}: ${r.body().take(200)}")
+          r.body()
+        }
+        post("/ann/served/build", """{"table":"embeddings","id":"vec_id",""" +
+          """"vec":"embedding","dim":64,"nCells":8,"m":8,"k":16}""")
+        val qv = queryVec(s, dir).mkString("[", ",", "]")
+        val resp = post("/ann/served/query",
+          s"""{"query":$qv,"k":20,"nProbe":8,"shortlist":1000000,"exclude":0}""")
+        val ms = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp).get("matches")
+        val rows = (0 until ms.size).map(i =>
+          (ms.get(i).get("id").asLong, ms.get(i).get("sim").asDouble))
+        import s.implicits._
+        rows.toDF("vec_id", "sim")
+      } finally facade.stop()
+    }),
     "evt_hourly" -> ((s, dir) => Tables.load(s, dir, "events")
       .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
@@ -856,6 +887,21 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       base.createOrReplaceTempView("ev_idx_g")
       s.sql("SELECT count(DISTINCT user_id) AS cnt FROM ev_idx_g " +
         "WHERE event_type IN ('click', 'view')")
+    }),
+    // grouped count+sum served from a materialized GroupIndex via the same
+    // optimizer rule — the reference's headline GroupBy(Rows…,
+    // aggregate=Sum) precomputation (`executor.go:3176`); plan asserted
+    // scan-free in IndexRewriteSpec
+    "idx_rewrite_groupby_sum" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val idxDir = graft.streaming.Ingest.scratch("idx_rewrite") + "/events_groupsum"
+      graft.index.GroupIndex.buildTo(base, Seq("event_type"), Seq("value"), idxDir)
+      graft.plans.IndexCatalog.registerGroup(s"$dir/events.parquet",
+        Seq("event_type"), Set.empty, Seq("value"), s.read.parquet(idxDir))
+      graft.plans.IndexRewrite.install(s)
+      base.createOrReplaceTempView("ev_gidx_q")
+      s.sql("SELECT event_type, count(*) AS cnt, sum(value) AS sv " +
+        "FROM ev_gidx_q GROUP BY event_type ORDER BY event_type")
     }),
     // Structured Streaming surface (SURVEY §2.3): each runs a genuine
     // streaming query (file source → state → sink) to completion and returns
@@ -1611,6 +1657,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     "sim_lsh_topk" -> Similarity.annTopKOracleSql(
       "embeddings", "vec_id", "embedding", "0", 20),
+    "sim_ann_serve" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     "evt_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt, " +
       "round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "evt_sessionize" -> ("SELECT count(*) AS n_sessions, round(avg(n), 4) AS avg_len FROM " +
@@ -1720,6 +1769,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "FROM events WHERE event_type IN ('click', 'view')"),
     "idx_rewrite_pqlcount" ->
       "SELECT count(*) AS cnt FROM events WHERE event_type = 'click'",
+    "idx_rewrite_groupby_sum" -> ("SELECT event_type, count(*) AS cnt, " +
+      "sum(value) AS sv FROM events GROUP BY 1 ORDER BY 1"),
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
   )

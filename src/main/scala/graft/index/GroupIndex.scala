@@ -1,0 +1,69 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Materialized grouped-aggregate index — the precomputation behind the
+  * reference's headline `GroupBy(Rows(a), Rows(b), …, aggregate=Sum(field))`
+  * workload (`reference/executor.go:3176-3918`; FeatureBase answers it from
+  * per-(field,value) fragment bitmaps + BSI sums, never a record scan). The
+  * Spark-native equivalent of those precomputed fragments is ONE pre-run
+  * grouped aggregation stored as a (group-combo, cnt, sum_*) table: at 1B+
+  * rows the serving query reads combo-cardinality rows instead of scanning
+  * and re-aggregating the corpus — same amortization as the roaring
+  * [[Bitmap.segmentIndex]], for the grouped-Sum shape bitmaps alone can't
+  * serve without BSI slice algebra.
+  *
+  * Semantics are chosen so [[graft.plans.IndexRewrite]] substitutions are
+  * identities:
+  *  - set-typed (ArrayType) group columns are EXPLODED — a record
+  *    contributes to every member combination, exactly the PQL GroupBy
+  *    cross-product (`executor.go:3277`), and exactly what a
+  *    `Generate(Explode)` in the query plan does;
+  *  - scalar group columns are NOT null-filtered — the NULL group row is
+  *    kept, so a plain SQL `GROUP BY` (which includes NULLs) matches as-is,
+  *    and the PQL compiler's `IS NOT NULL` presence filters transfer onto
+  *    the index scan and drop that row there.
+  */
+object GroupIndex {
+
+  /** The ArrayType members of `groupCols` — the columns [[build]] explodes.
+    * Recorded at registration so the rewrite only fires on queries whose
+    * explode set matches the build's. */
+  def explodedCols(df: DataFrame, groupCols: Seq[String]): Set[String] =
+    groupCols.filter(c => df.schema(c).dataType.isInstanceOf[ArrayType]).toSet
+
+  /** One row per group-value combination with `cnt` (exploded-row count)
+    * and `sum_<col>` per requested sum column. Build cost is one grouped
+    * aggregation over the fact table (map-side combined, shuffle bounded by
+    * combo cardinality) — run once at ingest/generation time, amortized
+    * across every serving query like the roaring index. */
+  def build(df: DataFrame, groupCols: Seq[String],
+            sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val exploded = explodedCols(df, groupCols)
+    val base = groupCols.foldLeft(df) { (acc, c) =>
+      if (exploded(c)) acc.withColumn(c, explode(col(c))) else acc
+    }
+    val aggs = count(lit(1)).as("cnt") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[build]] + overwrite-to-parquet with the rewrite rule disabled for the
+    * duration: a REBUILD's own aggregation matches the rule, so with the old
+    * registration still live it would be answered FROM the index files the
+    * overwrite is deleting. Use this for periodic index refresh. */
+  def buildTo(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+              path: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.graft.indexRewrite")
+    spark.conf.set("spark.graft.indexRewrite", "false")
+    try build(df, groupCols, sumCols).write.mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.indexRewrite", v)
+      case None    => spark.conf.unset("spark.graft.indexRewrite")
+    }
+  }
+}

@@ -32,8 +32,16 @@ import graft.index.BitmapCardinality
 object IndexCatalog {
   final case class Entry(segCol: String, idCol: String, indexPlan: LogicalPlan)
 
+  /** A materialized grouped-aggregate index ([[graft.index.GroupIndex]]):
+    * `groupCols` in build order, `explodedCols` the ArrayType members the
+    * build exploded, `sumCols` the columns with a stored `sum_<col>`. */
+  final case class GroupEntry(groupCols: Seq[String], explodedCols: Set[String],
+                              sumCols: Set[String], indexPlan: LogicalPlan)
+
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Entry]
+  private val groupEntries =
+    new java.util.concurrent.ConcurrentHashMap[(String, Set[String]), GroupEntry]
 
   /** Register a materialized segment index for a parquet-backed fact table.
     * `basePath` is the fact table's parquet location; `index` must be the
@@ -47,7 +55,21 @@ object IndexCatalog {
     paths.headOption.flatMap(p =>
       Option(entries.get((normalize(p), segCol, idCol))))
 
-  def clear(): Unit = entries.clear()
+  /** Register a materialized [[graft.index.GroupIndex.build]] table. Keyed
+    * by the SET of group columns — a grouped query matches regardless of
+    * key order (hash aggregation is order-insensitive). */
+  def registerGroup(basePath: String, groupCols: Seq[String],
+                    explodedCols: Set[String], sumCols: Seq[String],
+                    index: DataFrame): Unit =
+    groupEntries.put((normalize(basePath), groupCols.toSet),
+      GroupEntry(groupCols, explodedCols, sumCols.toSet,
+        index.queryExecution.optimizedPlan))
+
+  def lookupGroup(paths: Seq[String], groupCols: Set[String]): Option[GroupEntry] =
+    paths.headOption.flatMap(p =>
+      Option(groupEntries.get((normalize(p), groupCols))))
+
+  def clear(): Unit = { entries.clear(); groupEntries.clear() }
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
@@ -59,10 +81,23 @@ object IndexCatalog {
   * a registered index, and replaces it with
   * `Project([seg, bitmap_cardinality(bm)], indexPlan)`, preserving output
   * exprIds so parent operators (Sort/Project/…) are untouched. */
-case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Seq(groupExpr), aggExprs, child, _)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // kill-switch, and the guard index REBUILD jobs run under: a rebuild's
+    // own aggregation matches the rule, so with the old registration still
+    // live it would read the index it is about to overwrite
+    // ([[graft.index.GroupIndex.buildTo]] scopes this automatically)
+    if (spark.conf.get("spark.graft.indexRewrite", "true") == "false") plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        rewriteDistinct(agg).orElse(rewriteGlobalCount(agg))
+          .orElse(rewriteGrouped(agg)).getOrElse(agg)
+    }
+
+  private def rewriteDistinct(agg: Aggregate): Option[LogicalPlan] = agg match {
+    case Aggregate(Seq(groupExpr), aggExprs, child, _)
         if groupAttr(groupExpr).isDefined =>
       val g = groupAttr(groupExpr).get
       val target = distinctCountTarget(aggExprs, g).map(_.name)
@@ -72,29 +107,177 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .orElse(if (rowCountShape(aggExprs, Some(g))) Some("_id") else None)
       (scanWithSegFilter(child, g), target) match {
         case (Some((paths, segConds)), Some(idName)) =>
-          IndexCatalog.lookup(paths, g.name, idName) match {
-            case Some(entry) => substitute(agg, g, segConds, entry).getOrElse(agg)
-            case None        => agg
-          }
-        case _ => agg
+          IndexCatalog.lookup(paths, g.name, idName)
+            .flatMap(entry => substitute(agg, g, segConds, entry))
+        case _ => None
       }
-    // GLOBAL seg-filtered count — the reference's `Count(Row(seg=v))` /
-    // `Count(Union(Row…))` answered from stored fragments
-    // (`reference/executor.go:5839,5382`): OR the matching index bitmaps,
-    // read one cardinality; no fact-table scan. count(DISTINCT id) against
-    // its index; plain count(*) against a record-id (`_id`) index.
-    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+    case _ => None
+  }
+
+  /** GLOBAL seg-filtered count — the reference's `Count(Row(seg=v))` /
+    * `Count(Union(Row…))` answered from stored fragments
+    * (`reference/executor.go:5839,5382`): OR the matching index bitmaps,
+    * read one cardinality; no fact-table scan. count(DISTINCT id) against
+    * its index; plain count(*) against a record-id (`_id`) index. */
+  private def rewriteGlobalCount(agg: Aggregate): Option[LogicalPlan] = agg match {
+    case Aggregate(Nil, aggExprs, child, _) =>
       val target = globalDistinctTarget(aggExprs).map(_.name)
         .orElse(if (rowCountShape(aggExprs, None)) Some("_id") else None)
       (globalSegFilterScan(child), target) match {
         case (Some((paths, segAttrRef, segConds)), Some(idName)) =>
-          IndexCatalog.lookup(paths, segAttrRef.name, idName) match {
-            case Some(entry) =>
-              substituteGlobal(agg, segAttrRef, segConds, entry).getOrElse(agg)
-            case None => agg
-          }
-        case _ => agg
+          IndexCatalog.lookup(paths, segAttrRef.name, idName)
+            .flatMap(entry => substituteGlobal(agg, segAttrRef, segConds, entry))
+        case _ => None
       }
+    case _ => None
+  }
+
+  // ------------------------------------------------ grouped count/sum index
+
+  /** Grouped count/sum served from a materialized
+    * [[graft.index.GroupIndex]] — the reference's headline
+    * `GroupBy(Rows…, aggregate=Sum(field))` answered from precomputed
+    * per-combo aggregates instead of a corpus scan
+    * (`reference/executor.go:3176`). Matches
+    * `Aggregate(keys…, [keys…, count(1)?, sum(col)…], child)` where `child`
+    * is a parquet scan reachable through attribute-only Projects, Explode
+    * Generates of key columns (the PQL set-field cross-product), and
+    * transferable Filters referencing key columns only. Every key resolves
+    * through alias/explode chains to a fact column; the query's explode set
+    * must equal the build's, and surviving predicates move onto the index
+    * scan (each index row summarizes exactly one combo, so combo-level
+    * predicates commute with the aggregation). */
+  private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    val gAttrs = agg.groupingExpressions.map(groupAttr)
+    if (agg.groupingExpressions.isEmpty || gAttrs.exists(_.isEmpty)) None
+    else {
+      val gs = gAttrs.flatten
+      for {
+        (paths, conds, resolve, explodedSrc) <- walkGrouped(agg.child)
+        srcOf = gs.flatMap(a => resolve.get(a.exprId).map(a.exprId -> _)).toMap
+        if srcOf.size == gs.size
+        groupSrcs = gs.map(a => srcOf(a.exprId))
+        if groupSrcs.distinct.size == groupSrcs.size
+        entry <- IndexCatalog.lookupGroup(paths, groupSrcs.toSet)
+        // the query must explode exactly the columns the build exploded —
+        // a differing multiplicity would make cnt/sum wrong
+        if entry.explodedCols == explodedSrc
+        // explode guards the optimizer infers (isnotnull(arr), size(arr)>0)
+        // are implied by the build's own explode — drop them; everything
+        // else must transfer
+        transfer = conds.filterNot(impliedByExplode(_, resolve, explodedSrc))
+        plan <- substituteGrouped(agg, srcOf, resolve, transfer,
+          groupSrcs.toSet, entry)
+      } yield plan
+    }
+  }
+
+  /** `isnotnull(arr)` / `size(arr) > 0` over a column the query EXPLODES:
+    * implied by the explode itself (and by the build's), droppable. */
+  private def impliedByExplode(e: Expression,
+      resolve: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      explodedSrc: Set[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, IsNotNull, Literal, Size}
+    def exploded(a: AttributeReference): Boolean =
+      resolve.get(a.exprId).exists(explodedSrc)
+    e match {
+      case IsNotNull(a: AttributeReference) => exploded(a)
+      case GreaterThan(Size(a: AttributeReference, _), Literal(0, _)) => exploded(a)
+      case _ => false
+    }
+  }
+
+  /** Walk the Aggregate child down to a parquet relation, accumulating
+    * (root paths, transferable filter conjuncts, exprId→fact-column
+    * resolution through alias/explode chains, exploded fact columns). */
+  private def walkGrouped(p: LogicalPlan): Option[(Seq[String], Seq[Expression],
+      Map[org.apache.spark.sql.catalyst.expressions.ExprId, String], Set[String])] = {
+    import org.apache.spark.sql.catalyst.expressions.Explode
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    p match {
+      case Project(projList, child) if projList.forall {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => true
+            case _ => false
+          } =>
+        walkGrouped(child).map { case (paths, conds, res, ex) =>
+          val aliased = projList.collect {
+            case al @ Alias(a: AttributeReference, _) if res.contains(a.exprId) =>
+              al.exprId -> res(a.exprId)
+          }
+          (paths, conds, res ++ aliased, ex)
+        }
+      case Generate(Explode(arr: AttributeReference), _, false, _, Seq(genOut), child) =>
+        walkGrouped(child).flatMap { case (paths, conds, res, ex) =>
+          res.get(arr.exprId).map(src =>
+            (paths, conds, res + (genOut.exprId -> src), ex + src))
+        }
+      case Filter(cond, child) =>
+        walkGrouped(child).flatMap { case (paths, conds, res, ex) =>
+          val parts = splitConjunctivePredicates(cond)
+          if (parts.forall(transferable)) Some((paths, parts ++ conds, res, ex))
+          else None
+        }
+      case LogicalRelation(fs: HadoopFsRelation, out, _, _, _) =>
+        Some((fs.location.rootPaths.map(_.toString), Nil,
+          out.map(a => a.exprId -> a.name).toMap, Set.empty[String]))
+      case _ => None
+    }
+  }
+
+  /** Replace the grouped aggregate with a Project (+ transferred Filter)
+    * over the index plan, preserving output exprIds. Returns None — leaving
+    * the query untouched — on any shape/type mismatch. */
+  private def substituteGrouped(agg: Aggregate,
+      srcOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      resolve: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      conds: Seq[Expression], groupSrcs: Set[String],
+      entry: IndexCatalog.GroupEntry): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    val idxOut = entry.indexPlan.output
+    def idxCol(name: String): Option[Attribute] = idxOut.find(_.name == name)
+    val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference if srcOf.contains(a.exprId) =>
+        idxCol(srcOf(a.exprId)).filter(_.dataType == a.dataType)
+          .map(c => Alias(c, a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name) if srcOf.contains(a.exprId) =>
+        idxCol(srcOf(a.exprId)).filter(_.dataType == a.dataType)
+          .map(c => Alias(c, name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(
+          Count(Seq(_: Literal)), _, false, None, _), name) =>
+        idxCol("cnt").map(c => Alias(c, name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(s: Sum, _, false, None, _), name) =>
+        s.child match {
+          case sc: AttributeReference =>
+            resolve.get(sc.exprId).filter(entry.sumCols).flatMap(src =>
+              idxCol(s"sum_$src").filter(_.dataType == al.dataType)
+                .map(c => Alias(c, name)(exprId = al.exprId)))
+          case _ => None
+        }
+      case _ => None
+    }
+    // predicates transfer only if every reference is a group column (an
+    // index row summarizes one combo, so combo-level predicates commute)
+    // with a matching index column of identical type
+    val condsOk = conds.forall(_.references.toSeq.forall {
+      case a: AttributeReference =>
+        resolve.get(a.exprId).exists(src => groupSrcs.contains(src) &&
+          idxCol(src).exists(_.dataType == a.dataType))
+      case _ => false
+    })
+    if (mapped.exists(_.isEmpty) || !condsOk) None
+    else {
+      val onIdx = conds.map(_.transform {
+        case a: AttributeReference if resolve.contains(a.exprId) =>
+          idxCol(resolve(a.exprId)).get
+      })
+      val source = onIdx.reduceOption(And) match {
+        case Some(cond) => Filter(cond, entry.indexPlan)
+        case None       => entry.indexPlan
+      }
+      Some(Project(mapped.flatten, source))
+    }
   }
 
   /** All (non-group) agg expressions are plain `count(1)`/`count(*)` —

@@ -698,6 +698,46 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       val indexes = allIndexNames.filter(vis).map(indexInfo)
       s"""{"indexes":[${indexes.mkString(",")}]}"""
     }}})
+    // ANN serving surface: build a residual IVF-PQ index over a registered
+    // table's embedding column, then query it with PER-REQUEST recall/
+    // latency dials (nProbe, shortlist) — see [[AnnServe]] for the
+    // documented tradeoffs. Engine-side extension (the reference has no
+    // vector surface); admin-gated like /sql.
+    server.createContext("/ann", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex) {
+        chk(ex, None, Auth.PermAdmin)
+        val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        (ex.getRequestMethod, parts) match {
+          case ("POST", Array("ann", name, "build")) =>
+            val n = mapper.readTree(body)
+            def str(f: String, d: String): String =
+              Option(n.get(f)).map(_.asText).getOrElse(
+                if (d == null) sys.error(s"ann build: '$f' required") else d)
+            def int(f: String, d: Int): Int =
+              Option(n.get(f)).map(_.asInt).getOrElse(d)
+            val (cells, rows) = AnnServe.build(spark, name,
+              str("table", null), str("id", "_id"), str("vec", null),
+              int("dim", 64), int("nCells", 64), int("m", 16), int("k", 256))
+            s"""{"name":${js(name)},"cells":$cells,"rows":$rows}"""
+          case ("POST", Array("ann", name, "query")) =>
+            val n = mapper.readTree(body)
+            val qArr = Option(n.get("query")).filter(_.isArray)
+              .getOrElse(sys.error("ann query: 'query' array required"))
+            val q = (0 until qArr.size).map(i => qArr.get(i).asDouble.toFloat)
+            def int(f: String, d: Int): Int =
+              Option(n.get(f)).map(_.asInt).getOrElse(d)
+            val exclude = Option(n.get("exclude")).map(_.asLong)
+            val df = AnnServe.query(spark, name, q, int("k", 10),
+              int("nProbe", 0), int("shortlist", 500), exclude)
+            val rows = df.collect().map(r =>
+              s"""{"id":${r.getLong(0)},"sim":${r.getDouble(1)}}""")
+            s"""{"matches":[${rows.mkString(",")}]}"""
+          case _ =>
+            sys.error("use POST /ann/{name}/build or POST /ann/{name}/query")
+        }
+      }
+    })
     // `GET /info` (`http_handler.go:522,1260`): node/system facts, admin
     server.createContext("/info", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
@@ -1294,10 +1334,13 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     // concurrent request handling (the reference's HTTP server is
     // concurrent by default); per-table write locks above keep mutations
     // serializable
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    requestPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(requestPool)
     server.start()
     server.getAddress.getPort
   }
+
+  private var requestPool: java.util.concurrent.ExecutorService = null
 
   def stop(): Unit = {
     // unregister from the SHARED session: specs start many facades on one
@@ -1305,6 +1348,11 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     spark.sparkContext.removeSparkListener(jobSpans)
     watchdog.shutdownNow()
     server.stop(0)
+    // HttpServer.stop does NOT stop its executor: the 8 NON-DAEMON pool
+    // threads outlive the facade — 8 leaked threads per serving bounce,
+    // and a plain main() that booted a facade never exits the JVM (found
+    // by Verify hanging after the /ann oracle row)
+    if (requestPool != null) requestPool.shutdown()
   }
 
   /** FeatureBase's shard width: ShardWidth = 1 << Exponent, Exponent = 20

@@ -95,63 +95,111 @@ object ChaosProbe {
       s"${r.getLong(0)}:${r.getLong(1)}"
     }
 
-    /** Run `q` fault-free twice (pin answer, calibrate the kill window),
-      * then with a kill -9 of a random executor landed mid-query; the
-      * faulted result must be identical. Retries with earlier kill points
-      * if a run outruns the kill. */
-    def chaos(name: String)(q: () => String): Unit = check(s"chaos_$name") {
-      val expected = q()
-      val w0 = System.nanoTime()
-      val again = q()
-      var lastRunSec = (System.nanoTime() - w0) / 1e9
-      require(again == expected,
-        s"fault-free reruns diverged: $expected vs $again")
-      var attempt = 0
-      var midKill = false
-      var got = ""
-      var killAtSec, faultedSec = 0.0
-      var victim = 0L
-      while (!midKill && attempt < 4) {
-        attempt += 1
-        val pids = awaitExecutors(2)
-        val alive = (pids -- killedPids).toSeq.sorted
-        victim = alive(rnd.nextInt(alive.size))
-        // random point inside the measured window, biased earlier on retry
-        val frac = (0.1 + rnd.nextDouble() * 0.5) / attempt
-        @volatile var killTsNs = 0L
-        @volatile var died = false
-        val killer = new Thread(() => {
-          val deadline = System.currentTimeMillis() + 60000
-          while (tracker.getActiveJobIds().isEmpty &&
-                 System.currentTimeMillis() < deadline) Thread.sleep(20)
-          Thread.sleep(math.max(100L, (lastRunSec * frac * 1000).toLong))
-          ProcessHandle.of(victim).ifPresent { h =>
-            killTsNs = System.nanoTime()
+    /** One query run with `nKills` kill -9s of random executor JVMs fired
+      * from inside the query window (`gapMs` apart when nKills > 1).
+      * Returns (result, all kills landed mid-window and the victims died,
+      * per-kill offsets into the window, window length). */
+    def killedRun(name: String, q: () => String, lastRunSec: Double,
+                  frac: Double, nKills: Int, gapMs: Long)
+        : (String, Boolean, Seq[Double], Double) = {
+      val pids = awaitExecutors(math.max(2, nKills))
+      val alive = rnd.shuffle((pids -- killedPids).toSeq.sorted)
+      val victims = alive.take(nKills)
+      val killTs = Array.fill(nKills)(0L)
+      val died = Array.fill(nKills)(false)
+      val killer = new Thread(() => {
+        val deadline = System.currentTimeMillis() + 60000
+        while (tracker.getActiveJobIds().isEmpty &&
+               System.currentTimeMillis() < deadline) Thread.sleep(20)
+        Thread.sleep(math.max(100L, (lastRunSec * frac * 1000).toLong))
+        victims.zipWithIndex.foreach { case (v, i) =>
+          if (i > 0) Thread.sleep(gapMs)
+          ProcessHandle.of(v).ifPresent { h =>
+            killTs(i) = System.nanoTime()
             h.destroyForcibly()
             val dl = System.currentTimeMillis() + 30000
             while (h.isAlive && System.currentTimeMillis() < dl) Thread.sleep(50)
-            died = !h.isAlive
+            died(i) = !h.isAlive
           }
-        }, s"chaos-killer-$name-$attempt")
-        val q0 = System.nanoTime()
-        killer.start()
-        got = q() // an abort throws here and fails the check loudly
-        val q1 = System.nanoTime()
-        killer.join(60000)
-        if (died) killedPids += victim
-        faultedSec = (q1 - q0) / 1e9
-        lastRunSec = faultedSec
-        killAtSec = (killTsNs - q0) / 1e9
-        midKill = killTsNs > q0 && killTsNs < q1 && died
-        if (!midKill) println(s"PROBE note $name attempt $attempt missed " +
-          s"the window (kill at $killAtSec s of $faultedSec s, died=$died)")
-      }
-      require(midKill, s"kill never landed inside the $name query window")
-      require(got == expected,
-        s"$name diverged after executor kill: $expected vs $got")
-      s"digest=$got killAt=${f"$killAtSec%.2f"}s of ${f"$faultedSec%.2f"}s " +
-        s"pid=$victim attempt=$attempt"
+        }
+      }, s"chaos-killer-$name")
+      val q0 = System.nanoTime()
+      killer.start()
+      val got = q() // an abort throws here and fails the check loudly
+      val q1 = System.nanoTime()
+      killer.join(60000)
+      victims.zip(died.toSeq).foreach { case (v, d) => if (d) killedPids += v }
+      val window = (q1 - q0) / 1e9
+      val offsets = killTs.toSeq.map(t => (t - q0) / 1e9)
+      val landed = died.forall(identity) &&
+        killTs.forall(t => t > q0 && t < q1)
+      (got, landed, offsets, window)
     }
+
+    /** Run `q` fault-free twice (pin answer, calibrate the kill window),
+      * then land `kills` SEQUENTIAL mid-query executor kills — the reliable
+      * tier's contract is "survives ANY number of losses", not one — each
+      * faulted run returning the pinned answer. Runs whose kill misses the
+      * window don't count toward the quota but must still match. */
+    def chaos(name: String, kills: Int = 3)(q: () => String): Unit =
+      check(s"chaos_$name") {
+        val expected = q()
+        val w0 = System.nanoTime()
+        val again = q()
+        var lastRunSec = (System.nanoTime() - w0) / 1e9
+        require(again == expected,
+          s"fault-free reruns diverged: $expected vs $again")
+        var landed = 0
+        var attempt = 0
+        val details = Seq.newBuilder[String]
+        while (landed < kills && attempt < kills * 4) {
+          attempt += 1
+          val frac = 0.1 + rnd.nextDouble() * 0.5
+          val (got, mid, offs, window) =
+            killedRun(s"$name-$attempt", q, lastRunSec, frac, 1, 0)
+          lastRunSec = window
+          require(got == expected,
+            s"$name diverged after executor kill: $expected vs $got")
+          if (mid) {
+            landed += 1
+            details += f"${offs.head}%.2f/${window}%.2f"
+          } else println(s"PROBE note $name attempt $attempt missed the " +
+            f"window (kill at ${offs.head}%.2f s of $window%.2f s)")
+        }
+        require(landed >= kills,
+          s"only $landed of $kills kills landed inside the $name window")
+        s"digest=$expected kills=$landed attempts=$attempt " +
+          s"killAt=${details.result().mkString(",")}"
+      }
+
+    /** BOTH executors killed inside one query window, ~400 ms apart (well
+      * inside a single stage at these corpus sizes): the cluster is briefly
+      * at ZERO executors mid-stage and the run must still return the pinned
+      * answer once the worker respawns them. */
+    def doubleKill(name: String)(q: () => String): Unit =
+      check("chaos_doublekill") {
+        val expected = q()
+        val w0 = System.nanoTime()
+        require(q() == expected, "fault-free reruns diverged")
+        var lastRunSec = (System.nanoTime() - w0) / 1e9
+        var attempt = 0
+        var done = ""
+        while (done.isEmpty && attempt < 6) {
+          attempt += 1
+          val (got, mid, offs, window) =
+            killedRun(s"$name-double-$attempt", q, lastRunSec,
+              frac = 0.1 + rnd.nextDouble() * 0.3, nKills = 2, gapMs = 400)
+          lastRunSec = window
+          require(got == expected,
+            s"double-kill diverged: $expected vs $got")
+          if (mid) done = f"digest=$got killsAt=${offs.head}%.2f," +
+            f"${offs(1)}%.2f of $window%.2f s attempt=$attempt"
+          else println(s"PROBE note doublekill attempt $attempt missed " +
+            s"(offsets ${offs.map(o => f"$o%.2f").mkString(",")} of $window)")
+        }
+        require(done.nonEmpty, "double kill never landed inside the window")
+        done
+      }
 
     // corpora as pure distributed expressions (no parquet round-trip);
     // sized so each query runs long enough for a kill window on 2×4 cores
@@ -176,6 +224,11 @@ object ChaosProbe {
     }
     chaos("bpe") { () =>
       digest(graft.functions.Text.bpeTrain(docsSmall, "text", 24))
+    }
+    doubleKill("minhash") { () =>
+      digest(graft.functions.Dedup.minhashPairs(
+        graft.functions.Dedup.shingledPosting(docs, "doc_id", "text",
+          layoutById = true), 0.5))
     }
 
     check("chaos_aborts") {

@@ -20,7 +20,16 @@ import org.apache.spark.sql.functions._
   *    invisible at spec scale). Per-field dictionaries need their own
   *    corpus-wide distincts (~20 s) — a wash. The string-keyed
   *    HashAggregate stays; the roaring segment index (idx_serve, 0.8 s)
-  *    remains the engine's precomputed answer for hot segmentations. */
+  *    remains the engine's precomputed answer for hot segmentations.
+  *
+  * Round-11 adds the variant round 10 costed but didn't run end-to-end:
+  * `hc-shape-dict-amortized` groups on xxhash64 codes (HashAggregate
+  * retained — no string buffers in the agg), then restores exact labels by
+  * broadcast-joining per-field (code, label) dictionaries onto the
+  * AGGREGATED result (combo-cardinality rows, not the corpus). The
+  * dictionaries are built ONCE and persisted next to the parquet —
+  * amortized like the roaring index — so the timed query pays only the
+  * map-side hash + post-agg joins. `DICT build` is reported separately. */
 object ScanProbe {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/graft-able-v4-1000000000")
@@ -34,6 +43,24 @@ object ScanProbe {
       val t0 = System.nanoTime()
       f
       println(f"SCAN $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    // per-field (code, label) dictionaries, built once next to the parquet
+    // (generation-time cost in a real deployment); scalar fields distinct
+    // directly, the set field distincts its exploded members
+    val dictRoot = s"$path-dicts"
+    val scalarFields = Seq("education_level", "gender", "political_party")
+    if (!new java.io.File(dictRoot, "_done").exists()) {
+      timed("DICT build (amortized, once)") {
+        scalarFields.foreach { f =>
+          df.select(col(f).as("label")).distinct()
+            .select(xxhash64(col("label")).as("code"), col("label"))
+            .write.mode("overwrite").parquet(s"$dictRoot/$f")
+        }
+        df.select(explode(col("domain")).as("label")).distinct()
+          .select(xxhash64(col("label")).as("code"), col("label"))
+          .write.mode("overwrite").parquet(s"$dictRoot/domain")
+        new java.io.File(dictRoot, "_done").createNewFile(): Unit
+      }
     }
     for (_ <- 1 to runs) {
       timed("domain-explode-count") {
@@ -59,6 +86,31 @@ object ScanProbe {
           .select(col("e"), col("g"), col("p"), xxhash64(col("d0")).as("d"),
             col("age"))
           .groupBy("e", "g", "p", "d").agg(count(lit(1)), sum("age"))
+          .select(count(lit(1))).head(): Unit
+      }
+      timed("hc-shape-dict-amortized") {
+        // group on int codes (pure HashAggregate), labels restored AFTER
+        // aggregation by broadcast-joining the persisted dictionaries onto
+        // combo-cardinality rows
+        val agg = df.select(
+            xxhash64(col("education_level")).as("e"),
+            xxhash64(col("gender")).as("g"),
+            xxhash64(col("political_party")).as("p"),
+            explode(col("domain")).as("d0"), col("age"))
+          .select(col("e"), col("g"), col("p"),
+            xxhash64(col("d0")).as("d"), col("age"))
+          .groupBy("e", "g", "p", "d").agg(count(lit(1)).as("cnt"),
+            sum("age").as("agg"))
+        val restored = (scalarFields.map(f =>
+            (if (f == "education_level") "e"
+             else if (f == "gender") "g" else "p", f)) :+ ("d", "domain"))
+          .foldLeft(agg) { case (acc, (codeCol, f)) =>
+            val dict = spark.read.parquet(s"$dictRoot/$f")
+              .select(col("code").as(codeCol), col("label").as(f))
+            acc.join(broadcast(dict), codeCol)
+          }
+        restored.select("education_level", "gender", "political_party",
+            "domain", "cnt", "agg")
           .select(count(lit(1))).head(): Unit
       }
       timed("hc-shape-hashed-first-labels") {

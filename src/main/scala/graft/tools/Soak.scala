@@ -39,8 +39,22 @@ object Soak {
       .getOrCreate()
     spark0.sparkContext.setLogLevel("ERROR")
     val wh = java.nio.file.Files.createTempDirectory("graft-soak-wh").toString
+    // the RELIABLE checkpoint tier stays ON for the whole soak: every
+    // durable write routes through Materialize.stable → Dataset.checkpoint,
+    // so this drives the cleanCheckpoints reclamation path (round-9 ADVICE
+    // #1) under sustained serving and PROVES the tree is bounded — a
+    // leak here is one checkpoint tree per write on a long-lived server
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-soak-ckpt")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val client = HttpClient.newHttpClient()
+
+    def dirBytes(p: java.nio.file.Path): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length() // vanished-mid-walk files read 0 — fine for a gauge
+      walk(p.toFile)
+    }
+    val ckptMax = new AtomicLong()
 
     val stop = new AtomicBoolean(false)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -57,6 +71,7 @@ object Soak {
     def boot(): Node = {
       val s = spark0.newSession()
       s.conf.set("spark.graft.warehouse", wh)
+      s.conf.set("spark.graft.checkpointDir", ckptDir.toString)
       graft.sql.Ddl.restoreSession(s)
       val http = new graft.server.HttpFacade(s, sfDir, 0)
       Node(s, http, http.start())
@@ -163,7 +178,15 @@ object Soak {
       }
     }, "soak-restart")
 
-    val threads = writers ++ Seq(reader, backupper, restarter)
+    val ckptWatcher = new Thread(() => {
+      while (!stop.get()) {
+        val b = dirBytes(ckptDir)
+        ckptMax.updateAndGet(m => math.max(m, b))
+        Thread.sleep(2000)
+      }
+    }, "soak-ckpt-watch")
+
+    val threads = writers ++ Seq(reader, backupper, restarter, ckptWatcher)
     threads.foreach(_.start())
     Thread.sleep(seconds * 1000L)
     stop.set(true)
@@ -181,8 +204,30 @@ object Soak {
     }
     node.http.stop()
 
+    // reclamation proof: once the serving state is dropped, the
+    // ContextCleaner (cleanCheckpoints=true) must GC the checkpoint trees
+    // of superseded pieces — poll until the size stops falling, then assert
+    // the tree is BOUNDED (≈ the live state, nowhere near the churn peak)
+    node = null
+    var ckptFinal = dirBytes(ckptDir)
+    var settleTries = 0
+    var shrinking = true
+    while (shrinking && settleTries < 15) {
+      System.gc()
+      Thread.sleep(2000)
+      val b = dirBytes(ckptDir)
+      shrinking = b < ckptFinal
+      ckptFinal = b
+      settleTries += 1
+    }
+    if (requests.get() >= 500 && ckptMax.get() > 0 &&
+        ckptFinal > math.max(ckptMax.get() / 4, 64L << 20))
+      errors.add(s"checkpoint tree not reclaimed: final=$ckptFinal " +
+        s"max=${ckptMax.get()}")
+
     println(s"""{"soak_seconds":$seconds,"requests":${requests.get()},""" +
       s""""restarts":${restarts.get()},"final_keys_checked":$checked,""" +
+      s""""ckpt_max_bytes":${ckptMax.get()},"ckpt_final_bytes":$ckptFinal,""" +
       s""""errors":${errors.size()}}""")
     if (!errors.isEmpty) {
       scala.jdk.CollectionConverters.IteratorHasAsScala(errors.iterator())

@@ -182,6 +182,150 @@ class IndexRewriteSpec extends SparkSpec {
     assert(!mixed.queryExecution.optimizedPlan.toString.contains("bitmap_or_agg"))
   }
 
+  // ------------------------------------------------ grouped count/sum index
+
+  private def registerGroupSum(): Unit = {
+    val base = Tables.load(spark, sfDir, "events")
+    val idxDir = "/tmp/graft_index/events_groupsum"
+    // buildTo: a REBUILD with the registration already live must not be
+    // answered from the index files it is overwriting (second call here)
+    graft.index.GroupIndex.buildTo(base, Seq("event_type"), Seq("value"), idxDir)
+    IndexCatalog.registerGroup(s"$sfDir/events.parquet", Seq("event_type"),
+      Set.empty, Seq("value"), spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    base.createOrReplaceTempView("ev_gidx")
+  }
+
+  test("grouped count+sum is served from the GroupIndex, fact table unread") {
+    registerGroupSum()
+    val q = spark.sql(
+      "SELECT event_type, count(*) AS cnt, sum(value) AS sv FROM ev_gidx " +
+        "GROUP BY event_type ORDER BY event_type")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("events.parquet"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("events_groupsum"), s"group index not scanned:\n$phys")
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      .orderBy("event_type").collect()
+    val got = q.collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
+      // double sums aggregate in a different order at build time — bound the
+      // comparison the way the DuckDB oracle does (1e-9 relative)
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) <=
+        1e-9 * math.max(1.0, math.abs(w.getDouble(2))))
+    }
+  }
+
+  test("PQL GroupBy(Rows…, aggregate=Sum) over a set field is index-served " +
+    "with exact explode and null semantics") {
+    import spark.implicits._
+    val factDir = "/tmp/graft_gidx/fact"
+    val idxDir = "/tmp/graft_gidx/idx"
+    // NULL education row and empty-domain row pin the semantics: PQL
+    // excludes both (presence filter + explode); the index keeps the NULL
+    // group and the transferred IS NOT NULL drops it at serve time
+    Seq(
+      ("hs", Seq("a.com", "b.com"), 30L),
+      ("hs", Seq("a.com"), 40L),
+      ("uni", Seq("b.com"), 50L),
+      (null.asInstanceOf[String], Seq("a.com"), 60L),
+      ("hs", Seq.empty[String], 70L)
+    ).toDF("education_level", "domain", "age")
+      .write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    graft.index.GroupIndex.build(fact, Seq("education_level", "domain"), Seq("age"))
+      .write.mode("overwrite").parquet(idxDir)
+    IndexCatalog.registerGroup(factDir, Seq("education_level", "domain"),
+      Set("domain"), Seq("age"), spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    val q = new graft.pql.Compiler(fact).run(graft.pql.Parser.parseOne(
+      "GroupBy(Rows(education_level), Rows(domain), aggregate=Sum(field=age))"))
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("gidx/fact"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("gidx/idx"), s"group index not scanned:\n$phys")
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("hs", "a.com", 2L, 70L), ("hs", "b.com", 1L, 30L),
+      ("uni", "b.com", 1L, 50L)), got.toString)
+  }
+
+  test("the 1B-bench hc_groupby shape (Rows×4 + Sum) is index-served with " +
+    "results identical to the scan") {
+    // same PQL, same generator, same registration as Bench's able_1b block,
+    // at spec scale — proves the 4-key + set-explode shape end-to-end
+    val factDir = graft.tools.AbleGen.ensure(spark, 50000L,
+      "/tmp/graft_gidx/able50k")
+    val fact = spark.read.parquet(factDir)
+    val hc = "GroupBy(Rows(education_level), Rows(gender), " +
+      "Rows(political_party), Rows(domain), aggregate=Sum(field=age))"
+    val want = new graft.pql.Compiler(fact)
+      .run(graft.pql.Parser.parseOne(hc)).collect().toSeq
+    val gCols = Seq("education_level", "gender", "political_party", "domain")
+    val idxDir = "/tmp/graft_gidx/able50k_idx"
+    graft.index.GroupIndex.buildTo(fact, gCols, Seq("age"), idxDir)
+    IndexCatalog.registerGroup(factDir, gCols, Set("domain"), Seq("age"),
+      spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    val q = new graft.pql.Compiler(fact).run(graft.pql.Parser.parseOne(hc))
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("able50k/"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("able50k_idx"), s"group index not scanned:\n$phys")
+    assert(q.collect().toSeq == want)
+  }
+
+  test("grouped rewrite declines on foreign filters, explode mismatch, " +
+    "unindexed sums") {
+    registerGroupSum()
+    // predicate on a non-group column: combo rows can't answer it
+    val foreign = spark.sql(
+      "SELECT event_type, sum(value) FROM ev_gidx WHERE user_id > 10 " +
+        "GROUP BY event_type")
+    assert(foreign.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "foreign-filtered group query must stay on the fact table")
+    // sum of a column the index didn't precompute
+    val unindexed = spark.sql(
+      "SELECT event_type, sum(user_id) FROM ev_gidx GROUP BY event_type")
+    assert(unindexed.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "unindexed sum must stay on the fact table")
+    // avg is not servable from (cnt, sum) rows by this rule
+    val avg = spark.sql(
+      "SELECT event_type, avg(value) FROM ev_gidx GROUP BY event_type")
+    assert(avg.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "avg must stay on the fact table")
+    // key-set mismatch: extra group key not covered by the registration
+    val extraKey = spark.sql(
+      "SELECT event_type, user_id, sum(value) FROM ev_gidx " +
+        "GROUP BY event_type, user_id")
+    assert(extraKey.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "unregistered key set must stay on the fact table")
+  }
+
+  test("grouped rewrite keeps SQL NULL-group semantics (no presence filter)") {
+    import spark.implicits._
+    val factDir = "/tmp/graft_gidx/nullfact"
+    val idxDir = "/tmp/graft_gidx/nullidx"
+    Seq(("x", 1L), (null.asInstanceOf[String], 2L), (null.asInstanceOf[String], 3L))
+      .toDF("seg2", "v").write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    graft.index.GroupIndex.build(fact, Seq("seg2"), Seq("v"))
+      .write.mode("overwrite").parquet(idxDir)
+    IndexCatalog.registerGroup(factDir, Seq("seg2"), Set.empty, Seq("v"),
+      spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    fact.createOrReplaceTempView("nullfact")
+    val q = spark.sql(
+      "SELECT seg2, count(*) AS cnt, sum(v) AS sv FROM nullfact GROUP BY seg2")
+    assert(!q.queryExecution.executedPlan.toString.contains("nullfact"),
+      "expected index serving")
+    val got = q.collect().map(r => (Option(r.getString(0)), r.getLong(1),
+      r.getLong(2))).toSet
+    assert(got == Set((Some("x"), 1L, 1L), (None, 2L, 5L)), got.toString)
+  }
+
   test("nondeterministic seg-only predicates are NOT transferred to the index") {
     buildAndRegister()
     // `event_type = 'click' OR rand() < 0.5` references only seg, but

@@ -1042,4 +1042,40 @@ class HttpFacadeSpec extends SparkSpec {
     val (cu, bu, _) = getUa("/no-such-route-xyz", "Mozilla/5.0")
     assert(cu == 404 && bu.contains("404 page not found"), s"$cu $bu")
   }
+
+  test("/ann build+query serve top-k with per-request nProbe/shortlist dials") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (cb, bb) = post("/ann/facadetest/build",
+      """{"table":"embeddings","id":"vec_id","vec":"embedding","dim":64,""" +
+        """"nCells":8,"m":8,"k":16}""")
+    assert(cb == 200, s"$cb $bb")
+    assert(mapper.readTree(bb).get("cells").asInt == 8, bb)
+    val q = spark.table("embeddings").filter("vec_id = 0")
+      .select("embedding").head().getSeq[Float](0).mkString("[", ",", "]")
+    // exhaustive dials = exact: must equal the library brute force
+    val (c1, b1) = post("/ann/facadetest/query",
+      s"""{"query":$q,"k":5,"nProbe":8,"shortlist":1000000,"exclude":0}""")
+    assert(c1 == 200, s"$c1 $b1")
+    val ids1 = {
+      val m = mapper.readTree(b1).get("matches")
+      (0 until m.size).map(i => m.get(i).get("id").asLong)
+    }
+    val brute = graft.functions.Similarity.cosineTopK(
+      spark.table("embeddings"), "vec_id", "embedding",
+      spark.table("embeddings").filter("vec_id = 0").select("embedding")
+        .head().getSeq[Float](0), 5, Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids1 == brute, s"exhaustive serve != brute: $ids1 vs $brute")
+    // the dials are live: shortlist=1 reranks exactly one candidate
+    val (c2, b2) = post("/ann/facadetest/query",
+      s"""{"query":$q,"k":5,"nProbe":8,"shortlist":1,"exclude":0}""")
+    assert(c2 == 200 && mapper.readTree(b2).get("matches").size == 1, s"$c2 $b2")
+    // nProbe=1 restricts to one cell's candidates (valid run, <= k rows)
+    val (c3, b3) = post("/ann/facadetest/query",
+      s"""{"query":$q,"k":5,"nProbe":1,"shortlist":1000000,"exclude":0}""")
+    assert(c3 == 200 && mapper.readTree(b3).get("matches").size <= 5, s"$c3 $b3")
+    // unknown index + malformed body are clean 400s, not dropped exchanges
+    assert(post("/ann/nosuch/query", s"""{"query":$q,"k":5}""")._1 == 400)
+    assert(post("/ann/facadetest/query", """{"k":5}""")._1 == 400)
+  }
 }
