@@ -29,7 +29,23 @@ import org.apache.spark.sql.functions._
   * AGGREGATED result (combo-cardinality rows, not the corpus). The
   * dictionaries are built ONCE and persisted next to the parquet —
   * amortized like the roaring index — so the timed query pays only the
-  * map-side hash + post-agg joins. `DICT build` is reported separately. */
+  * map-side hash + post-agg joins. `DICT build` is reported separately.
+  *
+  * MEASURED at 1B (2 rounds): full string-keyed 43.7-50.3 s, bare hashed
+  * keys 27.5-28.9 s, dict-amortized 27.4-31.6 s (dict build 28.3 s, once).
+  * So the post-agg label restore is effectively FREE (combo-cardinality
+  * joins) and the variant wins ~1.6× end-to-end — round 10's "a wash" was
+  * wrong because it charged the per-query plan for corpus-wide distincts
+  * that amortize. NOT adopted as the engine's default grouping plan
+  * anyway: (a) xxhash64 codes can collide — two labels silently merging
+  * into one group is a CORRECTNESS failure the string-keyed plan cannot
+  * have, and no cheap per-query guard exists; (b) the round-11
+  * GroupIndex + IndexRewrite path serves the same hot shapes in ~0.6 s
+  * scan-free with exact semantics, taking the use case the 1.6× was for.
+  * Kept as a measured negative-adoption record. (Same r11 run:
+  * `hashed-first-labels` read 27.9-29.7 s — the r10 SortAggregate pin did
+  * not reproduce on this tree/box; the collision caveat, not that trap,
+  * is now the standing reason against hashed grouping.) */
 object ScanProbe {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/graft-able-v4-1000000000")
