@@ -903,6 +903,24 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       s.sql("SELECT event_type, count(*) AS cnt, sum(value) AS sv " +
         "FROM ev_gidx_q GROUP BY event_type ORDER BY event_type")
     }),
+    // MIXED aggregate vector — count(*) + sum + count(DISTINCT) — served
+    // from ONE grouped-index row: cnt/sum_* columns plus a per-combo
+    // roaring bitmap whose cardinality answers the distinct
+    // (`executor.go:3341` GroupBy aggregate=Count(Distinct), fragment-served)
+    "idx_rewrite_groupby_distinct" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val idxDir = graft.streaming.Ingest.scratch("idx_rewrite") + "/events_groupmixed"
+      graft.index.GroupIndex.buildTo(base, Seq("event_type"), Seq("value"),
+        idxDir, distinctCols = Seq("user_id"))
+      graft.plans.IndexCatalog.registerGroup(s"$dir/events.parquet",
+        Seq("event_type"), Set.empty, Seq("value"), s.read.parquet(idxDir),
+        Seq("user_id"))
+      graft.plans.IndexRewrite.install(s)
+      base.createOrReplaceTempView("ev_gmix_q")
+      s.sql("SELECT event_type, count(*) AS cnt, sum(value) AS sv, " +
+        "count(DISTINCT user_id) AS ud FROM ev_gmix_q " +
+        "GROUP BY event_type ORDER BY event_type")
+    }),
     // Structured Streaming surface (SURVEY §2.3): each runs a genuine
     // streaming query (file source → state → sink) to completion and returns
     // the result for the oracle gate.
@@ -1771,6 +1789,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "SELECT count(*) AS cnt FROM events WHERE event_type = 'click'",
     "idx_rewrite_groupby_sum" -> ("SELECT event_type, count(*) AS cnt, " +
       "sum(value) AS sv FROM events GROUP BY 1 ORDER BY 1"),
+    "idx_rewrite_groupby_distinct" -> ("SELECT event_type, count(*) AS cnt, " +
+      "sum(value) AS sv, count(DISTINCT user_id) AS ud FROM events " +
+      "GROUP BY 1 ORDER BY 1"),
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
   )

@@ -34,20 +34,33 @@ object GroupIndex {
   def explodedCols(df: DataFrame, groupCols: Seq[String]): Set[String] =
     groupCols.filter(c => df.schema(c).dataType.isInstanceOf[ArrayType]).toSet
 
-  /** One row per group-value combination with `cnt` (exploded-row count)
-    * and `sum_<col>` per requested sum column. Build cost is one grouped
-    * aggregation over the fact table (map-side combined, shuffle bounded by
-    * combo cardinality) — run once at ingest/generation time, amortized
-    * across every serving query like the roaring index. */
-  def build(df: DataFrame, groupCols: Seq[String],
-            sumCols: Seq[String]): DataFrame = {
+  /** One row per group-value combination with `cnt` (exploded-row count),
+    * `sum_<col>` per requested sum column, and `bm_<col>` — a roaring
+    * bitmap of the column's distinct (integral) values within the combo —
+    * per requested distinct column, so `count(DISTINCT col)` per combo is
+    * one [[graft.index.BitmapCardinality]] read (the reference's GroupBy
+    * `aggregate=Count(Distinct(field))`, `executor.go:3341-3360`, served
+    * from fragments). Build cost is one grouped aggregation over the fact
+    * table (map-side combined, the shuffle carries compact roaring buffers
+    * bounded by combo cardinality) — run once at ingest/generation time,
+    * amortized across every serving query like the roaring index. */
+  def build(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+            distinctCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
+    distinctCols.foreach { c =>
+      val t = df.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType,
+        s"distinct column '$c' must be integral (bitmap ids), got $t")
+    }
     val exploded = explodedCols(df, groupCols)
     val base = groupCols.foldLeft(df) { (acc, c) =>
       if (exploded(c)) acc.withColumn(c, explode(col(c))) else acc
     }
-    val aggs = count(lit(1)).as("cnt") +:
-      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    val aggs = (count(lit(1)).as("cnt") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+      distinctCols.map(c => Bitmap.bitmapBuild(df.sparkSession,
+        s"CAST(`$c` AS BIGINT)").as(s"bm_$c"))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -56,11 +69,12 @@ object GroupIndex {
     * registration still live it would be answered FROM the index files the
     * overwrite is deleting. Use this for periodic index refresh. */
   def buildTo(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
-              path: String): Unit = {
+              path: String, distinctCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.graft.indexRewrite")
     spark.conf.set("spark.graft.indexRewrite", "false")
-    try build(df, groupCols, sumCols).write.mode("overwrite").parquet(path)
+    try build(df, groupCols, sumCols, distinctCols)
+      .write.mode("overwrite").parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.graft.indexRewrite", v)
       case None    => spark.conf.unset("spark.graft.indexRewrite")

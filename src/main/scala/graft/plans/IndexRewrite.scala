@@ -34,9 +34,12 @@ object IndexCatalog {
 
   /** A materialized grouped-aggregate index ([[graft.index.GroupIndex]]):
     * `groupCols` in build order, `explodedCols` the ArrayType members the
-    * build exploded, `sumCols` the columns with a stored `sum_<col>`. */
+    * build exploded, `sumCols` the columns with a stored `sum_<col>`,
+    * `distinctCols` the columns with a stored roaring `bm_<col>` (serving
+    * per-combo count-distinct via bitmap cardinality). */
   final case class GroupEntry(groupCols: Seq[String], explodedCols: Set[String],
-                              sumCols: Set[String], indexPlan: LogicalPlan)
+                              sumCols: Set[String], distinctCols: Set[String],
+                              indexPlan: LogicalPlan)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Entry]
@@ -60,9 +63,9 @@ object IndexCatalog {
     * key order (hash aggregation is order-insensitive). */
   def registerGroup(basePath: String, groupCols: Seq[String],
                     explodedCols: Set[String], sumCols: Seq[String],
-                    index: DataFrame): Unit =
+                    index: DataFrame, distinctCols: Seq[String] = Nil): Unit =
     groupEntries.put((normalize(basePath), groupCols.toSet),
-      GroupEntry(groupCols, explodedCols, sumCols.toSet,
+      GroupEntry(groupCols, explodedCols, sumCols.toSet, distinctCols.toSet,
         index.queryExecution.optimizedPlan))
 
   def lookupGroup(paths: Seq[String], groupCols: Set[String]): Option[GroupEntry] =
@@ -247,6 +250,15 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case al @ Alias(AggregateExpression(
           Count(Seq(_: Literal)), _, false, None, _), name) =>
         idxCol("cnt").map(c => Alias(c, name)(exprId = al.exprId))
+      // count(DISTINCT col) per combo ← cardinality of the stored roaring
+      // bitmap (the reference's GroupBy aggregate=Count(Distinct),
+      // `executor.go:3341` — a per-group Distinct re-run there, one bitmap
+      // read here)
+      case al @ Alias(AggregateExpression(
+          Count(Seq(dc: AttributeReference)), _, true, None, _), name) =>
+        resolve.get(dc.exprId).filter(entry.distinctCols).flatMap(src =>
+          idxCol(s"bm_$src").map(c =>
+            Alias(BitmapCardinality(c), name)(exprId = al.exprId)))
       case al @ Alias(AggregateExpression(s: Sum, _, false, None, _), name) =>
         s.child match {
           case sc: AttributeReference =>

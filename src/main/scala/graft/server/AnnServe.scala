@@ -49,7 +49,9 @@ object AnnServe {
     val (codes, centroids, codebooks) =
       Similarity.ivfPqIndex(df, idCol, vecCol, dim, nCells, m, k)
     val path = graft.streaming.Ingest.scratch("ann_serve") + s"/$name"
-    codes.write.mode("overwrite").parquet(path)
+    // cell-partitioned layout: the query's nProbe filter becomes PHYSICAL
+    // partition pruning (PipelineSpec asserts ≤ nProbe partitions touched)
+    codes.write.partitionBy("cell").mode("overwrite").parquet(path)
     registry.put(name,
       Entry(path, df, idCol, vecCol, dim, centroids, codebooks))
     (centroids.length, spark.read.parquet(path).count())

@@ -277,6 +277,45 @@ class IndexRewriteSpec extends SparkSpec {
     assert(q.collect().toSeq == want)
   }
 
+  test("MIXED aggregate vector (count + sum + count-distinct) served from " +
+    "one grouped-index row via bitmap cardinality") {
+    val base = Tables.load(spark, sfDir, "events")
+    val idxDir = "/tmp/graft_index/events_groupmixed"
+    graft.index.GroupIndex.buildTo(base, Seq("event_type"), Seq("value"),
+      idxDir, distinctCols = Seq("user_id"))
+    IndexCatalog.registerGroup(s"$sfDir/events.parquet", Seq("event_type"),
+      Set.empty, Seq("value"), spark.read.parquet(idxDir), Seq("user_id"))
+    IndexRewrite.install(spark)
+    base.createOrReplaceTempView("ev_gmix")
+    val q = spark.sql(
+      "SELECT event_type, count(*) AS cnt, sum(value) AS sv, " +
+        "count(DISTINCT user_id) AS ud FROM ev_gmix " +
+        "GROUP BY event_type ORDER BY event_type")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bitmap_cardinality"), s"distinct not bitmap-served:\n$opt")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("events.parquet"), s"fact table still scanned:\n$phys")
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        countDistinct("user_id").as("ud"))
+      .orderBy("event_type").collect()
+    val got = q.collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1)
+        && g.getLong(3) == w.getLong(3), s"$g vs $w")
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) <=
+        1e-9 * math.max(1.0, math.abs(w.getDouble(2))))
+    }
+    // distinct of an UNINDEXED column declines (plan keeps the fact scan)
+    val miss = spark.sql(
+      "SELECT event_type, count(DISTINCT event_id), sum(value) FROM ev_gmix " +
+        "GROUP BY event_type")
+    assert(miss.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "unindexed count-distinct must stay on the fact table")
+  }
+
   test("grouped rewrite declines on foreign filters, explode mismatch, " +
     "unindexed sums") {
     registerGroupSum()
