@@ -499,7 +499,9 @@ object Bench {
           // GroupBy precomputed the way FeatureBase's fragments precompute
           // (`executor.go:3176`). Build is one hc-shaped aggregation, cached
           // across rounds like the roaring index (-1 = served from cache).
-          val gidxPath = s"$tmp/graft-able-gidx-$n1b"
+          // v2: schema gained cntv_/min_/max_ per value column (avg/min/max
+          // serving) — a new cache dir so the registered schema matches
+          val gidxPath = s"$tmp/graft-able-gidx2-$n1b"
           val gCols = Seq("education_level", "gender", "political_party", "domain")
           val gidxBuildSec =
             if (new java.io.File(gidxPath).isDirectory) -1.0

@@ -917,7 +917,11 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         Seq("user_id"))
       graft.plans.IndexRewrite.install(s)
       base.createOrReplaceTempView("ev_gmix_q")
+      // avg stays unwrapped: a round() INSIDE the aggregate list would hide
+      // the Average from the rewrite matcher (check.py's 1e-9 relative
+      // float tolerance covers the accumulation-order difference)
       s.sql("SELECT event_type, count(*) AS cnt, sum(value) AS sv, " +
+        "avg(value) AS av, min(value) AS mn, max(value) AS mx, " +
         "count(DISTINCT user_id) AS ud FROM ev_gmix_q " +
         "GROUP BY event_type ORDER BY event_type")
     }),
@@ -1790,7 +1794,8 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "idx_rewrite_groupby_sum" -> ("SELECT event_type, count(*) AS cnt, " +
       "sum(value) AS sv FROM events GROUP BY 1 ORDER BY 1"),
     "idx_rewrite_groupby_distinct" -> ("SELECT event_type, count(*) AS cnt, " +
-      "sum(value) AS sv, count(DISTINCT user_id) AS ud FROM events " +
+      "sum(value) AS sv, avg(value) AS av, min(value) AS mn, " +
+      "max(value) AS mx, count(DISTINCT user_id) AS ud FROM events " +
       "GROUP BY 1 ORDER BY 1"),
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),

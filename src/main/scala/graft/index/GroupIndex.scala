@@ -34,16 +34,20 @@ object GroupIndex {
   def explodedCols(df: DataFrame, groupCols: Seq[String]): Set[String] =
     groupCols.filter(c => df.schema(c).dataType.isInstanceOf[ArrayType]).toSet
 
-  /** One row per group-value combination with `cnt` (exploded-row count),
-    * `sum_<col>` per requested sum column, and `bm_<col>` — a roaring
-    * bitmap of the column's distinct (integral) values within the combo —
-    * per requested distinct column, so `count(DISTINCT col)` per combo is
-    * one [[graft.index.BitmapCardinality]] read (the reference's GroupBy
-    * `aggregate=Count(Distinct(field))`, `executor.go:3341-3360`, served
-    * from fragments). Build cost is one grouped aggregation over the fact
-    * table (map-side combined, the shuffle carries compact roaring buffers
-    * bounded by combo cardinality) — run once at ingest/generation time,
-    * amortized across every serving query like the roaring index. */
+  /** One row per group-value combination with `cnt` (exploded-row count);
+    * per requested VALUE column `c`: `sum_<c>`, `cntv_<c>` (non-null
+    * count — avg's denominator, which `cnt` is NOT when the column has
+    * nulls), `min_<c>`, `max_<c>` — serving SUM/AVG/MIN/MAX (the
+    * reference SQL's aggregate set over GroupBy); and `bm_<col>` — a
+    * roaring bitmap of the column's distinct (integral) values within the
+    * combo — per requested distinct column, so `count(DISTINCT col)` per
+    * combo is one [[graft.index.BitmapCardinality]] read (the reference's
+    * GroupBy `aggregate=Count(Distinct(field))`, `executor.go:3341-3360`,
+    * served from fragments). Build cost is one grouped aggregation over
+    * the fact table (map-side combined, the shuffle carries compact
+    * roaring buffers bounded by combo cardinality) — run once at
+    * ingest/generation time, amortized across every serving query like
+    * the roaring index. */
   def build(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
             distinctCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
@@ -58,7 +62,9 @@ object GroupIndex {
       if (exploded(c)) acc.withColumn(c, explode(col(c))) else acc
     }
     val aggs = (count(lit(1)).as("cnt") +:
-      sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+      sumCols.flatMap(c => Seq(
+        sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cntv_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
       distinctCols.map(c => Bitmap.bitmapBuild(df.sparkSession,
         s"CAST(`$c` AS BIGINT)").as(s"bm_$c"))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)

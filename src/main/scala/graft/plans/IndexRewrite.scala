@@ -267,6 +267,51 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
                 .map(c => Alias(c, name)(exprId = al.exprId)))
           case _ => None
         }
+      // min/max per combo ← the stored per-combo extremum (null when the
+      // combo's column is all-null, exactly like the live aggregate)
+      case al @ Alias(AggregateExpression(
+          m: org.apache.spark.sql.catalyst.expressions.aggregate.Min,
+          _, false, None, _), name) =>
+        m.child match {
+          case sc: AttributeReference =>
+            resolve.get(sc.exprId).filter(entry.sumCols).flatMap(src =>
+              idxCol(s"min_$src").filter(_.dataType == al.dataType)
+                .map(c => Alias(c, name)(exprId = al.exprId)))
+          case _ => None
+        }
+      case al @ Alias(AggregateExpression(
+          m: org.apache.spark.sql.catalyst.expressions.aggregate.Max,
+          _, false, None, _), name) =>
+        m.child match {
+          case sc: AttributeReference =>
+            resolve.get(sc.exprId).filter(entry.sumCols).flatMap(src =>
+              idxCol(s"max_$src").filter(_.dataType == al.dataType)
+                .map(c => Alias(c, name)(exprId = al.exprId)))
+          case _ => None
+        }
+      // avg ← stored sum / stored NON-NULL count (`cnt` would be wrong on
+      // null-holding columns); guarded division so an all-null combo reads
+      // NULL instead of tripping ANSI divide-by-zero. Double-typed avgs
+      // only (avg(long) also outputs double); decimal avgs decline.
+      case al @ Alias(AggregateExpression(
+          a: org.apache.spark.sql.catalyst.expressions.aggregate.Average,
+          _, false, None, _), name)
+          if al.dataType == org.apache.spark.sql.types.DoubleType =>
+        a.child match {
+          case sc: AttributeReference =>
+            resolve.get(sc.exprId).filter(entry.sumCols).flatMap { src =>
+              import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EqualTo, If, Literal => Lit}
+              import org.apache.spark.sql.types.DoubleType
+              (idxCol(s"sum_$src"), idxCol(s"cntv_$src")) match {
+                case (Some(s), Some(n)) =>
+                  Some(Alias(If(EqualTo(n, Lit(0L)), Lit(null, DoubleType),
+                    Divide(Cast(s, DoubleType), Cast(n, DoubleType))),
+                    name)(exprId = al.exprId))
+                case _ => None
+              }
+            }
+          case _ => None
+        }
       case _ => None
     }
     // predicates transfer only if every reference is a group column (an

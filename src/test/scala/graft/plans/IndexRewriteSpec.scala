@@ -289,6 +289,7 @@ class IndexRewriteSpec extends SparkSpec {
     base.createOrReplaceTempView("ev_gmix")
     val q = spark.sql(
       "SELECT event_type, count(*) AS cnt, sum(value) AS sv, " +
+        "avg(value) AS av, min(value) AS mn, max(value) AS mx, " +
         "count(DISTINCT user_id) AS ud FROM ev_gmix " +
         "GROUP BY event_type ORDER BY event_type")
     val opt = q.queryExecution.optimizedPlan.toString
@@ -298,15 +299,21 @@ class IndexRewriteSpec extends SparkSpec {
     val want = Tables.load(spark, sfDir, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        avg("value").as("av"), min("value").as("mn"), max("value").as("mx"),
         countDistinct("user_id").as("ud"))
       .orderBy("event_type").collect()
     val got = q.collect()
     assert(got.length == want.length)
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
     got.zip(want).foreach { case (g, w) =>
       assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1)
-        && g.getLong(3) == w.getLong(3), s"$g vs $w")
-      assert(math.abs(g.getDouble(2) - w.getDouble(2)) <=
-        1e-9 * math.max(1.0, math.abs(w.getDouble(2))))
+        && g.getLong(6) == w.getLong(6), s"$g vs $w")
+      assert(close(g.getDouble(2), w.getDouble(2)), s"sum: $g vs $w")
+      assert(close(g.getDouble(3), w.getDouble(3)), s"avg: $g vs $w")
+      // min/max are order-independent: exact
+      assert(g.getDouble(4) == w.getDouble(4) &&
+        g.getDouble(5) == w.getDouble(5), s"min/max: $g vs $w")
     }
     // distinct of an UNINDEXED column declines (plan keeps the fact scan)
     val miss = spark.sql(
@@ -330,11 +337,11 @@ class IndexRewriteSpec extends SparkSpec {
       "SELECT event_type, sum(user_id) FROM ev_gidx GROUP BY event_type")
     assert(unindexed.queryExecution.executedPlan.toString.contains("events.parquet"),
       "unindexed sum must stay on the fact table")
-    // avg is not servable from (cnt, sum) rows by this rule
-    val avg = spark.sql(
-      "SELECT event_type, avg(value) FROM ev_gidx GROUP BY event_type")
-    assert(avg.queryExecution.executedPlan.toString.contains("events.parquet"),
-      "avg must stay on the fact table")
+    // stddev has no stored form — declines
+    val sd = spark.sql(
+      "SELECT event_type, stddev(value) FROM ev_gidx GROUP BY event_type")
+    assert(sd.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "stddev must stay on the fact table")
     // key-set mismatch: extra group key not covered by the registration
     val extraKey = spark.sql(
       "SELECT event_type, user_id, sum(value) FROM ev_gidx " +
