@@ -78,6 +78,99 @@ object IndexCatalog {
     p.stripPrefix("file:").replaceAll("/+$", "")
 }
 
+/** Durable index registrations: when `spark.graft.warehouse` is set,
+  * [[registerGroupDurable]] / [[registerDurable]] persist the registration
+  * metadata (paths + column roles — the index DATA is already parquet) to
+  * `warehouse/_indexes.json` and [[restore]] replays them, so a bounced
+  * serving process resumes index-serving without re-registration — the
+  * same restart contract as TableLog/DDL metadata
+  * (`graft.sql.Ddl.restoreSession` calls [[restore]]). Registrations
+  * whose index parquet vanished are skipped with a stderr note (the
+  * query is still answered, from the fact table). */
+object IndexRegistry {
+  private def file(spark: SparkSession): Option[java.nio.file.Path] =
+    scala.util.Try(spark.conf.get("spark.graft.warehouse")).toOption
+      .map(wh => java.nio.file.Paths.get(wh, "_indexes.json"))
+
+  private val lock = new Object
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def readAll(f: java.nio.file.Path): List[JValue] =
+    if (!java.nio.file.Files.exists(f)) Nil
+    else JsonMethods.parse(java.nio.file.Files.readString(f)) match {
+      case JArray(xs) => xs
+      case _          => Nil
+    }
+
+  private def append(spark: SparkSession, entry: JValue): Unit =
+    file(spark).foreach { f => lock.synchronized {
+      // idempotent by (kind, key): a re-registration supersedes
+      val key = (entry \ "kind", entry \ "basePath", entry \ "key")
+      val kept = readAll(f).filterNot(e =>
+        (e \ "kind", e \ "basePath", e \ "key") == key)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f,
+        JsonMethods.compact(JsonMethods.render(JArray(kept :+ entry))))
+    }}
+
+  /** Durable [[IndexCatalog.register]]: also records (basePath, segCol,
+    * idCol, indexPath) in the warehouse for restart replay. */
+  def registerDurable(spark: SparkSession, basePath: String, segCol: String,
+                      idCol: String, indexPath: String): Unit = {
+    IndexCatalog.register(basePath, segCol, idCol, spark.read.parquet(indexPath))
+    append(spark, JObject(List(
+      "kind" -> JString("seg"), "basePath" -> JString(basePath),
+      "key" -> JString(s"$segCol/$idCol"), "segCol" -> JString(segCol),
+      "idCol" -> JString(idCol), "indexPath" -> JString(indexPath))))
+  }
+
+  /** Durable [[IndexCatalog.registerGroup]]. */
+  def registerGroupDurable(spark: SparkSession, basePath: String,
+                           groupCols: Seq[String], explodedCols: Set[String],
+                           sumCols: Seq[String], indexPath: String,
+                           distinctCols: Seq[String] = Nil): Unit = {
+    IndexCatalog.registerGroup(basePath, groupCols, explodedCols, sumCols,
+      spark.read.parquet(indexPath), distinctCols)
+    append(spark, JObject(List(
+      "kind" -> JString("group"), "basePath" -> JString(basePath),
+      "key" -> JString(groupCols.sorted.mkString(",")),
+      "groupCols" -> JArray(groupCols.toList.map(JString(_))),
+      "explodedCols" -> JArray(explodedCols.toList.sorted.map(JString(_))),
+      "sumCols" -> JArray(sumCols.toList.map(JString(_))),
+      "distinctCols" -> JArray(distinctCols.toList.map(JString(_))),
+      "indexPath" -> JString(indexPath))))
+  }
+
+  /** Replay persisted registrations into the in-memory catalog (and
+    * install the rule). Safe to call repeatedly; no-op without a
+    * warehouse. */
+  def restore(spark: SparkSession): Unit = file(spark).foreach { f =>
+    def s(v: JValue): String = v match { case JString(x) => x; case o => o.toString }
+    def arr(v: JValue): Seq[String] =
+      v match { case JArray(xs) => xs.map(s); case _ => Nil }
+    val entries = lock.synchronized(readAll(f))
+    if (entries.nonEmpty) IndexRewrite.install(spark)
+    entries.foreach { e =>
+      try {
+        val idx = spark.read.parquet(s(e \ "indexPath"))
+        s(e \ "kind") match {
+          case "seg" => IndexCatalog.register(
+            s(e \ "basePath"), s(e \ "segCol"), s(e \ "idCol"), idx)
+          case "group" => IndexCatalog.registerGroup(
+            s(e \ "basePath"), arr(e \ "groupCols"),
+            arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), idx,
+            arr(e \ "distinctCols"))
+          case other => System.err.println(s"[restore] unknown index kind $other")
+        }
+      } catch { case ex: Exception =>
+        System.err.println(s"[restore] index registration skipped " +
+          s"(${s(e \ "indexPath")}): ${ex.getMessage}")
+      }
+    }
+  }
+}
+
 /** The rewrite rule. Matches
   * `Aggregate([segAttr], [segAttr?, count(DISTINCT idAttr)…], scan(fact))`
   * where scan is an unfiltered (possibly column-pruned) parquet relation with

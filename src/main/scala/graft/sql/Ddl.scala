@@ -1044,6 +1044,8 @@ object Ddl {
         }
       }
     }
+    // durable index registrations (same restart contract as DDL metadata)
+    graft.plans.IndexRegistry.restore(spark)
     tables
   }
 }

@@ -372,6 +372,101 @@ class IndexRewriteSpec extends SparkSpec {
     assert(got == Set((Some("x"), 1L, 1L), (None, 2L, 5L)), got.toString)
   }
 
+  test("differential property: random grouped queries read identically with " +
+    "the rewrite ON vs the kill-switch baseline") {
+    val base = Tables.load(spark, sfDir, "events")
+    val idxDir = "/tmp/graft_index/events_groupprop"
+    graft.index.GroupIndex.buildTo(base, Seq("event_type"), Seq("value"),
+      idxDir, distinctCols = Seq("user_id"))
+    IndexCatalog.registerGroup(s"$sfDir/events.parquet", Seq("event_type"),
+      Set.empty, Seq("value"), spark.read.parquet(idxDir), Seq("user_id"))
+    IndexRewrite.install(spark)
+    base.createOrReplaceTempView("ev_gprop")
+    val aggPool = Seq("count(*)", "sum(value)", "avg(value)", "min(value)",
+      "max(value)", "count(DISTINCT user_id)")
+    val predPool = Seq("", " WHERE event_type = 'click'",
+      " WHERE event_type IN ('view', 'purchase')",
+      " WHERE event_type IS NOT NULL", " WHERE event_type <> 'click'")
+    val rnd = new scala.util.Random(101611L)
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+      rows.toSeq.map(_.toSeq.map {
+        case d: Double => f"$d%.9e" // sums legitimately differ in last bits
+        case v => String.valueOf(v)
+      })
+    for (_ <- 1 to 40) {
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(4))
+        .zipWithIndex.map { case (a, i) => s"$a AS a$i" }
+      val sql = s"SELECT event_type, ${aggs.mkString(", ")} FROM ev_gprop" +
+        predPool(rnd.nextInt(predPool.size)) +
+        " GROUP BY event_type ORDER BY event_type"
+      val served = spark.sql(sql)
+      assert(!served.queryExecution.executedPlan.toString
+          .contains("events.parquet"), s"not index-served: $sql")
+      spark.conf.set("spark.graft.indexRewrite", "false")
+      val baseline = try canon(spark.sql(sql).collect())
+      finally spark.conf.unset("spark.graft.indexRewrite")
+      assert(canon(served.collect()) == baseline, s"diverged: $sql")
+    }
+  }
+
+  test("the reference SQL dialect path (GraftSql) rides the grouped index") {
+    val base = Tables.load(spark, sfDir, "events")
+    val idxDir = "/tmp/graft_index/events_groupsql"
+    graft.index.GroupIndex.buildTo(base, Seq("event_type"), Seq("value"), idxDir)
+    IndexCatalog.registerGroup(s"$sfDir/events.parquet", Seq("event_type"),
+      Set.empty, Seq("value"), spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    val q = graft.sql.GraftSql.sql(spark, sfDir,
+      "SELECT event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
+        "GROUP BY event_type ORDER BY event_type")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("events.parquet"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("events_groupsql"), s"index not scanned:\n$phys")
+    assert(q.collect().length > 0)
+  }
+
+  test("durable index registrations replay after a session bounce") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-idxreg-wh").toString
+    val base = Tables.load(spark, sfDir, "events")
+    val idxDir = "/tmp/graft_index/events_groupdurable"
+    graft.index.GroupIndex.buildTo(base, Seq("event_type"), Seq("value"), idxDir)
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.warehouse", wh)
+    IndexRegistry.registerGroupDurable(s1, s"$sfDir/events.parquet",
+      Seq("event_type"), Set.empty, Seq("value"), idxDir)
+    // bounce: wipe the in-memory catalog, restore a FRESH session from the
+    // warehouse — the registration must come back without code
+    IndexCatalog.clear()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.warehouse", wh)
+    graft.sql.Ddl.restoreSession(s2)
+    Tables.load(s2, sfDir, "events").createOrReplaceTempView("ev_gdur")
+    val q = s2.sql(
+      "SELECT event_type, count(*) AS cnt, sum(value) AS sv FROM ev_gdur " +
+        "GROUP BY event_type ORDER BY event_type")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("events.parquet"),
+      s"restored session not index-serving:\n$phys")
+    assert(phys.contains("events_groupdurable"), s"index not scanned:\n$phys")
+    // a registration whose index files vanished since is skipped, not fatal
+    val goneDir = "/tmp/graft_index/events_gone"
+    graft.index.GroupIndex.buildTo(
+      Tables.load(spark, sfDir, "documents"), Seq("lang"), Nil, goneDir)
+    IndexRegistry.registerGroupDurable(s1, s"$sfDir/documents.parquet",
+      Seq("lang"), Set.empty, Nil, goneDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(goneDir))
+    IndexCatalog.clear()
+    graft.sql.Ddl.restoreSession(s2) // must not throw
+    // the intact registration still restored alongside the skipped one
+    assert(IndexCatalog.lookupGroup(Seq(s"$sfDir/events.parquet"),
+      Set("event_type")).isDefined)
+    IndexRewrite.install(spark)
+  }
+
   test("nondeterministic seg-only predicates are NOT transferred to the index") {
     buildAndRegister()
     // `event_type = 'click' OR rand() < 0.5` references only seg, but
