@@ -425,6 +425,37 @@ class IndexRewriteSpec extends SparkSpec {
     assert(q.collect().length > 0)
   }
 
+  test("PQL TopK and Rows ride the grouped index (set-field value " +
+    "histogram and distinct-values shapes)") {
+    import spark.implicits._
+    val factDir = "/tmp/graft_gidx/topkfact"
+    val idxDir = "/tmp/graft_gidx/topkidx"
+    Seq((1L, Seq("a", "b")), (2L, Seq("a")), (3L, Seq("b", "c")),
+        (4L, Seq("a", "c")), (5L, Seq("a")))
+      .toDF("_id", "tags").write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    graft.index.GroupIndex.buildTo(fact, Seq("tags"), Nil, idxDir)
+    IndexCatalog.registerGroup(factDir, Seq("tags"), Set("tags"), Nil,
+      spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    // TopK(field, k): explode → groupBy(count) → sort/limit — the grouped
+    // matcher serves the aggregate, Sort/Limit compose above
+    val topk = new graft.pql.Compiler(fact)
+      .run(graft.pql.Parser.parseOne("TopK(tags, k=2)"))
+    val physT = topk.queryExecution.executedPlan.toString
+    assert(!physT.contains("topkfact"), s"TopK still scans the fact:\n$physT")
+    assert(physT.contains("topkidx"), s"TopK not on the index:\n$physT")
+    assert(topk.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 4L), ("b", 2L)))
+    // Rows(field): explode → distinct — a keys-only Aggregate, served as
+    // the index's combo column
+    val rows = new graft.pql.Compiler(fact)
+      .run(graft.pql.Parser.parseOne("Rows(tags)"))
+    val physR = rows.queryExecution.executedPlan.toString
+    assert(!physR.contains("topkfact"), s"Rows still scans the fact:\n$physR")
+    assert(rows.collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
   test("durable index registrations replay after a session bounce") {
     val wh = java.nio.file.Files.createTempDirectory("graft-idxreg-wh").toString
     val base = Tables.load(spark, sfDir, "events")
