@@ -323,6 +323,36 @@ class IndexRewriteSpec extends SparkSpec {
       "unindexed count-distinct must stay on the fact table")
   }
 
+  test("TWO set fields grouped together: cross-product multiplicity " +
+    "(a record counts once per member PAIR) is index-served exactly") {
+    import spark.implicits._
+    val factDir = "/tmp/graft_gidx/twoset"
+    val idxDir = "/tmp/graft_gidx/twosetidx"
+    // row 1 contributes 2×2 = 4 combos; row 2 contributes 1; row 3 has an
+    // empty second set → contributes nothing (explode drops it)
+    Seq(
+      (1L, Seq("a", "b"), Seq("x", "y"), 10L),
+      (2L, Seq("a"), Seq("x"), 5L),
+      (3L, Seq("b"), Seq.empty[String], 7L)
+    ).toDF("_id", "s1", "s2", "v").write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    graft.index.GroupIndex.buildTo(fact, Seq("s1", "s2"), Seq("v"), idxDir)
+    IndexCatalog.registerGroup(factDir, Seq("s1", "s2"), Set("s1", "s2"),
+      Seq("v"), spark.read.parquet(idxDir))
+    IndexRewrite.install(spark)
+    val q = new graft.pql.Compiler(fact).run(graft.pql.Parser.parseOne(
+      "GroupBy(Rows(s1), Rows(s2), aggregate=Sum(field=v))"))
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("gidx/twoset/"), s"fact still scanned:\n$phys")
+    assert(phys.contains("twosetidx"), s"index not scanned:\n$phys")
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("a", "x", 2L, 15L), ("a", "y", 1L, 10L),
+      ("b", "x", 1L, 10L), ("b", "y", 1L, 10L)), got.toString)
+  }
+
   test("grouped rewrite declines on foreign filters, explode mismatch, " +
     "unindexed sums") {
     registerGroupSum()
