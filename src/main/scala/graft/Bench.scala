@@ -521,6 +521,24 @@ object Bench {
           val gidxFired = servedPlan.contains("graft-able-gidx") &&
             !servedPlan.contains("graft-able-v4")
           val gidxServe = (1 to 3).map(_ => run1(hc)) // warm + 2 timed
+          // INCREMENTAL maintenance at 1B: fold a 1M-row arriving batch into
+          // the grouped index (GroupIndex.appendDelta — one aggregation over
+          // the BATCH plus a combo-cardinality merge). The number on record:
+          // fold cost is O(batch), vs gidx_build_sec's O(corpus) rebuild —
+          // the freshness price of index-served queries under ingest.
+          val foldBatch = graft.tools.AbleGen.frame(spark, 1000000L, 8)
+          val tFold = System.nanoTime()
+          val foldedPath = graft.index.GroupIndex.appendDelta(
+            foldBatch, gCols, Seq("age"), gidxPath)
+          val gidxFoldSec = (System.nanoTime() - tFold) / 1e9
+          // measurement-only: drop the merged version so the cached index
+          // (and its registration) stay canonical across rounds
+          def rmRec(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+            f.delete(): Unit
+          }
+          rmRec(new java.io.File(foldedPath))
           def arr(ts: Seq[Double]) =
             ts.map(num(_, 3)).mkString("[", ",", "]")
           summary("able_1b_hc_min") = num(hcRuns.drop(1).min, 1)
@@ -528,6 +546,7 @@ object Bench {
           summary("able_1b_idx_serve_min") = num(idxServe.drop(1).min, 2)
           summary("able_1b_gidx_serve_min") = num(gidxServe.drop(1).min, 2)
           summary("able_1b_gidx_fired") = gidxFired.toString
+          summary("able_1b_gidx_fold_sec") = num(gidxFoldSec, 2)
           s""","able_1b":{"rows":$n1b,"gen_sec":${num(genSec, 1)},""" +
             s""""hc_groupby_runs":${arr(hcRuns.toSeq)},""" +
             s""""hc_load_around_runs":${arr(hcLoads.toSeq)},""" +
@@ -537,7 +556,8 @@ object Bench {
             s""""idx_serve_runs":${arr(idxServe)},""" +
             s""""gidx_build_sec":${num(gidxBuildSec, 1)},""" +
             s""""gidx_rewrite_fired":$gidxFired,""" +
-            s""""gidx_serve_runs":${arr(gidxServe)}}"""
+            s""""gidx_serve_runs":${arr(gidxServe)},""" +
+            s""""gidx_fold_1m_sec":${num(gidxFoldSec, 2)}}"""
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
     } catch { case e: Throwable =>

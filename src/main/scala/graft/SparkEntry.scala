@@ -925,6 +925,54 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         "count(DISTINCT user_id) AS ud FROM ev_gmix_q " +
         "GROUP BY event_type ORDER BY event_type")
     }),
+    // INCREMENTAL index maintenance (append-only ingest): the index is built
+    // over a PREFIX of the fact table, the remainder folded in via
+    // GroupIndex.appendDelta (counts/sums ADD, min/max COMBINE, roaring
+    // bitmaps OR — the reference folds imported bits into live fragments the
+    // same way, `reference/fragment.go:1498`), and the MERGED version serves
+    // the full-table grouped query. The oracle is the plain GROUP BY over
+    // everything, so "incremental == rebuild" is the checked identity.
+    "idx_incremental_groupby" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val idxDir = graft.streaming.Ingest.scratch("idx_incr") + "/events_inc"
+      graft.index.GroupIndex.buildTo(base.filter(col("event_id") % 3 =!= 0),
+        Seq("event_type"), Seq("value"), idxDir, distinctCols = Seq("user_id"))
+      val merged = graft.index.GroupIndex.appendDelta(
+        base.filter(col("event_id") % 3 === 0), Seq("event_type"),
+        Seq("value"), idxDir, distinctCols = Seq("user_id"))
+      graft.plans.IndexCatalog.registerGroup(s"$dir/events.parquet",
+        Seq("event_type"), Set.empty, Seq("value"), s.read.parquet(merged),
+        Seq("user_id"))
+      graft.plans.IndexRewrite.install(s)
+      base.createOrReplaceTempView("ev_ginc_q")
+      s.sql("SELECT event_type, count(*) AS cnt, sum(value) AS sv, " +
+        "min(value) AS mn, max(value) AS mx, count(DISTINCT user_id) AS ud " +
+        "FROM ev_ginc_q GROUP BY event_type ORDER BY event_type")
+    }),
+    // ONLINE index maintenance under streaming ingest: a genuine
+    // Structured Streaming run (file source, one file per micro-batch)
+    // through IndexMaintain — each batch publishes into the fact parquet AND
+    // folds into the grouped index, the registration swapping per batch —
+    // then the full-table grouped query over the ingested facts is served
+    // from the final index version (plan asserted in IndexRewriteSpec; the
+    // oracle checks the values against the canonical events table).
+    "stream_index_maintain" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "user_id", "value")
+      val root = graft.streaming.Ingest.scratch("idx_maintain")
+      Seq(0, 1, 2).foreach(i => ev.filter(col("event_id") % 3 === i)
+        .repartition(1).write.parquet(s"$root/src/part$i.parquet"))
+      val stream = graft.streaming.Ingest.fileSource(s, s"$root/src/*",
+        "PARQUET", ev.schema, maxFilesPerTrigger = 1)
+      val (q, _) = graft.streaming.IndexMaintain.start(stream,
+        s"$root/fact", s"$root/ckpt", s"$root/idx/events_maint",
+        Seq("event_type"), Seq("value"), Seq("user_id"))
+      q.awaitTermination()
+      s.read.parquet(s"$root/fact").createOrReplaceTempView("ev_maint_q")
+      s.sql("SELECT event_type, count(*) AS cnt, sum(value) AS sv, " +
+        "count(DISTINCT user_id) AS ud FROM ev_maint_q " +
+        "GROUP BY event_type ORDER BY event_type")
+    }),
     // Structured Streaming surface (SURVEY §2.3): each runs a genuine
     // streaming query (file source → state → sink) to completion and returns
     // the result for the oracle gate.
@@ -1799,6 +1847,12 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "GROUP BY 1 ORDER BY 1"),
     "idx_bitmap_count" -> ("SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
+    "idx_incremental_groupby" -> ("SELECT event_type, count(*) AS cnt, " +
+      "sum(value) AS sv, min(value) AS mn, max(value) AS mx, " +
+      "count(DISTINCT user_id) AS ud FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_index_maintain" -> ("SELECT event_type, count(*) AS cnt, " +
+      "sum(value) AS sv, count(DISTINCT user_id) AS ud FROM events " +
+      "GROUP BY 1 ORDER BY 1"),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -70,6 +70,70 @@ object GroupIndex {
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Combine an existing index table with a DELTA index ([[build]] over a
+    * batch of newly appended fact rows): same-combo rows merge with the
+    * aggregates' own combiner algebra — `cnt`/`sum_*`/`cntv_*` ADD,
+    * `min_*`/`max_*` COMBINE, roaring `bm_*` OR. Exact for APPEND-ONLY
+    * ingest (every stored aggregate is monotone-mergeable; deletion has no
+    * inverse for min/max/bitmaps, so deletes require a [[buildTo]] rebuild
+    * — the same asymmetry as the reference, whose imports fold bits into
+    * live fragments (`reference/fragment.go:1498` bulkImport) but recompute BSI
+    * extrema on clears). The output schema is PINNED to `old`'s: re-summing
+    * a decimal `sum_*` would widen its precision every merge, and
+    * [[graft.plans.IndexRewrite]] substitutes only on exact type match. */
+  def merge(old: DataFrame, delta: DataFrame, groupCols: Seq[String],
+            sumCols: Seq[String], distinctCols: Seq[String] = Nil): DataFrame = {
+    val aggs = (sum(col("cnt")).as("cnt") +:
+      sumCols.flatMap(c => Seq(
+        sum(col(s"sum_$c")).as(s"sum_$c"), sum(col(s"cntv_$c")).as(s"cntv_$c"),
+        min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c")))) ++
+      distinctCols.map(c =>
+        Bitmap.bitmapOrAgg(old.sparkSession, s"`bm_$c`").as(s"bm_$c"))
+    val merged = old.unionByName(delta).groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    merged.select(old.schema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Incremental maintenance for APPEND-ONLY ingest: fold a batch of NEW
+    * fact rows into the materialized index at `indexPath` and return the
+    * path of the merged result. The merged index is written to a fresh
+    * `<stem>.v<N+1>` directory — never over the version being served, so
+    * queries planned against the old registration keep a live file listing
+    * — and the caller swaps serving by re-registering the returned path
+    * (e.g. [[graft.plans.IndexRegistry.registerGroupDurable]], which
+    * supersedes the old row in `_indexes.json`), after which versions
+    * older than N can be reclaimed. Cost is one grouped aggregation over
+    * the BATCH plus a combo-cardinality-sized merge — independent of the
+    * fact table's size, which is the point: the reference pays the same
+    * (bits folded into fragments per import, `reference/fragment.go:1498`),
+    * never a corpus rescan. The rewrite rule is disabled for the duration,
+    * as in [[buildTo]]: if `rows` happens to scan a registered fact path,
+    * the delta build's own aggregation would otherwise be answered FROM
+    * the index and double-count. */
+  def appendDelta(rows: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+                  indexPath: String, distinctCols: Seq[String] = Nil): String = {
+    val spark = rows.sparkSession
+    val Versioned = "(.*)\\.v(\\d+)$".r
+    val (stem, ver) = indexPath match {
+      case Versioned(s, v) => (s, v.toLong)
+      case p               => (p, 0L)
+    }
+    val next = s"$stem.v${ver + 1}"
+    val prev = spark.conf.getOption("spark.graft.indexRewrite")
+    spark.conf.set("spark.graft.indexRewrite", "false")
+    try {
+      val old = spark.read.parquet(indexPath)
+      merge(old, build(rows, groupCols, sumCols, distinctCols),
+        groupCols, sumCols, distinctCols)
+        .write.mode("overwrite").parquet(next)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.indexRewrite", v)
+      case None    => spark.conf.unset("spark.graft.indexRewrite")
+    }
+    next
+  }
+
   /** [[build]] + overwrite-to-parquet with the rewrite rule disabled for the
     * duration: a REBUILD's own aggregation matches the rule, so with the old
     * registration still live it would be answered FROM the index files the
