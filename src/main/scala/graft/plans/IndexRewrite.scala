@@ -30,16 +30,19 @@ import graft.index.BitmapCardinality
   * indexes with [[IndexCatalog.register]].
   */
 object IndexCatalog {
-  final case class Entry(segCol: String, idCol: String, indexPlan: LogicalPlan)
+  final case class Entry(segCol: String, idCol: String, indexPlan: LogicalPlan,
+                         factSig: Option[String] = None)
 
   /** A materialized grouped-aggregate index ([[graft.index.GroupIndex]]):
     * `groupCols` in build order, `explodedCols` the ArrayType members the
     * build exploded, `sumCols` the columns with a stored `sum_<col>`,
     * `distinctCols` the columns with a stored roaring `bm_<col>` (serving
-    * per-combo count-distinct via bitmap cardinality). */
+    * per-combo count-distinct via bitmap cardinality). `factSig` is the
+    * fact listing's fingerprint at registration time (freshness guard). */
   final case class GroupEntry(groupCols: Seq[String], explodedCols: Set[String],
                               sumCols: Set[String], distinctCols: Set[String],
-                              indexPlan: LogicalPlan)
+                              indexPlan: LogicalPlan,
+                              factSig: Option[String] = None)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Entry]
@@ -49,10 +52,15 @@ object IndexCatalog {
   /** Register a materialized segment index for a parquet-backed fact table.
     * `basePath` is the fact table's parquet location; `index` must be the
     * materialized (seg, bm) table (read back from storage — registering a
-    * non-materialized plan would re-derive the index per query). */
-  def register(basePath: String, segCol: String, idCol: String, index: DataFrame): Unit =
+    * non-materialized plan would re-derive the index per query). The fact
+    * listing is fingerprinted now (pass `factSig` to reuse a stored one);
+    * at rule time a differing listing declines the rewrite — an index that
+    * no longer summarizes the files the query would scan must not serve. */
+  def register(basePath: String, segCol: String, idCol: String,
+               index: DataFrame, factSig: Option[String] = None): Unit =
     entries.put((normalize(basePath), segCol, idCol),
-      Entry(segCol, idCol, index.queryExecution.optimizedPlan))
+      Entry(segCol, idCol, index.queryExecution.optimizedPlan,
+        factSig.orElse(factSignature(index.sparkSession, basePath))))
 
   def lookup(paths: Seq[String], segCol: String, idCol: String): Option[Entry] =
     paths.headOption.flatMap(p =>
@@ -63,16 +71,44 @@ object IndexCatalog {
     * key order (hash aggregation is order-insensitive). */
   def registerGroup(basePath: String, groupCols: Seq[String],
                     explodedCols: Set[String], sumCols: Seq[String],
-                    index: DataFrame, distinctCols: Seq[String] = Nil): Unit =
+                    index: DataFrame, distinctCols: Seq[String] = Nil,
+                    factSig: Option[String] = None): Unit =
     groupEntries.put((normalize(basePath), groupCols.toSet),
       GroupEntry(groupCols, explodedCols, sumCols.toSet, distinctCols.toSet,
-        index.queryExecution.optimizedPlan))
+        index.queryExecution.optimizedPlan,
+        factSig.orElse(factSignature(index.sparkSession, basePath))))
 
   def lookupGroup(paths: Seq[String], groupCols: Set[String]): Option[GroupEntry] =
     paths.headOption.flatMap(p =>
       Option(groupEntries.get((normalize(p), groupCols))))
 
   def clear(): Unit = { entries.clear(); groupEntries.clear() }
+
+  /** Fingerprint of a FileIndex's resolved listing: sorted
+    * (path, length, modificationTime) triples, SHA-256. At rule time this
+    * is computed from the SCAN's OWN location — the listing Spark already
+    * resolved for the query — so the freshness check costs no extra IO. */
+  def locationSig(
+      loc: org.apache.spark.sql.execution.datasources.FileIndex): String = {
+    val lines = loc.listFiles(Nil, Nil).flatMap(_.files)
+      .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    lines.sorted.foreach(l => md.update(l.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** [[locationSig]] of a parquet table's CURRENT listing (one file listing
+    * + one footer read for schema inference — registration-time cost). None
+    * when the path can't be listed; the rewrite then serves unguarded, the
+    * pre-guard behavior. */
+  def factSignature(spark: org.apache.spark.sql.SparkSession,
+                    basePath: String): Option[String] =
+    scala.util.Try {
+      spark.read.parquet(basePath).queryExecution.analyzed.collectFirst {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          locationSig(fs.location)
+      }
+    }.toOption.flatten
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
@@ -118,11 +154,14 @@ object IndexRegistry {
     * idCol, indexPath) in the warehouse for restart replay. */
   def registerDurable(spark: SparkSession, basePath: String, segCol: String,
                       idCol: String, indexPath: String): Unit = {
-    IndexCatalog.register(basePath, segCol, idCol, spark.read.parquet(indexPath))
+    val sig = IndexCatalog.factSignature(spark, basePath)
+    IndexCatalog.register(basePath, segCol, idCol,
+      spark.read.parquet(indexPath), sig)
     append(spark, JObject(List(
       "kind" -> JString("seg"), "basePath" -> JString(basePath),
       "key" -> JString(s"$segCol/$idCol"), "segCol" -> JString(segCol),
-      "idCol" -> JString(idCol), "indexPath" -> JString(indexPath))))
+      "idCol" -> JString(idCol), "indexPath" -> JString(indexPath)) ++
+      sig.map(s => "factSig" -> (JString(s): JValue))))
   }
 
   /** Durable [[IndexCatalog.registerGroup]]. */
@@ -130,8 +169,9 @@ object IndexRegistry {
                            groupCols: Seq[String], explodedCols: Set[String],
                            sumCols: Seq[String], indexPath: String,
                            distinctCols: Seq[String] = Nil): Unit = {
+    val sig = IndexCatalog.factSignature(spark, basePath)
     IndexCatalog.registerGroup(basePath, groupCols, explodedCols, sumCols,
-      spark.read.parquet(indexPath), distinctCols)
+      spark.read.parquet(indexPath), distinctCols, sig)
     append(spark, JObject(List(
       "kind" -> JString("group"), "basePath" -> JString(basePath),
       "key" -> JString(groupCols.sorted.mkString(",")),
@@ -139,7 +179,8 @@ object IndexRegistry {
       "explodedCols" -> JArray(explodedCols.toList.sorted.map(JString(_))),
       "sumCols" -> JArray(sumCols.toList.map(JString(_))),
       "distinctCols" -> JArray(distinctCols.toList.map(JString(_))),
-      "indexPath" -> JString(indexPath))))
+      "indexPath" -> JString(indexPath)) ++
+      sig.map(s => "factSig" -> (JString(s): JValue))))
   }
 
   /** Replay persisted registrations into the in-memory catalog (and
@@ -154,13 +195,20 @@ object IndexRegistry {
     entries.foreach { e =>
       try {
         val idx = spark.read.parquet(s(e \ "indexPath"))
+        // replay the REGISTRATION-TIME fact fingerprint, not a fresh one:
+        // facts that changed while the process was down must decline at
+        // rule time, same as a live mutation would
+        val sig = e \ "factSig" match {
+          case JString(x) => Some(x)
+          case _          => None
+        }
         s(e \ "kind") match {
           case "seg" => IndexCatalog.register(
-            s(e \ "basePath"), s(e \ "segCol"), s(e \ "idCol"), idx)
+            s(e \ "basePath"), s(e \ "segCol"), s(e \ "idCol"), idx, sig)
           case "group" => IndexCatalog.registerGroup(
             s(e \ "basePath"), arr(e \ "groupCols"),
             arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), idx,
-            arr(e \ "distinctCols"))
+            arr(e \ "distinctCols"), sig)
           case other => System.err.println(s"[restore] unknown index kind $other")
         }
       } catch { case ex: Exception =>
@@ -192,6 +240,31 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           .orElse(rewriteGrouped(agg)).getOrElse(agg)
     }
 
+  /** Freshness guard: the registration's fact-listing fingerprint must
+    * match the SCAN's resolved listing, or the rewrite declines and the
+    * query is answered from the fact table — an index whose base files
+    * changed underneath (outside [[graft.streaming.IndexMaintain]], which
+    * re-fingerprints per batch) must not serve stale aggregates. The
+    * reference has no analogous hazard (its fragments ARE the storage;
+    * ours summarize external parquet). `spark.graft.indexFreshnessCheck=
+    * false` disables (the pre-guard behavior); a signature-less entry
+    * serves unguarded. Cost: hashing the file list Spark already resolved
+    * for the scan — no extra IO. Warns once per base path on mismatch. */
+  private def fresh(sig: Option[String],
+      loc: org.apache.spark.sql.execution.datasources.FileIndex): Boolean =
+    spark.conf.get("spark.graft.indexFreshnessCheck", "true") == "false" ||
+      sig.forall { s =>
+        val ok = s == IndexCatalog.locationSig(loc)
+        if (!ok) {
+          val key = loc.rootPaths.map(_.toString).mkString(",")
+          if (IndexRewrite.staleWarned.add(key))
+            System.err.println(s"[graft] index for $key is STALE " +
+              "(fact listing changed since registration) — serving from the " +
+              "fact table; rebuild or re-register the index")
+        }
+        ok
+      }
+
   private def rewriteDistinct(agg: Aggregate): Option[LogicalPlan] = agg match {
     case Aggregate(Seq(groupExpr), aggExprs, child, _)
         if groupAttr(groupExpr).isDefined =>
@@ -202,8 +275,9 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         // `reference/index.go:26`), so per-seg cardinality = row count
         .orElse(if (rowCountShape(aggExprs, Some(g))) Some("_id") else None)
       (scanWithSegFilter(child, g), target) match {
-        case (Some((paths, segConds)), Some(idName)) =>
+        case (Some((paths, segConds, loc)), Some(idName)) =>
           IndexCatalog.lookup(paths, g.name, idName)
+            .filter(e => fresh(e.factSig, loc))
             .flatMap(entry => substitute(agg, g, segConds, entry))
         case _ => None
       }
@@ -220,8 +294,9 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       val target = globalDistinctTarget(aggExprs).map(_.name)
         .orElse(if (rowCountShape(aggExprs, None)) Some("_id") else None)
       (globalSegFilterScan(child), target) match {
-        case (Some((paths, segAttrRef, segConds)), Some(idName)) =>
+        case (Some((paths, segAttrRef, segConds, loc)), Some(idName)) =>
           IndexCatalog.lookup(paths, segAttrRef.name, idName)
+            .filter(e => fresh(e.factSig, loc))
             .flatMap(entry => substituteGlobal(agg, segAttrRef, segConds, entry))
         case _ => None
       }
@@ -249,12 +324,13 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     else {
       val gs = gAttrs.flatten
       for {
-        (paths, conds, resolve, explodedSrc) <- walkGrouped(agg.child)
+        (paths, conds, resolve, explodedSrc, loc) <- walkGrouped(agg.child)
         srcOf = gs.flatMap(a => resolve.get(a.exprId).map(a.exprId -> _)).toMap
         if srcOf.size == gs.size
         groupSrcs = gs.map(a => srcOf(a.exprId))
         if groupSrcs.distinct.size == groupSrcs.size
         entry <- IndexCatalog.lookupGroup(paths, groupSrcs.toSet)
+        if fresh(entry.factSig, loc)
         // the query must explode exactly the columns the build exploded —
         // a differing multiplicity would make cnt/sum wrong
         if entry.explodedCols == explodedSrc
@@ -285,9 +361,11 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   /** Walk the Aggregate child down to a parquet relation, accumulating
     * (root paths, transferable filter conjuncts, exprId→fact-column
-    * resolution through alias/explode chains, exploded fact columns). */
+    * resolution through alias/explode chains, exploded fact columns, the
+    * scan's resolved FileIndex — for the freshness check). */
   private def walkGrouped(p: LogicalPlan): Option[(Seq[String], Seq[Expression],
-      Map[org.apache.spark.sql.catalyst.expressions.ExprId, String], Set[String])] = {
+      Map[org.apache.spark.sql.catalyst.expressions.ExprId, String], Set[String],
+      org.apache.spark.sql.execution.datasources.FileIndex)] = {
     import org.apache.spark.sql.catalyst.expressions.Explode
     import org.apache.spark.sql.catalyst.plans.logical.Generate
     p match {
@@ -296,27 +374,27 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             case Alias(_: AttributeReference, _) => true
             case _ => false
           } =>
-        walkGrouped(child).map { case (paths, conds, res, ex) =>
+        walkGrouped(child).map { case (paths, conds, res, ex, loc) =>
           val aliased = projList.collect {
             case al @ Alias(a: AttributeReference, _) if res.contains(a.exprId) =>
               al.exprId -> res(a.exprId)
           }
-          (paths, conds, res ++ aliased, ex)
+          (paths, conds, res ++ aliased, ex, loc)
         }
       case Generate(Explode(arr: AttributeReference), _, false, _, Seq(genOut), child) =>
-        walkGrouped(child).flatMap { case (paths, conds, res, ex) =>
+        walkGrouped(child).flatMap { case (paths, conds, res, ex, loc) =>
           res.get(arr.exprId).map(src =>
-            (paths, conds, res + (genOut.exprId -> src), ex + src))
+            (paths, conds, res + (genOut.exprId -> src), ex + src, loc))
         }
       case Filter(cond, child) =>
-        walkGrouped(child).flatMap { case (paths, conds, res, ex) =>
+        walkGrouped(child).flatMap { case (paths, conds, res, ex, loc) =>
           val parts = splitConjunctivePredicates(cond)
-          if (parts.forall(transferable)) Some((paths, parts ++ conds, res, ex))
+          if (parts.forall(transferable)) Some((paths, parts ++ conds, res, ex, loc))
           else None
         }
       case LogicalRelation(fs: HadoopFsRelation, out, _, _, _) =>
         Some((fs.location.rootPaths.map(_.toString), Nil,
-          out.map(a => a.exprId -> a.name).toMap, Set.empty[String]))
+          out.map(a => a.exprId -> a.name).toMap, Set.empty[String], fs.location))
       case _ => None
     }
   }
@@ -470,14 +548,16 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * seg-filtered counts are still answerable without the fact table). Any
     * predicate touching other columns disqualifies. Returns the relation's
     * root paths plus the seg-only predicates. */
-  private def scanWithSegFilter(p: LogicalPlan, g: Attribute): Option[(Seq[String], Seq[Expression])] = p match {
+  private def scanWithSegFilter(p: LogicalPlan, g: Attribute): Option[(Seq[String],
+      Seq[Expression], org.apache.spark.sql.execution.datasources.FileIndex)] = p match {
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       scanWithSegFilter(child, g)
     case Filter(cond, child) if cond.references.subsetOf(AttributeSet(Seq(g))) &&
         transferable(cond) =>
-      scanWithSegFilter(child, g).map { case (paths, conds) => (paths, cond +: conds) }
+      scanWithSegFilter(child, g).map { case (paths, conds, loc) =>
+        (paths, cond +: conds, loc) }
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some((fs.location.rootPaths.map(_.toString), Nil))
+      Some((fs.location.rootPaths.map(_.toString), Nil, fs.location))
     case _ => None
   }
 
@@ -503,21 +583,22 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * picking an index would be ambiguous, and a full-table distinct is a
     * scan-shaped query anyway.) */
   private def globalSegFilterScan(p: LogicalPlan)
-      : Option[(Seq[String], AttributeReference, Seq[Expression])] = {
-    def walk(p: LogicalPlan, conds: Seq[Expression])
-        : Option[(Seq[String], Seq[Expression])] = p match {
+      : Option[(Seq[String], AttributeReference, Seq[Expression],
+        org.apache.spark.sql.execution.datasources.FileIndex)] = {
+    def walk(p: LogicalPlan, conds: Seq[Expression]): Option[(Seq[String],
+        Seq[Expression], org.apache.spark.sql.execution.datasources.FileIndex)] = p match {
       case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
         walk(child, conds)
       case Filter(cond, child) if transferable(cond) => walk(child, cond +: conds)
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        Some((fs.location.rootPaths.map(_.toString), conds))
+        Some((fs.location.rootPaths.map(_.toString), conds, fs.location))
       case _ => None
     }
-    walk(p, Nil).flatMap { case (paths, conds) =>
+    walk(p, Nil).flatMap { case (paths, conds, loc) =>
       val refs = conds.flatMap(_.references.toSeq).distinct
       (conds, refs) match {
         case (c, Seq(seg: AttributeReference)) if c.nonEmpty =>
-          Some((paths, seg, conds))
+          Some((paths, seg, conds, loc))
         case _ => None
       }
     }
@@ -593,6 +674,10 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 }
 
 object IndexRewrite {
+  /** Base paths already warned stale (once per process, not per query). */
+  private[plans] val staleWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Install the rule into an existing session (idempotent). */
   def install(spark: SparkSession): Unit = {
     val already = spark.experimental.extraOptimizations.exists {
