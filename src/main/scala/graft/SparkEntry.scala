@@ -949,6 +949,32 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         "min(value) AS mn, max(value) AS mx, count(DISTINCT user_id) AS ud " +
         "FROM ev_ginc_q GROUP BY event_type ORDER BY event_type")
     }),
+    // TIME-QUANTUM group key riding the grouped index: `GROUP BY
+    // date_trunc('hour', ts)` resolves structurally to the build's reserved
+    // `__q_hour_ts` column — the Spark-native analogue of the reference's
+    // time-quantum views (`reference/time.go:74-225`, per-bucket fragments
+    // precomputing per-quantum counts). Facts are staged to scratch with a
+    // native timestamp column (production layout); the oracle replays the
+    // same GROUP BY over the canonical events table.
+    "idx_rewrite_quantum" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val root = graft.streaming.Ingest.scratch("idx_quantum")
+      val fact = s"$root/fact"
+      base.select("event_id", "ts", "event_type", "value").write.parquet(fact)
+      val q = graft.index.GroupIndex.Quantum("ts", "hour")
+      val facts = s.read.parquet(fact)
+      graft.index.GroupIndex.buildTo(
+        graft.index.GroupIndex.withQuantums(facts, Seq(q)),
+        Seq(q.name, "event_type"), Seq("value"), s"$root/g")
+      graft.plans.IndexCatalog.registerGroup(fact, Seq(q.name, "event_type"),
+        Set.empty, Seq("value"), s.read.parquet(s"$root/g"),
+        quantums = Map(q.name -> s.sessionState.conf.sessionLocalTimeZone))
+      graft.plans.IndexRewrite.install(s)
+      facts.createOrReplaceTempView("ev_quantum_q")
+      s.sql("SELECT date_trunc('hour', ts) AS h, event_type, " +
+        "count(*) AS cnt, sum(value) AS sv FROM ev_quantum_q " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    }),
     // ONLINE index maintenance under streaming ingest: a genuine
     // Structured Streaming run (file source, one file per micro-batch)
     // through IndexMaintain — each batch publishes into the fact parquet AND
@@ -1853,6 +1879,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "stream_index_maintain" -> ("SELECT event_type, count(*) AS cnt, " +
       "sum(value) AS sv, count(DISTINCT user_id) AS ud FROM events " +
       "GROUP BY 1 ORDER BY 1"),
+    "idx_rewrite_quantum" -> ("SELECT date_trunc('hour', ts) AS h, " +
+      "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -34,6 +34,26 @@ object GroupIndex {
   def explodedCols(df: DataFrame, groupCols: Seq[String]): Set[String] =
     groupCols.filter(c => df.schema(c).dataType.isInstanceOf[ArrayType]).toSet
 
+  /** A TIME-QUANTUM group key: `date_trunc(unit, tsCol)` materialized as a
+    * reserved `__q_<unit>_<tsCol>` column — the Spark-native analogue of
+    * the reference's time-quantum views (`reference/time.go:74-225`, a
+    * standard/YYYYMM/… fragment per bucket precomputing per-quantum
+    * counts). A query grouping by the same `date_trunc(unit, ts)` rides
+    * the index: the optimizer pulls the expression into a Project alias,
+    * and [[graft.plans.IndexRewrite]] resolves that alias to this name
+    * structurally. The truncation timezone is baked in at build time, so
+    * registration records the session timezone and the rewrite requires
+    * the query's to match. */
+  final case class Quantum(tsCol: String, unit: String) {
+    def name: String = s"__q_${unit.toLowerCase}_$tsCol"
+  }
+
+  /** Materialize the quantum columns; pass `groupCols ++ quantums.map(_.name)`
+    * to [[build]]/[[buildTo]]. */
+  def withQuantums(df: DataFrame, quantums: Seq[Quantum]): DataFrame =
+    quantums.foldLeft(df)((d, q) =>
+      d.withColumn(q.name, date_trunc(q.unit, col(q.tsCol))))
+
   /** One row per group-value combination with `cnt` (exploded-row count);
     * per requested VALUE column `c`: `sum_<c>`, `cntv_<c>` (non-null
     * count — avg's denominator, which `cnt` is NOT when the column has

@@ -38,11 +38,15 @@ object IndexCatalog {
     * build exploded, `sumCols` the columns with a stored `sum_<col>`,
     * `distinctCols` the columns with a stored roaring `bm_<col>` (serving
     * per-combo count-distinct via bitmap cardinality). `factSig` is the
-    * fact listing's fingerprint at registration time (freshness guard). */
+    * fact listing's fingerprint at registration time (freshness guard).
+    * `quantums` maps each time-quantum key column name
+    * ([[graft.index.GroupIndex.Quantum]], `__q_<unit>_<ts>`) to the BUILD's
+    * truncation timezone — the rewrite requires the query's to match. */
   final case class GroupEntry(groupCols: Seq[String], explodedCols: Set[String],
                               sumCols: Set[String], distinctCols: Set[String],
                               indexPlan: LogicalPlan,
-                              factSig: Option[String] = None)
+                              factSig: Option[String] = None,
+                              quantums: Map[String, String] = Map.empty)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Entry]
@@ -72,11 +76,12 @@ object IndexCatalog {
   def registerGroup(basePath: String, groupCols: Seq[String],
                     explodedCols: Set[String], sumCols: Seq[String],
                     index: DataFrame, distinctCols: Seq[String] = Nil,
-                    factSig: Option[String] = None): Unit =
+                    factSig: Option[String] = None,
+                    quantums: Map[String, String] = Map.empty): Unit =
     groupEntries.put((normalize(basePath), groupCols.toSet),
       GroupEntry(groupCols, explodedCols, sumCols.toSet, distinctCols.toSet,
         index.queryExecution.optimizedPlan,
-        factSig.orElse(factSignature(index.sparkSession, basePath))))
+        factSig.orElse(factSignature(index.sparkSession, basePath)), quantums))
 
   def lookupGroup(paths: Seq[String], groupCols: Set[String]): Option[GroupEntry] =
     paths.headOption.flatMap(p =>
@@ -168,10 +173,11 @@ object IndexRegistry {
   def registerGroupDurable(spark: SparkSession, basePath: String,
                            groupCols: Seq[String], explodedCols: Set[String],
                            sumCols: Seq[String], indexPath: String,
-                           distinctCols: Seq[String] = Nil): Unit = {
+                           distinctCols: Seq[String] = Nil,
+                           quantums: Map[String, String] = Map.empty): Unit = {
     val sig = IndexCatalog.factSignature(spark, basePath)
     IndexCatalog.registerGroup(basePath, groupCols, explodedCols, sumCols,
-      spark.read.parquet(indexPath), distinctCols, sig)
+      spark.read.parquet(indexPath), distinctCols, sig, quantums)
     append(spark, JObject(List(
       "kind" -> JString("group"), "basePath" -> JString(basePath),
       "key" -> JString(groupCols.sorted.mkString(",")),
@@ -179,7 +185,9 @@ object IndexRegistry {
       "explodedCols" -> JArray(explodedCols.toList.sorted.map(JString(_))),
       "sumCols" -> JArray(sumCols.toList.map(JString(_))),
       "distinctCols" -> JArray(distinctCols.toList.map(JString(_))),
-      "indexPath" -> JString(indexPath)) ++
+      "indexPath" -> JString(indexPath),
+      "quantums" -> JObject(quantums.toList.map {
+        case (k, v) => k -> (JString(v): JValue) })) ++
       sig.map(s => "factSig" -> (JString(s): JValue))))
   }
 
@@ -205,10 +213,16 @@ object IndexRegistry {
         s(e \ "kind") match {
           case "seg" => IndexCatalog.register(
             s(e \ "basePath"), s(e \ "segCol"), s(e \ "idCol"), idx, sig)
-          case "group" => IndexCatalog.registerGroup(
-            s(e \ "basePath"), arr(e \ "groupCols"),
-            arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), idx,
-            arr(e \ "distinctCols"), sig)
+          case "group" =>
+            val quantums = e \ "quantums" match {
+              case JObject(fields) => fields.collect {
+                case (k, JString(v)) => k -> v }.toMap
+              case _ => Map.empty[String, String]
+            }
+            IndexCatalog.registerGroup(
+              s(e \ "basePath"), arr(e \ "groupCols"),
+              arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), idx,
+              arr(e \ "distinctCols"), sig, quantums)
           case other => System.err.println(s"[restore] unknown index kind $other")
         }
       } catch { case ex: Exception =>
@@ -324,21 +338,27 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     else {
       val gs = gAttrs.flatten
       for {
-        (paths, conds, resolve, explodedSrc, loc) <- walkGrouped(agg.child)
-        srcOf = gs.flatMap(a => resolve.get(a.exprId).map(a.exprId -> _)).toMap
+        scan <- walkGrouped(agg.child)
+        srcOf = gs.flatMap(a => scan.resolve.get(a.exprId).map(a.exprId -> _)).toMap
         if srcOf.size == gs.size
         groupSrcs = gs.map(a => srcOf(a.exprId))
         if groupSrcs.distinct.size == groupSrcs.size
-        entry <- IndexCatalog.lookupGroup(paths, groupSrcs.toSet)
-        if fresh(entry.factSig, loc)
+        entry <- IndexCatalog.lookupGroup(scan.paths, groupSrcs.toSet)
+        if fresh(entry.factSig, scan.loc)
         // the query must explode exactly the columns the build exploded —
         // a differing multiplicity would make cnt/sum wrong
-        if entry.explodedCols == explodedSrc
+        if entry.explodedCols == scan.exploded
+        // every quantum key must be registered with the SAME truncation
+        // timezone the query's date_trunc uses — a tz skew would bucket
+        // rows differently than the build did
+        if groupSrcs.filter(_.startsWith("__q_")).forall(q =>
+          entry.quantums.get(q).exists(scan.quantumTz.get(q).contains(_)))
         // explode guards the optimizer infers (isnotnull(arr), size(arr)>0)
         // are implied by the build's own explode — drop them; everything
         // else must transfer
-        transfer = conds.filterNot(impliedByExplode(_, resolve, explodedSrc))
-        plan <- substituteGrouped(agg, srcOf, resolve, transfer,
+        transfer = scan.conds.filterNot(
+          impliedByExplode(_, scan.resolve, scan.exploded))
+        plan <- substituteGrouped(agg, srcOf, scan.resolve, transfer,
           groupSrcs.toSet, entry)
       } yield plan
     }
@@ -359,42 +379,64 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Walk the Aggregate child down to a parquet relation, accumulating
-    * (root paths, transferable filter conjuncts, exprId→fact-column
-    * resolution through alias/explode chains, exploded fact columns, the
-    * scan's resolved FileIndex — for the freshness check). */
-  private def walkGrouped(p: LogicalPlan): Option[(Seq[String], Seq[Expression],
-      Map[org.apache.spark.sql.catalyst.expressions.ExprId, String], Set[String],
-      org.apache.spark.sql.execution.datasources.FileIndex)] = {
-    import org.apache.spark.sql.catalyst.expressions.Explode
+  /** What [[walkGrouped]] accumulates from the Aggregate child down to the
+    * parquet relation: root paths, transferable filter conjuncts,
+    * exprId→fact-column resolution through alias/explode chains, exploded
+    * fact columns, the scan's resolved FileIndex (freshness check), and
+    * per-quantum-key query timezones (`__q_<unit>_<ts>` → the tz inside
+    * the query's `date_trunc` — must equal the build's). */
+  private case class GroupScan(paths: Seq[String], conds: Seq[Expression],
+      resolve: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      exploded: Set[String],
+      loc: org.apache.spark.sql.execution.datasources.FileIndex,
+      quantumTz: Map[String, String])
+
+  private def walkGrouped(p: LogicalPlan): Option[GroupScan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Explode, Literal, TruncTimestamp}
     import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.types.StringType
     p match {
       case Project(projList, child) if projList.forall {
             case _: AttributeReference => true
             case Alias(_: AttributeReference, _) => true
+            // the optimizer pulls a `date_trunc(unit, ts)` group key into a
+            // Project alias (PullOutGroupingExpressions) — the quantum-view
+            // shape; anything else in an Alias disqualifies the walk
+            case Alias(TruncTimestamp(Literal(_, StringType),
+              _: AttributeReference, _), _) => true
             case _ => false
           } =>
-        walkGrouped(child).map { case (paths, conds, res, ex, loc) =>
+        walkGrouped(child).map { s =>
           val aliased = projList.collect {
-            case al @ Alias(a: AttributeReference, _) if res.contains(a.exprId) =>
-              al.exprId -> res(a.exprId)
+            case al @ Alias(a: AttributeReference, _) if s.resolve.contains(a.exprId) =>
+              al.exprId -> s"${s.resolve(a.exprId)}"
           }
-          (paths, conds, res ++ aliased, ex, loc)
+          val quantum = projList.collect {
+            case al @ Alias(TruncTimestamp(Literal(u, StringType),
+                a: AttributeReference, tz), _) if s.resolve.contains(a.exprId) =>
+              val name = s"__q_${u.toString.toLowerCase}_${s.resolve(a.exprId)}"
+              (al.exprId -> name,
+                name -> tz.getOrElse(spark.sessionState.conf.sessionLocalTimeZone))
+          }
+          s.copy(resolve = s.resolve ++ aliased ++ quantum.map(_._1),
+            quantumTz = s.quantumTz ++ quantum.map(_._2))
         }
       case Generate(Explode(arr: AttributeReference), _, false, _, Seq(genOut), child) =>
-        walkGrouped(child).flatMap { case (paths, conds, res, ex, loc) =>
-          res.get(arr.exprId).map(src =>
-            (paths, conds, res + (genOut.exprId -> src), ex + src, loc))
+        walkGrouped(child).flatMap { s =>
+          s.resolve.get(arr.exprId).map(src => s.copy(
+            resolve = s.resolve + (genOut.exprId -> src),
+            exploded = s.exploded + src))
         }
       case Filter(cond, child) =>
-        walkGrouped(child).flatMap { case (paths, conds, res, ex, loc) =>
+        walkGrouped(child).flatMap { s =>
           val parts = splitConjunctivePredicates(cond)
-          if (parts.forall(transferable)) Some((paths, parts ++ conds, res, ex, loc))
+          if (parts.forall(transferable)) Some(s.copy(conds = parts ++ s.conds))
           else None
         }
       case LogicalRelation(fs: HadoopFsRelation, out, _, _, _) =>
-        Some((fs.location.rootPaths.map(_.toString), Nil,
-          out.map(a => a.exprId -> a.name).toMap, Set.empty[String], fs.location))
+        Some(GroupScan(fs.location.rootPaths.map(_.toString), Nil,
+          out.map(a => a.exprId -> a.name).toMap, Set.empty[String],
+          fs.location, Map.empty))
       case _ => None
     }
   }
