@@ -970,10 +970,14 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         Set.empty, Seq("value"), s.read.parquet(s"$root/g"),
         quantums = Map(q.name -> s.sessionState.conf.sessionLocalTimeZone))
       graft.plans.IndexRewrite.install(s)
-      facts.createOrReplaceTempView("ev_quantum_q")
-      s.sql("SELECT date_trunc('hour', ts) AS h, event_type, " +
-        "count(*) AS cnt, sum(value) AS sv FROM ev_quantum_q " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")
+      // Cols.dateTrunc (native TruncTimestamp), NOT SQL date_trunc: the
+      // dialect registry (graft.sql.Functions) shadows that name with the
+      // reference's string-returning DATE_TRUNC, and Verify runs dialect
+      // queries in the same session
+      facts.groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+        .orderBy("h", "event_type")
     }),
     // ONLINE index maintenance under streaming ingest: a genuine
     // Structured Streaming run (file source, one file per micro-batch)

@@ -49,10 +49,17 @@ object GroupIndex {
   }
 
   /** Materialize the quantum columns; pass `groupCols ++ quantums.map(_.name)`
-    * to [[build]]/[[buildTo]]. */
+    * to [[build]]/[[buildTo]]. Built through [[graft.core.Cols.dateTrunc]]
+    * — the NATIVE Catalyst TruncTimestamp — never `functions.date_trunc`,
+    * which resolves "date_trunc" through the session registry that
+    * [[graft.sql.Functions]] SHADOWS with the reference dialect's
+    * string-returning DATE_TRUNC: a build through the shadowed name would
+    * silently store strings and never match the rewrite's TruncTimestamp
+    * shape (found live: the 1B bench session had run dialect queries first
+    * and `qidx_rewrite_fired` came back false). */
   def withQuantums(df: DataFrame, quantums: Seq[Quantum]): DataFrame =
     quantums.foldLeft(df)((d, q) =>
-      d.withColumn(q.name, date_trunc(q.unit, col(q.tsCol))))
+      d.withColumn(q.name, graft.core.Cols.dateTrunc(q.unit, col(q.tsCol))))
 
   /** One row per group-value combination with `cnt` (exploded-row count);
     * per requested VALUE column `c`: `sum_<c>`, `cntv_<c>` (non-null

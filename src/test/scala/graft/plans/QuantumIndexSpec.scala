@@ -24,12 +24,15 @@ class QuantumIndexSpec extends SparkSpec {
     (fact, s"$root/g")
   }
 
-  private def hourly(fact: String) = {
-    spark.read.parquet(fact).createOrReplaceTempView("qx_q")
-    spark.sql("SELECT date_trunc('hour', ts) AS h, event_type, " +
-      "count(*) AS cnt, sum(value) AS sv FROM qx_q GROUP BY 1, 2 " +
-      "ORDER BY 1, 2")
-  }
+  /** Through Cols.dateTrunc (native TruncTimestamp) — the SQL name
+    * `date_trunc` may be shadowed by the dialect registry when other
+    * suites ran first on the shared session. */
+  private def hourly(fact: String) =
+    spark.read.parquet(fact)
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .orderBy("h", "event_type")
 
   test("GROUP BY date_trunc('hour', ts) is served from the quantum index, " +
     "fact table unread") {
@@ -42,10 +45,14 @@ class QuantumIndexSpec extends SparkSpec {
     val served = hourly(fact)
     val phys = served.queryExecution.executedPlan.toString
     assert(!phys.contains("/fact"), s"fact table still scanned:\n$phys")
-    val want = spark.read.parquet(fact)
-      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    // baseline under the kill-switch: the direct aggregation would itself
+    // be index-served otherwise (a tautological compare)
+    spark.conf.set("spark.graft.indexRewrite", "false")
+    val want = try spark.read.parquet(fact)
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
       .orderBy("h", "event_type").collect()
+    finally spark.conf.unset("spark.graft.indexRewrite")
     val got = served.collect()
     assert(got.length == want.length)
     got.zip(want).foreach { case (g, w) =>
@@ -55,13 +62,16 @@ class QuantumIndexSpec extends SparkSpec {
         1e-9 * math.max(1.0, math.abs(w.getDouble(3))), s"$g vs $w")
     }
     // a different unit does not match (the key name embeds the unit)
-    val daily = spark.sql("SELECT date_trunc('day', ts) AS d, event_type, " +
-      "count(*) FROM qx_q GROUP BY 1, 2")
+    val daily = spark.read.parquet(fact)
+      .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"),
+        col("event_type")).agg(count(lit(1)))
     assert(daily.queryExecution.executedPlan.toString.contains("/fact"),
       "day-quantum query must not ride an hour-quantum index")
     // a WHERE on the raw ts must decline (it bounds rows, not buckets)
-    val filtered = spark.sql("SELECT date_trunc('hour', ts) AS h, " +
-      "count(*) FROM qx_q WHERE ts > timestamp'2024-01-01' GROUP BY 1")
+    val filtered = spark.read.parquet(fact)
+      .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)))
     assert(filtered.queryExecution.executedPlan.toString.contains("/fact"),
       "raw-ts filter must keep the fact scan")
     IndexCatalog.clear()
