@@ -1589,14 +1589,26 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   /** Highest `_id`-range shard with data; a single node owns 0..maxShard
     * contiguously (keyed tables collapse to shard 0 on this node). */
   private def maxShardOf(idx: String): Long = {
+    // a MISSING index must keep throwing (the shards endpoint 400s on it),
+    // but an EXISTING one the probe can't read — a foreign temp view with
+    // no `_id` (any Spark user can create one on the shared session) or
+    // backing files gone — reports shard 0 instead of failing the whole
+    // diagnostics response (same graceful-skip as the shards/max probe)
     val df = tableState(idx)
-    if (df.schema("_id").dataType == org.apache.spark.sql.types.LongType)
-      Option(df.agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col("_id"))).head.get(0))
-        .map { case l: java.lang.Long =>
-          l.longValue / graft.pql.Compiler.ShardWidth }
-        .getOrElse(0L)
-    else 0L
+    try {
+      if (df.schema.fields.exists(f => f.name == "_id" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        Option(df.agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("_id"))).head.get(0))
+          .map { case l: java.lang.Long =>
+            l.longValue / graft.pql.Compiler.ShardWidth }
+          .getOrElse(0L)
+      else 0L
+    } catch { case e: Exception =>
+      System.err.println(
+        s"[graft-server] shard-distribution probe failed for '$idx': ${e.getMessage}")
+      0L
+    }
   }
 
   private def allIndexNames: Seq[String] = {

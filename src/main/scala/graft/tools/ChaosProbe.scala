@@ -231,6 +231,28 @@ object ChaosProbe {
           layoutById = true), 0.5))
     }
 
+    // ONLINE grouped-index maintenance absorbs the kill: each invocation is
+    // a fresh 3-batch maintained ingest (fileSource → per-batch fact
+    // publish + index fold + re-register), digesting the FINAL index
+    // version. Executor loss mid-fold retries the fold job's tasks; the
+    // version markers keep folds exactly-once, so the digest must pin.
+    // Digest columns are strings and LONG sums — order-independent exactly.
+    val imsN = new java.util.concurrent.atomic.AtomicInteger
+    chaos("index_maintain") { () =>
+      import graft.streaming.{IndexMaintain, Ingest}
+      val root = Ingest.scratch(s"chaos_ims_${imsN.incrementAndGet()}")
+      val src = AbleGen.frame(spark, 300000L, 24)
+        .select(col("_id"), col("education_level"), col("age"))
+      Seq(0, 1, 2).foreach(i => src.filter(col("_id") % 3 === i)
+        .repartition(2).write.parquet(s"$root/src/p$i.parquet"))
+      val stream = Ingest.fileSource(spark, s"$root/src/*", "PARQUET",
+        src.schema, maxFilesPerTrigger = 1)
+      val (sq, state) = IndexMaintain.start(stream, s"$root/fact",
+        s"$root/ckpt", s"$root/idx/g", Seq("education_level"), Seq("age"))
+      sq.awaitTermination()
+      digest(spark.read.parquet(state.currentIndexPath.get))
+    }
+
     check("chaos_aborts") {
       require(failures == 0, s"$failures scenario(s) aborted or diverged")
       "count=0"

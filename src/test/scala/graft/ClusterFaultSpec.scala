@@ -33,21 +33,23 @@ class ClusterFaultSpec extends AnyFunSuite {
     assert(m.group(1) == m.group(2), res)
   }
 
-  test("reliable-tier chaos sweep: minhash, substring, components loop and " +
-      "BPE train each survive 3 sequential executor kills (plus a zero-" +
-      "executor double-kill) with identical results") {
+  test("reliable-tier chaos sweep: minhash, substring, components loop, " +
+      "BPE train and the online index-maintenance loop each survive 3 " +
+      "sequential executor kills (plus a zero-executor double-kill) with " +
+      "identical results") {
     assume(ClusterLaunch.available, "no Spark distribution / sbt classes")
     val (exit, probes, tail) =
       ClusterLaunch.probe("graft.tools.ChaosProbe", "local-cluster[2,4,3072]")
     assert(exit == 0, s"probe exit $exit:\n$tail")
     for (surface <- Seq("chaos_tier", "chaos_minhash", "chaos_substring",
-        "chaos_components", "chaos_bpe", "chaos_doublekill", "chaos_aborts"))
+        "chaos_components", "chaos_bpe", "chaos_index_maintain",
+        "chaos_doublekill", "chaos_aborts"))
       assert(probes.exists(_.startsWith(s"PROBE $surface OK")),
         s"$surface did not pass:\n${probes.mkString("\n")}")
     // the reliable tier's claim is "survives ANY number of losses" — each
     // scenario must have absorbed its full 3-kill quota, not one lucky hit
     for (surface <- Seq("chaos_minhash", "chaos_substring",
-        "chaos_components", "chaos_bpe")) {
+        "chaos_components", "chaos_bpe", "chaos_index_maintain")) {
       val line = probes.find(_.startsWith(s"PROBE $surface OK")).get
       assert(line.contains("kills=3"), s"$surface under-killed: $line")
     }

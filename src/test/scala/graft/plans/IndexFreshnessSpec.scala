@@ -55,6 +55,7 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(!again.queryExecution.executedPlan.toString.contains("/fact"),
       "re-registered index should serve")
     assert(again.collect().toSeq == want)
+    spark.catalog.dropTempView("fr_q")
     IndexCatalog.clear()
   }
 
@@ -84,6 +85,7 @@ class IndexFreshnessSpec extends SparkSpec {
       .groupBy(col("event_type").as("seg"))
       .agg(countDistinct("user_id").as("cnt")).orderBy("seg").collect().toSeq
     assert(after.collect().toSeq == want)
+    spark.catalog.dropTempView("fr_s")
     IndexCatalog.clear()
   }
 }

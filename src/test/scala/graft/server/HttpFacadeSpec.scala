@@ -297,11 +297,17 @@ class HttpFacadeSpec extends SparkSpec {
     assert(sc == 200 && sb == """{"shards":[0]}""", sb)
     assert(get("/internal/index/nope/shards")._1 == 400)
     // /ui/shard-distribution (http_handler.go:546,1226-1233;
-    // cluster.go:174-205 shape): one node owns every shard as primary
-    val (uc, ub) = get("/ui/shard-distribution")
-    assert(uc == 200 &&
-      ub.contains(""""lineitem":{"local":{"primary-shards":[0],"replica-shards":[]}}"""),
-      ub.take(400))
+    // cluster.go:174-205 shape): one node owns every shard as primary —
+    // and a FOREIGN temp view (no `_id`; any Spark user can create one on
+    // the shared session) must be reported as shard 0, not 400 the whole
+    // response (regression: IndexFreshnessSpec's leaked view broke this)
+    spark.sql("SELECT 'x' AS a").createOrReplaceTempView("diag_foreign_view")
+    try {
+      val (uc, ub) = get("/ui/shard-distribution")
+      assert(uc == 200 &&
+        ub.contains(""""lineitem":{"local":{"primary-shards":[0],"replica-shards":[]}}"""),
+        ub.take(400))
+    } finally spark.catalog.dropTempView("diag_foreign_view")
     // /ui/transaction (http_handler.go:544,2333-2366): JSON array form
     val (tc2, tb2) = get("/ui/transaction")
     assert(tc2 == 200 && tb2.startsWith("["), tb2.take(100))

@@ -119,6 +119,7 @@ class IndexMaintainSpec extends SparkSpec {
     assert(sameRows(again, want))
     // the replayed fact publish did not duplicate rows either
     assert(spark.read.parquet(factDir).count() == ev.count())
+    spark.catalog.dropTempView("ims_q")
     IndexCatalog.clear()
   }
 
@@ -142,6 +143,7 @@ class IndexMaintainSpec extends SparkSpec {
     val want = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"),
       sum("value").as("sv")).orderBy("event_type")
     assert(sameRows(served, want))
+    spark.catalog.dropTempView("ims_f")
     IndexCatalog.clear()
   }
 }
