@@ -815,6 +815,45 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         rows.toDF("vec_id", "sim")
       } finally facade.stop()
     }),
+    // INCREMENTAL ANN ingest through the facade (FAISS add() semantics):
+    // build the residual IVF-PQ index over HALF the vectors, append the
+    // other half — assigned to EXISTING cells, encoded with EXISTING
+    // codebooks, codes appended to the cell-partitioned layout — then an
+    // exhaustive query must equal brute force over the WHOLE table (the
+    // oracle), proving appended vectors are first-class at serving time.
+    "sim_ann_append" -> ((s, dir) => {
+      val facade = new graft.server.HttpFacade(s, dir, 0)
+      val port = facade.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def post(path: String, body: String): String = {
+          val r = client.send(java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port$path"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(r.statusCode() == 200,
+            s"$path -> ${r.statusCode()}: ${r.body().take(200)}")
+          r.body()
+        }
+        emb(s, dir).filter(col("vec_id") % 2 === 0)
+          .createOrReplaceTempView("emb_build_half")
+        try {
+          post("/ann/apx/build", """{"table":"emb_build_half","id":"vec_id",""" +
+            """"vec":"embedding","dim":64,"nCells":8,"m":8,"k":16}""")
+          post("/ann/apx/append",
+            """{"table":"embeddings","where":"vec_id % 2 = 1"}""")
+          val qv = queryVec(s, dir).mkString("[", ",", "]")
+          val resp = post("/ann/apx/query",
+            s"""{"query":$qv,"k":20,"nProbe":8,"shortlist":1000000,"exclude":0}""")
+          val ms = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(resp).get("matches")
+          val rows = (0 until ms.size).map(i =>
+            (ms.get(i).get("id").asLong, ms.get(i).get("sim").asDouble))
+          import s.implicits._
+          rows.toDF("vec_id", "sim")
+        } finally s.catalog.dropTempView("emb_build_half")
+      } finally facade.stop()
+    }),
     "evt_hourly" -> ((s, dir) => Tables.load(s, dir, "events")
       .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
@@ -1886,6 +1925,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "idx_rewrite_quantum" -> ("SELECT date_trunc('hour', ts) AS h, " +
       "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "sim_ann_append" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

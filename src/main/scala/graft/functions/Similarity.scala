@@ -224,6 +224,20 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Assign vectors to their nearest EXISTING centroid cell — the
+    * incremental-ingest path: newly arrived vectors join a built IVF(-PQ)
+    * layout without refitting the coarse quantizer (FAISS `add()`
+    * semantics). Assignment is the same argmin-L2 the build's KMeans
+    * transform uses ([[NearestCells]] ranks by `dot − |c|²/2`).
+    * Distribution drift degrades RECALL slowly (re-train when it matters);
+    * it never breaks correctness — residuals reconstruct from the STORED
+    * assignment and the exhaustive configuration stays exact. */
+  def assignCells(embeddings: DataFrame, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame =
+    embeddings.withColumn("cell",
+      element_at(Shim.column(NearestCells(
+        Shim.expression(col(vecCol)), centroids, 1)), 1))
+
   /** SemDeDup-style semantic deduplication: connected components over the
     * cosine ≥ threshold pair graph of an embedding column, labeling each
     * vector with its cluster root (min id) — feed the result to

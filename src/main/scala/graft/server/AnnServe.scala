@@ -57,6 +57,35 @@ object AnnServe {
     (centroids.length, spark.read.parquet(path).count())
   }
 
+  /** Incremental ingest into a BUILT index (FAISS `add()` semantics): the
+    * new rows are assigned to their nearest EXISTING cells and
+    * residual-encoded with the EXISTING codebooks — no quantizer refit, no
+    * corpus re-encode — and their codes land as appended files in the
+    * cell-partitioned layout (each query re-lists the code path, so the
+    * next query sees them). The rerank side unions the new (id, vec) rows
+    * so exactness at the exhaustive configuration is preserved; recall at
+    * partial probes degrades only as far as the vector distribution drifts
+    * from the fitted centroids (re-`build` when it matters). `where` is an
+    * optional SQL predicate selecting which of the table's rows to append.
+    * Returns the appended row count. */
+  def append(spark: SparkSession, name: String, table: String,
+             where: Option[String] = None): Long = {
+    val e = Option(registry.get(name)).getOrElse(
+      sys.error(s"ann index '$name' not built"))
+    val rows0 = spark.table(table)
+    val rows = where.map(w =>
+      rows0.filter(org.apache.spark.sql.functions.expr(w))).getOrElse(rows0)
+    val n = rows.count()
+    Similarity.ivfPqEncode(
+        Similarity.assignCells(rows, e.vecCol, e.centroids),
+        e.idCol, e.vecCol, e.dim, e.centroids, e.codebooks)
+      .write.partitionBy("cell").mode("append").parquet(e.codesPath)
+    registry.put(name, e.copy(original =
+      e.original.select(e.idCol, e.vecCol)
+        .unionByName(rows.select(e.idCol, e.vecCol))))
+    n
+  }
+
   /** Query a registered index with per-request dials; `nProbe <= 0` means
     * exhaustive (all cells). Returns (id, sim) rows, sim rounded to 6
     * places like the library surface. */

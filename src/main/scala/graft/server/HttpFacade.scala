@@ -720,6 +720,13 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
               str("table", null), str("id", "_id"), str("vec", null),
               int("dim", 64), int("nCells", 64), int("m", 16), int("k", 256))
             s"""{"name":${js(name)},"cells":$cells,"rows":$rows}"""
+          case ("POST", Array("ann", name, "append")) =>
+            val n = mapper.readTree(body)
+            val table = Option(n.get("table")).map(_.asText).getOrElse(
+              sys.error("ann append: 'table' required"))
+            val where = Option(n.get("where")).map(_.asText)
+            val added = AnnServe.append(spark, name, table, where)
+            s"""{"name":${js(name)},"appended":$added}"""
           case ("POST", Array("ann", name, "query")) =>
             val n = mapper.readTree(body)
             val qArr = Option(n.get("query")).filter(_.isArray)
@@ -734,7 +741,8 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
               s"""{"id":${r.getLong(0)},"sim":${r.getDouble(1)}}""")
             s"""{"matches":[${rows.mkString(",")}]}"""
           case _ =>
-            sys.error("use POST /ann/{name}/build or POST /ann/{name}/query")
+            sys.error("use POST /ann/{name}/build, /ann/{name}/append " +
+              "or /ann/{name}/query")
         }
       }
     })

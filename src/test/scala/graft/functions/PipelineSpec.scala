@@ -1009,4 +1009,33 @@ class PipelineSpec extends SparkSpec {
     assert(Sampling.capPerKey(withNull, col("domain"), col("id"), cap = 2,
       salt = "s1").count() == 10)
   }
+
+  test("incremental ANN append: new vectors join existing cells/codebooks " +
+    "and the exhaustive config stays exact over the grown corpus") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val (codes, centroids, cb) = Similarity.ivfPqIndex(
+      half, "vec_id", "embedding", dim = 64, nCells = 8, m = 16, k = 32)
+    // assignCells (the streaming/append path) must agree with the build's
+    // KMeans transform — same argmin-L2 objective, checked exactly
+    val reassigned = Similarity.assignCells(half, "embedding", centroids)
+      .select(col("vec_id"), col("cell").as("cell2"))
+    val disagree = codes.select("vec_id", "cell").join(reassigned, "vec_id")
+      .filter(col("cell") =!= col("cell2")).count()
+    assert(disagree == 0, s"$disagree vectors assigned differently")
+    // append: encode the rest against the EXISTING centroids + codebooks
+    val appended = Similarity.ivfPqEncode(
+      Similarity.assignCells(rest, "embedding", centroids),
+      "vec_id", "embedding", 64, centroids, cb)
+    assert(appended.columns.toSeq == codes.columns.toSeq)
+    val all = codes.unionByName(appended)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20, Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    val exhaustive = Similarity.ivfPqTopK(all, emb, "vec_id", "embedding",
+      centroids, cb, q, 20, nProbe = 8, shortlist = 1000000, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(exhaustive == brute,
+      "appended vectors must be first-class at the exhaustive setting")
+  }
 }
