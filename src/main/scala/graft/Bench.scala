@@ -457,24 +457,31 @@ object Bench {
             "Rows(political_party), Rows(domain), aggregate=Sum(field=age))"
           val seg = "Count(Intersect(Row(education_level='high_school'), " +
             "Row(age >< [25, 40]), Row(domain='domain0.example')))"
-          // SELF-ADJUDICATING hc runs (r10's 47→76 s artifact swing could
-          // not be attributed between box load and a real regression): after
-          // the warm run, keep timing until two consecutive timed runs agree
-          // within 20% (cap 6), and record the box load around EVERY run —
-          // the artifact then carries both the settled number and the
-          // evidence for any outlier
-          val hcLoads = scala.collection.mutable.ArrayBuffer(loadAvg())
-          val hcRuns = scala.collection.mutable.ArrayBuffer(run1(hc)) // warm
-          hcLoads += loadAvg()
-          var settled = false
-          while (!settled && hcRuns.size < 6) {
-            hcRuns += run1(hc)
-            hcLoads += loadAvg()
-            settled = hcRuns.size >= 3 && {
-              val (a, b) = (hcRuns(hcRuns.size - 2), hcRuns.last)
-              math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.2
+          // SELF-ADJUDICATING runs (r10's 47→76 s hc swing and r11's
+          // 0.80→2.57 s idx_serve swing could not be attributed between box
+          // load and a real regression): after the warm run, keep timing
+          // until two consecutive timed runs agree within 20% (cap 6), and
+          // record the box load around EVERY run — the artifact then
+          // carries both the settled number and the evidence for any
+          // outlier. Since r12 every 1B serve path uses this harness, not
+          // just hc.
+          def settle(run: () => Double)
+              : (Seq[Double], Seq[Double], Boolean) = {
+            val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+            val runs = scala.collection.mutable.ArrayBuffer(run()) // warm
+            loads += loadAvg()
+            var ok = false
+            while (!ok && runs.size < 6) {
+              runs += run()
+              loads += loadAvg()
+              ok = runs.size >= 3 && {
+                val (a, b) = (runs(runs.size - 2), runs.last)
+                math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.2
+              }
             }
+            (runs.toSeq, loads.toSeq, ok)
           }
+          val (hcRuns, hcLoads, settled) = settle(() => run1(hc))
           val segRuns = (1 to 3).map(_ => run1(seg)) // warm + 2 timed
           // roaring segment index: reuse across rounds (build_sec = -1 when
           // served from cache), serve the count from the 849 MB code table
@@ -487,7 +494,7 @@ object Bench {
                 .write.mode("overwrite").parquet(idxPath)
               (System.nanoTime() - t) / 1e9
             }
-          val idxServe = (1 to 3).map { _ =>
+          val (idxServe, idxLoads, idxSettled) = settle { () =>
             val t = System.nanoTime()
             spark.read.parquet(idxPath).filter(col("seg") === "high_school")
               .select(graft.index.Bitmap.bitmapCount(col("bm")).as("cnt"))
@@ -520,7 +527,7 @@ object Bench {
             .queryExecution.executedPlan.toString
           val gidxFired = servedPlan.contains("graft-able-gidx") &&
             !servedPlan.contains("graft-able-v4")
-          val gidxServe = (1 to 3).map(_ => run1(hc)) // warm + 2 timed
+          val (gidxServe, gidxLoads, gidxSettled) = settle(() => run1(hc))
           // INCREMENTAL maintenance at 1B: fold a 1M-row arriving batch into
           // the grouped index (GroupIndex.appendDelta — one aggregation over
           // the BATCH plus a combo-cardinality merge). The number on record:
@@ -573,9 +580,60 @@ object Bench {
           val qPlan = quantumQ.queryExecution.executedPlan.toString
           val qidxFired = qPlan.contains("graft-able-qidx") &&
             !qPlan.contains("graft-able-v4")
-          val qidxServe = (1 to 3).map { _ =>
+          val (qidxServe, qidxLoads, qidxSettled) = settle { () =>
             val t = System.nanoTime()
             quantumQ.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t) / 1e9
+          }
+          // r12: the quantum index also serves ALIGNED TIME-RANGE cuts and
+          // COARSER-unit rollups (IndexRewrite.quantumizeBounds /
+          // rollupGrouped) — prove both fire at 1B and record the serve
+          // time. Day-aligned [2006-06-01, 2007-01-01) range on the day
+          // index (able timestamps span ~579 days from 2006-01-02,
+          // AbleGen.BaseMicros); month×education rollup re-aggregated from day rows.
+          def ts(s: String) = org.apache.spark.sql.functions.lit(
+            java.sql.Timestamp.valueOf(s))
+          def qRangeQ = df
+            .filter(col("timestamp") >= ts("2006-06-01 00:00:00") &&
+              col("timestamp") < ts("2007-01-01 00:00:00"))
+            .groupBy(graft.core.Cols.dateTrunc("day", col("timestamp")).as("d"),
+              col("education_level"))
+            .agg(count(lit(1)).as("cnt"), sum(col("age")).as("sa"))
+          val qRangePlan = qRangeQ.queryExecution.executedPlan.toString
+          val qRangeFired = qRangePlan.contains("graft-able-qidx") &&
+            !qRangePlan.contains("graft-able-v4")
+          val (qRangeServe, qRangeLoads, qRangeSettled) = settle { () =>
+            val t = System.nanoTime()
+            qRangeQ.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t) / 1e9
+          }
+          def qRollQ = df.groupBy(
+              graft.core.Cols.dateTrunc("month", col("timestamp")).as("m"),
+              col("education_level"))
+            .agg(count(lit(1)).as("cnt"), sum(col("age")).as("sa"))
+          val qRollPlan = qRollQ.queryExecution.executedPlan.toString
+          val qRollFired = qRollPlan.contains("graft-able-qidx") &&
+            !qRollPlan.contains("graft-able-v4")
+          val (qRollServe, qRollLoads, qRollSettled) = settle { () =>
+            val t = System.nanoTime()
+            qRollQ.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t) / 1e9
+          }
+          // DIMENSION rollup at 1B: GROUP BY domain ONLY (3 of the hc
+          // gidx's 4 keys dropped, domain exploded on both sides) —
+          // answered by re-aggregating the gidx's combo rows, never the
+          // 1B fact table. The able "groupby_set_sum" dashboard shape,
+          // served from the same single index as the full hc query.
+          def dimRollQ = df
+            .select(explode(col("domain")).as("domain"), col("age"))
+            .groupBy("domain")
+            .agg(count(lit(1)).as("n"), sum(col("age")).as("sa"))
+          val dimRollPlan = dimRollQ.queryExecution.executedPlan.toString
+          val dimRollFired = dimRollPlan.contains("graft-able-gidx") &&
+            !dimRollPlan.contains("graft-able-v4")
+          val (dimRollServe, dimRollLoads, dimRollSettled) = settle { () =>
+            val t = System.nanoTime()
+            dimRollQ.write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t) / 1e9
           }
           def arr(ts: Seq[Double]) =
@@ -583,25 +641,50 @@ object Bench {
           summary("able_1b_hc_min") = num(hcRuns.drop(1).min, 1)
           summary("able_1b_seg_min") = num(segRuns.drop(1).min, 2)
           summary("able_1b_idx_serve_min") = num(idxServe.drop(1).min, 2)
+          summary("able_1b_idx_settled") = idxSettled.toString
           summary("able_1b_gidx_serve_min") = num(gidxServe.drop(1).min, 2)
           summary("able_1b_gidx_fired") = gidxFired.toString
           summary("able_1b_gidx_fold_sec") = num(gidxFoldSec, 2)
           summary("able_1b_qidx_serve_min") = num(qidxServe.drop(1).min, 2)
           summary("able_1b_qidx_fired") = qidxFired.toString
+          summary("able_1b_qrange_min") = num(qRangeServe.drop(1).min, 2)
+          summary("able_1b_qrange_fired") = qRangeFired.toString
+          summary("able_1b_qrollup_min") = num(qRollServe.drop(1).min, 2)
+          summary("able_1b_qrollup_fired") = qRollFired.toString
+          summary("able_1b_dimroll_min") = num(dimRollServe.drop(1).min, 2)
+          summary("able_1b_dimroll_fired") = dimRollFired.toString
           s""","able_1b":{"rows":$n1b,"gen_sec":${num(genSec, 1)},""" +
-            s""""hc_groupby_runs":${arr(hcRuns.toSeq)},""" +
-            s""""hc_load_around_runs":${arr(hcLoads.toSeq)},""" +
+            s""""hc_groupby_runs":${arr(hcRuns)},""" +
+            s""""hc_load_around_runs":${arr(hcLoads)},""" +
             s""""hc_settled":$settled,""" +
             s""""seg_count_runs":${arr(segRuns)},""" +
             s""""idx_build_sec":${num(idxBuildSec, 1)},""" +
             s""""idx_serve_runs":${arr(idxServe)},""" +
+            s""""idx_serve_loads":${arr(idxLoads)},""" +
+            s""""idx_serve_settled":$idxSettled,""" +
             s""""gidx_build_sec":${num(gidxBuildSec, 1)},""" +
             s""""gidx_rewrite_fired":$gidxFired,""" +
             s""""gidx_serve_runs":${arr(gidxServe)},""" +
+            s""""gidx_serve_loads":${arr(gidxLoads)},""" +
+            s""""gidx_serve_settled":$gidxSettled,""" +
             s""""gidx_fold_1m_sec":${num(gidxFoldSec, 2)},""" +
             s""""qidx_build_sec":${num(qidxBuildSec, 1)},""" +
             s""""qidx_rewrite_fired":$qidxFired,""" +
-            s""""qidx_serve_runs":${arr(qidxServe)}}"""
+            s""""qidx_serve_runs":${arr(qidxServe)},""" +
+            s""""qidx_serve_loads":${arr(qidxLoads)},""" +
+            s""""qidx_serve_settled":$qidxSettled,""" +
+            s""""qrange_rewrite_fired":$qRangeFired,""" +
+            s""""qrange_serve_runs":${arr(qRangeServe)},""" +
+            s""""qrange_serve_loads":${arr(qRangeLoads)},""" +
+            s""""qrange_serve_settled":$qRangeSettled,""" +
+            s""""qrollup_rewrite_fired":$qRollFired,""" +
+            s""""qrollup_serve_runs":${arr(qRollServe)},""" +
+            s""""qrollup_serve_loads":${arr(qRollLoads)},""" +
+            s""""qrollup_serve_settled":$qRollSettled,""" +
+            s""""dimroll_rewrite_fired":$dimRollFired,""" +
+            s""""dimroll_serve_runs":${arr(dimRollServe)},""" +
+            s""""dimroll_serve_loads":${arr(dimRollLoads)},""" +
+            s""""dimroll_serve_settled":$dimRollSettled}"""
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
     } catch { case e: Throwable =>

@@ -854,6 +854,30 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         } finally s.catalog.dropTempView("emb_build_half")
       } finally facade.stop()
     }),
+    // DURABLE ANN serving: build+append registrations persist to the
+    // warehouse (_indexes.json) and a bounced process replays them —
+    // registry cleared, IndexRegistry.restore re-binds /ann/{name}, and the
+    // restored index answers the exhaustive query exactly (the same brute
+    // oracle as sim_ann_serve). Closes r11's operational asymmetry where
+    // grouped indexes survived a bounce but ANN bindings did not.
+    "sim_ann_restore" -> ((s, dir) => {
+      val s2 = s.newSession()
+      val wh = graft.streaming.Ingest.scratch("ann_restore_wh")
+      s2.conf.set("spark.graft.warehouse", wh)
+      emb(s2, dir).filter(col("vec_id") % 2 === 0)
+        .createOrReplaceTempView("emb_restore_half")
+      emb(s2, dir).createOrReplaceTempView("emb_restore_all")
+      graft.server.AnnServe.build(s2, "restored", "emb_restore_half",
+        "vec_id", "embedding", 64, 8, 8, 16)
+      graft.server.AnnServe.append(s2, "restored", "emb_restore_all",
+        Some("vec_id % 2 = 1"))
+      // the bounce: in-memory registry gone, warehouse record replayed
+      graft.server.AnnServe.clear()
+      graft.plans.IndexRegistry.restore(s2)
+      graft.server.AnnServe.query(s2, "restored", queryVec(s2, dir), 20,
+        nProbe = 0, shortlist = 1000000, excludeId = Some(0L))
+        .toDF("vec_id", "sim")
+    }),
     "evt_hourly" -> ((s, dir) => Tables.load(s, dir, "events")
       .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
@@ -1017,6 +1041,91 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
         .orderBy("h", "event_type")
+    }),
+    // QUANTUM-ALIGNED TIME-RANGE riding the quantum index: `WHERE ts >= t1
+    // AND ts < t2` with both bounds on exact hour boundaries IS a bucket
+    // predicate — the reference's viewsByTimeRange minimal-view-union
+    // semantics (`reference/time.go:158-225`) — so the filter transfers
+    // onto the `__q_hour_ts` index column and the fact table stays unread
+    // (plan asserted in QuantumIndexSpec; non-aligned bounds decline).
+    "idx_rewrite_quantum_range" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val root = graft.streaming.Ingest.scratch("idx_quantum_range")
+      val fact = s"$root/fact"
+      base.select("event_id", "ts", "event_type", "value").write.parquet(fact)
+      val q = graft.index.GroupIndex.Quantum("ts", "hour")
+      val facts = s.read.parquet(fact)
+      graft.index.GroupIndex.buildTo(
+        graft.index.GroupIndex.withQuantums(facts, Seq(q)),
+        Seq(q.name, "event_type"), Seq("value"), s"$root/g")
+      graft.plans.IndexCatalog.registerGroup(fact, Seq(q.name, "event_type"),
+        Set.empty, Seq("value"), s.read.parquet(s"$root/g"),
+        quantums = Map(q.name -> s.sessionState.conf.sessionLocalTimeZone))
+      graft.plans.IndexRewrite.install(s)
+      facts
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+        .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+        .orderBy("h", "event_type")
+    }),
+    // QUANTUM-UNIT ROLLUP: GROUP BY date_trunc('day', ts) answered from the
+    // HOUR-quantum index by re-aggregating combo rows with the merge
+    // algebra (cnt/sum ADD, min/max COMBINE, count-distinct via bitmap OR)
+    // — the reference's view hierarchy answering a coarse query by unioning
+    // finer views (`reference/time.go:74-225`). Plan asserted scan-free in
+    // QuantumIndexSpec; the oracle replays the day GROUP BY over the facts.
+    "idx_rewrite_quantum_rollup" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val root = graft.streaming.Ingest.scratch("idx_quantum_rollup")
+      val fact = s"$root/fact"
+      base.select("event_id", "ts", "event_type", "user_id", "value")
+        .write.parquet(fact)
+      val q = graft.index.GroupIndex.Quantum("ts", "hour")
+      val facts = s.read.parquet(fact)
+      graft.index.GroupIndex.buildTo(
+        graft.index.GroupIndex.withQuantums(facts, Seq(q)),
+        Seq(q.name, "event_type"), Seq("value"), s"$root/g",
+        distinctCols = Seq("user_id"))
+      graft.plans.IndexCatalog.registerGroup(fact, Seq(q.name, "event_type"),
+        Set.empty, Seq("value"), s.read.parquet(s"$root/g"), Seq("user_id"),
+        quantums = Map(q.name -> s.sessionState.conf.sessionLocalTimeZone))
+      graft.plans.IndexRewrite.install(s)
+      facts
+        .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"),
+          avg(col("value")).as("av"),
+          countDistinct(col("user_id")).as("ud"))
+        .orderBy("d", "event_type")
+    }),
+    // DIMENSION ROLLUP: GROUP BY a SUBSET of an index's keys (plus a
+    // filter on a DROPPED key) answered by re-aggregating combo rows with
+    // the merge algebra — one multi-key index serves the whole coarser
+    // dashboard lattice instead of one index per shape. Plan asserted
+    // scan-free in QuantumIndexSpec; the oracle replays the query.
+    "idx_rewrite_dimension_rollup" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val root = graft.streaming.Ingest.scratch("idx_dim_rollup")
+      val fact = s"$root/fact"
+      base.select("event_id", "event_type", "user_id", "value")
+        .write.parquet(fact)
+      val facts = s.read.parquet(fact)
+      graft.index.GroupIndex.buildTo(facts, Seq("event_type", "user_id"),
+        Seq("value"), s"$root/g", distinctCols = Seq("event_id"))
+      graft.plans.IndexCatalog.registerGroup(fact,
+        Seq("event_type", "user_id"), Set.empty, Seq("value"),
+        s.read.parquet(s"$root/g"), Seq("event_id"))
+      graft.plans.IndexRewrite.install(s)
+      facts.filter(col("user_id") < 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"),
+          avg(col("value")).as("av"),
+          countDistinct(col("event_id")).as("ue"))
+        .orderBy("event_type")
     }),
     // ONLINE index maintenance under streaming ingest: a genuine
     // Structured Streaming run (file source, one file per micro-batch)
@@ -1799,6 +1908,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "sim_ann_serve" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
       "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
       "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
+    "sim_ann_restore" -> ("SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], " +
+      "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20"),
     "evt_hourly" -> ("SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt, " +
       "round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "evt_sessionize" -> ("SELECT count(*) AS n_sessions, round(avg(n), 4) AS avg_len FROM " +
@@ -1922,6 +2034,19 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "stream_index_maintain" -> ("SELECT event_type, count(*) AS cnt, " +
       "sum(value) AS sv, count(DISTINCT user_id) AS ud FROM events " +
       "GROUP BY 1 ORDER BY 1"),
+    "idx_rewrite_quantum_range" -> ("SELECT date_trunc('hour', ts) AS h, " +
+      "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
+      "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-20 00:00:00' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "idx_rewrite_quantum_rollup" -> ("SELECT date_trunc('day', ts) AS d, " +
+      "event_type, count(*) AS cnt, sum(value) AS sv, min(value) AS mn, " +
+      "max(value) AS mx, avg(value) AS av, count(DISTINCT user_id) AS ud " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "idx_rewrite_dimension_rollup" -> ("SELECT event_type, count(*) AS cnt, " +
+      "sum(value) AS sv, min(value) AS mn, max(value) AS mx, " +
+      "avg(value) AS av, count(DISTINCT event_id) AS ue FROM events " +
+      "WHERE user_id < 50 GROUP BY event_type ORDER BY event_type"),
     "idx_rewrite_quantum" -> ("SELECT date_trunc('hour', ts) AS h, " +
       "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -315,6 +315,7 @@ object TableLog {
   def upsert(spark: SparkSession, name: String, incoming0: DataFrame): Unit =
     mutate(spark, name) {
     val st = stateOf(spark, name)
+    graft.plans.IndexRewrite.warnMutated(st.base.df)
     val incoming = alignTo(st.base.df.schema, incoming0)
     val next =
       if (!hasId(st.base.df) || !hasId(incoming)) {
@@ -343,6 +344,7 @@ object TableLog {
   def delete(spark: SparkSession, name: String, cond: Option[Column]): Unit =
     mutate(spark, name) {
     val st = stateOf(spark, name)
+    graft.plans.IndexRewrite.warnMutated(st.base.df)
     cond match {
       case None =>
         replace(spark, name,
@@ -372,6 +374,7 @@ object TableLog {
   def deleteByIds(spark: SparkSession, name: String, ids: DataFrame): Unit =
     mutate(spark, name) {
       val st = stateOf(spark, name)
+      graft.plans.IndexRewrite.warnMutated(st.base.df)
       if (!hasId(st.base.df)) sys.error(s"$name is keyless; deleteByIds needs _id")
       val idT = st.base.df.schema("_id").dataType
       val idsOnly = ids.select(col("_id").cast(idT).as("_id"))

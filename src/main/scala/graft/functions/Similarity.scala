@@ -505,9 +505,34 @@ object Similarity {
     original.join(broadcast(short), idCol)
       .select(col(idCol),
         round(cosine(col(vecCol), array(query.map(lit): _*)), 6).as("sim"))
+      // the rerank side may hold the same (id, vec) row more than once
+      // (overlapping serving sources after an append replay) — collapse
+      // before ranking so top-k never lists an id twice. Shortlist-sized
+      // input (≤ |short| · dup rows), so the aggregate is noise next to
+      // the corpus-scan join above it.
+      .dropDuplicates(Seq(idCol))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Mean ‖v − centroid(cell)‖ over a bounded deterministic sample — the
+    * ANN DRIFT statistic behind [[graft.server.AnnServe]]'s telemetry:
+    * stored once at build time, recomputed per appended batch. The ratio
+    * of batch to build figure rising above ~1 says the arriving vectors
+    * have wandered from the fitted coarse quantizer — partial-probe recall
+    * degrades (re-`build` retrains); exhaustive queries stay exact
+    * regardless. Sampled by [[fitSample]] on the id column, so the figure
+    * is reproducible on any partitioning; cost is one bounded-sample
+    * assignment pass, never a corpus scan. */
+  def meanResidualNorm(rows: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Double]],
+                       sampleTarget: Long = 65536L): Double =
+    assignCells(
+        fitSample(rows.select(col(idCol), col(vecCol)), col(idCol), sampleTarget),
+        vecCol, centroids)
+      .withColumn("__res", residualOf(col(vecCol), col("cell"), centroids))
+      .agg(avg(sqrt(dot(col("__res"), col("__res")))))
+      .head().getDouble(0)
 
   /** `v − centroid(cell)` as a pure column expression. The centroid matrix
     * rides as ONE nested-array literal (plan data, not nCells·dim

@@ -87,7 +87,30 @@ object IndexCatalog {
     paths.headOption.flatMap(p =>
       Option(groupEntries.get((normalize(p), groupCols))))
 
+  /** Every grouped entry registered for a base path — the rollup matcher
+    * ([[IndexRewrite]]) scans these for an index whose key set GENERALIZES
+    * the query's (registration count per table is operator-bounded and
+    * small; this is a rule-time in-memory scan, no IO). */
+  def groupEntriesFor(paths: Seq[String]): Seq[GroupEntry] = {
+    import scala.jdk.CollectionConverters._
+    paths.headOption.toSeq.flatMap { p =>
+      val n = normalize(p)
+      groupEntries.asScala.collect {
+        case ((bp, _), e) if bp == n => e }.toSeq
+    }
+  }
+
   def clear(): Unit = { entries.clear(); groupEntries.clear() }
+
+  /** Is any seg/group index registered over this base path? — the
+    * mutation-path immediate stale warning reads this
+    * ([[IndexRewrite.warnMutated]]). */
+  def isRegistered(path: String): Boolean = {
+    val n = normalize(path)
+    import scala.jdk.CollectionConverters._
+    entries.keySet.asScala.exists(_._1 == n) ||
+      groupEntries.keySet.asScala.exists(_._1 == n)
+  }
 
   /** Fingerprint of a FileIndex's resolved listing: sorted
     * (path, length, modificationTime) triples, SHA-256. At rule time this
@@ -114,6 +137,31 @@ object IndexCatalog {
           locationSig(fs.location)
       }
     }.toOption.flatten
+
+  /** [[locationSig]]-compatible fingerprint from a plain recursive
+    * [[org.apache.hadoop.fs.FileSystem]] listing — no parquet footer read,
+    * no DataFrame analysis — for per-batch maintenance loops
+    * ([[graft.streaming.IndexMaintain.foldBatch]] fingerprints the fact dir
+    * every micro-batch). Lists what Spark's file index lists: visible
+    * files, hidden (`_`/`.`-prefixed) names pruned at every level. Must
+    * stay equal to [[factSignature]] on the same dir (IndexMaintainSpec
+    * pins the equality — a drift would make the freshness guard decline
+    * and the maintained index stop serving). */
+  def factSignatureFast(spark: SparkSession, basePath: String): Option[String] =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(basePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (!visible(st.getPath.getName)) Nil
+        else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+        else Seq(st)
+      val lines = fs.listStatus(p).toSeq.flatMap(walk)
+        .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      lines.sorted.foreach(l => md.update(l.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }.toOption
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
@@ -169,13 +217,16 @@ object IndexRegistry {
       sig.map(s => "factSig" -> (JString(s): JValue))))
   }
 
-  /** Durable [[IndexCatalog.registerGroup]]. */
+  /** Durable [[IndexCatalog.registerGroup]]. Pass `factSig` when the caller
+    * already listed the fact dir (e.g. [[graft.streaming.IndexMaintain]]
+    * per batch) — it skips a second listing + footer read here. */
   def registerGroupDurable(spark: SparkSession, basePath: String,
                            groupCols: Seq[String], explodedCols: Set[String],
                            sumCols: Seq[String], indexPath: String,
                            distinctCols: Seq[String] = Nil,
-                           quantums: Map[String, String] = Map.empty): Unit = {
-    val sig = IndexCatalog.factSignature(spark, basePath)
+                           quantums: Map[String, String] = Map.empty,
+                           factSig: Option[String] = None): Unit = {
+    val sig = factSig.orElse(IndexCatalog.factSignature(spark, basePath))
     IndexCatalog.registerGroup(basePath, groupCols, explodedCols, sumCols,
       spark.read.parquet(indexPath), distinctCols, sig, quantums)
     append(spark, JObject(List(
@@ -191,6 +242,35 @@ object IndexRegistry {
       sig.map(s => "factSig" -> (JString(s): JValue))))
   }
 
+  /** Durable ANN serving registration ([[graft.server.AnnServe]]): the
+    * quantizer (centroids + codebooks — small arrays) and rerank sources
+    * persist alongside the grouped/segment registrations; the code-table
+    * parquet persists itself. Closes the r11 operational asymmetry where a
+    * bounced facade kept serving grouped indexes but silently lost its
+    * `/ann/{name}` bindings. */
+  def registerAnnDurable(spark: SparkSession, name: String,
+      codesPath: String, idCol: String, vecCol: String, dim: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      sources: Seq[(String, Option[String])], residualNormBuild: Double,
+      residualNormLastAppend: Option[Double]): Unit = {
+    def darr(a: Array[Double]): JValue = JArray(a.toList.map(JDouble(_)))
+    append(spark, JObject(List[(String, JValue)](
+      "kind" -> JString("ann"), "basePath" -> JString(codesPath),
+      "key" -> JString(name), "name" -> JString(name),
+      "idCol" -> JString(idCol), "vecCol" -> JString(vecCol),
+      "dim" -> JInt(dim),
+      "centroids" -> JArray(centroids.toList.map(darr)),
+      "codebooks" -> JArray(codebooks.toList.map(cb =>
+        JArray(cb.toList.map(darr)))),
+      "sources" -> JArray(sources.toList.map { case (t, w) =>
+        JObject(List[(String, JValue)]("table" -> JString(t)) ++
+          w.map(x => "where" -> (JString(x): JValue))) }),
+      "residualNormBuild" -> JDouble(residualNormBuild)) ++
+      residualNormLastAppend.map(v =>
+        "residualNormLastAppend" -> (JDouble(v): JValue))))
+  }
+
   /** Replay persisted registrations into the in-memory catalog (and
     * install the rule). Safe to call repeatedly; no-op without a
     * warehouse. */
@@ -198,36 +278,69 @@ object IndexRegistry {
     def s(v: JValue): String = v match { case JString(x) => x; case o => o.toString }
     def arr(v: JValue): Seq[String] =
       v match { case JArray(xs) => xs.map(s); case _ => Nil }
+    def dbl(v: JValue): Double = v match {
+      case JDouble(x) => x; case JInt(x) => x.toDouble
+      case JDecimal(x) => x.toDouble; case o => o.toString.toDouble
+    }
+    def darr(v: JValue): Array[Double] =
+      v match { case JArray(xs) => xs.map(dbl).toArray; case _ => Array.empty }
     val entries = lock.synchronized(readAll(f))
     if (entries.nonEmpty) IndexRewrite.install(spark)
     entries.foreach { e =>
       try {
-        val idx = spark.read.parquet(s(e \ "indexPath"))
-        // replay the REGISTRATION-TIME fact fingerprint, not a fresh one:
-        // facts that changed while the process was down must decline at
-        // rule time, same as a live mutation would
-        val sig = e \ "factSig" match {
-          case JString(x) => Some(x)
-          case _          => None
-        }
         s(e \ "kind") match {
-          case "seg" => IndexCatalog.register(
-            s(e \ "basePath"), s(e \ "segCol"), s(e \ "idCol"), idx, sig)
-          case "group" =>
-            val quantums = e \ "quantums" match {
-              case JObject(fields) => fields.collect {
-                case (k, JString(v)) => k -> v }.toMap
-              case _ => Map.empty[String, String]
+          case "seg" | "group" =>
+            val idx = spark.read.parquet(s(e \ "indexPath"))
+            // replay the REGISTRATION-TIME fact fingerprint, not a fresh
+            // one: facts that changed while the process was down must
+            // decline at rule time, same as a live mutation would
+            val sig = e \ "factSig" match {
+              case JString(x) => Some(x)
+              case _          => None
             }
-            IndexCatalog.registerGroup(
-              s(e \ "basePath"), arr(e \ "groupCols"),
-              arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), idx,
-              arr(e \ "distinctCols"), sig, quantums)
+            if (s(e \ "kind") == "seg")
+              IndexCatalog.register(
+                s(e \ "basePath"), s(e \ "segCol"), s(e \ "idCol"), idx, sig)
+            else {
+              val quantums = e \ "quantums" match {
+                case JObject(fields) => fields.collect {
+                  case (k, JString(v)) => k -> v }.toMap
+                case _ => Map.empty[String, String]
+              }
+              IndexCatalog.registerGroup(
+                s(e \ "basePath"), arr(e \ "groupCols"),
+                arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), idx,
+                arr(e \ "distinctCols"), sig, quantums)
+            }
+          case "ann" =>
+            // verify the code table still exists (the serving data); the
+            // quantizer replays from the JSON record
+            val codesPath = s(e \ "basePath")
+            spark.read.parquet(codesPath).schema
+            val sources = e \ "sources" match {
+              case JArray(xs) => xs.map(src => (s(src \ "table"),
+                src \ "where" match {
+                  case JString(w) => Some(w); case _ => None }))
+              case _ => Nil
+            }
+            graft.server.AnnServe.restoreEntry(s(e \ "name"), codesPath,
+              s(e \ "idCol"), s(e \ "vecCol"), dbl(e \ "dim").toInt,
+              (e \ "centroids" match {
+                case JArray(xs) => xs.map(darr).toArray
+                case _ => Array.empty[Array[Double]] }),
+              (e \ "codebooks" match {
+                case JArray(xs) => xs.map {
+                  case JArray(ys) => ys.map(darr).toArray
+                  case _ => Array.empty[Array[Double]] }.toArray
+                case _ => Array.empty[Array[Array[Double]]] }),
+              sources, dbl(e \ "residualNormBuild"),
+              e \ "residualNormLastAppend" match {
+                case JNothing => None; case v => Some(dbl(v)) })
           case other => System.err.println(s"[restore] unknown index kind $other")
         }
       } catch { case ex: Exception =>
         System.err.println(s"[restore] index registration skipped " +
-          s"(${s(e \ "indexPath")}): ${ex.getMessage}")
+          s"(${s(e \ "kind")} ${s(e \ "key")}): ${ex.getMessage}")
       }
     }
   }
@@ -337,30 +450,333 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (agg.groupingExpressions.isEmpty || gAttrs.exists(_.isEmpty)) None
     else {
       val gs = gAttrs.flatten
-      for {
+      val shaped = for {
         scan <- walkGrouped(agg.child)
         srcOf = gs.flatMap(a => scan.resolve.get(a.exprId).map(a.exprId -> _)).toMap
         if srcOf.size == gs.size
         groupSrcs = gs.map(a => srcOf(a.exprId))
         if groupSrcs.distinct.size == groupSrcs.size
-        entry <- IndexCatalog.lookupGroup(scan.paths, groupSrcs.toSet)
-        if fresh(entry.factSig, scan.loc)
         // the query must explode exactly the columns the build exploded —
-        // a differing multiplicity would make cnt/sum wrong
-        if entry.explodedCols == scan.exploded
-        // every quantum key must be registered with the SAME truncation
-        // timezone the query's date_trunc uses — a tz skew would bucket
-        // rows differently than the build did
-        if groupSrcs.filter(_.startsWith("__q_")).forall(q =>
-          entry.quantums.get(q).exists(scan.quantumTz.get(q).contains(_)))
-        // explode guards the optimizer infers (isnotnull(arr), size(arr)>0)
-        // are implied by the build's own explode — drop them; everything
-        // else must transfer
+        // a differing multiplicity would make cnt/sum wrong (checked per
+        // entry below)
         transfer = scan.conds.filterNot(
           impliedByExplode(_, scan.resolve, scan.exploded))
-        plan <- substituteGrouped(agg, srcOf, scan.resolve, transfer,
-          groupSrcs.toSet, entry)
-      } yield plan
+      } yield (scan, srcOf, groupSrcs, transfer)
+      shaped.flatMap { case (scan, srcOf, groupSrcs, transfer) =>
+        exactGrouped(agg, scan, srcOf, groupSrcs, transfer)
+          .orElse(rollupGrouped(agg, scan, srcOf, groupSrcs, transfer))
+      }
+    }
+  }
+
+  /** The exact-key-set match: the registered index's group columns equal
+    * the query's. */
+  private def exactGrouped(agg: Aggregate, scan: GroupScan,
+      srcOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      groupSrcs: Seq[String], transfer: Seq[Expression]): Option[LogicalPlan] =
+    for {
+      entry <- IndexCatalog.lookupGroup(scan.paths, groupSrcs.toSet)
+      if fresh(entry.factSig, scan.loc)
+      if entry.explodedCols == scan.exploded
+      // every quantum key must be registered with the SAME truncation
+      // timezone the query's date_trunc uses — a tz skew would bucket
+      // rows differently than the build did
+      if groupSrcs.filter(_.startsWith("__q_")).forall(q =>
+        entry.quantums.get(q).exists(scan.quantumTz.get(q).contains(_)))
+      (conds, extraResolve) = quantumizeBounds(transfer, scan.resolve,
+        groupSrcs.filter(_.startsWith("__q_")), entry)
+      plan <- substituteGrouped(agg, srcOf, scan.resolve ++ extraResolve,
+        conds, groupSrcs.toSet, entry)
+    } yield plan
+
+  // -------------------------------------------- quantum-aligned range bounds
+
+  /** `__q_<unit>_<ts>` → (unit, ts column). */
+  private def quantumParts(key: String): (String, String) = {
+    val rest = key.stripPrefix("__q_")
+    val i = rest.indexOf('_')
+    (rest.take(i), rest.drop(i + 1))
+  }
+
+  /** Raw-ts range bounds whose literal is an EXACT quantum boundary are
+    * bucket predicates — the reference's `viewsByTimeRange` minimal-view
+    * union semantics (`reference/time.go:158-225`: a [from, to) range on
+    * quantum boundaries selects whole views, never rows): transfer them
+    * onto the `__q_*` index column. `ts >= t` (t aligned) keeps buckets
+    * from t; `ts < t` (t aligned) excludes bucket t entirely — the strict
+    * inequality at the bucket edge is exactly a bucket cut. `>` / `<=` at
+    * an aligned edge split a bucket mid-way (the bound includes/excludes a
+    * single instant of it), and any non-aligned bound bounds rows, not
+    * buckets — both keep the fact scan. Alignment is evaluated with the
+    * BUILD's own truncation ([[org.apache.spark.sql.catalyst.expressions.TruncTimestamp]]
+    * under the registered timezone), so the check can never disagree with
+    * how the index bucketed.
+    *
+    * Returns the (possibly rewritten) conjuncts plus exprId→quantum-name
+    * resolutions for the fresh attributes the rewritten bounds reference
+    * (fed into the substitution's resolve map). */
+  private def quantumizeBounds(conds: Seq[Expression],
+      resolve: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      candidateKeys: Seq[String], entry: IndexCatalog.GroupEntry)
+      : (Seq[Expression], Map[org.apache.spark.sql.catalyst.expressions.ExprId, String]) = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, TruncTimestamp}
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val extra = scala.collection.mutable.Map[
+      org.apache.spark.sql.catalyst.expressions.ExprId, String]()
+    def aligned(key: String, micros: Long): Boolean =
+      entry.quantums.get(key).exists { tz =>
+        TruncTimestamp(
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+            quantumParts(key)._1), StringType),
+          Literal(micros, TimestampType), Some(tz)).eval(null) == micros
+      }
+    def tryBound(ts: Expression, lit: Literal, lower: Boolean): Option[Expression] =
+      ts match {
+        case a: AttributeReference if a.dataType == TimestampType &&
+            lit.dataType == TimestampType =>
+          for {
+            tsName <- resolve.get(a.exprId)
+            micros <- Option(lit.value).collect { case l: java.lang.Long => l.longValue }
+            key <- candidateKeys.find(k =>
+              quantumParts(k)._2 == tsName && aligned(k, micros))
+          } yield {
+            val qa = AttributeReference(key, TimestampType)()
+            extra(qa.exprId) = key
+            if (lower) GreaterThanOrEqual(qa, lit) else LessThan(qa, lit)
+          }
+        case _ => None
+      }
+    val out = conds.map {
+      case c @ GreaterThanOrEqual(ts, l: Literal) =>
+        tryBound(ts, l, lower = true).getOrElse(c)
+      case c @ LessThanOrEqual(l: Literal, ts) =>
+        tryBound(ts, l, lower = true).getOrElse(c)
+      case c @ LessThan(ts, l: Literal) =>
+        tryBound(ts, l, lower = false).getOrElse(c)
+      case c @ GreaterThan(l: Literal, ts) =>
+        tryBound(ts, l, lower = false).getOrElse(c)
+      // the optimizer infers `isnotnull(ts)` next to any ts bound; it IS a
+      // bucket predicate (`trunc(ts)` is null iff ts is null) — no
+      // alignment needed
+      case c @ org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) if a.dataType == TimestampType =>
+        resolve.get(a.exprId)
+          .flatMap(tsName => candidateKeys.find(quantumParts(_)._2 == tsName))
+          .map { key =>
+            val qa = AttributeReference(key, TimestampType)()
+            extra(qa.exprId) = key
+            org.apache.spark.sql.catalyst.expressions.IsNotNull(qa): Expression
+          }.getOrElse(c)
+      case other => other
+    }
+    (out, extra.toMap)
+  }
+
+  // ------------------------------------------------- quantum-unit rollup
+
+  /** Truncation nesting: `trunc_coarse(trunc_fine(t)) == trunc_coarse(t)`
+    * for every t — the condition under which coarse buckets are unions of
+    * whole fine buckets and a coarse GROUP BY can re-aggregate a finer
+    * index. Holds along second→minute→hour→day→{week|month→quarter→year}
+    * in a fixed timezone; week is only ever a rollup TARGET (its buckets
+    * straddle month/quarter/year boundaries). */
+  private val quantumRank = Map("second" -> 0, "minute" -> 1, "hour" -> 2,
+    "day" -> 3, "week" -> 4, "month" -> 5, "quarter" -> 6, "year" -> 7)
+  private def quantumNests(fine: String, coarse: String): Boolean =
+    fine != "week" && quantumRank.contains(fine) &&
+      quantumRank.contains(coarse) && quantumRank(fine) < quantumRank(coarse)
+
+  /** Serve a GROUP BY by RE-AGGREGATING a registered index whose key set
+    * GENERALIZES the query's — the index stores mergeable aggregates
+    * ([[graft.index.GroupIndex.merge]]'s own algebra: cnt/sum_/cntv_ ADD,
+    * min/max COMBINE, roaring bm_ OR), so any coarsening of its combos is
+    * answerable from index rows. Two coarsenings compose:
+    *
+    *  - QUANTUM-UNIT rollup: `GROUP BY date_trunc('month', ts)` over a
+    *    `__q_day_ts` index — the reference's view hierarchy answering a
+    *    month query by unioning day views (`reference/time.go:74-225`);
+    *  - DIMENSION rollup: `GROUP BY education` (± `WHERE gender = 'f'`)
+    *    over an (education, gender, …) index — dropped keys re-aggregate
+    *    away, and filters on dropped keys cut combo rows exactly like the
+    *    fact-side filter cuts records.
+    *
+    * Multiplicity safety: the query's explode set must equal the build's
+    * (checked) — then every index row's cnt counts exactly the rows the
+    * query's own plan would produce, so dropping keys or coarsening units
+    * re-aggregates to the fact answer by construction. One index serves
+    * the whole coarser lattice; prefer the exact match
+    * ([[exactGrouped]]), then the candidate with fewest keys (fewest
+    * combos to re-aggregate). */
+  private def rollupGrouped(agg: Aggregate, scan: GroupScan,
+      srcOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      groupSrcs: Seq[String], transfer: Seq[Expression]): Option[LogicalPlan] = {
+    val candidates = IndexCatalog.groupEntriesFor(scan.paths).flatMap { entry =>
+      // map every query group src onto an entry key: itself, or a finer
+      // quantum of the same ts column (tz must match end-to-end)
+      val keyFor: Seq[Option[(String, String)]] = groupSrcs.map { g =>
+        if (entry.groupCols.contains(g)) {
+          if (!g.startsWith("__q_")) Some(g -> g)
+          else entry.quantums.get(g)
+            .filter(scan.quantumTz.get(g).contains(_)).map(_ => g -> g)
+        } else if (g.startsWith("__q_")) {
+          val (cu, tsName) = quantumParts(g)
+          entry.groupCols.find { k =>
+            k.startsWith("__q_") && quantumParts(k)._2 == tsName &&
+              quantumNests(quantumParts(k)._1, cu) &&
+              entry.quantums.get(k).exists(scan.quantumTz.get(g).contains(_))
+          }.map(g -> _)
+        } else None
+      }
+      if (keyFor.exists(_.isEmpty)) None
+      else {
+        val m = keyFor.flatten.toMap
+        val usesTrunc = m.exists { case (g, k) => g != k }
+        val dropped = entry.groupCols.size - m.values.toSet.size
+        // pure exact match is exactGrouped's case, not a rollup
+        if (!usesTrunc && dropped == 0) None
+        else if (entry.explodedCols != scan.exploded) None
+        else Some((entry, m, dropped))
+      }
+    }
+    // fewest keys ≈ fewest combos to re-aggregate
+    candidates.sortBy(_._1.groupCols.size).view.flatMap { case (entry, keyFor, _) =>
+      if (!fresh(entry.factSig, scan.loc)) None
+      else {
+        val (conds, extraResolve) = quantumizeBounds(transfer, scan.resolve,
+          entry.groupCols.filter(_.startsWith("__q_")), entry)
+        substituteRollup(agg, srcOf, scan.resolve ++ extraResolve, conds,
+          groupSrcs.toSet, entry, keyFor)
+      }
+    }.headOption
+  }
+
+  /** Replace the coarse-quantum aggregate with a RE-AGGREGATION over the
+    * finer index: group keys map to index columns (the coarse key becomes
+    * `date_trunc(coarseUnit, fineKeyCol)`), aggregates map to the stored
+    * columns' merge algebra (cnt, sum_, cntv_ ADD; min/max COMBINE;
+    * roaring bm_ OR). Returns None — query untouched — on any shape or
+    * type mismatch. */
+  private def substituteRollup(agg: Aggregate,
+      srcOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      resolve: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      conds: Seq[Expression], groupSrcs: Set[String],
+      entry: IndexCatalog.GroupEntry,
+      keyFor: Map[String, String]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EqualTo, If, Literal, TruncTimestamp}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Max, Min, Sum}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val idxOut = entry.indexPlan.output
+    def idxCol(name: String): Option[Attribute] = idxOut.find(_.name == name)
+    def groupOut(src: String): Option[Expression] =
+      keyFor.get(src).flatMap { k =>
+        if (k == src) idxCol(src): Option[Expression]
+        else // coarse quantum from the finer key, in the BUILD's timezone
+          for {
+            f <- idxCol(k)
+            tz <- entry.quantums.get(k)
+          } yield TruncTimestamp(
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+              quantumParts(src)._1), StringType), f, Some(tz))
+      }
+    def sumAgg(c: Attribute): Expression =
+      AggregateExpression(Sum(c), Complete, isDistinct = false)
+    val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference if srcOf.contains(a.exprId) =>
+        groupOut(srcOf(a.exprId)).filter(_.dataType == a.dataType)
+          .map(c => Alias(c, a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name) if srcOf.contains(a.exprId) =>
+        groupOut(srcOf(a.exprId)).filter(_.dataType == a.dataType)
+          .map(c => Alias(c, name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(
+          Count(Seq(_: Literal)), _, false, None, _), name) =>
+        idxCol("cnt").map(c => Alias(sumAgg(c), name)(exprId = al.exprId))
+          .filter(_.dataType == LongType)
+      case al @ Alias(AggregateExpression(
+          Count(Seq(dc: AttributeReference)), _, true, None, _), name) =>
+        resolve.get(dc.exprId).filter(entry.distinctCols).flatMap(src =>
+          idxCol(s"bm_$src").map(c => Alias(BitmapCardinality(
+            AggregateExpression(graft.index.BitmapOrAgg(c), Complete,
+              isDistinct = false)), name)(exprId = al.exprId)))
+      case al @ Alias(AggregateExpression(s: Sum, _, false, None, _), name) =>
+        s.child match {
+          case sc: AttributeReference =>
+            resolve.get(sc.exprId).filter(entry.sumCols).flatMap(src =>
+              idxCol(s"sum_$src").map(sumAgg)
+                .filter(_.dataType == al.dataType)
+                .map(c => Alias(c, name)(exprId = al.exprId)))
+          case _ => None
+        }
+      case al @ Alias(AggregateExpression(m: Min, _, false, None, _), name) =>
+        m.child match {
+          case sc: AttributeReference =>
+            resolve.get(sc.exprId).filter(entry.sumCols).flatMap(src =>
+              idxCol(s"min_$src")
+                .map(c => AggregateExpression(Min(c), Complete, isDistinct = false))
+                .filter(_.dataType == al.dataType)
+                .map(c => Alias(c, name)(exprId = al.exprId)))
+          case _ => None
+        }
+      case al @ Alias(AggregateExpression(m: Max, _, false, None, _), name) =>
+        m.child match {
+          case sc: AttributeReference =>
+            resolve.get(sc.exprId).filter(entry.sumCols).flatMap(src =>
+              idxCol(s"max_$src")
+                .map(c => AggregateExpression(Max(c), Complete, isDistinct = false))
+                .filter(_.dataType == al.dataType)
+                .map(c => Alias(c, name)(exprId = al.exprId)))
+          case _ => None
+        }
+      // avg ← sum(sum_*) / sum(cntv_*) — the merge algebra's own ratio;
+      // guarded so an all-null rollup group reads NULL (ANSI-safe)
+      case al @ Alias(AggregateExpression(
+          a: org.apache.spark.sql.catalyst.expressions.aggregate.Average,
+          _, false, None, _), name) if al.dataType == DoubleType =>
+        a.child match {
+          case sc: AttributeReference =>
+            resolve.get(sc.exprId).filter(entry.sumCols).flatMap { src =>
+              (idxCol(s"sum_$src"), idxCol(s"cntv_$src")) match {
+                case (Some(s), Some(n)) =>
+                  val (ts, tn) = (sumAgg(s), sumAgg(n))
+                  Some(Alias(If(EqualTo(tn, Literal(0L)),
+                    Literal(null, DoubleType),
+                    Divide(Cast(ts, DoubleType), Cast(tn, DoubleType))),
+                    name)(exprId = al.exprId))
+                case _ => None
+              }
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+    // transferred predicates must reference only KEY columns of the index
+    // — any of them, including dropped dimensions and the fine quantum
+    // key: an index row summarizes one combo, so a combo-level cut removes
+    // exactly the fact rows the query's own filter removes, before either
+    // side re-aggregates (quantumizeBounds only produces bucket-exact ts
+    // cuts)
+    val condsOk = conds.forall(_.references.toSeq.forall {
+      case a: AttributeReference =>
+        resolve.get(a.exprId).exists(src =>
+          entry.groupCols.contains(src) &&
+            idxCol(src).exists(_.dataType == a.dataType))
+      case _ => false
+    })
+    val groupExprs = agg.groupingExpressions.map {
+      case g if groupAttr(g).isDefined =>
+        groupAttr(g).flatMap(a => srcOf.get(a.exprId)).flatMap(groupOut)
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty) || groupExprs.exists(_.isEmpty) || !condsOk) None
+    else {
+      val onIdx = conds.map(_.transform {
+        case a: AttributeReference if resolve.contains(a.exprId) =>
+          idxCol(resolve(a.exprId)).get
+      })
+      val source = onIdx.reduceOption(And) match {
+        case Some(cond) => Filter(cond, entry.indexPlan)
+        case None       => entry.indexPlan
+      }
+      Some(Aggregate(groupExprs.flatten, mapped.flatten, source))
     }
   }
 
@@ -719,6 +1135,31 @@ object IndexRewrite {
   /** Base paths already warned stale (once per process, not per query). */
   private[plans] val staleWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Immediate mutation-path stale warning: a write that touches a fact
+    * table with a registered index warns NOW, at mutation time — not
+    * silently at the next query via the freshness guard — because the
+    * operator action (rebuild / re-register; `docs/DEPLOY.md` §indexes) is
+    * the same either way, and a silent decline just moves the 100× scan
+    * latency cliff to an arbitrary later query. Deletes have no inverse in
+    * the merge algebra (`graft.index.GroupIndex.merge`), so rebuild is the
+    * documented step. Once per base path per process, sharing the guard's
+    * warning ledger. Analysis-only cost; never throws. */
+  def warnMutated(df: org.apache.spark.sql.DataFrame): Unit =
+    try {
+      val paths = df.queryExecution.analyzed.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      paths.filter(IndexCatalog.isRegistered).foreach { p =>
+        if (staleWarned.add(p))
+          System.err.println(s"[graft] mutation touched indexed fact table " +
+            s"$p — its registered index(es) will decline as STALE; rebuild " +
+            "or re-register the index (docs/DEPLOY.md)")
+      }
+    } catch { case _: Exception => () }
 
   /** Install the rule into an existing session (idempotent). */
   def install(spark: SparkSession): Unit = {

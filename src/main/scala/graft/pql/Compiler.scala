@@ -279,7 +279,16 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
 
   /** Execute a write call → the successor table state (see
     * [[graft.core.Mutation]] for storage-layer notes). */
-  def write(call: Call): DataFrame = call.name match {
+  def write(call: Call): DataFrame = {
+    // mutation-path stale warning: a write over a fact table with a
+    // registered index means that index must be rebuilt (deletes have no
+    // inverse in the merge algebra) — say so NOW, not silently at the next
+    // query's freshness decline
+    graft.plans.IndexRewrite.warnMutated(table)
+    writeImpl(call)
+  }
+
+  private def writeImpl(call: Call): DataFrame = call.name match {
     case "Set" =>
       val (f, v) = fieldValueOf(call)
       graft.core.Mutation.set(table, idOf(call), f, v)

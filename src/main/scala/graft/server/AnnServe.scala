@@ -1,6 +1,7 @@
 package graft.server
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 import graft.functions.Similarity
 
 /** ANN index serving for the HTTP facade — surfaces the library's
@@ -24,66 +25,128 @@ import graft.functions.Similarity
   *    degenerates to exact brute force (recall 1) — the oracle-verified
   *    configuration.
   *
-  * The registry is serving-process state (like the facade's statement
-  * caches), NOT durable: a restarted facade rebuilds or re-registers; the
-  * code table parquet itself is reusable.
+  * Registrations are DURABLE when `spark.graft.warehouse` is set: the
+  * quantizer (centroids + codebooks — small arrays) and the rerank-side
+  * sources persist to `warehouse/_indexes.json` next to the grouped/segment
+  * index registrations, and [[graft.plans.IndexRegistry.restore]] (run by
+  * `graft.sql.Ddl.restoreSession`) replays them — a bounced facade resumes
+  * serving `/ann/{name}` without a rebuild, the same restart contract the
+  * grouped indexes have. The code-table parquet persists itself.
+  *
+  * Concurrency: build/append/stat transitions for one name run under a
+  * per-name lock — two concurrent appends each fold into the CURRENT entry
+  * (a lost update on the rerank-side source list would silently break the
+  * documented 'exhaustive == brute force' exactness invariant). Queries
+  * take the registry snapshot lock-free.
   */
 object AnnServe {
 
-  final case class Entry(codesPath: String, original: DataFrame,
+  /** One rerank-side input: rows of `table` (optionally `where`-filtered).
+    * The durable form of the original-vector union — tables re-resolve on
+    * restore, so the entry survives a process bounce as long as the table
+    * does. */
+  final case class Source(table: String, where: Option[String])
+
+  final case class Entry(codesPath: String, sources: Seq[Source],
                          idCol: String, vecCol: String, dim: Int,
                          centroids: Array[Array[Double]],
-                         codebooks: Array[Array[Array[Double]]])
+                         codebooks: Array[Array[Array[Double]]],
+                         residualNormBuild: Double,
+                         residualNormLastAppend: Option[Double])
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def lockFor(name: String): Object =
+    locks.computeIfAbsent(name, _ => new Object)
 
   def clear(): Unit = registry.clear()
 
+  /** The rerank-side original vectors: union of the entry's sources,
+    * resolved against the CURRENT session catalog (restore-safe). */
+  private def originalDf(spark: SparkSession, e: Entry): DataFrame =
+    e.sources.map { s =>
+      val t = spark.table(s.table)
+      s.where.map(w => t.filter(expr(w))).getOrElse(t)
+        .select(e.idCol, e.vecCol)
+    }.reduce(_ unionByName _)
+
   /** Build + register: one distributed assignment/encode pass over the
-    * table; codes land in scratch parquet (m+8 bytes/vector). Returns
-    * (nCells, code rows). */
+    * table; codes land in scratch parquet (m+8 bytes/vector). Also stores
+    * the build-time mean residual norm — the baseline the append path's
+    * drift statistic is read against. Returns (nCells, code rows). */
   def build(spark: SparkSession, name: String, table: String, idCol: String,
-            vecCol: String, dim: Int, nCells: Int, m: Int, k: Int): (Int, Long) = {
-    val df = spark.table(table)
-    val (codes, centroids, codebooks) =
-      Similarity.ivfPqIndex(df, idCol, vecCol, dim, nCells, m, k)
-    val path = graft.streaming.Ingest.scratch("ann_serve") + s"/$name"
-    // cell-partitioned layout: the query's nProbe filter becomes PHYSICAL
-    // partition pruning (PipelineSpec asserts ≤ nProbe partitions touched)
-    codes.write.partitionBy("cell").mode("overwrite").parquet(path)
-    registry.put(name,
-      Entry(path, df, idCol, vecCol, dim, centroids, codebooks))
-    (centroids.length, spark.read.parquet(path).count())
-  }
+            vecCol: String, dim: Int, nCells: Int, m: Int, k: Int): (Int, Long) =
+    lockFor(name).synchronized {
+      val df = spark.table(table)
+      val (codes, centroids, codebooks) =
+        Similarity.ivfPqIndex(df, idCol, vecCol, dim, nCells, m, k)
+      val path = graft.streaming.Ingest.scratch("ann_serve") + s"/$name"
+      // cell-partitioned layout: the query's nProbe filter becomes PHYSICAL
+      // partition pruning (PipelineSpec asserts ≤ nProbe partitions touched)
+      codes.write.partitionBy("cell").mode("overwrite").parquet(path)
+      val buildNorm = Similarity.meanResidualNorm(
+        df.select(idCol, vecCol), idCol, vecCol, centroids)
+      val e = Entry(path, Seq(Source(table, None)), idCol, vecCol, dim,
+        centroids, codebooks, buildNorm, None)
+      registry.put(name, e)
+      persist(spark, name, e)
+      (centroids.length, spark.read.parquet(path).count())
+    }
 
   /** Incremental ingest into a BUILT index (FAISS `add()` semantics): the
     * new rows are assigned to their nearest EXISTING cells and
     * residual-encoded with the EXISTING codebooks — no quantizer refit, no
     * corpus re-encode — and their codes land as appended files in the
     * cell-partitioned layout (each query re-lists the code path, so the
-    * next query sees them). The rerank side unions the new (id, vec) rows
-    * so exactness at the exhaustive configuration is preserved; recall at
-    * partial probes degrades only as far as the vector distribution drifts
-    * from the fitted centroids (re-`build` when it matters). `where` is an
-    * optional SQL predicate selecting which of the table's rows to append.
-    * Returns the appended row count. */
+    * next query sees them). The rerank side gains the (table, where) source
+    * so exactness at the exhaustive configuration is preserved. Ids already
+    * in the index are SKIPPED (anti-join against the code table's id
+    * column — one column-pruned scan), so a replayed/duplicate append is a
+    * no-op rather than a corpus corruption. `where` is an optional SQL
+    * predicate selecting which of the table's rows to append.
+    *
+    * Drift telemetry: the appended batch's mean residual norm against the
+    * BUILD-time centroids is stored on the entry (read it back via
+    * [[stats]] / `GET /ann/{name}`). A ratio drifting above ~1 of the
+    * build-time figure says the arriving distribution has wandered from
+    * the fitted coarse quantizer: partial-probe (`nProbe < nCells`) recall
+    * degrades and a re-`build` re-trains; exhaustive queries stay exact
+    * regardless (AnnServeSpec demonstrates both halves).
+    *
+    * Returns the appended row count (0 when every id was already
+    * present). */
   def append(spark: SparkSession, name: String, table: String,
-             where: Option[String] = None): Long = {
+             where: Option[String] = None): Long = lockFor(name).synchronized {
     val e = Option(registry.get(name)).getOrElse(
       sys.error(s"ann index '$name' not built"))
     val rows0 = spark.table(table)
-    val rows = where.map(w =>
-      rows0.filter(org.apache.spark.sql.functions.expr(w))).getOrElse(rows0)
-    val n = rows.count()
-    Similarity.ivfPqEncode(
-        Similarity.assignCells(rows, e.vecCol, e.centroids),
-        e.idCol, e.vecCol, e.dim, e.centroids, e.codebooks)
-      .write.partitionBy("cell").mode("append").parquet(e.codesPath)
-    registry.put(name, e.copy(original =
-      e.original.select(e.idCol, e.vecCol)
-        .unionByName(rows.select(e.idCol, e.vecCol))))
-    n
+    val rows = where.map(w => rows0.filter(expr(w))).getOrElse(rows0)
+      .select(e.idCol, e.vecCol)
+    // dedupe against the authoritative already-indexed id set (the code
+    // table), not the source list — a crashed append may have published
+    // codes before registering its source
+    val fresh = rows.join(
+      spark.read.parquet(e.codesPath).select(e.idCol),
+      Seq(e.idCol), "left_anti")
+    val n = fresh.count()
+    if (n == 0L) 0L
+    else {
+      val batchNorm = Similarity.meanResidualNorm(
+        fresh, e.idCol, e.vecCol, e.centroids)
+      Similarity.ivfPqEncode(
+          Similarity.assignCells(fresh, e.vecCol, e.centroids),
+          e.idCol, e.vecCol, e.dim, e.centroids, e.codebooks)
+        .write.partitionBy("cell").mode("append").parquet(e.codesPath)
+      val src = Source(table, where)
+      val updated = e.copy(
+        sources = if (e.sources.contains(src)) e.sources else e.sources :+ src,
+        residualNormLastAppend = Some(batchNorm))
+      registry.put(name, updated)
+      persist(spark, name, updated)
+      n
+    }
   }
 
   /** Query a registered index with per-request dials; `nProbe <= 0` means
@@ -97,8 +160,50 @@ object AnnServe {
     require(q.length == e.dim,
       s"query dim ${q.length} != index dim ${e.dim}")
     val probe = if (nProbe <= 0) e.centroids.length else nProbe
-    Similarity.ivfPqTopK(spark.read.parquet(e.codesPath), e.original,
-      e.idCol, e.vecCol, e.centroids, e.codebooks, q, k, probe, shortlist,
-      excludeId)
+    Similarity.ivfPqTopK(spark.read.parquet(e.codesPath),
+      originalDf(spark, e), e.idCol, e.vecCol, e.centroids, e.codebooks,
+      q, k, probe, shortlist, excludeId)
   }
+
+  /** Operational stats for `GET /ann/{name}`: dims plus the drift
+    * telemetry an operator reads to decide WHEN to re-`build` (the
+    * documented retrain path for append-degraded partial-probe recall). */
+  def stats(name: String): Option[Entry] = Option(registry.get(name))
+
+  /** [[stats]] rendered as the facade's JSON body. */
+  def statsJson(name: String): String = {
+    val e = stats(name).getOrElse(sys.error(s"ann index '$name' not built"))
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    val drift = e.residualNormLastAppend
+      .map(l => num(l / math.max(e.residualNormBuild, 1e-12)))
+      .getOrElse("null")
+    val srcs = e.sources.map(s =>
+      s"""{"table":"${s.table}"""" + s.where.map(w =>
+        s""","where":"${w.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+        .getOrElse("") + "}").mkString("[", ",", "]")
+    s"""{"name":"$name","cells":${e.centroids.length},"dim":${e.dim},""" +
+      s""""m":${e.codebooks.length},"sources":$srcs,""" +
+      s""""residual_norm_build":${num(e.residualNormBuild)},""" +
+      s""""residual_norm_last_append":${e.residualNormLastAppend.map(num).getOrElse("null")},""" +
+      s""""drift_ratio":$drift}"""
+  }
+
+  private def persist(spark: SparkSession, name: String, e: Entry): Unit =
+    graft.plans.IndexRegistry.registerAnnDurable(spark, name, e.codesPath,
+      e.idCol, e.vecCol, e.dim, e.centroids, e.codebooks,
+      e.sources.map(s => (s.table, s.where)), e.residualNormBuild,
+      e.residualNormLastAppend)
+
+  /** Replay one durable registration into the in-memory registry (called
+    * by [[graft.plans.IndexRegistry.restore]]; does NOT re-persist). */
+  private[graft] def restoreEntry(name: String, codesPath: String,
+      idCol: String, vecCol: String, dim: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      sources: Seq[(String, Option[String])], residualNormBuild: Double,
+      residualNormLastAppend: Option[Double]): Unit =
+    registry.put(name, Entry(codesPath,
+      sources.map(s => Source(s._1, s._2)), idCol, vecCol, dim, centroids,
+      codebooks, residualNormBuild, residualNormLastAppend)): Unit
 }

@@ -740,9 +740,14 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
             val rows = df.collect().map(r =>
               s"""{"id":${r.getLong(0)},"sim":${r.getDouble(1)}}""")
             s"""{"matches":[${rows.mkString(",")}]}"""
+          // drift telemetry: residual-norm stats an operator reads to
+          // decide WHEN to re-build (append degrades partial-probe recall
+          // only as far as the distribution drifts from the fitted
+          // centroids — see AnnServe.append)
+          case ("GET", Array("ann", name)) => AnnServe.statsJson(name)
           case _ =>
-            sys.error("use POST /ann/{name}/build, /ann/{name}/append " +
-              "or /ann/{name}/query")
+            sys.error("use GET /ann/{name}, or POST /ann/{name}/build, " +
+              "/ann/{name}/append or /ann/{name}/query")
         }
       }
     })

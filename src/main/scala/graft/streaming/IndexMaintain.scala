@@ -1,10 +1,10 @@
 package graft.streaming
 
 import graft.index.GroupIndex
-import graft.plans.{IndexRewrite, IndexRegistry}
-import org.apache.spark.sql.DataFrame
+import graft.plans.{IndexCatalog, IndexRewrite, IndexRegistry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 import java.util.concurrent.atomic.AtomicReference
 
 /** Online grouped-index maintenance under streaming ingest — the Spark
@@ -31,6 +31,25 @@ import java.util.concurrent.atomic.AtomicReference
   * being idempotent (`reference/idk/interfaces.go:46` Commit()); grouped
   * sums are not, hence the version marker.
   *
+  * Restart/resume: [[start]] recovers the latest COMMITTED `<stem>.b<N>`
+  * version from storage before streaming begins — the standard Structured
+  * Streaming recovery path (restart against an existing checkpoint, or a
+  * second AvailableNow run picking up new files) must fold on top of the
+  * committed index, not restart from a fresh delta. Without this, a resumed
+  * stream's first batch would register a delta-only index for the whole
+  * fact dir and reclamation would delete the versions holding all prior
+  * batches — silently wrong aggregates the freshness guard cannot catch
+  * (registration re-fingerprints the facts at registration time). An
+  * explicit `initialIndexPath` is only honored when NO committed version
+  * exists (it describes the pre-stream index; committed versions fold on
+  * top of it and so always supersede it).
+  *
+  * All storage IO routes through Hadoop [[FileSystem]] resolved from the
+  * path, so factDir/indexStem may live on HDFS/S3A as well as local disk —
+  * with one caveat: publish uses rename, which is atomic-per-file on
+  * HDFS/posix but copy-based on S3A (a crash mid-publish can leave a
+  * partial batch visible until the replay republishes it).
+  *
   * 100-TB shape: per-batch cost is one grouped aggregation over the BATCH
   * plus a combo-cardinality-sized merge — independent of the fact table's
   * size. Serving queries read the index version, never the accreting facts;
@@ -47,6 +66,34 @@ object IndexMaintain {
     def currentIndexPath: Option[String] = current.get()
   }
 
+  private def fsFor(spark: SparkSession, p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  /** The latest committed (`_SUCCESS`-marked) `<stem>.b<N>` version on
+    * storage, if any — the resume point for a restarted maintenance
+    * stream. */
+  def latestCommitted(spark: SparkSession, indexStem: String): Option[String] = {
+    val (fs, stem) = fsFor(spark, indexStem)
+    val parent = stem.getParent
+    val base = stem.getName
+    val Versioned = java.util.regex.Pattern.quote(base) + "\\.b(\\d+)"
+    if (parent == null || !fs.exists(parent)) None
+    else fs.listStatus(parent).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val m = st.getPath.getName
+        val mm = java.util.regex.Pattern.compile(Versioned).matcher(m)
+        if (mm.matches() && fs.exists(new Path(st.getPath, "_SUCCESS")))
+          Some(mm.group(1).toLong)
+        else None
+      }
+      // return in the CALLER's path style (not the fs-qualified URI) so
+      // state paths stay comparable with the ones foldBatch writes
+      .sorted.lastOption.map(n => s"$indexStem.b$n")
+  }
+
   /** Fold ONE micro-batch: publish the batch's rows into `factDir`, merge
     * them into the grouped index, re-register durably, reclaim versions
     * older than the previous. Public so specs can drive replay directly. */
@@ -57,7 +104,8 @@ object IndexMaintain {
     val spark = batch.sparkSession
     publishFactBatch(batch, batchId, factDir)
     val next = s"$indexStem.b$batchId"
-    if (!new File(next, "_SUCCESS").exists()) {
+    val (fs, nextPath) = fsFor(spark, next)
+    if (!fs.exists(new Path(nextPath, "_SUCCESS"))) {
       val prevConf = spark.conf.getOption("spark.graft.indexRewrite")
       spark.conf.set("spark.graft.indexRewrite", "false")
       try {
@@ -75,18 +123,24 @@ object IndexMaintain {
       }
     }
     val prev = state.current.getAndSet(Some(next))
+    // ONE post-publish fact listing serves both the catalog's freshness
+    // fingerprint and the durable record (registerGroupDurable would
+    // otherwise re-list per batch — measurable at high fact-file counts)
     IndexRegistry.registerGroupDurable(spark, factDir, groupCols,
-      GroupIndex.explodedCols(batch, groupCols), sumCols, next, distinctCols)
+      GroupIndex.explodedCols(batch, groupCols), sumCols, next, distinctCols,
+      factSig = IndexCatalog.factSignatureFast(spark, factDir))
     IndexRewrite.install(spark)
     // keep current + previous; reclaim anything older (posix: files already
     // open to an in-flight query stay readable until its handles close)
-    val stemFile = new File(indexStem)
-    val parent = stemFile.getParentFile
-    val base = stemFile.getName
-    val keep = Set(Some(next), prev).flatten.map(p => new File(p).getName)
-    Option(parent.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(base + ".b") && !keep(f.getName))
-      .foreach(deleteRec)
+    val stemPath = new Path(indexStem)
+    val parent = stemPath.getParent
+    val base = stemPath.getName
+    val keep = Set(Some(next), prev).flatten.map(p => new Path(p).getName)
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).toSeq
+        .filter(st => st.getPath.getName.startsWith(base + ".b") &&
+          !keep(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Stage-then-publish the batch's rows into the flat fact parquet dir
@@ -94,33 +148,42 @@ object IndexMaintain {
     * same batch is removed first). */
   private def publishFactBatch(batch: DataFrame, batchId: Long,
                                factDir: String): Unit = {
-    val staging = new File(factDir, s".staging_b$batchId")
-    batch.write.mode("overwrite").parquet(staging.getAbsolutePath)
-    val dir = new File(factDir)
-    Option(dir.listFiles((_, n) => n.startsWith(s"b$batchId-")))
-      .getOrElse(Array.empty).foreach(_.delete())
-    Option(staging.listFiles((_, n) => n.endsWith(".parquet")))
-      .getOrElse(Array.empty).zipWithIndex.foreach { case (f, i) =>
-        require(f.renameTo(new File(dir, s"b$batchId-$i.parquet")),
-          s"publish failed for $f")
+    val spark = batch.sparkSession
+    val (fs, dir) = fsFor(spark, factDir)
+    val staging = new Path(dir, s".staging_b$batchId")
+    batch.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (st, i) =>
+        require(fs.rename(st.getPath, new Path(dir, s"b$batchId-$i.parquet")),
+          s"publish failed for ${st.getPath}")
       }
-    deleteRec(staging)
+    fs.delete(staging, true): Unit
   }
 
   /** Start maintained ingest: stream → foreachBatch { publish facts, fold
     * index, re-register }. `initialIndexPath` is a pre-built
     * [[GroupIndex.buildTo]] table over `factDir`'s existing rows (None when
-    * starting empty). Returns the query plus the live [[State]]. */
+    * starting empty); a committed `<stem>.b<N>` version recovered from
+    * storage supersedes it (see the restart note above). Returns the query
+    * plus the live [[State]]. */
   def start(stream: DataFrame, factDir: String, checkpointDir: String,
             indexStem: String, groupCols: Seq[String], sumCols: Seq[String],
             distinctCols: Seq[String] = Nil,
             initialIndexPath: Option[String] = None): (StreamingQuery, State) = {
-    new File(factDir).mkdirs()
+    val spark = stream.sparkSession
+    val (fs, dir) = fsFor(spark, factDir)
+    fs.mkdirs(dir)
     // install on the CALLER's session here: foreachBatch runs on a session
     // CLONE whose ExperimentalMethods are a copy, so the install inside
     // foldBatch reaches the clone only — serving queries run on this one
-    IndexRewrite.install(stream.sparkSession)
-    val state = new State(initialIndexPath)
+    IndexRewrite.install(spark)
+    val state = new State(
+      latestCommitted(spark, indexStem).orElse(initialIndexPath))
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
@@ -129,10 +192,5 @@ object IndexMaintain {
       .trigger(Trigger.AvailableNow())
       .start()
     (q, state)
-  }
-
-  private def deleteRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    if (f.exists()) { f.delete(); () }
   }
 }

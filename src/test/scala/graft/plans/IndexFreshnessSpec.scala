@@ -88,4 +88,48 @@ class IndexFreshnessSpec extends SparkSpec {
     spark.catalog.dropTempView("fr_s")
     IndexCatalog.clear()
   }
+
+  test("mutation paths warn IMMEDIATELY when the touched fact table has a " +
+    "registered index (not silently at the next query)") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "user_id", "value")
+    val root = graft.streaming.Ingest.scratch("idx_mut_warn")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    GroupIndex.buildTo(spark.read.parquet(fact), Seq("event_type"),
+      Seq("value"), s"$root/g")
+    IndexCatalog.registerGroup(fact, Seq("event_type"), Set.empty,
+      Seq("value"), spark.read.parquet(s"$root/g"))
+    val factsDf = spark.read.parquet(fact)
+    // capture stderr around a PQL write over the indexed facts
+    def capturing(f: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try f finally System.setErr(old)
+      new String(buf.toByteArray, "UTF-8")
+    }
+    val out = capturing {
+      new graft.pql.Compiler(factsDf)
+        .write(graft.pql.Parser.parseOne("Delete(Row(event_type='click'))"))
+        .count(): Unit
+    }
+    assert(out.contains("mutation touched indexed fact table") &&
+      out.contains("STALE"), s"expected immediate warning, got: '$out'")
+    // once per path: a second write over the same facts stays quiet
+    val out2 = capturing {
+      new graft.pql.Compiler(factsDf)
+        .write(graft.pql.Parser.parseOne("Delete(Row(event_type='view'))"))
+        .count(): Unit
+    }
+    assert(!out2.contains("mutation touched"), s"second warn: '$out2'")
+    // an UNINDEXED table never warns
+    val out3 = capturing {
+      new graft.pql.Compiler(Tables.load(spark, sfDir, "nation"))
+        .write(graft.pql.Parser.parseOne("Set(901, n_regionkey=7)"))
+        .count(): Unit
+    }
+    assert(!out3.contains("mutation touched"), s"unindexed warn: '$out3'")
+    IndexCatalog.clear()
+  }
 }

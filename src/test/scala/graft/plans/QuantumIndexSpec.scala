@@ -61,19 +61,232 @@ class QuantumIndexSpec extends SparkSpec {
       assert(math.abs(g.getDouble(3) - w.getDouble(3)) <=
         1e-9 * math.max(1.0, math.abs(w.getDouble(3))), s"$g vs $w")
     }
-    // a different unit does not match (the key name embeds the unit)
+    // a FINER unit than the index cannot serve (minute buckets are not
+    // unions of hour buckets)
+    val minutely = spark.read.parquet(fact)
+      .groupBy(graft.core.Cols.dateTrunc("minute", col("ts")).as("m"),
+        col("event_type")).agg(count(lit(1)))
+    assert(minutely.queryExecution.executedPlan.toString.contains("/fact"),
+      "minute-quantum query must not ride an hour-quantum index")
+    // a COARSER unit rides it via rollup (separate spec below): day query
+    // over the hour index is index-served since r12
     val daily = spark.read.parquet(fact)
       .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"),
         col("event_type")).agg(count(lit(1)))
-    assert(daily.queryExecution.executedPlan.toString.contains("/fact"),
-      "day-quantum query must not ride an hour-quantum index")
-    // a WHERE on the raw ts must decline (it bounds rows, not buckets)
+    assert(!daily.queryExecution.executedPlan.toString.contains("/fact"),
+      "day-quantum query should roll up from the hour-quantum index")
+    // a STRICT-lower `>` on an aligned bound splits the edge bucket (all
+    // of bucket t except the instant t) — bounds rows, not buckets: decline
     val filtered = spark.read.parquet(fact)
       .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"))
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+        col("event_type"))
       .agg(count(lit(1)))
     assert(filtered.queryExecution.executedPlan.toString.contains("/fact"),
-      "raw-ts filter must keep the fact scan")
+      "strict-lower raw-ts filter must keep the fact scan")
+    IndexCatalog.clear()
+  }
+
+  /** Baseline collector under the rewrite kill-switch (the direct compare
+    * would otherwise itself be index-served). */
+  private def baseline(df: => org.apache.spark.sql.DataFrame)
+      : Array[org.apache.spark.sql.Row] = {
+    spark.conf.set("spark.graft.indexRewrite", "false")
+    try df.collect()
+    finally spark.conf.unset("spark.graft.indexRewrite")
+  }
+
+  private def sameRows(got: Array[org.apache.spark.sql.Row],
+                       want: Array[org.apache.spark.sql.Row]): Unit = {
+    assert(got.length == want.length, s"${got.length} vs ${want.length} rows")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.length == w.length, s"$g vs $w")
+      (0 until g.length).foreach { i => (g.get(i), w.get(i)) match {
+        case (d: java.lang.Double, e: java.lang.Double) =>
+          assert(math.abs(d - e) <= 1e-9 * math.max(1.0, math.abs(e)), s"$g vs $w")
+        case (p, q) => assert(p == q, s"$g vs $w")
+      }}
+    }
+  }
+
+  test("quantum-ALIGNED time-range bounds transfer onto the index column " +
+    "(viewsByTimeRange semantics); non-aligned and edge-splitting bounds " +
+    "decline") {
+    val (fact, idx) = setup()
+    val q = GroupIndex.Quantum("ts", "hour")
+    IndexCatalog.registerGroup(fact, Seq(q.name, "event_type"), Set.empty,
+      Seq("value"), spark.read.parquet(idx),
+      quantums = Map(q.name -> spark.sessionState.conf.sessionLocalTimeZone))
+    IndexRewrite.install(spark)
+    def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+    def ranged(lo: String, hi: String) = spark.read.parquet(fact)
+      .filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .orderBy("h", "event_type")
+    // both bounds exactly on hour boundaries → a pure bucket predicate:
+    // index served, fact table unread
+    val served = ranged("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    val phys = served.queryExecution.executedPlan.toString
+    assert(!phys.contains("/fact"), s"fact table still scanned:\n$phys")
+    sameRows(served.collect(),
+      baseline(ranged("2024-01-05 00:00:00", "2024-01-20 00:00:00")))
+    // a non-aligned bound (minute 30) bounds rows, not buckets → decline
+    val nonAligned = ranged("2024-01-05 00:30:00", "2024-01-20 00:00:00")
+    assert(nonAligned.queryExecution.executedPlan.toString.contains("/fact"),
+      "non-aligned lower bound must keep the fact scan")
+    // ts <= aligned-upper includes a single instant of the edge bucket —
+    // bucket-splitting, must decline
+    val edgeSplit = spark.read.parquet(fact)
+      .filter(col("ts") >= ts("2024-01-05 00:00:00") &&
+        col("ts") <= ts("2024-01-20 00:00:00"))
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(edgeSplit.queryExecution.executedPlan.toString.contains("/fact"),
+      "inclusive aligned upper bound must keep the fact scan")
+    IndexCatalog.clear()
+  }
+
+  test("a COARSER quantum GROUP BY is re-aggregated from a finer index " +
+    "(the reference's month-from-day view union), fact table unread") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val root = graft.streaming.Ingest.scratch("idx_rollup_spec")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    val qh = GroupIndex.Quantum("ts", "hour")
+    val facts = spark.read.parquet(fact)
+    GroupIndex.buildTo(GroupIndex.withQuantums(facts, Seq(qh)),
+      Seq(qh.name, "event_type"), Seq("value"), s"$root/g",
+      distinctCols = Seq("event_id"))
+    IndexCatalog.registerGroup(fact, Seq(qh.name, "event_type"), Set.empty,
+      Seq("value"), spark.read.parquet(s"$root/g"), Seq("event_id"),
+      quantums = Map(qh.name -> spark.sessionState.conf.sessionLocalTimeZone))
+    IndexRewrite.install(spark)
+    // DAY query over the HOUR index: the full aggregate vector rides the
+    // merge algebra (cnt/sum ADD, min/max COMBINE, avg from sums, distinct
+    // from bitmap OR)
+    def daily = facts
+      .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"),
+        avg(col("value")).as("av"),
+        countDistinct(col("event_id")).as("ue"))
+      .orderBy("d", "event_type")
+    val phys = daily.queryExecution.executedPlan.toString
+    assert(!phys.contains("/fact"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("/g"), s"index not scanned:\n$phys")
+    sameRows(daily.collect(), baseline(daily))
+    // WEEK rollup nests from hour too (week is a rollup TARGET only)
+    def weekly = facts
+      .groupBy(graft.core.Cols.dateTrunc("week", col("ts")).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .orderBy("w", "event_type")
+    assert(!weekly.queryExecution.executedPlan.toString.contains("/fact"),
+      "week-from-hour rollup should serve from the index")
+    sameRows(weekly.collect(), baseline(weekly))
+    // rollup + hour-ALIGNED range bounds compose: bucket cut on the fine
+    // key, then re-aggregate
+    def rangedDaily = facts
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+      .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .orderBy("d", "event_type")
+    assert(!rangedDaily.queryExecution.executedPlan.toString.contains("/fact"),
+      "aligned-range rollup should serve from the index")
+    sameRows(rangedDaily.collect(), baseline(rangedDaily))
+    // a range bound NOT aligned to the FINE unit declines even for rollup
+    def badRange = facts
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:30:00")))
+      .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(badRange.queryExecution.executedPlan.toString.contains("/fact"),
+      "non-aligned bound must keep the fact scan under rollup too")
+    // dropping a non-quantum key COMPOSES with the unit rollup (DIMENSION
+    // rollup): GROUP BY day only re-aggregates (hour, event_type) combos
+    def dayOnly = facts
+      .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+        countDistinct(col("event_id")).as("ue"))
+      .orderBy("d")
+    assert(!dayOnly.queryExecution.executedPlan.toString.contains("/fact"),
+      "dimension+unit rollup should serve from the index")
+    sameRows(dayOnly.collect(), baseline(dayOnly))
+    IndexCatalog.clear()
+  }
+
+  test("DIMENSION rollup: GROUP BY over a key subset re-aggregates the " +
+    "index, and filters on DROPPED keys cut combo rows exactly") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "user_id", "value")
+    val root = graft.streaming.Ingest.scratch("idx_dimroll_spec")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    val facts = spark.read.parquet(fact)
+    // two-key index (event_type, user_id), value sums + event_id bitmaps
+    GroupIndex.buildTo(facts, Seq("event_type", "user_id"), Seq("value"),
+      s"$root/g", distinctCols = Seq("event_id"))
+    IndexCatalog.registerGroup(fact, Seq("event_type", "user_id"),
+      Set.empty, Seq("value"), spark.read.parquet(s"$root/g"),
+      Seq("event_id"))
+    IndexRewrite.install(spark)
+    // GROUP BY event_type only: user_id re-aggregates away
+    def byType = facts.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"),
+        avg(col("value")).as("av"), countDistinct(col("event_id")).as("ue"))
+      .orderBy("event_type")
+    assert(!byType.queryExecution.executedPlan.toString.contains("/fact"),
+      s"dimension rollup should serve:\n${byType.queryExecution.executedPlan}")
+    sameRows(byType.collect(), baseline(byType))
+    // a filter on the DROPPED key commutes (combo-level cut == row cut)
+    def filtered = facts.filter(col("user_id") < 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .orderBy("event_type")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("/fact"),
+      "dropped-key filter should transfer onto the index")
+    sameRows(filtered.collect(), baseline(filtered))
+    // a filter on a column that is NOT an index key still declines
+    def foreign = facts.filter(col("event_id") % 2 === 0)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    assert(foreign.queryExecution.executedPlan.toString.contains("/fact"),
+      "non-key filter must keep the fact scan")
+    // an extra key the index lacks declines
+    def extra = facts.groupBy("event_type", "event_id")
+      .agg(count(lit(1)).as("cnt"))
+    assert(extra.queryExecution.executedPlan.toString.contains("/fact"),
+      "uncovered key must keep the fact scan")
+    IndexCatalog.clear()
+  }
+
+  test("rollup declines on timezone skew between build and query") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val root = graft.streaming.Ingest.scratch("idx_rollup_tz")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    val qh = GroupIndex.Quantum("ts", "hour")
+    val facts = spark.read.parquet(fact)
+    GroupIndex.buildTo(GroupIndex.withQuantums(facts, Seq(qh)),
+      Seq(qh.name, "event_type"), Seq("value"), s"$root/g")
+    IndexCatalog.registerGroup(fact, Seq(qh.name, "event_type"), Set.empty,
+      Seq("value"), spark.read.parquet(s"$root/g"),
+      quantums = Map(qh.name -> "America/New_York"))
+    IndexRewrite.install(spark)
+    val daily = facts
+      .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(daily.queryExecution.executedPlan.toString.contains("/fact"),
+      "tz-skewed rollup must not serve")
     IndexCatalog.clear()
   }
 

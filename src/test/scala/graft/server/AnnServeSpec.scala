@@ -1,0 +1,126 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN serving registry semantics: concurrent appends both land (the r11
+  * read-modify-write race), duplicate appends are no-ops, the drift
+  * statistic rises under synthetic distribution drift while exhaustive
+  * recall stays exact, and registrations survive a process bounce via the
+  * durable warehouse record. */
+class AnnServeSpec extends SparkSpec {
+
+  private def emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+
+  private def queryVec: Seq[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+  /** Exhaustive serve (nProbe=all, shortlist ≥ corpus) — must equal brute
+    * force over the entry's corpus. */
+  private def exhaustive(name: String, k: Int): Seq[(Long, Double)] =
+    AnnServe.query(spark, name, queryVec, k, nProbe = 0,
+      shortlist = 10000000, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def brute(corpus: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+    Similarity.cosineTopK(corpus, "vec_id", "embedding", queryVec, k, Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+
+  test("two concurrent appends both land — no lost rerank-side update") {
+    emb.filter(col("vec_id") % 3 === 0).createOrReplaceTempView("ann_c_base")
+    emb.filter(col("vec_id") % 3 === 1).createOrReplaceTempView("ann_c_a")
+    emb.filter(col("vec_id") % 3 === 2).createOrReplaceTempView("ann_c_b")
+    try {
+      AnnServe.build(spark, "annspec_conc", "ann_c_base", "vec_id",
+        "embedding", 64, 4, 8, 16)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(() =>
+          AnnServe.append(spark, "annspec_conc", "ann_c_a"): java.lang.Long)
+        val fb = pool.submit(() =>
+          AnnServe.append(spark, "annspec_conc", "ann_c_b"): java.lang.Long)
+        assert(fa.get() > 0L && fb.get() > 0L)
+      } finally pool.shutdown()
+      // exhaustive == brute over the FULL union: if either append's rows
+      // had vanished from the rerank side, its shortlisted candidates
+      // would drop out of the join and this comparison would fail
+      assert(exhaustive("annspec_conc", 20).map(_._1) == brute(emb, 20))
+      val e = AnnServe.stats("annspec_conc").get
+      assert(e.sources.map(_.table).toSet ==
+        Set("ann_c_base", "ann_c_a", "ann_c_b"), e.sources)
+    } finally Seq("ann_c_base", "ann_c_a", "ann_c_b")
+      .foreach(spark.catalog.dropTempView(_))
+  }
+
+  test("a duplicate append is a no-op: ids already indexed are skipped " +
+    "and top-k never lists an id twice") {
+    emb.createOrReplaceTempView("ann_d_all")
+    try {
+      AnnServe.build(spark, "annspec_dup", "ann_d_all", "vec_id",
+        "embedding", 64, 4, 8, 16)
+      // whole-corpus re-append: every id already present
+      assert(AnnServe.append(spark, "annspec_dup", "ann_d_all") == 0L)
+      val got = exhaustive("annspec_dup", 20)
+      assert(got.map(_._1).distinct.size == got.size, s"dup ids in $got")
+      assert(got.map(_._1) == brute(emb, 20))
+    } finally spark.catalog.dropTempView("ann_d_all")
+  }
+
+  test("drift statistic rises under synthetic distribution drift; " +
+    "exhaustive recall stays exact") {
+    emb.createOrReplaceTempView("ann_drift_base")
+    // drifted batch: shifted far from the fitted centroids, fresh ids
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val drifted = emb.select(
+      (col("vec_id") + maxId + 1).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    drifted.createOrReplaceTempView("ann_drift_batch")
+    try {
+      AnnServe.build(spark, "annspec_drift", "ann_drift_base", "vec_id",
+        "embedding", 64, 4, 8, 16)
+      val buildNorm = AnnServe.stats("annspec_drift").get.residualNormBuild
+      assert(buildNorm > 0.0)
+      assert(AnnServe.append(spark, "annspec_drift", "ann_drift_batch") ==
+        emb.count())
+      val e = AnnServe.stats("annspec_drift").get
+      val lastNorm = e.residualNormLastAppend.get
+      // the stat is the operator's retrain signal: well above build-time
+      assert(lastNorm > 1.5 * buildNorm, s"$lastNorm !> 1.5×$buildNorm")
+      // …while the exhaustive configuration stays exact over the union
+      val union = emb.select("vec_id", "embedding")
+        .unionByName(drifted)
+      assert(exhaustive("annspec_drift", 20).map(_._1) == brute(union, 20))
+    } finally Seq("ann_drift_base", "ann_drift_batch")
+      .foreach(spark.catalog.dropTempView(_))
+  }
+
+  test("registrations survive a bounce: clear() + IndexRegistry.restore " +
+    "replays the quantizer and sources from the warehouse record") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    graft.core.Tables.load(s, sfDir, "embeddings")
+      .filter(col("vec_id") % 2 === 0).createOrReplaceTempView("ann_r_base")
+    graft.core.Tables.load(s, sfDir, "embeddings")
+      .createOrReplaceTempView("ann_r_all")
+    AnnServe.build(s, "annspec_dur", "ann_r_base", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    AnnServe.append(s, "annspec_dur", "ann_r_all",
+      Some("vec_id % 2 = 1"))
+    val before = AnnServe.query(s, "annspec_dur", queryVec, 20, 0,
+      10000000, Some(0L)).collect().map(_.getLong(0)).toSeq
+    val statBefore = AnnServe.statsJson("annspec_dur")
+    // bounce: the in-memory registry empties; restore replays from disk
+    AnnServe.clear()
+    intercept[RuntimeException](
+      AnnServe.query(s, "annspec_dur", queryVec, 5, 0, 100, None))
+    graft.plans.IndexRegistry.restore(s)
+    val after = AnnServe.query(s, "annspec_dur", queryVec, 20, 0,
+      10000000, Some(0L)).collect().map(_.getLong(0)).toSeq
+    assert(after == before, s"$after vs $before")
+    // drift telemetry survived the bounce too
+    assert(AnnServe.statsJson("annspec_dur") == statBefore)
+  }
+}

@@ -1083,5 +1083,14 @@ class HttpFacadeSpec extends SparkSpec {
     // unknown index + malformed body are clean 400s, not dropped exchanges
     assert(post("/ann/nosuch/query", s"""{"query":$q,"k":5}""")._1 == 400)
     assert(post("/ann/facadetest/query", """{"k":5}""")._1 == 400)
+    // GET /ann/{name}: drift telemetry surface (no append yet → null stat)
+    val (cs, bs) = get("/ann/facadetest")
+    assert(cs == 200, s"$cs $bs")
+    val st = mapper.readTree(bs)
+    assert(st.get("cells").asInt == 8 && st.get("dim").asInt == 64, bs)
+    assert(st.get("residual_norm_build").asDouble > 0.0, bs)
+    assert(st.get("residual_norm_last_append").isNull &&
+      st.get("drift_ratio").isNull, bs)
+    assert(get("/ann/nosuch")._1 == 400)
   }
 }

@@ -123,6 +123,73 @@ class IndexMaintainSpec extends SparkSpec {
     IndexCatalog.clear()
   }
 
+  test("restarted stream resumes from the committed index version — a " +
+    "second AvailableNow run folds ON TOP, never a delta-only restart") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "user_id", "value")
+    val root = Ingest.scratch("ims_restart")
+    val factDir = s"$root/fact"
+    val stem = s"$root/idx/ev"
+    // first run: two batches
+    Seq(0, 1).foreach(i => ev.filter(col("event_id") % 3 === i)
+      .repartition(1).write.parquet(s"$root/src/part$i.parquet"))
+    val schema = ev.schema
+    val (q1, s1) = IndexMaintain.start(
+      Ingest.fileSource(spark, s"$root/src/*", "PARQUET", schema,
+        maxFilesPerTrigger = 1),
+      factDir, s"$root/ckpt", stem, Seq("event_type"), Seq("value"),
+      Seq("user_id"))
+    q1.awaitTermination()
+    assert(s1.currentIndexPath.contains(s"$stem.b1"))
+    // new data lands while the stream is DOWN, then a fresh start() against
+    // the same checkpoint with initialIndexPath = None (the advice's
+    // corruption path: pre-fix this built a delta-only index from batch 2
+    // and reclaimed b0/b1)
+    ev.filter(col("event_id") % 3 === 2)
+      .repartition(1).write.parquet(s"$root/src/part2.parquet")
+    val (q2, s2) = IndexMaintain.start(
+      Ingest.fileSource(spark, s"$root/src/*", "PARQUET", schema,
+        maxFilesPerTrigger = 1),
+      factDir, s"$root/ckpt", stem, Seq("event_type"), Seq("value"),
+      Seq("user_id"))
+    q2.awaitTermination()
+    assert(s2.currentIndexPath.contains(s"$stem.b2"),
+      s"expected resume at b2, got ${s2.currentIndexPath}")
+    // the resumed index holds ALL THREE batches, not just the last
+    val sql = spark.read.parquet(factDir)
+    sql.createOrReplaceTempView("ims_r")
+    val served = spark.sql("SELECT event_type, count(*) AS cnt, " +
+      "sum(value) AS sv, count(DISTINCT user_id) AS ud FROM ims_r " +
+      "GROUP BY event_type ORDER BY event_type")
+    val phys = served.queryExecution.executedPlan.toString
+    assert(!phys.contains("/fact"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("ev.b2"), s"index not scanned:\n$phys")
+    val want = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"),
+      sum("value").as("sv"), countDistinct("user_id").as("ud"))
+      .orderBy("event_type")
+    assert(sameRows(served, want))
+    // latestCommitted reads the resumed version; an unrelated stem reads None
+    assert(IndexMaintain.latestCommitted(spark, stem).contains(s"$stem.b2"))
+    assert(IndexMaintain.latestCommitted(spark, s"$root/idx/other").isEmpty)
+    spark.catalog.dropTempView("ims_r")
+    IndexCatalog.clear()
+  }
+
+  test("factSignatureFast (plain FS listing) equals factSignature (Spark " +
+    "file index) on a maintained fact dir — the per-batch fingerprint " +
+    "must stay guard-compatible") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    val root = Ingest.scratch("ims_sig")
+    val state = new IndexMaintain.State(None)
+    IndexMaintain.foldBatch(ev.limit(100), 0L, s"$root/fact", s"$root/idx/g",
+      Seq("event_type"), Seq("value"), Nil, state)
+    val slow = IndexCatalog.factSignature(spark, s"$root/fact")
+    val fast = IndexCatalog.factSignatureFast(spark, s"$root/fact")
+    assert(slow.isDefined && slow == fast, s"$slow vs $fast")
+    IndexCatalog.clear()
+  }
+
   test("a fresh batch folded after the stream keeps serving fresh results") {
     val ev = Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type", "user_id", "value")
