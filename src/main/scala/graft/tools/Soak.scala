@@ -91,6 +91,24 @@ object Soak {
     // seed table for the soak (separate from the parquet test tables)
     post("/sql", "CREATE TABLE IF NOT EXISTS soak (_id ID, v INT, tag STRING)")
 
+    // ANN serving across bounces (r12): build once, append once, then the
+    // reader below re-runs the SAME exhaustive query all soak long — every
+    // response must be byte-identical to the first, including right after
+    // a facade restart replayed the registration from the warehouse.
+    val annQueryBody = {
+      val qv = (0 until 64).map(i => (0.01 * (i % 7)).toString)
+        .mkString("[", ",", "]")
+      s"""{"query":$qv,"k":10,"nProbe":0,"shortlist":1000000}"""
+    }
+    post("/ann/soak/build", """{"table":"embeddings","id":"vec_id",""" +
+      """"vec":"embedding","dim":64,"nCells":4,"m":8,"k":16}""")
+    post("/ann/soak/append",
+      """{"table":"embeddings","where":"vec_id % 7 = 0"}""") // dup no-op path
+    val annExpect = post("/ann/soak/query", annQueryBody) match {
+      case (200, b) => b
+      case (c, b)   => sys.error(s"ann seed query $c: ${b.take(200)}")
+    }
+
     // each writer owns keys [base, base+span) and remembers its last value
     val nWriters = 4
     val span = 1000L
@@ -140,6 +158,13 @@ object Soak {
           val (c, _) = post("/sql", "SELECT count(*) AS c FROM soak WHERE v > 500000")
           if (c != 200) sys.error(s"sql $c")
         }
+        if (rnd.nextInt(4) == 1) guarded("reader-ann") {
+          val (c, b) = post("/ann/soak/query", annQueryBody)
+          if (c != 200) sys.error(s"ann $c: ${b.take(120)}")
+          if (b != annExpect)
+            sys.error(s"ann drifted across bounce: got=${b.take(120)} " +
+              s"want=${annExpect.take(120)}")
+        }
         Thread.sleep(20)
       }
     }, "soak-reader")
@@ -164,6 +189,10 @@ object Soak {
           try {
             val old = node
             old.http.stop()
+            // simulate a true process bounce for the ANN registry (it is
+            // JVM-global state): wipe it so boot()'s restoreSession must
+            // replay the durable record for /ann/soak to keep answering
+            graft.server.AnnServe.clear()
             node = boot()
             restarts.incrementAndGet()
             // durability invariant: every committed key is back
