@@ -1127,6 +1127,32 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           countDistinct(col("event_id")).as("ue"))
         .orderBy("event_type")
     }),
+    // PQL TIME-BOUNDED GroupBy riding the quantum index: the compiler
+    // snaps from=/to= outward to the table quantum's finest unit (hour for
+    // YMDH — the reference's view-selection semantics, time.go:158-225),
+    // so EVERY PQL time range is bucket-exact and the dimension rollup +
+    // quantumized bounds serve it from the (event_type, __q_hour_ts)
+    // index (plan asserted in QuantumIndexSpec).
+    "idx_rewrite_pql_timerange" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val root = graft.streaming.Ingest.scratch("idx_pql_trange")
+      val fact = s"$root/fact"
+      base.select("event_id", "ts", "event_type", "value").write.parquet(fact)
+      val q = graft.index.GroupIndex.Quantum("ts", "hour")
+      val facts = s.read.parquet(fact)
+      graft.index.GroupIndex.buildTo(
+        graft.index.GroupIndex.withQuantums(facts, Seq(q)),
+        Seq(q.name, "event_type"), Seq("value"), s"$root/g")
+      graft.plans.IndexCatalog.registerGroup(fact, Seq(q.name, "event_type"),
+        Set.empty, Seq("value"), s.read.parquet(s"$root/g"),
+        quantums = Map(q.name -> s.sessionState.conf.sessionLocalTimeZone))
+      graft.plans.IndexRewrite.install(s)
+      new graft.pql.Compiler(facts, Some("ts"))
+        .run(graft.pql.Parser.parseOne(
+          "GroupBy(Rows(event_type), " +
+          "filter=Row(from='2024-01-05T10:30', to='2024-01-20T13:30'), " +
+          "aggregate=Sum(field=value))"))
+    }),
     // ONLINE index maintenance under streaming ingest: a genuine
     // Structured Streaming run (file source, one file per micro-batch)
     // through IndexMaintain — each batch publishes into the fact parquet AND
@@ -2047,6 +2073,13 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "sum(value) AS sv, min(value) AS mn, max(value) AS mx, " +
       "avg(value) AS av, count(DISTINCT event_id) AS ue FROM events " +
       "WHERE user_id < 50 GROUP BY event_type ORDER BY event_type"),
+    // bounds in the SQL are the SNAPPED ones (10:30→10:00 floor,
+    // 13:30→14:00 ceil) — the PQL view-selection semantics made explicit
+    "idx_rewrite_pql_timerange" -> ("SELECT event_type, count(*) AS cnt, " +
+      "sum(value) AS agg FROM events " +
+      "WHERE ts >= TIMESTAMP '2024-01-05 10:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-20 14:00:00' " +
+      "AND event_type IS NOT NULL GROUP BY 1 ORDER BY 1"),
     "idx_rewrite_quantum" -> ("SELECT date_trunc('hour', ts) AS h, " +
       "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),

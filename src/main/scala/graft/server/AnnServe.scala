@@ -126,27 +126,32 @@ object AnnServe {
       .select(e.idCol, e.vecCol)
     // dedupe against the authoritative already-indexed id set (the code
     // table), not the source list — a crashed append may have published
-    // codes before registering its source
+    // codes before registering its source. Persisted: the anti-join's
+    // corpus-side id scan would otherwise re-run for each of the three
+    // downstream actions (count, drift sample, encode+write).
     val fresh = rows.join(
-      spark.read.parquet(e.codesPath).select(e.idCol),
-      Seq(e.idCol), "left_anti")
-    val n = fresh.count()
-    if (n == 0L) 0L
-    else {
-      val batchNorm = Similarity.meanResidualNorm(
-        fresh, e.idCol, e.vecCol, e.centroids)
-      Similarity.ivfPqEncode(
-          Similarity.assignCells(fresh, e.vecCol, e.centroids),
-          e.idCol, e.vecCol, e.dim, e.centroids, e.codebooks)
-        .write.partitionBy("cell").mode("append").parquet(e.codesPath)
-      val src = Source(table, where)
-      val updated = e.copy(
-        sources = if (e.sources.contains(src)) e.sources else e.sources :+ src,
-        residualNormLastAppend = Some(batchNorm))
-      registry.put(name, updated)
-      persist(spark, name, updated)
-      n
-    }
+        spark.read.parquet(e.codesPath).select(e.idCol),
+        Seq(e.idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n == 0L) 0L
+      else {
+        val batchNorm = Similarity.meanResidualNorm(
+          fresh, e.idCol, e.vecCol, e.centroids)
+        Similarity.ivfPqEncode(
+            Similarity.assignCells(fresh, e.vecCol, e.centroids),
+            e.idCol, e.vecCol, e.dim, e.centroids, e.codebooks)
+          .write.partitionBy("cell").mode("append").parquet(e.codesPath)
+        val src = Source(table, where)
+        val updated = e.copy(
+          sources = if (e.sources.contains(src)) e.sources else e.sources :+ src,
+          residualNormLastAppend = Some(batchNorm))
+        registry.put(name, updated)
+        persist(spark, name, updated)
+        n
+      }
+    } finally fresh.unpersist(): Unit
   }
 
   /** Query a registered index with per-request dials; `nProbe <= 0` means
