@@ -1153,6 +1153,33 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           "filter=Row(from='2024-01-05T10:30', to='2024-01-20T13:30'), " +
           "aggregate=Sum(field=value))"))
     }),
+    // DIALECT string-quantum serving: the reference dialect's DATE_TRUNC
+    // returns an RFC3339 PREFIX cut (string), folded by the optimizer to
+    // date_format(ts, pattern) — a __qs_hh_ts GroupIndex serves the hour
+    // cut directly and COARSER dialect units by substring rollup (all nine
+    // cuts nest by prefix). This row serves DATE_TRUNC('D', …) FROM the
+    // hour-cut index (plan asserted in QuantumIndexSpec).
+    "idx_rewrite_dialect_quantum" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val root = graft.streaming.Ingest.scratch("idx_qs_dialect")
+      val fact = s"$root/fact"
+      base.select("event_id", "ts", "event_type", "value").write.parquet(fact)
+      val facts = s.read.parquet(fact)
+      val qs = graft.index.GroupIndex.QuantumStr("ts", "hh")
+      graft.index.GroupIndex.buildTo(
+        graft.index.GroupIndex.withQuantumStrs(facts, Seq(qs)),
+        Seq(qs.name, "event_type"), Seq("value"), s"$root/g")
+      graft.plans.IndexCatalog.registerGroup(fact, Seq(qs.name, "event_type"),
+        Set.empty, Seq("value"), s.read.parquet(s"$root/g"),
+        quantums = Map(qs.name -> s.sessionState.conf.sessionLocalTimeZone))
+      graft.plans.IndexRewrite.install(s)
+      facts.createOrReplaceTempView("qs_dialect_fact")
+      try graft.sql.GraftSql.statement(s,
+        "SELECT DATE_TRUNC('D', ts) AS d, event_type, COUNT(*) AS cnt, " +
+        "SUM(value) AS sv FROM qs_dialect_fact " +
+        "GROUP BY DATE_TRUNC('D', ts), event_type ORDER BY d, event_type")
+      finally () // view stays for the session; scratch dir is per-run
+    }),
     // ONLINE index maintenance under streaming ingest: a genuine
     // Structured Streaming run (file source, one file per micro-batch)
     // through IndexMaintain — each batch publishes into the fact parquet AND
@@ -2080,6 +2107,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "WHERE ts >= TIMESTAMP '2024-01-05 10:00:00' " +
       "AND ts < TIMESTAMP '2024-01-20 14:00:00' " +
       "AND event_type IS NOT NULL GROUP BY 1 ORDER BY 1"),
+    "idx_rewrite_dialect_quantum" -> ("SELECT strftime(ts, '%Y-%m-%d') AS d, " +
+      "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
     "idx_rewrite_quantum" -> ("SELECT date_trunc('hour', ts) AS h, " +
       "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),

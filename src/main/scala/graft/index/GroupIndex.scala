@@ -48,6 +48,35 @@ object GroupIndex {
     def name: String = s"__q_${unit.toLowerCase}_$tsCol"
   }
 
+  /** A REFERENCE-DIALECT string quantum key: the dialect's `DATE_TRUNC`
+    * ([[graft.sql.Functions]]) returns an RFC3339 PREFIX cut per unit
+    * (`reference/sql3/planner/inbuiltfunctionsdate.go:564-660` — Go Format
+    * layouts), i.e. `date_format(ts, pattern)`. Materialized as a
+    * string-typed `__qs_<unit>_<tsCol>` column so dialect
+    * `GROUP BY DATE_TRUNC('<unit>', ts)` queries ride the index the same
+    * way native `date_trunc` ones ride [[Quantum]]. All nine cuts nest by
+    * string prefix (yyyy ⊂ yyyy-MM ⊂ … ⊂ …SSSSSSSSS), so coarser dialect
+    * units ROLL UP from a finer string key by `substring` — and RFC3339
+    * prefixes sort lexicographically, preserving ORDER BY semantics. */
+  final case class QuantumStr(tsCol: String, unit: String) {
+    def name: String = s"__qs_${unit.toLowerCase}_$tsCol"
+  }
+
+  /** unit code → date_format pattern, exactly the dialect's rendering. */
+  val strPatterns: Map[String, String] = Map(
+    "yy" -> "yyyy", "m" -> "yyyy-MM", "d" -> "yyyy-MM-dd",
+    "hh" -> "yyyy-MM-dd'T'HH", "mi" -> "yyyy-MM-dd'T'HH:mm",
+    "s" -> "yyyy-MM-dd'T'HH:mm:ss", "ms" -> "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "us" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "ns" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS")
+
+  /** Materialize dialect string-quantum columns; pass
+    * `groupCols ++ qs.map(_.name)` to [[build]]/[[buildTo]] and register
+    * with `quantums = Map(q.name -> <session tz>)`. */
+  def withQuantumStrs(df: DataFrame, qs: Seq[QuantumStr]): DataFrame =
+    qs.foldLeft(df)((d, q) => d.withColumn(q.name,
+      date_format(col(q.tsCol), strPatterns(q.unit.toLowerCase))))
+
   /** Materialize the quantum columns; pass `groupCols ++ quantums.map(_.name)`
     * to [[build]]/[[buildTo]]. Built through [[graft.core.Cols.dateTrunc]]
     * — the NATIVE Catalyst TruncTimestamp — never `functions.date_trunc`,

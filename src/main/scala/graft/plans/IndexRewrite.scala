@@ -478,10 +478,10 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       entry <- IndexCatalog.lookupGroup(scan.paths, groupSrcs.toSet)
       if fresh(entry.factSig, scan.loc)
       if entry.explodedCols == scan.exploded
-      // every quantum key must be registered with the SAME truncation
-      // timezone the query's date_trunc uses — a tz skew would bucket
-      // rows differently than the build did
-      if groupSrcs.filter(_.startsWith("__q_")).forall(q =>
+      // every quantum key (either kind) must be registered with the SAME
+      // truncation/rendering timezone the query uses — a tz skew would
+      // bucket rows differently than the build did
+      if groupSrcs.filter(parseQuantum(_).isDefined).forall(q =>
         entry.quantums.get(q).exists(scan.quantumTz.get(q).contains(_)))
       (conds, extraResolve) = quantumizeBounds(transfer, scan.resolve,
         groupSrcs.filter(_.startsWith("__q_")), entry)
@@ -497,6 +497,42 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val i = rest.indexOf('_')
     (rest.take(i), rest.drop(i + 1))
   }
+
+  /** Parse either quantum-key kind: `__q_<unit>_<ts>` (timestamp-typed,
+    * [[graft.index.GroupIndex.Quantum]]) or `__qs_<unit>_<ts>`
+    * (string-typed dialect cut, [[graft.index.GroupIndex.QuantumStr]]).
+    * Returns (isStringKind, unit, tsColumn). */
+  private def parseQuantum(key: String): Option[(Boolean, String, String)] = {
+    val (isStr, rest) =
+      if (key.startsWith("__qs_")) (true, key.stripPrefix("__qs_"))
+      else if (key.startsWith("__q_")) (false, key.stripPrefix("__q_"))
+      else return None
+    val i = rest.indexOf('_')
+    if (i <= 0 || i == rest.length - 1) None
+    else Some((isStr, rest.take(i), rest.drop(i + 1)))
+  }
+
+  /** Dialect string-cut nesting: every shorter RFC3339 prefix is a cut of
+    * every longer one, so rank order alone decides. */
+  private val strRank = Seq("yy", "m", "d", "hh", "mi", "s", "ms", "us", "ns")
+    .zipWithIndex.toMap
+  /** Rendered length of each dialect cut — the `substring` width a coarser
+    * string key takes of a finer one. */
+  private val strOutLen = Map("yy" -> 4, "m" -> 7, "d" -> 10, "hh" -> 13,
+    "mi" -> 16, "s" -> 19, "ms" -> 23, "us" -> 26, "ns" -> 29)
+
+  /** Does fine-KEY nest into coarse-KEY? Same ts column, same kind, and
+    * unit nesting for that kind (timestamp units via [[quantumNests]];
+    * string cuts by prefix rank). */
+  private def quantumNestsK(fineKey: String, coarseKey: String): Boolean =
+    (parseQuantum(fineKey), parseQuantum(coarseKey)) match {
+      case (Some((false, fu, ft)), Some((false, cu, ct))) =>
+        ft == ct && quantumNests(fu, cu)
+      case (Some((true, fu, ft)), Some((true, cu, ct))) =>
+        ft == ct && strRank.contains(fu) && strRank.contains(cu) &&
+          strRank(fu) > strRank(cu)
+      case _ => false
+    }
 
   /** Raw-ts range bounds whose literal is an EXACT quantum boundary are
     * bucket predicates — the reference's `viewsByTimeRange` minimal-view
@@ -615,14 +651,12 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // quantum of the same ts column (tz must match end-to-end)
       val keyFor: Seq[Option[(String, String)]] = groupSrcs.map { g =>
         if (entry.groupCols.contains(g)) {
-          if (!g.startsWith("__q_")) Some(g -> g)
+          if (parseQuantum(g).isEmpty) Some(g -> g)
           else entry.quantums.get(g)
             .filter(scan.quantumTz.get(g).contains(_)).map(_ => g -> g)
-        } else if (g.startsWith("__q_")) {
-          val (cu, tsName) = quantumParts(g)
+        } else if (parseQuantum(g).isDefined) {
           entry.groupCols.find { k =>
-            k.startsWith("__q_") && quantumParts(k)._2 == tsName &&
-              quantumNests(quantumParts(k)._1, cu) &&
+            quantumNestsK(k, g) &&
               entry.quantums.get(k).exists(scan.quantumTz.get(g).contains(_))
           }.map(g -> _)
         } else None
@@ -670,13 +704,22 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     def groupOut(src: String): Option[Expression] =
       keyFor.get(src).flatMap { k =>
         if (k == src) idxCol(src): Option[Expression]
-        else // coarse quantum from the finer key, in the BUILD's timezone
-          for {
-            f <- idxCol(k)
-            tz <- entry.quantums.get(k)
-          } yield TruncTimestamp(
-            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
-              quantumParts(src)._1), StringType), f, Some(tz))
+        else (parseQuantum(src), parseQuantum(k)) match {
+          // coarse timestamp quantum from the finer key, BUILD's timezone
+          case (Some((false, cu, _)), Some((false, _, _))) =>
+            for {
+              f <- idxCol(k)
+              tz <- entry.quantums.get(k)
+            } yield TruncTimestamp(
+              Literal(org.apache.spark.unsafe.types.UTF8String.fromString(cu),
+                StringType), f, Some(tz))
+          // coarse dialect string cut = PREFIX of the finer rendering
+          case (Some((true, cu, _)), Some((true, _, _))) =>
+            idxCol(k).map(f =>
+              org.apache.spark.sql.catalyst.expressions.Substring(
+                f, Literal(1), Literal(strOutLen(cu))))
+          case _ => None
+        }
       }
     def sumAgg(c: Attribute): Expression =
       AggregateExpression(Sum(c), Complete, isDistinct = false)
@@ -807,8 +850,14 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       loc: org.apache.spark.sql.execution.datasources.FileIndex,
       quantumTz: Map[String, String])
 
+  /** Dialect DATE_TRUNC rendering pattern → unit code (the CaseWhen in
+    * [[graft.sql.Functions]] folds to `date_format(ts, pattern)` when the
+    * unit is a literal — the only shape the optimizer leaves behind). */
+  private val strPatternUnit: Map[String, String] =
+    graft.index.GroupIndex.strPatterns.map(_.swap)
+
   private def walkGrouped(p: LogicalPlan): Option[GroupScan] = {
-    import org.apache.spark.sql.catalyst.expressions.{Explode, Literal, TruncTimestamp}
+    import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Explode, Literal, TruncTimestamp}
     import org.apache.spark.sql.catalyst.plans.logical.Generate
     import org.apache.spark.sql.types.StringType
     p match {
@@ -817,9 +866,12 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             case Alias(_: AttributeReference, _) => true
             // the optimizer pulls a `date_trunc(unit, ts)` group key into a
             // Project alias (PullOutGroupingExpressions) — the quantum-view
-            // shape; anything else in an Alias disqualifies the walk
+            // shape; the dialect's DATE_TRUNC folds to a `date_format`
+            // alias the same way; anything else in an Alias disqualifies
             case Alias(TruncTimestamp(Literal(_, StringType),
               _: AttributeReference, _), _) => true
+            case Alias(DateFormatClass(_: AttributeReference,
+              Literal(_, StringType), _), _) => true
             case _ => false
           } =>
         walkGrouped(child).map { s =>
@@ -831,6 +883,14 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             case al @ Alias(TruncTimestamp(Literal(u, StringType),
                 a: AttributeReference, tz), _) if s.resolve.contains(a.exprId) =>
               val name = s"__q_${u.toString.toLowerCase}_${s.resolve(a.exprId)}"
+              (al.exprId -> name,
+                name -> tz.getOrElse(spark.sessionState.conf.sessionLocalTimeZone))
+            case al @ Alias(DateFormatClass(a: AttributeReference,
+                Literal(p, StringType), tz), _)
+                if s.resolve.contains(a.exprId) &&
+                  strPatternUnit.contains(p.toString) =>
+              val name =
+                s"__qs_${strPatternUnit(p.toString)}_${s.resolve(a.exprId)}"
               (al.exprId -> name,
                 name -> tz.getOrElse(spark.sessionState.conf.sessionLocalTimeZone))
           }

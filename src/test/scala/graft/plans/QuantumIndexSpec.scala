@@ -356,6 +356,50 @@ class QuantumIndexSpec extends SparkSpec {
     IndexCatalog.clear()
   }
 
+  test("DIALECT string quantum: GROUP BY DATE_TRUNC('<unit>', ts) through " +
+    "the reference dialect rides a __qs index; coarser dialect units roll " +
+    "up by string prefix") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val root = graft.streaming.Ingest.scratch("idx_qs_spec")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    val facts = spark.read.parquet(fact)
+    val qs = GroupIndex.QuantumStr("ts", "hh")
+    GroupIndex.buildTo(GroupIndex.withQuantumStrs(facts, Seq(qs)),
+      Seq(qs.name, "event_type"), Seq("value"), s"$root/g")
+    IndexCatalog.registerGroup(fact, Seq(qs.name, "event_type"), Set.empty,
+      Seq("value"), spark.read.parquet(s"$root/g"),
+      quantums = Map(qs.name -> spark.sessionState.conf.sessionLocalTimeZone))
+    IndexRewrite.install(spark)
+    facts.createOrReplaceTempView("qsd_fact")
+    // through the REFERENCE DIALECT (graft.sql.GraftSql): its DATE_TRUNC
+    // returns the RFC3339 string cut; with a literal unit the CaseWhen
+    // folds to date_format(ts, pattern), which the walk resolves to the
+    // build's __qs_hh_ts column
+    def dialect(unit: String) = graft.sql.GraftSql.statement(spark,
+      s"SELECT DATE_TRUNC('$unit', ts) AS h, event_type, COUNT(*) AS cnt, " +
+      s"SUM(value) AS sv FROM qsd_fact GROUP BY DATE_TRUNC('$unit', ts), " +
+      "event_type ORDER BY h, event_type")
+    val served = dialect("HH")
+    val phys = served.queryExecution.executedPlan.toString
+    assert(!phys.contains("/fact"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("/g"), s"index not scanned:\n$phys")
+    sameRows(served.collect(), baseline(dialect("HH")))
+    // coarser dialect units (D, M, YY) roll up from the hh key by prefix
+    for (u <- Seq("D", "M", "YY")) {
+      val roll = dialect(u)
+      assert(!roll.queryExecution.executedPlan.toString.contains("/fact"),
+        s"dialect $u rollup should serve from the __qs_hh index")
+      sameRows(roll.collect(), baseline(dialect(u)))
+    }
+    // a FINER dialect unit (MI) cannot serve from hh
+    assert(dialect("MI").queryExecution.executedPlan.toString.contains("/fact"),
+      "minute cut must not ride an hour-cut index")
+    spark.catalog.dropTempView("qsd_fact")
+    IndexCatalog.clear()
+  }
+
   test("rollup declines on timezone skew between build and query") {
     val ev = Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "event_type", "value")
