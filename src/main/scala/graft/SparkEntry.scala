@@ -1204,6 +1204,32 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         "count(DISTINCT user_id) AS ud FROM ev_maint_q " +
         "GROUP BY event_type ORDER BY event_type")
     }),
+    // ONLINE QUANTUM-index maintenance: same streaming loop, but the group
+    // key is a time-quantum (__q_hour_ts, derived per batch before the
+    // fold) — the reference's time views built per import
+    // (time.go:74-117 viewsByTimeInto), never per query. The serving query
+    // groups by date_trunc over the ingested facts and is index-served
+    // (plan asserted in IndexMaintainSpec); the oracle replays it over the
+    // canonical events table.
+    "stream_index_maintain_quantum" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+      val root = graft.streaming.Ingest.scratch("idx_maintain_q")
+      Seq(0, 1, 2).foreach(i => ev.filter(col("event_id") % 3 === i)
+        .repartition(1).write.parquet(s"$root/src/part$i.parquet"))
+      val q = graft.index.GroupIndex.Quantum("ts", "hour")
+      val stream = graft.streaming.Ingest.fileSource(s, s"$root/src/*",
+        "PARQUET", ev.schema, maxFilesPerTrigger = 1)
+      val (sq, _) = graft.streaming.IndexMaintain.start(stream,
+        s"$root/fact", s"$root/ckpt", s"$root/idx/events_qmaint",
+        Seq(q.name, "event_type"), Seq("value"), quantums = Seq(q))
+      sq.awaitTermination()
+      s.read.parquet(s"$root/fact")
+        .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+        .orderBy("h", "event_type")
+    }),
     // Structured Streaming surface (SURVEY §2.3): each runs a genuine
     // streaming query (file source → state → sink) to completion and returns
     // the result for the oracle gate.
@@ -2084,6 +2110,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
     "idx_incremental_groupby" -> ("SELECT event_type, count(*) AS cnt, " +
       "sum(value) AS sv, min(value) AS mn, max(value) AS mx, " +
       "count(DISTINCT user_id) AS ud FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_index_maintain_quantum" -> ("SELECT date_trunc('hour', ts) AS h, " +
+      "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_index_maintain" -> ("SELECT event_type, count(*) AS cnt, " +
       "sum(value) AS sv, count(DISTINCT user_id) AS ud FROM events " +
       "GROUP BY 1 ORDER BY 1"),

@@ -354,6 +354,7 @@ object IndexRegistry {
   * exprIds so parent operators (Sort/Project/…) are untouched. */
 case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import QuantumKeys.{parseQuantum, quantumNestsK, quantumParts, strOutLen}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     // kill-switch, and the guard index REBUILD jobs run under: a rebuild's
@@ -491,48 +492,6 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   // -------------------------------------------- quantum-aligned range bounds
 
-  /** `__q_<unit>_<ts>` → (unit, ts column). */
-  private def quantumParts(key: String): (String, String) = {
-    val rest = key.stripPrefix("__q_")
-    val i = rest.indexOf('_')
-    (rest.take(i), rest.drop(i + 1))
-  }
-
-  /** Parse either quantum-key kind: `__q_<unit>_<ts>` (timestamp-typed,
-    * [[graft.index.GroupIndex.Quantum]]) or `__qs_<unit>_<ts>`
-    * (string-typed dialect cut, [[graft.index.GroupIndex.QuantumStr]]).
-    * Returns (isStringKind, unit, tsColumn). */
-  private def parseQuantum(key: String): Option[(Boolean, String, String)] = {
-    val (isStr, rest) =
-      if (key.startsWith("__qs_")) (true, key.stripPrefix("__qs_"))
-      else if (key.startsWith("__q_")) (false, key.stripPrefix("__q_"))
-      else return None
-    val i = rest.indexOf('_')
-    if (i <= 0 || i == rest.length - 1) None
-    else Some((isStr, rest.take(i), rest.drop(i + 1)))
-  }
-
-  /** Dialect string-cut nesting: every shorter RFC3339 prefix is a cut of
-    * every longer one, so rank order alone decides. */
-  private val strRank = Seq("yy", "m", "d", "hh", "mi", "s", "ms", "us", "ns")
-    .zipWithIndex.toMap
-  /** Rendered length of each dialect cut — the `substring` width a coarser
-    * string key takes of a finer one. */
-  private val strOutLen = Map("yy" -> 4, "m" -> 7, "d" -> 10, "hh" -> 13,
-    "mi" -> 16, "s" -> 19, "ms" -> 23, "us" -> 26, "ns" -> 29)
-
-  /** Does fine-KEY nest into coarse-KEY? Same ts column, same kind, and
-    * unit nesting for that kind (timestamp units via [[quantumNests]];
-    * string cuts by prefix rank). */
-  private def quantumNestsK(fineKey: String, coarseKey: String): Boolean =
-    (parseQuantum(fineKey), parseQuantum(coarseKey)) match {
-      case (Some((false, fu, ft)), Some((false, cu, ct))) =>
-        ft == ct && quantumNests(fu, cu)
-      case (Some((true, fu, ft)), Some((true, cu, ct))) =>
-        ft == ct && strRank.contains(fu) && strRank.contains(cu) &&
-          strRank(fu) > strRank(cu)
-      case _ => false
-    }
 
   /** Raw-ts range bounds whose literal is an EXACT quantum boundary are
     * bucket predicates — the reference's `viewsByTimeRange` minimal-view
@@ -609,18 +568,6 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   // ------------------------------------------------- quantum-unit rollup
-
-  /** Truncation nesting: `trunc_coarse(trunc_fine(t)) == trunc_coarse(t)`
-    * for every t — the condition under which coarse buckets are unions of
-    * whole fine buckets and a coarse GROUP BY can re-aggregate a finer
-    * index. Holds along second→minute→hour→day→{week|month→quarter→year}
-    * in a fixed timezone; week is only ever a rollup TARGET (its buckets
-    * straddle month/quarter/year boundaries). */
-  private val quantumRank = Map("second" -> 0, "minute" -> 1, "hour" -> 2,
-    "day" -> 3, "week" -> 4, "month" -> 5, "quarter" -> 6, "year" -> 7)
-  private def quantumNests(fine: String, coarse: String): Boolean =
-    fine != "week" && quantumRank.contains(fine) &&
-      quantumRank.contains(coarse) && quantumRank(fine) < quantumRank(coarse)
 
   /** Serve a GROUP BY by RE-AGGREGATING a registered index whose key set
     * GENERALIZES the query's — the index stores mergeable aggregates

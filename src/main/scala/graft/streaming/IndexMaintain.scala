@@ -96,20 +96,31 @@ object IndexMaintain {
 
   /** Fold ONE micro-batch: publish the batch's rows into `factDir`, merge
     * them into the grouped index, re-register durably, reclaim versions
-    * older than the previous. Public so specs can drive replay directly. */
+    * older than the previous. Public so specs can drive replay directly.
+    *
+    * `quantums` maintains TIME-QUANTUM group keys online — the reference's
+    * time views are built per import, not per query
+    * (`reference/time.go:74-117` viewsByTimeInto on ingest): the reserved
+    * `__q_<unit>_<ts>` columns are derived on the BATCH before the fold
+    * (the published facts keep only raw columns; the key derives), and the
+    * registration carries the fold session's timezone so serving queries
+    * with a skewed tz decline. `groupCols` must already include each
+    * quantum's `.name`. */
   def foldBatch(batch: DataFrame, batchId: Long, factDir: String,
                 indexStem: String, groupCols: Seq[String],
                 sumCols: Seq[String], distinctCols: Seq[String],
-                state: State): Unit = {
+                state: State,
+                quantums: Seq[GroupIndex.Quantum] = Nil): Unit = {
     val spark = batch.sparkSession
     publishFactBatch(batch, batchId, factDir)
+    val withQ = GroupIndex.withQuantums(batch, quantums)
     val next = s"$indexStem.b$batchId"
     val (fs, nextPath) = fsFor(spark, next)
     if (!fs.exists(new Path(nextPath, "_SUCCESS"))) {
       val prevConf = spark.conf.getOption("spark.graft.indexRewrite")
       spark.conf.set("spark.graft.indexRewrite", "false")
       try {
-        val delta = GroupIndex.build(batch, groupCols, sumCols, distinctCols)
+        val delta = GroupIndex.build(withQ, groupCols, sumCols, distinctCols)
         state.current.get() match {
           case Some(cur) =>
             GroupIndex.merge(spark.read.parquet(cur), delta, groupCols,
@@ -126,8 +137,10 @@ object IndexMaintain {
     // ONE post-publish fact listing serves both the catalog's freshness
     // fingerprint and the durable record (registerGroupDurable would
     // otherwise re-list per batch — measurable at high fact-file counts)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     IndexRegistry.registerGroupDurable(spark, factDir, groupCols,
-      GroupIndex.explodedCols(batch, groupCols), sumCols, next, distinctCols,
+      GroupIndex.explodedCols(withQ, groupCols), sumCols, next, distinctCols,
+      quantums = quantums.map(q => q.name -> tz).toMap,
       factSig = IndexCatalog.factSignatureFast(spark, factDir))
     IndexRewrite.install(spark)
     // keep current + previous; reclaim anything older (posix: files already
@@ -174,7 +187,8 @@ object IndexMaintain {
   def start(stream: DataFrame, factDir: String, checkpointDir: String,
             indexStem: String, groupCols: Seq[String], sumCols: Seq[String],
             distinctCols: Seq[String] = Nil,
-            initialIndexPath: Option[String] = None): (StreamingQuery, State) = {
+            initialIndexPath: Option[String] = None,
+            quantums: Seq[GroupIndex.Quantum] = Nil): (StreamingQuery, State) = {
     val spark = stream.sparkSession
     val (fs, dir) = fsFor(spark, factDir)
     fs.mkdirs(dir)
@@ -188,7 +202,7 @@ object IndexMaintain {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
         foldBatch(b, id, factDir, indexStem, groupCols, sumCols,
-          distinctCols, state))
+          distinctCols, state, quantums))
       .trigger(Trigger.AvailableNow())
       .start()
     (q, state)

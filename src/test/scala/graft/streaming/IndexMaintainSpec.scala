@@ -190,6 +190,47 @@ class IndexMaintainSpec extends SparkSpec {
     IndexCatalog.clear()
   }
 
+  test("QUANTUM group keys are maintained ONLINE: the streamed index " +
+    "serves GROUP BY date_trunc scan-free, and the day rollup rides it") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val root = Ingest.scratch("ims_quantum")
+    Seq(0, 1, 2).foreach(i => ev.filter(col("event_id") % 3 === i)
+      .repartition(1).write.parquet(s"$root/src/part$i.parquet"))
+    val q = GroupIndex.Quantum("ts", "hour")
+    val stream = Ingest.fileSource(spark, s"$root/src/*", "PARQUET",
+      ev.schema, maxFilesPerTrigger = 1)
+    val (sq, state) = IndexMaintain.start(stream, s"$root/fact",
+      s"$root/ckpt", s"$root/idx/evq", Seq(q.name, "event_type"),
+      Seq("value"), quantums = Seq(q))
+    sq.awaitTermination()
+    assert(state.currentIndexPath.contains(s"$root/idx/evq.b2"))
+    val facts = spark.read.parquet(s"$root/fact")
+    def hourly = facts
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      .orderBy("h", "event_type")
+    val phys = hourly.queryExecution.executedPlan.toString
+    assert(!phys.contains("/fact"), s"fact table still scanned:\n$phys")
+    assert(phys.contains("evq.b2"), s"index not scanned:\n$phys")
+    spark.conf.set("spark.graft.indexRewrite", "false")
+    val want = try hourly.collect()
+    finally spark.conf.unset("spark.graft.indexRewrite")
+    assert(hourly.collect().zip(want).forall { case (g, w) =>
+      g.get(0) == w.get(0) && g.get(1) == w.get(1) && g.get(2) == w.get(2) &&
+        math.abs(g.getDouble(3) - w.getDouble(3)) <=
+          1e-9 * math.max(1.0, math.abs(w.getDouble(3)))
+    })
+    // the coarser DAY query rides the maintained hour index via rollup
+    def daily = facts
+      .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(!daily.queryExecution.executedPlan.toString.contains("/fact"),
+      "day rollup should ride the maintained hour index")
+    IndexCatalog.clear()
+  }
+
   test("a fresh batch folded after the stream keeps serving fresh results") {
     val ev = Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type", "user_id", "value")
