@@ -485,7 +485,7 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       if groupSrcs.filter(parseQuantum(_).isDefined).forall(q =>
         entry.quantums.get(q).exists(scan.quantumTz.get(q).contains(_)))
       (conds, extraResolve) = quantumizeBounds(transfer, scan.resolve,
-        groupSrcs.filter(_.startsWith("__q_")), entry)
+        groupSrcs.filter(parseQuantum(_).isDefined), entry)
       plan <- substituteGrouped(agg, srcOf, scan.resolve ++ extraResolve,
         conds, groupSrcs.toSet, entry)
     } yield plan
@@ -514,16 +514,48 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       resolve: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
       candidateKeys: Seq[String], entry: IndexCatalog.GroupEntry)
       : (Seq[Expression], Map[org.apache.spark.sql.catalyst.expressions.ExprId, String]) = {
-    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, TruncTimestamp}
+    import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, TruncTimestamp}
     import org.apache.spark.sql.types.{StringType, TimestampType}
     val extra = scala.collection.mutable.Map[
       org.apache.spark.sql.catalyst.expressions.ExprId, String]()
+    def keyTs(key: String): Option[String] = parseQuantum(key).map(_._3)
+    // a dialect string cut is "aligned" when its truncation-equivalent
+    // timestamp unit is (sub-second cuts have none worth indexing)
+    val strUnitAsTrunc = Map("yy" -> "year", "m" -> "month", "d" -> "day",
+      "hh" -> "hour", "mi" -> "minute", "s" -> "second")
     def aligned(key: String, micros: Long): Boolean =
       entry.quantums.get(key).exists { tz =>
-        TruncTimestamp(
-          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
-            quantumParts(key)._1), StringType),
-          Literal(micros, TimestampType), Some(tz)).eval(null) == micros
+        parseQuantum(key).flatMap { case (isStr, u, _) =>
+          if (isStr) strUnitAsTrunc.get(u) else Some(u)
+        }.exists { unit =>
+          TruncTimestamp(
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(unit),
+              StringType),
+            Literal(micros, TimestampType), Some(tz)).eval(null) == micros
+        }
+      }
+    /** The comparison the bound becomes ON the index key: the key's own
+      * column vs the literal mapped through the key's bucketing — identity
+      * for timestamp keys; for string keys the dialect rendering, whose
+      * RFC3339 prefixes sort lexicographically, so order is preserved. */
+    def keyBound(key: String, micros: Long, lower: Boolean): Option[Expression] =
+      parseQuantum(key).flatMap { case (isStr, u, _) =>
+        if (!isStr) {
+          val qa = AttributeReference(key, TimestampType)()
+          extra(qa.exprId) = key
+          val l = Literal(micros, TimestampType)
+          Some(if (lower) GreaterThanOrEqual(qa, l) else LessThan(qa, l))
+        } else entry.quantums.get(key).map { tz =>
+          val rendered = DateFormatClass(
+            Literal(micros, TimestampType),
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+              graft.index.GroupIndex.strPatterns(u)), StringType),
+            Some(tz)).eval(null)
+          val qa = AttributeReference(key, StringType)()
+          extra(qa.exprId) = key
+          val l = Literal(rendered, StringType)
+          if (lower) GreaterThanOrEqual(qa, l) else LessThan(qa, l)
+        }
       }
     def tryBound(ts: Expression, lit: Literal, lower: Boolean): Option[Expression] =
       ts match {
@@ -533,12 +565,9 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             tsName <- resolve.get(a.exprId)
             micros <- Option(lit.value).collect { case l: java.lang.Long => l.longValue }
             key <- candidateKeys.find(k =>
-              quantumParts(k)._2 == tsName && aligned(k, micros))
-          } yield {
-            val qa = AttributeReference(key, TimestampType)()
-            extra(qa.exprId) = key
-            if (lower) GreaterThanOrEqual(qa, lit) else LessThan(qa, lit)
-          }
+              keyTs(k).contains(tsName) && aligned(k, micros))
+            cond <- keyBound(key, micros, lower)
+          } yield cond
         case _ => None
       }
     val out = conds.map {
@@ -556,9 +585,10 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case c @ org.apache.spark.sql.catalyst.expressions.IsNotNull(
           a: AttributeReference) if a.dataType == TimestampType =>
         resolve.get(a.exprId)
-          .flatMap(tsName => candidateKeys.find(quantumParts(_)._2 == tsName))
+          .flatMap(tsName => candidateKeys.find(keyTs(_).contains(tsName)))
           .map { key =>
-            val qa = AttributeReference(key, TimestampType)()
+            val qa = AttributeReference(key,
+              if (parseQuantum(key).exists(_._1)) StringType else TimestampType)()
             extra(qa.exprId) = key
             org.apache.spark.sql.catalyst.expressions.IsNotNull(qa): Expression
           }.getOrElse(c)
@@ -624,7 +654,7 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       if (!fresh(entry.factSig, scan.loc)) None
       else {
         val (conds, extraResolve) = quantumizeBounds(transfer, scan.resolve,
-          entry.groupCols.filter(_.startsWith("__q_")), entry)
+          entry.groupCols.filter(parseQuantum(_).isDefined), entry)
         substituteRollup(agg, srcOf, scan.resolve ++ extraResolve, conds,
           groupSrcs.toSet, entry, keyFor)
       }

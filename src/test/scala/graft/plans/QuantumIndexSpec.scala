@@ -396,6 +396,22 @@ class QuantumIndexSpec extends SparkSpec {
     // a FINER dialect unit (MI) cannot serve from hh
     assert(dialect("MI").queryExecution.executedPlan.toString.contains("/fact"),
       "minute cut must not ride an hour-cut index")
+    // hour-ALIGNED raw-ts bounds transfer onto the STRING key as rendered
+    // prefix comparisons (RFC3339 sorts lexicographically); non-aligned
+    // bounds decline — same contract as the timestamp-kind keys
+    def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+    def ranged(lo: String) = facts
+      .filter(col("ts") >= ts(lo) && col("ts") < ts("2024-01-20 00:00:00"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd'T'HH").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .orderBy("h", "event_type")
+    val rangedServed = ranged("2024-01-05 00:00:00")
+    assert(!rangedServed.queryExecution.executedPlan.toString.contains("/fact"),
+      "aligned bounds should transfer onto the string key")
+    sameRows(rangedServed.collect(), baseline(ranged("2024-01-05 00:00:00")))
+    assert(ranged("2024-01-05 00:30:00").queryExecution.executedPlan
+      .toString.contains("/fact"), "non-aligned bound must decline")
     spark.catalog.dropTempView("qsd_fact")
     IndexCatalog.clear()
   }
