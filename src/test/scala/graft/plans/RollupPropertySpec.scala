@@ -71,7 +71,10 @@ class RollupPropertySpec extends SparkSpec {
       Some(col("ts") >= ts("2024-01-05 00:30:00")),       // NOT aligned
       Some(col("ts") >= ts("2024-01-03 07:00:00")))       // aligned, open top
 
-    val rnd = new scala.util.Random(20260816L)
+    // fresh-seedable like the SQL/PQL fuzz suites
+    val rnd = new scala.util.Random(
+      sys.env.get("SPARK_GRAFT_ROLLUP_FUZZ_SEED").map(_.toLong)
+        .getOrElse(20260816L))
     var fired = 0
     (1 to 60).foreach { i =>
       // 1–3 distinct keys; at most one quantum unit per ts (two units of
