@@ -1092,13 +1092,24 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         Set.empty, Seq("value"), s.read.parquet(s"$root/g"), Seq("user_id"),
         quantums = Map(q.name -> s.sessionState.conf.sessionLocalTimeZone))
       graft.plans.IndexRewrite.install(s)
+      // float sum/avg are rounded POST-aggregation (a Project above the
+      // Aggregate, so the rollup matcher still fires on the Aggregate):
+      // the rollup's hour→day re-summation re-associates double addition,
+      // which is tolerance-equal to a direct scan (≤ ~1e-12, the semantic
+      // proof is RollupPropertySpec) but not bit-equal — the declared gate
+      // row must be bit-stable, so both sides round to 6 places (precedent:
+      // sim_ann_*). The reference's BSI sums are integer bit-slice
+      // arithmetic and exact by construction (`reference/bsi.go:11-63`).
       facts
         .groupBy(graft.core.Cols.dateTrunc("day", col("ts")).as("d"),
           col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv0"),
           min(col("value")).as("mn"), max(col("value")).as("mx"),
-          avg(col("value")).as("av"),
+          avg(col("value")).as("av0"),
           countDistinct(col("user_id")).as("ud"))
+        .select(col("d"), col("event_type"), col("cnt"),
+          round(col("sv0"), 6).as("sv"), col("mn"), col("mx"),
+          round(col("av0"), 6).as("av"), col("ud"))
         .orderBy("d", "event_type")
     }),
     // DIMENSION ROLLUP: GROUP BY a SUBSET of an index's keys (plus a
@@ -1119,12 +1130,16 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
         Seq("event_type", "user_id"), Set.empty, Seq("value"),
         s.read.parquet(s"$root/g"), Seq("event_id"))
       graft.plans.IndexRewrite.install(s)
+      // same post-agg rounding as idx_rewrite_quantum_rollup: this is also
+      // a two-layer float re-summation (combo partials → coarser groups)
       facts.filter(col("user_id") < 50)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv0"),
           min(col("value")).as("mn"), max(col("value")).as("mx"),
-          avg(col("value")).as("av"),
+          avg(col("value")).as("av0"),
           countDistinct(col("event_id")).as("ue"))
+        .select(col("event_type"), col("cnt"), round(col("sv0"), 6).as("sv"),
+          col("mn"), col("mx"), round(col("av0"), 6).as("av"), col("ue"))
         .orderBy("event_type")
     }),
     // PQL TIME-BOUNDED GroupBy riding the quantum index: the compiler
@@ -1152,6 +1167,33 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
           "GroupBy(Rows(event_type), " +
           "filter=Row(from='2024-01-05T10:30', to='2024-01-20T13:30'), " +
           "aggregate=Sum(field=value))"))
+    }),
+    // PQL GroupBy with DROPPED keys riding the rollup matcher: ONE
+    // (hour, event_type, user_id) index serves this 1-key PQL GroupBy by
+    // dimension rollup — and TopK/Rows the same way (plan asserted in
+    // QuantumIndexSpec). The float Sum is rounded post-compile on both
+    // sides, same rationale as idx_rewrite_quantum_rollup.
+    "pql_groupby_rollup" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+      val root = graft.streaming.Ingest.scratch("idx_pql_roll_q")
+      val fact = s"$root/fact"
+      base.select("event_id", "ts", "event_type", "user_id", "value")
+        .write.parquet(fact)
+      val q = graft.index.GroupIndex.Quantum("ts", "hour")
+      val facts = s.read.parquet(fact)
+      graft.index.GroupIndex.buildTo(
+        graft.index.GroupIndex.withQuantums(facts, Seq(q)),
+        Seq(q.name, "event_type", "user_id"), Seq("value"), s"$root/g")
+      graft.plans.IndexCatalog.registerGroup(fact,
+        Seq(q.name, "event_type", "user_id"), Set.empty, Seq("value"),
+        s.read.parquet(s"$root/g"),
+        quantums = Map(q.name -> s.sessionState.conf.sessionLocalTimeZone))
+      graft.plans.IndexRewrite.install(s)
+      new graft.pql.Compiler(facts, Some("ts"))
+        .run(graft.pql.Parser.parseOne(
+          "GroupBy(Rows(event_type), aggregate=Sum(field=value))"))
+        .select(col("event_type"), col("cnt"),
+          round(col("agg"), 6).as("agg"))
     }),
     // DIALECT string-quantum serving: the reference dialect's DATE_TRUNC
     // returns an RFC3339 PREFIX cut (string), folded by the optimizer to
@@ -2122,12 +2164,13 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "AND ts < TIMESTAMP '2024-01-20 00:00:00' " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),
     "idx_rewrite_quantum_rollup" -> ("SELECT date_trunc('day', ts) AS d, " +
-      "event_type, count(*) AS cnt, sum(value) AS sv, min(value) AS mn, " +
-      "max(value) AS mx, avg(value) AS av, count(DISTINCT user_id) AS ud " +
+      "event_type, count(*) AS cnt, round(sum(value), 6) AS sv, " +
+      "min(value) AS mn, max(value) AS mx, round(avg(value), 6) AS av, " +
+      "count(DISTINCT user_id) AS ud " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "idx_rewrite_dimension_rollup" -> ("SELECT event_type, count(*) AS cnt, " +
-      "sum(value) AS sv, min(value) AS mn, max(value) AS mx, " +
-      "avg(value) AS av, count(DISTINCT event_id) AS ue FROM events " +
+      "round(sum(value), 6) AS sv, min(value) AS mn, max(value) AS mx, " +
+      "round(avg(value), 6) AS av, count(DISTINCT event_id) AS ue FROM events " +
       "WHERE user_id < 50 GROUP BY event_type ORDER BY event_type"),
     // bounds in the SQL are the SNAPPED ones (10:30→10:00 floor,
     // 13:30→14:00 ceil) — the PQL view-selection semantics made explicit
@@ -2136,6 +2179,9 @@ SELECT v AS val FROM bisect WHERE done""".replace("\n", " ")
       "WHERE ts >= TIMESTAMP '2024-01-05 10:00:00' " +
       "AND ts < TIMESTAMP '2024-01-20 14:00:00' " +
       "AND event_type IS NOT NULL GROUP BY 1 ORDER BY 1"),
+    "pql_groupby_rollup" -> ("SELECT event_type, count(*) AS cnt, " +
+      "round(sum(value), 6) AS agg FROM events " +
+      "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"),
     "idx_rewrite_dialect_quantum" -> ("SELECT strftime(ts, '%Y-%m-%d') AS d, " +
       "event_type, count(*) AS cnt, sum(value) AS sv FROM events " +
       "GROUP BY 1, 2 ORDER BY 1, 2"),

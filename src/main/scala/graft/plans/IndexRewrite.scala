@@ -247,7 +247,14 @@ object IndexRegistry {
     * persist alongside the grouped/segment registrations; the code-table
     * parquet persists itself. Closes the r11 operational asymmetry where a
     * bounced facade kept serving grouped indexes but silently lost its
-    * `/ann/{name}` bindings. */
+    * `/ann/{name}` bindings.
+    *
+    * The registry file is COMPACT by construction: [[append]] supersedes by
+    * (kind, basePath, key) = ("ann", codesPath, name), so N appends to one
+    * index leave exactly ONE record per name — the quantizer is serialized
+    * in the file once, not once per append, and restore replays one record
+    * (one parquet schema read) per live name (IndexRegistrySpec pins the
+    * record count). */
   def registerAnnDurable(spark: SparkSession, name: String,
       codesPath: String, idCol: String, vecCol: String, dim: Int,
       centroids: Array[Array[Double]],
@@ -271,6 +278,50 @@ object IndexRegistry {
         "residualNormLastAppend" -> (JDouble(v): JValue))))
   }
 
+  /** Combo-resolvable DELETE maintenance over the DURABLE group
+    * registrations of one fact path ([[graft.index.GroupIndex.deleteCombos]]
+    * made operational): call AFTER deleting `WHERE pred` from the facts.
+    * Every group index on `basePath` whose key columns cover the
+    * predicate's references is refolded — matching combos filtered out,
+    * written as the next index version, re-registered durably with a FRESH
+    * fact signature — so it keeps serving through the delete instead of
+    * declining stale until a rebuild. Indexes whose keys do NOT cover the
+    * predicate are left alone (they decline stale, the honest outcome —
+    * a row-level cut inside a combo has no exact filter form) and reported
+    * in the returned (indexPath, refolded?) pairs. */
+  def refoldDelete(spark: SparkSession, basePath: String,
+                   pred: org.apache.spark.sql.Column)
+      : Seq[(String, Boolean)] = {
+    val records = file(spark).map(f => lock.synchronized(readAll(f)))
+      .getOrElse(Nil)
+    def s(v: JValue): String = v match { case JString(x) => x; case o => o.toString }
+    def arr(v: JValue): Seq[String] =
+      v match { case JArray(xs) => xs.map(s); case _ => Nil }
+    records.filter(e => s(e \ "kind") == "group" &&
+        s(e \ "basePath") == basePath).map { e =>
+      val idxPath = s(e \ "indexPath")
+      val groupCols = arr(e \ "groupCols")
+      val quantums = e \ "quantums" match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+      scala.util.Try {
+        val next = graft.index.GroupIndex.deleteCombos(
+          spark, idxPath, pred, groupCols)
+        registerGroupDurable(spark, basePath, groupCols,
+          arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), next,
+          arr(e \ "distinctCols"), quantums)
+      } match {
+        case scala.util.Success(_) => (idxPath, true)
+        case scala.util.Failure(ex) =>
+          System.err.println(s"[refoldDelete] $idxPath NOT refolded " +
+            s"(declines stale until rebuilt): ${ex.getMessage}")
+          (idxPath, false)
+      }
+    }
+  }
+
   /** Replay persisted registrations into the in-memory catalog (and
     * install the rule). Safe to call repeatedly; no-op without a
     * warehouse. */
@@ -286,6 +337,13 @@ object IndexRegistry {
       v match { case JArray(xs) => xs.map(dbl).toArray; case _ => Array.empty }
     val entries = lock.synchronized(readAll(f))
     if (entries.nonEmpty) IndexRewrite.install(spark)
+    // ANN records whose code table vanished are DEREGISTERED (removed from
+    // the file, not just skipped): a durable registration pointing at a
+    // dead path would otherwise resurrect as a serve-time failure on every
+    // restart forever. Grouped/segment records stay skip-only — their
+    // index parquet may be on a temporarily-unmounted volume and the query
+    // still answers from facts, so dropping them would be lossy.
+    val dead = scala.collection.mutable.ListBuffer[JValue]()
     entries.foreach { e =>
       try {
         s(e \ "kind") match {
@@ -316,6 +374,14 @@ object IndexRegistry {
             // verify the code table still exists (the serving data); the
             // quantizer replays from the JSON record
             val codesPath = s(e \ "basePath")
+            val cp = new org.apache.hadoop.fs.Path(codesPath)
+            if (!cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .exists(cp)) {
+              dead += e
+              throw new IllegalStateException(
+                s"code table $codesPath no longer exists — registration " +
+                "dropped; rebuild to serve this name again")
+            }
             spark.read.parquet(codesPath).schema
             val sources = e \ "sources" match {
               case JArray(xs) => xs.map(src => (s(src \ "table"),
@@ -342,6 +408,14 @@ object IndexRegistry {
         System.err.println(s"[restore] index registration skipped " +
           s"(${s(e \ "kind")} ${s(e \ "key")}): ${ex.getMessage}")
       }
+    }
+    if (dead.nonEmpty) lock.synchronized {
+      val deadKeys =
+        dead.map(d => (d \ "kind", d \ "basePath", d \ "key")).toSet
+      val kept = readAll(f).filterNot(e =>
+        deadKeys((e \ "kind", e \ "basePath", e \ "key")))
+      java.nio.file.Files.writeString(f,
+        JsonMethods.compact(JsonMethods.render(JArray(kept))))
     }
   }
 }

@@ -79,10 +79,19 @@ object AnnServe {
   def build(spark: SparkSession, name: String, table: String, idCol: String,
             vecCol: String, dim: Int, nCells: Int, m: Int, k: Int): (Int, Long) =
     lockFor(name).synchronized {
+      // the scratch tag must be PER-NAME: Ingest.scratch recursively wipes
+      // its directory, so a shared "ann_serve" tag would let the build of
+      // any second name destroy every other name's code table while their
+      // durable registrations keep pointing at the dead path (r12 defect).
+      // scratch(s"ann_serve/$name") wipes only this name — the
+      // rebuild-overwrite semantics are preserved, coexistence is too
+      // (AnnServeSpec pins two names serving across each other's builds).
+      require(name.matches("[A-Za-z0-9_.-]+"),
+        s"ann index name '$name' must match [A-Za-z0-9_.-]+")
       val df = spark.table(table)
       val (codes, centroids, codebooks) =
         Similarity.ivfPqIndex(df, idCol, vecCol, dim, nCells, m, k)
-      val path = graft.streaming.Ingest.scratch("ann_serve") + s"/$name"
+      val path = graft.streaming.Ingest.scratch(s"ann_serve/$name")
       // cell-partitioned layout: the query's nProbe filter becomes PHYSICAL
       // partition pruning (PipelineSpec asserts ≤ nProbe partitions touched)
       codes.write.partitionBy("cell").mode("overwrite").parquet(path)
@@ -135,6 +144,19 @@ object AnnServe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = fresh.count()
+      // register the rerank-side source BEFORE writing codes (idempotent —
+      // persist supersedes by name): if the process dies between the code
+      // write and a trailing persist, a REPLAYED append would find nothing
+      // fresh (anti-join) and return 0 — without this ordering the encoded
+      // ids would sit in the shortlist path forever but never rerank
+      // (the inner join with originalDf drops them), silently breaking the
+      // exhaustive==brute-force exactness invariant. Extra source rows not
+      // yet encoded are harmless: they are simply never shortlisted.
+      val src = Source(table, where)
+      val withSrc =
+        if (e.sources.contains(src)) e
+        else e.copy(sources = e.sources :+ src)
+      if (withSrc ne e) { registry.put(name, withSrc); persist(spark, name, withSrc) }
       if (n == 0L) 0L
       else {
         val batchNorm = Similarity.meanResidualNorm(
@@ -143,10 +165,7 @@ object AnnServe {
             Similarity.assignCells(fresh, e.vecCol, e.centroids),
             e.idCol, e.vecCol, e.dim, e.centroids, e.codebooks)
           .write.partitionBy("cell").mode("append").parquet(e.codesPath)
-        val src = Source(table, where)
-        val updated = e.copy(
-          sources = if (e.sources.contains(src)) e.sources else e.sources :+ src,
-          residualNormLastAppend = Some(batchNorm))
+        val updated = withSrc.copy(residualNormLastAppend = Some(batchNorm))
         registry.put(name, updated)
         persist(spark, name, updated)
         n
@@ -175,19 +194,28 @@ object AnnServe {
     * documented retrain path for append-degraded partial-probe recall). */
   def stats(name: String): Option[Entry] = Option(registry.get(name))
 
-  /** [[stats]] rendered as the facade's JSON body. */
+  /** [[stats]] rendered as the facade's JSON body. Every string field goes
+    * through the same escaper — a table/index name carrying a quote or
+    * backslash must still yield valid JSON from `GET /ann/{name}`. */
   def statsJson(name: String): String = {
     val e = stats(name).getOrElse(sys.error(s"ann index '$name' not built"))
+    def esc(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c    => c.toString
+      }
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     val drift = e.residualNormLastAppend
       .map(l => num(l / math.max(e.residualNormBuild, 1e-12)))
       .getOrElse("null")
     val srcs = e.sources.map(s =>
-      s"""{"table":"${s.table}"""" + s.where.map(w =>
-        s""","where":"${w.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
-        .getOrElse("") + "}").mkString("[", ",", "]")
-    s"""{"name":"$name","cells":${e.centroids.length},"dim":${e.dim},""" +
+      s"""{"table":"${esc(s.table)}"""" + s.where.map(w =>
+        s""","where":"${esc(w)}"""").getOrElse("") + "}")
+      .mkString("[", ",", "]")
+    s"""{"name":"${esc(name)}","cells":${e.centroids.length},"dim":${e.dim},""" +
       s""""m":${e.codebooks.length},"sources":$srcs,""" +
       s""""residual_norm_build":${num(e.residualNormBuild)},""" +
       s""""residual_norm_last_append":${e.residualNormLastAppend.map(num).getOrElse("null")},""" +

@@ -123,4 +123,121 @@ class AnnServeSpec extends SparkSpec {
     // drift telemetry survived the bounce too
     assert(AnnServe.statsJson("annspec_dur") == statBefore)
   }
+
+  test("two names coexist: building a second index never touches the " +
+    "first's code table (per-name scratch), including across a bounce") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh2").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    graft.core.Tables.load(s, sfDir, "embeddings")
+      .filter(col("vec_id") % 2 === 0).createOrReplaceTempView("ann_x_even")
+    graft.core.Tables.load(s, sfDir, "embeddings")
+      .filter(col("vec_id") % 2 === 1).createOrReplaceTempView("ann_x_odd")
+    AnnServe.build(s, "annspec_two_a", "ann_x_even", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    val aBefore = AnnServe.query(s, "annspec_two_a", queryVec, 10, 0,
+      10000000, Some(0L)).collect().map(_.getLong(0)).toSeq
+    // the r12 defect: this second build wiped annspec_two_a's codes
+    AnnServe.build(s, "annspec_two_b", "ann_x_odd", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    val aAfter = AnnServe.query(s, "annspec_two_a", queryVec, 10, 0,
+      10000000, Some(0L)).collect().map(_.getLong(0)).toSeq
+    assert(aAfter == aBefore, "second build destroyed first index's codes")
+    val bGot = AnnServe.query(s, "annspec_two_b", queryVec, 10, 0,
+      10000000, None).collect().map(_.getLong(0)).toSeq
+    assert(bGot.nonEmpty && bGot.forall(_ % 2 == 1))
+    // both names survive a bounce together
+    AnnServe.clear()
+    graft.plans.IndexRegistry.restore(s)
+    assert(AnnServe.query(s, "annspec_two_a", queryVec, 10, 0,
+      10000000, Some(0L)).collect().map(_.getLong(0)).toSeq == aBefore)
+    assert(AnnServe.query(s, "annspec_two_b", queryVec, 10, 0,
+      10000000, None).collect().map(_.getLong(0)).toSeq == bGot)
+  }
+
+  test("restore DEREGISTERS a record whose code table is gone: warns, " +
+    "drops it from _indexes.json, and other names keep serving") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh3").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    graft.core.Tables.load(s, sfDir, "embeddings")
+      .createOrReplaceTempView("ann_g_all")
+    AnnServe.build(s, "annspec_dead", "ann_g_all", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    AnnServe.build(s, "annspec_live", "ann_g_all", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    val deadPath = AnnServe.stats("annspec_dead").get.codesPath
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(deadPath))
+    AnnServe.clear()
+    graft.plans.IndexRegistry.restore(s)
+    assert(AnnServe.stats("annspec_dead").isEmpty,
+      "dead registration should have been dropped")
+    assert(AnnServe.stats("annspec_live").isDefined)
+    // the record is gone from the durable file too: a SECOND restore of a
+    // fresh registry no longer sees it
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(wh, "_indexes.json"))
+    assert(!json.contains("annspec_dead"), json)
+    assert(json.contains("annspec_live"))
+  }
+
+  test("registry file stays compact: N appends leave exactly ONE ann " +
+    "record per name (quantizer serialized once, not once per append)") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh4").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    val e = graft.core.Tables.load(s, sfDir, "embeddings")
+    e.filter(col("vec_id") % 4 === 0).createOrReplaceTempView("ann_k_0")
+    e.filter(col("vec_id") % 4 === 1).createOrReplaceTempView("ann_k_1")
+    e.filter(col("vec_id") % 4 === 2).createOrReplaceTempView("ann_k_2")
+    e.filter(col("vec_id") % 4 === 3).createOrReplaceTempView("ann_k_3")
+    AnnServe.build(s, "annspec_cpt", "ann_k_0", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    (1 to 3).foreach(i => AnnServe.append(s, "annspec_cpt", s"ann_k_$i"))
+    import org.json4s._
+    val records = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(wh, "_indexes.json"))) match {
+      case JArray(xs) => xs; case _ => Nil
+    }
+    assert(records.count(r => r \ "name" == JString("annspec_cpt")) == 1,
+      s"expected one record, got ${records.length}")
+    // and that one record carries all four sources
+    AnnServe.clear()
+    graft.plans.IndexRegistry.restore(s)
+    assert(AnnServe.stats("annspec_cpt").get.sources.map(_.table).toSet ==
+      Set("ann_k_0", "ann_k_1", "ann_k_2", "ann_k_3"))
+  }
+
+  test("an append that finds nothing fresh still merges+persists its " +
+    "source (crash-replay closes the rerank gap instead of losing it)") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh5").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    graft.core.Tables.load(s, sfDir, "embeddings")
+      .createOrReplaceTempView("ann_n0_all")
+    AnnServe.build(s, "annspec_n0", "ann_n0_all", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    // same corpus under a DIFFERENT source spec: 0 fresh rows, but the
+    // (table, where) source must still register — a replayed append after
+    // a crash-between-codes-and-persist lands here
+    assert(AnnServe.append(s, "annspec_n0", "ann_n0_all",
+      Some("vec_id >= 0")) == 0L)
+    val srcs = AnnServe.stats("annspec_n0").get.sources
+    assert(srcs.contains(AnnServe.Source("ann_n0_all", Some("vec_id >= 0"))),
+      srcs.toString)
+    // and it persisted: the source survives a bounce
+    AnnServe.clear()
+    graft.plans.IndexRegistry.restore(s)
+    assert(AnnServe.stats("annspec_n0").get.sources.contains(
+      AnnServe.Source("ann_n0_all", Some("vec_id >= 0"))))
+    // statsJson with a where carrying quotes/backslashes parses as JSON
+    AnnServe.append(s, "annspec_n0", "ann_n0_all",
+      Some("""vec_id >= 0 OR 'a"b' = '\\'"""))
+    org.json4s.jackson.JsonMethods.parse(AnnServe.statsJson("annspec_n0")): Unit
+  }
 }
