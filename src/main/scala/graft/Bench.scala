@@ -72,25 +72,40 @@ object Bench {
     val summary = scala.collection.mutable.LinkedHashMap[String, String]()
 
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-    // warmup pass is itself timed: a reader diagnosing a slow round can see
-    // whether warm and timed runs were slow TOGETHER (box contention) or the
-    // timed runs alone regressed (a real plan change)
-    val warm = qs.map { case (name, fn) => name -> timed(fn) }.toMap
+    // SELF-ADJUDICATING headline runs (r12: minhash/percentile/
+    // bitmap_overlap swung 11–27% with untouched source on a box at load
+    // 30) — the same repeat-until-two-agree harness as the 1B serves:
+    // after the timed warm run, keep timing until two CONSECUTIVE timed
+    // runs agree within 20% (3–6 timed runs; stable queries cost exactly
+    // the old warm+3), and record the box load around every run, so a
+    // regressed number carries its own load evidence and settle verdict.
     val results = qs.map { case (name, fn) =>
-      // min of 3 timed runs drops GC/compilation jitter on a shared box
-      // without hiding real cost (every run executes the full plan); ALL
-      // per-run times are reported so a uniformly-slow round is visible
-      val times = (1 to 3).map(_ => timed(fn))
-      (name, if (times.contains(-1.0)) -1.0 else times.min, times)
+      val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+      val warm = timed(fn)
+      loads += loadAvg()
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var settled = false
+      while (!settled && times.size < 6 && !times.contains(-1.0)) {
+        times += timed(fn)
+        loads += loadAvg()
+        settled = times.size >= 3 && {
+          val (a, b) = (times(times.size - 2), times.last)
+          math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.2
+        }
+      }
+      val best = if (times.contains(-1.0)) -1.0 else times.min
+      (name, best, warm, times.toSeq, loads.toSeq, settled)
     }
-    val qJson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, ts) =>
-      "\"" + k + "\":[" + (warm(k) +: ts).mkString(",") + "]" }
+    val runsJson = results.map { case (k, _, warm, ts, _, _) =>
+      "\"" + k + "\":[" + (warm +: ts).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val settledJson = results.map { case (k, _, _, _, _, ok) =>
+      "\"" + k + "\":" + ok }.mkString("{", ",", "}")
     // per-query spread = max/min across timed runs; if the median query's
     // runs disagree by >2× the box was contended and the numbers are noise
-    val spreads = results.collect { case (_, v, ts) if v > 0 =>
+    val spreads = results.collect { case (_, v, _, ts, _, _) if v > 0 =>
       ts.max / math.max(ts.min, 1e-9) }.sorted
     val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     val unreliable = medianSpread > 2.0
@@ -753,7 +768,28 @@ object Bench {
               .write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t) / 1e9
           }
-          val runs = (0 to 2).map(_ => (brute(), pq())) // warm + 2 timed
+          // settle each path independently (r12 pq_runs spread 5.2–9.3 was
+          // unadjudicable): warm + timed-until-two-agree-within-25% (cap 4
+          // timed — each 100M brute pass is ~10–25 s, the cap bounds block
+          // cost), loads recorded around every run
+          def settleDeep(run: () => Double)
+              : (Seq[Double], Seq[Double], Boolean) = {
+            val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+            val rs = scala.collection.mutable.ArrayBuffer(run()) // warm
+            loads += loadAvg()
+            var ok = false
+            while (!ok && rs.size < 5) {
+              rs += run()
+              loads += loadAvg()
+              ok = rs.size >= 3 && {
+                val (a, b) = (rs(rs.size - 2), rs.last)
+                math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.25
+              }
+            }
+            (rs.toSeq, loads.toSeq, ok)
+          }
+          val (bruteRuns, bruteLoads, bruteSettled) = settleDeep(brute _)
+          val (pqRuns, pqLoads, pqSettled) = settleDeep(pq _)
           val bruteIds = Similarity.cosineTopK(emb, "vec_id", "embedding",
             q, 20).collect().map(_.getLong(0)).toSet
           val pqIds = Similarity.ivfPqTopK(spark.read.parquet(codesPath),
@@ -762,13 +798,19 @@ object Bench {
             .collect().map(_.getLong(0)).toSet
           val (rawB, codeB) = (dirSize(rawPath), dirSize(codesPath))
           summary("ann_deep_recall") = (pqIds & bruteIds).size.toString
-          summary("ann_deep_pq_min") = num(runs.drop(1).map(_._2).min, 2)
-          summary("ann_deep_brute_min") = num(runs.drop(1).map(_._1).min, 2)
+          summary("ann_deep_pq_min") = num(pqRuns.drop(1).min, 2)
+          summary("ann_deep_pq_settled") = pqSettled.toString
+          summary("ann_deep_brute_min") = num(bruteRuns.drop(1).min, 2)
+          summary("ann_deep_brute_settled") = bruteSettled.toString
           s""","ann_deep":{"vectors":$n,"gen_sec":${num(genSec, 1)},""" +
             s""""build_sec":${num(buildSec, 1)},"raw_bytes":$rawB,""" +
             s""""code_bytes":$codeB,""" +
-            s""""brute_runs":[${runs.map(r => num(r._1, 3)).mkString(",")}],""" +
-            s""""pq_runs":[${runs.map(r => num(r._2, 3)).mkString(",")}],""" +
+            s""""brute_runs":[${bruteRuns.map(num(_, 3)).mkString(",")}],""" +
+            s""""brute_loads":[${bruteLoads.map(num(_, 2)).mkString(",")}],""" +
+            s""""brute_settled":$bruteSettled,""" +
+            s""""pq_runs":[${pqRuns.map(num(_, 3)).mkString(",")}],""" +
+            s""""pq_loads":[${pqLoads.map(num(_, 2)).mkString(",")}],""" +
+            s""""pq_settled":$pqSettled,""" +
             s""""recall_at_20":${(pqIds & bruteIds).size}}"""
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -798,8 +840,12 @@ object Bench {
       .mkString("{", ",", "}")
     // FULL record first (complete per-run detail; may lose its head to the
     // driver's tail-truncation)…
+    val qLoadsJson = results.map { case (k, _, _, _, ls, _) =>
+      "\"" + k + "\":[" + ls.map(num(_, 2)).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
       s""""runs_warm_then_timed":$runsJson,"median_spread":${num(medianSpread, 3)},""" +
+      s""""queries_settled":$settledJson,"query_loads":$qLoadsJson,""" +
       s""""unreliable":$unreliable,""" +
       s""""load_avg":[${num(loadStart, 2)},${num(loadAvg(), 2)}],""" +
       s""""load_after_block":$loadJson,""" +
@@ -811,6 +857,7 @@ object Bench {
     // mins plus each deep block's key numbers.
     println(s"""{"metric":"headline","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""queries":$qJson,"median_spread":${num(medianSpread, 3)},""" +
+      s""""queries_settled":$settledJson,""" +
       s""""unreliable":$unreliable,""" +
       s""""load_avg":[${num(loadStart, 2)},${num(loadAvg(), 2)}],""" +
       s""""load_after_block":$loadJson,"deep":$summaryJson}""")

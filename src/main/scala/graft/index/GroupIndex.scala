@@ -190,6 +190,51 @@ object GroupIndex {
     next
   }
 
+  /** COMBO-RESOLVABLE delete maintenance: when a fact-table DELETE's
+    * predicate references only index KEY columns, every fact row of a
+    * given combo matches or none does — the delete removes WHOLE combos —
+    * so index maintenance is a FILTER, not an (impossible) inverse merge:
+    * drop the matching index rows and every surviving combo's
+    * cnt/sum/min/max/bitmap is untouched-exact. This closes the
+    * delete-requires-rebuild asymmetry documented on [[merge]] for the
+    * keyed case; a predicate on NON-key columns still requires [[buildTo]]
+    * (it cuts rows inside combos, which min/max/bm cannot un-merge — the
+    * same asymmetry as the reference, which recomputes BSI extrema on
+    * clears). Null semantics mirror [[graft.core.TableLog.delete]]: the
+    * fact delete removes rows where `coalesce(pred, false)`, so the index
+    * keeps rows where it is false or null.
+    *
+    * Writes the filtered index to the next `.v<N+1>` version — never over
+    * the serving files ([[appendDelta]]'s discipline) — and returns the new
+    * path for re-registration. Cost: one combo-cardinality index scan,
+    * independent of fact size. */
+  def deleteCombos(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, pred: org.apache.spark.sql.Column,
+                   groupCols: Seq[String]): String = {
+    val Versioned = "(.*)\\.v(\\d+)$".r
+    val (stem, ver) = indexPath match {
+      case Versioned(s, v) => (s, v.toLong)
+      case p               => (p, 0L)
+    }
+    val next = s"$stem.v${ver + 1}"
+    val idx = spark.read.parquet(indexPath)
+    val filtered = idx.filter(!coalesce(pred, lit(false)))
+    // the predicate must resolve over KEY columns only — a reference to a
+    // stored aggregate (sum_*/cnt/bm_*) would "work" but mean something
+    // else entirely; checked on the RESOLVED plan so aliases can't hide one
+    val refs = filtered.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    val nonKey = refs -- groupCols
+    require(nonKey.isEmpty,
+      s"deleteCombos: predicate references non-key column(s) " +
+        s"${nonKey.mkString(", ")} — only whole-combo cuts are exact; " +
+        "rebuild with buildTo for row-level deletes")
+    filtered.write.mode("overwrite").parquet(next)
+    next
+  }
+
   /** [[build]] + overwrite-to-parquet with the rewrite rule disabled for the
     * duration: a REBUILD's own aggregation matches the rule, so with the old
     * registration still live it would be answered FROM the index files the

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, DateFormatClass, Explode, Literal, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, DateFormatClass, Explode, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, Size, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{StringType, TimestampType}
 
 /** Workload → index recommendations, monetizing the rollup lattice: one
   * [[graft.index.GroupIndex]] whose key set GENERALIZES a family of
@@ -26,10 +26,16 @@ object IndexAdvisor {
   import QuantumKeys._
 
   /** One grouped query's index-relevant shape. `groupKeys` use the
-    * reserved quantum names for date_trunc / dialect DATE_TRUNC keys. */
+    * reserved quantum names for date_trunc / dialect DATE_TRUNC keys.
+    * `filterKeys` are the columns the query's WHERE predicates need as
+    * index keys to transfer ([[IndexRewrite]] only transfers conjuncts
+    * whose references are all key columns — a recommendation that ignored
+    * them could never serve the query): plain columns verbatim, aligned ts
+    * bounds as the quantum key of their alignment unit. */
   final case class Shape(path: String, groupKeys: Seq[String],
                          exploded: Set[String], sumCols: Set[String],
-                         distinctCols: Set[String])
+                         distinctCols: Set[String],
+                         filterKeys: Set[String] = Set.empty)
 
   /** Per-query verdict: its shape if index-able, else why not. */
   final case class Analysis(query: Int, shape: Option[Shape], note: String)
@@ -66,8 +72,13 @@ object IndexAdvisor {
       .toSeq.sortBy(_._1._1)
       .map { case ((path, exploded), members) =>
         val shapes = members.map(_._2)
-        val (quantumKeys, plainKeys) = shapes.flatMap(_.groupKeys).distinct
-          .partition(parseQuantum(_).isDefined)
+        // filter-needed keys join the union: they are combo-cuttable
+        // dimensions (dimension rollup re-aggregates them away when a
+        // query doesn't group by them), and without them the transferred
+        // predicates would reference non-key columns and decline
+        val (quantumKeys, plainKeys) =
+          shapes.flatMap(s => s.groupKeys ++ s.filterKeys).distinct
+            .partition(parseQuantum(_).isDefined)
         // per (kind, ts) family: the coarsest unit covering all requests
         val covering = quantumKeys
           .groupBy(k => parseQuantum(k).map { case (s, _, ts) => (s, ts) })
@@ -85,6 +96,7 @@ object IndexAdvisor {
     * matcher (attribute-only Projects, quantum aliases, Explode Generates,
     * filters, one parquet relation). */
   private def shapeOf(df: DataFrame): Either[String, Shape] = {
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
     val agg = df.queryExecution.optimizedPlan.collectFirst {
       case a: Aggregate => a }
     agg match {
@@ -94,7 +106,7 @@ object IndexAdvisor {
       case Some(a) =>
         walk(a.child) match {
           case None => Left("not a plain grouped parquet scan")
-          case Some((path, resolve, exploded)) =>
+          case Some((path, resolve, exploded, conds)) =>
             val keys = a.groupingExpressions.map {
               case ar: AttributeReference => resolve.get(ar.exprId)
               case Alias(ar: AttributeReference, _) => resolve.get(ar.exprId)
@@ -127,18 +139,141 @@ object IndexAdvisor {
                   }
                 case other => bad = Some(s"unsupported output ${other.sql}")
               }
-              bad.toLeft(Shape(path, keys.flatten, exploded, sums, dists))
+              bad match {
+                case Some(why) => Left(why)
+                case None =>
+                  val gk = keys.flatten
+                  filterNeeds(conds, resolve, exploded, gk, tz).map(fk =>
+                    Shape(path, gk, exploded, sums, dists, fk -- gk))
+              }
             }
         }
     }
   }
 
-  /** Child walk → (path, exprId→key-name resolution, exploded fact cols). */
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x         => Seq(x)
+  }
+
+  /** WHERE conjuncts → the index keys they need to TRANSFER, or why they
+    * never can. Mirrors [[IndexRewrite]]'s serving rules exactly —
+    * recommendations the rewrite would decline are worse than none:
+    *
+    *  - `>=` / `<` ts bounds whose literal sits on a quantum boundary
+    *    become the quantum key of that alignment unit (the covering
+    *    computation then keeps the family's index unit at-or-finer, the
+    *    same lattice rule as group keys — an aligned-at-day bound is
+    *    aligned at hour too, so a finer index still serves it);
+    *  - `>` / `<=` ts bounds split a bucket mid-way and decline at serve
+    *    time no matter the index ([[IndexRewrite]]'s quantumizeBounds), so
+    *    the shape is reported un-index-able rather than under-keyed;
+    *  - `isnotnull(ts)` (optimizer-inferred next to any ts bound) rides
+    *    whatever quantum key its ts family gets;
+    *  - explode-implied guards (`isnotnull(arr)` / `size(arr) > 0` over an
+    *    exploded column) are droppable at serve time — no key needed;
+    *  - every other conjunct transfers iff its referenced fact columns are
+    *    ALL index keys, so those columns join the recommendation (they are
+    *    combo-cuttable dimensions; dimension rollup re-aggregates them
+    *    away for queries that don't group by them). */
+  private def filterNeeds(conds: Seq[Expression],
+      resolve: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      exploded: Set[String], groupKeys: Seq[String], tz: String)
+      : Either[String, Set[String]] = {
+    // quantum KIND already requested for a ts column by the GROUP BY — a
+    // dialect (__qs) workload gets a string-cut filter key so ONE family
+    // covers both; default kind is the timestamp one
+    val strKind: Map[String, Boolean] = groupKeys.flatMap(parseQuantum)
+      .map { case (isStr, _, ts) => ts -> isStr }.toMap
+    val truncUnits = Seq("year", "month", "day", "hour", "minute", "second")
+    val strUnitOf = Map("year" -> "yy", "month" -> "m", "day" -> "d",
+      "hour" -> "hh", "minute" -> "mi", "second" -> "s")
+    def alignUnit(micros: Long): Option[String] = truncUnits.find(u =>
+      TruncTimestamp(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(u),
+          StringType),
+        Literal(micros, TimestampType), Some(tz)).eval(null) == micros)
+    def qKey(ts: String, unit: String): String =
+      if (strKind.getOrElse(ts, false)) s"__qs_${strUnitOf(unit)}_$ts"
+      else s"__q_${unit}_$ts"
+    def explodedCol(a: AttributeReference): Boolean =
+      resolve.get(a.exprId).exists(exploded)
+    var keys = Set.empty[String]
+    var notNullTs = Set.empty[String]
+    var bad: Option[String] = None
+    def tsBound(a: AttributeReference, l: Literal, edgeSplit: Boolean): Boolean =
+      a.dataType == TimestampType && l.dataType == TimestampType && {
+        if (edgeSplit)
+          bad = Some("edge-splitting ts bound (> / <=) can never transfer " +
+            "to a quantum key — rewrite the range as >= / <")
+        else (resolve.get(a.exprId),
+            Option(l.value).collect { case x: java.lang.Long => x.longValue }) match {
+          case (Some(ts), Some(micros)) => alignUnit(micros) match {
+            case Some(u) => keys += qKey(ts, u)
+            case None => bad = Some("ts bound is not on any quantum " +
+              "boundary (sub-second) — it bounds rows, not buckets")
+          }
+          case _ => bad = Some("ts bound on a derived column")
+        }
+        true
+      }
+    def generic(c: Expression): Unit = {
+      val refs = c.references.toSeq
+      val srcs = refs.map {
+        case a: AttributeReference => resolve.get(a.exprId)
+        case _ => None
+      }
+      if (srcs.exists(_.isEmpty))
+        bad = Some("filter references a derived column — the predicate " +
+          "cannot transfer to index keys")
+      else keys ++= srcs.flatten
+    }
+    conds.foreach {
+      case _ if bad.isDefined => ()
+      case IsNotNull(a: AttributeReference) if explodedCol(a) => ()
+      case GreaterThan(Size(a: AttributeReference, _), Literal(v, _))
+          if explodedCol(a) && v == 0 => ()
+      case c @ GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        if (!tsBound(a, l, edgeSplit = false)) generic(c)
+      case c @ LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        if (!tsBound(a, l, edgeSplit = false)) generic(c)
+      case c @ LessThan(a: AttributeReference, l: Literal) =>
+        if (!tsBound(a, l, edgeSplit = false)) generic(c)
+      case c @ GreaterThan(l: Literal, a: AttributeReference) =>
+        if (!tsBound(a, l, edgeSplit = false)) generic(c)
+      case c @ GreaterThan(a: AttributeReference, l: Literal) =>
+        if (!tsBound(a, l, edgeSplit = true)) generic(c)
+      case c @ LessThan(l: Literal, a: AttributeReference) =>
+        if (!tsBound(a, l, edgeSplit = true)) generic(c)
+      case c @ LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        if (!tsBound(a, l, edgeSplit = true)) generic(c)
+      case c @ GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        if (!tsBound(a, l, edgeSplit = true)) generic(c)
+      case IsNotNull(a: AttributeReference)
+          if a.dataType == TimestampType && resolve.contains(a.exprId) =>
+        notNullTs += resolve(a.exprId)
+      case other => generic(other)
+    }
+    // isnotnull(ts) transfers as isnotnull on the ts's quantum key when the
+    // family has one (group key or bound); a lone isnotnull(ts) needs the
+    // raw column — legal, but cardinality-hostile, so it is keyed plainly
+    // and visible in the report
+    notNullTs.foreach { ts =>
+      if (!(groupKeys ++ keys).exists(k =>
+          parseQuantum(k).exists(_._3 == ts)))
+        keys += ts
+    }
+    bad.toLeft(keys)
+  }
+
+  /** Child walk → (path, exprId→key-name resolution, exploded fact cols,
+    * WHERE conjuncts collected along the way — classified by
+    * [[filterNeeds]]). */
   private def walk(p: LogicalPlan)
-      : Option[(String, Map[org.apache.spark.sql.catalyst.expressions.ExprId, String], Set[String])] =
+      : Option[(String, Map[org.apache.spark.sql.catalyst.expressions.ExprId, String], Set[String], Seq[Expression])] =
     p match {
       case Project(projList, child) =>
-        walk(child).flatMap { case (path, resolve, ex) =>
+        walk(child).flatMap { case (path, resolve, ex, cs) =>
           val extra = projList.flatMap {
             case _: AttributeReference => Some(Nil)
             case al @ Alias(a: AttributeReference, _) =>
@@ -155,18 +290,21 @@ object IndexAdvisor {
             case _ => None
           }
           if (extra.length != projList.length) None
-          else Some((path, resolve ++ extra.flatten, ex))
+          else Some((path, resolve ++ extra.flatten, ex, cs))
         }
       case Generate(Explode(arr: AttributeReference), _, false, _, Seq(out), child) =>
-        walk(child).flatMap { case (path, resolve, ex) =>
+        walk(child).flatMap { case (path, resolve, ex, cs) =>
           resolve.get(arr.exprId).map(src =>
-            (path, resolve + (out.exprId -> src), ex + src))
+            (path, resolve + (out.exprId -> src), ex + src, cs))
         }
-      case Filter(_, child) => walk(child)
+      case Filter(cond, child) =>
+        walk(child).map { case (path, resolve, ex, cs) =>
+          (path, resolve, ex, cs ++ splitConj(cond))
+        }
       case LogicalRelation(fs: HadoopFsRelation, out, _, _, _) =>
         fs.location.rootPaths.headOption.map(rp =>
           (rp.toString, out.map(a => a.exprId -> a.name).toMap,
-            Set.empty[String]))
+            Set.empty[String], Seq.empty[Expression]))
       case _ => None
     }
 }

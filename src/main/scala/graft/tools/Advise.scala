@@ -1,23 +1,104 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Operator CLI for the workload index advisor: feed it the dashboard's
-  * SQL (Spark SQL or reference-dialect via `--dialect`) and it prints, per
-  * (fact path, explode-set) cluster, the ONE GroupIndex registration that
-  * serves every query in the cluster — exact, coarser-quantum rollup,
-  * dimension rollup, or dialect string cut ([[graft.plans.IndexAdvisor]]).
+  * SQL (Spark SQL or reference-dialect via `--dialect`) — or, with
+  * `--from-log`, a facade query-log captured from PRODUCTION traffic
+  * (`spark.graft.queryLog=true` emits the reference's per-query access-log
+  * format, `reference/server/grpc.go:1638-1662` LogQuery) — and it prints,
+  * per (fact path, explode-set) cluster, the ONE GroupIndex registration
+  * that serves every query in the cluster — exact, coarser-quantum rollup,
+  * dimension rollup, dialect string cut, and WHERE-predicate key transfer
+  * ([[graft.plans.IndexAdvisor]]).
   *
   *   runMain graft.tools.Advise /root/testdata/sf0.001 \
   *     "SELECT event_type, count(*) FROM events GROUP BY event_type" \
   *     "SELECT date_trunc('hour', ts), count(*) FROM events GROUP BY 1"
+  *
+  *   runMain graft.tools.Advise /root/testdata/sf0.001 --from-log query.log
   */
 object Advise {
+
+  /** Parse facade query-log lines — `GRPC: ip, [ua], method, userid,
+    * username, [index]body` — into (isPql, index, body) triples. Repeated
+    * queries dedupe (production traffic replays the same dashboard); lines
+    * that aren't query-log records are ignored, so the raw stderr capture
+    * feeds in unfiltered. */
+  private[tools] def parseLog(lines: Seq[String]): Seq[(Boolean, String, String)] = {
+    val Line = """^GRPC: .*?, \[.*?\], (\w+), .*?, .*?, (.*)$""".r
+    val Idx = """^\[([^\]]*)\](.*)$""".r
+    lines.flatMap {
+      case Line(method, body) =>
+        val (idx, q) = body match {
+          case Idx(i, rest) => (i, rest)
+          case b            => ("", b)
+        }
+        if (q.trim.isEmpty) None
+        else Some((method.contains("PQL"), idx, q.trim))
+      case _ => None
+    }.distinct
+  }
+
+  /** The report body ([[main]] minus session lifecycle — spec-drivable). */
+  private[tools] def advise(spark: SparkSession, sfDir: String,
+      dialect: Boolean, fromLog: Boolean, rest: Seq[String]): String = {
+    val out = new StringBuilder
+    // (label, compile): compilation is lazy analysis only — a log replay
+    // must never EXECUTE production queries, let alone their writes
+    val candidates: Seq[(String, () => DataFrame)] =
+      if (fromLog) {
+        val lines = rest.flatMap { f =>
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().toList finally src.close()
+        }
+        parseLog(lines).flatMap {
+          case (true, idx, q) if graft.pql.Pql.writeCallN(q) > 0 =>
+            out ++= s"skipped (write call): [$idx]$q\n"; None
+          case (true, "", q) =>
+            out ++= s"skipped (PQL without [index] tag): $q\n"; None
+          case (true, idx, q) =>
+            Some(s"[$idx]$q" -> (() => graft.pql.Pql.run(spark, sfDir, idx, q)))
+          case (false, _, q) =>
+            Some(q -> (() => graft.sql.GraftSql.sql(spark, sfDir, q)))
+        }
+      } else rest.map(q => q -> (() =>
+        if (dialect) graft.sql.GraftSql.sql(spark, sfDir, q) else spark.sql(q)))
+
+    val built = candidates.flatMap { case (label, mk) =>
+      scala.util.Try(mk()) match {
+        case scala.util.Success(df) => Some(label -> df)
+        case scala.util.Failure(ex) =>
+          out ++= s"skipped (does not compile here: ${ex.getMessage}): $label\n"
+          None
+      }
+    }
+    val (analyses, recs) = graft.plans.IndexAdvisor.analyze(built.map(_._2))
+    analyses.foreach { a =>
+      val shape = a.shape.map(s =>
+        s"keys=${s.groupKeys.mkString(",")}" +
+          (if (s.filterKeys.nonEmpty) s" filterKeys=${s.filterKeys.mkString(",")}" else "") +
+          s" sums=${s.sumCols.mkString(",")}" +
+          (if (s.distinctCols.nonEmpty) s" distincts=${s.distinctCols.mkString(",")}" else ""))
+        .getOrElse("")
+      out ++= f"query #${a.query}%-3d ${a.note}%-50s $shape%n"
+    }
+    if (recs.isEmpty) out ++= "no index-able grouped queries in the workload\n"
+    else {
+      out ++= s"\n${recs.size} recommendation(s):\n"
+      recs.foreach(r => out ++= "  " + r.render + "\n")
+    }
+    out.toString
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Advise <sfDir> [--dialect] <sql>...")
+    require(args.length >= 2,
+      "usage: Advise <sfDir> [--dialect] <sql>...\n" +
+      "       Advise <sfDir> --from-log <logfile>...")
     val sfDir = args(0)
     val dialect = args.contains("--dialect")
-    val sqls = args.drop(1).filterNot(_ == "--dialect")
+    val fromLog = args.contains("--from-log")
+    val rest = args.drop(1).filterNot(a => a == "--dialect" || a == "--from-log")
     val spark = graft.core.EngineConf(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -26,21 +107,7 @@ object Advise {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Tables.registerAll(spark, sfDir)
-    val dfs = sqls.toSeq.map(q =>
-      if (dialect) graft.sql.GraftSql.sql(spark, sfDir, q) else spark.sql(q))
-    val (analyses, recs) = graft.plans.IndexAdvisor.analyze(dfs)
-    analyses.foreach { a =>
-      val shape = a.shape.map(s =>
-        s"keys=${s.groupKeys.mkString(",")} sums=${s.sumCols.mkString(",")}" +
-          (if (s.distinctCols.nonEmpty) s" distincts=${s.distinctCols.mkString(",")}" else ""))
-        .getOrElse("")
-      println(f"query #${a.query}%-3d ${a.note}%-50s $shape")
-    }
-    if (recs.isEmpty) println("no index-able grouped queries in the workload")
-    else {
-      println(s"\n${recs.size} recommendation(s):")
-      recs.foreach(r => println("  " + r.render))
-    }
+    print(advise(spark, sfDir, dialect, fromLog, rest.toSeq))
     spark.stop()
   }
 }

@@ -91,6 +91,79 @@ class IndexAdvisorSpec extends SparkSpec {
     IndexCatalog.clear()
   }
 
+  test("FILTERED workload: WHERE-referenced columns join the recommended " +
+    "keys, aligned ts bounds map to the quantum key, and the built " +
+    "recommendation plan-provably serves every covered query") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "user_id", "value")
+    val root = graft.streaming.Ingest.scratch("idx_advisor_f")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    val facts = spark.read.parquet(fact)
+
+    def f1 = facts // plain filter on a column the query does NOT group by:
+      .filter(col("user_id") < 50) // user_id must become an index key or
+      .groupBy("event_type")       // the predicate can never transfer
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+    def f2 = facts // day-ALIGNED ts bounds + hour grouping: one family,
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    def f3 = facts // edge-splitting bound: un-index-able, reported as such
+      .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val queries = Seq(() => f1, () => f2, () => f3)
+
+    val (analyses, recs) = IndexAdvisor.analyze(queries.map(_.apply()))
+    assert(analyses(0).shape.exists(_.filterKeys == Set("user_id")),
+      analyses(0).toString)
+    assert(analyses(1).shape.exists(_.filterKeys == Set("__q_day_ts")),
+      analyses(1).toString)
+    assert(analyses(2).shape.isEmpty &&
+      analyses(2).note.contains("edge-splitting"), analyses(2).toString)
+    assert(recs.size == 1, recs.map(_.render).mkString("\n"))
+    val rec = recs.head
+    // hour covers the day-aligned bound's family; user_id joins the keys
+    assert(rec.groupCols.toSet ==
+      Set("event_type", "user_id", "__q_hour_ts"), rec.render)
+    assert(rec.covers == Seq(0, 1), rec.render)
+
+    // CLOSED LOOP: build exactly the recommendation; both covered queries
+    // serve scan-free and read identically to the rewrite-off baseline
+    val withKeys = GroupIndex.withQuantums(facts,
+      Seq(GroupIndex.Quantum("ts", "hour")))
+    GroupIndex.buildTo(withKeys, rec.groupCols, rec.sumCols, s"$root/g",
+      distinctCols = rec.distinctCols)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    IndexCatalog.registerGroup(fact, rec.groupCols, rec.explodedCols,
+      rec.sumCols, spark.read.parquet(s"$root/g"), rec.distinctCols,
+      quantums = Map("__q_hour_ts" -> tz))
+    IndexRewrite.install(spark)
+    queries.take(2).zipWithIndex.foreach { case (mk, i) =>
+      val df = mk()
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("/fact"), s"f${i + 1} still scans facts:\n$phys")
+      val got = df.orderBy(df.columns.map(col).toIndexedSeq: _*).collect()
+      spark.conf.set("spark.graft.indexRewrite", "false")
+      val want = try {
+        val b = mk()
+        b.orderBy(b.columns.map(col).toIndexedSeq: _*).collect()
+      } finally spark.conf.unset("spark.graft.indexRewrite")
+      assert(got.length == want.length,
+        s"f${i + 1}: ${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (g, w) =>
+        (0 until g.length).foreach { j => (g.get(j), w.get(j)) match {
+          case (d: java.lang.Double, e: java.lang.Double) =>
+            assert(math.abs(d - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+              s"f${i + 1}: $g vs $w")
+          case (p, q) => assert(p == q, s"f${i + 1}: $g vs $w")
+        }}
+      }
+    }
+    IndexCatalog.clear()
+  }
+
   test("explode-set clusters stay separate (multiplicity differs)") {
     import spark.implicits._
     val root = graft.streaming.Ingest.scratch("idx_advisor_ex")

@@ -132,4 +132,64 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(!out3.contains("mutation touched"), s"unindexed warn: '$out3'")
     IndexCatalog.clear()
   }
+
+  test("a combo-resolvable DELETE refolds the index (filter, not rebuild) " +
+    "and it keeps serving with exact aggregates; non-key deletes refuse " +
+    "and decline stale") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-refold-wh").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    val ev = Tables.load(s, sfDir, "events")
+      .select("event_id", "event_type", "user_id", "value")
+    val root = graft.streaming.Ingest.scratch("idx_refold")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    GroupIndex.buildTo(s.read.parquet(fact), Seq("event_type", "user_id"),
+      Seq("value"), s"$root/g")
+    IndexRegistry.registerGroupDurable(s, fact,
+      Seq("event_type", "user_id"), Set.empty, Seq("value"), s"$root/g")
+    IndexRewrite.install(s)
+    def q() = s.read.parquet(fact)
+      .groupBy("event_type") // dimension rollup off the 2-key index
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy("event_type")
+    assert(!q().queryExecution.executedPlan.toString.contains("/fact"))
+
+    // the DELETE: WHERE user_id < 50 — expressible over index keys, so it
+    // removes WHOLE combos
+    val survivors = ev.filter(!(col("user_id") < 50))
+    survivors.write.mode("overwrite").parquet(fact)
+    assert(q().queryExecution.executedPlan.toString.contains("/fact"),
+      "changed facts must decline before the refold")
+    val refolded = IndexRegistry.refoldDelete(s, fact, col("user_id") < 50)
+    assert(refolded == Seq((s"$root/g", true)), refolded.toString)
+    val served = q()
+    assert(!served.queryExecution.executedPlan.toString.contains("/fact"),
+      "refolded index must resume serving:\n" +
+        served.queryExecution.executedPlan.toString)
+    val got = served.collect()
+    val want = survivors.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy("event_type").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      (0 until g.length).foreach { j => (g.get(j), w.get(j)) match {
+        case (d: java.lang.Double, e: java.lang.Double) =>
+          assert(math.abs(d - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+            s"$g vs $w")
+        case (p, v) => assert(p == v, s"$g vs $w")
+      }}
+    }
+
+    // non-key predicate: refuses (row-level cut has no exact filter form),
+    // index declines stale — the honest outcome
+    survivors.filter(!(col("value") > 100)).write.mode("overwrite").parquet(fact)
+    val r2 = IndexRegistry.refoldDelete(s, fact, col("value") > 100)
+    assert(r2.length == 1 && !r2.head._2, r2.toString)
+    assert(q().queryExecution.executedPlan.toString.contains("/fact"),
+      "non-key delete must leave the index declining stale")
+    IndexCatalog.clear()
+  }
 }

@@ -356,6 +356,43 @@ class QuantumIndexSpec extends SparkSpec {
     IndexCatalog.clear()
   }
 
+  test("PQL GroupBy / TopK / Rows with DROPPED keys all serve from ONE " +
+    "superset index via the rollup matcher — the whole PQL dashboard " +
+    "lattice off one registration") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "user_id", "value")
+    val root = graft.streaming.Ingest.scratch("idx_pql_roll")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    val qh = GroupIndex.Quantum("ts", "hour")
+    val facts = spark.read.parquet(fact)
+    GroupIndex.buildTo(GroupIndex.withQuantums(facts, Seq(qh)),
+      Seq(qh.name, "event_type", "user_id"), Seq("value"), s"$root/g")
+    IndexCatalog.registerGroup(fact,
+      Seq(qh.name, "event_type", "user_id"), Set.empty, Seq("value"),
+      spark.read.parquet(s"$root/g"),
+      quantums = Map(qh.name -> spark.sessionState.conf.sessionLocalTimeZone))
+    IndexRewrite.install(spark)
+    def pql(q: String) = new graft.pql.Compiler(facts, Some("ts"))
+      .run(graft.pql.Parser.parseOne(q))
+    // each shape drops keys the index carries: dimension rollup
+    Seq(
+      "GroupBy(Rows(event_type), aggregate=Sum(field=value))",
+      "GroupBy(Rows(event_type), Rows(user_id))",
+      "TopK(event_type, k=3)",
+      "Rows(event_type)").foreach { q =>
+      val served = pql(q)
+      val phys = served.queryExecution.executedPlan.toString
+      assert(!phys.contains("/fact"), s"$q still scans facts:\n$phys")
+      assert(phys.contains("/g"), s"$q not index-served:\n$phys")
+      spark.conf.set("spark.graft.indexRewrite", "false")
+      val want = try pql(q).collect()
+      finally spark.conf.unset("spark.graft.indexRewrite")
+      sameRows(served.collect(), want)
+    }
+    IndexCatalog.clear()
+  }
+
   test("DIALECT string quantum: GROUP BY DATE_TRUNC('<unit>', ts) through " +
     "the reference dialect rides a __qs index; coarser dialect units roll " +
     "up by string prefix") {

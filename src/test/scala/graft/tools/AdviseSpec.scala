@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** `Advise --from-log`: production traffic captured by the facade's
+  * query log (`spark.graft.queryLog`) advises indexes directly — SQL and
+  * PQL records compile (lazily, never executed), writes and junk lines are
+  * skipped, repeats dedupe, and the recommendation covers the workload. */
+class AdviseSpec extends SparkSpec {
+
+  test("parseLog: extracts SQL + [index]PQL bodies, dedupes repeats, " +
+    "ignores non-log lines") {
+    val lines = Seq(
+      "GRPC: 10.0.0.1, [k6/0.42], QuerySQL, u1, alice, SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type",
+      "26/08/16 12:00:00 WARN SomeSparkNoise: not a query line",
+      "GRPC: , [], QueryPQLUnary, , , [events]GroupBy(Rows(event_type))",
+      "GRPC: , [], QueryPQL, , , [events]Set(1, event_type='x')",
+      // exact repeat of the first line: production dashboards replay
+      "GRPC: 10.0.0.1, [k6/0.42], QuerySQL, u1, alice, SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type")
+    val parsed = Advise.parseLog(lines)
+    assert(parsed.size == 3, parsed.toString)
+    assert(parsed.count(_._1 == false) == 1) // one distinct SQL
+    assert(parsed.collect { case (true, idx, q) => (idx, q) }.toSet ==
+      Set(("events", "GroupBy(Rows(event_type))"),
+          ("events", "Set(1, event_type='x')")))
+  }
+
+  test("--from-log advises from a captured log: PQL+SQL cluster to one " +
+    "covering recommendation, write calls are skipped unexecuted") {
+    val log = java.nio.file.Files.createTempFile("graft-advise", ".log")
+    java.nio.file.Files.writeString(log, Seq(
+      "GRPC: , [], QuerySQL, , , SELECT event_type, COUNT(*) AS c, SUM(value) AS sv FROM events GROUP BY event_type",
+      "GRPC: , [], QueryPQL, , , [events]GroupBy(Rows(event_type), Rows(user_id))",
+      "GRPC: , [], QueryPQL, , , [events]Delete(Row(event_type='view'))",
+      "GRPC: , [], QueryPQL, , , GroupBy(Rows(event_type))",
+      "stray non-log line").mkString("\n"))
+    val before = graft.core.Tables.load(spark, sfDir, "events").count()
+    val report = Advise.advise(spark, sfDir, dialect = false,
+      fromLog = true, Seq(log.toString))
+    assert(report.contains("skipped (write call)"), report)
+    assert(report.contains("skipped (PQL without [index] tag)"), report)
+    assert(report.contains("1 recommendation(s):"), report)
+    assert(report.contains("event_type") && report.contains("user_id"),
+      report)
+    // the write record was never executed: the table is untouched
+    assert(graft.core.Tables.load(spark, sfDir, "events").count() == before)
+  }
+}
