@@ -60,6 +60,30 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       Auth.chkAuthZ(cfg, bearer, index, required)
     }
 
+  /** The reference's per-query HTTP access line
+    * (`reference/http_handler.go:806-817`: ip, ua, url-path, userid,
+    * username, query string — newlines stripped; non-query endpoints like
+    * /status and /metrics never log, which holds here by construction
+    * since only the query handlers call this), emitted when
+    * `spark.graft.queryLog` is set — the same switch as the gRPC facade's
+    * lines. `[index]`-tagged PQL bodies feed `tools.Advise --from-log`
+    * alongside the gRPC records, so production traffic on either facade
+    * advises indexes. */
+  private def logQuery(ex: HttpExchange, user: Option[Auth.UserInfo],
+                       index: String, q: String): Unit =
+    if (spark.conf.get("spark.graft.queryLog", "false") == "true") {
+      val ip = Option(ex.getRemoteAddress)
+        .flatMap(a => Option(a.getAddress)).map(_.getHostAddress)
+        .getOrElse("")
+      val ua = Option(ex.getRequestHeaders.getFirst("User-Agent"))
+        .getOrElse("")
+      val body = (if (index.nonEmpty) s"[$index]" else "") +
+        q.replace("\n", "").replace("\r", "")
+      System.err.println(s"HTTP: $ip, [$ua], ${ex.getRequestURI.getPath}, " +
+        s"${user.map(_.userId).getOrElse("")}, " +
+        s"${user.map(_.userName).getOrElse("")}, $body")
+    }
+
   /** `reference/http_handler.go:1062-1077` filterSchema: with auth on,
     * non-admin callers see only the indexes on their read-authorized list;
     * identity for admins and when auth is off. */
@@ -320,7 +344,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
     graft.sql.Ddl.restoreSession(spark)
     server.createContext("/sql", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex) {
-        chk(ex, None, Auth.PermAdmin) // reference/http_handler.go:536
+        val uinfo = chk(ex, None, Auth.PermAdmin) // reference/http_handler.go:536
         // `?plan=true` appends the compiled plan to the envelope
         // (`http_handler.go:1438-1545`: strconv.ParseBool values, 400 on
         // anything else; plan rendered as nested {"_op":...} maps like the
@@ -335,6 +359,7 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           case Some(v) => sys.error(s"""strconv.ParseBool: parsing "$v": invalid syntax""")
         }
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        logQuery(ex, uinfo, "", body)
         graft.core.Metrics.inc(graft.core.Metrics.SqlQueries)
         tracked("", body, "") {
           val t0 = System.nanoTime()
@@ -573,8 +598,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
           case Array("index", idx, "query") =>
             val writes = graft.pql.Pql.writeCallN(body) > 0
             graft.core.Metrics.inc(graft.core.Metrics.PqlQueries)
-            chk(ex, Some(idx),
+            val uinfo = chk(ex, Some(idx),
               if (writes) Auth.PermWrite else Auth.PermRead)
+            logQuery(ex, uinfo, idx, body)
             // one result per top-level call (`reference/handler.go:51-56`
             // `QueryResponse.Results`): reads as tables, writes as the
             // reference's boolean ack. Write programs hold the table's
@@ -1738,7 +1764,9 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         val (query, shards) = PbQuery.decodeRequest(body)
         val writes = graft.pql.Pql.writeCallN(query) > 0
         graft.core.Metrics.inc(graft.core.Metrics.PqlQueries)
-        chk(ex, Some(idx), if (writes) Auth.PermWrite else Auth.PermRead)
+        val uinfo =
+          chk(ex, Some(idx), if (writes) Auth.PermWrite else Auth.PermRead)
+        logQuery(ex, uinfo, idx, query)
         if (shards.nonEmpty && writes)
           sys.error("shards restriction unsupported on write programs")
         val calls = graft.pql.Parser.parse(query)

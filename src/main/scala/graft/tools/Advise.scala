@@ -20,13 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Advise {
 
-  /** Parse facade query-log lines — `GRPC: ip, [ua], method, userid,
-    * username, [index]body` — into (isPql, index, body) triples. Repeated
+  /** Parse facade query-log lines — gRPC records (`GRPC: ip, [ua], method,
+    * userid, username, [index]body`) and HTTP ones (`HTTP: ip, [ua],
+    * url-path, userid, username, [index]body`) — into (isPql, index, body)
+    * triples. PQL is recognized by the gRPC method name or the
+    * `/index/{i}/query` path (both also carry the `[index]` tag). Repeated
     * queries dedupe (production traffic replays the same dashboard); lines
     * that aren't query-log records are ignored, so the raw stderr capture
     * feeds in unfiltered. */
-  private[tools] def parseLog(lines: Seq[String]): Seq[(Boolean, String, String)] = {
-    val Line = """^GRPC: .*?, \[.*?\], (\w+), .*?, .*?, (.*)$""".r
+  private[graft] def parseLog(lines: Seq[String]): Seq[(Boolean, String, String)] = {
+    val Line = """^(?:GRPC|HTTP): .*?, \[.*?\], ([^,]+), .*?, .*?, (.*)$""".r
     val Idx = """^\[([^\]]*)\](.*)$""".r
     lines.flatMap {
       case Line(method, body) =>
@@ -34,8 +37,9 @@ object Advise {
           case Idx(i, rest) => (i, rest)
           case b            => ("", b)
         }
+        val isPql = method.contains("PQL") || method.trim.endsWith("/query")
         if (q.trim.isEmpty) None
-        else Some((method.contains("PQL"), idx, q.trim))
+        else Some((isPql, idx, q.trim))
       case _ => None
     }.distinct
   }

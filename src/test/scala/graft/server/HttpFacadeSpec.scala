@@ -1093,4 +1093,39 @@ class HttpFacadeSpec extends SparkSpec {
       st.get("drift_ratio").isNull, bs)
     assert(get("/ann/nosuch")._1 == 400)
   }
+
+  test("query log: spark.graft.queryLog emits the reference's per-query " +
+    "access line for /sql and /index/{i}/query, and Advise.parseLog " +
+    "reads the capture back") {
+    def capturing(f: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try f finally System.setErr(old)
+      new String(buf.toByteArray, "UTF-8")
+    }
+    spark.conf.set("spark.graft.queryLog", "true")
+    val out = try capturing {
+      assert(post("/sql",
+        "SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type")
+        ._1 == 200)
+      assert(post("/index/events/query", "Count(Row(event_type='click'))")
+        ._1 == 200)
+    } finally spark.conf.unset("spark.graft.queryLog")
+    assert(out.contains("HTTP: ") && out.contains("/sql, , , SELECT"), out)
+    assert(out.contains("/index/events/query, , , " +
+      "[events]Count(Row(event_type='click'))"), out)
+    // off by default: the same traffic logs nothing
+    val quiet = capturing {
+      post("/sql", "SELECT 1 AS one"): Unit
+    }
+    assert(!quiet.contains("HTTP: "), quiet)
+    // the capture round-trips through the advisor's log parser
+    val parsed = graft.tools.Advise.parseLog(out.linesIterator.toSeq)
+    assert(parsed.contains((false, "",
+      "SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type")),
+      parsed.toString)
+    assert(parsed.contains((true, "events",
+      "Count(Row(event_type='click'))")), parsed.toString)
+  }
 }
