@@ -37,8 +37,17 @@ object IndexAdvisor {
                          distinctCols: Set[String],
                          filterKeys: Set[String] = Set.empty)
 
-  /** Per-query verdict: its shape if index-able, else why not. */
-  final case class Analysis(query: Int, shape: Option[Shape], note: String)
+  /** A global-count query's SEGMENT-index shape: `COUNT(*)` /
+    * `COUNT(DISTINCT id)` under predicates over ONE column — the roaring
+    * [[graft.index.Bitmap.segmentIndex]] serving shape (the reference's
+    * per-(field,value) fragment bitmaps; PQL `Count(Row(f=v))` compiles to
+    * exactly this). */
+  final case class SegShape(path: String, segCol: String, idCol: String)
+
+  /** Per-query verdict: its grouped shape if GroupIndex-able, else its
+    * segment shape if bitmap-able, else why neither. */
+  final case class Analysis(query: Int, shape: Option[Shape], note: String,
+                            seg: Option[SegShape] = None)
 
   /** One registration that serves every query in `covers` (indices into
     * the analyzed workload). */
@@ -59,12 +68,28 @@ object IndexAdvisor {
     }
   }
 
-  /** Analyze a workload and recommend the minimal covering index set. */
-  def analyze(queries: Seq[DataFrame]): (Seq[Analysis], Seq[Recommendation]) = {
+  /** One [[graft.index.Bitmap.segmentIndex]] registration serving every
+    * global-count query in `covers`. */
+  final case class SegRecommendation(basePath: String, segCol: String,
+                                     idCol: String, covers: Seq[Int]) {
+    def render: String =
+      s"Bitmap.segmentIndex over $basePath: segCol=$segCol idCol=$idCol" +
+        s" — serves queries ${covers.mkString("#", ", #", "")}"
+  }
+
+  /** Analyze a workload and recommend the minimal covering index set:
+    * GroupIndex recommendations for the grouped shapes, segment (roaring
+    * bitmap) ones for the global-count shapes. */
+  def analyze(queries: Seq[DataFrame])
+      : (Seq[Analysis], Seq[Recommendation], Seq[SegRecommendation]) = {
     val analyses = queries.zipWithIndex.map { case (df, i) =>
       shapeOf(df) match {
         case Right(s)  => Analysis(i, Some(s), "index-able")
-        case Left(why) => Analysis(i, None, why)
+        case Left(why) => segShapeOf(df) match {
+          case Some(ss) => Analysis(i, None, "index-able (segment bitmap)",
+            Some(ss))
+          case None => Analysis(i, None, why)
+        }
       }
     }
     val recs = analyses.flatMap(a => a.shape.map(a.query -> _))
@@ -88,8 +113,87 @@ object IndexAdvisor {
           shapes.flatMap(_.distinctCols).distinct.sorted,
           members.map(_._1).sorted)
       }
-    (analyses, recs)
+    val segRecs = analyses.flatMap(a => a.seg.map(a.query -> _))
+      .groupBy(_._2).toSeq
+      .sortBy { case (ss, _) => (ss.path, ss.segCol) }
+      .map { case (ss, members) =>
+        SegRecommendation(ss.path, ss.segCol, ss.idCol,
+          members.map(_._1).sorted)
+      }
+    (analyses, recs, segRecs)
   }
+
+  /** Build + DURABLY register one recommendation — the advise→build→serve
+    * loop closed in one call: quantum keys (either kind) are materialized
+    * with the build-session timezone exactly as the rewrite will require
+    * at serve time, the index lands at `indexPath`, and the registration
+    * persists to the warehouse (when `spark.graft.warehouse` is set) so a
+    * bounced process resumes serving it. */
+  def materialize(spark: org.apache.spark.sql.SparkSession,
+                  rec: Recommendation, indexPath: String): Unit = {
+    val facts = spark.read.parquet(rec.basePath)
+    val parsed = rec.groupCols.flatMap(k => parseQuantum(k).map(k -> _))
+    val withQ = graft.index.GroupIndex.withQuantums(facts,
+      parsed.collect { case (_, (false, u, ts)) =>
+        graft.index.GroupIndex.Quantum(ts, u) })
+    val withKeys = graft.index.GroupIndex.withQuantumStrs(withQ,
+      parsed.collect { case (_, (true, u, ts)) =>
+        graft.index.GroupIndex.QuantumStr(ts, u) })
+    graft.index.GroupIndex.buildTo(withKeys, rec.groupCols, rec.sumCols,
+      indexPath, distinctCols = rec.distinctCols)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    IndexRegistry.registerGroupDurable(spark, rec.basePath, rec.groupCols,
+      rec.explodedCols, rec.sumCols, indexPath, rec.distinctCols,
+      quantums = parsed.map { case (k, _) => k -> tz }.toMap)
+    IndexRewrite.install(spark)
+  }
+
+  /** [[materialize]] for a segment recommendation: roaring bitmap index
+    * built and durably registered. */
+  def materializeSeg(spark: org.apache.spark.sql.SparkSession,
+                     rec: SegRecommendation, indexPath: String): Unit = {
+    graft.index.Bitmap.segmentIndex(spark.read.parquet(rec.basePath),
+        rec.segCol, rec.idCol)
+      .write.mode("overwrite").parquet(indexPath)
+    IndexRegistry.registerDurable(spark, rec.basePath, rec.segCol,
+      rec.idCol, indexPath)
+    IndexRewrite.install(spark)
+  }
+
+  /** GLOBAL count shapes → the segment-index recommendation
+    * ([[IndexRewrite]]'s rewriteGlobalCount matcher mirrored): a
+    * group-key-less Aggregate whose only output is `count(*)` (served by a
+    * RECORD-ID index — `_id` unique per record, `reference/index.go:26`)
+    * or `count(DISTINCT col)`, over a scan filtered by predicates that all
+    * reference ONE column — the segment column. */
+  private def segShapeOf(df: DataFrame): Option[SegShape] =
+    df.queryExecution.optimizedPlan.collectFirst { case a: Aggregate => a }
+      .filter(_.groupingExpressions.isEmpty).flatMap { a =>
+        walk(a.child).flatMap { case (path, resolve, exploded, conds) =>
+          val idCol = a.aggregateExpressions match {
+            case Seq(Alias(AggregateExpression(
+                Count(Seq(_: Literal)), _, false, None, _), _))
+                if resolve.values.exists(_ == "_id") => Some("_id")
+            case Seq(Alias(AggregateExpression(
+                Count(Seq(c: AttributeReference)), _, true, None, _), _)) =>
+              resolve.get(c.exprId)
+            case _ => None
+          }
+          val condCols = conds.flatMap(_.references.toSeq).map {
+            case at: AttributeReference => resolve.get(at.exprId)
+            case _ => None
+          }
+          val segCol = condCols.distinct match {
+            case Seq(Some(one)) => Some(one)
+            case _ => None
+          }
+          for {
+            id <- idCol
+            seg <- segCol
+            if exploded.isEmpty && conds.forall(_.deterministic)
+          } yield SegShape(path, seg, id)
+        }
+      }
 
   /** Extract the grouped-scan shape from a query's optimized plan, or the
     * reason it cannot ride a GroupIndex. Mirrors [[IndexRewrite]]'s

@@ -44,9 +44,13 @@ object Advise {
     }.distinct
   }
 
-  /** The report body ([[main]] minus session lifecycle — spec-drivable). */
+  /** The report body ([[main]] minus session lifecycle — spec-drivable).
+    * With `buildDir` set, every recommendation is also MATERIALIZED and
+    * durably registered ([[graft.plans.IndexAdvisor.materialize]]) — the
+    * advise→build→serve loop in one command. */
   private[tools] def advise(spark: SparkSession, sfDir: String,
-      dialect: Boolean, fromLog: Boolean, rest: Seq[String]): String = {
+      dialect: Boolean, fromLog: Boolean, rest: Seq[String],
+      buildDir: Option[String] = None): String = {
     val out = new StringBuilder
     // (label, compile): compilation is lazy analysis only — a log replay
     // must never EXECUTE production queries, let alone their writes
@@ -77,32 +81,54 @@ object Advise {
           None
       }
     }
-    val (analyses, recs) = graft.plans.IndexAdvisor.analyze(built.map(_._2))
+    val (analyses, recs, segRecs) =
+      graft.plans.IndexAdvisor.analyze(built.map(_._2))
     analyses.foreach { a =>
       val shape = a.shape.map(s =>
         s"keys=${s.groupKeys.mkString(",")}" +
           (if (s.filterKeys.nonEmpty) s" filterKeys=${s.filterKeys.mkString(",")}" else "") +
           s" sums=${s.sumCols.mkString(",")}" +
           (if (s.distinctCols.nonEmpty) s" distincts=${s.distinctCols.mkString(",")}" else ""))
+        .orElse(a.seg.map(ss => s"segCol=${ss.segCol} idCol=${ss.idCol}"))
         .getOrElse("")
       out ++= f"query #${a.query}%-3d ${a.note}%-50s $shape%n"
     }
-    if (recs.isEmpty) out ++= "no index-able grouped queries in the workload\n"
+    if (recs.isEmpty && segRecs.isEmpty)
+      out ++= "no index-able queries in the workload\n"
     else {
-      out ++= s"\n${recs.size} recommendation(s):\n"
+      out ++= s"\n${recs.size + segRecs.size} recommendation(s):\n"
       recs.foreach(r => out ++= "  " + r.render + "\n")
+      segRecs.foreach(r => out ++= "  " + r.render + "\n")
+      buildDir.foreach { dir =>
+        recs.zipWithIndex.foreach { case (r, i) =>
+          val p = s"$dir/advised_g$i"
+          graft.plans.IndexAdvisor.materialize(spark, r, p)
+          out ++= s"built + registered: $p\n"
+        }
+        segRecs.zipWithIndex.foreach { case (r, i) =>
+          val p = s"$dir/advised_s$i"
+          graft.plans.IndexAdvisor.materializeSeg(spark, r, p)
+          out ++= s"built + registered: $p\n"
+        }
+      }
     }
     out.toString
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Advise <sfDir> [--dialect] <sql>...\n" +
-      "       Advise <sfDir> --from-log <logfile>...")
+      "usage: Advise <sfDir> [--dialect] [--build <dir>] <sql>...\n" +
+      "       Advise <sfDir> --from-log [--build <dir>] <logfile>...")
     val sfDir = args(0)
     val dialect = args.contains("--dialect")
     val fromLog = args.contains("--from-log")
-    val rest = args.drop(1).filterNot(a => a == "--dialect" || a == "--from-log")
+    val buildAt = args.indexOf("--build")
+    val buildDir = if (buildAt >= 0 && buildAt + 1 < args.length)
+      Some(args(buildAt + 1)) else None
+    val rest = args.zipWithIndex.drop(1).collect {
+      case (a, i) if a != "--dialect" && a != "--from-log" &&
+        a != "--build" && i != buildAt + 1 => a
+    }
     val spark = graft.core.EngineConf(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -111,7 +137,7 @@ object Advise {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Tables.registerAll(spark, sfDir)
-    print(advise(spark, sfDir, dialect, fromLog, rest.toSeq))
+    print(advise(spark, sfDir, dialect, fromLog, rest.toSeq, buildDir))
     spark.stop()
   }
 }

@@ -40,7 +40,7 @@ class IndexAdvisorSpec extends SparkSpec {
       .agg(stddev(col("value")).as("sd"))
     val queries = Seq(() => q1, () => q2, () => q3, () => q4, () => q5)
 
-    val (analyses, recs) = IndexAdvisor.analyze(queries.map(_.apply()))
+    val (analyses, recs, _) = IndexAdvisor.analyze(queries.map(_.apply()))
     assert(analyses(4).shape.isEmpty &&
       analyses(4).note.contains("unsupported"), analyses(4).toString)
     assert(analyses.take(4).forall(_.shape.isDefined),
@@ -115,7 +115,7 @@ class IndexAdvisorSpec extends SparkSpec {
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
     val queries = Seq(() => f1, () => f2, () => f3)
 
-    val (analyses, recs) = IndexAdvisor.analyze(queries.map(_.apply()))
+    val (analyses, recs, _) = IndexAdvisor.analyze(queries.map(_.apply()))
     assert(analyses(0).shape.exists(_.filterKeys == Set("user_id")),
       analyses(0).toString)
     assert(analyses(1).shape.exists(_.filterKeys == Set("__q_day_ts")),
@@ -164,6 +164,52 @@ class IndexAdvisorSpec extends SparkSpec {
     IndexCatalog.clear()
   }
 
+  test("GLOBAL count shapes get SEGMENT-index recommendations (the PQL " +
+    "Count(Row(f=v)) workload): built + registered, they serve scan-free") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id").as("_id"), col("event_type"), col("user_id"))
+    val root = graft.streaming.Ingest.scratch("idx_advisor_seg")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    val facts = spark.read.parquet(fact)
+
+    def g1 = facts.filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("cnt")) // count(*) → record-id index
+    def g2 = facts.filter(col("event_type") === "view")
+      .agg(countDistinct(col("user_id")).as("ud"))
+    val queries = Seq(() => g1, () => g2)
+
+    val (analyses, recs, segRecs) = IndexAdvisor.analyze(queries.map(_.apply()))
+    assert(recs.isEmpty, recs.map(_.render).mkString("\n"))
+    assert(analyses.forall(a => a.seg.isDefined &&
+      a.note.contains("segment")), analyses.mkString("; "))
+    // two recommendations: same segCol, different id columns
+    assert(segRecs.map(r => (r.segCol, r.idCol)).toSet ==
+      Set(("event_type", "_id"), ("event_type", "user_id")),
+      segRecs.map(_.render).mkString("\n"))
+
+    // CLOSED LOOP: build exactly the recommendations and both serve
+    segRecs.foreach { r =>
+      graft.index.Bitmap.segmentIndex(facts, r.segCol, r.idCol)
+        .write.mode("overwrite").parquet(s"$root/seg_${r.idCol}")
+      IndexCatalog.register(fact, r.segCol, r.idCol,
+        spark.read.parquet(s"$root/seg_${r.idCol}"))
+    }
+    IndexRewrite.install(spark)
+    queries.zipWithIndex.foreach { case (mk, i) =>
+      val df = mk()
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("/fact"), s"g${i + 1} still scans facts:\n$phys")
+      val got = df.collect()
+      spark.conf.set("spark.graft.indexRewrite", "false")
+      val want = try mk().collect()
+      finally spark.conf.unset("spark.graft.indexRewrite")
+      assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq,
+        s"g${i + 1}: ${got.toSeq} vs ${want.toSeq}")
+    }
+    IndexCatalog.clear()
+  }
+
   test("explode-set clusters stay separate (multiplicity differs)") {
     import spark.implicits._
     val root = graft.streaming.Ingest.scratch("idx_advisor_ex")
@@ -173,7 +219,7 @@ class IndexAdvisorSpec extends SparkSpec {
     val qPlain = f.groupBy("k").agg(sum(col("v")).as("sv"))
     val qExploded = f.select(explode(col("tags")).as("t"), col("v"))
       .groupBy("t").agg(sum(col("v")).as("sv"))
-    val (analyses, recs) = IndexAdvisor.analyze(Seq(qPlain, qExploded))
+    val (analyses, recs, _) = IndexAdvisor.analyze(Seq(qPlain, qExploded))
     assert(analyses.forall(_.shape.isDefined))
     assert(recs.size == 2, recs.map(_.render).mkString("\n"))
     assert(recs.map(_.explodedCols).toSet == Set(Set.empty, Set("tags")))

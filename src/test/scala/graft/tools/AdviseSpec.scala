@@ -45,4 +45,24 @@ class AdviseSpec extends SparkSpec {
     // the write record was never executed: the table is untouched
     assert(graft.core.Tables.load(spark, sfDir, "events").count() == before)
   }
+
+  test("--build materializes + registers the recommendation: the advised " +
+    "workload serves scan-free immediately afterwards") {
+    val log = java.nio.file.Files.createTempFile("graft-advise-b", ".log")
+    val sql = "SELECT event_type, COUNT(*) AS c, SUM(value) AS sv " +
+      "FROM events GROUP BY event_type"
+    java.nio.file.Files.writeString(log,
+      s"GRPC: , [], QuerySQL, , , $sql")
+    val dir = java.nio.file.Files.createTempDirectory("graft-advised").toString
+    val report = Advise.advise(spark, sfDir, dialect = false,
+      fromLog = true, Seq(log.toString), Some(dir))
+    assert(report.contains(s"built + registered: $dir/advised_g0"), report)
+    // the logged query now rides the index it advised
+    val df = graft.sql.GraftSql.sql(spark, sfDir, sql)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("advised_g0"), phys)
+    assert(!phys.contains("events.parquet"), phys)
+    assert(df.collect().length == 5)
+    graft.plans.IndexCatalog.clear()
+  }
 }
