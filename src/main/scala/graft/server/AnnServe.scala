@@ -79,19 +79,24 @@ object AnnServe {
   def build(spark: SparkSession, name: String, table: String, idCol: String,
             vecCol: String, dim: Int, nCells: Int, m: Int, k: Int): (Int, Long) =
     lockFor(name).synchronized {
-      // the scratch tag must be PER-NAME: Ingest.scratch recursively wipes
-      // its directory, so a shared "ann_serve" tag would let the build of
-      // any second name destroy every other name's code table while their
-      // durable registrations keep pointing at the dead path (r12 defect).
-      // scratch(s"ann_serve/$name") wipes only this name — the
-      // rebuild-overwrite semantics are preserved, coexistence is too
+      // the code-table location must be PER-NAME: Ingest.scratch
+      // recursively wipes its directory, so a shared "ann_serve" tag would
+      // let the build of any second name destroy every other name's code
+      // table while their durable registrations keep pointing at the dead
+      // path (r12 defect). scratch(s"ann_serve/$name") wipes only this
+      // name — rebuild-overwrite semantics preserved, coexistence too
       // (AnnServeSpec pins two names serving across each other's builds).
+      // With a warehouse set, codes root UNDER it instead: a durable
+      // registration must not point into /tmp scratch, which a tmp-cleaner
+      // (or host change) empties while the registry survives.
       require(name.matches("[A-Za-z0-9_.-]+"),
         s"ann index name '$name' must match [A-Za-z0-9_.-]+")
       val df = spark.table(table)
       val (codes, centroids, codebooks) =
         Similarity.ivfPqIndex(df, idCol, vecCol, dim, nCells, m, k)
-      val path = graft.streaming.Ingest.scratch(s"ann_serve/$name")
+      val path = scala.util.Try(spark.conf.get("spark.graft.warehouse"))
+        .toOption.map(wh => s"$wh/_ann/$name")
+        .getOrElse(graft.streaming.Ingest.scratch(s"ann_serve/$name"))
       // cell-partitioned layout: the query's nProbe filter becomes PHYSICAL
       // partition pruning (PipelineSpec asserts ≤ nProbe partitions touched)
       codes.write.partitionBy("cell").mode("overwrite").parquet(path)

@@ -135,6 +135,10 @@ class AnnServeSpec extends SparkSpec {
       .filter(col("vec_id") % 2 === 1).createOrReplaceTempView("ann_x_odd")
     AnnServe.build(s, "annspec_two_a", "ann_x_even", "vec_id",
       "embedding", 64, 4, 8, 16)
+    // durable session → codes root under the WAREHOUSE, not /tmp scratch
+    // (a tmp-clean must not orphan a surviving registration)
+    assert(AnnServe.stats("annspec_two_a").get.codesPath.startsWith(wh),
+      AnnServe.stats("annspec_two_a").get.codesPath)
     val aBefore = AnnServe.query(s, "annspec_two_a", queryVec, 10, 0,
       10000000, Some(0L)).collect().map(_.getLong(0)).toSeq
     // the r12 defect: this second build wiped annspec_two_a's codes
