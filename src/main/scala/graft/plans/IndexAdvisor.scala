@@ -79,10 +79,20 @@ object IndexAdvisor {
 
   /** Analyze a workload and recommend the minimal covering index set:
     * GroupIndex recommendations for the grouped shapes, segment (roaring
-    * bitmap) ones for the global-count shapes. */
+    * bitmap) ones for the global-count shapes.
+    *
+    * Analysis runs with the REWRITE RULE DISABLED: advising happens on
+    * live serving sessions (the `--from-log` workflow), where an
+    * already-registered index would substitute the plan before the
+    * advisor reads it — the advisor must see the LOGICAL workload shape,
+    * not what today's indexes happen to serve. */
   def analyze(queries: Seq[DataFrame])
       : (Seq[Analysis], Seq[Recommendation], Seq[SegRecommendation]) = {
-    val analyses = queries.zipWithIndex.map { case (df, i) =>
+    val sessions = queries.map(_.sparkSession).distinct
+    val prev = sessions.map(s =>
+      s -> scala.util.Try(s.conf.get("spark.graft.indexRewrite")).toOption)
+    sessions.foreach(_.conf.set("spark.graft.indexRewrite", "false"))
+    val analyses = try queries.zipWithIndex.map { case (df, i) =>
       shapeOf(df) match {
         case Right(s)  => Analysis(i, Some(s), "index-able")
         case Left(why) => segShapeOf(df) match {
@@ -91,6 +101,9 @@ object IndexAdvisor {
           case None => Analysis(i, None, why)
         }
       }
+    } finally prev.foreach {
+      case (s, Some(v)) => s.conf.set("spark.graft.indexRewrite", v)
+      case (s, None)    => s.conf.unset("spark.graft.indexRewrite")
     }
     val recs = analyses.flatMap(a => a.shape.map(a.query -> _))
       .groupBy { case (_, s) => (s.path, s.exploded) }

@@ -297,21 +297,54 @@ object IndexRegistry {
     def s(v: JValue): String = v match { case JString(x) => x; case o => o.toString }
     def arr(v: JValue): Seq[String] =
       v match { case JArray(xs) => xs.map(s); case _ => Nil }
-    records.filter(e => s(e \ "kind") == "group" &&
+    records.filter(e => Set("group", "seg")(s(e \ "kind")) &&
         s(e \ "basePath") == basePath).map { e =>
       val idxPath = s(e \ "indexPath")
-      val groupCols = arr(e \ "groupCols")
-      val quantums = e \ "quantums" match {
-        case JObject(fields) => fields.collect {
-          case (k, JString(v)) => k -> v }.toMap
-        case _ => Map.empty[String, String]
-      }
       scala.util.Try {
-        val next = graft.index.GroupIndex.deleteCombos(
-          spark, idxPath, pred, groupCols)
-        registerGroupDurable(spark, basePath, groupCols,
-          arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), next,
-          arr(e \ "distinctCols"), quantums)
+        if (s(e \ "kind") == "group") {
+          val groupCols = arr(e \ "groupCols")
+          val quantums = e \ "quantums" match {
+            case JObject(fields) => fields.collect {
+              case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
+          val next = graft.index.GroupIndex.deleteCombos(
+            spark, idxPath, pred, groupCols)
+          registerGroupDurable(spark, basePath, groupCols,
+            arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), next,
+            arr(e \ "distinctCols"), quantums)
+        } else {
+          // segment (roaring) index: one row per seg value — a delete
+          // keyed on the seg column drops whole rows, the same
+          // combo-resolvable filter (ids inside surviving bitmaps are
+          // untouched by a seg-keyed delete by definition). The index
+          // stores the value under the reserved name "seg", so it is
+          // temporarily renamed back to the fact column for the
+          // predicate to resolve — then deleteCombos validates key-only
+          // references and writes the next version.
+          val segCol = s(e \ "segCol")
+          val Versioned = "(.*)\\.v(\\d+)$".r
+          val (stem, ver) = idxPath match {
+            case Versioned(st, v) => (st, v.toLong)
+            case p                => (p, 0L)
+          }
+          val next = s"$stem.v${ver + 1}"
+          val renamed = spark.read.parquet(idxPath)
+            .withColumnRenamed("seg", segCol)
+          val filtered = renamed.filter(
+            !org.apache.spark.sql.functions.coalesce(pred,
+              org.apache.spark.sql.functions.lit(false)))
+          val refs = filtered.queryExecution.analyzed.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.map(_.name).toSet
+          }.foldLeft(Set.empty[String])(_ ++ _)
+          require((refs - segCol).isEmpty,
+            s"refoldDelete(seg): predicate references non-seg column(s) " +
+              s"${(refs - segCol).mkString(", ")}")
+          filtered.withColumnRenamed(segCol, "seg")
+            .write.mode("overwrite").parquet(next)
+          registerDurable(spark, basePath, segCol, s(e \ "idCol"), next)
+        }
       } match {
         case scala.util.Success(_) => (idxPath, true)
         case scala.util.Failure(ex) =>
@@ -1267,8 +1300,9 @@ object IndexRewrite {
       paths.filter(IndexCatalog.isRegistered).foreach { p =>
         if (staleWarned.add(p))
           System.err.println(s"[graft] mutation touched indexed fact table " +
-            s"$p — its registered index(es) will decline as STALE; rebuild " +
-            "or re-register the index (docs/DEPLOY.md)")
+            s"$p — its registered index(es) will decline as STALE; for a " +
+            "key-column DELETE run IndexRegistry.refoldDelete, otherwise " +
+            "rebuild or re-register the index (docs/DEPLOY.md)")
       }
     } catch { case _: Exception => () }
 

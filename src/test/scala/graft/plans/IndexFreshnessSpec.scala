@@ -192,4 +192,44 @@ class IndexFreshnessSpec extends SparkSpec {
       "non-key delete must leave the index declining stale")
     IndexCatalog.clear()
   }
+
+  test("a seg-keyed DELETE refolds a durable SEGMENT index the same way; " +
+    "non-seg predicates refuse") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-refold-seg").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    val ev = Tables.load(s, sfDir, "events")
+      .select("event_id", "event_type", "user_id")
+    val root = graft.streaming.Ingest.scratch("idx_refold_seg")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    Bitmap.segmentIndex(s.read.parquet(fact), "event_type", "event_id")
+      .write.parquet(s"$root/seg")
+    IndexRegistry.registerDurable(s, fact, "event_type", "event_id",
+      s"$root/seg")
+    IndexRewrite.install(s)
+    def q() = s.read.parquet(fact)
+      .filter(col("event_type") === "click")
+      .agg(countDistinct(col("event_id")).as("ud"))
+    assert(!q().queryExecution.executedPlan.toString.contains("/fact"))
+
+    val survivors = ev.filter(!(col("event_type") === "view"))
+    survivors.write.mode("overwrite").parquet(fact)
+    assert(q().queryExecution.executedPlan.toString.contains("/fact"))
+    val r = IndexRegistry.refoldDelete(s, fact, col("event_type") === "view")
+    assert(r == Seq((s"$root/seg", true)), r.toString)
+    val served = q()
+    assert(!served.queryExecution.executedPlan.toString.contains("/fact"),
+      served.queryExecution.executedPlan.toString)
+    assert(served.head().getLong(0) ==
+      survivors.filter(col("event_type") === "click")
+        .agg(countDistinct(col("event_id"))).head().getLong(0))
+
+    // non-seg predicate: refusal + stale decline
+    survivors.filter(!(col("user_id") < 10)).write.mode("overwrite").parquet(fact)
+    val r2 = IndexRegistry.refoldDelete(s, fact, col("user_id") < 10)
+    assert(r2.length == 1 && !r2.head._2, r2.toString)
+    assert(q().queryExecution.executedPlan.toString.contains("/fact"))
+    IndexCatalog.clear()
+  }
 }
