@@ -375,12 +375,15 @@ class QuantumIndexSpec extends SparkSpec {
     IndexRewrite.install(spark)
     def pql(q: String) = new graft.pql.Compiler(facts, Some("ts"))
       .run(graft.pql.Parser.parseOne(q))
-    // each shape drops keys the index carries: dimension rollup
+    // each shape drops keys the index carries (dimension rollup); the
+    // time-bounded TopK also rides the quantum key via snapped bounds
     Seq(
       "GroupBy(Rows(event_type), aggregate=Sum(field=value))",
       "GroupBy(Rows(event_type), Rows(user_id))",
       "TopK(event_type, k=3)",
-      "Rows(event_type)").foreach { q =>
+      "TopK(event_type, from='2024-01-05T10:30', to='2024-01-20T13:30', k=3)",
+      "Rows(event_type)",
+      "Distinct(field=event_type)").foreach { q =>
       val served = pql(q)
       val phys = served.queryExecution.executedPlan.toString
       assert(!phys.contains("/fact"), s"$q still scans facts:\n$phys")
