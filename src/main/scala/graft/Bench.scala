@@ -561,6 +561,16 @@ object Bench {
             f.delete(): Unit
           }
           rmRec(new java.io.File(foldedPath))
+          // COMBO-RESOLVABLE DELETE refold at 1B (r13): a key-column delete
+          // maintains the index by a versioned FILTER of its combo rows —
+          // the number on record proves the cost is combo-cardinality,
+          // independent of the 1B facts (vs gidx_build_sec's corpus
+          // rebuild). Measurement-only like the fold: version dropped after.
+          val tRefold = System.nanoTime()
+          val refoldPath = graft.index.GroupIndex.deleteCombos(spark,
+            gidxPath, col("education_level") === "high_school", gCols)
+          val gidxRefoldSec = (System.nanoTime() - tRefold) / 1e9
+          rmRec(new java.io.File(refoldPath))
           // time-quantum grouped index at 1B: GROUP BY date_trunc('day',
           // timestamp) × education_level served from per-bucket index rows
           // — the reference's time-quantum-view shape (`time.go:74-225`)
@@ -660,6 +670,7 @@ object Bench {
           summary("able_1b_gidx_serve_min") = num(gidxServe.drop(1).min, 2)
           summary("able_1b_gidx_fired") = gidxFired.toString
           summary("able_1b_gidx_fold_sec") = num(gidxFoldSec, 2)
+          summary("able_1b_gidx_refold_sec") = num(gidxRefoldSec, 2)
           summary("able_1b_qidx_serve_min") = num(qidxServe.drop(1).min, 2)
           summary("able_1b_qidx_fired") = qidxFired.toString
           summary("able_1b_qrange_min") = num(qRangeServe.drop(1).min, 2)
@@ -683,6 +694,7 @@ object Bench {
             s""""gidx_serve_loads":${arr(gidxLoads)},""" +
             s""""gidx_serve_settled":$gidxSettled,""" +
             s""""gidx_fold_1m_sec":${num(gidxFoldSec, 2)},""" +
+            s""""gidx_refold_sec":${num(gidxRefoldSec, 2)},""" +
             s""""qidx_build_sec":${num(qidxBuildSec, 1)},""" +
             s""""qidx_rewrite_fired":$qidxFired,""" +
             s""""qidx_serve_runs":${arr(qidxServe)},""" +
