@@ -289,6 +289,93 @@ object IndexRegistry {
     * predicate are left alone (they decline stale, the honest outcome —
     * a row-level cut inside a combo has no exact filter form) and reported
     * in the returned (indexPath, refolded?) pairs. */
+  /** Translate a fact-side delete predicate's ALIGNED raw-ts bounds onto
+    * an index's quantum key columns, so a RETENTION delete — `DELETE
+    * WHERE ts < cutoff`, the canonical delete at scale — refolds a
+    * quantum index: a `>=`/`<` conjunct whose literal sits on the key's
+    * bucket boundary (evaluated with the registered timezone, the same
+    * check as the serve-side quantumizeBounds) cuts whole buckets, so the
+    * column reference moves onto the key — identity literal for timestamp
+    * keys, the dialect rendering for string keys (RFC3339 prefixes
+    * preserve order); the optimizer-style `isnotnull(ts)` maps
+    * unconditionally. Non-aligned bounds and edge-splitting `>`/`<=` stay
+    * on the raw column, so [[graft.index.GroupIndex.deleteCombos]]'s
+    * key-only check refuses them — the honest outcome. Every other
+    * conjunct re-resolves by NAME against the index. */
+  private def quantumizeDeletePred(spark: SparkSession, basePath: String,
+      pred: org.apache.spark.sql.Column, groupCols: Seq[String],
+      quantums: Map[String, String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val cond = spark.read.parquet(basePath).filter(pred)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(return pred)
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x         => Seq(x)
+    }
+    val qKeys = groupCols.flatMap(k =>
+      QuantumKeys.parseQuantum(k).map(k -> _))
+    def keyFor(ts: String) = qKeys.find(_._2._3 == ts)
+    val strUnitAsTrunc = Map("yy" -> "year", "m" -> "month", "d" -> "day",
+      "hh" -> "hour", "mi" -> "minute", "s" -> "second")
+    def alignedTo(key: String, isStr: Boolean, unit: String,
+                  micros: Long): Boolean =
+      quantums.get(key).exists { tz =>
+        (if (isStr) strUnitAsTrunc.get(unit) else Some(unit)).exists { u =>
+          TruncTimestamp(
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(u),
+              StringType),
+            Literal(micros, TimestampType), Some(tz)).eval(null) == micros
+        }
+      }
+    def bound(a: Expression, l: Expression, lower: Boolean): Option[Expression] =
+      (a, l) match {
+        case (ar: AttributeReference, lit: Literal)
+            if ar.dataType == TimestampType && lit.dataType == TimestampType =>
+          for {
+            micros <- Option(lit.value).collect {
+              case x: java.lang.Long => x.longValue }
+            (key, (isStr, unit, _)) <- keyFor(ar.name)
+            if alignedTo(key, isStr, unit, micros)
+          } yield {
+            val rhs: Expression =
+              if (!isStr) Literal(micros, TimestampType)
+              else Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+                DateFormatClass(Literal(micros, TimestampType),
+                  Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+                    graft.index.GroupIndex.strPatterns(unit)), StringType),
+                  quantums.get(key)).eval(null).toString), StringType)
+            if (lower) GreaterThanOrEqual(UnresolvedAttribute(key), rhs)
+            else LessThan(UnresolvedAttribute(key), rhs)
+          }
+        case _ => None
+      }
+    // untouched conjuncts re-resolve by NAME on the index side (the
+    // analyzed attrs carry fact-relation exprIds that would never bind)
+    def byName(e: Expression): Expression = e.transform {
+      case ar: AttributeReference => UnresolvedAttribute(ar.name)
+    }
+    val out = split(cond).map {
+      case c @ GreaterThanOrEqual(a, l: Literal) =>
+        bound(a, l, lower = true).getOrElse(byName(c))
+      case c @ LessThanOrEqual(l: Literal, a) =>
+        bound(a, l, lower = true).getOrElse(byName(c))
+      case c @ LessThan(a, l: Literal) =>
+        bound(a, l, lower = false).getOrElse(byName(c))
+      case c @ GreaterThan(l: Literal, a) =>
+        bound(a, l, lower = false).getOrElse(byName(c))
+      case IsNotNull(ar: AttributeReference)
+          if ar.dataType == TimestampType && keyFor(ar.name).isDefined =>
+        IsNotNull(UnresolvedAttribute(keyFor(ar.name).get._1))
+      case other => byName(other)
+    }
+    org.apache.spark.sql.graftshim.Shim.column(out.reduceLeft(And))
+  }
+
   def refoldDelete(spark: SparkSession, basePath: String,
                    pred: org.apache.spark.sql.Column)
       : Seq[(String, Boolean)] = {
@@ -308,8 +395,12 @@ object IndexRegistry {
               case (k, JString(v)) => k -> v }.toMap
             case _ => Map.empty[String, String]
           }
+          val translated =
+            if (quantums.isEmpty) pred
+            else quantumizeDeletePred(spark, basePath, pred, groupCols,
+              quantums)
           val next = graft.index.GroupIndex.deleteCombos(
-            spark, idxPath, pred, groupCols)
+            spark, idxPath, translated, groupCols)
           registerGroupDurable(spark, basePath, groupCols,
             arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), next,
             arr(e \ "distinctCols"), quantums)

@@ -193,6 +193,77 @@ class IndexFreshnessSpec extends SparkSpec {
     IndexCatalog.clear()
   }
 
+  test("a RETENTION delete (ts < aligned cutoff) refolds a QUANTUM index: " +
+    "the bound translates onto the __q key (whole buckets); non-aligned " +
+    "cutoffs refuse and decline stale") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-refold-q").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    val ev = Tables.load(s, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val root = graft.streaming.Ingest.scratch("idx_refold_q")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    val qh = GroupIndex.Quantum("ts", "hour")
+    val facts = s.read.parquet(fact)
+    GroupIndex.buildTo(GroupIndex.withQuantums(facts, Seq(qh)),
+      Seq(qh.name, "event_type"), Seq("value"), s"$root/g")
+    IndexRegistry.registerGroupDurable(s, fact, Seq(qh.name, "event_type"),
+      Set.empty, Seq("value"), s"$root/g",
+      quantums = Map(qh.name -> s.sessionState.conf.sessionLocalTimeZone))
+    IndexRewrite.install(s)
+    def q() = s.read.parquet(fact)
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .orderBy("h", "event_type")
+    assert(!q().queryExecution.executedPlan.toString.contains("/fact"))
+
+    // the canonical retention delete: drop everything before an ALIGNED
+    // cutoff (midnight = hour-aligned)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val survivors = s.read.parquet(fact).filter(!(col("ts") < lit(cutoff)))
+      .select("event_id", "ts", "event_type", "value")
+    val keep = survivors.collect() // materialize before overwriting source
+    val schema = survivors.schema
+    s.createDataFrame(java.util.Arrays.asList(keep: _*), schema)
+      .write.mode("overwrite").parquet(fact)
+    assert(q().queryExecution.executedPlan.toString.contains("/fact"))
+    val r = IndexRegistry.refoldDelete(s, fact, col("ts") < lit(cutoff))
+    assert(r == Seq((s"$root/g", true)), r.toString)
+    val served = q()
+    assert(!served.queryExecution.executedPlan.toString.contains("/fact"),
+      served.queryExecution.executedPlan.toString)
+    val got = served.collect()
+    val want = s.read.parquet(fact)
+      .groupBy(graft.core.Cols.dateTrunc("hour", col("ts")).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .orderBy("h", "event_type").collect()
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      (0 until g.length).foreach { j => (g.get(j), w.get(j)) match {
+        case (d: java.lang.Double, e: java.lang.Double) =>
+          assert(math.abs(d - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+            s"$g vs $w")
+        case (p, v) => assert(p == v, s"$g vs $w")
+      }}
+    }
+
+    // NON-aligned cutoff (10:30): the bound stays on raw ts, deleteCombos
+    // refuses (ts is not a key), the index declines stale — never a
+    // silently wrong whole-bucket cut
+    val cutoff2 = java.sql.Timestamp.valueOf("2024-01-12 10:30:00")
+    val keep2 = s.read.parquet(fact).filter(!(col("ts") < lit(cutoff2)))
+      .select("event_id", "ts", "event_type", "value").collect()
+    s.createDataFrame(java.util.Arrays.asList(keep2: _*), schema)
+      .write.mode("overwrite").parquet(fact)
+    val r2 = IndexRegistry.refoldDelete(s, fact, col("ts") < lit(cutoff2))
+    assert(r2.length == 1 && !r2.head._2, r2.toString)
+    assert(q().queryExecution.executedPlan.toString.contains("/fact"))
+    IndexCatalog.clear()
+  }
+
   test("a seg-keyed DELETE refolds a durable SEGMENT index the same way; " +
     "non-seg predicates refuse") {
     val s = spark.newSession()
