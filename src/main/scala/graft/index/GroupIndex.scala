@@ -176,16 +176,14 @@ object GroupIndex {
       case p               => (p, 0L)
     }
     val next = s"$stem.v${ver + 1}"
-    val prev = spark.conf.getOption("spark.graft.indexRewrite")
-    spark.conf.set("spark.graft.indexRewrite", "false")
-    try {
+    // thread-local suppression (action planning happens on this thread):
+    // concurrent queries keep index serving, and two concurrent folds can't
+    // interleave a shared conf's save/restore
+    graft.plans.IndexRewrite.suppress {
       val old = spark.read.parquet(indexPath)
       merge(old, build(rows, groupCols, sumCols, distinctCols),
         groupCols, sumCols, distinctCols)
         .write.mode("overwrite").parquet(next)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.graft.indexRewrite", v)
-      case None    => spark.conf.unset("spark.graft.indexRewrite")
     }
     next
   }
@@ -240,15 +238,9 @@ object GroupIndex {
     * registration still live it would be answered FROM the index files the
     * overwrite is deleting. Use this for periodic index refresh. */
   def buildTo(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
-              path: String, distinctCols: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.graft.indexRewrite")
-    spark.conf.set("spark.graft.indexRewrite", "false")
-    try build(df, groupCols, sumCols, distinctCols)
-      .write.mode("overwrite").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.graft.indexRewrite", v)
-      case None    => spark.conf.unset("spark.graft.indexRewrite")
+              path: String, distinctCols: Seq[String] = Nil): Unit =
+    graft.plans.IndexRewrite.suppress {
+      build(df, groupCols, sumCols, distinctCols)
+        .write.mode("overwrite").parquet(path)
     }
-  }
 }

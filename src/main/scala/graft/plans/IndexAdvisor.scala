@@ -88,23 +88,23 @@ object IndexAdvisor {
     * not what today's indexes happen to serve. */
   def analyze(queries: Seq[DataFrame])
       : (Seq[Analysis], Seq[Recommendation], Seq[SegRecommendation]) = {
-    val sessions = queries.map(_.sparkSession).distinct
-    val prev = sessions.map(s =>
-      s -> scala.util.Try(s.conf.get("spark.graft.indexRewrite")).toOption)
-    sessions.foreach(_.conf.set("spark.graft.indexRewrite", "false"))
-    val analyses = try queries.zipWithIndex.map { case (df, i) =>
-      shapeOf(df) match {
-        case Right(s)  => Analysis(i, Some(s), "index-able")
-        case Left(why) => segShapeOf(df) match {
-          case Some(ss) => Analysis(i, None, "index-able (segment bitmap)",
-            Some(ss))
-          case None => Analysis(i, None, why)
+    // thread-local suppression, NOT a session-conf flip: analyze runs on
+    // live serving sessions, and flipping the shared conf would turn off
+    // index serving for every concurrent production query for the duration
+    // (and could interleave with a concurrent build's own save/restore).
+    // The optimizedPlan reads below happen on THIS thread, which is exactly
+    // the suppression scope.
+    val analyses = IndexRewrite.suppress(queries.zipWithIndex.map {
+      case (df, i) =>
+        shapeOf(df) match {
+          case Right(s)  => Analysis(i, Some(s), "index-able")
+          case Left(why) => segShapeOf(df) match {
+            case Some(ss) => Analysis(i, None, "index-able (segment bitmap)",
+              Some(ss))
+            case None => Analysis(i, None, why)
+          }
         }
-      }
-    } finally prev.foreach {
-      case (s, Some(v)) => s.conf.set("spark.graft.indexRewrite", v)
-      case (s, None)    => s.conf.unset("spark.graft.indexRewrite")
-    }
+    })
     val recs = analyses.flatMap(a => a.shape.map(a.query -> _))
       .groupBy { case (_, s) => (s.path, s.exploded) }
       .toSeq.sortBy(_._1._1)

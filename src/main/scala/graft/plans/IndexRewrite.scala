@@ -194,10 +194,18 @@ object IndexRegistry {
 
   private def append(spark: SparkSession, entry: JValue): Unit =
     file(spark).foreach { f => lock.synchronized {
-      // idempotent by (kind, key): a re-registration supersedes
-      val key = (entry \ "kind", entry \ "basePath", entry \ "key")
-      val kept = readAll(f).filterNot(e =>
-        (e \ "kind", e \ "basePath", e \ "key") == key)
+      // idempotent: a re-registration supersedes. Group/seg records key by
+      // (kind, basePath, key) — basePath is the STABLE fact path, and one
+      // fact table legitimately carries many indexes. ANN records key by
+      // (kind, name) alone: their basePath IS the code-table path, which
+      // the versioned-publish rebuild moves every build — keying on it
+      // would leave one stale record (pointing at a reaped version) per
+      // rebuild, and restore would replay the dead one.
+      def keyOf(e: JValue) =
+        if (e \ "kind" == JString("ann")) (e \ "kind", JNothing: JValue, e \ "key")
+        else (e \ "kind", e \ "basePath", e \ "key")
+      val key = keyOf(entry)
+      val kept = readAll(f).filterNot(e => keyOf(e) == key)
       java.nio.file.Files.createDirectories(f.getParent)
       java.nio.file.Files.writeString(f,
         JsonMethods.compact(JsonMethods.render(JArray(kept :+ entry))))
@@ -249,12 +257,13 @@ object IndexRegistry {
     * bounced facade kept serving grouped indexes but silently lost its
     * `/ann/{name}` bindings.
     *
-    * The registry file is COMPACT by construction: [[append]] supersedes by
-    * (kind, basePath, key) = ("ann", codesPath, name), so N appends to one
-    * index leave exactly ONE record per name — the quantizer is serialized
-    * in the file once, not once per append, and restore replays one record
-    * (one parquet schema read) per live name (IndexRegistrySpec pins the
-    * record count). */
+    * The registry file is COMPACT by construction: [[append]] supersedes
+    * ann records by ("ann", name) — deliberately NOT by codesPath, which
+    * the versioned-publish rebuild moves every build — so N appends AND N
+    * rebuilds of one index leave exactly ONE record per name: the
+    * quantizer is serialized in the file once, and restore replays one
+    * record (one parquet schema read) per live name (IndexRegistrySpec
+    * pins the record count). */
   def registerAnnDurable(spark: SparkSession, name: String,
       codesPath: String, idCol: String, vecCol: String, dim: Int,
       centroids: Array[Array[Double]],
@@ -446,6 +455,253 @@ object IndexRegistry {
     }
   }
 
+  /** DELTA REFOLD for UPDATEs and row-level (non-key) deletes — the
+    * mutation shapes [[refoldDelete]] cannot serve (a cut INSIDE a combo
+    * has no inverse in the merge algebra, so until r14 any UPDATE / PQL
+    * mutex `Set`/`Store` / non-key delete staled every index on the table
+    * until an O(corpus) rebuild; the reference mutates its fragments in
+    * place on every write, `reference/executor.go:6194`). The delta
+    * observation: a mutation only changes the index rows of the combos its
+    * touched rows belonged to BEFORE or belong to AFTER — so maintenance
+    * is: recompute ONLY those combos' rows from the post-mutation facts
+    * (a predicate-pruned scan), splice them into the next `.v<N+1>`
+    * version in place of the old rows, and durably re-register with a
+    * fresh fact signature. Aggregates of UNTOUCHED combos are carried
+    * over byte-identical; touched combos are recomputed from facts, so
+    * min/max/bitmap exactness needs no inverse.
+    *
+    * Call AFTER the fact mutation has landed at `basePath`, passing
+    * `touched` = the union of the mutation's PRE-image and POST-image rows
+    * (for a pure delete, the pre-image alone). `touched` must carry every
+    * index key SOURCE column (the raw ts column for quantum keys); extra
+    * columns are ignored. Derive the POST-image by row id (or another
+    * immutable column), not by re-filtering the mutated table with the
+    * original predicate — a predicate naming PRE-image values (`WHERE
+    * type = 'click'` for a mutation that rewrites type) matches nothing
+    * after the mutation, and the under-counted combo set would leave the
+    * new values' combos stale (DeltaRefoldSpec's segment test pins the
+    * correct derivation). Cost per index: one scan of `touched`, one
+    * fact scan PRUNED by the touched combos' key values (pushed to
+    * parquet row-group stats — `IN (…)` for scalar keys, a raw-timestamp
+    * range for aligned quantum keys — so a layout clustered by a key
+    * column reads only the touched slice), and a combo-cardinality splice.
+    * Indexes whose touched-combo count exceeds
+    * `spark.graft.refold.maxCombos` (default 1,000,000) refuse — at that
+    * width a rebuild is the cheaper plan — as do indexes whose key source
+    * columns `touched` does not carry; refusals report `(path, false)`
+    * and the index declines stale, never serves wrong. */
+  def refoldMutation(spark: SparkSession, basePath: String,
+                     touched: org.apache.spark.sql.DataFrame)
+      : Seq[(String, Boolean)] = {
+    val records = file(spark).map(f => lock.synchronized(readAll(f)))
+      .getOrElse(Nil)
+    def s(v: JValue): String = v match { case JString(x) => x; case o => o.toString }
+    def arr(v: JValue): Seq[String] =
+      v match { case JArray(xs) => xs.map(s); case _ => Nil }
+    records.filter(e => Set("group", "seg")(s(e \ "kind")) &&
+        s(e \ "basePath") == basePath).map { e =>
+      val idxPath = s(e \ "indexPath")
+      scala.util.Try {
+        IndexRewrite.suppress {
+          if (s(e \ "kind") == "group") {
+            val quantums = e \ "quantums" match {
+              case JObject(fields) => fields.collect {
+                case (k, JString(v)) => k -> v }.toMap
+              case _ => Map.empty[String, String]
+            }
+            refoldGroupTouched(spark, basePath, idxPath,
+              arr(e \ "groupCols"), arr(e \ "explodedCols").toSet,
+              arr(e \ "sumCols"), arr(e \ "distinctCols"), quantums, touched)
+          } else
+            refoldSegTouched(spark, basePath, idxPath, s(e \ "segCol"),
+              s(e \ "idCol"), touched)
+        }
+      } match {
+        case scala.util.Success(_) => (idxPath, true)
+        case scala.util.Failure(ex) =>
+          System.err.println(s"[refoldMutation] $idxPath NOT refolded " +
+            s"(declines stale until rebuilt): ${ex.getMessage}")
+          (idxPath, false)
+      }
+    }
+  }
+
+  private def nextVersionOf(indexPath: String): String = {
+    val Versioned = "(.*)\\.v(\\d+)$".r
+    indexPath match {
+      case Versioned(st, v) => s"$st.v${v.toLong + 1}"
+      case p                => s"$p.v1"
+    }
+  }
+
+  /** One group index's delta refold (see [[refoldMutation]]). */
+  private def refoldGroupTouched(spark: SparkSession, basePath: String,
+      idxPath: String, groupCols: Seq[String], explodedCols: Set[String],
+      sumCols: Seq[String], distinctCols: Seq[String],
+      quantums: Map[String, String],
+      touched: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Literal, TruncTimestamp}
+    import org.apache.spark.sql.functions.{broadcast, col, explode, lit}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val parsedKeys = groupCols.map(k => k -> QuantumKeys.parseQuantum(k))
+    // every key's SOURCE column must arrive on `touched`, or the touched
+    // combos cannot be identified — refuse, decline stale
+    val sources = parsedKeys.map { case (k, q) => q.map(_._3).getOrElse(k) }
+    val missing = sources.distinct.filterNot(touched.columns.contains)
+    require(missing.isEmpty,
+      s"touched rows missing index key source column(s) ${missing.mkString(", ")}")
+    // quantum keys materialize with the REGISTERED timezone — the build's
+    // own truncation, not the current session's
+    def withKeys(df: org.apache.spark.sql.DataFrame) =
+      parsedKeys.foldLeft(df) {
+        case (acc, (k, Some((isStr, unit, ts)))) =>
+          val tz = quantums.getOrElse(k,
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val e =
+            if (isStr) DateFormatClass(UnresolvedAttribute(ts),
+              Literal(UTF8String.fromString(
+                graft.index.GroupIndex.strPatterns(unit)), StringType),
+              Some(tz))
+            else TruncTimestamp(
+              Literal(UTF8String.fromString(unit), StringType),
+              UnresolvedAttribute(ts), Some(tz))
+          acc.withColumn(k, org.apache.spark.sql.graftshim.Shim.column(e))
+        case (acc, _) => acc
+      }
+    // replicate the build's explode semantics (cross-product; empty/null
+    // sets contribute nothing) so combos match the index's rows exactly
+    def prepare(df: org.apache.spark.sql.DataFrame) =
+      groupCols.foldLeft(withKeys(df)) { (acc, c) =>
+        if (explodedCols(c)) acc.withColumn(c, explode(col(c))) else acc
+      }
+    val combos = prepare(touched.select(sources.distinct.map(col): _*))
+      .select(groupCols.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nCombos = combos.count()
+      val maxCombos = spark.conf
+        .get("spark.graft.refold.maxCombos", "1000000").toLong
+      require(nCombos <= maxCombos,
+        s"$nCombos touched combos exceed spark.graft.refold.maxCombos=" +
+          s"$maxCombos — a rebuild is the cheaper maintenance at that width")
+      // prune the fact scan by the touched key values BEFORE the semi-join:
+      // conjunctive SUPERSETS of the touched-combo condition, pushable to
+      // parquet stats (range for quantum keys, IN for scalars) — the
+      // semi-join below is what makes the cut exact, pruning only shrinks IO
+      val facts = spark.read.parquet(basePath)
+      val pruned = parsedKeys.foldLeft(facts) { case (acc, (k, parsed)) =>
+        pruneCond(spark, acc, k, parsed, explodedCols(k), combos, quantums)
+          .map(acc.filter).getOrElse(acc)
+      }
+      val semiCond = groupCols.map(k =>
+        col(s"f.`$k`") <=> col(s"t.`$k`")).reduce(_ && _)
+      val changed = prepare(pruned).as("f")
+        .join(broadcast(combos.as("t")), semiCond, "left_semi")
+      val delta = graft.index.GroupIndex.build(changed, groupCols, sumCols,
+        distinctCols)
+      val old = spark.read.parquet(idxPath)
+      val antiCond = groupCols.map(k =>
+        col(s"o.`$k`") <=> col(s"t.`$k`")).reduce(_ && _)
+      val survivors = old.as("o")
+        .join(broadcast(combos.as("t")), antiCond, "left_anti")
+      val next = nextVersionOf(idxPath)
+      // schema pinned to the serving index's (same rule as GroupIndex.merge)
+      survivors.unionByName(delta.select(old.schema.fields.toIndexedSeq.map(
+          fd => col(fd.name).cast(fd.dataType).as(fd.name)): _*))
+        .write.mode("overwrite").parquet(next)
+      registerGroupDurable(spark, basePath, groupCols, explodedCols,
+        sumCols, next, distinctCols, quantums)
+    } finally combos.unpersist(): Unit
+  }
+
+  /** Pushable prune predicate for one key: `[minBucket, maxBucket+1unit)`
+    * on the raw ts for timestamp-quantum keys, `IN (touched values)` for
+    * scalar keys, `arrays_overlap` for exploded set keys; `None` (no
+    * pruning — the semi-join still bounds correctness) for dialect string
+    * cuts, very wide value sets, or null-carrying exploded sets. */
+  private def pruneCond(spark: SparkSession,
+      facts: org.apache.spark.sql.DataFrame, key: String,
+      parsed: Option[(Boolean, String, String)], isExploded: Boolean,
+      combos: org.apache.spark.sql.DataFrame,
+      quantums: Map[String, String]): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    parsed match {
+      case Some((true, _, _)) => None // string cut: range not derivable cheaply
+      case Some((false, unit, ts)) =>
+        val r = combos.agg(min(col(key)), max(col(key)),
+          sum(when(col(key).isNull, 1L).otherwise(0L))).head()
+        val hasNull = !r.isNullAt(2) && r.getLong(2) > 0
+        if (r.isNullAt(0)) Some(if (hasNull) col(ts).isNull else lit(false))
+        else {
+          val zone = java.time.ZoneId.of(quantums.getOrElse(key,
+            spark.sessionState.conf.sessionLocalTimeZone))
+          val lo = r.getTimestamp(0)
+          val hiB = r.getTimestamp(1).toInstant.atZone(zone)
+          val chrono = unit.toLowerCase match {
+            case "year"   => java.time.temporal.ChronoUnit.YEARS
+            case "month"  => java.time.temporal.ChronoUnit.MONTHS
+            case "week"   => java.time.temporal.ChronoUnit.WEEKS
+            case "day"    => java.time.temporal.ChronoUnit.DAYS
+            case "hour"   => java.time.temporal.ChronoUnit.HOURS
+            case "minute" => java.time.temporal.ChronoUnit.MINUTES
+            case _        => java.time.temporal.ChronoUnit.SECONDS
+          }
+          val hi = java.sql.Timestamp.from(hiB.plus(1, chrono).toInstant)
+          val range = col(ts) >= lit(lo) && col(ts) < lit(hi)
+          Some(if (hasNull) range || col(ts).isNull else range)
+        }
+      case None =>
+        val rows = combos.select(col(key)).distinct().limit(1001).collect()
+        if (rows.length > 1000) None
+        else {
+          val hasNull = rows.exists(_.isNullAt(0))
+          val vals = rows.filterNot(_.isNullAt(0)).map(_.get(0)).toSeq
+          if (isExploded) {
+            // raw column is the ARRAY; overlap-test it pre-explode. Null
+            // members make overlap three-valued — skip pruning then.
+            if (hasNull || vals.isEmpty) None
+            else Some(arrays_overlap(col(key),
+              array(vals.map(v => lit(v)): _*)))
+          } else {
+            val in = if (vals.isEmpty) lit(false) else col(key).isin(vals: _*)
+            Some(if (hasNull) in || col(key).isNull else in)
+          }
+        }
+    }
+  }
+
+  /** One segment (roaring) index's delta refold: recompute the bitmaps of
+    * the TOUCHED seg values from facts, carry every other row over. */
+  private def refoldSegTouched(spark: SparkSession, basePath: String,
+      idxPath: String, segCol: String, idCol: String,
+      touched: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    require(touched.columns.contains(segCol),
+      s"touched rows missing segment column '$segCol'")
+    val rows = touched.select(col(segCol)).distinct().limit(100001).collect()
+    require(rows.length <= 100000,
+      s"${rows.length}+ touched segments — rebuild instead")
+    if (rows.isEmpty) return // no touched rows: nothing to maintain
+    val hasNull = rows.exists(_.isNullAt(0))
+    val vals = rows.filterNot(_.isNullAt(0)).map(_.get(0)).toSeq
+    def touchOf(c: org.apache.spark.sql.Column) = {
+      val in = if (vals.isEmpty) lit(false) else c.isin(vals: _*)
+      if (hasNull) in || c.isNull else in
+    }
+    val rebuilt = graft.index.Bitmap.segmentIndex(
+      spark.read.parquet(basePath).filter(touchOf(col(segCol))),
+      segCol, idCol)
+    val old = spark.read.parquet(idxPath)
+    val next = nextVersionOf(idxPath)
+    old.filter(!touchOf(col("seg")))
+      .unionByName(rebuilt.select(old.schema.fields.toIndexedSeq.map(
+        fd => col(fd.name).cast(fd.dataType).as(fd.name)): _*))
+      .write.mode("overwrite").parquet(next)
+    registerDurable(spark, basePath, segCol, idCol, next)
+  }
+
   /** Replay persisted registrations into the in-memory catalog (and
     * install the rule). Safe to call repeatedly; no-op without a
     * warehouse. */
@@ -555,11 +811,18 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   import QuantumKeys.{parseQuantum, quantumNestsK, quantumParts, strOutLen}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    // kill-switch, and the guard index REBUILD jobs run under: a rebuild's
-    // own aggregation matches the rule, so with the old registration still
-    // live it would read the index it is about to overwrite
-    // ([[graft.index.GroupIndex.buildTo]] scopes this automatically)
-    if (spark.conf.get("spark.graft.indexRewrite", "true") == "false") plan
+    // kill-switch (session conf), and the THREAD-scoped guard index
+    // REBUILD/advisor jobs run under: a rebuild's own aggregation matches
+    // the rule, so with the old registration still live it would read the
+    // index it is about to overwrite, and the advisor must see the LOGICAL
+    // workload shape, not what today's indexes serve. The thread-local
+    // ([[IndexRewrite.suppress]]) scopes the disable to the caller's own
+    // plan compilations — concurrent production queries on the same session
+    // keep index serving, and there is no shared conf to save/restore so
+    // two suppressed operations can never interleave each other's finally
+    // blocks (the r13 analyze() hazard).
+    if (IndexRewrite.suppressed ||
+        spark.conf.get("spark.graft.indexRewrite", "true") == "false") plan
     else plan.transformUp {
       case agg: Aggregate =>
         rewriteDistinct(agg).orElse(rewriteGlobalCount(agg))
@@ -1392,10 +1655,34 @@ object IndexRewrite {
         if (staleWarned.add(p))
           System.err.println(s"[graft] mutation touched indexed fact table " +
             s"$p — its registered index(es) will decline as STALE; for a " +
-            "key-column DELETE run IndexRegistry.refoldDelete, otherwise " +
-            "rebuild or re-register the index (docs/DEPLOY.md)")
+            "key-column DELETE run IndexRegistry.refoldDelete, for an " +
+            "UPDATE or row-level delete run IndexRegistry.refoldMutation " +
+            "with the pre+post-image rows, otherwise rebuild or " +
+            "re-register the index (docs/DEPLOY.md)")
       }
     } catch { case _: Exception => () }
+
+  /** Thread-local rewrite suppression: index builds, refolds, and advisor
+    * analysis compile plans over REGISTERED fact paths and must not have
+    * them answered from the very index they are rebuilding/analyzing.
+    * Plan compilation (analysis/optimization of an action or a
+    * `queryExecution.optimizedPlan` read) happens on the calling thread, so
+    * a thread-local scopes the disable exactly to the caller's own
+    * compilations — unlike the session-conf flip it replaces, concurrent
+    * production queries keep index serving and two suppressed operations
+    * cannot interleave each other's save/restore (the conf kill-switch
+    * remains for operators). */
+  private val suppressTL: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial[java.lang.Boolean](() => java.lang.Boolean.FALSE)
+
+  private[graft] def suppressed: Boolean = suppressTL.get()
+
+  /** Run `f` with the rewrite suppressed on THIS thread (re-entrant). */
+  private[graft] def suppress[T](f: => T): T = {
+    val prev = suppressTL.get()
+    suppressTL.set(java.lang.Boolean.TRUE)
+    try f finally suppressTL.set(prev)
+  }
 
   /** Install the rule into an existing session (idempotent). */
   def install(spark: SparkSession): Unit = {

@@ -72,31 +72,63 @@ object AnnServe {
         .select(e.idCol, e.vecCol)
     }.reduce(_ unionByName _)
 
+  private val Versioned = "(.*)\\.v(\\d+)$".r
+
+  /** The per-name code-table ROOT: warehouse-rooted when durable (a durable
+    * registration must not point into /tmp scratch, which a tmp-cleaner
+    * empties while the registry survives — r12 defect), scratch otherwise.
+    * Versions publish as `<root>.v<N>` sibling directories. */
+  private def rootFor(spark: SparkSession, name: String): String =
+    scala.util.Try(spark.conf.get("spark.graft.warehouse"))
+      .toOption.map { wh =>
+        new java.io.File(s"$wh/_ann").mkdirs()
+        s"$wh/_ann/$name"
+      }.getOrElse {
+        val parent = new java.io.File("/tmp/graft_stream/ann_serve")
+        parent.mkdirs()
+        s"${parent.getAbsolutePath}/$name"
+      }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   /** Build + register: one distributed assignment/encode pass over the
-    * table; codes land in scratch parquet (m+8 bytes/vector). Also stores
-    * the build-time mean residual norm — the baseline the append path's
-    * drift statistic is read against. Returns (nCells, code rows). */
+    * table; codes land in cell-partitioned parquet (m+8 bytes/vector). Also
+    * stores the build-time mean residual norm — the baseline the append
+    * path's drift statistic is read against. Returns (nCells, code rows).
+    *
+    * A rebuild publishes to the NEXT `.v<N+1>` VERSION of the per-name
+    * root and swaps the registration — never `mode("overwrite")` onto the
+    * path lock-free queries are scanning (the grouped indexes' versioned-
+    * publish discipline, [[graft.index.GroupIndex.appendDelta]]): a query
+    * mid-scan during a same-name rebuild would otherwise hit deleted
+    * files. The PREVIOUS version is kept (in-flight readers planned
+    * against it finish their scans); versions older than that reap after
+    * the swap, bounding disk to ≤ 2 versions. */
   def build(spark: SparkSession, name: String, table: String, idCol: String,
             vecCol: String, dim: Int, nCells: Int, m: Int, k: Int): (Int, Long) =
     lockFor(name).synchronized {
-      // the code-table location must be PER-NAME: Ingest.scratch
-      // recursively wipes its directory, so a shared "ann_serve" tag would
-      // let the build of any second name destroy every other name's code
-      // table while their durable registrations keep pointing at the dead
-      // path (r12 defect). scratch(s"ann_serve/$name") wipes only this
-      // name — rebuild-overwrite semantics preserved, coexistence too
-      // (AnnServeSpec pins two names serving across each other's builds).
-      // With a warehouse set, codes root UNDER it instead: a durable
-      // registration must not point into /tmp scratch, which a tmp-cleaner
-      // (or host change) empties while the registry survives.
-      require(name.matches("[A-Za-z0-9_.-]+"),
-        s"ann index name '$name' must match [A-Za-z0-9_.-]+")
+      // the location is PER-NAME (a shared tag once let any second name's
+      // build destroy every other name's code table, r12 defect). Dots are
+      // allowed INSIDE a segment but a name must never BE a path
+      // traversal: '.'/'..' (or 'a..b' resolving games) would make the
+      // per-name path escape the _ann/scratch root — POST /ann/../build
+      // would aim the write (and the version reaping) at the warehouse
+      // root itself, reachable unauthenticated when auth is off
+      require(name.matches("[A-Za-z0-9_-]+(?:[.][A-Za-z0-9_-]+)*"),
+        s"ann index name '$name' must be dot-separated [A-Za-z0-9_-] " +
+          "segments (no leading/trailing/consecutive dots)")
       val df = spark.table(table)
       val (codes, centroids, codebooks) =
         Similarity.ivfPqIndex(df, idCol, vecCol, dim, nCells, m, k)
-      val path = scala.util.Try(spark.conf.get("spark.graft.warehouse"))
-        .toOption.map(wh => s"$wh/_ann/$name")
-        .getOrElse(graft.streaming.Ingest.scratch(s"ann_serve/$name"))
+      val root = rootFor(spark, name)
+      val curVer = Option(registry.get(name)).map(_.codesPath).collect {
+        case Versioned(stem, v) if stem == root => v.toLong
+      }.getOrElse(0L)
+      val path = s"$root.v${curVer + 1}"
       // cell-partitioned layout: the query's nProbe filter becomes PHYSICAL
       // partition pruning (PipelineSpec asserts ≤ nProbe partitions touched)
       codes.write.partitionBy("cell").mode("overwrite").parquet(path)
@@ -106,6 +138,10 @@ object AnnServe {
         centroids, codebooks, buildNorm, None)
       registry.put(name, e)
       persist(spark, name, e)
+      // reap AFTER the swap: anything older than the previous version, plus
+      // the pre-versioning bare root dir once a versioned previous exists
+      (1L until curVer).foreach(v => deleteRec(new java.io.File(s"$root.v$v")))
+      if (curVer >= 1L) deleteRec(new java.io.File(root))
       (centroids.length, spark.read.parquet(path).count())
     }
 

@@ -146,7 +146,11 @@ final class GrpcFacade(spark: SparkSession, dir: String, port: Int,
     * empty, like the reference's own not-ok fallbacks. */
   private def logQuery(method: String, index: String, q: String): Unit =
     if (spark.conf.get("spark.graft.queryLog", "false") == "true") {
-      val body = if (index.nonEmpty) s"[$index]$q" else q
+      // newline-stripped like the HTTP facade's line: a query body spanning
+      // lines would otherwise forge extra access-log records, which
+      // `Advise --from-log` parses as real production queries
+      val clean = q.replace("\n", "").replace("\r", "")
+      val body = if (index.nonEmpty) s"[$index]$clean" else clean
       System.err.println(s"GRPC: , [], $method, , , $body")
     }
 

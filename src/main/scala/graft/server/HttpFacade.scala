@@ -72,16 +72,23 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
   private def logQuery(ex: HttpExchange, user: Option[Auth.UserInfo],
                        index: String, q: String): Unit =
     if (spark.conf.get("spark.graft.queryLog", "false") == "true") {
-      val ip = Option(ex.getRemoteAddress)
+      // EVERY client-controlled field is sanitized, not just the body: a
+      // User-Agent (or token-derived user name) carrying a newline would
+      // forge whole 'HTTP:'/'GRPC:' access lines, which `Advise --from-log`
+      // then parses as real production queries — log injection becoming
+      // statement injection on the operator's replay. The ua additionally
+      // drops ']' so it can never terminate the bracketed field early and
+      // shift the path/body columns the parser splits on.
+      def clean(s: String) = s.replace("\n", "").replace("\r", "")
+      val ip = clean(Option(ex.getRemoteAddress)
         .flatMap(a => Option(a.getAddress)).map(_.getHostAddress)
-        .getOrElse("")
-      val ua = Option(ex.getRequestHeaders.getFirst("User-Agent"))
-        .getOrElse("")
-      val body = (if (index.nonEmpty) s"[$index]" else "") +
-        q.replace("\n", "").replace("\r", "")
+        .getOrElse(""))
+      val ua = clean(Option(ex.getRequestHeaders.getFirst("User-Agent"))
+        .getOrElse("")).replace("]", "")
+      val body = (if (index.nonEmpty) s"[$index]" else "") + clean(q)
       System.err.println(s"HTTP: $ip, [$ua], ${ex.getRequestURI.getPath}, " +
-        s"${user.map(_.userId).getOrElse("")}, " +
-        s"${user.map(_.userName).getOrElse("")}, $body")
+        s"${user.map(u => clean(u.userId)).getOrElse("")}, " +
+        s"${user.map(u => clean(u.userName)).getOrElse("")}, $body")
     }
 
   /** `reference/http_handler.go:1062-1077` filterSchema: with auth on,

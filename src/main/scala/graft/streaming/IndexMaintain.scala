@@ -117,9 +117,9 @@ object IndexMaintain {
     val next = s"$indexStem.b$batchId"
     val (fs, nextPath) = fsFor(spark, next)
     if (!fs.exists(new Path(nextPath, "_SUCCESS"))) {
-      val prevConf = spark.conf.getOption("spark.graft.indexRewrite")
-      spark.conf.set("spark.graft.indexRewrite", "false")
-      try {
+      // thread-local suppression (foreachBatch plans on this thread):
+      // concurrent serving queries keep the rewrite; no shared conf to race
+      graft.plans.IndexRewrite.suppress {
         val delta = GroupIndex.build(withQ, groupCols, sumCols, distinctCols)
         state.current.get() match {
           case Some(cur) =>
@@ -128,9 +128,6 @@ object IndexMaintain {
           case None =>
             delta.write.mode("overwrite").parquet(next)
         }
-      } finally prevConf match {
-        case Some(v) => spark.conf.set("spark.graft.indexRewrite", v)
-        case None    => spark.conf.unset("spark.graft.indexRewrite")
       }
     }
     val prev = state.current.getAndSet(Some(next))

@@ -53,7 +53,20 @@ object Advise {
       buildDir: Option[String] = None): String = {
     val out = new StringBuilder
     // (label, compile): compilation is lazy analysis only — a log replay
-    // must never EXECUTE production queries, let alone their writes
+    // must never EXECUTE production queries, let alone their writes. Two
+    // guards enforce that before anything compiles:
+    //  - PQL call names are classified FIRST: only the shape-analyzable
+    //    reads (Count/GroupBy/TopN/TopK/Distinct/Rows — all lazy in the
+    //    compiler) compile at all. Percentile runs a driver-side bisection
+    //    of Count probes AT COMPILE TIME and ExternalLookup reaches an
+    //    external engine — one such line in a production log must not make
+    //    the advisor execute production-scale scans (AdviseSpec pins zero
+    //    Spark jobs for a Percentile log line).
+    //  - non-PQL bodies that Ddl.handles (INSERT/DELETE/DROP/CREATE/COPY/
+    //    BULK INSERT/…, which GraftSql.sql RUNS eagerly) are skipped the
+    //    same way PQL writes are — replaying a production /sql log must
+    //    never mutate the operator's tables.
+    val analyzable = Set("Count", "GroupBy", "TopN", "TopK", "Distinct", "Rows")
     val candidates: Seq[(String, () => DataFrame)] =
       if (fromLog) {
         val lines = rest.flatMap { f =>
@@ -66,7 +79,17 @@ object Advise {
           case (true, "", q) =>
             out ++= s"skipped (PQL without [index] tag): $q\n"; None
           case (true, idx, q) =>
-            Some(s"[$idx]$q" -> (() => graft.pql.Pql.run(spark, sfDir, idx, q)))
+            val names = scala.util.Try(
+              graft.pql.Parser.parse(q).map(_.name)).getOrElse(Nil)
+            if (names.nonEmpty && names.forall(analyzable))
+              Some(s"[$idx]$q" -> (() => graft.pql.Pql.run(spark, sfDir, idx, q)))
+            else {
+              out ++= s"skipped (not shape-analyzable without executing: " +
+                s"${names.filterNot(analyzable).mkString(",")}): [$idx]$q\n"
+              None
+            }
+          case (false, _, q) if graft.sql.Ddl.handles(q) =>
+            out ++= s"skipped (write/DDL): $q\n"; None
           case (false, _, q) =>
             Some(q -> (() => graft.sql.GraftSql.sql(spark, sfDir, q)))
         }

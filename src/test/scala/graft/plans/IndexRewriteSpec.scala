@@ -544,4 +544,41 @@ class IndexRewriteSpec extends SparkSpec {
     assert(!global.queryExecution.optimizedPlan.toString.contains("bitmap_or_agg"),
       "nondeterministic filter transferred onto global index scan")
   }
+
+  test("IndexRewrite.suppress is THREAD-scoped: the suppressed thread's " +
+    "plans skip index serving while a concurrent query on the same " +
+    "session keeps it, and the session conf is never touched") {
+    buildAndRegister()
+    def q = spark.sql(
+      "SELECT event_type AS seg, count(DISTINCT user_id) AS cnt " +
+        "FROM ev_idx GROUP BY event_type")
+    val confBefore = spark.conf.getOption("spark.graft.indexRewrite")
+    IndexRewrite.suppress {
+      // this thread sees the LOGICAL shape (what builds/advisor need)…
+      assert(!q.queryExecution.optimizedPlan.toString
+        .contains("bitmap_cardinality"))
+      // …while another thread, same session, AT THE SAME TIME, still serves
+      // from the index — the production-query property the r13 session-conf
+      // flip could not give (it turned serving off session-wide)
+      val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+      try {
+        val served = pool.submit(
+          new java.util.concurrent.Callable[java.lang.Boolean] {
+            override def call(): java.lang.Boolean =
+              q.queryExecution.optimizedPlan.toString
+                .contains("bitmap_cardinality")
+          })
+        assert(served.get(), "concurrent thread lost index serving")
+      } finally pool.shutdown()
+    }
+    // suppression scope ended: this thread serves again
+    assert(q.queryExecution.optimizedPlan.toString
+      .contains("bitmap_cardinality"))
+    assert(spark.conf.getOption("spark.graft.indexRewrite") == confBefore)
+    // the advisor rides the same mechanism: analysis on a serving session
+    // reads the logical workload shape with the conf untouched
+    val (as, _, _) = IndexAdvisor.analyze(Seq(q))
+    assert(as.head.shape.isDefined, as.toString)
+    assert(spark.conf.getOption("spark.graft.indexRewrite") == confBefore)
+  }
 }

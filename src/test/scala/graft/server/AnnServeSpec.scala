@@ -244,4 +244,84 @@ class AnnServeSpec extends SparkSpec {
       Some("""vec_id >= 0 OR 'a"b' = '\\'"""))
     org.json4s.jackson.JsonMethods.parse(AnnServe.statsJson("annspec_n0")): Unit
   }
+
+  test("same-name rebuild publishes a NEW .v<N> version — queries racing " +
+    "the rebuild never scan overwritten files, the previous version " +
+    "survives until the next swap, and the durable registry keeps ONE " +
+    "record for the name") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh6").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    graft.core.Tables.load(s, sfDir, "embeddings")
+      .createOrReplaceTempView("ann_v_all")
+    AnnServe.build(s, "annspec_ver", "ann_v_all", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    val p1 = AnnServe.stats("annspec_ver").get.codesPath
+    assert(p1.endsWith(".v1"), p1)
+    // query loop racing a same-name rebuild: with overwrite-in-place this
+    // raced deleted part files; with versioned publish every query reads
+    // whichever REGISTERED version it planned against
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val racer = pool.submit(new Runnable {
+      override def run(): Unit =
+        try while (!stop.get()) {
+          val hits = AnnServe.query(s, "annspec_ver", queryVec, 5,
+            nProbe = 0, shortlist = 10000000, excludeId = Some(0L)).collect()
+          assert(hits.length == 5)
+        } catch { case t: Throwable => failed.set(t) }
+    })
+    try {
+      AnnServe.build(s, "annspec_ver", "ann_v_all", "vec_id",
+        "embedding", 64, 4, 8, 16)
+    } finally {
+      stop.set(true)
+      racer.get()
+      pool.shutdown()
+    }
+    assert(failed.get() == null, s"racing query failed: ${failed.get()}")
+    val p2 = AnnServe.stats("annspec_ver").get.codesPath
+    assert(p2.endsWith(".v2") && p2 != p1, p2)
+    // previous version kept for in-flight readers…
+    assert(new java.io.File(p1).isDirectory, s"$p1 reaped too early")
+    // …and reaped after the NEXT swap (disk bounded to ≤ 2 versions)
+    AnnServe.build(s, "annspec_ver", "ann_v_all", "vec_id",
+      "embedding", 64, 4, 8, 16)
+    assert(AnnServe.stats("annspec_ver").get.codesPath.endsWith(".v3"))
+    assert(!new java.io.File(p1).exists(), s"$p1 not reaped after next swap")
+    assert(new java.io.File(p2).isDirectory, s"$p2 (previous) reaped early")
+    // durable registry: rebuilds supersede by NAME — one record, pointing
+    // at the live version (a codesPath-keyed supersede would have left a
+    // stale record per rebuild for restore to replay)
+    val recs = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(wh, "_indexes.json"))) match {
+      case org.json4s.JArray(xs) => xs.filter(e =>
+        e \ "kind" == org.json4s.JString("ann") &&
+          e \ "key" == org.json4s.JString("annspec_ver"))
+      case _ => Nil
+    }
+    assert(recs.size == 1, s"${recs.size} ann records after 3 builds")
+    assert((recs.head \ "basePath") == org.json4s.JString(
+      AnnServe.stats("annspec_ver").get.codesPath))
+    // exhaustive exactness preserved through the rebuilds (queried on the
+    // warehouse session — the temp view lives there)
+    assert(AnnServe.query(s, "annspec_ver", queryVec, 20, nProbe = 0,
+      shortlist = 10000000, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq == brute(emb, 20))
+    s.catalog.dropTempView("ann_v_all"): Unit
+  }
+
+  test("name guard rejects path traversal: '.', '..', and dot-run names " +
+    "can never aim the build at the warehouse/scratch root") {
+    emb.createOrReplaceTempView("ann_g_all")
+    try Seq(".", "..", "a..b", ".a", "a.", "../x", "a/b").foreach { bad =>
+      val ex = intercept[IllegalArgumentException] {
+        AnnServe.build(spark, bad, "ann_g_all", "vec_id", "embedding",
+          64, 4, 8, 16)
+      }
+      assert(ex.getMessage.contains("dot-separated"), s"$bad: ${ex.getMessage}")
+    } finally spark.catalog.dropTempView("ann_g_all")
+  }
 }

@@ -1128,4 +1128,38 @@ class HttpFacadeSpec extends SparkSpec {
     assert(parsed.contains((true, "events",
       "Count(Row(event_type='click'))")), parsed.toString)
   }
+
+  test("query log injection: a User-Agent designed to forge access-log " +
+    "fields is sanitized, so Advise --from-log can never parse an " +
+    "attacker-supplied statement out of it") {
+    def capturing(f: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try f finally System.setErr(old)
+      new String(buf.toByteArray, "UTF-8")
+    }
+    // a ']' in the UA would close the bracketed field early and shift the
+    // path/user/body columns parseLog splits on — the forged tail names a
+    // write statement that --from-log (pre-r14) would have EXECUTED
+    val evil = "k6], /sql, , , DROP TABLE events"
+    spark.conf.set("spark.graft.queryLog", "true")
+    val out = try capturing {
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/sql"))
+        .header("User-Agent", evil)
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1 AS one")).build()
+      assert(client.send(req,
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+    } finally spark.conf.unset("spark.graft.queryLog")
+    val line = out.linesIterator.find(_.startsWith("HTTP: ")).getOrElse("")
+    // the payload's own ']' is stripped, so the whole payload stays INSIDE
+    // the ua field — the first ']' on the line is the format's own closer,
+    // placed AFTER the forged statement
+    assert(line.contains("k6, /sql, , , DROP TABLE events]"), line)
+    assert(line.indexOf("]") > line.indexOf("DROP TABLE events"), line)
+    val parsed = graft.tools.Advise.parseLog(out.linesIterator.toSeq)
+    assert(!parsed.exists(_._3.contains("DROP TABLE")), parsed.toString)
+    assert(parsed.contains((false, "", "SELECT 1 AS one")), parsed.toString)
+  }
 }

@@ -46,6 +46,50 @@ class AdviseSpec extends SparkSpec {
     assert(graft.core.Tables.load(spark, sfDir, "events").count() == before)
   }
 
+  test("--from-log NEVER executes captured statements: SQL writes/DDL are " +
+    "skipped like PQL writes, and an eager-compiling PQL read " +
+    "(Percentile) triggers ZERO Spark jobs") {
+    val log = java.nio.file.Files.createTempFile("graft-advise-w", ".log")
+    java.nio.file.Files.writeString(log, Seq(
+      // Ddl.run would EXECUTE these eagerly if they ever compiled; the
+      // nonexistent table means accidental execution would also surface
+      // as a "does not compile" line rather than a skip — the assertion
+      // distinguishes the two
+      "GRPC: , [], QuerySQL, , , INSERT INTO advise_guard_t VALUES (1)",
+      "GRPC: , [], QuerySQL, , , DROP TABLE advise_guard_t",
+      "HTTP: 10.0.0.1, [curl], /sql, , , DELETE FROM advise_guard_t WHERE 1 = 1",
+      // Percentile's compile path runs a driver-side bisection of Count
+      // probes (Compiler.percentileCall .head()) — a production log line
+      // must not make the advisor execute production-scale scans
+      "GRPC: , [], QueryPQL, , , [events]Percentile(field=value, nth=50)",
+      // ExternalLookup compiles eagerly too (temp view + external engine)
+      "GRPC: , [], QueryPQL, , , [events]ExternalLookup(All(), query='SELECT 1')")
+      .mkString("\n"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val report = try {
+      val r = Advise.advise(spark, sfDir, dialect = false,
+        fromLog = true, Seq(log.toString))
+      Thread.sleep(500) // listener bus drain window
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(report.contains("skipped (write/DDL): INSERT INTO"), report)
+    assert(report.contains("skipped (write/DDL): DROP TABLE"), report)
+    assert(report.contains("skipped (write/DDL): DELETE FROM"), report)
+    assert(report.contains(
+      "skipped (not shape-analyzable without executing: Percentile)"), report)
+    assert(report.contains(
+      "skipped (not shape-analyzable without executing: ExternalLookup)"),
+      report)
+    assert(report.contains("no index-able queries"), report)
+    assert(jobs.get() == 0, s"log replay executed ${jobs.get()} Spark job(s)")
+  }
+
   test("--build materializes + registers the recommendation: the advised " +
     "workload serves scan-free immediately afterwards") {
     val log = java.nio.file.Files.createTempFile("graft-advise-b", ".log")
