@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{StringType, TimestampType}
   * unconditionally; ours are opt-in materializations, so choosing WHAT to
   * materialize is an operator decision this tool automates.
   *
-  * Advisory only: it never reads data, so it cannot see combo
-  * cardinality — the report carries key counts and the caller sanity-
-  * checks against the table's value distributions. */
+  * Shape analysis never reads data. Combo CARDINALITY is read at build
+  * time: [[materialize]] estimates it with one `approx_count_distinct`
+  * scan ([[estimateCombos]]) and refuses past
+  * `spark.graft.advisor.maxCombos` — a near-unique filtered key would
+  * otherwise recommend an index with ~one combo per fact row, a copy of
+  * the table wearing an index's name. */
 object IndexAdvisor {
   import QuantumKeys._
 
@@ -136,29 +139,70 @@ object IndexAdvisor {
     (analyses, recs, segRecs)
   }
 
+  /** The recommendation's key columns materialized on the fact frame —
+    * quantum cuts (either kind) derived, set keys left as arrays. */
+  private def withKeyCols(spark: org.apache.spark.sql.SparkSession,
+                          rec: Recommendation): DataFrame = {
+    val facts = spark.read.parquet(rec.basePath)
+    val parsed = rec.groupCols.flatMap(k => parseQuantum(k).map(k -> _))
+    graft.index.GroupIndex.withQuantumStrs(
+      graft.index.GroupIndex.withQuantums(facts,
+        parsed.collect { case (_, (false, u, ts)) =>
+          graft.index.GroupIndex.Quantum(ts, u) }),
+      parsed.collect { case (_, (true, u, ts)) =>
+        graft.index.GroupIndex.QuantumStr(ts, u) })
+  }
+
+  /** Estimated combo cardinality of a recommendation — ONE
+    * `approx_count_distinct` scan over the key tuple (set keys exploded,
+    * quantum keys derived), run with the rewrite suppressed. The advisor's
+    * shape analysis never reads data; this DOES, so it runs at `--build`
+    * time (or on operator demand), where the cost question it answers —
+    * "is this index a summary or a copy?" — is about to be paid anyway. */
+  def estimateCombos(spark: org.apache.spark.sql.SparkSession,
+                     rec: Recommendation): Long = IndexRewrite.suppress {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, explode, struct}
+    val prepared = rec.groupCols.foldLeft(withKeyCols(spark, rec)) {
+      (acc, c) =>
+        if (rec.explodedCols(c)) acc.withColumn(c, explode(col(c))) else acc
+    }
+    prepared.agg(approx_count_distinct(
+      struct(rec.groupCols.map(col): _*))).head().getLong(0)
+  }
+
   /** Build + DURABLY register one recommendation — the advise→build→serve
     * loop closed in one call: quantum keys (either kind) are materialized
     * with the build-session timezone exactly as the rewrite will require
     * at serve time, the index lands at `indexPath`, and the registration
     * persists to the warehouse (when `spark.graft.warehouse` is set) so a
-    * bounced process resumes serving it. */
+    * bounced process resumes serving it.
+    *
+    * CARDINALITY GUARD: a workload filter on a near-unique column (`WHERE
+    * event_id = 7`) legitimately puts that column in the recommended key
+    * set, but the resulting index has ~one combo per fact row — a copy of
+    * the table wearing an index's name, all build cost and no serving
+    * leverage. The build REFUSES when [[estimateCombos]] exceeds
+    * `spark.graft.advisor.maxCombos` (default 50,000,000); raise the conf
+    * to override deliberately. */
   def materialize(spark: org.apache.spark.sql.SparkSession,
-                  rec: Recommendation, indexPath: String): Unit = {
-    val facts = spark.read.parquet(rec.basePath)
-    val parsed = rec.groupCols.flatMap(k => parseQuantum(k).map(k -> _))
-    val withQ = graft.index.GroupIndex.withQuantums(facts,
-      parsed.collect { case (_, (false, u, ts)) =>
-        graft.index.GroupIndex.Quantum(ts, u) })
-    val withKeys = graft.index.GroupIndex.withQuantumStrs(withQ,
-      parsed.collect { case (_, (true, u, ts)) =>
-        graft.index.GroupIndex.QuantumStr(ts, u) })
-    graft.index.GroupIndex.buildTo(withKeys, rec.groupCols, rec.sumCols,
-      indexPath, distinctCols = rec.distinctCols)
+                  rec: Recommendation, indexPath: String): Long = {
+    val est = estimateCombos(spark, rec)
+    val maxCombos = spark.conf
+      .get("spark.graft.advisor.maxCombos", "50000000").toLong
+    require(est <= maxCombos,
+      s"estimated $est combos for ${rec.groupCols.mkString("[", ",", "]")} " +
+        s"exceeds spark.graft.advisor.maxCombos=$maxCombos — the index " +
+        "would be a near-copy of the fact table (a filtered key is likely " +
+        "near-unique); drop the key or raise the conf to force the build")
+    graft.index.GroupIndex.buildTo(withKeyCols(spark, rec), rec.groupCols,
+      rec.sumCols, indexPath, distinctCols = rec.distinctCols)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val parsed = rec.groupCols.flatMap(k => parseQuantum(k).map(k -> _))
     IndexRegistry.registerGroupDurable(spark, rec.basePath, rec.groupCols,
       rec.explodedCols, rec.sumCols, indexPath, rec.distinctCols,
       quantums = parsed.map { case (k, _) => k -> tz }.toMap)
     IndexRewrite.install(spark)
+    est
   }
 
   /** [[materialize]] for a segment recommendation: roaring bitmap index

@@ -23,15 +23,17 @@ object Advise {
   /** Parse facade query-log lines — gRPC records (`GRPC: ip, [ua], method,
     * userid, username, [index]body`) and HTTP ones (`HTTP: ip, [ua],
     * url-path, userid, username, [index]body`) — into (isPql, index, body)
-    * triples. PQL is recognized by the gRPC method name or the
-    * `/index/{i}/query` path (both also carry the `[index]` tag). Repeated
-    * queries dedupe (production traffic replays the same dashboard); lines
-    * that aren't query-log records are ignored, so the raw stderr capture
-    * feeds in unfiltered. */
-  private[graft] def parseLog(lines: Seq[String]): Seq[(Boolean, String, String)] = {
+    * triples WITH HIT COUNTS. Repeated queries dedupe to one triple
+    * (production traffic replays the same dashboard) but the count
+    * survives: a 10k-hit dashboard and a one-off ad-hoc query must not
+    * weigh the same when recommendations are ranked by the traffic they
+    * serve. First-seen order is kept; lines that aren't query-log records
+    * are ignored, so the raw stderr capture feeds in unfiltered. */
+  private[graft] def parseLogCounts(lines: Seq[String])
+      : Seq[((Boolean, String, String), Long)] = {
     val Line = """^(?:GRPC|HTTP): .*?, \[.*?\], ([^,]+), .*?, .*?, (.*)$""".r
     val Idx = """^\[([^\]]*)\](.*)$""".r
-    lines.flatMap {
+    val all = lines.flatMap {
       case Line(method, body) =>
         val (idx, q) = body match {
           case Idx(i, rest) => (i, rest)
@@ -41,8 +43,14 @@ object Advise {
         if (q.trim.isEmpty) None
         else Some((isPql, idx, q.trim))
       case _ => None
-    }.distinct
+    }
+    val counts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    all.distinct.map(t => t -> counts(t))
   }
+
+  /** [[parseLogCounts]] without the weights (spec/back-compat surface). */
+  private[graft] def parseLog(lines: Seq[String]): Seq[(Boolean, String, String)] =
+    parseLogCounts(lines).map(_._1)
 
   /** The report body ([[main]] minus session lifecycle — spec-drivable).
     * With `buildDir` set, every recommendation is also MATERIALIZED and
@@ -67,45 +75,54 @@ object Advise {
     //    same way PQL writes are — replaying a production /sql log must
     //    never mutate the operator's tables.
     val analyzable = Set("Count", "GroupBy", "TopN", "TopK", "Distinct", "Rows")
-    val candidates: Seq[(String, () => DataFrame)] =
+    // candidates carry the query's HIT COUNT from the log (1 for ad-hoc
+    // input): recommendations rank by the traffic they serve, so operators
+    // build highest-traffic first
+    var totalHits = 0L
+    val candidates: Seq[(String, Long, () => DataFrame)] =
       if (fromLog) {
         val lines = rest.flatMap { f =>
           val src = scala.io.Source.fromFile(f)
           try src.getLines().toList finally src.close()
         }
-        parseLog(lines).flatMap {
-          case (true, idx, q) if graft.pql.Pql.writeCallN(q) > 0 =>
+        val counted = parseLogCounts(lines)
+        totalHits = counted.map(_._2).sum
+        counted.flatMap {
+          case ((true, idx, q), n) if graft.pql.Pql.writeCallN(q) > 0 =>
             out ++= s"skipped (write call): [$idx]$q\n"; None
-          case (true, "", q) =>
+          case ((true, "", q), n) =>
             out ++= s"skipped (PQL without [index] tag): $q\n"; None
-          case (true, idx, q) =>
+          case ((true, idx, q), n) =>
             val names = scala.util.Try(
               graft.pql.Parser.parse(q).map(_.name)).getOrElse(Nil)
             if (names.nonEmpty && names.forall(analyzable))
-              Some(s"[$idx]$q" -> (() => graft.pql.Pql.run(spark, sfDir, idx, q)))
+              Some((s"[$idx]$q", n,
+                () => graft.pql.Pql.run(spark, sfDir, idx, q)))
             else {
               out ++= s"skipped (not shape-analyzable without executing: " +
                 s"${names.filterNot(analyzable).mkString(",")}): [$idx]$q\n"
               None
             }
-          case (false, _, q) if graft.sql.Ddl.handles(q) =>
+          case ((false, _, q), n) if graft.sql.Ddl.handles(q) =>
             out ++= s"skipped (write/DDL): $q\n"; None
-          case (false, _, q) =>
-            Some(q -> (() => graft.sql.GraftSql.sql(spark, sfDir, q)))
+          case ((false, _, q), n) =>
+            Some((q, n, () => graft.sql.GraftSql.sql(spark, sfDir, q)))
         }
-      } else rest.map(q => q -> (() =>
+      } else rest.map(q => (q, 1L, () =>
         if (dialect) graft.sql.GraftSql.sql(spark, sfDir, q) else spark.sql(q)))
 
-    val built = candidates.flatMap { case (label, mk) =>
+    val built = candidates.flatMap { case (label, n, mk) =>
       scala.util.Try(mk()) match {
-        case scala.util.Success(df) => Some(label -> df)
+        case scala.util.Success(df) => Some((label, n, df))
         case scala.util.Failure(ex) =>
           out ++= s"skipped (does not compile here: ${ex.getMessage}): $label\n"
           None
       }
     }
-    val (analyses, recs, segRecs) =
-      graft.plans.IndexAdvisor.analyze(built.map(_._2))
+    if (totalHits == 0L) totalHits = built.map(_._2).sum
+    val hitsOf = built.map(_._2).toIndexedSeq
+    val (analyses, recs0, segRecs0) =
+      graft.plans.IndexAdvisor.analyze(built.map(_._3))
     analyses.foreach { a =>
       val shape = a.shape.map(s =>
         s"keys=${s.groupKeys.mkString(",")}" +
@@ -114,19 +131,37 @@ object Advise {
           (if (s.distinctCols.nonEmpty) s" distincts=${s.distinctCols.mkString(",")}" else ""))
         .orElse(a.seg.map(ss => s"segCol=${ss.segCol} idCol=${ss.idCol}"))
         .getOrElse("")
-      out ++= f"query #${a.query}%-3d ${a.note}%-50s $shape%n"
+      val hits = if (fromLog) s" ×${hitsOf(a.query)}" else ""
+      out ++= f"query #${a.query}%-3d ${a.note}%-50s $shape$hits%n"
     }
+    def traffic(covers: Seq[Int]): Long = covers.map(hitsOf).sum
+    def share(covers: Seq[Int]): String = {
+      val t = traffic(covers)
+      val pct =
+        if (totalHits == 0) 0.0 else 100.0 * t.toDouble / totalHits.toDouble
+      f" — $t hits, $pct%.1f%% of captured traffic"
+    }
+    // highest-traffic first: the order operators should build in
+    val recs = recs0.sortBy(r => -traffic(r.covers))
+    val segRecs = segRecs0.sortBy(r => -traffic(r.covers))
     if (recs.isEmpty && segRecs.isEmpty)
       out ++= "no index-able queries in the workload\n"
     else {
       out ++= s"\n${recs.size + segRecs.size} recommendation(s):\n"
-      recs.foreach(r => out ++= "  " + r.render + "\n")
-      segRecs.foreach(r => out ++= "  " + r.render + "\n")
+      recs.foreach(r => out ++= "  " + r.render + share(r.covers) + "\n")
+      segRecs.foreach(r => out ++= "  " + r.render + share(r.covers) + "\n")
       buildDir.foreach { dir =>
         recs.zipWithIndex.foreach { case (r, i) =>
           val p = s"$dir/advised_g$i"
-          graft.plans.IndexAdvisor.materialize(spark, r, p)
-          out ++= s"built + registered: $p\n"
+          // the cardinality guard lives in materialize: a refused build
+          // (estimated combos past spark.graft.advisor.maxCombos) reports
+          // and moves on — the remaining recommendations still build
+          scala.util.Try(graft.plans.IndexAdvisor.materialize(spark, r, p)) match {
+            case scala.util.Success(est) =>
+              out ++= s"built + registered: $p (est. $est combos)\n"
+            case scala.util.Failure(ex) =>
+              out ++= s"REFUSED: $p — ${ex.getMessage}\n"
+          }
         }
         segRecs.zipWithIndex.foreach { case (r, i) =>
           val p = s"$dir/advised_s$i"

@@ -224,4 +224,36 @@ class IndexAdvisorSpec extends SparkSpec {
     assert(recs.size == 2, recs.map(_.render).mkString("\n"))
     assert(recs.map(_.explodedCols).toSet == Set(Set.empty, Set("tags")))
   }
+
+  test("cardinality guard: materialize estimates combos and REFUSES a " +
+    "near-unique key set (the index would be a copy of the table); a " +
+    "sane key set builds and reports its estimate") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    val root = graft.streaming.Ingest.scratch("idx_advisor_card")
+    val fact = s"$root/fact"
+    ev.write.parquet(fact)
+    // a workload filter `WHERE event_id = …` legitimately keys event_id —
+    // but event_id is unique, so the "index" has one combo per fact row
+    val bad = IndexAdvisor.Recommendation(fact,
+      Seq("event_id", "event_type"), Set.empty, Seq("value"), Nil, Seq(0))
+    val est = IndexAdvisor.estimateCombos(spark, bad)
+    val rows = spark.read.parquet(fact).count()
+    assert(est > rows / 2, s"estimate $est should be ~row count $rows")
+    spark.conf.set("spark.graft.advisor.maxCombos", "500")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        IndexAdvisor.materialize(spark, bad, s"$root/g")
+      }
+      assert(ex.getMessage.contains("maxCombos"), ex.getMessage)
+      assert(!new java.io.File(s"$root/g").exists(), "refused build wrote")
+      // a sane key set builds under the same cap, reporting its estimate
+      val ok = IndexAdvisor.Recommendation(fact, Seq("event_type"),
+        Set.empty, Seq("value"), Nil, Seq(0))
+      val est2 = IndexAdvisor.materialize(spark, ok, s"$root/g2")
+      assert(est2 > 0 && est2 <= 10, s"est2 = $est2")
+      assert(new java.io.File(s"$root/g2").isDirectory)
+    } finally spark.conf.unset("spark.graft.advisor.maxCombos")
+    IndexCatalog.clear()
+  }
 }

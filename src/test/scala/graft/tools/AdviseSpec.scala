@@ -46,6 +46,30 @@ class AdviseSpec extends SparkSpec {
     assert(graft.core.Tables.load(spark, sfDir, "events").count() == before)
   }
 
+  test("--from-log is FREQUENCY-WEIGHTED: hit counts survive dedupe, " +
+    "recommendations report the traffic share they serve and rank " +
+    "highest-traffic first") {
+    val log = java.nio.file.Files.createTempFile("graft-advise-f", ".log")
+    val hot = "GRPC: , [], QuerySQL, , , SELECT event_type, COUNT(*) AS c " +
+      "FROM events GROUP BY event_type"
+    val cold = "GRPC: , [], QuerySQL, , , SELECT n_name, COUNT(*) AS c " +
+      "FROM nation GROUP BY n_name"
+    // the dashboard replays its query; the ad-hoc one runs once
+    java.nio.file.Files.writeString(log,
+      (Seq.fill(3)(hot) :+ cold).mkString("\n"))
+    val report = Advise.advise(spark, sfDir, dialect = false,
+      fromLog = true, Seq(log.toString))
+    assert(report.contains("×3"), report) // per-query hit count in the table
+    assert(report.contains("2 recommendation(s):"), report)
+    val lines = report.linesIterator.filter(_.contains("GroupIndex over")).toSeq
+    assert(lines.length == 2, report)
+    // hot cluster first (75% of 4 captured hits), cold second (25%)
+    assert(lines(0).contains("event_type") &&
+      lines(0).contains("3 hits, 75.0% of captured traffic"), lines(0))
+    assert(lines(1).contains("n_name") &&
+      lines(1).contains("1 hits, 25.0% of captured traffic"), lines(1))
+  }
+
   test("--from-log NEVER executes captured statements: SQL writes/DDL are " +
     "skipped like PQL writes, and an eager-compiling PQL read " +
     "(Percentile) triggers ZERO Spark jobs") {
