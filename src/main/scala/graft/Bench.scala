@@ -166,20 +166,39 @@ object Bench {
       }
       val ableNames = ableQueries(paths.head).map(_._1)
       System.gc() // settle post-generation heap before any timed run
-      // runsBy(name)(pointIdx) = warmup +: timed runs
-      val runsBy: Map[String, Seq[Seq[Double]]] = ableNames.map { name =>
-        val rounds = (0 until 6).map(_ => paths.map(run1(_, name)))
-        name -> paths.indices.map(i => rounds.map(_(i)))
+      // runsBy(name)(pointIdx) = warmup +: timed runs; every run records
+      // the box load after it — r13's scale-step probes were the only
+      // bench numbers WITHOUT settle/load evidence, so a drifting step
+      // could not be adjudicated between load and regression from the
+      // artifact alone
+      val runsBy: Map[String, Seq[Seq[(Double, Double)]]] = ableNames.map {
+        name =>
+          val rounds = (0 until 6).map(_ =>
+            paths.map(p => (run1(p, name), loadAvg())))
+          name -> paths.indices.map(i => rounds.map(_(i)))
       }.toMap
       def median(ts: Seq[Double]): Double =
         { val s = ts.sorted; s(s.size / 2) }
+      // settled per (query, point): two consecutive TIMED runs within 20%
+      // — the same verdict the headline queries carry
+      def settledOf(ts: Seq[Double]): Boolean =
+        ts.sliding(2).exists { case Seq(a, b) =>
+          math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.2 }
       def runsJson = runsBy.toSeq.sortBy(_._1).map { case (k, perPoint) =>
         "\"" + k + "\":[" + perPoint.map(ts =>
-          "[" + ts.map(num(_, 3)).mkString(",") + "]").mkString(",") + "]"
+          "[" + ts.map(t => num(t._1, 3)).mkString(",") + "]").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      def loadsJson = runsBy.toSeq.sortBy(_._1).map { case (k, perPoint) =>
+        "\"" + k + "\":[" + perPoint.map(ts =>
+          "[" + ts.map(t => num(t._2, 2)).mkString(",") + "]").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      def settledJson = runsBy.toSeq.sortBy(_._1).map { case (k, perPoint) =>
+        "\"" + k + "\":[" + perPoint.map(ts =>
+          settledOf(ts.drop(1).map(_._1)).toString).mkString(",") + "]"
       }.mkString("{", ",", "}")
       // ratio per 10× step, median-of-timed
       val ratios = runsBy.toSeq.sortBy(_._1).map { case (k, perPoint) =>
-        val meds = perPoint.map(ts => median(ts.drop(1)))
+        val meds = perPoint.map(ts => median(ts.drop(1).map(_._1)))
         "\"" + k + "\":[" + meds.sliding(2).map { case Seq(a, b) =>
           num(b / math.max(a, 1e-9), 2) }.mkString(",") + "]"
       }.mkString("{", ",", "}")
@@ -194,10 +213,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       summary("able_step_ratios") = ratios
+      summary("able_settled") = settledJson
       s""","able":{"rows":[${counts.mkString(",")}],""" +
         s""""gen_sec":[${gens.map(g => num(g._2, 2)).mkString(",")}],""" +
         s""""idx_build_sec":[${idxBuild.map(num(_, 2)).mkString(",")}],""" +
         s""""runs_warm_then_timed":$runsJson,""" +
+        s""""run_loads":$loadsJson,"step_settled":$settledJson,""" +
         s""""step_ratios_at_10x_rows":$ratios}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] able rehearsal skipped: ${e.getMessage}")
@@ -261,24 +282,46 @@ object Bench {
         dropCheckpoints() // also settles the async listener bus
         (t, (counters.gcMs.get - gc0) / 1e3, counters.spillBytes.get - sp0)
       }
-      def fullRun(path: String, parts: Int, nRuns: Int): Seq[(Double, Double, Long)] = {
+      // SETTLE harness for the scale points (r13's substring 5M→50M step
+      // drifted 70% with untouched source and the artifact had no evidence
+      // to adjudicate it): warm, then time until two CONSECUTIVE timed runs
+      // agree within 20% (capped — deep runs are tens of seconds), with the
+      // box load recorded around every run
+      def settleRuns(capTimed: Int, run: () => (Double, Double, Long))
+          : (Seq[(Double, Double, Long)], Seq[Double], Boolean) = {
+        val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+        val rs = scala.collection.mutable.ArrayBuffer(run()) // warm
+        loads += loadAvg()
+        var ok = false
+        while (!ok && rs.size < 1 + capTimed) {
+          rs += run()
+          loads += loadAvg()
+          ok = rs.size >= 3 && {
+            val (a, b) = (rs(rs.size - 2)._1, rs.last._1)
+            math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.2
+          }
+        }
+        (rs.toSeq, loads.toSeq, ok)
+      }
+      def fullRun(path: String, parts: Int, capTimed: Int)
+          : (Seq[(Double, Double, Long)], Seq[Double], Boolean) = {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        try (1 to nRuns).map { _ => // warm, then timed
+        try settleRuns(capTimed, () =>
           instrumented(() =>
             graft.functions.Dedup.minhashPairs(
               graft.functions.Dedup.shingledPosting(
                 spark.read.parquet(path), "doc_id", "text", layoutById = true), 0.5)
-              .write.format("noop").mode("overwrite").save())
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+              .write.format("noop").mode("overwrite").save()))
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       val paths = counts.map(gen)
-      // the deepest point gets an extra timed run: at ~50GB of heap traffic
-      // it keeps settling (page-faulting the grown heap, JIT'd spill paths)
-      // for two runs — measured 183/145/114/… monotone — and min-of-timed
-      // should read the settled number, not the settling
-      val runs = counts.zip(paths).map { case (n, p) =>
-        fullRun(p, partsFor(n), if (n >= counts.max) 4 else 3) }
+      // the deepest point keeps settling (page-faulting the grown heap,
+      // JIT'd spill paths) for ~two runs — the settle loop reads the
+      // settled number, not the settling
+      val runsFull = counts.zip(paths).map { case (n, p) =>
+        fullRun(p, partsFor(n), capTimed = if (n >= counts.max) 4 else 4) }
+      val runs = runsFull.map(_._1)
       val runTimes = runs.map(_.map(_._1))
       // min-of-timed ratio between consecutive points; data grows 10× per step
       val steps = runTimes.sliding(2).map { case Seq(a, b) =>
@@ -305,19 +348,20 @@ object Bench {
       // dedup shape: gram-count groupBy + join-back instead of LSH) — runs
       // at ALL points including 5M (r9 silently dropped the deep point;
       // both 10× steps are the record), warm+1 timed at the deepest
-      def subRun(path: String, parts: Int,
-                 nRuns: Int): Seq[(Double, Double, Long)] = {
+      def subRun(path: String, parts: Int, capTimed: Int)
+          : (Seq[(Double, Double, Long)], Seq[Double], Boolean) = {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        try (1 to nRuns).map { _ =>
+        try settleRuns(capTimed, () =>
           instrumented(() =>
             graft.functions.Dedup.substringDedup(
                 spark.read.parquet(path), "doc_id", "text", 5)
-              .write.format("noop").mode("overwrite").save())
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+              .write.format("noop").mode("overwrite").save()))
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
-      val subRuns = counts.zip(paths).map { case (n, p) =>
-        subRun(p, partsFor(n), if (n >= counts.max) 2 else 3) }
+      val subRunsFull = counts.zip(paths).map { case (n, p) =>
+        subRun(p, partsFor(n), capTimed = if (n >= counts.max) 3 else 4) }
+      val subRuns = subRunsFull.map(_._1)
       val subTimes = subRuns.map(_.map(_._1))
       val subSteps = subTimes.sliding(2).map { case Seq(a, b) =>
         num(b.drop(1).min / math.max(a.drop(1).min, 1e-9), 2) }
@@ -325,8 +369,19 @@ object Bench {
       def perRun(rs: Seq[Seq[(Double, Double, Long)]],
                  f: ((Double, Double, Long)) => String) =
         rs.map(r => "[" + r.map(f).mkString(",") + "]").mkString("[", ",", "]")
+      def flags(rs: Seq[(Seq[(Double, Double, Long)], Seq[Double], Boolean)]) =
+        "[" + rs.map(_._3.toString).mkString(",") + "]"
+      def maxLoads(rs: Seq[(Seq[(Double, Double, Long)], Seq[Double], Boolean)]) =
+        "[" + rs.map(r => num(r._2.max, 2)).mkString(",") + "]"
+      def allLoads(rs: Seq[(Seq[(Double, Double, Long)], Seq[Double], Boolean)]) =
+        rs.map(r => "[" + r._2.map(num(_, 2)).mkString(",") + "]")
+          .mkString("[", ",", "]")
       summary("dedup_steps") = steps
+      summary("dedup_settled") = flags(runsFull)
+      summary("dedup_max_load") = maxLoads(runsFull)
       summary("substring_steps") = subSteps
+      summary("substring_settled") = flags(subRunsFull)
+      summary("substring_max_load") = maxLoads(subRunsFull)
       summary("dedup_deep_gc_sec") =
         "[" + runs.last.map(r => num(r._2, 1)).mkString(",") + "]"
       summary("dedup_deep_spill_gb") =
@@ -335,12 +390,16 @@ object Bench {
         s""""runs_warm_then_timed":${perRun(runs, r => num(r._1, 3))},""" +
         s""""run_gc_sec":${perRun(runs, r => num(r._2, 1))},""" +
         s""""run_spill_bytes":${perRun(runs, r => r._3.toString)},""" +
+        s""""run_loads":${allLoads(runsFull)},""" +
+        s""""step_settled":${flags(runsFull)},""" +
         s""""step_ratios_at_10x_data":$steps,""" +
         s""""stages_1x":${stJson(stS)},"stages_10x":${stJson(stM)},""" +
         s""""stage_ratios":$stRatio,""" +
         s""""substring_runs":${perRun(subRuns, r => num(r._1, 3))},""" +
         s""""substring_gc_sec":${perRun(subRuns, r => num(r._2, 1))},""" +
         s""""substring_spill_bytes":${perRun(subRuns, r => r._3.toString)},""" +
+        s""""substring_loads":${allLoads(subRunsFull)},""" +
+        s""""substring_settled":${flags(subRunsFull)},""" +
         s""""substring_step_ratios_at_10x_data":$subSteps}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] dedup rehearsal skipped: ${e.getMessage}")
@@ -661,6 +720,52 @@ object Bench {
             dimRollQ.write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t) / 1e9
           }
+          // UPDATE/delta refold at 1B (r14): a point-update-shaped mutation
+          // (1000 touched rows, all inside ONE day) maintains each index by
+          // recomputing only its touched combos from a predicate-pruned
+          // fact scan (IndexRegistry.refoldMutation) — the shape that
+          // until r14 staled every index until the ~51 s rebuild. Probed
+          // per index under separate throwaway warehouses so each refold
+          // times alone. The QUANTUM index's touched combos translate to a
+          // raw-ts DAY RANGE that parquet row-group pruning turns into
+          // ~1/579 of the id-ordered (ts-monotone) table; the 4-key gidx's
+          // 1000 touched rows span every education/gender/party value so
+          // its prune is unselective — its number is one full predicate
+          // scan plus the splice, the honest upper bound. Versions are
+          // measurement-only and dropped after, like the fold probes.
+          val touched1k = graft.tools.AbleGen.frame(spark, 1000L, 1)
+          def urefold(reg: () => Unit, idxPath0: String): Double = {
+            val whTmp = java.nio.file.Files
+              .createTempDirectory("graft-1b-uref").toString
+            spark.conf.set("spark.graft.warehouse", whTmp)
+            try {
+              reg()
+              val t = System.nanoTime()
+              val r = graft.plans.IndexRegistry
+                .refoldMutation(spark, p, touched1k)
+              require(r.nonEmpty && r.forall(_._2), s"urefold failed: $r")
+              (System.nanoTime() - t) / 1e9
+            } finally {
+              spark.conf.unset("spark.graft.warehouse")
+              rmRec(new java.io.File(s"$idxPath0.v1"))
+              rmRec(new java.io.File(whTmp))
+            }
+          }
+          val tzS = spark.sessionState.conf.sessionLocalTimeZone
+          val qidxURefoldSec = urefold(() => graft.plans.IndexRegistry
+            .registerGroupDurable(spark, p, Seq(qt.name, "education_level"),
+              Set.empty, Seq("age"), qidxPath,
+              quantums = Map(qt.name -> tzS)), qidxPath)
+          // restore the canonical registration the probe superseded
+          graft.plans.IndexCatalog.registerGroup(p,
+            Seq(qt.name, "education_level"), Set.empty, Seq("age"),
+            spark.read.parquet(qidxPath),
+            quantums = Map(qt.name -> tzS))
+          val gidxURefoldSec = urefold(() => graft.plans.IndexRegistry
+            .registerGroupDurable(spark, p, gCols, Set("domain"),
+              Seq("age"), gidxPath), gidxPath)
+          graft.plans.IndexCatalog.registerGroup(p, gCols, Set("domain"),
+            Seq("age"), spark.read.parquet(gidxPath))
           def arr(ts: Seq[Double]) =
             ts.map(num(_, 3)).mkString("[", ",", "]")
           summary("able_1b_hc_min") = num(hcRuns.drop(1).min, 1)
@@ -671,6 +776,8 @@ object Bench {
           summary("able_1b_gidx_fired") = gidxFired.toString
           summary("able_1b_gidx_fold_sec") = num(gidxFoldSec, 2)
           summary("able_1b_gidx_refold_sec") = num(gidxRefoldSec, 2)
+          summary("able_1b_qidx_urefold_sec") = num(qidxURefoldSec, 2)
+          summary("able_1b_gidx_urefold_sec") = num(gidxURefoldSec, 2)
           summary("able_1b_qidx_serve_min") = num(qidxServe.drop(1).min, 2)
           summary("able_1b_qidx_fired") = qidxFired.toString
           summary("able_1b_qrange_min") = num(qRangeServe.drop(1).min, 2)
@@ -695,6 +802,8 @@ object Bench {
             s""""gidx_serve_settled":$gidxSettled,""" +
             s""""gidx_fold_1m_sec":${num(gidxFoldSec, 2)},""" +
             s""""gidx_refold_sec":${num(gidxRefoldSec, 2)},""" +
+            s""""qidx_urefold_sec":${num(qidxURefoldSec, 2)},""" +
+            s""""gidx_urefold_sec":${num(gidxURefoldSec, 2)},""" +
             s""""qidx_build_sec":${num(qidxBuildSec, 1)},""" +
             s""""qidx_rewrite_fired":$qidxFired,""" +
             s""""qidx_serve_runs":${arr(qidxServe)},""" +
@@ -866,10 +975,16 @@ object Bench {
     // tail of stdout, so whatever is printed last survives truncation —
     // BENCH_r09 lost its first ~6 headline queries this way. This line is
     // sized well under the driver's tail window and carries the headline
-    // mins plus each deep block's key numbers.
+    // mins plus each deep block's key numbers — INCLUDING the per-query
+    // max observed load (r13's +28% headline block was settled at
+    // sustained load, and exactly that evidence lived only on the FULL
+    // line the truncation discarded).
+    val qMaxLoadJson = results.map { case (k, _, _, _, ls, _) =>
+      "\"" + k + "\":" + num(ls.max, 2) }.mkString("{", ",", "}")
     println(s"""{"metric":"headline","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""queries":$qJson,"median_spread":${num(medianSpread, 3)},""" +
       s""""queries_settled":$settledJson,""" +
+      s""""query_max_load":$qMaxLoadJson,""" +
       s""""unreliable":$unreliable,""" +
       s""""load_avg":[${num(loadStart, 2)},${num(loadAvg(), 2)}],""" +
       s""""load_after_block":$loadJson,"deep":$summaryJson}""")

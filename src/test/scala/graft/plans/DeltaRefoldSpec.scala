@@ -221,6 +221,44 @@ class DeltaRefoldSpec extends SparkSpec {
     IndexCatalog.clear()
   }
 
+  test("bench-probe shape: an able-profile point-update touched set " +
+    "maintains both the quantum and the exploded-set index via " +
+    "refoldMutation, and a no-op mutation refolds to identical content") {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-dref-able").toString
+    s.conf.set("spark.graft.warehouse", wh)
+    val root = graft.streaming.Ingest.scratch("delta_refold_able")
+    val fact = s"$root/fact"
+    graft.tools.AbleGen.frame(s, 20000L, 4).write.parquet(fact)
+    val facts = s.read.parquet(fact)
+    val tz = s.sessionState.conf.sessionLocalTimeZone
+    val qt = GroupIndex.Quantum("timestamp", "day")
+    GroupIndex.buildTo(GroupIndex.withQuantums(facts, Seq(qt)),
+      Seq(qt.name, "education_level"), Seq("age"), s"$root/q")
+    IndexRegistry.registerGroupDurable(s, fact,
+      Seq(qt.name, "education_level"), Set.empty, Seq("age"), s"$root/q",
+      quantums = Map(qt.name -> tz))
+    val gCols = Seq("education_level", "gender", "political_party", "domain")
+    GroupIndex.buildTo(facts, gCols, Seq("age"), s"$root/g")
+    IndexRegistry.registerGroupDurable(s, fact, gCols, Set("domain"),
+      Seq("age"), s"$root/g")
+    // the probe's touched set: AbleGen rows are a pure function of id, so
+    // ids 0..999 reproduce the fact table's own first 1000 rows — a no-op
+    // "mutation" whose refold must reproduce the touched combos exactly
+    val touched = graft.tools.AbleGen.frame(s, 1000L, 1)
+    val r = IndexRegistry.refoldMutation(s, fact, touched)
+    assert(r.map(_._2) == Seq(true, true), r.toString)
+    Seq(s"$root/q", s"$root/g").foreach { stem =>
+      val before = s.read.parquet(stem)
+      val after = s.read.parquet(s"$stem.v1")
+      assert(IndexRewrite.suppress(after.count()) ==
+        IndexRewrite.suppress(before.count()), stem)
+      assert(IndexRewrite.suppress(
+        after.exceptAll(before).count()) == 0L, s"$stem content drifted")
+    }
+    IndexCatalog.clear()
+  }
+
   test("SEGMENT (roaring) index refold: an UPDATE moving records between " +
     "segments recomputes exactly the touched segments' bitmaps") {
     val s = spark.newSession()
