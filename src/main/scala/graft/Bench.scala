@@ -140,8 +140,12 @@ object Bench {
         // version the cache dir with the generator formula — ensure()
         // reuses existing parquet, so a formula/layout change must miss the
         // cache (v3 = analytic inverse-CDF zipf for large value sets; v4 =
-        // shuffle-free range-partitioned generation, id-ordered files)
-        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-v4-$n")
+        // shuffle-free range-partitioned generation, id-ordered files;
+        // v5 = INT64-micros timestamps via EngineConf's
+        // outputTimestampType — INT96 carried no stats, so no ts filter
+        // ever pruned a row group; index caches bumped in lockstep since
+        // their quantum keys re-encode too)
+        val p = graft.tools.AbleGen.ensure(spark, n, s"$tmp/graft-able-v5-$n")
         (p, (System.nanoTime() - t0) / 1e9)
       }
       val gens = counts.map(genTimed)
@@ -502,7 +506,7 @@ object Bench {
       val mode = sys.env.getOrElse("SPARK_GRAFT_1B", "auto")
       val n1b = 1000000000L
       val tmp = System.getProperty("java.io.tmpdir")
-      val cache = s"$tmp/graft-able-v4-$n1b"
+      val cache = s"$tmp/graft-able-v5-$n1b"
       if (mode == "0" ||
           (mode == "auto" && !new java.io.File(cache).isDirectory)) {
         System.err.println(
@@ -559,7 +563,7 @@ object Bench {
           val segRuns = (1 to 3).map(_ => run1(seg)) // warm + 2 timed
           // roaring segment index: reuse across rounds (build_sec = -1 when
           // served from cache), serve the count from the 849 MB code table
-          val idxPath = s"$tmp/graft-able-idx-$n1b"
+          val idxPath = s"$tmp/graft-able-idx5-$n1b"
           val idxBuildSec =
             if (new java.io.File(idxPath).isDirectory) -1.0
             else {
@@ -582,7 +586,7 @@ object Bench {
           // across rounds like the roaring index (-1 = served from cache).
           // v2: schema gained cntv_/min_/max_ per value column (avg/min/max
           // serving) — a new cache dir so the registered schema matches
-          val gidxPath = s"$tmp/graft-able-gidx2-$n1b"
+          val gidxPath = s"$tmp/graft-able-gidx5-$n1b"
           val gCols = Seq("education_level", "gender", "political_party", "domain")
           val gidxBuildSec =
             if (new java.io.File(gidxPath).isDirectory) -1.0
@@ -600,7 +604,7 @@ object Bench {
             .run(graft.pql.Parser.parseOne(hc))
             .queryExecution.executedPlan.toString
           val gidxFired = servedPlan.contains("graft-able-gidx") &&
-            !servedPlan.contains("graft-able-v4")
+            !servedPlan.contains("graft-able-v5")
           val (gidxServe, gidxLoads, gidxSettled) = settle(() => run1(hc))
           // INCREMENTAL maintenance at 1B: fold a 1M-row arriving batch into
           // the grouped index (GroupIndex.appendDelta — one aggregation over
@@ -637,7 +641,7 @@ object Bench {
           // has no explode so it's cheaper than the hc gidx; cached across
           // rounds (-1 = served from cache).
           val qt = graft.index.GroupIndex.Quantum("timestamp", "day")
-          val qidxPath = s"$tmp/graft-able-qidx-$n1b"
+          val qidxPath = s"$tmp/graft-able-qidx5-$n1b"
           val qidxBuildSec =
             if (new java.io.File(qidxPath).isDirectory) -1.0
             else {
@@ -663,7 +667,7 @@ object Bench {
             .agg(count(lit(1)).as("cnt"), sum(col("age")).as("sa"))
           val qPlan = quantumQ.queryExecution.executedPlan.toString
           val qidxFired = qPlan.contains("graft-able-qidx") &&
-            !qPlan.contains("graft-able-v4")
+            !qPlan.contains("graft-able-v5")
           val (qidxServe, qidxLoads, qidxSettled) = settle { () =>
             val t = System.nanoTime()
             quantumQ.write.format("noop").mode("overwrite").save()
@@ -685,7 +689,7 @@ object Bench {
             .agg(count(lit(1)).as("cnt"), sum(col("age")).as("sa"))
           val qRangePlan = qRangeQ.queryExecution.executedPlan.toString
           val qRangeFired = qRangePlan.contains("graft-able-qidx") &&
-            !qRangePlan.contains("graft-able-v4")
+            !qRangePlan.contains("graft-able-v5")
           val (qRangeServe, qRangeLoads, qRangeSettled) = settle { () =>
             val t = System.nanoTime()
             qRangeQ.write.format("noop").mode("overwrite").save()
@@ -697,7 +701,7 @@ object Bench {
             .agg(count(lit(1)).as("cnt"), sum(col("age")).as("sa"))
           val qRollPlan = qRollQ.queryExecution.executedPlan.toString
           val qRollFired = qRollPlan.contains("graft-able-qidx") &&
-            !qRollPlan.contains("graft-able-v4")
+            !qRollPlan.contains("graft-able-v5")
           val (qRollServe, qRollLoads, qRollSettled) = settle { () =>
             val t = System.nanoTime()
             qRollQ.write.format("noop").mode("overwrite").save()
@@ -714,7 +718,7 @@ object Bench {
             .agg(count(lit(1)).as("n"), sum(col("age")).as("sa"))
           val dimRollPlan = dimRollQ.queryExecution.executedPlan.toString
           val dimRollFired = dimRollPlan.contains("graft-able-gidx") &&
-            !dimRollPlan.contains("graft-able-v4")
+            !dimRollPlan.contains("graft-able-v5")
           val (dimRollServe, dimRollLoads, dimRollSettled) = settle { () =>
             val t = System.nanoTime()
             dimRollQ.write.format("noop").mode("overwrite").save()

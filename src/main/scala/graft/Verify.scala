@@ -16,9 +16,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // dump timestamps as TIMESTAMP_NTZ: the engine writes INT64-micros
+        // UTC-adjusted timestamps (EngineConf outputTimestampType — stats +
+        // pushdown), which DuckDB renders with a +00:00 suffix while the
+        // oracle's are naive — same instant, different STRING, and the
+        // driver compares strings. Session tz is pinned UTC, so the cast
+        // is a re-tag, not a shift; oracle semantics are untouched.
+        val out = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+        }.foldLeft(df)((d, c) => d.withColumn(c,
+          d(c).cast(org.apache.spark.sql.types.TimestampNTZType)))
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -26,6 +26,17 @@ object EngineConf {
     // naive reading is identical. Conf-level (not a cast) keeps parquet
     // filter pushdown on ts intact.
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+    // Spark's default parquet timestamp encoding is INT96 (Hive compat),
+    // which carries NO usable column statistics — parquet deprecated INT96
+    // min/max ordering, so writers emit none — and predicate pushdown on
+    // INT96 is impossible. Measured on the 1B able table: a one-day
+    // `ts >= lo AND ts < hi` filter read ALL row groups (48 s, a full
+    // scan) because every file's timestamp stats were `None`. INT64
+    // micros carries stats and pushes down, so retention scans,
+    // time-bounded fact queries, and the delta refold's quantum-key prune
+    // read only the matching row groups on a ts-clustered layout. Spark
+    // timestamps are micros internally — no precision change.
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     // the reference dialect treats double-quoted tokens as IDENTIFIERS
     // (`select x as "yy"` — sql3/parser; string literals are single-quoted
     // throughout), matching ANSI; Spark's default reads them as strings

@@ -660,8 +660,14 @@ object IndexRegistry {
           val vals = rows.filterNot(_.isNullAt(0)).map(_.get(0)).toSeq
           if (isExploded) {
             // raw column is the ARRAY; overlap-test it pre-explode. Null
-            // members make overlap three-valued — skip pruning then.
-            if (hasNull || vals.isEmpty) None
+            // members make overlap three-valued — skip pruning then. The
+            // value cap is much tighter than the scalar one: isin past 10
+            // values becomes an O(1) InSet hash probe, but arrays_overlap
+            // against an N-literal array is N string-compares per MEMBER
+            // per row — measured at 1B rows a ~500-value overlap list
+            // cost ~5× the scan it was meant to shrink (and a zipf-hot
+            // member set prunes nothing anyway)
+            if (hasNull || vals.isEmpty || vals.length > 32) None
             else Some(arrays_overlap(col(key),
               array(vals.map(v => lit(v)): _*)))
           } else {

@@ -39,7 +39,7 @@ object AbleBillion {
     spark.sparkContext.setLogLevel("WARN")
     val tmp = System.getProperty("java.io.tmpdir")
     val t0 = System.nanoTime()
-    val path = AbleGen.ensure(spark, n, s"$tmp/graft-able-v4-$n")
+    val path = AbleGen.ensure(spark, n, s"$tmp/graft-able-v5-$n")
     val genSec = (System.nanoTime() - t0) / 1e9
     val bytes = {
       def walk(f: java.io.File): Long =
@@ -73,7 +73,7 @@ object AbleBillion {
     }
 
     // roaring segment index at 1B: build once (timed), serve a count
-    val idxPath = s"$tmp/graft-able-idx-$n"
+    val idxPath = s"$tmp/graft-able-idx5-$n"
     val tb = System.nanoTime()
     graft.index.Bitmap.segmentIndex(df, "education_level", "_id")
       .write.mode("overwrite").parquet(idxPath)

@@ -48,7 +48,7 @@ import org.apache.spark.sql.functions._
   * is now the standing reason against hashed grouping.) */
 object ScanProbe {
   def main(args: Array[String]): Unit = {
-    val path = args.headOption.getOrElse("/tmp/graft-able-v4-1000000000")
+    val path = args.headOption.getOrElse("/tmp/graft-able-v5-1000000000")
     val runs = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = graft.core.EngineConf(SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "128")
