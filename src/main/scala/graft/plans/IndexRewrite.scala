@@ -480,7 +480,15 @@ object IndexRegistry {
     * type = 'click'` for a mutation that rewrites type) matches nothing
     * after the mutation, and the under-counted combo set would leave the
     * new values' combos stale (DeltaRefoldSpec's segment test pins the
-    * correct derivation). Cost per index: one scan of `touched`, one
+    * correct derivation).
+    *
+    * Cost shape: the recompute aggregates the PRUNED fact slice and then
+    * cuts to the touched combos (filter-after-aggregate — the combo test
+    * runs per aggregated row, never per fact row), so the worst case —
+    * no key prunes the layout — is the pruned slice's rebuild cost, and
+    * the best case is the prune: a 1000-row point update against the 1B
+    * day-quantum index refolds in ~1.4 s (one day of row groups read,
+    * INT64 ts stats) vs the ~51 s corpus rebuild. Cost per index: one scan of `touched`, one
     * fact scan PRUNED by the touched combos' key values (pushed to
     * parquet row-group stats — `IN (…)` for scalar keys, a raw-timestamp
     * range for aligned quantum keys — so a layout clustered by a key
@@ -595,12 +603,17 @@ object IndexRegistry {
         pruneCond(spark, acc, k, parsed, explodedCols(k), combos, quantums)
           .map(acc.filter).getOrElse(acc)
       }
+      // aggregate FIRST, then cut to the touched combos: the combo test
+      // runs once per AGGREGATED row (combo cardinality), not once per
+      // exploded fact row — probing a broadcast 4-string null-safe key
+      // per exploded row measured 273 s at 1B (7× the plain aggregation)
+      // while aggregate-then-filter is bounded by the pruned slice's
+      // rebuild cost in the worst case and by the prune in the best
       val semiCond = groupCols.map(k =>
         col(s"f.`$k`") <=> col(s"t.`$k`")).reduce(_ && _)
-      val changed = prepare(pruned).as("f")
-        .join(broadcast(combos.as("t")), semiCond, "left_semi")
-      val delta = graft.index.GroupIndex.build(changed, groupCols, sumCols,
-        distinctCols)
+      val delta = graft.index.GroupIndex.build(prepare(pruned), groupCols,
+          sumCols, distinctCols)
+        .as("f").join(broadcast(combos.as("t")), semiCond, "left_semi")
       val old = spark.read.parquet(idxPath)
       val antiCond = groupCols.map(k =>
         col(s"o.`$k`") <=> col(s"t.`$k`")).reduce(_ && _)
