@@ -604,28 +604,39 @@ object IndexRegistry {
           .map(acc.filter).getOrElse(acc)
       }
       // aggregate FIRST, then cut to the touched combos: the combo test
-      // runs once per AGGREGATED row (combo cardinality), not once per
-      // exploded fact row — probing a broadcast 4-string null-safe key
-      // per exploded row measured 273 s at 1B (7× the plain aggregation)
-      // while aggregate-then-filter is bounded by the pruned slice's
-      // rebuild cost in the worst case and by the prune in the best
-      val semiCond = groupCols.map(k =>
-        col(s"f.`$k`") <=> col(s"t.`$k`")).reduce(_ && _)
-      val delta = graft.index.GroupIndex.build(prepare(pruned), groupCols,
-          sumCols, distinctCols)
-        .as("f").join(broadcast(combos.as("t")), semiCond, "left_semi")
-      val old = spark.read.parquet(idxPath)
-      val antiCond = groupCols.map(k =>
-        col(s"o.`$k`") <=> col(s"t.`$k`")).reduce(_ && _)
-      val survivors = old.as("o")
-        .join(broadcast(combos.as("t")), antiCond, "left_anti")
-      val next = nextVersionOf(idxPath)
-      // schema pinned to the serving index's (same rule as GroupIndex.merge)
-      survivors.unionByName(delta.select(old.schema.fields.toIndexedSeq.map(
-          fd => col(fd.name).cast(fd.dataType).as(fd.name)): _*))
-        .write.mode("overwrite").parquet(next)
-      registerGroupDurable(spark, basePath, groupCols, explodedCols,
-        sumCols, next, distinctCols, quantums)
+      // must run once per AGGREGATED row (combo cardinality), never once
+      // per exploded fact row — probing a broadcast 4-string null-safe
+      // key per exploded row measured 273 s at 1B, 7× the plain
+      // aggregation it guarded. Catalyst's PushDownLeftSemiAntiJoin would
+      // rewrite a lazily-composed semi-join straight back below the
+      // Aggregate (the condition references only grouping columns, its
+      // push criterion), so the aggregate MATERIALIZES first: the
+      // InMemoryRelation is a barrier the rule cannot cross, and the
+      // extra pass costs one combo-cardinality cache read. Worst case —
+      // no key prunes the layout — the refold is the pruned slice's
+      // rebuild-aggregation cost; best case it is the prune.
+      val deltaAll = graft.index.GroupIndex.build(prepare(pruned),
+          groupCols, sumCols, distinctCols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        deltaAll.count()
+        val semiCond = groupCols.map(k =>
+          col(s"f.`$k`") <=> col(s"t.`$k`")).reduce(_ && _)
+        val delta = deltaAll.as("f")
+          .join(broadcast(combos.as("t")), semiCond, "left_semi")
+        val old = spark.read.parquet(idxPath)
+        val antiCond = groupCols.map(k =>
+          col(s"o.`$k`") <=> col(s"t.`$k`")).reduce(_ && _)
+        val survivors = old.as("o")
+          .join(broadcast(combos.as("t")), antiCond, "left_anti")
+        val next = nextVersionOf(idxPath)
+        // schema pinned to the serving index's (GroupIndex.merge's rule)
+        survivors.unionByName(delta.select(old.schema.fields.toIndexedSeq.map(
+            fd => col(fd.name).cast(fd.dataType).as(fd.name)): _*))
+          .write.mode("overwrite").parquet(next)
+        registerGroupDurable(spark, basePath, groupCols, explodedCols,
+          sumCols, next, distinctCols, quantums)
+      } finally deltaAll.unpersist(): Unit
     } finally combos.unpersist(): Unit
   }
 
