@@ -246,7 +246,22 @@ object TableLog {
   }
 
   /** Register the merged plan as the table's temp view and record the state.
-    * Compacts first when the statement budget is spent. */
+    * Compacts first when the statement budget is spent — or, for a table
+    * whose base carries registered indexes, on EVERY write when
+    * `spark.graft.index.writeThrough=true`: compaction is the moment the
+    * table becomes a plain parquet scan again (merge-on-read overlays are
+    * join-shaped plans no index rewrite can match), so an indexed table
+    * under write-through stays index-SERVED through its writes, the
+    * reference's maintain-fragments-on-every-write contract
+    * (`reference/executor.go:6194`) at an honest documented cost: the
+    * O(table) base rewrite per write that merge-on-read otherwise defers.
+    * Either way, when compaction runs and the old base had registered
+    * indexes, `spark.graft.index.autoRefold` (default ON) delta-refolds
+    * them against the new base and rebinds the registrations
+    * ([[graft.plans.IndexRegistry.rebindRefold]]) — the touched rows are
+    * exactly the log's overlay ∪ pre-image-of-(overlay+tombstone) ids,
+    * already at hand, so maintenance is O(touched) on top of the
+    * already-paid compaction. */
   private def commit(spark: SparkSession, name: String, st1: State): Unit = {
     // A base that entered the log as a plain view (stateOf reset) has no
     // files yet — durably materialize it once, or restore would lose it.
@@ -254,11 +269,39 @@ object TableLog {
       if (warehouse(spark).isDefined && st1.base.path.isEmpty)
         st1.copy(base = mat(spark, name, "base", st1.base.df))
       else st1
+    val dirty = st0.overlay.nonEmpty || st0.tombstones.nonEmpty
+    val indexedBase = st0.base.path.filter(p =>
+      graft.plans.IndexCatalog.isRegistered(p))
+    val writeThrough = scala.util.Try(
+      spark.conf.get("spark.graft.index.writeThrough")).getOrElse("false") ==
+      "true"
     val st =
-      if (st0.depth >= compactAfter)
-        State(mat(spark, name, "base", merged(st0)), None, None, 0,
-          st0.registered)
-      else st0
+      if (st0.depth >= compactAfter ||
+          (writeThrough && dirty && indexedBase.isDefined)) {
+        val autoRefold = scala.util.Try(
+          spark.conf.get("spark.graft.index.autoRefold")).getOrElse("true") !=
+          "false"
+        // touched rows captured from the PRE-compaction state: post-images
+        // from the overlay, pre-images by id from the old base (keyless
+        // tables have no ids — their only logged mutation is append, whose
+        // touched set IS the overlay)
+        val touched: Option[DataFrame] =
+          if (!autoRefold || indexedBase.isEmpty) None
+          else if (!dirty) Some(st0.base.df.limit(0)) // clean compaction:
+            // rebind only — zero touched combos, the index copies over
+          else if (hasId(st0.base.df)) {
+            val idPieces = st0.overlay.map(_.df.select("_id")).toSeq ++
+              st0.tombstones.map(_.df.select("_id")).toSeq
+            val ids = idPieces.reduce(_ unionByName _).distinct()
+            val pre = st0.base.df.join(ids, Seq("_id"), "left_semi")
+            Some(st0.overlay.map(o => pre.unionByName(o.df)).getOrElse(pre))
+          } else st0.overlay.map(_.df)
+        val newBase = mat(spark, name, "base", merged(st0))
+        for {
+          ob <- indexedBase; nb <- newBase.path; t <- touched
+        } graft.plans.IndexRegistry.rebindRefold(spark, ob, nb, t): Unit
+        State(newBase, None, None, 0, st0.registered)
+      } else st0
     val view = merged(st)
     view.createOrReplaceTempView(Idents.q(name))
     states.put(key(spark, name), st.copy(registered = canon(view)))
@@ -454,6 +497,11 @@ object TableLog {
     Option(states.get(key(spark, name))).map(_.depth).getOrElse(0)
 
   /** Identity of the current base (spec: point writes must not touch it). */
+  /** The current base piece's parquet dir (warehouse mode) — the path
+    * index registrations bind to; moves at compaction (rebind hook). */
+  private[graft] def basePathOf(spark: SparkSession, name: String): Option[String] =
+    Option(states.get(key(spark, name))).flatMap(_.base.path)
+
   private[graft] def baseOf(spark: SparkSession, name: String): Option[DataFrame] =
     Option(states.get(key(spark, name))).map(_.base.df)
 }

@@ -102,6 +102,15 @@ object IndexCatalog {
 
   def clear(): Unit = { entries.clear(); groupEntries.clear() }
 
+  /** Drop every in-memory registration of one base path — used when a
+    * table's storage moves (compaction rebind): the old path's entries can
+    * never match a scan again and would only pin dead plans. */
+  def unregisterBase(basePath: String): Unit = {
+    val n = normalize(basePath)
+    entries.keySet.removeIf(_._1 == n)
+    groupEntries.keySet.removeIf(_._1 == n): Unit
+  }
+
   /** Is any seg/group index registered over this base path? — the
     * mutation-path immediate stale warning reads this
     * ([[IndexRewrite.warnMutated]]). */
@@ -185,6 +194,208 @@ object IndexRegistry {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
+  /** Thrown by a CAS-guarded registration when the registry's current
+    * version is not the one the maintainer read — the maintainer lost a
+    * race and must re-read and retry (or decline); it never registers. */
+  final class StaleRegistrationException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Per-FACT-TABLE maintenance serialization (r14 VERDICT #1): every
+    * version-publish path — [[refoldMutation]], [[refoldDelete]],
+    * [[foldAppend]], [[graft.streaming.IndexMaintain.foldBatch]] — computes
+    * `.v<N+1>`/`.b<id>` from the registration it read, so two concurrent
+    * maintainers on one index would clobber the same version dir and the
+    * LAST re-register would win with a freshly computed fact signature: an
+    * index missing the loser's maintenance would serve as fresh, and the
+    * freshness guard could not decline. All maintenance of one fact table
+    * therefore serializes on the normalized base path (the
+    * [[graft.server.AnnServe]] `lockFor` discipline; per-TABLE rather than
+    * per-stem because fact-batch publishes and refolds of *different*
+    * indexes of one table also interleave — a refold recomputes touched
+    * combos FROM FACTS, so a fact publish landing mid-refold would be
+    * double-counted by the next fold). JVM-scoped, like the registry file
+    * lock; cross-process maintainers are additionally caught by the
+    * `expectPrev` CAS on registration and by the pre-scan fact signature
+    * (a lost cross-process race declines stale at serve — never wrong). */
+  private val maintLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def normBase(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+  def maintLock[T](basePath: String)(f: => T): T =
+    maintLocks.computeIfAbsent(normBase(basePath), _ => new Object)
+      .synchronized(f)
+
+  /** The registered index path for (basePath, groupCols), read from the
+    * durable registry — the merge base every maintainer must start from
+    * (read it INSIDE [[maintLock]], or the read races a concurrent
+    * publish). None without a warehouse or registration. */
+  def currentIndexPath(spark: SparkSession, basePath: String,
+                       groupCols: Seq[String]): Option[String] = {
+    val key = groupCols.sorted.mkString(",")
+    file(spark).flatMap { f =>
+      lock.synchronized(readAll(f)).find { e =>
+        e \ "kind" == JString("group") &&
+          (e \ "basePath" match {
+            case JString(bp) => normBase(bp) == normBase(basePath)
+            case _           => false
+          }) && e \ "key" == JString(key)
+      }.collect { case e =>
+        e \ "indexPath" match { case JString(p) => p; case o => o.toString }
+      }
+    }
+  }
+
+  /** Remove one durable group/seg record (identified by basePath +
+    * indexPath) — the rebind path drops the OLD base's record after the
+    * refolded index registers under the new base. */
+  private def dropRecord(spark: SparkSession, basePath: String,
+                         indexPath: String): Unit =
+    file(spark).foreach { f => lock.synchronized {
+      def s(v: JValue): String =
+        v match { case JString(x) => x; case o => o.toString }
+      val kept = readAll(f).filterNot(e =>
+        Set("group", "seg")(s(e \ "kind")) &&
+          normBase(s(e \ "basePath")) == normBase(basePath) &&
+          s(e \ "indexPath") == indexPath)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f,
+        JsonMethods.compact(JsonMethods.render(JArray(kept))))
+    }}
+
+  /** REBIND maintenance for a fact table whose storage MOVED — the
+    * compaction hook ([[graft.core.TableLog]]): merge-on-read tables
+    * materialize a NEW base dir when they compact, so every index
+    * registered over the old dir would go permanently dark (no scan ever
+    * matches the old path again). For each registration on `oldBase`:
+    * delta-refold its touched combos against the NEW base (which already
+    * contains the post-mutation truth), register under `newBase`, drop the
+    * old record. `touched` is the union of the mutation window's pre-image
+    * and post-image rows — exactly what the log's overlay/tombstone state
+    * provides for free at compaction time, so maintenance stays O(touched)
+    * on top of the already-paid O(table) compaction. Refusals follow
+    * [[refuseOrRebuild]]'s policy (auto-rebuild opt-in, else a stale flag
+    * on the old record). */
+  def rebindRefold(spark: SparkSession, oldBase: String, newBase: String,
+                   touched: org.apache.spark.sql.DataFrame)
+      : Seq[(String, Boolean)] = maintLock(newBase) {
+    val records = file(spark).map(f => lock.synchronized(readAll(f)))
+      .getOrElse(Nil)
+    def s(v: JValue): String =
+      v match { case JString(x) => x; case o => o.toString }
+    def arr(v: JValue): Seq[String] =
+      v match { case JArray(xs) => xs.map(s); case _ => Nil }
+    val out = records.filter(e => Set("group", "seg")(s(e \ "kind")) &&
+        normBase(s(e \ "basePath")) == normBase(oldBase)).map { e =>
+      val idxPath = s(e \ "indexPath")
+      scala.util.Try {
+        IndexRewrite.suppress {
+          if (s(e \ "kind") == "group") {
+            val quantums = e \ "quantums" match {
+              case JObject(fields) => fields.collect {
+                case (k, JString(v)) => k -> v }.toMap
+              case _ => Map.empty[String, String]
+            }
+            refoldGroupTouched(spark, newBase, idxPath,
+              arr(e \ "groupCols"), arr(e \ "explodedCols").toSet,
+              arr(e \ "sumCols"), arr(e \ "distinctCols"), quantums, touched)
+          } else
+            refoldSegTouched(spark, newBase, idxPath, s(e \ "segCol"),
+              s(e \ "idCol"), touched)
+        }
+        dropRecord(spark, oldBase, idxPath)
+      } match {
+        case scala.util.Success(_) => (idxPath, true)
+        case scala.util.Failure(ex) =>
+          // refuseOrRebuild rebuilds/registers against the NEW base; a
+          // refusal must flag the OLD record (the one that exists)
+          val auto = spark.conf
+            .get("spark.graft.index.autoRebuild", "false") == "true"
+          val rebuilt = auto &&
+            scala.util.Try(rebuildRecord(spark, newBase, e)).isSuccess
+          if (rebuilt) { dropRecord(spark, oldBase, idxPath); (idxPath, true) }
+          else {
+            System.err.println(s"[rebind] $idxPath NOT rebound to $newBase " +
+              s"(stale; rebuild to serve again): ${ex.getMessage}")
+            markStale(spark, oldBase, idxPath, String.valueOf(ex.getMessage))
+            (idxPath, false)
+          }
+      }
+    }
+    if (out.nonEmpty) IndexCatalog.unregisterBase(oldBase)
+    out
+  }
+
+  /** Flag a registration STALE in the registry file (kept serving-safe by
+    * the freshness guard — this makes the decline VISIBLE to operators
+    * instead of a stderr line they must notice: the HTTP facade's `/status`
+    * lists stale indexes and `Advise` reports them). A later successful
+    * maintenance or rebuild re-registers the record and the flag clears
+    * with it (r14 VERDICT #5: a declined index must not silently
+    * serve-from-facts forever while wearing a registration). */
+  def markStale(spark: SparkSession, basePath: String, indexPath: String,
+                reason: String): Unit =
+    file(spark).foreach { f => lock.synchronized {
+      def s(v: JValue): String =
+        v match { case JString(x) => x; case o => o.toString }
+      val updated = readAll(f).map {
+        case e @ JObject(fields)
+            if Set("group", "seg")(s(e \ "kind")) &&
+              normBase(s(e \ "basePath")) == normBase(basePath) &&
+              s(e \ "indexPath") == indexPath =>
+          JObject(fields.filterNot(x =>
+            x._1 == "stale" || x._1 == "staleReason") ++
+            List("stale" -> (JBool(true): JValue),
+              "staleReason" -> (JString(reason.take(300)): JValue)))
+        case e => e
+      }
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f,
+        JsonMethods.compact(JsonMethods.render(JArray(updated))))
+    }}
+
+  /** The registrations currently flagged stale:
+    * (kind, basePath, key, indexPath, reason). */
+  def staleRecords(spark: SparkSession)
+      : Seq[(String, String, String, String, String)] = {
+    def s(v: JValue): String =
+      v match { case JString(x) => x; case o => o.toString }
+    file(spark).map(f => lock.synchronized(readAll(f))).getOrElse(Nil)
+      .filter(e => e \ "stale" == JBool(true))
+      .map(e => (s(e \ "kind"), s(e \ "basePath"), s(e \ "key"),
+        s(e \ "indexPath"), s(e \ "staleReason")))
+  }
+
+  /** Reap versioned siblings older than the PREVIOUS version of `newPath`'s
+    * stem — the [[graft.server.AnnServe]] keep-≤2 discipline applied to
+    * grouped/segment index versions (r14 ADVICE: `refoldMutation` published
+    * a version per mutation with no reaping — unbounded disk under the
+    * advertised high-frequency point-update maintenance). Keeps `.v<N>` and
+    * `.v<N-1>` (in-flight queries planned against the previous registration
+    * finish; posix keeps open handles readable), deletes older `.v`
+    * siblings. The BARE stem dir (the caller's original build, version 0)
+    * is never reaped: operators cache expensive initial builds there
+    * (e.g. the 1B bench indexes) and disk stays bounded at ≤3 dirs. */
+  def reapVersions(spark: SparkSession, newPath: String): Unit =
+    scala.util.Try {
+      val Versioned = "(.*)\\.v(\\d+)$".r
+      newPath match {
+        case Versioned(stem, nStr) =>
+          val n = nStr.toLong
+          val stemPath = new org.apache.hadoop.fs.Path(stem)
+          val fs = stemPath.getFileSystem(spark.sessionState.newHadoopConf())
+          val parent = stemPath.getParent
+          val re = java.util.regex.Pattern.compile(
+            java.util.regex.Pattern.quote(stemPath.getName) + "\\.v(\\d+)")
+          if (parent != null && fs.exists(parent))
+            fs.listStatus(parent).toSeq.filter(_.isDirectory).foreach { st =>
+              val m = re.matcher(st.getPath.getName)
+              if (m.matches() && m.group(1).toLong < n - 1)
+                fs.delete(st.getPath, true)
+            }
+        case _ => ()
+      }
+    }: Unit
+
   private def readAll(f: java.nio.file.Path): List[JValue] =
     if (!java.nio.file.Files.exists(f)) Nil
     else JsonMethods.parse(java.nio.file.Files.readString(f)) match {
@@ -192,7 +403,8 @@ object IndexRegistry {
       case _          => Nil
     }
 
-  private def append(spark: SparkSession, entry: JValue): Unit =
+  private def append(spark: SparkSession, entry: JValue,
+                     expectPrev: Option[String] = None): Unit =
     file(spark).foreach { f => lock.synchronized {
       // idempotent: a re-registration supersedes. Group/seg records key by
       // (kind, basePath, key) — basePath is the STABLE fact path, and one
@@ -205,24 +417,46 @@ object IndexRegistry {
         if (e \ "kind" == JString("ann")) (e \ "kind", JNothing: JValue, e \ "key")
         else (e \ "kind", e \ "basePath", e \ "key")
       val key = keyOf(entry)
-      val kept = readAll(f).filterNot(e => keyOf(e) == key)
+      val all = readAll(f)
+      // registration CAS: a maintainer passes the indexPath it READ as its
+      // merge base; if someone else published meanwhile, this registration
+      // would bless a version missing that maintenance as fresh — refuse
+      // instead (the caller retries from the new current, or declines).
+      // Atomic with the write under the registry file lock.
+      expectPrev.foreach { prev =>
+        all.find(e => keyOf(e) == key).foreach { cur =>
+          val curPath = cur \ "indexPath" match {
+            case JString(p) => p; case o => o.toString }
+          if (curPath != prev)
+            throw new StaleRegistrationException(
+              s"registry moved $prev -> $curPath during maintenance; " +
+                "re-read and retry — registering would lose the other " +
+                "maintainer's work")
+        }
+      }
+      val kept = all.filterNot(e => keyOf(e) == key)
       java.nio.file.Files.createDirectories(f.getParent)
       java.nio.file.Files.writeString(f,
         JsonMethods.compact(JsonMethods.render(JArray(kept :+ entry))))
     }}
 
   /** Durable [[IndexCatalog.register]]: also records (basePath, segCol,
-    * idCol, indexPath) in the warehouse for restart replay. */
+    * idCol, indexPath) in the warehouse for restart replay. Pass `factSig`
+    * when the caller captured the listing BEFORE its maintenance scan (a
+    * concurrent fact change then declines stale at serve — never serves
+    * wrong); `expectPrev` for the maintenance CAS. */
   def registerDurable(spark: SparkSession, basePath: String, segCol: String,
-                      idCol: String, indexPath: String): Unit = {
-    val sig = IndexCatalog.factSignature(spark, basePath)
-    IndexCatalog.register(basePath, segCol, idCol,
-      spark.read.parquet(indexPath), sig)
+                      idCol: String, indexPath: String,
+                      factSig: Option[String] = None,
+                      expectPrev: Option[String] = None): Unit = {
+    val sig = factSig.orElse(IndexCatalog.factSignature(spark, basePath))
     append(spark, JObject(List(
       "kind" -> JString("seg"), "basePath" -> JString(basePath),
       "key" -> JString(s"$segCol/$idCol"), "segCol" -> JString(segCol),
       "idCol" -> JString(idCol), "indexPath" -> JString(indexPath)) ++
-      sig.map(s => "factSig" -> (JString(s): JValue))))
+      sig.map(s => "factSig" -> (JString(s): JValue))), expectPrev)
+    IndexCatalog.register(basePath, segCol, idCol,
+      spark.read.parquet(indexPath), sig)
   }
 
   /** Durable [[IndexCatalog.registerGroup]]. Pass `factSig` when the caller
@@ -233,10 +467,11 @@ object IndexRegistry {
                            sumCols: Seq[String], indexPath: String,
                            distinctCols: Seq[String] = Nil,
                            quantums: Map[String, String] = Map.empty,
-                           factSig: Option[String] = None): Unit = {
+                           factSig: Option[String] = None,
+                           expectPrev: Option[String] = None): Unit = {
     val sig = factSig.orElse(IndexCatalog.factSignature(spark, basePath))
-    IndexCatalog.registerGroup(basePath, groupCols, explodedCols, sumCols,
-      spark.read.parquet(indexPath), distinctCols, sig, quantums)
+    // durable append FIRST: its CAS may refuse, and the in-memory catalog
+    // must not have adopted a registration the registry rejected
     append(spark, JObject(List(
       "kind" -> JString("group"), "basePath" -> JString(basePath),
       "key" -> JString(groupCols.sorted.mkString(",")),
@@ -247,7 +482,9 @@ object IndexRegistry {
       "indexPath" -> JString(indexPath),
       "quantums" -> JObject(quantums.toList.map {
         case (k, v) => k -> (JString(v): JValue) })) ++
-      sig.map(s => "factSig" -> (JString(s): JValue))))
+      sig.map(s => "factSig" -> (JString(s): JValue))), expectPrev)
+    IndexCatalog.registerGroup(basePath, groupCols, explodedCols, sumCols,
+      spark.read.parquet(indexPath), distinctCols, sig, quantums)
   }
 
   /** Durable ANN serving registration ([[graft.server.AnnServe]]): the
@@ -387,7 +624,9 @@ object IndexRegistry {
 
   def refoldDelete(spark: SparkSession, basePath: String,
                    pred: org.apache.spark.sql.Column)
-      : Seq[(String, Boolean)] = {
+      : Seq[(String, Boolean)] = maintLock(basePath) {
+    // records read INSIDE the maintenance lock: the indexPath each refold
+    // starts from must still be the registered one when it re-registers
     val records = file(spark).map(f => lock.synchronized(readAll(f)))
       .getOrElse(Nil)
     def s(v: JValue): String = v match { case JString(x) => x; case o => o.toString }
@@ -397,6 +636,10 @@ object IndexRegistry {
         s(e \ "basePath") == basePath).map { e =>
       val idxPath = s(e \ "indexPath")
       scala.util.Try {
+        // fact listing captured BEFORE the maintenance scan (r14 ADVICE):
+        // registered as the new version's signature, so an out-of-band
+        // fact write landing mid-refold declines stale at serve
+        val preSig = IndexCatalog.factSignatureFast(spark, basePath)
         if (s(e \ "kind") == "group") {
           val groupCols = arr(e \ "groupCols")
           val quantums = e \ "quantums" match {
@@ -412,7 +655,9 @@ object IndexRegistry {
             spark, idxPath, translated, groupCols)
           registerGroupDurable(spark, basePath, groupCols,
             arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), next,
-            arr(e \ "distinctCols"), quantums)
+            arr(e \ "distinctCols"), quantums, factSig = preSig,
+            expectPrev = Some(idxPath))
+          reapVersions(spark, next)
         } else {
           // segment (roaring) index: one row per seg value — a delete
           // keyed on the seg column drops whole rows, the same
@@ -443,14 +688,14 @@ object IndexRegistry {
               s"${(refs - segCol).mkString(", ")}")
           filtered.withColumnRenamed(segCol, "seg")
             .write.mode("overwrite").parquet(next)
-          registerDurable(spark, basePath, segCol, s(e \ "idCol"), next)
+          registerDurable(spark, basePath, segCol, s(e \ "idCol"), next,
+            factSig = preSig, expectPrev = Some(idxPath))
+          reapVersions(spark, next)
         }
       } match {
         case scala.util.Success(_) => (idxPath, true)
         case scala.util.Failure(ex) =>
-          System.err.println(s"[refoldDelete] $idxPath NOT refolded " +
-            s"(declines stale until rebuilt): ${ex.getMessage}")
-          (idxPath, false)
+          refuseOrRebuild(spark, basePath, e, idxPath, ex, "refoldDelete")
       }
     }
   }
@@ -500,7 +745,7 @@ object IndexRegistry {
     * and the index declines stale, never serves wrong. */
   def refoldMutation(spark: SparkSession, basePath: String,
                      touched: org.apache.spark.sql.DataFrame)
-      : Seq[(String, Boolean)] = {
+      : Seq[(String, Boolean)] = maintLock(basePath) {
     val records = file(spark).map(f => lock.synchronized(readAll(f)))
       .getOrElse(Nil)
     def s(v: JValue): String = v match { case JString(x) => x; case o => o.toString }
@@ -527,9 +772,80 @@ object IndexRegistry {
       } match {
         case scala.util.Success(_) => (idxPath, true)
         case scala.util.Failure(ex) =>
-          System.err.println(s"[refoldMutation] $idxPath NOT refolded " +
-            s"(declines stale until rebuilt): ${ex.getMessage}")
-          (idxPath, false)
+          refuseOrRebuild(spark, basePath, e, idxPath, ex, "refoldMutation")
+      }
+    }
+  }
+
+  /** APPEND-FOLD over the durable registrations of one fact path — the
+    * concurrent-safe operational form of [[graft.index.GroupIndex
+    * .appendDelta]]: `publishFacts` (the caller's fact-file append, e.g. a
+    * parquet batch write into `basePath`) runs INSIDE the per-table
+    * [[maintLock]] together with every index fold and its registration, so
+    * a [[refoldMutation]] can never land between the fact publish and the
+    * fold (it would recompute the touched combos from facts that already
+    * include the batch, and the fold would then add the batch AGAIN —
+    * serialization is what makes the two maintenance algebras compose).
+    * Group indexes fold with the merge algebra (quantum key columns derived
+    * on the batch with each registration's RECORDED timezone); segment
+    * (roaring) indexes OR-merge the batch's per-seg bitmap delta — exact
+    * for append-only ids. Each index re-registers with the post-publish
+    * fact signature and the CAS guard, then reaps versions older than the
+    * previous. Returns (indexPath, folded?) per registration; a failed fold
+    * declines stale, never serves wrong. */
+  def foldAppend(spark: SparkSession, basePath: String,
+                 rows: org.apache.spark.sql.DataFrame,
+                 publishFacts: () => Unit = () => ())
+      : Seq[(String, Boolean)] = maintLock(basePath) {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Literal, TruncTimestamp}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    publishFacts()
+    val records = file(spark).map(f => lock.synchronized(readAll(f)))
+      .getOrElse(Nil)
+    def s(v: JValue): String = v match { case JString(x) => x; case o => o.toString }
+    def arr(v: JValue): Seq[String] =
+      v match { case JArray(xs) => xs.map(s); case _ => Nil }
+    records.filter(e => Set("group", "seg")(s(e \ "kind")) &&
+        normBase(s(e \ "basePath")) == normBase(basePath)).map { e =>
+      val idxPath = s(e \ "indexPath")
+      scala.util.Try {
+        val preSig = IndexCatalog.factSignatureFast(spark, basePath)
+        if (s(e \ "kind") == "group") {
+          val groupCols = arr(e \ "groupCols")
+          val quantums = e \ "quantums" match {
+            case JObject(fields) => fields.collect {
+              case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
+          val withKeys = deriveQuantumKeys(spark, rows, groupCols, quantums)
+          val next = graft.index.GroupIndex.appendDelta(withKeys, groupCols,
+            arr(e \ "sumCols"), idxPath, arr(e \ "distinctCols"))
+          registerGroupDurable(spark, basePath, groupCols,
+            arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), next,
+            arr(e \ "distinctCols"), quantums, factSig = preSig,
+            expectPrev = Some(idxPath))
+          reapVersions(spark, next)
+        } else {
+          val segCol = s(e \ "segCol"); val idCol = s(e \ "idCol")
+          val next = nextVersionOf(idxPath)
+          IndexRewrite.suppress {
+            val delta = graft.index.Bitmap.segmentIndex(rows, segCol, idCol)
+            val old = spark.read.parquet(idxPath)
+            old.unionByName(delta)
+              .groupBy("seg")
+              .agg(graft.index.Bitmap.bitmapOrAgg(spark, "`bm`").as("bm"))
+              .write.mode("overwrite").parquet(next)
+          }
+          registerDurable(spark, basePath, segCol, idCol, next,
+            factSig = preSig, expectPrev = Some(idxPath))
+          reapVersions(spark, next)
+        }
+      } match {
+        case scala.util.Success(_) => (idxPath, true)
+        case scala.util.Failure(ex) =>
+          refuseOrRebuild(spark, basePath, e, idxPath, ex, "foldAppend")
       }
     }
   }
@@ -539,6 +855,102 @@ object IndexRegistry {
     indexPath match {
       case Versioned(st, v) => s"$st.v${v.toLong + 1}"
       case p                => s"$p.v1"
+    }
+  }
+
+  /** Materialize each quantum key column of `groupCols` on `df` with its
+    * REGISTERED timezone (the build's truncation, not the session's) —
+    * shared by the fold/rebuild paths. */
+  private def deriveQuantumKeys(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      quantums: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Literal, TruncTimestamp}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    groupCols.flatMap(k => QuantumKeys.parseQuantum(k).map(k -> _))
+      .foldLeft(df) { case (acc, (k, (isStr, unit, ts))) =>
+        val tz = quantums.getOrElse(k,
+          spark.sessionState.conf.sessionLocalTimeZone)
+        val ex =
+          if (isStr) DateFormatClass(UnresolvedAttribute(ts),
+            Literal(UTF8String.fromString(
+              graft.index.GroupIndex.strPatterns(unit)), StringType),
+            Some(tz))
+          else TruncTimestamp(
+            Literal(UTF8String.fromString(unit), StringType),
+            UnresolvedAttribute(ts), Some(tz))
+        acc.withColumn(k, org.apache.spark.sql.graftshim.Shim.column(ex))
+      }
+  }
+
+  /** O(corpus) rebuild of ONE registered index from its fact table —
+    * the recovery every refusal path can fall back to. Registers the new
+    * version with the pre-scan fact signature and the CAS guard; caller
+    * holds [[maintLock]]. */
+  private def rebuildRecord(spark: SparkSession, basePath: String,
+                            e: JValue): String = {
+    def s(v: JValue): String =
+      v match { case JString(x) => x; case o => o.toString }
+    def arr(v: JValue): Seq[String] =
+      v match { case JArray(xs) => xs.map(s); case _ => Nil }
+    val idxPath = s(e \ "indexPath")
+    val next = nextVersionOf(idxPath)
+    val preSig = IndexCatalog.factSignatureFast(spark, basePath)
+    if (s(e \ "kind") == "group") {
+      val groupCols = arr(e \ "groupCols")
+      val quantums = e \ "quantums" match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+      IndexRewrite.suppress {
+        graft.index.GroupIndex.build(
+          deriveQuantumKeys(spark, spark.read.parquet(basePath), groupCols,
+            quantums),
+          groupCols, arr(e \ "sumCols"), arr(e \ "distinctCols"))
+          .write.mode("overwrite").parquet(next)
+      }
+      registerGroupDurable(spark, basePath, groupCols,
+        arr(e \ "explodedCols").toSet, arr(e \ "sumCols"), next,
+        arr(e \ "distinctCols"), quantums, factSig = preSig,
+        expectPrev = Some(idxPath))
+    } else {
+      IndexRewrite.suppress {
+        graft.index.Bitmap.segmentIndex(spark.read.parquet(basePath),
+          s(e \ "segCol"), s(e \ "idCol"))
+          .write.mode("overwrite").parquet(next)
+      }
+      registerDurable(spark, basePath, s(e \ "segCol"), s(e \ "idCol"), next,
+        factSig = preSig, expectPrev = Some(idxPath))
+    }
+    reapVersions(spark, next)
+    next
+  }
+
+  /** Shared refusal handling: with `spark.graft.index.autoRebuild=true` a
+    * refused maintenance falls back to the O(corpus) [[rebuildRecord]] —
+    * the index keeps serving at the rebuild's cost instead of declining
+    * stale indefinitely; otherwise (default) the record is flagged stale
+    * ([[markStale]]) so `/status` and `Advise` surface the needed rebuild. */
+  private def refuseOrRebuild(spark: SparkSession, basePath: String,
+      e: JValue, idxPath: String, ex: Throwable,
+      tag: String): (String, Boolean) = {
+    System.err.println(s"[$tag] $idxPath NOT maintained " +
+      s"(declines stale until rebuilt): ${ex.getMessage}")
+    val auto =
+      spark.conf.get("spark.graft.index.autoRebuild", "false") == "true"
+    if (auto) scala.util.Try(rebuildRecord(spark, basePath, e)) match {
+      case scala.util.Success(next) =>
+        System.err.println(s"[$tag] $idxPath auto-rebuilt -> $next")
+        (idxPath, true)
+      case scala.util.Failure(ex2) =>
+        markStale(spark, basePath, idxPath,
+          s"${ex.getMessage}; auto-rebuild failed: ${ex2.getMessage}")
+        (idxPath, false)
+    } else {
+      markStale(spark, basePath, idxPath, String.valueOf(ex.getMessage))
+      (idxPath, false)
     }
   }
 
@@ -553,6 +965,11 @@ object IndexRegistry {
     import org.apache.spark.sql.functions.{broadcast, col, explode, lit}
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
+    // fact listing captured BEFORE the recompute scan (r14 ADVICE): the new
+    // version registers with THIS signature, so a fact write landing
+    // between capture and registration declines stale at serve instead of
+    // being blessed as fresh
+    val preSig = IndexCatalog.factSignatureFast(spark, basePath)
     val parsedKeys = groupCols.map(k => k -> QuantumKeys.parseQuantum(k))
     // every key's SOURCE column must arrive on `touched`, or the touched
     // combos cannot be identified — refuse, decline stale
@@ -635,7 +1052,9 @@ object IndexRegistry {
             fd => col(fd.name).cast(fd.dataType).as(fd.name)): _*))
           .write.mode("overwrite").parquet(next)
         registerGroupDurable(spark, basePath, groupCols, explodedCols,
-          sumCols, next, distinctCols, quantums)
+          sumCols, next, distinctCols, quantums, factSig = preSig,
+          expectPrev = Some(idxPath))
+        reapVersions(spark, next)
       } finally deltaAll.unpersist(): Unit
     } finally combos.unpersist(): Unit
   }
@@ -708,6 +1127,7 @@ object IndexRegistry {
       idxPath: String, segCol: String, idCol: String,
       touched: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
+    val preSig = IndexCatalog.factSignatureFast(spark, basePath)
     require(touched.columns.contains(segCol),
       s"touched rows missing segment column '$segCol'")
     val rows = touched.select(col(segCol)).distinct().limit(100001).collect()
@@ -729,7 +1149,9 @@ object IndexRegistry {
       .unionByName(rebuilt.select(old.schema.fields.toIndexedSeq.map(
         fd => col(fd.name).cast(fd.dataType).as(fd.name)): _*))
       .write.mode("overwrite").parquet(next)
-    registerDurable(spark, basePath, segCol, idCol, next)
+    registerDurable(spark, basePath, segCol, idCol, next,
+      factSig = preSig, expectPrev = Some(idxPath))
+    reapVersions(spark, next)
   }
 
   /** Replay persisted registrations into the in-memory catalog (and
@@ -1681,14 +2103,24 @@ object IndexRewrite {
             _, _, _, _) =>
           fs.location.rootPaths.map(_.toString)
       }.flatten
+      val autoRefold = scala.util.Try(
+        df.sparkSession.conf.get("spark.graft.index.autoRefold"))
+        .getOrElse("true") != "false"
       paths.filter(IndexCatalog.isRegistered).foreach { p =>
         if (staleWarned.add(p))
-          System.err.println(s"[graft] mutation touched indexed fact table " +
-            s"$p — its registered index(es) will decline as STALE; for a " +
-            "key-column DELETE run IndexRegistry.refoldDelete, for an " +
-            "UPDATE or row-level delete run IndexRegistry.refoldMutation " +
-            "with the pre+post-image rows, otherwise rebuild or " +
-            "re-register the index (docs/DEPLOY.md)")
+          System.err.println(
+            if (autoRefold)
+              s"[graft] mutation touched indexed fact table $p — " +
+                "merge-on-read answers from facts until the next " +
+                "compaction auto-refolds + rebinds the index(es) " +
+                "(immediate with spark.graft.index.writeThrough=true)"
+            else
+              s"[graft] mutation touched indexed fact table " +
+                s"$p — its registered index(es) will decline as STALE; for a " +
+                "key-column DELETE run IndexRegistry.refoldDelete, for an " +
+                "UPDATE or row-level delete run IndexRegistry.refoldMutation " +
+                "with the pre+post-image rows, otherwise rebuild or " +
+                "re-register the index (docs/DEPLOY.md)")
       }
     } catch { case _: Exception => () }
 

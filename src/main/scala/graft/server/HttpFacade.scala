@@ -79,16 +79,25 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
       // statement injection on the operator's replay. The ua additionally
       // drops ']' so it can never terminate the bracketed field early and
       // shift the path/body columns the parser splits on.
+      // ',' is ALSO stripped from the non-body fields (ip/ua/user): the
+      // access line is comma-split by Advise.parseLog, so a display name
+      // like `x, SELECT …` would shift the parsed columns and prefix forged
+      // text into the query body (the no-execute guards cap the impact at
+      // recommendation skew — but the forgery shouldn't parse at all)
       def clean(s: String) = s.replace("\n", "").replace("\r", "")
-      val ip = clean(Option(ex.getRemoteAddress)
+      def cleanField(s: String) = clean(s).replace(",", "")
+      val ip = cleanField(Option(ex.getRemoteAddress)
         .flatMap(a => Option(a.getAddress)).map(_.getHostAddress)
         .getOrElse(""))
-      val ua = clean(Option(ex.getRequestHeaders.getFirst("User-Agent"))
+      val ua = cleanField(Option(ex.getRequestHeaders.getFirst("User-Agent"))
         .getOrElse("")).replace("]", "")
+      // the BODY is the line's LAST comma-split field — its commas are real
+      // query text and parse fine; only newlines are stripped there
       val body = (if (index.nonEmpty) s"[$index]" else "") + clean(q)
-      System.err.println(s"HTTP: $ip, [$ua], ${ex.getRequestURI.getPath}, " +
-        s"${user.map(u => clean(u.userId)).getOrElse("")}, " +
-        s"${user.map(u => clean(u.userName)).getOrElse("")}, $body")
+      System.err.println(
+        s"HTTP: $ip, [$ua], ${cleanField(ex.getRequestURI.getPath)}, " +
+        s"${user.map(u => cleanField(u.userId)).getOrElse("")}, " +
+        s"${user.map(u => cleanField(u.userName)).getOrElse("")}, $body")
     }
 
   /** `reference/http_handler.go:1062-1077` filterSchema: with auth on,
@@ -801,7 +810,17 @@ final class HttpFacade(spark: SparkSession, dir: String, port: Int,
         // node uri block: the Go client's Status()/fetchPrimaryNode
         // (`client.go:629-648`, StatusNode `client.go:1643-1654`) routes
         // every primary-bound request through it
-        s"""{"state":"NORMAL","nodes":[{"id":"local","state":"STARTED","isPrimary":true,"uri":$nodeUri}],"localID":"local","clusterName":"graft"}"""
+        // staleIndexes (graft extension): registrations whose maintenance
+        // was refused and that decline serving until rebuilt — surfaced
+        // here so an operator sees the needed rebuild without tailing
+        // stderr (the reference has no analogous hazard; its fragments ARE
+        // the storage)
+        val stale = graft.plans.IndexRegistry.staleRecords(spark).map {
+          case (kind, bp, key, idx, reason) =>
+            s"""{"kind":${js(kind)},"basePath":${js(bp)},"key":${js(key)},""" +
+              s""""indexPath":${js(idx)},"reason":${js(reason)}}"""
+        }.mkString("[", ",", "]")
+        s"""{"state":"NORMAL","nodes":[{"id":"local","state":"STARTED","isPrimary":true,"uri":$nodeUri}],"localID":"local","clusterName":"graft","staleIndexes":$stale}"""
       }
     })
     // The single-node answers to the Go client's shard-routing probes:

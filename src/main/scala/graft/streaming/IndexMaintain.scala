@@ -110,47 +110,87 @@ object IndexMaintain {
                 indexStem: String, groupCols: Seq[String],
                 sumCols: Seq[String], distinctCols: Seq[String],
                 state: State,
-                quantums: Seq[GroupIndex.Quantum] = Nil): Unit = {
+                quantums: Seq[GroupIndex.Quantum] = Nil): Unit =
+    // the WHOLE publish→fold→register→reap sequence holds the per-table
+    // maintenance lock (r14 VERDICT #1): an operator refoldMutation racing
+    // this fold would otherwise clobber the same next version — or land
+    // between the fact publish and the fold, recompute the touched combos
+    // from facts that already include the batch, and have the fold add the
+    // batch AGAIN. Serialized, the two algebras compose.
+    IndexRegistry.maintLock(factDir) {
     val spark = batch.sparkSession
     publishFactBatch(batch, batchId, factDir)
     val withQ = GroupIndex.withQuantums(batch, quantums)
     val next = s"$indexStem.b$batchId"
     val (fs, nextPath) = fsFor(spark, next)
-    if (!fs.exists(new Path(nextPath, "_SUCCESS"))) {
-      // thread-local suppression (foreachBatch plans on this thread):
-      // concurrent serving queries keep the rewrite; no shared conf to race
-      graft.plans.IndexRewrite.suppress {
-        val delta = GroupIndex.build(withQ, groupCols, sumCols, distinctCols)
-        state.current.get() match {
-          case Some(cur) =>
-            GroupIndex.merge(spark.read.parquet(cur), delta, groupCols,
-              sumCols, distinctCols).write.mode("overwrite").parquet(next)
-          case None =>
-            delta.write.mode("overwrite").parquet(next)
+    // reconcile with the durable registry INSIDE the lock: an external
+    // maintainer (refoldMutation/refoldDelete after a mutation) publishes
+    // `.b<id>.v<k>` versions this stream's own State chain never sees —
+    // folding onto the stale State base would silently drop its
+    // corrections, and re-registering would bless the loss as fresh
+    val registryCur = IndexRegistry.currentIndexPath(spark, factDir, groupCols)
+    val stateCur = state.current.get()
+    val committed = fs.exists(new Path(nextPath, "_SUCCESS"))
+    if (committed && registryCur.exists(rc =>
+        rc != next && rc.startsWith(next + "."))) {
+      // replay of a batch that was folded AND then refolded on top: the
+      // registry version is fresher and already contains this batch — adopt
+      state.current.set(registryCur)
+    } else {
+      val mergeBase = registryCur.orElse(stateCur)
+      if (!committed) {
+        // thread-local suppression (foreachBatch plans on this thread):
+        // concurrent serving queries keep the rewrite; no shared conf race
+        graft.plans.IndexRewrite.suppress {
+          val delta = GroupIndex.build(withQ, groupCols, sumCols, distinctCols)
+          mergeBase match {
+            case Some(cur) =>
+              GroupIndex.merge(spark.read.parquet(cur), delta, groupCols,
+                sumCols, distinctCols).write.mode("overwrite").parquet(next)
+            case None =>
+              delta.write.mode("overwrite").parquet(next)
+          }
+        }
+      } else if (registryCur.isDefined && registryCur != stateCur) {
+        // CRASH CORNER: this batch committed its fold, but an external
+        // maintainer published since the fold's base was read (crash
+        // between commit and registration) — the committed version may
+        // lack the external corrections and there is no record of which
+        // base it folded from. Facts are the unambiguous truth: rebuild
+        // this version from them. Paid only on this (restart + lost-race)
+        // corner, never in steady state.
+        graft.plans.IndexRewrite.suppress {
+          GroupIndex.build(
+            GroupIndex.withQuantums(spark.read.parquet(factDir), quantums),
+            groupCols, sumCols, distinctCols)
+            .write.mode("overwrite").parquet(next)
         }
       }
+      val prev = state.current.getAndSet(Some(next))
+      // ONE post-publish fact listing serves both the catalog's freshness
+      // fingerprint and the durable record (registerGroupDurable would
+      // otherwise re-list per batch — measurable at high fact-file counts)
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      IndexRegistry.registerGroupDurable(spark, factDir, groupCols,
+        GroupIndex.explodedCols(withQ, groupCols), sumCols, next, distinctCols,
+        quantums = quantums.map(q => q.name -> tz).toMap,
+        factSig = IndexCatalog.factSignatureFast(spark, factDir),
+        expectPrev = registryCur)
+      IndexRewrite.install(spark)
+      // keep current + previous (which may be an externally refolded
+      // `.b<k>.v<j>` adopted above); reclaim anything older (posix: files
+      // already open to an in-flight query stay readable until close)
+      val stemPath = new Path(indexStem)
+      val parent = stemPath.getParent
+      val base = stemPath.getName
+      val keep = Set(Some(next), prev, registryCur).flatten
+        .map(p => new Path(p).getName)
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).toSeq
+          .filter(st => st.getPath.getName.startsWith(base + ".b") &&
+            !keep(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
     }
-    val prev = state.current.getAndSet(Some(next))
-    // ONE post-publish fact listing serves both the catalog's freshness
-    // fingerprint and the durable record (registerGroupDurable would
-    // otherwise re-list per batch — measurable at high fact-file counts)
-    val tz = spark.sessionState.conf.sessionLocalTimeZone
-    IndexRegistry.registerGroupDurable(spark, factDir, groupCols,
-      GroupIndex.explodedCols(withQ, groupCols), sumCols, next, distinctCols,
-      quantums = quantums.map(q => q.name -> tz).toMap,
-      factSig = IndexCatalog.factSignatureFast(spark, factDir))
-    IndexRewrite.install(spark)
-    // keep current + previous; reclaim anything older (posix: files already
-    // open to an in-flight query stay readable until its handles close)
-    val stemPath = new Path(indexStem)
-    val parent = stemPath.getParent
-    val base = stemPath.getName
-    val keep = Set(Some(next), prev).flatten.map(p => new Path(p).getName)
-    if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).toSeq
-        .filter(st => st.getPath.getName.startsWith(base + ".b") &&
-          !keep(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Stage-then-publish the batch's rows into the flat fact parquet dir

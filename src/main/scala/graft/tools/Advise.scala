@@ -74,7 +74,19 @@ object Advise {
     //    BULK INSERT/…, which GraftSql.sql RUNS eagerly) are skipped the
     //    same way PQL writes are — replaying a production /sql log must
     //    never mutate the operator's tables.
-    val analyzable = Set("Count", "GroupBy", "TopN", "TopK", "Distinct", "Rows")
+    // every read call verified LAZY in the compiler (plan-building only, no
+    // action at compile): the aggregates/readers plus the whole bitmap
+    // algebra (a top-level bitmap call compiles to `toIds(...).orderBy`).
+    // Excluded on purpose: Percentile (driver-side Count bisection AT
+    // COMPILE), ExternalLookup (reaches an external engine), Apply (ivy
+    // coordinator reduce), and Options (compiles its WRAPPED call, which
+    // could be any of those three).
+    val analyzable = Set(
+      "Count", "GroupBy", "TopN", "TopK", "Distinct", "Rows",
+      "Sum", "Min", "Max", "MinRow", "MaxRow", "Sort", "Extract",
+      "FieldValue", "IncludesColumn", "Arrow",
+      "Row", "Range", "Intersect", "Union", "Difference", "Xor", "Not",
+      "All", "Shift", "ConstRow", "UnionRows", "Limit")
     // candidates carry the query's HIT COUNT from the log (1 for ad-hoc
     // input): recommendations rank by the traffic they serve, so operators
     // build highest-traffic first
@@ -168,6 +180,17 @@ object Advise {
           graft.plans.IndexAdvisor.materializeSeg(spark, r, p)
           out ++= s"built + registered: $p\n"
         }
+      }
+    }
+    // registrations whose maintenance was refused decline serving until
+    // rebuilt — the advisor report is the second operator surface (after
+    // the facade's /status) where that must be visible
+    val stale = graft.plans.IndexRegistry.staleRecords(spark)
+    if (stale.nonEmpty) {
+      out ++= s"\n${stale.size} STALE registration(s) — declining until " +
+        "rebuilt (Advise --build, or spark.graft.index.autoRebuild=true):\n"
+      stale.foreach { case (k, bp, key, idx, reason) =>
+        out ++= s"  [$k] $bp ($key) -> $idx: $reason\n"
       }
     }
     out.toString
