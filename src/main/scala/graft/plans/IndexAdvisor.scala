@@ -59,31 +59,36 @@ object IndexAdvisor {
                                   sumCols: Seq[String],
                                   distinctCols: Seq[String],
                                   covers: Seq[Int]) {
-    /** Human/report rendering with the build recipe — including a LAYOUT
-      * hint when the key set is refold-unfriendly: delta-refold maintenance
-      * prunes the fact rescan by parquet row-group stats on the touched key
-      * values, which only shrinks IO if the layout CLUSTERS by a key.
-      * Quantum keys get that for free (facts arrive roughly time-ordered);
-      * scalar keys don't unless the table is laid out by one — the
-      * difference measured at 1B rows is a 1.96 s point-update refold
-      * (day-quantum key, time-clustered) vs 51.4 s (scalar keys,
-      * unclustered = the full rebuild-aggregation bound). */
+    /** Human/report rendering with the build recipe (one line — the
+      * report appends per-line suffixes like the traffic share). */
     def render: String = {
       val qs = groupCols.filter(parseQuantum(_).isDefined)
-      val scalars = groupCols.filterNot(parseQuantum(_).isDefined)
       s"GroupIndex over $basePath: groupCols=${groupCols.mkString("[", ",", "]")}" +
         (if (explodedCols.nonEmpty) s" exploded=${explodedCols.mkString("[", ",", "]")}" else "") +
         s" sumCols=${sumCols.mkString("[", ",", "]")}" +
         (if (distinctCols.nonEmpty) s" distinctCols=${distinctCols.mkString("[", ",", "]")}" else "") +
         (if (qs.nonEmpty) s" quantums=${qs.mkString("[", ",", "]")}" else "") +
-        s" — serves queries ${covers.mkString("#", ", #", "")}" +
-        (if (qs.isEmpty && scalars.nonEmpty)
-          s"\n    layout hint: no quantum key — point-mutation refolds " +
-            s"rescan the full table unless the fact layout clusters by a " +
-            s"key (repartitionByRange('${scalars.head}') + " +
-            "sortWithinPartitions at write time makes the refold prune " +
-            "row groups; 1B measured: clustered 1.96 s vs unclustered 51.4 s)"
-        else "")
+        s" — serves queries ${covers.mkString("#", ", #", "")}"
+    }
+
+    /** LAYOUT hint when the key set is refold-unfriendly: delta-refold
+      * maintenance prunes the fact rescan by parquet row-group stats on the
+      * touched key values, which only shrinks IO if the layout CLUSTERS by
+      * a key. Quantum keys get that for free (facts arrive roughly
+      * time-ordered); scalar keys don't unless the table is laid out by one
+      * — the difference measured at 1B rows is a 1.96 s point-update refold
+      * (day-quantum key, time-clustered) vs 51.4 s (scalar keys,
+      * unclustered = the full rebuild-aggregation bound). */
+    def layoutHint: Option[String] = {
+      val qs = groupCols.filter(parseQuantum(_).isDefined)
+      val scalars = groupCols.filterNot(parseQuantum(_).isDefined)
+      if (qs.isEmpty && scalars.nonEmpty)
+        Some(s"layout hint: no quantum key — point-mutation refolds " +
+          s"rescan the full table unless the fact layout clusters by a " +
+          s"key (repartitionByRange('${scalars.head}') + " +
+          "sortWithinPartitions at write time makes the refold prune " +
+          "row groups; 1B measured: clustered 1.96 s vs unclustered 51.4 s)")
+      else None
     }
   }
 

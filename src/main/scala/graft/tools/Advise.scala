@@ -160,7 +160,10 @@ object Advise {
       out ++= "no index-able queries in the workload\n"
     else {
       out ++= s"\n${recs.size + segRecs.size} recommendation(s):\n"
-      recs.foreach(r => out ++= "  " + r.render + share(r.covers) + "\n")
+      recs.foreach { r =>
+        out ++= "  " + r.render + share(r.covers) + "\n"
+        r.layoutHint.foreach(h => out ++= "    " + h + "\n")
+      }
       segRecs.foreach(r => out ++= "  " + r.render + share(r.covers) + "\n")
       buildDir.foreach { dir =>
         recs.zipWithIndex.foreach { case (r, i) =>

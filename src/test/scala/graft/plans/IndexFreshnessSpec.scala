@@ -114,8 +114,12 @@ class IndexFreshnessSpec extends SparkSpec {
         .write(graft.pql.Parser.parseOne("Delete(Row(event_type='click'))"))
         .count(): Unit
     }
+    // autoRefold defaults on: the warning names the merge-on-read window
+    // (facts answer until the next compaction refolds + rebinds); with it
+    // off the message names the STALE decline instead — accept either
     assert(out.contains("mutation touched indexed fact table") &&
-      out.contains("STALE"), s"expected immediate warning, got: '$out'")
+      (out.contains("auto-refolds") || out.contains("STALE")),
+      s"expected immediate warning, got: '$out'")
     // once per path: a second write over the same facts stays quiet
     val out2 = capturing {
       new graft.pql.Compiler(factsDf)

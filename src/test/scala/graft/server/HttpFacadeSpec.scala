@@ -1153,10 +1153,11 @@ class HttpFacadeSpec extends SparkSpec {
         HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
     } finally spark.conf.unset("spark.graft.queryLog")
     val line = out.linesIterator.find(_.startsWith("HTTP: ")).getOrElse("")
-    // the payload's own ']' is stripped, so the whole payload stays INSIDE
+    // the payload's own ']' AND its commas are stripped (commas would shift
+    // parseLog's comma-split columns), so the whole payload stays INSIDE
     // the ua field — the first ']' on the line is the format's own closer,
     // placed AFTER the forged statement
-    assert(line.contains("k6, /sql, , , DROP TABLE events]"), line)
+    assert(line.contains("k6 /sql   DROP TABLE events]"), line)
     assert(line.indexOf("]") > line.indexOf("DROP TABLE events"), line)
     val parsed = graft.tools.Advise.parseLog(out.linesIterator.toSeq)
     assert(!parsed.exists(_._3.contains("DROP TABLE")), parsed.toString)
