@@ -56,6 +56,23 @@ object EngineConf {
     // its posting side rides a reused non-shuffle child no splitter can
     // act on.)
     "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    // InferFiltersFromGenerate adds `isnotnull(arr) AND size(arr) > 0`
+    // below every explode of a plain attribute. For an inner (non-outer)
+    // explode those predicates are REDUNDANT — the Generate itself emits
+    // nothing for null/empty arrays — and when the attribute is a DERIVED
+    // column (documents.words = distinct-tokens-of-text, the engine's
+    // STRINGSET surface) predicate pushdown inlines the derivation into the
+    // inferred filter, so the tokenize expression runs THREE times per row
+    // (twice in the filter, once in the projection) instead of once —
+    // measured as the dominant per-row cost of every set-field GroupBy/
+    // TopK/Rows over documents. Excluding the rule drops only those
+    // inferred conjuncts (user-written predicates are untouched), and
+    // IndexRewrite never depended on them (impliedByExplode exists to DROP
+    // them when matching). The lost upside — pushing IsNotNull on a real
+    // parquet array column into the scan — prunes only all-null row
+    // groups, which none of the engine's set columns produce.
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     // Materialize.stable's reliable tier writes Dataset.checkpoint files
     // under spark.graft.checkpointDir on the serving path (bm25, Ivy,
     // Compiler, TableLog); Spark never deletes reliable checkpoint data on

@@ -70,10 +70,19 @@ object Tables {
     val withId = idExpr(name).map(e => base.withColumn("_id", e)).getOrElse(base)
     name match {
       case "documents" =>
-        // STRINGSET semantics: per-record set of distinct words.
+        // STRINGSET semantics: per-record set of distinct words. Derived
+        // via the native single-pass [[graft.functions.WordShingles]] with
+        // n=1 — bit-identical to array_distinct(filter(split(text, " "),
+        // _ =!= "")) (split on single space, drop empties, first-occurrence
+        // order) but ONE codegen'd pass instead of three interpreted HOF
+        // passes (split + per-element lambda filter + array_distinct) per
+        // evaluation; at corpus scale the tokenize is the dominant per-row
+        // cost of every set-field query over documents.
         withId.withColumn(
           "words",
-          array_distinct(filter(split(col("text"), " "), w => w =!= "")))
+          org.apache.spark.sql.graftshim.Shim.column(
+            graft.functions.WordShingles(
+              org.apache.spark.sql.graftshim.Shim.expression(col("text")), 1)))
       case _ => withId
     }
   }

@@ -54,6 +54,59 @@ object DedupExpressions {
     new GenericArrayData(out)
   }
 
+  /** n-token gram hashes with 1-based start positions (see [[GramHashes]]):
+    * per start i, the 48-bit poly hash of tokens i..i+n-1 joined by the US
+    * separator (code point 31) — bit-identical to
+    * `polyHash(concat_ws("", slice(ts, i, n)), FpMod)` but each
+    * token's UTF-8 decodes to code points ONCE per document (not once per
+    * covering gram), and no per-gram slice array / joined string / lambda
+    * interpreter frame is allocated. Null tokens are skipped exactly as
+    * concat_ws skips them (no separator contribution). */
+  def gramHashes(ts: ArrayData, n: Int, mod: Long): ArrayData = {
+    val m = ts.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    // decode every token once; null tokens decode to null (skipped below)
+    val cps = new Array[Array[Int]](m)
+    var i = 0
+    while (i < m) {
+      if (!ts.isNullAt(i)) {
+        val s = ts.getUTF8String(i).toString
+        val arr = new Array[Int](s.codePointCount(0, s.length))
+        var k = 0
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          arr(k) = cp; k += 1
+          j += Character.charCount(cp)
+        }
+        cps(i) = arr
+      }
+      i += 1
+    }
+    val cnt = m - n + 1
+    val out = new Array[Any](cnt)
+    var st = 0
+    while (st < cnt) {
+      var acc = 0L
+      var first = true
+      var t = 0
+      while (t < n) {
+        val a = cps(st + t)
+        if (a != null) { // concat_ws skips nulls AND their separator
+          if (!first) acc = (acc * 31 + 31) % mod // '' is cp 31
+          first = false
+          var j = 0
+          while (j < a.length) { acc = (acc * 31 + a(j)) % mod; j += 1 }
+        }
+        t += 1
+      }
+      out(st) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](st + 1, acc))
+      st += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Packed band bucket keys of a k-long signature (see [[BandKeys]]). */
   def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
     val out = new Array[Long](bands)
@@ -129,6 +182,31 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.DedupExpressions.shingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** `gram_hashes(tokens)` — array<struct<pos:int, gh:bigint>> of n-token
+  * gram hashes, codegen'd. The HOF formulation (`transform(sequence(...),
+  * i => struct(i, poly_hash(concat_ws(slice(ts, i, n)))))`) allocates a
+  * slice array + a joined string per gram and runs the lambda interpreter
+  * per gram; this is one primitive pass per document with each token
+  * decoded once (see [[DedupExpressions.gramHashes]]). */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("gh", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "gram_hashes"
+  override protected def nullSafeEval(ts: Any): Any =
+    DedupExpressions.gramHashes(ts.asInstanceOf[ArrayData], n, Text.FpMod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DedupExpressions.gramHashes($c, $n, ${Text.FpMod}L)")
+  override protected def withNewChildInternal(c: Expression): GramHashes =
     copy(child = c)
 }
 

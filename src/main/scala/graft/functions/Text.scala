@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenizer; drops empty tokens. */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+  /** Whitespace tokenizer; drops empty tokens. Native single-pass
+    * [[Tokens]] — value-identical to `filter(split(text, " "), _ =!= "")`
+    * but without the interpreted per-element lambda (HOF lambdas run the
+    * expression interpreter per array element; on a corpus the tokenizer
+    * IS the scan cost) or the regex engine behind `split`. */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(Tokens(Shim.expression(text)))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

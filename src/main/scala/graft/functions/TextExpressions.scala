@@ -37,6 +37,27 @@ object TextExpressions {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Whitespace tokens (split on single space, drop empties) in one native
+    * pass — value-identical to `filter(split(text, " "), w => w =!= "")`
+    * (Java's limit-0 split drops only TRAILING empties, which the filter
+    * drops anyway; interior/leading empties are dropped here explicitly),
+    * but without the interpreted per-element lambda or the regex engine.
+    * See [[Tokens]]. */
+  def tokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val raw = s.toString.split(" ")
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) m += 1; i += 1 }
+    val out = new Array[Any](m)
+    var k = 0
+    i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { out(k) = UTF8String.fromString(raw(i)); k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Occurrence count of the most frequent whitespace token — one pass and
     * one hash map. The HOF formulation (`transform(distinct ws, w ->
     * size(filter(ws, _ = w)))`) is O(distinct × total) AND re-evaluates the
@@ -121,6 +142,21 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s =>
       s"graft.functions.TextExpressions.normalizeText($s)")
   override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(child = c)
+}
+
+/** `graft_tokens(s)` — whitespace tokens, codegen'd single pass (see
+  * [[TextExpressions.tokens]]). */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+  override protected def nullSafeEval(s: Any): Any =
+    TextExpressions.tokens(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.TextExpressions.tokens($s)")
+  override protected def withNewChildInternal(c: Expression): Tokens =
     copy(child = c)
 }
 

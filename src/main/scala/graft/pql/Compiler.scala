@@ -790,7 +790,22 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     // one pass: bounds + total + cardinality estimate picks the regime
     val stats = vals.agg(min("v"), max("v"), count(lit(1)),
       approx_count_distinct(col("v"))).head()
-    if (stats.isNullAt(0)) return Seq.empty[Long].toDF("val")
+    // empty filtered set: ONE NULL row, not zero rows — the bisection's
+    // degenerate answer is "no value", and the oracle's recursive replay
+    // (first step: dg=0 → v=mx=NULL, done) emits exactly one NULL row.
+    // (Found at sf0.001, where sql_percentile's retailprice filter matches
+    // nothing: Spark returned 0 rows vs the oracle's 1.)
+    if (stats.isNullAt(0)) {
+      val nullDf = Seq[Option[Long]](None).toDF("raw")
+      return fieldType match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          nullDf.select(col("raw")
+            .cast(org.apache.spark.sql.types.DecimalType(38, d.scale)).as("val"))
+        case org.apache.spark.sql.types.TimestampType =>
+          nullDf.select(timestamp_micros(col("raw")).as("val"))
+        case _ => nullDf.select(col("raw").as("val"))
+      }
+    }
     val (lo, hi, total, distinctEst) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
     val maxCdf = spark.conf.getOption("spark.graft.percentile.maxCdf")

@@ -47,6 +47,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("native GramHashes matches the HOF poly_hash(concat_ws(slice)) " +
+    "formulation bit-for-bit (incl. empty/short/multi-space docs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.Shim
+    val texts = Seq(
+      "a b c d e f g", "a a a a a", "one", "", "  double  spaces  x y z ",
+      "unicode é中😀 tail w1 w2 w3 w4",
+      "x y z x y z x y z") ++ (0 until 50).map(i =>
+      Seq.tabulate(12)(j => s"w${(i * 7 + j) % 9}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), Text.tokens(col("text")).as("ts"))
+    val n = 5
+    val native = df.select(col("id"), explode(
+        Shim.column(GramHashes(Shim.expression(col("ts")), n))).as("g"))
+      .select(col("id"), col("g.pos"), col("g.gh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val hof = df.select(col("id"), explode(
+        when(size(col("ts")) >= n,
+          transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => struct(i.as("pos"), Text.fingerprint(
+              concat_ws("\u001f", slice(col("ts"), i, lit(n)))).as("gh"))))
+          .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))).as("g"))
+      .select(col("id"), col("g.pos"), col("g.gh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native == hof)
+  }
+
+  test("documents.words via WordShingles(text, 1) equals " +
+    "array_distinct(filter(split)) exactly, row by row") {
+    val viaTable = docs.select(col("doc_id"), col("words"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val viaHof = docs.select(col("doc_id"), array_distinct(
+        filter(split(col("text"), " "), w => w =!= "")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(viaTable.keySet == viaHof.keySet)
+    viaTable.foreach { case (id, ws) => assert(ws == viaHof(id), s"doc $id") }
+  }
+
   test("bucketPairScan emits i<j pairs per run, skips over-cap runs") {
     // runs keyed by packed bucket key: 10=[1,2,3] → 3 pairs; 11=[4]
     // singleton → none; 20=[5,6,7,8] over cap 3 → skipped; 21=[9,10] → 1

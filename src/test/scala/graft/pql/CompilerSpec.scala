@@ -79,6 +79,16 @@ class CompilerSpec extends SparkSpec {
     assert(got == 50L)
   }
 
+  test("Percentile over an EMPTY filtered set returns one NULL row (the " +
+    "oracle's recursive replay emits v=NULL, done — not zero rows)") {
+    import spark.implicits._
+    val df = Seq((1L, 7L), (2L, 9L)).toDF("_id", "v")
+    val rows = new Compiler(df)
+      .run(Parser.parseOne("Percentile(Row(v > 1000), field=v, nth=90)"))
+      .collect()
+    assert(rows.length == 1 && rows(0).isNullAt(0), rows.mkString(","))
+  }
+
   test("Percentile nth=0 returns min, nth=100 returns max") {
     import spark.implicits._
     val df = Seq((1L, 7L), (2L, 9L), (3L, 23L)).toDF("_id", "v")

@@ -60,7 +60,12 @@ def main(sf_dir, out_dir):
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 aa = pd.to_numeric(a, errors="coerce")
                 bb = pd.to_numeric(b, errors="coerce")
-                if not ((aa - bb).abs().fillna(0) <= 1e-9 * (1 + bb.abs())).all():
+                # NULL == NULL; a one-sided NULL is a mismatch (the old
+                # fillna(0) both failed both-NaN rows — 0 <= NaN*tol is
+                # False — and silently passed one-sided-NaN rows)
+                both_nan = aa.isna() & bb.isna()
+                close = (aa - bb).abs() <= 1e-9 * (1 + bb.abs())
+                if not (close | both_nan).fillna(False).all():
                     bad = c; break
             else:
                 if not (a.astype(str) == b.astype(str)).all():
