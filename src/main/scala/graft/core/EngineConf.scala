@@ -56,6 +56,14 @@ object EngineConf {
     // its posting side rides a reused non-shuffle child no splitter can
     // act on.)
     "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    // Parquet IN pushdown: above this many values Spark degrades an
+    // In/InSet predicate to a [min, max] range before handing it to
+    // parquet — useless for point-lookup sets spread across the id space
+    // (the ANN rerank's shortlist ids, refold touched-key lists). As an
+    // or-chain, parquet's row-group stats and page column index prune the
+    // scan to the pages actually holding the candidates. 4096 bounds the
+    // left-deep or-chain parquet visitors recurse over (default 10).
+    "spark.sql.parquet.pushdown.inFilterThreshold" -> "4096",
     // InferFiltersFromGenerate adds `isnotnull(arr) AND size(arr) > 0`
     // below every explode of a plain attribute. For an inner (non-outer)
     // explode those predicates are REDUNDANT — the Generate itself emits

@@ -476,6 +476,38 @@ object Similarity {
     * dot before normalization — the residual-IVF-PQ hook ([[ivfPqTopK]]
     * passes the per-cell `q·centroid` term there; codes then only carry
     * the residual, whose quantization error is what's left). */
+  /** The ADC shortlist frame — the ids of the `shortlist` best codes by
+    * approximate score. Factored out of [[pqTopK]] so its plan shape (the
+    * CODE-table-only scan: id, code, vnorm — never the vector column) is
+    * assertable by specs now that pqTopK materializes it eagerly for the
+    * isin rerank. */
+  private[graft] def pqShortlist(codes: DataFrame, idCol: String,
+      tables: Array[Array[Double]], qnorm: Double, shortlist: Int,
+      excludeId: Option[Long], adcOffset: Column): DataFrame = {
+    val adcDot = Shim.column(AdcScore(Shim.expression(col("code")), tables))
+    val base = excludeId.map(e => codes.filter(col(idCol) =!= e))
+      .getOrElse(codes)
+    base
+      .select(col(idCol),
+        ((adcOffset + adcDot) / (col("vnorm") * qnorm)).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(shortlist)
+      .select(idCol)
+  }
+
+  /** Query-side ADC tables: per subspace, the dot product of the query
+    * slice with every codebook centroid. */
+  private[graft] def adcTables(codebooks: Array[Array[Array[Double]]],
+      query: Seq[Float]): Array[Array[Double]] = {
+    val m = codebooks.length
+    val sub = query.size / m
+    val q = query.map(_.toDouble).toArray
+    codebooks.zipWithIndex.map { case (cb, i) =>
+      cb.map(c => c.zip(q.slice(i * sub, (i + 1) * sub))
+        .map { case (a, b) => a * b }.sum)
+    }
+  }
+
   def pqTopK(codes: DataFrame, original: DataFrame, idCol: String,
              vecCol: String, codebooks: Array[Array[Array[Double]]],
              query: Seq[Float], k: Int, shortlist: Int,
@@ -489,27 +521,43 @@ object Similarity {
         s"match query dim ${query.size} / m=$m")
     val q = query.map(_.toDouble).toArray
     val qnorm = math.sqrt(q.map(x => x * x).sum)
-    val tables = codebooks.zipWithIndex.map { case (cb, i) =>
-      cb.map(c => c.zip(q.slice(i * sub, (i + 1) * sub))
-        .map { case (a, b) => a * b }.sum)
-    }
-    val adcDot = Shim.column(AdcScore(Shim.expression(col("code")), tables))
-    val base = excludeId.map(e => codes.filter(col(idCol) =!= e))
-      .getOrElse(codes)
-    val short = base
-      .select(col(idCol),
-        ((adcOffset + adcDot) / (col("vnorm") * qnorm)).as("__adc"))
-      .orderBy(col("__adc").desc, col(idCol).asc)
-      .limit(shortlist)
-      .select(idCol)
-    original.join(broadcast(short), idCol)
+    val short = pqShortlist(codes, idCol, adcTables(codebooks, query), qnorm,
+      shortlist, excludeId, adcOffset)
+    // Exact-rerank scan shape (r15): a broadcast join of the shortlist
+    // cannot push the candidate ids into the raw-vector scan, so the
+    // rerank read the ENTIRE original table's bytes — 26 GB at the 100M
+    // rehearsal point, the whole corpus at 100 TB — to fetch |shortlist|
+    // rows. For serving-sized shortlists the ids are instead collected
+    // (one bounded job over the code table, same rows the join's
+    // broadcast would have collected anyway) and re-attached as an
+    // `isin` PREDICATE, which reaches the parquet scan: on the id-ordered
+    // layout parquet row-group/page statistics prune the corpus to the
+    // pages holding the candidates (PushedFilters In(vec_id, ...) — see
+    // plans/r15/ann_rerank_after.txt; the declared sim_* queries use the
+    // exhaustive shortlist≥corpus oracle config and keep the join).
+    // Measured at 100M×64f: pq serve
+    // 4.6 s → ~2 s. Oversized shortlists (the exhaustive / oracle-replay
+    // configs, shortlist ≥ corpus) keep the broadcast-join path — a
+    // driver collect there would be corpus-sized.
+    // default matches EngineConf's parquet inFilterThreshold: past it the
+    // isin would stop pushing down as an or-chain and the filter would
+    // scan like the join did
+    val rerankIsinMax = original.sparkSession.conf
+      .get("spark.graft.ann.rerankIsinMax", "4096").toInt
+    val cand =
+      if (shortlist <= rerankIsinMax) {
+        val ids = short.collect().map(_.get(0)).toIndexedSeq
+        if (ids.isEmpty) original.join(broadcast(short), idCol) // empty result
+        else original.filter(col(idCol).isin(ids: _*))
+      } else original.join(broadcast(short), idCol)
+    cand
       .select(col(idCol),
         round(cosine(col(vecCol), array(query.map(lit): _*)), 6).as("sim"))
       // the rerank side may hold the same (id, vec) row more than once
       // (overlapping serving sources after an append replay) — collapse
       // before ranking so top-k never lists an id twice. Shortlist-sized
       // input (≤ |short| · dup rows), so the aggregate is noise next to
-      // the corpus-scan join above it.
+      // the candidate scan above it.
       .dropDuplicates(Seq(idCol))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
@@ -594,6 +642,25 @@ object Similarity {
     * residual offset, exact-rerank the shortlist against the original
     * vectors. nProbe = nCells AND shortlist ≥ corpus degenerates to exact
     * brute force. */
+  /** The probed, offset-adjusted ADC shortlist of [[ivfPqTopK]] — exposed
+    * for plan-shape specs (see [[pqShortlist]]). */
+  private[graft] def ivfPqShortlist(codes: DataFrame, idCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], query: Seq[Float],
+      nProbe: Int, shortlist: Int,
+      excludeId: Option[Long]): DataFrame = {
+    val probeCells = probeCellsFor(centroids, query, nProbe)
+    val q = query.map(_.toDouble).toArray
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val qDotC = centroids.map(c =>
+      c.zip(q).map { case (a, b) => a * b }.sum).toSeq
+    val probed =
+      if (probeCells.length >= centroids.length) codes
+      else codes.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    pqShortlist(probed, idCol, adcTables(codebooks, query), qnorm, shortlist,
+      excludeId, adcOffset = element_at(typedLit(qDotC), col("cell") + 1))
+  }
+
   def ivfPqTopK(codes: DataFrame, original: DataFrame, idCol: String,
                 vecCol: String, centroids: Array[Array[Double]],
                 codebooks: Array[Array[Array[Double]]], query: Seq[Float],

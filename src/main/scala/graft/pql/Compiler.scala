@@ -754,7 +754,9 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     *    ~16 MB of (long,long) pairs on the driver; a serving box under
     *    100×-concurrency holds 100 of these, so the default is sized for the
     *    FLEET, with the knob available to single-tenant analytics):
-    *    ONE distributed groupBy(value) aggregation builds the value histogram,
+    *    ONE distributed groupBy(value) aggregation builds the value histogram
+    *    (collected with a maxCdf+1 cap, which is ALSO the regime test — r15
+    *    removed the separate full stats scan that used to precede it),
     *    then the bisection runs driver-side against the in-memory CDF. The
     *    driver holds one (long, long) pair per DISTINCT value — bounded by
     *    BSI bit-depth in the reference (`bsi.go:11-63`).
@@ -787,15 +789,27 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       case _ => col(f).cast("long")
     }
     val vals = base.select(toBisect.as("v"))
-    // one pass: bounds + total + cardinality estimate picks the regime
-    val stats = vals.agg(min("v"), max("v"), count(lit(1)),
-      approx_count_distinct(col("v"))).head()
+    // ONE bounded job picks the regime AND (usually) delivers the whole
+    // CDF: the value histogram is collected up to maxCdf+1 groups — if it
+    // fits, bounds/total/prefix-counts all come from it and the separate
+    // stats scan (r14 shape: a full min/max/count/approx-distinct pass
+    // BEFORE the CDF pass, i.e. two corpus scans in the common regime) is
+    // never run; only the rare high-cardinality overflow pays the stats
+    // scan, and it was headed into the ≤64-probe loop anyway. The driver
+    // bound is unchanged — maxCdf+1 (long, long) pairs, the same cap the
+    // old collect had. No orderBy before the collect: the driver sorts
+    // its ≤1M pairs locally instead of range-exchanging the histogram.
+    val maxCdf = spark.conf.getOption("spark.graft.percentile.maxCdf")
+      .map(_.toLong).getOrElse(1000000L)
+    val capped = math.min(maxCdf, Int.MaxValue - 2L).toInt
+    val grouped = vals.groupBy("v").agg(count(lit(1)).as("c"))
+      .limit(capped + 1).collect()
     // empty filtered set: ONE NULL row, not zero rows — the bisection's
     // degenerate answer is "no value", and the oracle's recursive replay
     // (first step: dg=0 → v=mx=NULL, done) emits exactly one NULL row.
     // (Found at sf0.001, where sql_percentile's retailprice filter matches
     // nothing: Spark returned 0 rows vs the oracle's 1.)
-    if (stats.isNullAt(0)) {
+    if (grouped.isEmpty) {
       val nullDf = Seq[Option[Long]](None).toDF("raw")
       return fieldType match {
         case d: org.apache.spark.sql.types.DecimalType =>
@@ -806,10 +820,16 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
         case _ => nullDf.select(col("raw").as("val"))
       }
     }
-    val (lo, hi, total, distinctEst) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
-    val maxCdf = spark.conf.getOption("spark.graft.percentile.maxCdf")
-      .map(_.toLong).getOrElse(1000000L)
+    val cdfOpt =
+      if (grouped.length <= capped)
+        Some(grouped.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+      else None // > maxCdf distinct values: fall to the distributed probe
+    val (lo, hi, total) = cdfOpt match {
+      case Some(cdf) => (cdf.head._1, cdf.last._1, cdf.iterator.map(_._2).sum)
+      case None =>
+        val stats = vals.agg(min("v"), max("v"), count(lit(1))).head()
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    }
 
     val desiredLess    = ((total.toDouble * nth) / 100.0).toLong
     val desiredGreater = ((total.toDouble * (100 - nth)) / 100.0).toLong
@@ -845,10 +865,8 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
         (r.getLong(0), r.getLong(1))
       })
 
-    val possible =
-      if (distinctEst <= maxCdf) {
-        val cdf = vals.groupBy("v").agg(count(lit(1)).as("c")).orderBy("v")
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val possible = cdfOpt match {
+      case Some(cdf) =>
         val values = cdf.map(_._1)
         val prefix = cdf.scanLeft(0L)(_ + _._2).init // counts strictly before idx
         bisect(
@@ -858,10 +876,10 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
             total - prefix(idx) -
               (if (idx < values.length && values(idx) == v) cdf(idx)._2 else 0L)
           })
-      } else {
+      case None =>
         // distributed probe: both counters in one scan per bisection step
         bisect(v => probeCounts(v)._1, v => probeCounts(v)._2)
-      }
+    }
     fieldType match {
       case d: org.apache.spark.sql.types.DecimalType =>
         Seq(possible).toDF("raw").select(

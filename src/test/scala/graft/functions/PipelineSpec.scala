@@ -382,17 +382,24 @@ class PipelineSpec extends SparkSpec {
     val codes = spark.read.parquet(dir)
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20, Some(0L))
       .collect().map(_.getLong(0)).toSet
-    // AQE wraps the broadcast join in an adaptive plan whose scans aren't
-    // visible to collect(); off while the physical plan is materialized
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val (got, codeScans) =
+    val (got, codeScans, rerankScans) =
       try {
         val topk = Similarity.pqTopK(codes, emb, "vec_id", "embedding", cb,
           q, 20, shortlist = 100, excludeId = Some(0L))
+        // the ADC stage is the eagerly-materialized shortlist frame (r15:
+        // its ids re-attach to the rerank as a pushable isin, so it no
+        // longer appears inside the final plan) — assert ITS scan shape
+        val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+        val short = Similarity.pqShortlist(codes, "vec_id",
+          Similarity.adcTables(cb, q), qn, 100, Some(0L), lit(0.0))
         (topk.collect().map(_.getLong(0)).toSet,
-          topk.queryExecution.executedPlan.collect {
+          short.queryExecution.executedPlan.collect {
             case f: FileSourceScanExec if f.relation.location.rootPaths
               .exists(_.toString.contains("pq_index")) => f
+          },
+          topk.queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec => f
           })
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val recall = (got & brute).size
@@ -405,6 +412,14 @@ class PipelineSpec extends SparkSpec {
         !f.schema.fieldNames.contains("embedding") &&
           f.schema.fieldNames.toSet.subsetOf(Set("vec_id", "code", "vnorm"))),
       s"code scan read ${codeScans.map(_.schema.fieldNames.mkString(","))}")
+    // the rerank reads the raw vectors through a PUSHED id predicate, not
+    // a corpus-wide broadcast-join probe — at 100 TB that is the
+    // difference between page-pruned candidate reads and a full re-scan
+    assert(rerankScans.nonEmpty, "expected a rerank scan of the originals")
+    assert(rerankScans.forall(f => f.dataFilters.exists(
+        _.references.exists(_.name == "vec_id"))),
+      s"rerank scan carries no vec_id candidate filter: " +
+        s"${rerankScans.map(_.dataFilters.mkString(";"))}")
   }
 
   test("IVF-PQ: exhaustive config equals brute force; probe prunes partitions") {
@@ -429,8 +444,13 @@ class PipelineSpec extends SparkSpec {
       try {
         val topk = Similarity.ivfPqTopK(stored, emb, "vec_id", "embedding",
           centroids, cb, q, 20, nProbe = 3, shortlist = 100, excludeId = Some(0L))
+        // the code-table scan lives in the eagerly-materialized ADC
+        // shortlist (r15: its ids reach the rerank as a pushable isin, so
+        // the codes scan is no longer part of the final plan)
+        val short = Similarity.ivfPqShortlist(stored, "vec_id", centroids,
+          cb, q, nProbe = 3, shortlist = 100, excludeId = Some(0L))
         (topk.collect().map(_.getLong(0)).toSet,
-          topk.queryExecution.executedPlan.collect {
+          short.queryExecution.executedPlan.collect {
             case f: FileSourceScanExec if f.relation.location.rootPaths
               .exists(_.toString.contains("ivfpq_index")) => f
           })
