@@ -136,9 +136,31 @@ object TableLog {
     // instead of scanning the table. The sort shuffle is paid once per
     // compaction (1/compactAfter writes), not per write. Overlay/tombstone
     // pieces are small and churn every write — leave them unsorted.
+    //
+    // OPT-IN scalar-key clustering (r15 VERDICT item 4, guide §6 "sort
+    // order on write determines how well readers skip"): when
+    // `spark.graft.layout.clusterBy.<table>` names a column, base pieces
+    // range-partition on (key, _id) and sort within partitions by it, so
+    // every file carries tight min/max stats on THAT key too. This is what
+    // turns a scalar-key delta refold (IndexRegistry.refoldMutation prunes
+    // the fact rescan with `key IN (touched values)`) from a full-table
+    // rescan into a row-group-pruned slice read — the same effect the
+    // quantum indexes get for free from time-ordered arrival (1B measured:
+    // 1.96 s time-clustered vs 51.4 s unclustered). Opt-in because the
+    // right key is workload knowledge (IndexAdvisor's layoutHint names
+    // it); _id stays the secondary sort so point lookups keep pruning.
+    val clusterKey = scala.util.Try(spark.conf.get(
+        s"spark.graft.layout.clusterBy.${name.toLowerCase}"))
+      .toOption.filter(k => k.nonEmpty && df.columns.contains(k))
     val laid =
       if (kind == "base" && hasId(df) && !df.isStreaming)
-        df.repartitionByRange(col("_id")).sortWithinPartitions("_id")
+        clusterKey match {
+          case Some(k) =>
+            df.repartitionByRange(col(Idents.q(k)), col("_id"))
+              .sortWithinPartitions(col(Idents.q(k)), col("_id"))
+          case None =>
+            df.repartitionByRange(col("_id")).sortWithinPartitions("_id")
+        }
       else df
     warehouse(spark) match {
       case Some(wh) =>

@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native shingling for the dedup hot path.
@@ -234,48 +234,63 @@ case class RemoveCovered(left: Expression, right: Expression)
 
 /** `simhash_agg(h)` — the [[Dedup.SimHashBits]]-bit SimHash as ONE
   * imperative aggregate: per token hash, each bit position votes ±1 into
-  * an int[bits] buffer; eval assembles the majority bits into the final
+  * `bits` int slots; eval assembles the majority bits into the final
   * long directly. The declarative form (48 separate `sum(CASE ...)`
   * aggregates + a 48-term assembly expression) is the same
-  * wide-generated-method shape that hurt the minhash signature aggregate. */
+  * wide-generated-method shape that hurt the minhash signature aggregate.
+  *
+  * Fixed-width [[ImperativeAggregate]] (not TypedImperative): the vote
+  * counters live as `bits` int fields INSIDE the operator's UnsafeRow
+  * aggregation buffer — see [[MinHashSigAgg]] for why (HashAggregateExec's
+  * paged map instead of per-group heap objects). */
 case class SimHashAgg(child: Expression, bits: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+  extends ImperativeAggregate with UnaryLike[Expression] {
   require(bits >= 1 && bits <= 63, s"bad simhash width: $bits")
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
-  override def update(buf: Array[Int], row: InternalRow): Array[Int] = {
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    (0 until bits).map(b => AttributeReference(s"v$b", IntegerType,
+      nullable = false)())
+  override lazy val inputAggBufferAttributes: Seq[AttributeReference] =
+    aggBufferAttributes.map(_.newInstance())
+  override def aggBufferSchema: StructType =
+    StructType((0 until bits).map(b =>
+      StructField(s"v$b", IntegerType, nullable = false)))
+
+  override def initialize(buf: InternalRow): Unit = {
+    var b = 0
+    while (b < bits) { buf.setInt(mutableAggBufferOffset + b, 0); b += 1 }
+  }
+  override def update(buf: InternalRow, row: InternalRow): Unit = {
     val v = child.eval(row)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      val off = mutableAggBufferOffset
       var b = 0
       while (b < bits) {
-        buf(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        buf.setInt(off + b,
+          buf.getInt(off + b) + (if (((h >> b) & 1L) == 1L) 1 else -1))
         b += 1
       }
     }
-    buf
   }
-  override def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+  override def merge(buf: InternalRow, in: InternalRow): Unit = {
+    val off = mutableAggBufferOffset
+    val inOff = inputAggBufferOffset
     var b = 0
-    while (b < bits) { x(b) += y(b); b += 1 }
-    x
+    while (b < bits) {
+      buf.setInt(off + b, buf.getInt(off + b) + in.getInt(inOff + b))
+      b += 1
+    }
   }
-  override def eval(buf: Array[Int]): Any = {
+  override def eval(buf: InternalRow): Any = {
     var out = 0L
     var b = 0
-    while (b < bits) { if (buf(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-  override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 * bits)
-    bb.asIntBuffer().put(buf)
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
-    val out = new Array[Int](bits)
-    java.nio.ByteBuffer.wrap(bytes).asIntBuffer().get(out)
+    while (b < bits) {
+      if (buf.getInt(mutableAggBufferOffset + b) > 0) out |= (1L << b)
+      b += 1
+    }
     out
   }
   override def dataType: DataType = LongType
@@ -290,28 +305,40 @@ case class SimHashAgg(child: Expression, bits: Int,
 }
 
 /** `minhash_sig(h, k)` — the k-minima MinHash signature as ONE imperative
-  * aggregate over a long[k] buffer, replacing k separate declarative
+  * aggregate over k long slots, replacing k separate declarative
   * `min(...)` aggregates.
   *
   * Why imperative here when the engine otherwise prefers codegen'd
-  * declarative aggregates: k=128 min-aggregates generate a 128-field
-  * UnsafeRow buffer and 128 independent update expressions — a generated
-  * method so large the JIT never optimizes it well (and past the codegen
-  * field guard it silently falls back to interpreted evaluation, measured
-  * 1.7× worse). The entire hash family is instead one tight primitive loop
-  * over a long[k] — no boxing inside the loop, no per-field codegen — with
-  * a merge that is an elementwise min, so map-side partial aggregation
-  * still bounds the shuffle at one row of (id, k longs) per document.
+  * declarative aggregates: k=128 min-aggregates generate 128 independent
+  * update expressions — a generated method so large the JIT never
+  * optimizes it well (and past the codegen field guard it silently falls
+  * back to interpreted evaluation, measured 1.7× worse). The entire hash
+  * family is instead one tight primitive loop — no boxing inside the
+  * loop, no per-field codegen — with a merge that is an elementwise min,
+  * so map-side partial aggregation still bounds the shuffle at one row of
+  * (id, k longs) per document.
+  *
+  * Why a fixed-width [[ImperativeAggregate]] and not TypedImperative (the
+  * r15 shape): a TypedImperativeAggregate plans as ObjectHashAggregate
+  * whose map holds one HEAP OBJECT per group — at the 5M-doc rehearsal
+  * that is 5M long[128] buffers (~5 GB of ~1 KB objects) surviving into
+  * the old generation per aggregation pass, plus a 1 KB byte[] per group
+  * to serialize partial buffers into the exchange. The driver's r15 runs
+  * recorded up to ~1260 s of aggregate executor GC on this block. With
+  * the buffer declared as k LongType fields, the planner picks
+  * HashAggregateExec and the k minima live INSIDE the operator's paged
+  * UnsafeRow map (zero per-group objects, partial rows ARE the buffer —
+  * no serialize step, spill goes through the Unsafe external sorter).
+  * Update/merge math is unchanged, so signatures stay bit-identical and
+  * the DuckDB oracle replays unchanged.
   *
   * Input must already be reduced mod P (non-negative); parameters come from
-  * the same splitmix64 family as [[Dedup.hashParams]], so signatures are
-  * bit-identical to the declarative path and the DuckDB oracle replays
-  * unchanged.
+  * the same splitmix64 family as [[Dedup.hashParams]].
   */
 case class MinHashSigAgg(child: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends ImperativeAggregate with UnaryLike[Expression] {
   require(k >= 1, s"signature width must be >= 1, got $k")
 
   private val P = 2147483647L // 2^31 - 1, matches Dedup.P
@@ -320,39 +347,50 @@ case class MinHashSigAgg(child: Expression, k: Int,
     (ps.map(_._1).toArray, ps.map(_._2).toArray)
   }
 
-  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(P)
-  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    (0 until k).map(i => AttributeReference(s"m$i", LongType,
+      nullable = false)())
+  override lazy val inputAggBufferAttributes: Seq[AttributeReference] =
+    aggBufferAttributes.map(_.newInstance())
+  override def aggBufferSchema: StructType =
+    StructType((0 until k).map(i =>
+      StructField(s"m$i", LongType, nullable = false)))
+
+  override def initialize(buf: InternalRow): Unit = {
+    var i = 0
+    while (i < k) { buf.setLong(mutableAggBufferOffset + i, P); i += 1 }
+  }
+  override def update(buf: InternalRow, row: InternalRow): Unit = {
     val v = child.eval(row)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       val a = pa; val b = pb
+      val off = mutableAggBufferOffset
       var i = 0
       while (i < k) {
         val m = (h * a(i) + b(i)) % P
-        if (m < buf(i)) buf(i) = m
+        if (m < buf.getLong(off + i)) buf.setLong(off + i, m)
         i += 1
       }
     }
-    buf
   }
-  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+  override def merge(buf: InternalRow, in: InternalRow): Unit = {
+    val off = mutableAggBufferOffset
+    val inOff = inputAggBufferOffset
     var i = 0
-    while (i < k) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
-    x
+    while (i < k) {
+      val y = in.getLong(inOff + i)
+      if (y < buf.getLong(off + i)) buf.setLong(off + i, y)
+      i += 1
+    }
   }
-  override def eval(buf: Array[Long]): Any =
+  override def eval(buf: InternalRow): Any = {
     // unboxed result array — one per document in the signature hot path
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(buf)
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * k)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val out = new Array[Long](k)
-    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
+    var i = 0
+    while (i < k) { out(i) = buf.getLong(mutableAggBufferOffset + i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

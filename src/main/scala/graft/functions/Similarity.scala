@@ -508,6 +508,14 @@ object Similarity {
     }
   }
 
+  /** EAGER for serving-sized shortlists: when `shortlist` ≤
+    * `spark.graft.ann.rerankIsinMax`, CONSTRUCTING this frame runs one
+    * bounded Spark job (the shortlist collect) and snapshots the candidate
+    * ids at build time — code-table rows arriving between construction and
+    * execution are not seen (the serving path constructs-and-executes in
+    * one breath; exhaustive/oracle configs with larger shortlists keep the
+    * fully lazy broadcast-join plan). This is the price of re-attaching
+    * the candidates as an `isin` predicate the parquet scan can prune by. */
   def pqTopK(codes: DataFrame, original: DataFrame, idCol: String,
              vecCol: String, codebooks: Array[Array[Array[Double]]],
              query: Seq[Float], k: Int, shortlist: Int,
@@ -539,15 +547,21 @@ object Similarity {
     // 4.6 s → ~2 s. Oversized shortlists (the exhaustive / oracle-replay
     // configs, shortlist ≥ corpus) keep the broadcast-join path — a
     // driver collect there would be corpus-sized.
-    // default matches EngineConf's parquet inFilterThreshold: past it the
-    // isin would stop pushing down as an or-chain and the filter would
-    // scan like the join did
+    // the default is the session's ACTUAL parquet inFilterThreshold (r15
+    // ADVICE): past that many values Spark degrades the In predicate to a
+    // [min,max] range before parquet sees it, and the rerank would scan
+    // like the join did but without the join's locality — deriving the
+    // bound keeps the two knobs from drifting apart
     val rerankIsinMax = original.sparkSession.conf
-      .get("spark.graft.ann.rerankIsinMax", "4096").toInt
+      .get("spark.graft.ann.rerankIsinMax",
+        original.sparkSession.conf
+          .get("spark.sql.parquet.pushdown.inFilterThreshold", "4096")).toInt
     val cand =
       if (shortlist <= rerankIsinMax) {
         val ids = short.collect().map(_.get(0)).toIndexedSeq
-        if (ids.isEmpty) original.join(broadcast(short), idCol) // empty result
+        // empty shortlist: an empty frame of original's schema — never
+        // re-derive `short` through a join (a second ADC job for zero rows)
+        if (ids.isEmpty) original.filter(lit(false))
         else original.filter(col(idCol).isin(ids: _*))
       } else original.join(broadcast(short), idCol)
     cand
@@ -644,21 +658,36 @@ object Similarity {
     * brute force. */
   /** The probed, offset-adjusted ADC shortlist of [[ivfPqTopK]] — exposed
     * for plan-shape specs (see [[pqShortlist]]). */
-  private[graft] def ivfPqShortlist(codes: DataFrame, idCol: String,
-      centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], query: Seq[Float],
-      nProbe: Int, shortlist: Int,
-      excludeId: Option[Long]): DataFrame = {
+  /** The probed code subset and per-cell ADC offset shared by
+    * [[ivfPqShortlist]] and [[ivfPqTopK]] (r15 ADVICE: the two previously
+    * duplicated this construction verbatim, so the spec-asserted shortlist
+    * frame and the production frame could drift apart). Probing every
+    * cell (the exhaustive / nothing-to-prune config) makes the membership
+    * filter a per-row nCells-way comparison that can never drop a row —
+    * skip it. The q·centroid offsets are driver-computed (the centroid
+    * set is tiny) and ride as one small array literal indexed by cell. */
+  private def ivfProbe(codes: DataFrame, centroids: Array[Array[Double]],
+      query: Seq[Float], nProbe: Int): (DataFrame, Column) = {
     val probeCells = probeCellsFor(centroids, query, nProbe)
     val q = query.map(_.toDouble).toArray
-    val qnorm = math.sqrt(q.map(x => x * x).sum)
     val qDotC = centroids.map(c =>
       c.zip(q).map { case (a, b) => a * b }.sum).toSeq
     val probed =
       if (probeCells.length >= centroids.length) codes
       else codes.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    (probed, element_at(typedLit(qDotC), col("cell") + 1))
+  }
+
+  private[graft] def ivfPqShortlist(codes: DataFrame, idCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], query: Seq[Float],
+      nProbe: Int, shortlist: Int,
+      excludeId: Option[Long]): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val (probed, adcOffset) = ivfProbe(codes, centroids, query, nProbe)
     pqShortlist(probed, idCol, adcTables(codebooks, query), qnorm, shortlist,
-      excludeId, adcOffset = element_at(typedLit(qDotC), col("cell") + 1))
+      excludeId, adcOffset)
   }
 
   def ivfPqTopK(codes: DataFrame, original: DataFrame, idCol: String,
@@ -666,19 +695,8 @@ object Similarity {
                 codebooks: Array[Array[Array[Double]]], query: Seq[Float],
                 k: Int, nProbe: Int, shortlist: Int,
                 excludeId: Option[Long] = None): DataFrame = {
-    val probeCells = probeCellsFor(centroids, query, nProbe)
-    val q = query.map(_.toDouble).toArray
-    // q·centroid per cell, driver-computed (centroid set is tiny) and
-    // carried as one small array literal the offset lookup indexes by cell
-    val qDotC = centroids.map(c =>
-      c.zip(q).map { case (a, b) => a * b }.sum).toSeq
-    // probing every cell (the exhaustive / nothing-to-prune config) makes
-    // the membership filter a per-row nCells-way comparison that can
-    // never drop a row — skip it
-    val probed =
-      if (probeCells.length >= centroids.length) codes
-      else codes.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val (probed, adcOffset) = ivfProbe(codes, centroids, query, nProbe)
     pqTopK(probed, original, idCol, vecCol, codebooks, query, k, shortlist,
-      excludeId, adcOffset = element_at(typedLit(qDotC), col("cell") + 1))
+      excludeId, adcOffset)
   }
 }

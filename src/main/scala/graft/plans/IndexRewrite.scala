@@ -2146,15 +2146,23 @@ object IndexRewrite {
     try f finally suppressTL.set(prev)
   }
 
-  /** Install the rule into an existing session (idempotent). */
+  /** Install the rule into an existing session (idempotent). The
+    * [[DictGroupRewrite]] companion rule installs alongside and is kept
+    * LAST: index substitution must get first shot at an aggregation in
+    * each optimizer pass; the dictionary encoding carries whatever stays
+    * on the raw path. */
   def install(spark: SparkSession): Unit = {
     val already = spark.experimental.extraOptimizations.exists {
       case IndexRewrite(_) => true
       case _               => false
     }
-    if (!already)
+    if (!already) {
+      val (dict, rest) = spark.experimental.extraOptimizations
+        .partition(_.isInstanceOf[DictGroupRewrite])
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ IndexRewrite(spark)
+        (rest :+ IndexRewrite(spark)) ++ dict
+    }
+    DictGroupRewrite.install(spark)
   }
 }
 

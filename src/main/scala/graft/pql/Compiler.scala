@@ -24,6 +24,11 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
     resolve: String => DataFrame = n =>
       sys.error(s"no index resolver configured; cannot reference index '$n'")) {
 
+  // every PQL session gets the collision-free dictionary-encoded grouping
+  // rewrite (raw-path GroupBys over dictionary-encoded parquet strings
+  // aggregate on exact int codes; see graft.plans.DictGroupRewrite)
+  graft.plans.DictGroupRewrite.install(table.sparkSession)
+
   /** A bitmap result: Left = composable predicate, Right = materialized
     * `_id` set (single column "_id"). */
   type Bits = Either[Column, DataFrame]
@@ -789,27 +794,37 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       case _ => col(f).cast("long")
     }
     val vals = base.select(toBisect.as("v"))
-    // ONE bounded job picks the regime AND (usually) delivers the whole
-    // CDF: the value histogram is collected up to maxCdf+1 groups — if it
-    // fits, bounds/total/prefix-counts all come from it and the separate
-    // stats scan (r14 shape: a full min/max/count/approx-distinct pass
-    // BEFORE the CDF pass, i.e. two corpus scans in the common regime) is
-    // never run; only the rare high-cardinality overflow pays the stats
-    // scan, and it was headed into the ≤64-probe loop anyway. The driver
-    // bound is unchanged — maxCdf+1 (long, long) pairs, the same cap the
-    // old collect had. No orderBy before the collect: the driver sorts
-    // its ≤1M pairs locally instead of range-exchanging the histogram.
+    // ONE job picks the regime AND delivers everything both regimes need:
+    // the value histogram rides as a capped-sample aggregate next to the
+    // EXACT global stats (distinct-value count, min, max, total) over the
+    // same grouped pass. When ng ≤ maxCdf the sample provably holds the
+    // COMPLETE histogram (the cap is maxCdf+1) and the bisection runs
+    // driver-side as before; when it overflows, bounds/total are already
+    // in hand and the ≤64-step distributed probe loop starts immediately —
+    // r15's overflow regime paid a SECOND full corpus scan
+    // (min/max/count) here, r14's shape paid it in every regime. The
+    // driver bound is unchanged: maxCdf+1 (long, long) pairs. No orderBy
+    // before the collect: the driver sorts its ≤1M pairs locally.
     val maxCdf = spark.conf.getOption("spark.graft.percentile.maxCdf")
       .map(_.toLong).getOrElse(1000000L)
     val capped = math.min(maxCdf, Int.MaxValue - 2L).toInt
-    val grouped = vals.groupBy("v").agg(count(lit(1)).as("c"))
-      .limit(capped + 1).collect()
+    val statsRow = {
+      import org.apache.spark.sql.graftshim.Shim
+      vals.groupBy("v").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("ng"), min("v").as("mn"), max("v").as("mx"),
+          sum("c").as("tot"),
+          Shim.column(CappedPairsAgg(Shim.expression(col("v")),
+            Shim.expression(col("c")), capped + 1)
+            .toAggregateExpression()).as("sample"))
+        .head()
+    }
+    val ng = statsRow.getLong(0)
     // empty filtered set: ONE NULL row, not zero rows — the bisection's
     // degenerate answer is "no value", and the oracle's recursive replay
     // (first step: dg=0 → v=mx=NULL, done) emits exactly one NULL row.
     // (Found at sf0.001, where sql_percentile's retailprice filter matches
     // nothing: Spark returned 0 rows vs the oracle's 1.)
-    if (grouped.isEmpty) {
+    if (ng == 0) {
       val nullDf = Seq[Option[Long]](None).toDF("raw")
       return fieldType match {
         case d: org.apache.spark.sql.types.DecimalType =>
@@ -821,15 +836,12 @@ final class Compiler(table: DataFrame, timeCol: Option[String] = None,
       }
     }
     val cdfOpt =
-      if (grouped.length <= capped)
-        Some(grouped.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+      if (ng <= capped)
+        Some(statsRow.getSeq[org.apache.spark.sql.Row](4)
+          .map(r => (r.getLong(0), r.getLong(1))).toArray.sortBy(_._1))
       else None // > maxCdf distinct values: fall to the distributed probe
-    val (lo, hi, total) = cdfOpt match {
-      case Some(cdf) => (cdf.head._1, cdf.last._1, cdf.iterator.map(_._2).sum)
-      case None =>
-        val stats = vals.agg(min("v"), max("v"), count(lit(1))).head()
-        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-    }
+    val (lo, hi, total) =
+      (statsRow.getLong(1), statsRow.getLong(2), statsRow.getLong(3))
 
     val desiredLess    = ((total.toDouble * nth) / 100.0).toLong
     val desiredGreater = ((total.toDouble * (100 - nth)) / 100.0).toLong
@@ -1012,4 +1024,87 @@ object Pql {
       } else Some(probe.run(c))
     }
   }
+}
+
+/** `capped_pairs(v, c, cap)` — collects up to cap (v, c) long pairs into
+  * one buffer; used by [[Compiler]]'s Percentile to fetch the value
+  * histogram AND its global stats in a SINGLE job (r15 VERDICT item 7:
+  * the >maxCdf overflow regime paid a second full stats scan). In the
+  * common (≤ cap distinct values) regime the buffer provably holds the
+  * COMPLETE histogram — the same count(*) aggregate that rides alongside
+  * says so — and in the overflow regime the buffer is simply ignored, so
+  * capping never changes an answer. Buffer is two primitive longs per
+  * DISTINCT value, bounded by cap (the driver-memory bound the old capped
+  * collect had). */
+private[pql] case class CappedPairsAgg(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression, cap: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[
+    org.apache.spark.sql.catalyst.expressions.Expression] {
+  require(cap >= 1, s"cap must be >= 1, got $cap")
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    scala.collection.mutable.ArrayBuffer.empty[Long]
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Long],
+      row: org.apache.spark.sql.catalyst.InternalRow)
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    if (buf.length < 2 * cap) {
+      val v = left.eval(row)
+      val c = right.eval(row)
+      if (v != null && c != null) {
+        buf += v.asInstanceOf[Long]
+        buf += c.asInstanceOf[Long]
+      }
+    }
+    buf
+  }
+  override def merge(x: scala.collection.mutable.ArrayBuffer[Long],
+      y: scala.collection.mutable.ArrayBuffer[Long])
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    val room = 2 * cap - x.length
+    if (room >= y.length) x ++= y
+    else if (room > 0) x ++= y.take(room - (room % 2))
+    x
+  }
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any = {
+    val n = buf.length / 2
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        buf(2 * i), buf(2 * i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](bytes.length / 8)
+    while (bb.remaining() >= 8) out += bb.getLong
+    out
+  }
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "capped_pairs"
+  override def withNewMutableAggBufferOffset(offset: Int): CappedPairsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CappedPairsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): CappedPairsAgg =
+    copy(left = l, right = r)
 }

@@ -76,6 +76,48 @@ class TableLogSpec extends SparkSpec {
     } finally TableLog.compactAfter = prev
   }
 
+  test("opt-in clusterBy lays base pieces out range-clustered on the key") {
+    val prev = TableLog.compactAfter
+    val wh = java.nio.file.Files.createTempDirectory("graft-tl-clu").toString
+    TableLog.compactAfter = 2
+    spark.conf.set("spark.graft.warehouse", wh)
+    spark.conf.set("spark.graft.layout.clusterBy.tl_clu", "v")
+    // tiny test rows: keep AQE from coalescing the range exchange to one
+    // file, or there is no multi-file layout to assert on
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      Ddl.run(spark, "CREATE TABLE tl_clu (_id ID, v STRING)")
+      // interleaved key arrival: without clustering every file would span
+      // the whole key domain
+      val vals = (1 to 40).map(i => s"($i, 'k${i % 8}')").mkString(", ")
+      Ddl.run(spark, s"INSERT INTO tl_clu VALUES $vals")
+      Ddl.run(spark, "INSERT INTO tl_clu VALUES (41, 'k0')") // trips compaction
+      assert(TableLog.depthOf(spark, "tl_clu") === 0)
+      assert(spark.table("tl_clu").count() === 41)
+      // the compacted base piece's files carry tight, non-overlapping key
+      // ranges — the property refoldMutation's IN-prune needs
+      val baseDirs = new java.io.File(wh, "tl_clu").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("base-"))
+        .sortBy(_.getName.stripPrefix("base-").toLong)
+      val parts = baseDirs.last.listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(parts.length > 1, "need >1 file to check clustering")
+      val ranges = parts.map { p =>
+        val r = spark.read.parquet(p).agg(min("v"), max("v")).head()
+        (r.getString(0), r.getString(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file key ranges overlap: ${ranges.mkString(", ")}")
+      }
+      Ddl.run(spark, "DROP TABLE tl_clu")
+    } finally {
+      TableLog.compactAfter = prev
+      spark.conf.unset("spark.graft.layout.clusterBy.tl_clu")
+      spark.conf.unset("spark.graft.warehouse")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+  }
+
   test("external view re-registration resets the log onto the live view") {
     Ddl.run(spark, "CREATE TABLE tl_ext (_id ID, v STRING)")
     Ddl.run(spark, "INSERT INTO tl_ext VALUES (1, 'a')")
